@@ -1,13 +1,635 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.NetFunctions
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Numeric-portability conventions (so Spark results hash-match the DuckDB
+  * oracle exactly):
+  *  - money/quantity sums go through DECIMAL casts pre-aggregation (exact,
+  *    order-independent) with a pinned final decimal type on both sides;
+  *  - averages/ratios are a single double division of exact operands
+  *    (IEEE-identical in both engines);
+  *  - doubles in output are either row passthroughs or round()ed;
+  *  - every query has a total ORDER BY; timestamps leave as epoch BIGINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column, p: Int, sc: Int): Column = c.cast(s"decimal($p,$sc)")
+
+  /** Fixed clock for the NEF fixture query (determinism). */
+  private val FixedNow = 1700000000L
+
+  /** Flagship: the full NEF data plane (parse → broadcast-enrich →
+    * explode×2/normalize → tag-filter → policy) over the reference's own
+    * test payloads, plus a scan of the driver's sf0.001 lineitem to prove
+    * the parquet path. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val notifs = Fixtures.notifications(spark, Seq(
+      Fixtures.perfDataPayload, Fixtures.ueMobilityPayload,
+      Fixtures.ueCommPayload, Fixtures.multiEventPayload,
+      Fixtures.emptyTrajsPayload, Fixtures.unsupportedEventPayload,
+      Fixtures.unknownNotifPayload))
+    Ingest.envelopes(notifs, Fixtures.subscriptions(spark), now = lit(FixedNow))
+  }
+
+  // ── the operator catalog ──
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E3/G2 — TPC-H-Q1-shaped hash aggregation with partial+final agg.
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec(sum(dec(col("l_quantity"), 18, 2)), 38, 2).as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice"), 18, 2)), 38, 2).as("sum_base_price"),
+          dec(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2)), 38, 4).as("sum_disc_price"),
+          dec(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2) * dec(lit(1) + col("l_tax"), 3, 2)), 38, 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A7/C — scan with predicate pushdown + column pruning; raw row passthrough.
+    "q02_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_quantity") < 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // B2 — three-way join (customer ⋈ orders ⋈ lineitem) + agg + top-k.
+    "q03_top_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(
+          dec(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2)), 38, 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // B1-analog — broadcast hash joins against tiny dims (region, nation).
+    "q04_broadcast_dims" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dec(sum(dec(col("c_acctbal"), 18, 2)), 38, 2).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // B1 semi — EXISTS as left_semi join.
+    "q05_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B1 anti — NOT EXISTS as left_anti join (the reference's 403 path shape).
+    "q06_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // G1 — ranking window, deterministic tie-break.
+    "q07_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // G1 — running aggregate + lag over event-time order.
+    "q08_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          dec(sum(dec(col("o_totalprice"), 18, 2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 38, 2))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // E5 — rollup grouping sets.
+    "q09_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("l_quantity"), 18, 2)), 38, 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // E4 — exact distinct counts (partial aggregation under the hood).
+    "q10_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // G5 — intersect.
+    "q11_intersect" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").where(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 100000)
+        .select(col("o_custkey").as("c_custkey"))
+      rich.intersect(big).orderBy(col("c_custkey"))
+    }),
+
+    // G5 — except (distinct set difference).
+    "q12_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // G3 — global top-k (TakeOrderedAndProject, no full sort at scale).
+    "q13_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // G4 — union of heterogeneous branches (the three-normalizer shape).
+    "q14_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.where(col("o_totalprice") > 400000)
+        .select(lit("high").as("bucket"), col("o_orderkey"), col("o_totalprice"))
+      val lo = o.where(col("o_totalprice") < 5000)
+        .select(lit("low").as("bucket"), col("o_orderkey"), col("o_totalprice"))
+      hi.unionByName(lo).orderBy(col("bucket"), col("o_orderkey"))
+    }),
+
+    // E5 — cube.
+    "q15_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // B3 — equi + range join (ship within 30 days of order date).
+    "q16_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // F6 — JSON extraction from events.props (the reference's schema-on-read).
+    "q17_events_json" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      t(s, dir, "events")
+        .select(col("event_type"), when(k === "", lit(null)).otherwise(k).cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // F2/H3-analog — event-time to unix seconds + tumbling 1h buckets.
+    "q18_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+        .agg(count(lit(1)).as("n"),
+          dec(sum(dec(col("value"), 18, 2)), 38, 2).as("total_value"))
+        .orderBy(col("event_type"), col("hour_epoch"))
+    }),
+
+    // F1 — the signature 3GPP BitRate parser over synthesized strings
+    // (unit picked by l_linenumber, incl. a no-unit null branch).
+    "q19_bitrate_parse" -> ((s, dir) => {
+      val unit = element_at(
+        array(lit(" bps"), lit(" Kbps"), lit(" Mbps"), lit(" Gbps"), lit(" Tbps"), lit("")),
+        (pmod(col("l_linenumber"), lit(6)) + 1).cast("int"))
+      val br = concat(col("l_quantity").cast("string"), unit)
+      t(s, dir, "lineitem")
+        .select(NetFunctions.parseBitrateMbps(br).as("mbps"))
+        .agg(
+          dec(sum(dec(col("mbps"), 28, 6)), 38, 6).as("total_mbps"),
+          count(col("mbps")).as("n_parsed"),
+          count(lit(1)).as("n"))
+    }),
+
+    // The flagship NEF pipeline on the reference's own fixtures, flattened —
+    // oracle is a literal VALUES golden (reference tests/test_receiver.py).
+    "q20_nef_envelope" -> ((s, _) => {
+      entry(s).select(
+        col("event"),
+        col("timestamp"),
+        col("tags.snssai_sst").as("sst"),
+        col("tags.snssai_sd").as("sd"),
+        col("tags.dnn").as("dnn"),
+        col("tags.ueIpv4Addr").as("ipv4"),
+        col("tags.appId").as("app_id"),
+        col("tags.supi").as("supi"),
+        element_at(col("metrics"), "thrputUl_mbps").as("thrput_ul"),
+        element_at(col("metrics"), "thrputDl_mbps").as("thrput_dl"),
+        element_at(col("metrics"), "pdb_ms").cast("bigint").as("pdb_ms"),
+        element_at(col("metrics"), "plr_per_thousand").cast("bigint").as("plr"),
+        size(col("trajectory")).as("n_traj"),
+        element_at(col("trajectory"), 1).getField("ts").as("traj0_ts"),
+        element_at(col("trajectory"), 1).getField("tac").as("traj0_tac"),
+        element_at(col("comms"), 1).getField("endTime").as("comm0_end"),
+        element_at(col("comms"), 1).getField("ulVol").as("comm0_ul"),
+        element_at(col("comms"), 1).getField("dlVol").as("comm0_dl"))
+        .orderBy(col("event"), col("timestamp"), coalesce(col("thrput_dl"), lit(-1.0)))
+    }),
+
+    // E1 — discovered metric fields over the fixture envelopes.
+    "q21_discovered_fields" -> ((s, _) => {
+      sinks.Sinks.discoveredFields(entry(s)).orderBy(col("field"))
+    }),
+
+    // Dedup: exact (hash groupBy on full text).
+    "d01_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // Dedup: md5 content fingerprint (constant-width shuffle keys at scale).
+    "d02_dedup_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup: exact word-3-gram Jaccard via inverted shingle index.
+    "d03_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 50), docs, n = 3, threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Dedup: MinHash + banded LSH candidates (no SQL twin — xxhash64 family).
+    "d04_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, k = 64, bands = 16, threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Dedup: 64-bit SimHash per doc (no SQL twin — xxhash64 family).
+    "d05_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup: embedding-cosine near-dup pairs (probe block vs corpus).
+    "d06_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineNearDupPairs(e, e.where(col("vec_id") < 100), threshold = 0.35)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Similarity: brute-force cosine top-k (exact baseline).
+    "s01_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Similarity: LSH random-hyperplane bucketed top-k (the scale path;
+    // recall vs s01 asserted in tests — no SQL twin, planes are seeded RNG).
+    "s02_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, nPlanes = 8, dim = 64)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Text: language-ID heuristic (stopword-marker voting).
+    "t01_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: quality features + composite score (pure per-row arithmetic).
+    "t02_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: token counting (whitespace + BPE-ish estimate) per language.
+    "t03_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("total_tokens"),
+          sum(col("bpe")).as("total_bpe_est"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // Text: order-sensitive rolling-hash fingerprint (no SQL twin — xxhash64).
+    "t04_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal: binary payload + stubbed decode metadata (plumbing real).
+    "m01_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractFeatures(t(s, dir, "documents")).select(
+        col("doc_id"), col("modality"), col("n_bytes"),
+        col("image_meta").getField("width").as("img_w"),
+        col("image_meta").getField("height").as("img_h"),
+        col("audio_meta").getField("n_samples").as("audio_samples"),
+        element_at(col("frame_offsets"), 3).as("frame2_off"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ── DuckDB oracle twins (ANSI SQL on the same parquet tables) ──
+
+  private val bitrateSqlExpr =
+    """round(CAST(NULLIF(regexp_extract(trim(br), '^(\d+\.?\d*)\s*(bps|Kbps|Mbps|Gbps|Tbps)$', 1), '') AS DOUBLE)
+      | * CASE regexp_extract(trim(br), '^(\d+\.?\d*)\s*(bps|Kbps|Mbps|Gbps|Tbps)$', 2)
+      |     WHEN 'bps' THEN 1e-6 WHEN 'Kbps' THEN 1e-3 WHEN 'Mbps' THEN 1.0
+      |     WHEN 'Gbps' THEN 1e3 WHEN 'Tbps' THEN 1e6 END, 6)""".stripMargin
+
+  private val tokensSqlExpr =
+    """list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> length(x) > 0)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) * CAST(1 + l_tax AS DECIMAL(3,2))) AS DECIMAL(38,6)) AS sum_charge,
+        | count(*) AS count_order,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue,
+        | count(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q04_broadcast_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q08_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+        | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q10_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q11_intersect" ->
+      """SELECT * FROM (
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        | INTERSECT
+        | SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "q12_except" ->
+      """SELECT * FROM (
+        | SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q14_union" ->
+      """SELECT * FROM (
+        | SELECT 'high' AS bucket, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+        | UNION ALL
+        | SELECT 'low' AS bucket, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 5000
+        |) ORDER BY bucket, o_orderkey""".stripMargin,
+
+    "q15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q16_range_join" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q17_events_json" ->
+      """SELECT event_type,
+        | sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q18_events_hourly" ->
+      """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch""".stripMargin,
+
+    "q19_bitrate_parse" -> (
+      s"""SELECT CAST(sum(CAST(mbps AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_mbps,
+         | count(mbps) AS n_parsed, count(*) AS n
+         |FROM (SELECT $bitrateSqlExpr AS mbps FROM (
+         | SELECT CAST(l_quantity AS VARCHAR) ||
+         |  CASE l_linenumber % 6 WHEN 0 THEN ' bps' WHEN 1 THEN ' Kbps' WHEN 2 THEN ' Mbps'
+         |   WHEN 3 THEN ' Gbps' WHEN 4 THEN ' Tbps' ELSE '' END AS br
+         | FROM lineitem))""".stripMargin),
+
+    // Golden VALUES twin of the NEF fixture pipeline (expected values from
+    // reference tests/test_receiver.py:204–471; 1776680100 = 2026-04-20T10:15:00Z,
+    // 1776680090 = 10:14:50Z, 1700000000 = injected fixed "now").
+    "q20_nef_envelope" ->
+      """SELECT * FROM (VALUES
+        | ('PERF_DATA', CAST(1776680100 AS BIGINT), 1, '000001', 'internet', '10.0.1.10', NULL, NULL,
+        |  CAST(NULL AS DOUBLE), CAST(50.0 AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('PERF_DATA', CAST(1776680100 AS BIGINT), 1, '000001', 'internet', '10.0.1.10', 'app-test', NULL,
+        |  CAST(11.74 AS DOUBLE), CAST(87.57 AS DOUBLE), CAST(18 AS BIGINT), CAST(17 AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('UE_COMM', CAST(1776680100 AS BIGINT), 1, '000001', 'internet', NULL, NULL, 'imsi-001011234567890',
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), NULL, CAST(1776680100 AS BIGINT), CAST(1048576 AS BIGINT), CAST(52428800 AS BIGINT)),
+        | ('UE_MOBILITY', CAST(1700000000 AS BIGINT), 1, '000001', 'internet', NULL, NULL, 'imsi-001011234567890',
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(0 AS INTEGER), CAST(NULL AS BIGINT), NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('UE_MOBILITY', CAST(1776680090 AS BIGINT), 1, '000001', 'internet', NULL, NULL, 'imsi-001011234567890',
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(2 AS INTEGER), CAST(1776680090 AS BIGINT), '000001', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+        | ('UE_MOBILITY', CAST(1776680100 AS BIGINT), 1, '000001', 'internet', NULL, NULL, 'imsi-001011234567890',
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(1 AS INTEGER), CAST(1776680100 AS BIGINT), NULL, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(event, "timestamp", sst, sd, dnn, ipv4, app_id, supi, thrput_ul, thrput_dl, pdb_ms, plr,
+        |       n_traj, traj0_ts, traj0_tac, comm0_end, comm0_ul, comm0_dl)
+        |ORDER BY event, "timestamp", coalesce(thrput_dl, -1.0)""".stripMargin,
+
+    "q21_discovered_fields" ->
+      """SELECT * FROM (VALUES ('comms'), ('pdb_ms'), ('plr_per_thousand'), ('thrputDl_mbps'),
+        | ('thrputUl_mbps'), ('trajectory')) AS t(field) ORDER BY field""".stripMargin,
+
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents
+        |GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d02_dedup_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d03_ngram_jaccard" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |  ELSE [] END AS sh FROM tok),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+         |inter AS (
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
+         | FROM e a JOIN e b USING (shingle)
+         | WHERE a.doc_id < 50 AND a.doc_id <> b.doc_id
+         | GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id, jaccard FROM (
+         | SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS jaccard FROM inter)
+         |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+
+    "d06_embedding_neardup" ->
+      """WITH p AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 100),
+        |c AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS bv FROM embeddings)
+        |SELECT a_id, b_id, sim FROM (
+        | SELECT a_id, b_id, round(list_cosine_similarity(av, bv), 6) AS sim
+        | FROM p JOIN c ON a_id < b_id)
+        |WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    "s01_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv, cv) AS sim
+        |      FROM p JOIN c ON probe_id <> neighbor_id),
+        |r AS (SELECT probe_id, neighbor_id, sim,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "t01_langid" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |sc AS (SELECT doc_id,
+         | len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+         | len(list_filter(ws, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS s_es,
+         | len(list_filter(ws, x -> list_contains(['der','die','das','und','zu','ein','ist'], x))) AS s_de,
+         | len(list_filter(ws, x -> list_contains(['le','la','de','et','que','un','est'], x))) AS s_fr
+         |FROM tok)
+         |SELECT doc_id, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         | WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         | WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         | WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         | ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    "t02_quality" -> (
+      s"""WITH tok AS (SELECT doc_id, text, $tokensSqlExpr AS ws FROM documents),
+         |f AS (SELECT doc_id, text, len(ws) AS n_tokens,
+         | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) END AS avg_word_len,
+         | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+         | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
+         |FROM tok)
+         |SELECT doc_id, n_tokens, avg_word_len, punct_ratio, stopword_ratio,
+         | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    "t03_token_count" -> (
+      s"""WITH tok AS (SELECT lang, $tokensSqlExpr AS ws FROM documents)
+         |SELECT lang, sum(CAST(len(ws) AS BIGINT)) AS total_tokens,
+         | sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS total_bpe_est,
+         | count(*) AS n_docs
+         |FROM tok GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "m01_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |FROM documents)
+        |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+        | CASE WHEN modality = 'image' THEN CAST(16 + n_bytes % 64 AS INTEGER) END AS img_w,
+        | CASE WHEN modality = 'image' THEN CAST(16 + (n_bytes * 7) % 64 AS INTEGER) END AS img_h,
+        | CASE WHEN modality = 'audio' THEN CAST(n_bytes * 100 AS BIGINT) END AS audio_samples,
+        | CASE WHEN modality = 'video' THEN CAST((2 * n_bytes) // 4 AS BIGINT) END AS frame2_off
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
 }

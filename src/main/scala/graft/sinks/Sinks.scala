@@ -1,0 +1,59 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** A3/E2 — per-notification batch-collect into one JSON-array message, plus
+  * E1 — the discovered-metric-fields aggregation.
+  */
+object Sinks {
+
+  /** E2 + A3: the reference serializes ALL surviving records of one request
+    * as a single JSON array and produces one Kafka message
+    * (receiver.py:442–445). Batch key = notifId, which also preserves
+    * per-subscription ordering when used as the Kafka message key (H6).
+    *
+    * Schema note (documented deviation): the engine's envelope carries
+    * `trajectory`/`comms` as typed sibling columns of the scalar `metrics`
+    * map rather than inside one heterogeneous `metrics` dict; `to_json`
+    * drops null fields (ignoreNullFields=true default), so absent metric
+    * keys stay absent (C8).
+    */
+  def kafkaBatches(records: DataFrame): DataFrame =
+    records
+      .groupBy(col("notifId"))
+      .agg(collect_list(struct(
+        col("timestamp"), col("tags"), col("event"), col("metrics"),
+        col("trajectory"), col("comms"))).as("records"))
+      .select(
+        col("notifId").as("key"),
+        to_json(col("records")).as("value"))
+
+  /** A4: per-record WebSocket fan-out payload
+    * `{"type":"data_ingested","data":rec}` (receiver.py:450–452), keyed by
+    * notifId for routing in a `foreachBatch` push layer.
+    */
+  def websocketMessages(records: DataFrame): DataFrame =
+    records.select(
+      col("notifId").as("key"),
+      to_json(struct(
+        lit("data_ingested").as("type"),
+        struct(col("timestamp"), col("tags"), col("event"), col("metrics"),
+          col("trajectory"), col("comms")).as("data"))).as("value"))
+
+  /** E1: the reference's global `_discovered_fields` set — every metric key
+    * ever seen (receiver.py:45–46, 394–397). The two array payloads count as
+    * the keys "trajectory"/"comms" (they are `metrics` dict keys there).
+    * Batch form; the streaming form is `dropDuplicates` over the same
+    * projection (durable via checkpoint — strictly better than the
+    * reference's in-memory set, SURVEY.md H4).
+    */
+  def discoveredFields(records: DataFrame): DataFrame =
+    records
+      .select(explode(map_keys(col("metrics"))).as("field"))
+      .unionAll(records.where(col("trajectory").isNotNull)
+        .select(lit("trajectory").as("field")))
+      .unionAll(records.where(col("comms").isNotNull)
+        .select(lit("comms").as("field")))
+      .distinct()
+}
