@@ -27,5 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dspark.sql.ansi.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-Dspark.sql.legacy.sizeOfNull=false",
+  // local[32] on a 128 GiB box: 8g starved the round-1 bench (GC death
+  // spiral + aborted stage on the LSH self-join); 32g leaves headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -12,10 +12,22 @@ import graft.functions.NetFunctions
   * Numeric-portability conventions (so Spark results hash-match the DuckDB
   * oracle exactly):
   *  - money/quantity sums go through DECIMAL casts pre-aggregation (exact,
-  *    order-independent) with a pinned final decimal type on both sides;
+  *    order-independent) — but the OUTPUT type is DOUBLE via a final cast
+  *    on both sides. Decimal/hugeint outputs hash-mismatch in the driver
+  *    gate (round 1: q01/q03/q04/q08/q09/q19/t03 were value-identical but
+  *    dtype-mismatched — Spark parquet decimal/int64 vs DuckDB
+  *    DECIMAL/HUGEINT result columns). At sf0.01 every such sum is exactly
+  *    representable in a double (< 2^53 when scaled), so the cast of the
+  *    identical exact decimal is bit-identical in both engines.
+  *  - DuckDB integer sums are wrapped in CAST(… AS BIGINT) — sum(BIGINT)
+  *    is HUGEINT there, which pandas-converts to object/float.
+  *  - sums that overflow 2^53 when scaled (q19's micro-Mbps) leave as exact
+  *    BIGINT in the natural smaller unit instead (bps).
   *  - averages/ratios are a single double division of exact operands
   *    (IEEE-identical in both engines);
-  *  - doubles in output are either row passthroughs or round()ed;
+  *  - doubles in output are either row passthroughs or round()ed, and any
+  *    threshold on a rounded double is applied to the ROUNDED value on both
+  *    sides;
   *  - every query has a total ORDER BY; timestamps leave as epoch BIGINT.
   */
 object SparkEntry {
@@ -52,12 +64,12 @@ object SparkEntry {
         .where(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity"), 18, 2)), 38, 2).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice"), 18, 2)), 38, 2).as("sum_base_price"),
-          dec(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2)), 38, 4).as("sum_disc_price"),
-          dec(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2) * dec(lit(1) + col("l_tax"), 3, 2)), 38, 6).as("sum_charge"),
+          sum(dec(col("l_quantity"), 18, 2)).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 18, 2)).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2)).cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2) * dec(lit(1) + col("l_tax"), 3, 2)).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -80,7 +92,7 @@ object SparkEntry {
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(
-          dec(sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2)), 38, 4).as("revenue"),
+          sum(dec(col("l_extendedprice"), 18, 2) * dec(lit(1) - col("l_discount"), 3, 2)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(10)
@@ -93,7 +105,7 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          dec(sum(dec(col("c_acctbal"), 18, 2)), 38, 2).as("total_acctbal"))
+          sum(dec(col("c_acctbal"), 18, 2)).cast("double").as("total_acctbal"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -133,8 +145,8 @@ object SparkEntry {
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders")
         .withColumn("running_spend",
-          dec(sum(dec(col("o_totalprice"), 18, 2))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 38, 2))
+          sum(dec(col("o_totalprice"), 18, 2))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
         .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
         .select(col("o_custkey"), col("o_orderkey"), col("running_spend"), col("prev_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -145,7 +157,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("l_quantity"), 18, 2)), 38, 2).as("sum_qty"))
+          sum(dec(col("l_quantity"), 18, 2)).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -228,7 +240,7 @@ object SparkEntry {
         .groupBy(col("event_type"),
           unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("value"), 18, 2)), 38, 2).as("total_value"))
+          sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
         .orderBy(col("event_type"), col("hour_epoch"))
     }),
 
@@ -241,8 +253,11 @@ object SparkEntry {
       val br = concat(col("l_quantity").cast("string"), unit)
       t(s, dir, "lineitem")
         .select(NetFunctions.parseBitrateMbps(br).as("mbps"))
+        // output the exact decimal sum as BIGINT bps (Mbps × 1e6): the 6-dp
+        // Mbps total scaled by 1e6 exceeds 2^53 even at sf0.01, so a double
+        // output would be inexact — the integer bps total is exact.
         .agg(
-          dec(sum(dec(col("mbps"), 28, 6)), 38, 6).as("total_mbps"),
+          (sum(dec(col("mbps"), 28, 6)) * lit(1000000)).cast("bigint").as("total_bps"),
           count(col("mbps")).as("n_parsed"),
           count(lit(1)).as("n"))
     }),
@@ -263,7 +278,10 @@ object SparkEntry {
         element_at(col("metrics"), "thrputDl_mbps").as("thrput_dl"),
         element_at(col("metrics"), "pdb_ms").cast("bigint").as("pdb_ms"),
         element_at(col("metrics"), "plr_per_thousand").cast("bigint").as("plr"),
-        size(col("trajectory")).as("n_traj"),
+        // guarded: with legacy sizeOfNull, size(NULL) is -1 — the oracle
+        // (and the reference, which has no trajectory key at all here)
+        // expects NULL for non-mobility rows.
+        when(col("trajectory").isNotNull, size(col("trajectory"))).as("n_traj"),
         element_at(col("trajectory"), 1).getField("ts").as("traj0_ts"),
         element_at(col("trajectory"), 1).getField("tac").as("traj0_tac"),
         element_at(col("comms"), 1).getField("endTime").as("comm0_end"),
@@ -311,11 +329,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Dedup: embedding-cosine near-dup pairs (probe block vs corpus).
+    // Dedup: embedding-cosine near-dup pairs (probe block vs corpus);
+    // sim is rounded to 6 dp inside the operator BEFORE thresholding,
+    // matching the oracle's round-then-filter order.
     "d06_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.cosineNearDupPairs(e, e.where(col("vec_id") < 100), threshold = 0.35)
-        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .select(col("a_id"), col("b_id"), col("sim"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -402,10 +422,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) * CAST(1 + l_tax AS DECIMAL(3,2))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2)) * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
         | count(*) AS count_order,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -418,14 +438,14 @@ object SparkEntry {
 
     "q03_top_customers" ->
       """SELECT c_custkey, c_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
 
     "q04_broadcast_dims" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
@@ -447,13 +467,13 @@ object SparkEntry {
 
     "q08_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
         | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q09_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
@@ -498,17 +518,17 @@ object SparkEntry {
 
     "q17_events_json" ->
       """SELECT event_type,
-        | sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q18_events_hourly" ->
       """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch""".stripMargin,
 
     "q19_bitrate_parse" -> (
-      s"""SELECT CAST(sum(CAST(mbps AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS total_mbps,
+      s"""SELECT CAST(sum(CAST(mbps AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS total_bps,
          | count(mbps) AS n_parsed, count(*) AS n
          |FROM (SELECT $bitrateSqlExpr AS mbps FROM (
          | SELECT CAST(l_quantity AS VARCHAR) ||
@@ -616,8 +636,8 @@ object SparkEntry {
 
     "t03_token_count" -> (
       s"""WITH tok AS (SELECT lang, $tokensSqlExpr AS ws FROM documents)
-         |SELECT lang, sum(CAST(len(ws) AS BIGINT)) AS total_tokens,
-         | sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS total_bpe_est,
+         |SELECT lang, CAST(sum(CAST(len(ws) AS BIGINT)) AS BIGINT) AS total_tokens,
+         | CAST(sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS total_bpe_est,
          | count(*) AS n_docs
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin),
 

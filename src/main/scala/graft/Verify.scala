@@ -14,6 +14,8 @@ object Verify {
       // ANSI off: reference parity (int() of garbage → null not error,
       // SURVEY.md §7.4) and DuckDB-oracle cast semantics.
       .config("spark.sql.ansi.enabled", "false")
+      // …but keep size(NULL) = NULL (ansi=false flips the legacy -1 default).
+      .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

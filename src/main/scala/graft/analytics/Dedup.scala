@@ -67,51 +67,73 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Hash family h_i(s) = xxhash64(i, s) — deterministic, seedable, and
-    * computed per row with higher-order functions (no shuffle).
+  /** MinHash signature from per-shingle base hashes: the classic
+    * universal-hash family h_i(x) = a_i·x + b_i (mod 2^64) over a single
+    * xxhash64 per shingle. One hash + k multiply-adds per shingle — k×
+    * cheaper than k independent string hashes, same collision estimate.
+    * Constants are seeded (deterministic plans). Empty set → Long.MaxValue.
     */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
+  def minhashFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val as = typedLit(Seq.fill(k)(rnd.nextLong() | 1L)) // odd multipliers
+    val bs = typedLit(Seq.fill(k)(rnd.nextLong()))
     transform(sequence(lit(0), lit(k - 1)), i =>
       coalesce(
-        array_min(transform(shingleSet, s => xxhash64(i, s))),
+        array_min(transform(hashes,
+          h => h * element_at(as, i + 1) + element_at(bs, i + 1))),
         lit(Long.MaxValue)))
+  }
+
+  /** MinHash signature of a shingle-set column (convenience wrapper; the
+    * two-step select in [[minhashCandidates]] evaluates the base hashes
+    * once per row instead of once per signature position).
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    minhashFromHashes(transform(shingleSet, s => xxhash64(s)), k)
 
   /** MinHash + banded LSH candidate pairs with estimated Jaccard.
     *
     * signature(k) → split into `bands` bands of k/bands rows → bucket key =
-    * (band, xxhash64(band slice)) → explode → self-join per bucket →
-    * distinct candidate pairs → estimate J as fraction of agreeing
-    * signature positions, keep those ≥ threshold.
+    * (band, xxhash64(band slice)) → explode → self-join per bucket on
+    * NARROW (band, bucket, id) rows only → distinct candidate (a_id, b_id)
+    * pairs → join the k-element signatures back (one row per pair, not per
+    * band collision) → estimate J as the fraction of agreeing positions,
+    * keep those ≥ threshold.
     *
-    * The only shuffles are the bucket groupBy and the final distinct —
-    * both on compact keys. Bucket skew (a hot shingle) is bounded because
-    * buckets are over full band-slices, not single shingles.
+    * Scale notes: a near-duplicate cluster of c docs collides in ~every
+    * band, producing O(bands·c²) join rows — so the bucket self-join must
+    * carry nothing but 16-byte pair keys, and the signature arrays are
+    * attached only after `distinct()` collapses those to O(c²). (Carrying
+    * the signatures through the self-join — the v1 shape — was a 95%-of-
+    * runtime hotspot at sf0.1 and an OOM risk at scale.) All shuffles are
+    * on compact keys; AQE handles residual bucket skew.
     */
   def minhashCandidates(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rowsPerBand = k / bands
-    val withSig = docs
+    val sigs = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val buckets = withSig.select(
-      col("id"), col("sig"),
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), minhashFromHashes(col("hs"), k).as("sig"))
+    val buckets = sigs.select(
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast(ArrayType(StringType)))).as("bucket"))))
-        .as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val l = buckets.select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
-    val r = buckets.select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
-    l.join(r, Seq("band", "bucket"))
+        xxhash64(lit("band"), b, concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast(ArrayType(StringType))))))
+        .as("bucket"))
+    val candidates = buckets.select(col("bucket"), col("id").as("a_id"))
+      .join(buckets.select(col("bucket"), col("id").as("b_id")), Seq("bucket"))
       .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
           .cast(DoubleType) / k).as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= threshold)
   }
 

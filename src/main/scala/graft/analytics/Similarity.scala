@@ -50,7 +50,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
@@ -91,21 +91,26 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, probe set vs
     * corpus (broadcast probe side — the exact-verification step after any
-    * candidate generation).
+    * candidate generation). The similarity is rounded to `roundDp` decimals
+    * BEFORE thresholding (and returned rounded), so the boundary decision is
+    * identical across engines — filtering the unrounded value while an
+    * oracle compares the rounded one is a data-dependent flake for true sims
+    * in [threshold − 5e-(roundDp+1), threshold).
     */
   def cosineNearDupPairs(corpus: DataFrame, probes: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding", roundDp: Int = 6): DataFrame = {
     val p = broadcast(probes.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")))
     val c = corpus.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     c.join(p, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_vec"), col("b_vec")).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_vec"), col("b_vec")), roundDp).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

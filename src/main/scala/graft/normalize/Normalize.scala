@@ -100,7 +100,10 @@ object Normalize {
       BitrateMetrics.flatMap { case (src, dst) =>
         Seq(lit(dst), parseBitrateMbps(perf.getField(src)))
       } ++ IntMetrics.flatMap { case (src, dst) =>
-        Seq(lit(dst), perf.getField(src).cast(DoubleType))
+        // int(val) semantics (receiver.py:125): numeric strings accepted,
+        // floats truncated toward zero (17.8 → 17); unparseable → absent
+        // key (the reference would 500 — documented deviation, schema doc).
+        Seq(lit(dst), perf.getField(src).cast(DoubleType).cast(LongType).cast(DoubleType))
       }
     val metrics = map_filter(map(entries: _*), (_, v) => v.isNotNull)
     envelope(

@@ -38,15 +38,24 @@ object NefSchemas {
     * (reference receiver.py:106–125). Bitrates arrive as 3GPP BitRate
     * strings ("48.57 Mbps") or bare numbers (str()-coerced, receiver.py:113)
     * so the declared type is String.
+    *
+    * The pdb/plr fields are Strings too, NOT Longs: the reference applies
+    * bare `int(val)` (receiver.py:125), which accepts JSON strings ("18")
+    * and truncates floats (17.8 → 17). Declaring LongType would silently
+    * null those via from_json coercion; reading the raw token text and
+    * casting with truncation downstream (Normalize.perfEnvelope) keeps
+    * parity. Documented deviation: garbage input raises in the reference
+    * (HTTP 500 — the whole request dies) but yields an absent metric key
+    * here.
     */
   val perfData: StructType = StructType(Seq(
     StructField("thrputUl", StringType), StructField("thrputDl", StringType),
     StructField("maxThrputUl", StringType), StructField("minThrputUl", StringType),
     StructField("maxThrputDl", StringType), StructField("minThrputDl", StringType),
-    StructField("pdb", LongType), StructField("pdbDl", LongType),
-    StructField("maxPdbUl", LongType), StructField("maxPdbDl", LongType),
-    StructField("plr", LongType), StructField("plrDl", LongType),
-    StructField("maxPlrUl", LongType), StructField("maxPlrDl", LongType)))
+    StructField("pdb", StringType), StructField("pdbDl", StringType),
+    StructField("maxPdbUl", StringType), StructField("maxPdbDl", StringType),
+    StructField("plr", StringType), StructField("plrDl", StringType),
+    StructField("maxPlrUl", StringType), StructField("maxPlrDl", StringType)))
 
   val perfDataInfo: StructType = StructType(Seq(
     StructField("ueIpAddr", StructType(Seq(

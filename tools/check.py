@@ -2,9 +2,15 @@
 """Local stand-in for the driver's correctness gate: reads the parquet dumps
 written by graft.Verify, runs each oracle SQL in DuckDB over views named after
 the testdata tables, and compares values exactly (columns sorted by name,
-rows in emitted order)."""
-import json, sys, glob, os
+rows in emitted order).
+
+Stricter than round 1: the driver's hash is dtype/encoding-sensitive (decimal
+and hugeint outputs hash-mismatched despite value-identical results), so this
+now also (a) compares pandas dtypes, and (b) compares float columns by raw
+IEEE bit pattern, not numeric equality."""
+import json, sys, glob, os, struct, math
 import duckdb
+import numpy as np
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -13,6 +19,15 @@ con = duckdb.connect()
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+def bits(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return struct.pack("<d", v).hex()
+    return v
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
@@ -38,13 +53,21 @@ for name in sorted(os.listdir(out_dir)):
         fails.append(name)
         print(f"FAIL {name}: rows {len(got_s)} vs {len(exp_s)}")
         continue
+    dtype_diff = [(c, str(got_s[c].dtype), str(exp_s[c].dtype))
+                  for c in got_s.columns if str(got_s[c].dtype) != str(exp_s[c].dtype)]
+    if dtype_diff:
+        fails.append(name)
+        print(f"FAIL {name}: dtype diffs {dtype_diff}")
+        continue
     diff_cols = []
     for c in got_s.columns:
         a, b = got_s[c], exp_s[c]
-        eq = (a.isna() & b.isna()) | (a.astype(object).where(~a.isna(), None) == b.astype(object).where(~b.isna(), None))
-        if not eq.all():
-            i = int((~eq).idxmax())
-            diff_cols.append((c, i, a.iloc[i], b.iloc[i]))
+        av = [bits(x) for x in a.astype(object).where(~a.isna(), None)]
+        bv = [bits(x) for x in b.astype(object).where(~b.isna(), None)]
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x != y:
+                diff_cols.append((c, i, a.iloc[i], b.iloc[i]))
+                break
     if diff_cols:
         fails.append(name)
         print(f"FAIL {name}: value diffs {diff_cols[:3]}")
