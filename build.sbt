@@ -28,6 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Dspark.sql.ansi.enabled=false",
   "-Dspark.sql.legacy.sizeOfNull=false",
+  // events.parquet uses INT64 TIMESTAMP(NANOS), unreadable by Spark 4 as a
+  // timestamp — read as LongType (nanos since epoch).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
+  // InferFiltersFromGenerate + cost-blind predicate pushdown re-runs whole
+  // per-row pipelines inside scan filters below explodes (see Bench.scala).
+  "-Dspark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
   // local[32] on a 128 GiB box: 8g starved the round-1 bench (GC death
   // spiral + aborted stage on the LSH self-join); 32g leaves headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",

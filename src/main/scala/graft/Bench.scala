@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Benchmark main: runs the SparkEntry catalog on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Methodology (round-2 postmortem):
+  *  - queries run in sorted-name order so round-over-round timings are
+  *    attributable (Map iteration order made warmup land on random queries);
+  *  - results are materialized through the `noop` datasource, which consumes
+  *    every row of the final plan — `count()` let Catalyst drop top-level
+  *    sorts and prune projections, under-measuring result production;
+  *  - failures are reported structurally in a "failed" object (and the query
+  *    is excluded from "queries"/total) instead of a -1 timing.
+  * Optional args = query-name filter (local iteration; driver passes none).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,23 +21,41 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.sizeOfNull", "false")
+      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as LongType.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate synthesizes size(arr)>0 below every explode;
+      // predicate pushdown then substitutes the alias chain into the filter
+      // with no cost guard, re-running the whole tokenize→shingle pipeline
+      // (tokens inlined per-element) inside the scan filter. Our generators
+      // never see null arrays — the rule only costs (round-3 profiling: 5×
+      // wall-time on the shingle explodes).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          -1L
+          Some(s"${e.getClass.getSimpleName}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def j(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"${j(k)}:$v" }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => s"${j(k)}:${j(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -235,10 +235,13 @@ object SparkEntry {
     }),
 
     // F2/H3-analog — event-time to unix seconds + tumbling 1h buckets.
+    // `ts` arrives as LongType nanos (TIMESTAMP(NANOS) parquet under
+    // legacy.parquet.nanosAsLong) — exceeds 2^53, so the bucket floor must
+    // stay in integer arithmetic (`div`), never a double division.
     "q18_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"),
-          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+          (expr("ts div 3600000000000") * 3600L).as("hour_epoch"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
         .orderBy(col("event_type"), col("hour_epoch"))
@@ -324,8 +327,7 @@ object SparkEntry {
 
     // Dedup: 64-bit SimHash per doc (no SQL twin — xxhash64 family).
     "d05_simhash" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashed(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
     }),
 

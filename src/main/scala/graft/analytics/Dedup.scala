@@ -12,6 +12,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
   * all-pairs cross join anywhere: candidate generation always goes through
   * an inverted index (shingle → docs) or an LSH band bucket, so the shuffle
   * key space is bounded and AQE can handle skewed buckets.
+  *
+  * Expression-shape rule (round-2/3 postmortem): Spark's higher-order
+  * functions re-evaluate any non-lambda subexpression embedded in a lambda
+  * BODY once per array element (and `CollapseProject` happily inlines a
+  * single-use alias into that body). Embedding `tokens(text)` inside a
+  * per-shingle lambda turned a linear pipeline into
+  * O(tokens × shingles × k) per row — 1824 s at sf0.1 for seconds of real
+  * work. Every operator here therefore (a) materializes expensive
+  * intermediates as real columns across projection boundaries, and (b) uses
+  * lambda bodies that reference only lambda variables, attributes, and
+  * literals. Arguments of `transform`/`aggregate` are evaluated once per
+  * row, so single-use chains in argument position are fine.
   */
 object Dedup {
 
@@ -32,31 +44,77 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles (distinct), normalized. Documents shorter than n
-    * words yield an empty shingle set.
+  /** Ensure at least one task per core before a CPU-bound per-row stage.
+    * Spark sizes scan partitions by BYTES (`files.maxPartitionBytes`), so a
+    * byte-small but compute-heavy corpus arrives as ONE split and the whole
+    * shingle/signature pipeline runs single-threaded. At real scale the
+    * input already has more splits than cores and this is a no-op (no
+    * shuffle); the round-robin shuffle it adds below the threshold moves
+    * only the raw text once.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = TextAnalysis.tokens(text)
+  private def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Word n-gram shingles (distinct) from an already-tokenized ARRAY COLUMN
+    * (`ws` must be an attribute, not an expression tree — see the
+    * expression-shape rule above). Documents shorter than n words yield an
+    * empty shingle set.
+    */
+  def shinglesFromTokens(ws: Column, n: Int): Column = {
     val grams = transform(sequence(lit(0), size(ws) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))
     array_distinct(when(size(ws) >= n, grams).otherwise(array().cast(ArrayType(StringType))))
   }
 
+  /** id + token-array projection (the shared first stage of every shingle
+    * pipeline), spread across cores.
+    */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    spreadForCpu(docs)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+
+  /** id + distinct word-n-gram shingle set per document, with tokenization
+    * materialized on its own projection boundary.
+    */
+  def shingleSets(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenized(docs, idCol, textCol)
+      .select(col("id"), shinglesFromTokens(col("ws"), n).as("sh"))
+
   /** Exact n-gram Jaccard near-dup pairs between a probe set and the corpus,
     * via an inverted shingle index: explode probe and corpus shingles, join
     * on the shingle, count intersections, then J = |∩| / (|A|+|B|-|∩|).
     * Only pairs sharing ≥1 shingle are ever materialized.
+    *
+    * `maxDf` caps the document frequency of index shingles: a shingle shared
+    * by m corpus documents yields O(m·probes) join rows, so at 100 TB a stop-
+    * word-like shingle is a skew bomb — standard practice drops shingles with
+    * DF > K from the index (they carry no near-dup signal). The cap only
+    * *undercounts* intersections for pairs glued by ultra-common shingles;
+    * with K safely above the corpus's true near-dup cluster size the output
+    * is unchanged (testdata max DF is 25 at sf0.1, so the default 1000 is
+    * exact there while still bounding worst-case skew at scale).
     */
   def ngramJaccardPairs(probes: DataFrame, corpus: DataFrame, n: Int,
-      threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def shingled(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), shingles(col(textCol), n).as("sh"))
-        .withColumn(s"${side}_size", size(col("sh")).cast(LongType))
-    val a = shingled(probes, "a")
-    val b = shingled(corpus, "b")
-    val aEx = a.select(col("a_id"), col("a_size"), explode(col("sh")).as("shingle"))
-    val bEx = b.select(col("b_id"), col("b_size"), explode(col("sh")).as("shingle"))
-    aEx.join(bEx, Seq("shingle"))
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Long = 1000L): DataFrame = {
+    def exploded(sets: DataFrame, side: String): DataFrame =
+      sets.select(col("id").as(s"${side}_id"),
+        size(col("sh")).cast(LongType).as(s"${side}_size"),
+        explode(col("sh")).as("shingle"))
+    // The corpus shingle sets feed two plan branches (the hot-shingle DF
+    // census and the index join) — persist the compact (id, shingles) form
+    // so the tokenize→shingle pipeline runs once.
+    val bSets = shingleSets(corpus, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aEx = exploded(shingleSets(probes, n, idCol, textCol), "a")
+    val bEx = exploded(bSets, "b")
+    val hotShingles = bEx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+      .select(col("shingle"))
+    aEx.join(bEx.join(broadcast(hotShingles), Seq("shingle"), "left_anti"), Seq("shingle"))
       .where(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
       .agg(count(lit(1)).as("inter"))
@@ -67,35 +125,47 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signature from per-shingle base hashes: the classic
-    * universal-hash family h_i(x) = a_i·x + b_i (mod 2^64) over a single
-    * xxhash64 per shingle. One hash + k multiply-adds per shingle — k×
-    * cheaper than k independent string hashes, same collision estimate.
-    * Constants are seeded (deterministic plans). Empty set → Long.MaxValue.
+  /** MinHash signature from per-shingle base hashes in ONE `aggregate` pass:
+    * the running element-wise minimum of the k universal hashes
+    * h_i(x) = a_i·x + b_i (mod 2^64) over a single xxhash64 per shingle.
+    * One multiply-add per (shingle, position) — k× cheaper than k
+    * independent string hashes, same collision estimate. Constants are
+    * seeded (deterministic plans). Empty set → all Long.MaxValue.
+    *
+    * `hashes` must be an attribute or single-use argument chain; the lambda
+    * bodies touch only lambda variables and the (a,b) literal array.
     */
   def minhashFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
-    val as = typedLit(Seq.fill(k)(rnd.nextLong() | 1L)) // odd multipliers
-    val bs = typedLit(Seq.fill(k)(rnd.nextLong()))
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      coalesce(
-        array_min(transform(hashes,
-          h => h * element_at(as, i + 1) + element_at(bs, i + 1))),
-        lit(Long.MaxValue)))
+    val ab = typedLit(Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))) // odd multipliers
+    aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, ab,
+        (m, c) => least(m, h * c.getField("_1") + c.getField("_2"))))
   }
 
-  /** MinHash signature of a shingle-set column (convenience wrapper; the
-    * two-step select in [[minhashCandidates]] evaluates the base hashes
-    * once per row instead of once per signature position).
+  /** id + k-element MinHash signature per document (sub-n-token docs
+    * dropped). Each stage of tokenize → shingle → base-hash → signature sits
+    * on its own projection boundary. The drop filter is expressed on the
+    * TOKEN count, not `size(sh) > 0` (equivalent: ≥ n tokens ⇔ ≥ 1
+    * shingle): predicate pushdown rewrites a filter on a derived column into
+    * the underlying expression tree, and the shingle-set version re-ran the
+    * whole tokenize→shingle pipeline — with `tokens` inlined into the
+    * per-element lambda — inside the scan filter (round-3 profiling: that
+    * single pushed filter was ~5× the cost of the real signature work).
     */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    minhashFromHashes(transform(shingleSet, s => xxhash64(s)), k)
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenized(docs, idCol, textCol)
+      .where(size(col("ws")) >= n)
+      .select(col("id"), shinglesFromTokens(col("ws"), n).as("sh"))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), minhashFromHashes(col("hs"), k).as("sig"))
 
   /** MinHash + banded LSH candidate pairs with estimated Jaccard.
     *
     * signature(k) → split into `bands` bands of k/bands rows → bucket key =
-    * (band, xxhash64(band slice)) → explode → self-join per bucket on
-    * NARROW (band, bucket, id) rows only → distinct candidate (a_id, b_id)
+    * xxhash64(band index, band slice) → explode → self-join per bucket on
+    * NARROW (bucket, id) rows only → distinct candidate (a_id, b_id)
     * pairs → join the k-element signatures back (one row per pair, not per
     * band collision) → estimate J as the fraction of agreeing positions,
     * keep those ≥ threshold.
@@ -103,25 +173,28 @@ object Dedup {
     * Scale notes: a near-duplicate cluster of c docs collides in ~every
     * band, producing O(bands·c²) join rows — so the bucket self-join must
     * carry nothing but 16-byte pair keys, and the signature arrays are
-    * attached only after `distinct()` collapses those to O(c²). (Carrying
-    * the signatures through the self-join — the v1 shape — was a 95%-of-
-    * runtime hotspot at sf0.1 and an OOM risk at scale.) All shuffles are
-    * on compact keys; AQE handles residual bucket skew.
+    * attached only after `distinct()` collapses those to O(c²). All
+    * shuffles are on compact keys; AQE handles residual bucket skew.
+    *
+    * The signature table is `persist()`ed: it is consumed by FOUR plan
+    * branches (both sides of the bucket self-join, both signature re-joins),
+    * and without the lineage cut the full tokenize→shingle→minhash pipeline
+    * re-executes per branch. The cache holds only (id, k longs) per doc —
+    * MEMORY_AND_DISK spills safely at scale.
     */
   def minhashCandidates(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rowsPerBand = k / bands
-    val sigs = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .select(col("id"), minhashFromHashes(col("hs"), k).as("sig"))
+    val sigs = minhashSignatures(docs, n, k, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // All `bands` bucket hashes in ONE projection over the cached sig —
+    // xxhash64 of a slice of an in-memory array (xxhash64 hashes array
+    // columns natively; no string concat).
     val buckets = sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(lit("band"), b, concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).cast(ArrayType(StringType))))))
+        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as("bucket"))
     val candidates = buckets.select(col("bucket"), col("id").as("a_id"))
       .join(buckets.select(col("bucket"), col("id").as("b_id")), Seq("bucket"))
@@ -137,22 +210,25 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over the token stream: per bit, sum +1/−1 votes across
-    * token hashes (bit set → +1); output bit set when the vote is positive.
-    * One pass per row: each token hash expands to its ±1 bit-vector once,
-    * vectors are summed with `zip_with`, then folded back into a long.
-    * (Bit positions are unrolled statically — `shiftright` takes a literal.)
+  /** 64-bit SimHash per document: per bit, sum +1/−1 votes across token
+    * hashes (bit set → +1); output bit set when the vote is positive.
+    * Three projection boundaries (token hashes → vote vector → folded
+    * long), so each intermediate is evaluated once per row; the fold reads
+    * the 64-element vote vector attribute 64 times, which is 64 array
+    * lookups — not 64 re-aggregations.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val zeros = array_repeat(lit(0L), 64)
+  def simhashed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     def bitVotes(h: Column): Column = array(
       (0 until 64).map(i =>
         when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
-    val votes = aggregate(hashes, zeros, (acc, h) => zip_with(acc, bitVotes(h), _ + _))
-    (0 until 64).map(i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+    val folded = (0 until 64).map(i =>
+      when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
+    spreadForCpu(docs)
+      .select(col(idCol), transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
+      .select(col(idCol), folded.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -31,6 +31,13 @@ def bits(v):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails, passes, skips = [], [], []
+# A declared oracle query whose Verify dump is missing is a FAILURE, not a
+# skip — Verify writes an _verify_error marker dump on exception, but guard
+# against any other way a dump can go missing.
+dumped = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+for name in sorted(set(oracle) - dumped):
+    fails.append(name)
+    print(f"FAIL {name}: declared in oracle_sql.json but no Verify dump written")
 for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
