@@ -298,6 +298,46 @@ object SparkEntry {
       sinks.Sinks.discoveredFields(entry(s)).orderBy(col("field"))
     }),
 
+    // D1/D2/F9 — the compiled policy gate with a non-trivial rule set:
+    // deny UE_COMM rows, sha2-hash supi, redact dnn, drop the pdb_ms metric
+    // (reference receiver.py:412–433; README.md:10 "field filtering,
+    // hashing, redaction").
+    "q22_policy_gate" -> ((s, _) => {
+      val notifs = Fixtures.notifications(s, Seq(
+        Fixtures.perfDataPayload, Fixtures.ueMobilityPayload,
+        Fixtures.ueCommPayload, Fixtures.multiEventPayload))
+      val rules = policy.Policy.Rules(
+        deny = col("event") === "UE_COMM",
+        hashTags = Set("supi"),
+        redactTags = Set("dnn"),
+        dropMetrics = Set("pdb_ms"))
+      Ingest.envelopes(notifs, Fixtures.subscriptions(s), rules, now = lit(FixedNow))
+        .select(
+          col("event"),
+          col("timestamp"),
+          col("tags.supi").as("supi_h"),
+          col("tags.dnn").as("dnn"),
+          col("tags.ueIpv4Addr").as("ipv4"),
+          element_at(col("metrics"), "pdb_ms").cast("bigint").as("pdb_ms"),
+          element_at(col("metrics"), "plr_per_thousand").cast("bigint").as("plr"),
+          element_at(col("metrics"), "thrputDl_mbps").as("thrput_dl"))
+        .orderBy(col("event"), col("timestamp"), coalesce(col("thrput_dl"), lit(-1.0)))
+    }),
+
+    // E2/A3/F6-serialize/H6 — the Kafka batch-collect contract: ALL
+    // surviving records of a subscription leave as ONE JSON-array message
+    // keyed by notifId (reference receiver.py:442–445; golden from
+    // tests/test_receiver.py:226–237). The unknown-notifId payload proves
+    // the 403 path contributes nothing.
+    "q23_kafka_batches" -> ((s, _) => {
+      val notifs = Fixtures.notifications(s, Seq(
+        Fixtures.perfDataPayload, Fixtures.ueCommPayload,
+        Fixtures.unknownNotifPayload))
+      val env = Ingest.envelopes(notifs, Fixtures.subscriptions(s), now = lit(FixedNow))
+      sinks.Sinks.kafkaBatches(env, deterministicOrder = true)
+        .orderBy(col("key"))
+    }),
+
     // Dedup: exact (hash groupBy on full text).
     "d01_dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents"))
@@ -568,6 +608,31 @@ object SparkEntry {
     "q21_discovered_fields" ->
       """SELECT * FROM (VALUES ('comms'), ('pdb_ms'), ('plr_per_thousand'), ('thrputDl_mbps'),
         | ('thrputUl_mbps'), ('trajectory')) AS t(field) ORDER BY field""".stripMargin,
+
+    // Golden VALUES twin of the policy gate: UE_COMM rows denied, supi
+    // sha256-hashed (DuckDB sha256 = Spark sha2(…,256)), dnn redacted,
+    // pdb_ms metric dropped. Expected rows derived from the q20 goldens.
+    "q22_policy_gate" ->
+      """SELECT * FROM (VALUES
+        | ('PERF_DATA', CAST(1776680100 AS BIGINT), CAST(NULL AS VARCHAR), '***', '10.0.1.10',
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(50.0 AS DOUBLE)),
+        | ('PERF_DATA', CAST(1776680100 AS BIGINT), CAST(NULL AS VARCHAR), '***', '10.0.1.10',
+        |  CAST(NULL AS BIGINT), CAST(17 AS BIGINT), CAST(87.57 AS DOUBLE)),
+        | ('UE_MOBILITY', CAST(1776680090 AS BIGINT), sha256('imsi-001011234567890'), '***', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+        | ('UE_MOBILITY', CAST(1776680100 AS BIGINT), sha256('imsi-001011234567890'), '***', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
+        |) AS t(event, "timestamp", supi_h, dnn, ipv4, pdb_ms, plr, thrput_dl)
+        |ORDER BY event, "timestamp", coalesce(thrput_dl, -1.0)""".stripMargin,
+
+    // Golden twin of the Kafka batch-collect contract: ONE JSON-array
+    // message for the known subscription (reference receiver.py:442–445,
+    // asserted in tests/test_receiver.py:226–237); the unknown-notifId
+    // payload contributes nothing (403 anti-join path).
+    "q23_kafka_batches" ->
+      """SELECT * FROM (VALUES ('test-notif-001',
+        | '[{"timestamp":1776680100,"tags":{"snssai_sst":1,"snssai_sd":"000001","dnn":"internet","ueIpv4Addr":"10.0.1.10","appId":"app-test"},"event":"PERF_DATA","metrics":{"thrputUl_mbps":11.74,"thrputDl_mbps":87.57,"pdb_ms":18.0,"plr_per_thousand":17.0}},{"timestamp":1776680100,"tags":{"snssai_sst":1,"snssai_sd":"000001","dnn":"internet","supi":"imsi-001011234567890"},"event":"UE_COMM","metrics":{},"comms":[{"startTime":1776679200,"endTime":1776680100,"ulVol":1048576,"dlVol":52428800}]}]'
+        |)) AS t(key, "value") ORDER BY key""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** A3/E2 — per-notification batch-collect into one JSON-array message, plus
@@ -19,15 +19,32 @@ object Sinks {
     * drops null fields (ignoreNullFields=true default), so absent metric
     * keys stay absent (C8).
     */
-  def kafkaBatches(records: DataFrame): DataFrame =
+  /** `deterministicOrder` sorts the collected records by (timestamp, event)
+    * before serializing: `collect_list` order is partition-arrival order,
+    * which is nondeterministic under shuffles. The reference preserves
+    * per-request arrival order (H6) — a single-writer property a
+    * distributed engine replaces with an explicit sort key; the Kafka
+    * message key (notifId) still gives per-subscription partition ordering.
+    * (`array_sort` with a comparator, not `sort_array`: the record struct
+    * carries a map column, which struct ordering rejects.)
+    */
+  def kafkaBatches(records: DataFrame, deterministicOrder: Boolean = false): DataFrame = {
+    val collected = collect_list(struct(
+      col("timestamp"), col("tags"), col("event"), col("metrics"),
+      col("trajectory"), col("comms")))
+    def cmp(l: Column, r: Column): Column =
+      when(l.getField("timestamp") < r.getField("timestamp"), -1)
+        .when(l.getField("timestamp") > r.getField("timestamp"), 1)
+        .when(l.getField("event") < r.getField("event"), -1)
+        .when(l.getField("event") > r.getField("event"), 1)
+        .otherwise(0)
     records
       .groupBy(col("notifId"))
-      .agg(collect_list(struct(
-        col("timestamp"), col("tags"), col("event"), col("metrics"),
-        col("trajectory"), col("comms"))).as("records"))
+      .agg((if (deterministicOrder) array_sort(collected, cmp) else collected).as("records"))
       .select(
         col("notifId").as("key"),
         to_json(col("records")).as("value"))
+  }
 
   /** A4: per-record WebSocket fan-out payload
     * `{"type":"data_ingested","data":rec}` (receiver.py:450–452), keyed by
