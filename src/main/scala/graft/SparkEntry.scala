@@ -390,11 +390,13 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
-    // Similarity: LSH random-hyperplane bucketed top-k (the scale path;
-    // recall vs s01 asserted in tests — no SQL twin, planes are seeded RNG).
+    // Similarity: multi-table LSH random-hyperplane top-k (the scale path;
+    // recall vs s01 floor-asserted in SimilaritySpec — no SQL twin, planes
+    // are seeded RNG).
     "s02_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5, nPlanes = 8, dim = 64)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5,
+          nTables = 16, planesPerTable = 4, dim = 64)
         .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy(col("probe_id"), col("rnk"))

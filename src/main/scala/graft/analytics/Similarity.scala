@@ -69,23 +69,45 @@ object Similarity {
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed approximate top-k: corpus rows and probes are bucketed by
-    * the sign pattern of `nPlanes` random-hyperplane projections; candidates
-    * come only from the probe's bucket (equi-join → hash join, no cross
-    * product), then exact cosine ranks within candidates. At 100 TB the
-    * bucketed corpus would be written bucketBy(bucket) so repeated probe
-    * batches never reshuffle it.
+  /** Multi-table LSH approximate top-k: `nTables` independent hash tables,
+    * each bucketing by the sign pattern of `planesPerTable` random
+    * hyperplanes. A corpus row lands in one bucket per table (an
+    * `nTables`-element posexplode — table index disambiguates buckets);
+    * candidates are bucket-join hits in ANY table, deduplicated before the
+    * exact cosine ranking, so each candidate is scored once.
+    *
+    * One table of b planes has match probability (1−θ/π)^b — round-3
+    * measurement: recall 0.02 at b=8 on the 64-dim testdata. The standard
+    * fix is OR-ing tables: 1−(1−p^b)^L. With L=16, b=4 the analytic recall
+    * at cos-sim 0.5 is ≈0.97 (measured ≥0.9 on sf0.001; floor-tested vs the
+    * exact baseline in SimilaritySpec).
+    *
+    * Scale shape: the corpus side is nTables narrow (bucket, id) rows per
+    * vector — at 100 TB the bucketed index would be written once with
+    * bucketBy(table, bucket) so repeated probe batches never reshuffle the
+    * corpus; the probe side is broadcast.
     */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, nPlanes: Int,
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nTables: Int, planesPerTable: Int,
       dim: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-      signBits(col(vecCol), planes).as("bucket"))
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-      signBits(col(vecCol), planes).as("bucket")))
-    val scored = c.join(p, Seq("bucket"))
+    val tables = (0 until nTables).map(t =>
+      hyperplanes(planesPerTable, dim, seed + t))
+    def buckets(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"),
+        posexplode(array(tables.map(p => signBits(col(vecCol), p)): _*))
+          .as(Seq("table", "bucket")))
+    val c = buckets(corpus, "neighbor")
+    val p = broadcast(buckets(probes, "probe"))
+    val candidates = c.join(p, Seq("table", "bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+        Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
+        Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         cosine(col("probe_vec"), col("vec")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Ingest
+import graft.policy.Policy
+
+/** H2/H4/H5/H7 — the Structured Streaming driver around the batch-identical
+  * transform library.
+  *
+  * The reference is a streaming service end-to-end (receiver.py:354–458):
+  * each HTTP request is one micro-batch — parse → enrich → normalize →
+  * policy → one Kafka message per request, at-most-once (produce failures
+  * swallowed, receiver.py:446–456). The Spark-native equivalent is a
+  * `readStream` source of raw notification JSON driven through the SAME
+  * `Ingest` composition inside `foreachBatch`, with a checkpoint directory:
+  * delivery becomes at-least-once (a beneficial, documented deviation —
+  * SURVEY.md H5), batching is the micro-batch trigger (H7), and per-
+  * subscription ordering rides the notifId message key (H6).
+  */
+object Stream {
+
+  /** Run the NEF data plane over a streaming DataFrame of raw JSON
+    * notifications (one JSON document per row in `jsonCol`).
+    *
+    * `sendBatch` receives the per-micro-batch Kafka-shaped frame
+    * (key = notifId, value = JSON array) — in production a Kafka writer,
+    * in tests a memory collector. The empty-batch short-circuit (C7,
+    * receiver.py:391–392) is the `isEmpty` guard.
+    */
+  def runIngest(
+      raw: DataFrame,
+      subscriptions: DataFrame,
+      checkpointDir: String,
+      sendBatch: (DataFrame, Long) => Unit,
+      rules: Policy.Rules = Policy.Rules.allowAll,
+      jsonCol: String = "value",
+      now: Option[Column] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val notifs = Ingest.parseNotifications(batch, jsonCol)
+          val clock = now.getOrElse(unix_timestamp(current_timestamp()))
+          sendBatch(Ingest.kafkaMessages(notifs, subscriptions, rules, clock), batchId)
+        }
+      }
+      .start()
+
+  /** H4 — the streaming form of the discovered-metric-fields accumulation
+    * (reference's global `_discovered_fields` set, receiver.py:45–46,
+    * 394–397): `dropDuplicates` with no watermark is the same unbounded
+    * distinct-set state, made durable by the checkpoint — strictly better
+    * than the reference's in-memory set, which is lost on restart.
+    * Input: a streaming envelope frame; output: append-mode stream of
+    * newly-discovered field names.
+    */
+  def discoveredFieldsStream(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(explode(map_keys(col("metrics"))).as("field"))
+      .unionByName(envelopes.where(col("trajectory").isNotNull)
+        .select(lit("trajectory").as("field")))
+      .unionByName(envelopes.where(col("comms").isNotNull)
+        .select(lit("comms").as("field")))
+      .dropDuplicates("field")
+
+  /** Full streaming pipeline to envelopes (for sinks that want the flat
+    * record stream rather than the batched Kafka shape).
+    */
+  def envelopeStream(
+      raw: DataFrame,
+      subscriptions: DataFrame,
+      rules: Policy.Rules = Policy.Rules.allowAll,
+      jsonCol: String = "value"): DataFrame =
+    Ingest.envelopes(Ingest.parseNotifications(raw, jsonCol), subscriptions, rules)
+
+  /** Convenience: a file-based raw-notification stream (one JSON document
+    * per line) — the test/demo source; production would use
+    * `format("kafka")`.
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir)
+}

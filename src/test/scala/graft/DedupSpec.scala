@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, TextAnalysis}
+
+/** Invariant tests for the xxhash64-family dedup operators that have no
+  * DuckDB twin (d04 minhash LSH, d05 simhash, t04 rolling hash), plus
+  * goldens for the shingle machinery.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val A = "the quick brown fox jumps over the lazy dog"
+  private val B = A // exact duplicate
+  private val C = A + " tonight" // near duplicate: J = 7/8 on 3-gram shingles
+  private val D = "completely different text about spark engines and cluster scheduling today"
+
+  private def docs = Seq(
+    (0L, A), (1L, B), (2L, C), (3L, D)
+  ).toDF("doc_id", "text")
+
+  test("shingle golden: 3-grams of a 4-word text") {
+    val sets = Dedup.shingleSets(Seq((0L, "the quick brown fox")).toDF("doc_id", "text"), 3)
+    val sh = sets.collect().head
+    assert(sh.getSeq[String](sh.fieldIndex("sh")) ===
+      Seq("the quick brown", "quick brown fox"))
+  }
+
+  test("shingle golden: sub-n-word text yields empty set") {
+    val sets = Dedup.shingleSets(Seq((0L, "two words")).toDF("doc_id", "text"), 3)
+    val sh = sets.collect().head
+    assert(sh.getSeq[String](sh.fieldIndex("sh")).isEmpty)
+  }
+
+  test("exact dedup collapses identical texts") {
+    val out = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(out.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq ===
+      Seq((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("fingerprint dedup: identical fp iff identical normalized text") {
+    val fps = Dedup.byFingerprint(docs).orderBy("keep_id").collect()
+    assert(fps.length === 3) // A==B collapse
+    // and the fingerprint is whitespace/case-normalized:
+    val fp2 = Dedup.byFingerprint(
+      Seq((0L, "The  Quick brown fox"), (1L, "the quick BROWN fox")).toDF("doc_id", "text"))
+    assert(fp2.count() === 1)
+  }
+
+  test("minhash signatures: identical docs get identical k-long signatures") {
+    val sigs = Dedup.minhashSignatures(docs, n = 3, k = 64)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L).size === 64)
+    assert(sigs(0L) !== sigs(3L))
+  }
+
+  test("minhash LSH: exact duplicates are candidates with est_jaccard 1.0; " +
+    "disjoint docs are not") {
+    val cands = Dedup.minhashCandidates(docs, n = 3, k = 64, bands = 16, threshold = 0.2)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(cands((0L, 1L)) === 1.0)
+    assert(!cands.contains((0L, 3L)) && !cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+    // the near-dup pair (J = 7/8 per band row) must collide in ≥1 of 16 bands
+    assert(cands.contains((0L, 2L)))
+    assert(cands((0L, 2L)) >= 0.2)
+  }
+
+  test("minhash LSH ⊇ exact-Jaccard pairs at high threshold (sf0.001 corpus + planted dupes)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // plant guaranteed near-dups so the containment check is non-vacuous
+    val planted = real.where(col("doc_id") < 5)
+      .select(col("doc_id") + 100000L as "doc_id", col("text"))
+    val corpus = real.unionByName(planted)
+    val exactPairs = Dedup.ngramJaccardPairs(corpus, corpus, n = 3, threshold = 0.9)
+      .where(col("a_id") < col("b_id"))
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(exactPairs.size >= 5, "planted duplicates must surface as exact pairs")
+    val lshPairs = Dedup.minhashCandidates(corpus, n = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val missed = exactPairs -- lshPairs
+    assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
+  }
+
+  test("hot-shingle cap only prunes ultra-common shingles (output stable below cap)") {
+    val uncapped = Dedup.ngramJaccardPairs(docs, docs, n = 3, threshold = 0.2, maxDf = 1000L)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.ngramJaccardPairs(docs, docs, n = 3, threshold = 0.2, maxDf = 3L)
+      .collect().map(_.toSeq).toSet
+    assert(uncapped === capped) // max DF here is 3 ("the quick brown" et al. ×3 docs)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance; " +
+    "disjoint docs far") {
+    val sh = Dedup.simhashed(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(sh(0L) === sh(1L))
+    assert(hamming(sh(0L), sh(2L)) <= 16, "one-word change must stay close")
+    assert(hamming(sh(0L), sh(3L)) > 16, "unrelated text must be far")
+    // and the hammingDistance column function agrees with the JVM computation
+    val viaCol = Seq((sh(0L), sh(2L))).toDF("a", "b")
+      .select(Dedup.hammingDistance(col("a"), col("b")).cast("int").as("h"))
+      .collect().head.getInt(0)
+    assert(viaCol === hamming(sh(0L), sh(2L)))
+  }
+
+  test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
+    val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
+        (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(h(0L) === h(2L)) // deterministic
+    assert(h(0L) !== h(1L)) // order-sensitive (the point vs. a set hash)
+    assert(h(0L) !== h(3L)) // content-sensitive
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.enrich.Enrich
+import graft.normalize.Normalize
+
+/** Endpoint-behavior goldens ported from the reference's TestClient tests
+  * (reference tests/test_receiver.py:204–471): exact envelope values, the
+  * no-UE-id drop, unsupported-event skip, the 403 anti-join, empty
+  * trajectories, context-only tags, and multi-event batching into one
+  * Kafka array.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val FixedNow = 1700000000L
+
+  private def envelopes(payloads: String*) = {
+    val notifs = Fixtures.notifications(spark, payloads)
+    Ingest.envelopes(notifs, Fixtures.subscriptions(spark), now = lit(FixedNow))
+  }
+
+  test("PERF_DATA envelope golden (tests/test_receiver.py:226–237)") {
+    val r = rows(envelopes(Fixtures.perfDataPayload)) match {
+      case Seq(only) => only
+      case other => fail(s"expected 1 record, got ${other.size}")
+    }
+    assert(r.getAs[Long]("timestamp") === 1776680100L)
+    assert(r.getAs[String]("event") === "PERF_DATA")
+    val tags = r.getAs[org.apache.spark.sql.Row]("tags")
+    assert(tags.getAs[Int]("snssai_sst") === 1)
+    assert(tags.getAs[String]("snssai_sd") === "000001")
+    assert(tags.getAs[String]("dnn") === "internet")
+    assert(tags.getAs[String]("ueIpv4Addr") === "10.0.1.10")
+    assert(tags.getAs[String]("appId") === "app-test")
+    assert(tags.getAs[String]("supi") === null)
+    val metrics = r.getAs[Map[String, Double]]("metrics")
+    assert(metrics === Map(
+      "thrputUl_mbps" -> 11.74, "thrputDl_mbps" -> 87.57,
+      "pdb_ms" -> 18.0, "plr_per_thousand" -> 17.0))
+  }
+
+  test("UE_MOBILITY envelope: trajectory transform + first-point timestamp") {
+    val r = rows(envelopes(Fixtures.ueMobilityPayload)) match {
+      case Seq(only) => only
+      case other => fail(s"expected 1 record, got ${other.size}")
+    }
+    assert(r.getAs[Long]("timestamp") === 1776680090L) // trajectory[0].ts
+    val traj = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("trajectory"))
+    assert(traj.size === 2)
+    assert(traj.head.getAs[Long]("ts") === 1776680090L)
+    assert(traj.head.getAs[String]("tac") === "000001")
+    assert(traj.head.getAs[String]("nrCellId") === "000000001")
+    assert(traj(1).getAs[String]("tac") === "000002")
+  }
+
+  test("UE_COMM envelope: comms transform + first endTime timestamp") {
+    val r = rows(envelopes(Fixtures.ueCommPayload)) match {
+      case Seq(only) => only
+      case other => fail(s"expected 1 record, got ${other.size}")
+    }
+    assert(r.getAs[Long]("timestamp") === 1776680100L) // comms[0].endTime
+    val comms = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("comms"))
+    assert(comms.size === 1)
+    assert(comms.head.getAs[Long]("startTime") === 1776679200L)
+    assert(comms.head.getAs[Long]("endTime") === 1776680100L)
+    assert(comms.head.getAs[Long]("ulVol") === 1048576L)
+    assert(comms.head.getAs[Long]("dlVol") === 52428800L)
+  }
+
+  test("no-UE-id record dropped when subscription has no context (tests:306–332)") {
+    val notifs = Fixtures.notifications(spark, Seq(Fixtures.noUeIdPayload))
+    val env = Ingest.envelopes(notifs, Fixtures.subscriptionsNoContext(spark), now = lit(FixedNow))
+    assert(env.count() === 0)
+    val dropped = Normalize.droppedNoUeId(
+      Enrich.enrich(notifs, Fixtures.subscriptionsNoContext(spark)), lit(FixedNow))
+    assert(dropped.count() === 1) // observability complement sees the drop
+  }
+
+  test("context-only tags suffice to keep the record (tests:453–472)") {
+    // same payload, but the subscription carries snssai/dnn context
+    val env = envelopes(Fixtures.noUeIdPayload)
+    assert(env.count() === 1)
+    val metrics = rows(env).head.getAs[Map[String, Double]]("metrics")
+    assert(metrics === Map("pdb_ms" -> 10.0))
+  }
+
+  test("unsupported event type skipped (tests:334–345)") {
+    assert(envelopes(Fixtures.unsupportedEventPayload).count() === 0)
+  }
+
+  test("unknown notifId takes the 403 anti-join path (receiver.py:363–365)") {
+    val notifs = Fixtures.notifications(spark,
+      Seq(Fixtures.perfDataPayload, Fixtures.unknownNotifPayload))
+    val rejected = Enrich.rejected(notifs, Fixtures.subscriptions(spark))
+    assert(column[String](rejected.select("notifId")) === Seq("unknown"))
+    assert(Enrich.accepted(notifs, Fixtures.subscriptions(spark)).count() === 1)
+    assert(envelopes(Fixtures.perfDataPayload, Fixtures.unknownNotifPayload).count() === 1)
+  }
+
+  test("empty ueTrajs still emits a record with now-fallback ts (tests:434–451)") {
+    val r = rows(envelopes(Fixtures.emptyTrajsPayload)) match {
+      case Seq(only) => only
+      case other => fail(s"expected 1 record, got ${other.size}")
+    }
+    assert(r.getAs[Long]("timestamp") === FixedNow)
+    assert(r.getSeq[Any](r.fieldIndex("trajectory")).isEmpty)
+  }
+
+  test("multi-event notification collapses to ONE Kafka array message (tests:365–395)") {
+    val notifs = Fixtures.notifications(spark, Seq(Fixtures.multiEventPayload))
+    val env = Ingest.envelopes(notifs, Fixtures.subscriptions(spark), now = lit(FixedNow))
+    assert(env.count() === 2) // one PERF_DATA + one UE_MOBILITY record
+    val msgs = rows(sinks.Sinks.kafkaBatches(env, deterministicOrder = true))
+    assert(msgs.size === 1) // ONE message for the whole notification
+    assert(msgs.head.getAs[String]("key") === Fixtures.NotifId)
+    val value = msgs.head.getAs[String]("value")
+    assert(value.startsWith("[") && value.endsWith("]"))
+    assert("\"event\":".r.findAllIn(value).size === 2)
+    assert(value.contains("\"thrputDl_mbps\":50.0"))
+  }
+
+  test("int() metric semantics: floats truncate toward zero, numeric strings accepted") {
+    // Documented deviation (Normalize.scala): reference int(val) raises on
+    // '17.8' (HTTP 500); the engine truncates any numeric — including
+    // decimal/scientific strings — and drops unparseable values.
+    val payload =
+      s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[{"event":"PERF_DATA",
+         |"perfDataInfos":[{"ueIpAddr":{"ipv4Addr":"10.0.0.1"},
+         |"perfData":{"pdb":17.8,"plr":"12","pdbDl":"1e3","maxPdbUl":"junk"}}]}]}""".stripMargin.replace("\n", "")
+    val metrics = rows(envelopes(payload)).head.getAs[Map[String, Double]]("metrics")
+    assert(metrics === Map("pdb_ms" -> 17.0, "plr_per_thousand" -> 12.0, "pdbDl_ms" -> 1000.0))
+  }
+
+  test("websocket fan-out payload shape (receiver.py:450–452)") {
+    val env = envelopes(Fixtures.perfDataPayload)
+    val msg = rows(sinks.Sinks.websocketMessages(env)).head
+    assert(msg.getAs[String]("key") === Fixtures.NotifId)
+    val value = msg.getAs[String]("value")
+    assert(value.contains("\"type\":\"data_ingested\""))
+    assert(value.contains("\"data\":{"))
+    assert(value.contains("\"thrputUl_mbps\":11.74"))
+  }
+
+  test("discovered fields over the full fixture set (receiver.py:394–397)") {
+    val fields = column[String](
+      sinks.Sinks.discoveredFields(SparkEntry.entry(spark)).orderBy(col("field")))
+    assert(fields === Seq("comms", "pdb_ms", "plr_per_thousand",
+      "thrputDl_mbps", "thrputUl_mbps", "trajectory"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Similarity
+
+/** B4 — similarity search: cosine goldens, brute-force exactness on a
+  * constructed corpus, and the LSH recall floor vs the exact baseline that
+  * SURVEY §2-B4 promises (s02 has no SQL twin — seeded hyperplanes).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine goldens: parallel=1, orthogonal=0, zero-norm=null") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f)),
+      (Array(0f, 0f), Array(1f, 0f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("sim"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got === Seq(Some(1.0), Some(0.0), Some(-1.0), None))
+  }
+
+  test("brute-force top-k is exact on a constructed corpus") {
+    // probe 0 = e1; corpus along known angles — exact ranking is analytic
+    val corpus = Seq(
+      (0L, Array(1f, 0f)), // the probe itself (excluded)
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0f, 1f)),
+      (4L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, corpus.where(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k recall ≥ 0.6 vs brute force on sf0.001 embeddings (seeded planes)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
+    val approx = pairs(Similarity.lshTopK(e, probes, k = 5,
+      nTables = 16, planesPerTable = 4, dim = 64))
+    assert(exact.size === 50)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall below floor; |approx|=${approx.size}")
+  }
+
+  test("near-dup pairs: threshold applied to the ROUNDED similarity") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0.0001f)), // sim rounds to 1.0
+      (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupPairs(corpus, corpus, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("sim")))
+    assert(out.toSeq === Seq((0L, 1L, 1.0)))
+  }
+}

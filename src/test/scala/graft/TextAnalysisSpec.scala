@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.TextAnalysis
+
+/** Text-analysis operator goldens: tokenization, counts, quality features,
+  * language ID, and the md5 content fingerprint (checked against the JVM's
+  * own MD5).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect().head.getAs[T](0)
+
+  test("tokens: lowercased, whitespace-collapsed, empties dropped") {
+    val r = Seq("  The  QUICK\tbrown\n fox ").toDF("t")
+      .select(TextAnalysis.tokens(col("t"))).collect().head
+    assert(r.getSeq[String](0) === Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("tokenCount and bpe estimate") {
+    val df = Seq("alpha be c").toDF("t").select(
+      TextAnalysis.tokenCount(col("t")).as("n"),
+      TextAnalysis.bpeTokenEstimate(col("t")).as("bpe"))
+    val r = df.collect().head
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 2L + 1L + 1L) // ceil(5/4)+ceil(2/4)+ceil(1/4)
+  }
+
+  test("punctRatio and avgWordLen goldens") {
+    val r = Seq("ab, cd!").toDF("t").select(
+      TextAnalysis.punctRatio(col("t")).as("p"),
+      TextAnalysis.avgWordLen(col("t")).as("w")).collect().head
+    assert(r.getDouble(0) === 2.0 / 7.0) // ',' and '!'
+    assert(r.getDouble(1) === 3.0) // tokens "ab," "cd!" → (3+3)/2
+  }
+
+  test("langId: stopword voting with priority tie-break and und fallback") {
+    val cases = Seq(
+      "the cat is on the mat" -> "en",
+      "el gato que duerme en la casa" -> "es",
+      "der hund und die katze ist da" -> "de",
+      "xyzzy plugh 12345" -> "und")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("contentFingerprint equals JVM md5 of normalized text") {
+    val text = "The  Quick   Brown Fox"
+    val got = one[String](Seq(text).toDF("t")
+      .select(TextAnalysis.contentFingerprint(col("t"))))
+    val normalized = "the quick brown fox"
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === expected)
+  }
+
+  test("qualityScore composition matches its published formula") {
+    val text = "the quick brown fox is a good dog"
+    val r = Seq(text).toDF("t").select(
+      TextAnalysis.qualityScore(col("t")).as("q"),
+      TextAnalysis.stopwordRatio(col("t")).as("s"),
+      TextAnalysis.punctRatio(col("t")).as("p")).collect().head
+    val expected = 0.4 * math.min(text.length / 500.0, 1.0) +
+      0.4 * r.getDouble(1) + 0.2 * (1.0 - r.getDouble(2))
+    assert(r.getDouble(0) === expected)
+  }
+}
