@@ -254,13 +254,18 @@ object SparkEntry {
         array(lit(" bps"), lit(" Kbps"), lit(" Mbps"), lit(" Gbps"), lit(" Tbps"), lit("")),
         (pmod(col("l_linenumber"), lit(6)) + 1).cast("int"))
       val br = concat(col("l_quantity").cast("string"), unit)
+      val total = sum(dec(col("mbps"), 28, 6))
       t(s, dir, "lineitem")
         .select(NetFunctions.parseBitrateMbps(br).as("mbps"))
-        // output the exact decimal sum as BIGINT bps (Mbps × 1e6): the 6-dp
-        // Mbps total scaled by 1e6 exceeds 2^53 even at sf0.01, so a double
-        // output would be inexact — the integer bps total is exact.
+        // The exact 6-dp Mbps total exceeds 2^53 as bps (×1e6) even at
+        // sf0.01 (double inexact), and the single-BIGINT bps total would
+        // overflow 2^63 near sf1 — so emit the exact decimal sum as TWO
+        // BIGINTs: the floored Mbps part (overflows only past sf~3e5) and
+        // the sub-Mbps remainder in micro-Mbps. Both engines compute the
+        // split on the identical exact decimal.
         .agg(
-          (sum(dec(col("mbps"), 28, 6)) * lit(1000000)).cast("bigint").as("total_bps"),
+          floor(total).cast("bigint").as("total_mbps_int"),
+          ((total - floor(total)) * lit(1000000)).cast("bigint").as("micro_rem"),
           count(col("mbps")).as("n_parsed"),
           count(lit(1)).as("n"))
     }),
@@ -347,7 +352,7 @@ object SparkEntry {
 
     // Dedup: md5 content fingerprint (constant-width shuffle keys at scale).
     "d02_dedup_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
@@ -402,30 +407,36 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
-    // Text: language-ID heuristic (stopword-marker voting).
+    // Text: language-ID heuristic (stopword-marker voting). Tokenization is
+    // materialized once per row on its own projection (the voting reads the
+    // token array ~12×), input spread to one task per core.
     "t01_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("ws")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
     // Text: quality features + composite score (pure per-row arithmetic).
     "t02_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountFromTokens(col("ws")).as("n_tokens"),
+          TextAnalysis.avgWordLenFromTokens(col("ws")).as("avg_word_len"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatioFromTokens(col("ws")).as("stopword_ratio"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
     // Text: token counting (whitespace + BPE-ish estimate) per language.
     "t03_token_count" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"),
-          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe"))
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("lang"), TextAnalysis.tokenCountFromTokens(col("ws")).as("n_tok"),
+          TextAnalysis.bpeTokenEstimateFromTokens(col("ws")).as("bpe"))
         .groupBy(col("lang"))
         .agg(sum(col("n_tok")).as("total_tokens"),
           sum(col("bpe")).as("total_bpe_est"),
@@ -435,8 +446,9 @@ object SparkEntry {
 
     // Text: order-sensitive rolling-hash fingerprint (no SQL twin — xxhash64).
     "t04_rolling_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp64"))
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.rollingHashFromTokens(col("ws")).as("fp64"))
         .orderBy(col("doc_id"))
     }),
 
@@ -572,7 +584,8 @@ object SparkEntry {
         |FROM events GROUP BY event_type, hour_epoch ORDER BY event_type, hour_epoch""".stripMargin,
 
     "q19_bitrate_parse" -> (
-      s"""SELECT CAST(sum(CAST(mbps AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS total_bps,
+      s"""SELECT CAST(floor(sum(CAST(mbps AS DECIMAL(28,6)))) AS BIGINT) AS total_mbps_int,
+         | CAST((sum(CAST(mbps AS DECIMAL(28,6))) - floor(sum(CAST(mbps AS DECIMAL(28,6))))) * 1000000 AS BIGINT) AS micro_rem,
          | count(mbps) AS n_parsed, count(*) AS n
          |FROM (SELECT $bitrateSqlExpr AS mbps FROM (
          | SELECT CAST(l_quantity AS VARCHAR) ||

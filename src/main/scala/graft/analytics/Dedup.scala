@@ -44,18 +44,7 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Ensure at least one task per core before a CPU-bound per-row stage.
-    * Spark sizes scan partitions by BYTES (`files.maxPartitionBytes`), so a
-    * byte-small but compute-heavy corpus arrives as ONE split and the whole
-    * shingle/signature pipeline runs single-threaded. At real scale the
-    * input already has more splits than cores and this is a no-op (no
-    * shuffle); the round-robin shuffle it adds below the threshold moves
-    * only the raw text once.
-    */
-  private def spreadForCpu(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spreadForCpu(df: DataFrame): DataFrame = Par.spreadForCpu(df)
 
   /** Word n-gram shingles (distinct) from an already-tokenized ARRAY COLUMN
     * (`ws` must be an attribute, not an expression tree — see the

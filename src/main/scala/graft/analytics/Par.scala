@@ -1,0 +1,20 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+
+/** Parallelism helper shared by the CPU-bound per-row operators. */
+object Par {
+
+  /** Ensure at least one task per core before a CPU-bound per-row stage.
+    * Spark sizes scan partitions by BYTES (`files.maxPartitionBytes`), so a
+    * byte-small but compute-heavy corpus arrives as ONE split and the whole
+    * per-row pipeline runs single-threaded. At real scale the input already
+    * has more splits than cores and this is a no-op (no shuffle); the
+    * round-robin shuffle it adds below the threshold moves only the raw
+    * rows once.
+    */
+  def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

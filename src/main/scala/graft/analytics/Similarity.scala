@@ -20,33 +20,53 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in double
-    * precision with a strict left-to-right accumulation (portable across
-    * engines for oracle checks). Null/zero-norm → null.
+  /** Dot product of two float-array columns in double precision, strict
+    * left-to-right accumulation (portable across engines for oracle checks).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm of a float-array column (double accumulation). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity between two float-array columns. Null/zero-norm →
+    * null. NOTE for hot paths: this evaluates BOTH norms per call — inside
+    * a pair join that recomputes each side's norm once per PAIR. The top-k /
+    * near-dup operators below instead materialize each side's norm once per
+    * ROW in its own projection and divide the dot product per pair (the
+    * O(pairs)-work-per-pair term drops from 3 array passes to 1).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v))
-    when(na > 0 && nb > 0, dot / (na * nb))
+    val na = norm(a)
+    val nb = norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
+
+  /** Per-pair cosine from pre-materialized norms. */
+  private def cosineFromNorms(aVec: Column, bVec: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, dot(aVec, bVec) / (na * nb))
 
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows
     * (self-match excluded). The probe side is broadcast, so the corpus is
     * scanned once with no shuffle; the per-probe top-k is a
     * TakeOrderedAndProject-style window with deterministic (sim desc, id)
-    * tie-breaking.
+    * tie-breaking. Norms are computed once per row on each side; the corpus
+    * is spread to one task per core (byte-small inputs arrive single-split).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      norm(col(vecCol)).as("probe_norm")))
+    val c = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("vec_norm"))
     val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("probe_vec"), col("vec")).as("sim"))
+        cosineFromNorms(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -97,19 +117,20 @@ object Similarity {
       df.select(col(idCol).as(s"${side}_id"),
         posexplode(array(tables.map(p => signBits(col(vecCol), p)): _*))
           .as(Seq("table", "bucket")))
-    val c = buckets(corpus, "neighbor")
+    val c = buckets(Par.spreadForCpu(corpus), "neighbor")
     val p = broadcast(buckets(probes, "probe"))
     val candidates = c.join(p, Seq("table", "bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))
       .distinct()
     val scored = candidates
-      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
-        Seq("probe_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec")),
-        Seq("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        norm(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("probe_vec"), col("vec")).as("sim"))
+        cosineFromNorms(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -128,11 +149,15 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, probes: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding", roundDp: Int = 6): DataFrame = {
-    val p = broadcast(probes.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")))
-    val c = corpus.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val p = broadcast(probes.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      norm(col(vecCol)).as("a_norm")))
+    val c = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+        norm(col(vecCol)).as("b_norm"))
     c.join(p, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_vec"), col("b_vec")), roundDp).as("sim"))
+        round(cosineFromNorms(col("a_vec"), col("b_vec"),
+          col("a_norm"), col("b_norm")), roundDp).as("sim"))
       .where(col("sim") >= threshold)
   }
 }

@@ -7,8 +7,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, token-count estimates, quality scoring, n-gram language ID,
   * and document fingerprinting. All are per-row column expressions —
-  * embarrassingly parallel, no shuffle, whole-stage-codegen friendly — which
-  * is exactly the shape that survives a 100 TB scan.
+  * embarrassingly parallel, no shuffle — which is exactly the shape that
+  * survives a 100 TB scan.
+  *
+  * Two forms per operator: a `…FromTokens` version over an already-
+  * materialized token-array ATTRIBUTE (the hot-path form — several features
+  * read the token array more than once, and an inlined `tokens(text)` tree
+  * would re-tokenize per reference), and a convenience wrapper over raw
+  * text for single-use contexts. Pipelines should project
+  * `tokens(text).as("ws")` once and feed the attribute (see SparkEntry's
+  * t01–t04).
   */
 object TextAnalysis {
 
@@ -19,15 +27,17 @@ object TextAnalysis {
     filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
   /** Exact whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+  def tokenCountFromTokens(toks: Column): Column = size(toks).cast(LongType)
+  def tokenCount(text: Column): Column = tokenCountFromTokens(tokens(text))
 
   /** BPE-ish subword-count estimate: each word contributes
     * ceil(len/4) units — the classic "~4 chars per token" heuristic,
     * computed exactly so it is oracle-checkable.
     */
-  def bpeTokenEstimate(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
+  def bpeTokenEstimateFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0L),
       (acc, t) => acc + ceil(length(t).cast(DoubleType) / 4.0).cast(LongType))
+  def bpeTokenEstimate(text: Column): Column = bpeTokenEstimateFromTokens(tokens(text))
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {
@@ -50,43 +60,42 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast(LongType)
 
   /** Stopword ratio against the English set (quality feature). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatioFromTokens(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       stopwordHits(toks, Stopwords("en")).cast(DoubleType)
         / size(toks).cast(DoubleType))
-  }
+  def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
 
   /** Mean word length in characters. */
-  def avgWordLen(text: Column): Column = {
-    val toks = tokens(text)
+  def avgWordLenFromTokens(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType)
         / size(toks).cast(DoubleType))
-  }
+  def avgWordLen(text: Column): Column = avgWordLenFromTokens(tokens(text))
 
   /** Composite quality score in [0,1]: rewards reasonable length and
     * stopword presence, penalizes punctuation density. Weights are part of
     * the operator's declared semantics (deterministic, oracle-checkable).
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast(DoubleType) / 500.0, lit(1.0))
-    lit(0.4) * lenScore + lit(0.4) * stopwordRatio(text) +
+    lit(0.4) * lenScore + lit(0.4) * stopwordRatioFromTokens(toks) +
       lit(0.2) * (lit(1.0) - punctRatio(text))
   }
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
 
   /** Language-ID by stopword-marker voting: argmax of per-language hit
     * counts with a fixed priority order (en, es, de, fr) breaking ties;
     * "und" when no marker hits at all.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langIdFromTokens(toks: Column): Column = {
     val scores = Seq("en", "es", "de", "fr").map(l => l -> stopwordHits(toks, Stopwords(l)))
     val best = greatest(scores.map(_._2): _*)
     scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>
       acc.when(s === best, lit(lang))
     }.otherwise(lit("und"))
   }
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Content fingerprint: md5 of normalized text (lowercased, whitespace
     * collapsed). Exact-dedup key that is portable across engines.
@@ -98,7 +107,7 @@ object TextAnalysis {
     * per-token xxhash64) — an order-sensitive 64-bit document fingerprint,
     * computed in one pass per row.
     */
-  def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+  def rollingHashFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
+  def rollingHash(text: Column): Column = rollingHashFromTokens(tokens(text))
 }

@@ -100,9 +100,13 @@ object Normalize {
       BitrateMetrics.flatMap { case (src, dst) =>
         Seq(lit(dst), parseBitrateMbps(perf.getField(src)))
       } ++ IntMetrics.flatMap { case (src, dst) =>
-        // int(val) semantics (receiver.py:125): numeric strings accepted,
-        // floats truncated toward zero (17.8 → 17); unparseable → absent
-        // key (the reference would 500 — documented deviation, schema doc).
+        // int(val) semantics (receiver.py:125) — documented deviations: the
+        // reference's int() RAISES (HTTP 500) on any non-integer STRING,
+        // including decimal ("17.8") and scientific ("1e3") literals; this
+        // double-cast accepts all numeric strings (truncating toward zero:
+        // "17.8" → 17, "1e3" → 1000) and turns unparseable garbage into an
+        // absent key instead of a request failure. JSON *numbers* behave
+        // identically in both (17.8 → 17).
         Seq(lit(dst), perf.getField(src).cast(DoubleType).cast(LongType).cast(DoubleType))
       }
     val metrics = map_filter(map(entries: _*), (_, v) => v.isNotNull)
