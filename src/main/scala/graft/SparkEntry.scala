@@ -407,6 +407,17 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Similarity: IVF coarse-quantizer top-k (the bucketed ANN alternative
+    // to s02; recall floor-asserted in SimilaritySpec — no SQL twin, the
+    // ranking ties depend on engine-internal float accumulation order).
+    "s03_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Text: language-ID heuristic (stopword-marker voting). Tokenization is
     // materialized once per row on its own projection (the voting reads the
     // token array ~12×), input spread to one task per core.
@@ -449,6 +460,27 @@ object SparkEntry {
       analytics.Par.spreadForCpu(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
         .select(col("doc_id"), TextAnalysis.rollingHashFromTokens(col("ws")).as("fp64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: PII scrub over documents with synthesized PII (emails/IPs/SSNs
+    // derived from doc_id so the operator provably fires); outputs the
+    // scrubbed text plus per-class redaction counts. Patterns are shared
+    // Java-regex/RE2 constructs — the DuckDB twin applies the identical
+    // regexes.
+    "t05_pii_scrub" -> ((s, dir) => {
+      val withPii = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" from 10.0.0."), pmod(col("doc_id"), lit(256)),
+          lit(" ssn 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+        ).as("text"))
+      val counts = TextAnalysis.piiCounts(col("text")).map { case (n, c) =>
+        c.cast("bigint").as(s"n_$n")
+      }
+      withPii.select(
+        Seq(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("scrubbed")) ++ counts: _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -722,6 +754,22 @@ object SparkEntry {
          | CAST(sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS total_bpe_est,
          | count(*) AS n_docs
          |FROM tok GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "t05_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        | text || ' contact user' || doc_id || '@example.com'
+        |      || ' from 10.0.0.' || (doc_id % 256)
+        |      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        | CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "m01_multimodal_meta" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -139,6 +139,64 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path next to
+    * LSH. A coarse quantizer of `nCells` centroids partitions the corpus:
+    * each corpus vector is assigned to its nearest centroid (one cell);
+    * each probe searches its `nProbe` nearest cells; candidates are scored
+    * exactly and ranked.
+    *
+    * The quantizer here is deterministic — the `nCells` lowest-id corpus
+    * vectors serve as centroids — so results are reproducible and
+    * recall-testable without an iterative clustering dependency; a
+    * production deployment would train k-means centroids once (e.g.
+    * spark.ml KMeans) and keep everything downstream identical.
+    *
+    * Scale shape: assignment is one broadcast-NLJ pass over the corpus
+    * (nCells dot products per row, no shuffle of the corpus); at 100 TB the
+    * cell assignment is written once with bucketBy(cell) so probe batches
+    * only read their nProbe cells — candidate volume is
+    * corpus × nProbe / nCells.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        norm(col(vecCol)).as("cent_norm")))
+    def assign(df: DataFrame, side: String, nNearest: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(s"${side}_id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+        .join(cents)
+        .select(col(s"${side}_id"), col("cent_id"),
+          cosineFromNorms(col("v"), col("cent_vec"), col("vn"), col("cent_norm")).as("csim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(s"${side}_id"))
+        .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .where(col("r") <= nNearest)
+        .select(col(s"${side}_id"), col("cent_id"))
+    }
+    val cAssign = assign(Par.spreadForCpu(corpus), "neighbor", 1)
+    val pAssign = broadcast(assign(probes, "probe", nProbe))
+    val candidates = cAssign.join(pAssign, Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+    val scored = candidates
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        norm(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        norm(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cosineFromNorms(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, probe set vs
     * corpus (broadcast probe side — the exact-verification step after any
     * candidate generation). The similarity is rounded to `roundDp` decimals

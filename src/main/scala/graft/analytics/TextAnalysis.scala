@@ -110,4 +110,29 @@ object TextAnalysis {
   def rollingHashFromTokens(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
   def rollingHash(text: Column): Column = rollingHashFromTokens(tokens(text))
+
+  // ── PII scrubbing (training-data hygiene) ──
+
+  /** PII patterns scrubbed from training text. Kept to constructs shared by
+    * Java regex and RE2 (DuckDB) so the operator stays oracle-checkable:
+    * no backreferences, no lookaround.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** Replace every PII occurrence with its placeholder token (applied in
+    * declaration order — email first, so its digits never half-match the
+    * later numeric patterns). Pure per-row regexp projection: no shuffle,
+    * scan-parallel, the 100 TB shape.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** Count of matches per PII class (for redaction audits). */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, re, _) => name -> regexp_count(text, lit(re)) }
 }

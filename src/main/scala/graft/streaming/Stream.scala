@@ -78,6 +78,24 @@ object Stream {
       jsonCol: String = "value"): DataFrame =
     Ingest.envelopes(Ingest.parseNotifications(raw, jsonCol), subscriptions, rules)
 
+  /** H2/H3 — event-time tumbling-window aggregation with a watermark over
+    * the envelope stream: per (window, event-type) record counts. The
+    * reference has no lateness concept (every arriving record is processed,
+    * SURVEY H2) — this is the engine's added stateful analytics surface, so
+    * it gets real watermark semantics: late rows beyond `watermarkDelay`
+    * are dropped and completed windows are emitted exactly once in append
+    * mode. Works identically over a batch envelope frame (the watermark is
+    * a no-op there).
+    */
+  def windowedEventCounts(envelopes: DataFrame,
+      windowDur: String = "1 hour", watermarkDelay: String = "10 minutes"): DataFrame =
+    envelopes
+      .withColumn("event_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(window(col("event_time"), windowDur), col("event"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"), col("event"), col("n"))
+
   /** Convenience: a file-based raw-notification stream (one JSON document
     * per line) — the test/demo source; production would use
     * `format("kafka")`.

@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** A7 — file-format scans beyond parquet: CSV, JSON-lines, and ORC
+  * round-trips of a testdata sample through `spark.read`/`write`, proving
+  * schema fidelity and pushdown-capable scans for each format.
+  */
+class FormatsSpec extends SparkSpec {
+
+  private lazy val sample = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
+    .orderBy("l_orderkey", "l_linenumber")
+    .limit(1000)
+
+  private def roundTrip(format: String, extraRead: Map[String, String] = Map.empty): Unit = {
+    val dir = Files.createTempDirectory(s"graft-$format").toString + "/data"
+    sample.write.format(format).option("header", "true").save(dir)
+    val back = spark.read.format(format)
+      .options(extraRead)
+      .schema(sample.schema) // declared schema — no sampling-inference drift
+      .load(dir)
+    assert(back.count() === sample.count(), s"$format row count")
+    val a = sample.orderBy("l_orderkey", "l_linenumber").collect()
+    val b = back.orderBy("l_orderkey", "l_linenumber").collect()
+    a.zip(b).foreach { case (x, y) => assert(x === y, s"$format row mismatch") }
+    // predicate + projection survive the format scan
+    val filtered = back.where(col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    val expected = sample.where(col("l_quantity") < 10).count()
+    assert(filtered.count() === expected, s"$format filtered count")
+  }
+
+  test("CSV round-trip with declared schema") { roundTrip("csv", Map("header" -> "true")) }
+  test("JSON-lines round-trip with declared schema") { roundTrip("json") }
+  test("ORC round-trip with declared schema") { roundTrip("orc") }
+}

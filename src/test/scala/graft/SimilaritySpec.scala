@@ -50,6 +50,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below floor; |approx|=${approx.size}")
   }
 
+  test("IVF top-k recall ≥ 0.5 vs brute force on sf0.001 embeddings (deterministic quantizer)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
+    val approx = pairs(Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor; |approx|=${approx.size}")
+  }
+
   test("near-dup pairs: threshold applied to the ROUNDED similarity") {
     val corpus = Seq(
       (0L, Array(1f, 0f)),

@@ -84,4 +84,73 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(collected.toSeq === Seq("comms"))
   }
+
+  test("watermarked tumbling windows: late rows dropped, windows close exactly once (H2/H3)") {
+    val srcDir = tempDir("graft-window-src")
+    val ckptDir = tempDir("graft-window-ckpt")
+    def perfAt(ts: String): String =
+      s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[{"event":"PERF_DATA",
+         |"perfDataInfos":[{"ueIpAddr":{"ipv4Addr":"10.0.0.1"},"timeStamp":"$ts",
+         |"perfData":{"pdb":1}}]}]}""".stripMargin.replace("\n", "")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def run(): Unit = {
+      val env = Stream.envelopeStream(
+        Stream.fileSource(spark, srcDir), Fixtures.subscriptions(spark))
+      val q = Stream.windowedEventCounts(env, "1 hour", "10 minutes")
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          collected ++= batch.collect().map(r => (r.getAs[Long]("window_start"),
+            r.getAs[String]("event"), r.getAs[Long]("n")))
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // batch 0: 10:15 and 12:30 → watermark 12:20 closes the 10:00 window
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Seq(perfAt("2026-04-20T10:15:00Z"), perfAt("2026-04-20T12:30:00Z"))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.toSeq === Seq((1776679200L, "PERF_DATA", 1L))) // 10:00 UTC window
+
+    // batch 1: a LATE 10:05 row (watermark already 12:20 → dropped — the
+    // closed window is NOT re-emitted) plus 12:45 joining the open window
+    collected.clear()
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      (Seq(perfAt("2026-04-20T10:05:00Z"), perfAt("2026-04-20T12:45:00Z"))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.isEmpty, s"late row must not reopen a closed window: $collected")
+
+    // batch 2: 14:00 advances the watermark past 13:00 → the 12:00 window
+    // closes with BOTH its rows (12:30 + 12:45), exactly once
+    collected.clear()
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.jsonl"),
+      (perfAt("2026-04-20T14:00:00Z") + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.toSeq === Seq((1776686400L, "PERF_DATA", 2L))) // 12:00 UTC window
+  }
+
+  test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
+    val srcDir = tempDir("graft-empty-src")
+    val ckptDir = tempDir("graft-empty-ckpt")
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Fixtures.unknownNotifPayload + "\n").getBytes("UTF-8"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = Stream.runIngest(
+      raw = Stream.fileSource(spark, srcDir),
+      subscriptions = Fixtures.subscriptions(spark),
+      checkpointDir = ckptDir,
+      sendBatch = (batch: DataFrame, _: Long) => {
+        collected ++= batch.collect().map(_.getAs[String]("key"))
+      },
+      now = Some(org.apache.spark.sql.functions.lit(FixedNow)))
+    q.awaitTermination(60000)
+    assert(collected.isEmpty) // rejected notification → no message rows
+  }
 }
