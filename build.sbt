@@ -34,6 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // InferFiltersFromGenerate + cost-blind predicate pushdown re-runs whole
   // per-row pipelines inside scan filters below explodes (see Bench.scala).
   "-Dspark.sql.optimizer.excludedRules=org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+  // Engine Catalyst extensions (native simhash64 expression).
+  "-Dspark.sql.extensions=graft.plans.GraftExtensions",
   // local[32] on a 128 GiB box: 8g starved the round-1 bench (GC death
   // spiral + aborted stage on the LSH self-join); 32g leaves headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",

@@ -35,6 +35,7 @@ object Bench {
       // (tokens inlined per-element) inside the scan filter. Our generators
       // never see null arrays — the rule only costs (round-3 profiling: 5×
       // wall-time on the shingle explodes).
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")

@@ -20,6 +20,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // See Bench.scala: the inferred size(arr)>0 filter below explodes gets
       // alias-substituted into a full pipeline re-run by pushdown.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")

@@ -199,25 +199,32 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash per document: per bit, sum +1/−1 votes across token
-    * hashes (bit set → +1); output bit set when the vote is positive.
-    * Three projection boundaries (token hashes → vote vector → folded
-    * long), so each intermediate is evaluated once per row; the fold reads
-    * the 64-element vote vector attribute 64 times, which is 64 array
-    * lookups — not 64 re-aggregations.
+  /** 64-bit SimHash per document. When the `simhash64` native expression is
+    * registered (graft.plans.GraftExtensions via `spark.sql.extensions`),
+    * the whole hash runs as one fused codegen'd loop; otherwise the
+    * declarative fallback below computes the identical value
+    * (equivalence asserted in DedupSpec) through three projection
+    * boundaries — token hashes → 64-element vote vector → folded long —
+    * so each intermediate is evaluated once per row.
     */
   def simhashed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def bitVotes(h: Column): Column = array(
-      (0 until 64).map(i =>
-        when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
-    val folded = (0 until 64).map(i =>
-      when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    spreadForCpu(docs)
-      .select(col(idCol), transform(TextAnalysis.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
-      .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
-        (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
-      .select(col(idCol), folded.as("simhash"))
+    val tokenized = spreadForCpu(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
+    if (docs.sparkSession.catalog.functionExists("simhash64")) {
+      tokenized.select(col(idCol), call_function("simhash64", col("ws")).as("simhash"))
+    } else {
+      def bitVotes(h: Column): Column = array(
+        (0 until 64).map(i =>
+          when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
+      val folded = (0 until 64).map(i =>
+        when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+      tokenized
+        .select(col(idCol), transform(col("ws"), t => xxhash64(t)).as("hs"))
+        .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
+          (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
+        .select(col(idCol), folded.as("simhash"))
+    }
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -109,6 +109,31 @@ class DedupSpec extends SparkSpec {
     assert(viaCol === hamming(sh(0L), sh(2L)))
   }
 
+  test("native simhash64 expression ≡ declarative HOF construction (codegen showcase)") {
+    // the session registers graft.plans.GraftExtensions, so simhashed()
+    // takes the native-expression path; recompute the declarative form
+    // inline and require bit-identical hashes on real data
+    assert(spark.catalog.functionExists("simhash64"), "extensions must be registered")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def bitVotes(h: org.apache.spark.sql.Column) = array(
+      (0 until 64).map(i =>
+        when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
+    val folded = (0 until 64).map(i =>
+      when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val declarative = real
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), transform(col("ws"), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"), aggregate(col("hs"), array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
+      .select(col("doc_id"), folded.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Dedup.simhashed(real).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.size === declarative.size)
+    assert(native === declarative)
+  }
+
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
     val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
         (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))

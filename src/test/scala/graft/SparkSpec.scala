@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.sizeOfNull", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")
