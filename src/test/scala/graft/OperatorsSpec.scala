@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+/** Scale-technique operators: salted skew joins (result-equivalence vs the
+  * plain join) and bucketed co-located joins (shuffle-free plan proof) —
+  * plus the approx_count_distinct (HLL) error-bound invariant.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted inner join ≡ plain inner join on skewed data") {
+    // heavy-tailed: key 0 carries half the fact rows
+    val fact = (0 until 20000).map(i => (if (i % 2 == 0) 0L else (i % 100).toLong, i.toLong))
+      .toDF("k", "v")
+    val dim = (0L until 100L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val plain = fact.join(dim, Seq("k"), "inner")
+      .select("k", "v", "name").orderBy("k", "v").collect()
+    val salted = SkewJoin.saltedInnerJoin(fact, dim, Seq("k"), factor = 8)
+      .select("k", "v", "name").orderBy("k", "v").collect()
+    assert(salted.length === plain.length)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("bucketed tables co-locate: the bucket join plans without a shuffle") {
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the sf0.001 tables are broadcast-sized; force the sort-merge path that
+    // bucketing is designed to make shuffle-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bucket_test LOCATION '$wh'")
+    try {
+      val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").saveAsTable("graft_bucket_test.orders_b")
+      lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").saveAsTable("graft_bucket_test.lineitem_b")
+      val joined = spark.table("graft_bucket_test.orders_b")
+        .join(spark.table("graft_bucket_test.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      // correctness vs the unbucketed join
+      val expected = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus").collect().toSeq
+      assert(joined.orderBy("o_orderstatus").collect().toSeq === expected)
+      // plan proof: no shuffle below the join (bucketing co-locates both
+      // sides; the only exchange allowed is the post-join aggregation's).
+      // String-level check — AdaptiveSparkPlanExec hides its inner plan
+      // from collect().
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"), s"expected SMJ, plan:\n$planStr")
+      assert(planStr.contains("Bucketed: true"), s"expected bucketed scans, plan:\n$planStr")
+      assert(!planStr.contains("Exchange hashpartitioning(o_orderkey") &&
+        !planStr.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not shuffle its inputs, plan:\n$planStr")
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_bucket_test CASCADE")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("approx_count_distinct (HLL) lands within its declared error bound") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.06,
+      s"HLL estimate $approx too far from exact $exact") // 3× rsd safety margin
+  }
+}
