@@ -476,11 +476,12 @@ object SparkEntry {
           lit(" from 10.0.0."), pmod(col("doc_id"), lit(256)),
           lit(" ssn 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
         ).as("text"))
-      val counts = TextAnalysis.piiCounts(col("text")).map { case (n, c) =>
+      val counts = TextAnalysis.piiCounts(col("scrubbed")).map { case (n, c) =>
         c.cast("bigint").as(s"n_$n")
       }
-      withPii.select(
-        Seq(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("scrubbed")) ++ counts: _*)
+      withPii
+        .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("scrubbed"))
+        .select(Seq(col("doc_id"), col("scrubbed")) ++ counts: _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -761,15 +762,16 @@ object SparkEntry {
         |      || ' from 10.0.0.' || (doc_id % 256)
         |      || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
         |FROM documents)
-        |SELECT doc_id,
+        |SELECT doc_id, scrubbed,
+        | CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+        | CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ipv4,
+        | CAST(len(string_split(scrubbed, '<SSN>')) - 1 AS BIGINT) AS n_ssn
+        |FROM (SELECT doc_id,
         | regexp_replace(regexp_replace(regexp_replace(text,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        | CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        | CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed
+        |FROM p) ORDER BY doc_id""".stripMargin,
 
     "m01_multimodal_meta" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,

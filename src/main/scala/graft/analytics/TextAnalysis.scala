@@ -132,7 +132,14 @@ object TextAnalysis {
       regexp_replace(acc, re, token)
     }
 
-  /** Count of matches per PII class (for redaction audits). */
-  def piiCounts(text: Column): Seq[(String, Column)] =
-    PiiPatterns.map { case (name, re, _) => name -> regexp_count(text, lit(re)) }
+  /** Redaction audit: occurrences of each placeholder token in the
+    * SCRUBBED text. Counting tokens (a literal split) instead of re-running
+    * the PII regexes halves the regex passes per row, and counts what was
+    * actually redacted — e.g. digits inside an already-replaced email are
+    * not double-counted as an SSN.
+    */
+  def piiCounts(scrubbed: Column): Seq[(String, Column)] =
+    PiiPatterns.map { case (name, _, token) =>
+      name -> (size(split(scrubbed, java.util.regex.Pattern.quote(token), -1)) - 1)
+    }
 }

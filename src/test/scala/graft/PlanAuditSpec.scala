@@ -1,0 +1,57 @@
+package graft
+
+/** Physical-plan audits: the optimizations the engine's 100 TB story rests
+  * on must be visible in the executed plans, not assumed — filter pushdown
+  * into the parquet scan, nested-projection pruning, broadcast joins on
+  * dimensions, TakeOrderedAndProject for top-k, and shuffle-free
+  * single-pass shapes for the NEF pipeline.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull(l_shipdate)"),
+      s"expected pushed filters, plan:\n$p")
+    assert(p.contains("LessThan(l_quantity,3"), s"quantity filter must push, plan:\n$p")
+    // pruned read schema: only the 5 referenced columns, not the full table
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_shipdate:timestamp"),
+      s"expected pruned ReadSchema, plan:\n$p")
+  }
+
+  test("q04: dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("q04_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dims must not SMJ, plan:\n$p")
+  }
+
+  test("q13: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator, plan:\n$p")
+  }
+
+  test("q20: the NEF pipeline is a single pass — no shuffle before output ordering") {
+    val p = SparkEntry.queries("q20_nef_envelope")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the only SHUFFLE allowed is the final ORDER BY's range partitioning
+    // (BroadcastExchange of the subscription dimension is the design)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pipeline must not hash-shuffle, plan:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"expected only the output-order shuffle, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"enrich join must broadcast, plan:\n$p")
+  }
+
+  test("q01: aggregation is partial+final hash aggregate") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partial aggregation, plan:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation, plan:\n$p")
+  }
+}
