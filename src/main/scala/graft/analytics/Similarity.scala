@@ -113,10 +113,18 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tables = (0 until nTables).map(t =>
       hyperplanes(planesPerTable, dim, seed + t))
+    // one fused kernel per row when the native expression is registered
+    // (graft.plans.GraftExtensions); declarative fallback is bit-identical
+    // (equivalence asserted in SimilaritySpec)
+    val native = corpus.sparkSession.catalog.functionExists("lsh_sign_buckets")
+    def bucketArray: Column =
+      if (native)
+        call_function("lsh_sign_buckets", col(vecCol),
+          lit(seed), lit(nTables), lit(planesPerTable), lit(dim))
+      else array(tables.map(p => signBits(col(vecCol), p)): _*)
     def buckets(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
-        posexplode(array(tables.map(p => signBits(col(vecCol), p)): _*))
-          .as(Seq("table", "bucket")))
+        posexplode(bucketArray).as(Seq("table", "bucket")))
     val c = buckets(Par.spreadForCpu(corpus), "neighbor")
     val p = broadcast(buckets(probes, "probe"))
     val candidates = c.join(p, Seq("table", "bucket"))

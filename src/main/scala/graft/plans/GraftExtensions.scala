@@ -22,5 +22,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children.head)))
+
+    // lsh_sign_buckets(vec, seed, nTables, planesPerTable, dim): the trailing
+    // four arguments must be foldable literals — the seeded hyperplane
+    // matrix is built once at plan time and rides into codegen as a
+    // referenced object.
+    ext.injectFunction((
+      FunctionIdentifier("lsh_sign_buckets"),
+      new ExpressionInfo(
+        classOf[SignBuckets].getName, null, "lsh_sign_buckets",
+        "_FUNC_(vec, seed, nTables, planesPerTable, dim) - per-table LSH sign-pattern buckets.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 5, "lsh_sign_buckets takes 5 arguments")
+        require(children.drop(1).forall(_.foldable),
+          "lsh_sign_buckets seed/nTables/planesPerTable/dim must be literals")
+        def longArg(i: Int): Long =
+          children(i).eval(null) match { case n: Number => n.longValue() }
+        val seed = longArg(1)
+        val nTables = longArg(2).toInt
+        val planesPerTable = longArg(3).toInt
+        val dim = longArg(4).toInt
+        val planes = (0 until nTables).flatMap(t =>
+          graft.analytics.Similarity.hyperplanes(planesPerTable, dim, seed + t)).toArray
+        SignBuckets(children.head, planes, planesPerTable)
+      }))
   }
 }

@@ -50,6 +50,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below floor; |approx|=${approx.size}")
   }
 
+  test("native lsh_sign_buckets ≡ declarative signBits construction") {
+    assert(spark.catalog.functionExists("lsh_sign_buckets"))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = 42L; val nTables = 16; val b = 4; val dim = 64
+    val native = e.select(col("vec_id"),
+      call_function("lsh_sign_buckets", col("embedding"),
+        lit(seed), lit(nTables), lit(b), lit(dim)).as("buckets"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // declarative form, mirroring Similarity's private signBits
+    val tables = (0 until nTables).map(t => Similarity.hyperplanes(b, dim, seed + t))
+    def signBits(planes: Seq[Array[Double]]): org.apache.spark.sql.Column =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dot = aggregate(
+          zip_with(col("embedding"), typedLit(p.toSeq), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+    val declarative = e.select(col("vec_id"),
+      array(tables.map(signBits): _*).as("buckets"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.size === declarative.size)
+    assert(native === declarative)
+  }
+
   test("IVF top-k recall ≥ 0.5 vs brute force on sf0.001 embeddings (deterministic quantizer)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = e.where(col("vec_id") < 10)
