@@ -303,6 +303,24 @@ object SparkEntry {
       sinks.Sinks.discoveredFields(entry(s)).orderBy(col("field"))
     }),
 
+    // H3 — session windows (30-minute gap) over event time, truncated to
+    // seconds (the nanos remainder is below the gap resolution). A session
+    // spans events whose gaps are <= 30 min (touching intervals merge);
+    // window end = last event + gap (Spark merges on overlap-or-touch — the DuckDB twin reproduces it
+    // with a gaps-and-islands cumulative sum).
+    "q24_session_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("et", timestamp_seconds(expr("ts div 1000000000")))
+        .groupBy(col("event_type"), session_window(col("et"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
+        .select(col("event_type"),
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          unix_timestamp(col("session_window.end")).as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("event_type"), col("session_start"))
+    }),
+
     // D1/D2/F9 — the compiled policy gate with a non-trivial rule set:
     // deny UE_COMM rows, sha2-hash supi, redact dnn, drop the pdb_ms metric
     // (reference receiver.py:412–433; README.md:10 "field filtering,
@@ -656,6 +674,17 @@ object SparkEntry {
     "q21_discovered_fields" ->
       """SELECT * FROM (VALUES ('comms'), ('pdb_ms'), ('plr_per_thousand'), ('thrputDl_mbps'),
         | ('thrputUl_mbps'), ('trajectory')) AS t(field) ORDER BY field""".stripMargin,
+
+    "q24_session_windows" ->
+      """WITH e AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, value FROM events),
+        |o AS (SELECT event_type, sec, value,
+        |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY sec)),
+        |s AS (SELECT event_type, sec, value,
+        |  sum(new_s) OVER (PARTITION BY event_type ORDER BY sec ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+        |SELECT event_type, min(sec) AS session_start, max(sec) + 1800 AS session_end,
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY event_type, sid ORDER BY event_type, session_start""".stripMargin,
 
     // Golden VALUES twin of the policy gate: UE_COMM rows denied, supi
     // sha256-hashed (DuckDB sha256 = Spark sha2(…,256)), dnn redacted,
