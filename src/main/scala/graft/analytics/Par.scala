@@ -14,6 +14,7 @@ object Par {
     * rows once.
     */
   def spreadForCpu(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // no .rdd on streaming frames; micro-batches re-enter here as batch frames
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -45,9 +45,26 @@ object Similarity {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
 
+  /** Session-aware dot/norm: the native `vec_dot` expression (codegen'd,
+    * zero per-pair allocation — registered by graft.plans.GraftExtensions)
+    * when available, the declarative HOF form otherwise. Both accumulate
+    * strictly left-to-right in double, so results are bit-identical
+    * (equivalence asserted in SimilaritySpec).
+    */
+  private def dotFn(df: DataFrame): (Column, Column) => Column =
+    if (df.sparkSession.catalog.functionExists("vec_dot"))
+      (a, b) => call_function("vec_dot", a, b)
+    else dot
+
+  private def normFn(df: DataFrame): Column => Column = {
+    val d = dotFn(df)
+    a => sqrt(d(a, a))
+  }
+
   /** Per-pair cosine from pre-materialized norms. */
-  private def cosineFromNorms(aVec: Column, bVec: Column, na: Column, nb: Column): Column =
-    when(na > 0 && nb > 0, dot(aVec, bVec) / (na * nb))
+  private def cosineFromNorms(d: (Column, Column) => Column)(
+      aVec: Column, bVec: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, d(aVec, bVec) / (na * nb))
 
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows
     * (self-match excluded). The probe side is broadcast, so the corpus is
@@ -58,14 +75,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-      norm(col(vecCol)).as("probe_norm")))
+      nf(col(vecCol)).as("probe_norm")))
     val c = Par.spreadForCpu(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-        norm(col(vecCol)).as("vec_norm"))
+        nf(col(vecCol)).as("vec_norm"))
     val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosineFromNorms(col("probe_vec"), col("vec"),
+        cf(col("probe_vec"), col("vec"),
           col("probe_norm"), col("vec_norm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
@@ -131,13 +150,15 @@ object Similarity {
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))
       .distinct()
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
     val scored = candidates
       .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        norm(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
+        nf(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-        norm(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
+        nf(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosineFromNorms(col("probe_vec"), col("vec"),
+        cf(col("probe_vec"), col("vec"),
           col("probe_norm"), col("vec_norm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
@@ -168,15 +189,17 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nCells: Int, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
     val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        norm(col(vecCol)).as("cent_norm")))
+        nf(col(vecCol)).as("cent_norm")))
     def assign(df: DataFrame, side: String, nNearest: Int): DataFrame = {
       val scored = df
-        .select(col(idCol).as(s"${side}_id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+        .select(col(idCol).as(s"${side}_id"), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
         .join(cents)
         .select(col(s"${side}_id"), col("cent_id"),
-          cosineFromNorms(col("v"), col("cent_vec"), col("vn"), col("cent_norm")).as("csim"))
+          cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")).as("csim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(s"${side}_id"))
         .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
@@ -191,11 +214,11 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"))
     val scored = candidates
       .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-        norm(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
+        nf(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
-        norm(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
+        nf(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
-        cosineFromNorms(col("probe_vec"), col("vec"),
+        cf(col("probe_vec"), col("vec"),
           col("probe_norm"), col("vec_norm")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
@@ -215,14 +238,16 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, probes: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding", roundDp: Int = 6): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
     val p = broadcast(probes.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
-      norm(col(vecCol)).as("a_norm")))
+      nf(col(vecCol)).as("a_norm")))
     val c = Par.spreadForCpu(corpus)
       .select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
-        norm(col(vecCol)).as("b_norm"))
+        nf(col(vecCol)).as("b_norm"))
     c.join(p, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosineFromNorms(col("a_vec"), col("b_vec"),
+        round(cf(col("a_vec"), col("b_vec"),
           col("a_norm"), col("b_norm")), roundDp).as("sim"))
       .where(col("sim") >= threshold)
   }

@@ -23,6 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children.head)))
 
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(
+        classOf[VecDot].getName, null, "vec_dot",
+        "_FUNC_(a, b) - dot product of two float/double arrays (strict left-to-right double accumulation).",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_dot takes 2 arguments")
+        VecDot(children(0), children(1))
+      }))
+
     // lsh_sign_buckets(vec, seed, nTables, planesPerTable, dim): the trailing
     // four arguments must be foldable literals — the seeded hyperplane
     // matrix is built once at plan time and rides into codegen as a

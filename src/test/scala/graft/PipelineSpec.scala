@@ -132,6 +132,13 @@ class PipelineSpec extends SparkSpec {
     assert(metrics === Map("pdb_ms" -> 17.0, "plr_per_thousand" -> 12.0, "pdbDl_ms" -> 1000.0))
   }
 
+  test("malformed notification JSON falls out silently (no 500s in a batch engine)") {
+    val env = envelopes("{not json at all", """{"wrong":"shape"}""", Fixtures.perfDataPayload)
+    // unparseable rows → null struct → null notifId → dropped at the join;
+    // only the valid payload's record survives
+    assert(env.count() === 1)
+  }
+
   test("websocket fan-out payload shape (receiver.py:450–452)") {
     val env = envelopes(Fixtures.perfDataPayload)
     val msg = rows(sinks.Sinks.websocketMessages(env)).head

@@ -50,6 +50,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below floor; |approx|=${approx.size}")
   }
 
+  test("native vec_dot ≡ declarative zip_with/aggregate dot (incl. null semantics)") {
+    assert(spark.catalog.functionExists("vec_dot"))
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = e.select(
+      call_function("vec_dot", col("embedding"), col("embedding")).as("native"),
+      Similarity.dot(col("embedding"), col("embedding")).as("declarative"))
+      .collect()
+    both.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    // mismatched lengths and null elements → null, like zip_with+aggregate
+    val edge = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f), Array(3f, 4f))
+    ).toDF("a", "b").select(call_function("vec_dot", col("a"), col("b")).as("d")).collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getDouble(0) === 11.0)
+  }
+
   test("native lsh_sign_buckets ≡ declarative signBits construction") {
     assert(spark.catalog.functionExists("lsh_sign_buckets"))
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -59,6 +59,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("pii scrub: all three classes replaced, counts from scrubbed text") {
+    import graft.analytics.TextAnalysis
+    val text = "mail a@b.com and c.d@e.org, host 10.1.2.3, ssn 123-45-6789 end"
+    val r = Seq(text).toDF("t")
+      .select(TextAnalysis.scrubPii(col("t")).as("scrubbed"))
+      .select(Seq(col("scrubbed")) ++
+        TextAnalysis.piiCounts(col("scrubbed")).map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(r.getString(0) === "mail <EMAIL> and <EMAIL>, host <IP>, ssn <SSN> end")
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((2, 1, 1)))
+  }
+
   test("qualityScore composition matches its published formula") {
     val text = "the quick brown fox is a good dog"
     val r = Seq(text).toDF("t").select(
