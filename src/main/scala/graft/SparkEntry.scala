@@ -299,8 +299,12 @@ object SparkEntry {
     }),
 
     // E1 — discovered metric fields over the fixture envelopes.
+    // discoveredFields consumes the envelope frame in THREE union branches;
+    // localCheckpoint cuts the lineage so the (large) NEF parse expression
+    // is planned and codegen'd once, not three times — the recompute showed
+    // up as multi-second planning variance on a 6-row query.
     "q21_discovered_fields" -> ((s, _) => {
-      sinks.Sinks.discoveredFields(entry(s)).orderBy(col("field"))
+      sinks.Sinks.discoveredFields(entry(s).localCheckpoint()).orderBy(col("field"))
     }),
 
     // H3 — session windows (30-minute gap) over event time, truncated to
