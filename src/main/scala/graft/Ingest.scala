@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.enrich.Enrich
@@ -45,4 +45,18 @@ object Ingest {
       rules: Policy.Rules = Policy.Rules.allowAll,
       now: Column = unix_timestamp(current_timestamp())): DataFrame =
     sinks.Sinks.kafkaBatches(envelopes(notifications, subscriptions, rules, now))
+
+  /** Typed view of the envelope stream — the closed output shape gets a
+    * case-class Encoder (SURVEY §1.4: `Dataset[T]` where the shape is
+    * closed, `DataFrame` where it is schema-flexible).
+    */
+  def envelopeDataset(
+      notifications: DataFrame,
+      subscriptions: DataFrame,
+      rules: Policy.Rules = Policy.Rules.allowAll,
+      now: Column = unix_timestamp(current_timestamp())): Dataset[schemas.Envelope] = {
+    val df = envelopes(notifications, subscriptions, rules, now)
+    import df.sparkSession.implicits._
+    df.as[schemas.Envelope]
+  }
 }

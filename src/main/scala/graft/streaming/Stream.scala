@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.Ingest
 import graft.policy.Policy
@@ -95,6 +95,36 @@ object Stream {
       .groupBy(window(col("event_time"), windowDur), col("event"))
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("window_start"), col("event"), col("n"))
+
+  /** Per-subscription running activity, emitted on every micro-batch the
+    * subscription appears in. */
+  case class SubActivity(notifId: String, totalRecords: Long, lastTimestamp: Long)
+
+  /** Custom arbitrary state via `flatMapGroupsWithState` (the
+    * `KeyValueGroupedDataset` path for state the built-in aggregations
+    * can't express): a per-subscription (record count, max event time)
+    * accumulator surviving restarts through the checkpoint — the typed
+    * analog of the reference's per-subscription bookkeeping. Unbounded
+    * keyed state like the reference's registry (one state row per active
+    * subscription — dimension-sized, not data-sized).
+    */
+  def subscriptionActivity(envelopes: DataFrame): Dataset[SubActivity] = {
+    import envelopes.sparkSession.implicits._
+    envelopes
+      .select(col("notifId").cast("string"), col("timestamp").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), SubActivity](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val (c0, t0) = state.getOption.getOrElse((0L, 0L))
+          var c = c0
+          var tMax = t0
+          rows.foreach { case (_, ts) => c += 1; tMax = math.max(tMax, ts) }
+          state.update((c, tMax))
+          Iterator(SubActivity(key, c, tMax))
+      }
+  }
 
   /** Convenience: a file-based raw-notification stream (one JSON document
     * per line) — the test/demo source; production would use

@@ -136,6 +136,63 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toSeq === Seq((1776686400L, "PERF_DATA", 2L))) // 12:00 UTC window
   }
 
+  test("flatMapGroupsWithState: per-subscription state accumulates across restarts") {
+    val srcDir = tempDir("graft-state-src")
+    val ckptDir = tempDir("graft-state-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.SubActivity]
+    def run(): Unit = {
+      val env = Stream.envelopeStream(
+        Stream.fileSource(spark, srcDir), Fixtures.subscriptions(spark))
+      val q = Stream.subscriptionActivity(env)
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.SubActivity], _: Long) =>
+          collected ++= batch.collect()
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // batch 0: one PERF_DATA record
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Fixtures.perfDataPayload + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.toSeq === Seq(
+      Stream.SubActivity(Fixtures.NotifId, 1L, 1776680100L)))
+
+    // batch 1 (restarted query, same checkpoint): two more records — the
+    // running count resumes from the stored state, not from zero
+    collected.clear()
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      (Seq(Fixtures.ueCommPayload, Fixtures.ueMobilityPayload).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    run()
+    assert(collected.toSeq === Seq(
+      Stream.SubActivity(Fixtures.NotifId, 3L, 1776680100L)))
+  }
+
+  test("typed envelope Dataset round-trips the closed output shape") {
+    val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
+    val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
+      now = Some(org.apache.spark.sql.functions.lit(FixedNow)).get)
+    val env = ds.collect() match {
+      case Array(only) => only
+      case other => fail(s"expected 1 envelope, got ${other.length}")
+    }
+    assert(env.notifId === Fixtures.NotifId)
+    assert(env.timestamp === 1776680100L)
+    assert(env.event === "PERF_DATA")
+    assert(env.tags.snssai_sst === Some(1))
+    assert(env.tags.ueIpv4Addr === Some("10.0.1.10"))
+    assert(env.tags.supi === None)
+    assert(env.metrics("thrputDl_mbps") === 87.57)
+    assert(env.trajectory === None)
+    assert(env.comms === None)
+  }
+
   test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
     val srcDir = tempDir("graft-empty-src")
     val ckptDir = tempDir("graft-empty-ckpt")
