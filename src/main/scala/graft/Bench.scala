@@ -1,7 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 /** Benchmark main: runs the SparkEntry catalog on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Methodology (round-2/3 postmortems):
+  * prints one JSON line. Session semantics come from [[GraftSession]].
+  * Methodology (round-2/3 postmortems):
   *  - queries run in sorted-name order so round-over-round timings are
   *    attributable (Map iteration order made warmup land on random queries);
   *  - results are materialized through the `noop` datasource, which consumes
@@ -21,32 +23,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as LongType.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // InferFiltersFromGenerate synthesizes size(arr)>0 below every explode;
-      // predicate pushdown then substitutes the alias chain into the filter
-      // with no cost guard, re-running the whole tokenize→shingle pipeline
-      // (tokens inlined per-element) inside the scan filter. Our generators
-      // never see null arrays — the rule only costs (round-3 profiling: 5×
-      // wall-time on the shingle explodes).
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // warmup failures re-surface in the timed pass
+      catch { case NonFatal(_) => () } // warmup failures re-surface in the timed pass
     }
     spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
@@ -55,7 +38,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         None
       } catch {
-        case e: Throwable =>
+        case NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           Some(s"${e.getClass.getSimpleName}")
       }

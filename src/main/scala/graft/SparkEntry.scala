@@ -237,11 +237,13 @@ object SparkEntry {
     // F2/H3-analog — event-time to unix seconds + tumbling 1h buckets.
     // `ts` arrives as LongType nanos (TIMESTAMP(NANOS) parquet under
     // legacy.parquet.nanosAsLong) — exceeds 2^53, so the bucket floor must
-    // stay in integer arithmetic (`div`), never a double division.
+    // stay in integer arithmetic; `ts - pmod(ts, d)` is the FLOOR multiple
+    // (Spark's bare `div` truncates toward zero, which would shift any
+    // pre-1970 timestamp into the wrong bucket vs the oracle's date_trunc).
     "q18_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"),
-          (expr("ts div 3600000000000") * 3600L).as("hour_epoch"))
+          (expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * 3600L).as("hour_epoch"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
         .orderBy(col("event_type"), col("hour_epoch"))
@@ -314,7 +316,8 @@ object SparkEntry {
     // with a gaps-and-islands cumulative sum).
     "q24_session_windows" -> ((s, dir) => {
       t(s, dir, "events")
-        .withColumn("et", timestamp_seconds(expr("ts div 1000000000")))
+        // floor-to-second (see q18: `div` alone truncates toward zero)
+        .withColumn("et", timestamp_seconds(expr("(ts - pmod(ts, 1000000000)) div 1000000000")))
         .groupBy(col("event_type"), session_window(col("et"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))

@@ -2,30 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Session semantics
+  * come from [[GraftSession]] (shared with Bench and the test suite). */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // ANSI off: reference parity (int() of garbage → null not error,
-      // SURVEY.md §7.4) and DuckDB-oracle cast semantics.
-      .config("spark.sql.ansi.enabled", "false")
-      // …but keep size(NULL) = NULL (ansi=false flips the legacy -1 default).
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as LongType.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // See Bench.scala: the inferred size(arr)>0 filter below explodes gets
-      // alias-substituted into a full pipeline re-run by pushdown.
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

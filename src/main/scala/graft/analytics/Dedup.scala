@@ -159,6 +159,12 @@ object Dedup {
     * band collision) → estimate J as the fraction of agreeing positions,
     * keep those ≥ threshold.
     *
+    * Cache lifecycle: the internal persists (signature table here, corpus
+    * shingle sets in [[ngramJaccardPairs]]) are deduplicated by plan in the
+    * CacheManager, so repeated invocations reuse one entry, but they are
+    * NOT auto-unpersisted — a long-lived session should call
+    * `spark.catalog.clearCache()` between unrelated workloads (Bench does).
+    *
     * Scale notes: a near-duplicate cluster of c docs collides in ~every
     * band, producing O(bands·c²) join rows — so the bucket self-join must
     * carry nothing but 16-byte pair keys, and the signature arrays are

@@ -17,10 +17,14 @@ object SkewJoin {
 
   /** Inner equi-join of a skewed fact table against a dimension, salted.
     *
-    * The fact row's salt is derived deterministically from a hash of the
-    * whole row (`xxhash64(struct(*))`), not `rand()` — plans stay
-    * reproducible and re-executable (a retried task re-salts identically,
-    * which `rand()` does not guarantee under speculative execution). The
+    * The fact row's salt is a round-robin position within its partition
+    * (`monotonically_increasing_id`), NOT a hash of the row's values: a hot
+    * key whose skew comes from byte-identical duplicate rows (repeated
+    * events, default-filled records) would hash every duplicate to the SAME
+    * salt, collapsing the (key, salt) space back onto one task. Position-
+    * based salting spreads even identical rows evenly, and stays
+    * reproducible under task retry (the id is a function of partition index
+    * and row position, both stable on re-execution of a partition). The
     * dimension is exploded `factor`× via posexplode of a constant array —
     * acceptable when |dim| × factor stays dimension-sized.
     *
@@ -34,7 +38,7 @@ object SkewJoin {
     require(factor > 1, "salting needs factor > 1")
     val saltCol = "__graft_salt"
     val salted = fact.withColumn(saltCol,
-      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(factor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(factor)).cast("int"))
     val replicated = dim.select(
       col("*"),
       explode(typedLit((0 until factor).toArray)).as(saltCol))

@@ -50,22 +50,33 @@ object SignBuckets {
     * strict left-to-right dot (matching the declarative accumulation order
     * exactly — float → double per element), sign bit packed into the
     * plane's table slot.
+    *
+    * Declarative-parity null semantics: the zip_with/aggregate form
+    * null-propagates the dot for a length-mismatched vector (zip_with pads
+    * with null) or a null element, and `when(dot >= 0)` then leaves the
+    * bit UNSET — so the kernel leaves bits unset in exactly those cases
+    * instead of computing a partial dot.
     */
   def buckets(vec: ArrayData, planes: Array[Array[Double]],
       planesPerTable: Int, isFloat: Boolean): ArrayData = {
     val out = new Array[Long](planes.length / planesPerTable)
+    val len = vec.numElements()
+    var anyNull = false
+    var j = 0
+    while (j < len && !anyNull) { anyNull = vec.isNullAt(j); j += 1 }
     var pi = 0
     while (pi < planes.length) {
       val w = planes(pi)
-      val n = math.min(vec.numElements(), w.length)
-      var s = 0.0
-      var j = 0
-      while (j < n) {
-        val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
-        s += x * w(j)
-        j += 1
-      }
-      if (s >= 0) out(pi / planesPerTable) |= (1L << (pi % planesPerTable))
+      if (len == w.length && !anyNull) {
+        var s = 0.0
+        var i = 0
+        while (i < len) {
+          val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          s += x * w(i)
+          i += 1
+        }
+        if (s >= 0) out(pi / planesPerTable) |= (1L << (pi % planesPerTable))
+      } // else: null dot → bit unset, matching when(null >= 0) = false
       pi += 1
     }
     new GenericArrayData(out)

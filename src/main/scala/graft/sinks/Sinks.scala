@@ -32,12 +32,19 @@ object Sinks {
     val collected = collect_list(struct(
       col("timestamp"), col("tags"), col("event"), col("metrics"),
       col("trajectory"), col("comms")))
-    def cmp(l: Column, r: Column): Column =
+    // total order: (timestamp, event) fast path, serialized-record final
+    // tie-break — records tying on both keys (e.g. two same-second
+    // perfDataInfos) must still sort deterministically, or the JSON array
+    // keeps partition-arrival order and flips run-to-run.
+    def cmp(l: Column, r: Column): Column = {
+      val (lj, rj) = (to_json(l), to_json(r))
       when(l.getField("timestamp") < r.getField("timestamp"), -1)
         .when(l.getField("timestamp") > r.getField("timestamp"), 1)
         .when(l.getField("event") < r.getField("event"), -1)
         .when(l.getField("event") > r.getField("event"), 1)
+        .when(lj < rj, -1).when(lj > rj, 1)
         .otherwise(0)
+    }
     records
       .groupBy(col("notifId"))
       .agg((if (deterministicOrder) array_sort(collected, cmp) else collected).as("records"))

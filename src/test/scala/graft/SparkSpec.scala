@@ -3,27 +3,14 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** One shared local session for the whole forked test JVM, configured
-  * identically to Verify/Bench (ANSI off, UTC, sizeOfNull, nanosAsLong,
-  * InferFiltersFromGenerate excluded) so tests observe the same semantics
-  * the driver's correctness gate does. Never stopped — the forked JVM exits
-  * after the run.
+/** One shared local session for the whole forked test JVM, built from
+  * [[GraftSession]] so tests observe exactly the semantics the driver's
+  * correctness gate (Verify) and benchmark (Bench) do. Never stopped — the
+  * forked JVM exits after the run.
   */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.sizeOfNull", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = GraftSession.builder("local[4]", "4").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
