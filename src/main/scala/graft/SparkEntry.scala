@@ -328,6 +328,19 @@ object SparkEntry {
         .orderBy(col("event_type"), col("session_start"))
     }),
 
+    // H3 — SLIDING windows (2h window, 1h slide) over event time: each
+    // event lands in exactly windowDur/slide = 2 windows. The DuckDB twin
+    // unnests the two aligned window starts per event.
+    "q25_sliding_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("et", timestamp_seconds(expr("(ts - pmod(ts, 1000000000)) div 1000000000")))
+        .groupBy(col("event_type"), window(col("et"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("window_start"), col("n"))
+        .orderBy(col("event_type"), col("window_start"))
+    }),
+
     // D1/D2/F9 — the compiled policy gate with a non-trivial rule set:
     // deny UE_COMM rows, sha2-hash supi, redact dnn, drop the pdb_ms metric
     // (reference receiver.py:412–433; README.md:10 "field filtering,
@@ -692,6 +705,15 @@ object SparkEntry {
         |SELECT event_type, min(sec) AS session_start, max(sec) + 1800 AS session_end,
         | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY event_type, sid ORDER BY event_type, session_start""".stripMargin,
+
+    "q25_sliding_windows" ->
+      """WITH e AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events),
+        |w AS (SELECT event_type,
+        |  unnest([sec - (sec % 3600), sec - (sec % 3600) - 3600]) AS window_start
+        |FROM e)
+        |SELECT event_type, window_start, count(*) AS n
+        |FROM w GROUP BY event_type, window_start
+        |ORDER BY event_type, window_start""".stripMargin,
 
     // Golden VALUES twin of the policy gate: UE_COMM rows denied, supi
     // sha256-hashed (DuckDB sha256 = Spark sha2(…,256)), dnn redacted,

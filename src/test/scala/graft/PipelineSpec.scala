@@ -155,4 +155,13 @@ class PipelineSpec extends SparkSpec {
     assert(fields === Seq("comms", "pdb_ms", "plr_per_thousand",
       "thrputDl_mbps", "thrputUl_mbps", "trajectory"))
   }
+
+  test("DiscoveredFieldsAgg: the typed Aggregator form agrees with the plan form") {
+    import spark.implicits._
+    val metricKeys = SparkEntry.entry(spark)
+      .select(map_keys(col("metrics")).as("keys")).as[Seq[String]]
+    val viaAggregator = metricKeys.select(sinks.DiscoveredFieldsAgg.toColumn).collect().head
+    assert(viaAggregator === Seq("pdb_ms", "plr_per_thousand",
+      "thrputDl_mbps", "thrputUl_mbps"))
+  }
 }
