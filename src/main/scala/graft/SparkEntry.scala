@@ -456,6 +456,22 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Multimodal: resize planning for image payloads — the stubbed decode
+    // metadata through the REAL aspect-preserving integer resize arithmetic
+    // (the scheduling logic a decoder would follow).
+    "m02_multimodal_resize" -> ((s, dir) => {
+      val withBin = Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "image")
+      val meta = Multimodal.decodeImageStub(col("payload"))
+      withBin
+        .select(col("doc_id"), meta.as("meta"))
+        .select(col("doc_id"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          Multimodal.resizeStub(col("meta"), 64).getField("width").as("rw"),
+          Multimodal.resizeStub(col("meta"), 64).getField("height").as("rh"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: language-ID heuristic (stopword-marker voting). Tokenization is
     // materialized once per row on its own projection (the voting reads the
     // token array ~12×), input spread to one task per core.
@@ -830,6 +846,14 @@ object SparkEntry {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed
         |FROM p) ORDER BY doc_id""".stripMargin,
+
+    "m02_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE doc_id % 3 = 0),
+        |m AS (SELECT doc_id, CAST(16 + n % 64 AS INTEGER) AS w, CAST(16 + (n * 7) % 64 AS INTEGER) AS h FROM b)
+        |SELECT doc_id, w, h,
+        | CAST((CAST(w AS BIGINT) * 64) // greatest(w, h) AS INTEGER) AS rw,
+        | CAST((CAST(h AS BIGINT) * 64) // greatest(w, h) AS INTEGER) AS rh
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "m01_multimodal_meta" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
