@@ -44,13 +44,21 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def j(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full JSON string escape (backslash, quote, control chars) — sfDir is
+    // environment-provided and must not be able to corrupt the one-line
+    // contract the driver parses
+    def j(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (k, v, _) => s"${j(k)}:$v" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"${j(k)}:${j(e)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${j(sfDir)}}""")
     spark.stop()
   }
 }

@@ -711,8 +711,13 @@ object SparkEntry {
       """SELECT * FROM (VALUES ('comms'), ('pdb_ms'), ('plr_per_thousand'), ('thrputDl_mbps'),
         | ('thrputUl_mbps'), ('trajectory')) AS t(field) ORDER BY field""".stripMargin,
 
+    // DuckDB // and % truncate toward zero; the ((x % d) + d) % d form is
+    // the pmod that makes the division a FLOOR, matching the Spark side
+    // for pre-1970 timestamps.
     "q24_session_windows" ->
-      """WITH e AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec, value FROM events),
+      """WITH e AS (SELECT event_type,
+        |  CAST((epoch_ns(ts) - ((epoch_ns(ts) % 1000000000 + 1000000000) % 1000000000)) // 1000000000 AS BIGINT) AS sec,
+        |  value FROM events),
         |o AS (SELECT event_type, sec, value,
         |  CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY sec)),
@@ -723,9 +728,11 @@ object SparkEntry {
         |FROM s GROUP BY event_type, sid ORDER BY event_type, session_start""".stripMargin,
 
     "q25_sliding_windows" ->
-      """WITH e AS (SELECT event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS sec FROM events),
+      """WITH e AS (SELECT event_type,
+        |  CAST((epoch_ns(ts) - ((epoch_ns(ts) % 1000000000 + 1000000000) % 1000000000)) // 1000000000 AS BIGINT) AS sec
+        |FROM events),
         |w AS (SELECT event_type,
-        |  unnest([sec - (sec % 3600), sec - (sec % 3600) - 3600]) AS window_start
+        |  unnest([sec - ((sec % 3600 + 3600) % 3600), sec - ((sec % 3600 + 3600) % 3600) - 3600]) AS window_start
         |FROM e)
         |SELECT event_type, window_start, count(*) AS n
         |FROM w GROUP BY event_type, window_start

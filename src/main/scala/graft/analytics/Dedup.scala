@@ -217,7 +217,12 @@ object Dedup {
     val tokenized = spreadForCpu(docs)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
     if (docs.sparkSession.catalog.functionExists("simhash64")) {
-      tokenized.select(col(idCol), call_function("simhash64", col("ws")).as("simhash"))
+      // coalesce: the native expression null-propagates a NULL token array
+      // (standard expression semantics), while the declarative fold yields
+      // 0L for it — align on the declarative value so both paths are
+      // bit-identical even on null-text rows
+      tokenized.select(col(idCol),
+        coalesce(call_function("simhash64", col("ws")), lit(0L)).as("simhash"))
     } else {
       def bitVotes(h: Column): Column = array(
         (0 until 64).map(i =>

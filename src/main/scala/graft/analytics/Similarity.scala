@@ -138,8 +138,14 @@ object Similarity {
     val native = corpus.sparkSession.catalog.functionExists("lsh_sign_buckets")
     def bucketArray: Column =
       if (native)
-        call_function("lsh_sign_buckets", col(vecCol),
-          lit(seed), lit(nTables), lit(planesPerTable), lit(dim))
+        // coalesce: the native expression null-propagates a NULL vector,
+        // the declarative form yields an all-zero bucket array (null dots →
+        // no bits) — align on the declarative value so a null-vector row
+        // buckets identically on both paths
+        coalesce(
+          call_function("lsh_sign_buckets", col(vecCol),
+            lit(seed), lit(nTables), lit(planesPerTable), lit(dim)),
+          typedLit(Seq.fill(nTables)(0L)))
       else array(tables.map(p => signBits(col(vecCol), p)): _*)
     def buckets(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),

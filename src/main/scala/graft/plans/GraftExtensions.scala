@@ -20,8 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimHash64].getName, null, "simhash64",
         "_FUNC_(tokens) - 64-bit SimHash of a string array (xxhash64 votes).",
         ""),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "simhash64 takes 1 argument")
+        SimHash64(children.head)
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -43,6 +43,13 @@ for name in sorted(os.listdir(out_dir)):
     if not os.path.isdir(d):
         continue
     got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+    # A _verify_error marker dump means the query CRASHED in graft.Verify —
+    # fail it whether or not it has an oracle (a crashed hash-family query
+    # must not hide in the ROWS-ONLY bucket).
+    if list(got.columns) == ["_verify_error"]:
+        fails.append(name)
+        print(f"FAIL {name}: query failed in Verify: {got.iloc[0, 0]}")
+        continue
     if name not in oracle:
         skips.append((name, len(got)))
         continue
