@@ -193,6 +193,37 @@ class StreamingSpec extends SparkSpec {
     assert(env.comms === None)
   }
 
+  test("at-least-once delivery: a failed sink batch is retried from the checkpoint (H5)") {
+    // The reference swallows produce failures (at-most-once,
+    // receiver.py:446–456); the engine's documented deviation is
+    // checkpointed at-least-once: a sink failure fails the query, and a
+    // restart re-delivers the SAME batch instead of losing it.
+    val srcDir = tempDir("graft-alo-src")
+    val ckptDir = tempDir("graft-alo-ckpt")
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Fixtures.perfDataPayload + "\n").getBytes("UTF-8"))
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[String]
+    def run(failSink: Boolean): Option[Throwable] = {
+      val q = Stream.runIngest(
+        raw = Stream.fileSource(spark, srcDir),
+        subscriptions = Fixtures.subscriptions(spark),
+        checkpointDir = ckptDir,
+        sendBatch = (batch: DataFrame, _: Long) => {
+          if (failSink) throw new RuntimeException("kafka down")
+          delivered ++= batch.collect().map(_.getAs[String]("key"))
+        },
+        now = Some(org.apache.spark.sql.functions.lit(FixedNow)))
+      try { q.awaitTermination(60000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    val failure = run(failSink = true)
+    assert(failure.nonEmpty, "a sink failure must fail the query, not be swallowed")
+    assert(delivered.isEmpty)
+    // restart with a healthy sink: the uncommitted batch is re-delivered
+    assert(run(failSink = false).isEmpty)
+    assert(delivered.toSeq === Seq(Fixtures.NotifId))
+  }
+
   test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
     val srcDir = tempDir("graft-empty-src")
     val ckptDir = tempDir("graft-empty-ckpt")
