@@ -341,6 +341,24 @@ object SparkEntry {
         .orderBy(col("event_type"), col("window_start"))
     }),
 
+    // B3 — as-of join: for each error event, the user's most recent
+    // purchase at or before it (union+window shape, no range-join blowup);
+    // DuckDB twin uses its native ASOF JOIN. Testdata has no (user_id, ts)
+    // purchase duplicates, so the "single most recent" row is well-defined.
+    "q26_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("event_id"), col("value"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      operators.AsOfJoin.leftAsOf(errors, purchases, Seq("user_id"), "ts", "purch_")
+        .select(col("user_id"), col("event_id"),
+          round(col("purch_value"), 6).as("purch_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // D1/D2/F9 — the compiled policy gate with a non-trivial rule set:
     // deny UE_COMM rows, sha2-hash supi, redact dnn, drop the pdb_ms metric
     // (reference receiver.py:412–433; README.md:10 "field filtering,
@@ -737,6 +755,13 @@ object SparkEntry {
         |SELECT event_type, window_start, count(*) AS n
         |FROM w GROUP BY event_type, window_start
         |ORDER BY event_type, window_start""".stripMargin,
+
+    "q26_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
+        |r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, round(r.value, 6) AS purch_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
 
     // Golden VALUES twin of the policy gate: UE_COMM rows denied, supi
     // sha256-hashed (DuckDB sha256 = Spark sha2(…,256)), dnn redacted,

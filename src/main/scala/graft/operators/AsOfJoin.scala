@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) left join: for each left row, the single most
+  * recent right row with the same key and `rightTs <= leftTs` — the
+  * canonical time-series lookup Spark's join vocabulary lacks.
+  *
+  * Implemented as UNION + ORDERED WINDOW, not a join: both sides are
+  * tagged and unioned, sorted within each key by (ts, side) — right rows
+  * before left rows at equal timestamps, so "at-or-before" includes exact
+  * matches — and each left row picks up the running `last` non-null right
+  * payload. ONE shuffle on the key, no range-join row blowup (a
+  * conditional join `l.ts >= r.ts` explodes to O(|matches|) intermediate
+  * rows before dedup; the window shape is O(|L|+|R|) always — the 100 TB
+  * shape). Rows with no prior right match keep a null payload (left join
+  * semantics).
+  */
+object AsOfJoin {
+
+  /** `left` and `right` must share `keyCols` and `tsCol`; all non-key,
+    * non-ts right columns come back prefixed with `rightPrefix`.
+    */
+  def leftAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightPrefix: String = "right_"): DataFrame = {
+    val rightPayloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val payload = struct(rightPayloadCols.map(col).toIndexedSeq: _*)
+    val leftTagged = left.withColumn("_asof_payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.select(rightPayloadCols.map(col).toIndexedSeq: _*).schema.fields)))
+      .withColumn("_asof_side", lit(1))
+    val rightTagged = right
+      .select((keyCols :+ tsCol).map(col) :+ payload.as("_asof_payload"): _*)
+      .withColumn("_asof_side", lit(0))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_asof_match", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .where(col("_asof_side") === 1)
+    val leftCols = left.columns.map(col).toIndexedSeq
+    val matchCols = rightPayloadCols.map(c =>
+      col("_asof_match").getField(c).as(s"$rightPrefix$c")).toIndexedSeq
+    matched.select(leftCols ++ matchCols: _*)
+  }
+}

@@ -65,6 +65,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: latest at-or-before match per key, null when none") {
+    import graft.operators.AsOfJoin
+    val quotes = Seq( // (key, ts, price)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)
+    ).toDF("sym", "ts", "price")
+    val trades = Seq( // (key, ts, qty)
+      ("A", 5L, 100L), // before any quote → null
+      ("A", 20L, 200L), // exact-ts match → 2.0 (at-or-before includes equal)
+      ("A", 25L, 300L), // between quotes → 2.0
+      ("A", 99L, 400L), // after all → 3.0
+      ("B", 14L, 500L), // before B's only quote → null
+      ("C", 50L, 600L) // key with no quotes at all → null
+    ).toDF("sym", "ts", "qty")
+    val got = AsOfJoin.leftAsOf(trades, quotes, Seq("sym"), "ts", "q_")
+      .orderBy("sym", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts"),
+        Option(r.getAs[java.lang.Double]("q_price")).map(_.toDouble)))
+    assert(got.toSeq === Seq(
+      ("A", 5L, None), ("A", 20L, Some(2.0)), ("A", 25L, Some(2.0)),
+      ("A", 99L, Some(3.0)), ("B", 14L, None), ("C", 50L, None)))
+  }
+
   test("approx_count_distinct (HLL) lands within its declared error bound") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = li.agg(
