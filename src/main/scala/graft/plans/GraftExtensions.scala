@@ -26,6 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("parse_bitrate_mbps"),
+      new ExpressionInfo(
+        classOf[ParseBitrate].getName, null, "parse_bitrate_mbps",
+        "_FUNC_(str) - 3GPP BitRate string to Mbps (6-dp), null when unparseable.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "parse_bitrate_mbps takes 1 argument")
+        ParseBitrate(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(
         classOf[VecDot].getName, null, "vec_dot",

@@ -100,6 +100,26 @@ class NetFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native parse_bitrate_mbps ≡ declarative parser (goldens + 500 generative + trim edge)") {
+    assert(spark.catalog.functionExists("parse_bitrate_mbps"))
+    val rnd = new scala.util.Random(7L)
+    val units = unitFactors.keys.toIndexedSeq
+    val inputs = Seq(
+      "48.57 Mbps", "500 bps", "1000 Kbps", "1.5 Gbps", "0.5 Tbps", "48.57Mbps",
+      "  48.57 Mbps  ", "100", "100 Pbps", "fast", "", "Mbps", "-5 Mbps",
+      "\t48 Mbps", // tab prefix: Spark trim keeps it → unparseable on BOTH paths
+      "48 Mbps\n") ++
+      Seq.fill(500)(s"${rnd.nextInt(100000)}.${rnd.nextInt(100)} ${units(rnd.nextInt(units.size))}")
+    val both = inputs.toDF("v").repartition(1).select(
+      call_function("parse_bitrate_mbps", col("v")).as("native"),
+      NetFunctions.parseBitrateMbps(col("v")).as("declarative")).collect()
+    inputs.zip(both).foreach { case (in, r) =>
+      val n = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val d = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(n === d, s"input '$in'")
+    }
+  }
+
   test("truthyStr: null and empty are missing, content passes") {
     val df = Seq(Some("x"), Some(""), None).toDF("v")
       .select(NetFunctions.truthyStr(col("v")).as("r"))
