@@ -224,6 +224,46 @@ class StreamingSpec extends SparkSpec {
     assert(delivered.toSeq === Seq(Fixtures.NotifId))
   }
 
+  test("parquet streaming source: windowed counts over real events agree with batch") {
+    // the driver's events table itself as a stream (readStream.parquet with
+    // a glob filter), through the watermarked windows — closed windows must
+    // be a nonempty subset of the batch computation over the same data
+    val ckptDir = tempDir("graft-pq-ckpt")
+    val eventsSchema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val raw = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet("/root/testdata/sf0.001/")
+    // adapt to the envelope-count shape: event_type as the grouping key,
+    // seconds-truncated nanos as the event time
+    val shaped = raw.select(col("event_type").as("event"),
+      org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000")
+        .as("timestamp"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = Stream.windowedEventCounts(shaped, "1 hour", "10 minutes")
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collected ++= batch.collect().map(r => (r.getAs[Long]("window_start"),
+          r.getAs[String]("event"), r.getAs[Long]("n")))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(collected.nonEmpty, "closed windows must be emitted")
+    val batch = Stream.windowedEventCounts(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(col("event_type").as("event"),
+            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000")
+              .as("timestamp")), "1 hour", "10 minutes")
+      .collect().map(r => (r.getAs[Long]("window_start"),
+        r.getAs[String]("event"), r.getAs[Long]("n"))).toSet
+    val missing = collected.toSet -- batch
+    assert(missing.isEmpty, s"streaming windows disagree with batch: $missing")
+  }
+
   test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
     val srcDir = tempDir("graft-empty-src")
     val ckptDir = tempDir("graft-empty-ckpt")
