@@ -348,6 +348,18 @@ object SparkEntry {
         .orderBy(col("event_type"), col("window_start"))
     }),
 
+    // E3/F8 — exact linear-interpolated percentiles (both engines use the
+    // p·(n−1) type-7 convention, so the doubles are bit-comparable).
+    "q27_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // B3 — as-of join: for each error event, the user's most recent
     // purchase at or before it (union+window shape, no range-join blowup);
     // DuckDB twin uses its native ASOF JOIN. Testdata has no (user_id, ts)
@@ -762,6 +774,11 @@ object SparkEntry {
         |SELECT event_type, window_start, count(*) AS n
         |FROM w GROUP BY event_type, window_start
         |ORDER BY event_type, window_start""".stripMargin,
+
+    "q27_percentiles" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.95) AS p95, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q26_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
