@@ -33,6 +33,10 @@ object Bench {
     }
     spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
+      // take the GC pause OUTSIDE the timed section: with a 32 GiB heap a
+      // stop-the-world collection otherwise lands on one random query per
+      // run (round-3 observations: 2 s queries spiking to 17-28 s)
+      System.gc()
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

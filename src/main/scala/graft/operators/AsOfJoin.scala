@@ -22,6 +22,11 @@ object AsOfJoin {
 
   /** `left` and `right` must share `keyCols` and `tsCol`; all non-key,
     * non-ts right columns come back prefixed with `rightPrefix`.
+    *
+    * Tie semantics: among multiple right rows with the SAME (key, ts) the
+    * surviving payload is window-frame order, which is not deterministic —
+    * pre-aggregate the right side to one row per (key, ts) when duplicates
+    * are possible. Column names starting with `_asof_` are reserved.
     */
   def leftAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightPrefix: String = "right_"): DataFrame = {
