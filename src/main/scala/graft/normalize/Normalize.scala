@@ -88,7 +88,8 @@ object Normalize {
     "plr" -> "plr_per_thousand", "plrDl" -> "plrDl_per_thousand",
     "maxPlrUl" -> "maxPlrUl_per_thousand", "maxPlrDl" -> "maxPlrDl_per_thousand")
 
-  def perfEnvelope(notifId: Column, info: Column, ctx: Ctx, now: Column): Column = {
+  def perfEnvelope(notifId: Column, info: Column, ctx: Ctx, now: Column,
+      parseBitrate: Column => Column = parseBitrateMbps): Column = {
     val ueIp = info.getField("ueIpAddr")
     val ipv4 = truthyStr(ueIp.getField("ipv4Addr"))
     // elif: ipv6 only when ipv4 is NOT truthy (receiver.py:92–95)
@@ -98,7 +99,7 @@ object Normalize {
     // (C8 absent-vs-null): build the full map, then drop null values.
     val entries: Seq[Column] =
       BitrateMetrics.flatMap { case (src, dst) =>
-        Seq(lit(dst), parseBitrateMbps(perf.getField(src)))
+        Seq(lit(dst), parseBitrate(perf.getField(src)))
       } ++ IntMetrics.flatMap { case (src, dst) =>
         // int(val) semantics (receiver.py:125) — documented deviations: the
         // reference's int() RAISES (HTTP 500) on any non-integer STRING,
@@ -185,10 +186,17 @@ object Normalize {
   private def explodedEnvelopes(enriched: DataFrame, now: Column): DataFrame = {
     val ctx = Ctx(col("snssai_sst"), col("snssai_sd"), col("dnn"))
     val en = col("en")
+    // the fused native bitrate parser (one compiled-regex pass per metric
+    // field, value-identical — NetFunctionsSpec) when registered; this is
+    // the hottest per-row expression of the ingest path
+    val parseBitrate: Column => Column =
+      if (enriched.sparkSession.catalog.functionExists("parse_bitrate_mbps"))
+        c => call_function("parse_bitrate_mbps", c.cast(StringType))
+      else parseBitrateMbps
     val recArray =
       when(en.getField("event") === "PERF_DATA",
         transform(en.getField("perfDataInfos"),
-          i => perfEnvelope(col("notifId"), i, ctx, now)))
+          i => perfEnvelope(col("notifId"), i, ctx, now, parseBitrate)))
       .when(en.getField("event") === "UE_MOBILITY",
         transform(en.getField("ueMobilityInfos"),
           i => mobilityEnvelope(col("notifId"), i, ctx, now)))

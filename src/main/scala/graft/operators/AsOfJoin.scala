@@ -27,16 +27,25 @@ object AsOfJoin {
     * surviving payload is window-frame order, which is not deterministic —
     * pre-aggregate the right side to one row per (key, ts) when duplicates
     * are possible. Column names starting with `_asof_` are reserved.
+    *
+    * Null semantics match join/ASOF conventions: right rows with a null
+    * key or null timestamp are dropped (they can match nothing — without
+    * the filter a null-ts row would sort before all time and be "the
+    * latest prior" for otherwise-unmatched left rows); left rows with a
+    * null key or null ts simply get a null payload.
     */
   def leftAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightPrefix: String = "right_"): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val payload = struct(rightPayloadCols.map(col).toIndexedSeq: _*)
+    val matchableRight = (keyCols :+ tsCol)
+      .map(col(_).isNotNull).reduce(_ && _)
     val leftTagged = left.withColumn("_asof_payload",
         lit(null).cast(org.apache.spark.sql.types.StructType(
           right.select(rightPayloadCols.map(col).toIndexedSeq: _*).schema.fields)))
       .withColumn("_asof_side", lit(1))
     val rightTagged = right
+      .where(matchableRight)
       .select((keyCols :+ tsCol).map(col) :+ payload.as("_asof_payload"): _*)
       .withColumn("_asof_side", lit(0))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)

@@ -71,7 +71,9 @@ object ParseBitrate {
     // path) — matches() requires the full region and would diverge.
     if (!m.find()) return null
     val raw = java.lang.Double.parseDouble(m.group(1)) * factor(m.group(2))
-    // exactly Spark's Round(col, 6) on DoubleType
+    // Spark's Round(col, 6) passes NaN/Infinity through un-rounded (a 309+
+    // digit numeric part parses to Infinity; BigDecimal.valueOf would throw)
+    if (raw.isNaN || raw.isInfinite) return raw
     java.math.BigDecimal.valueOf(raw).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 }

@@ -110,13 +110,17 @@ class NetFunctionsSpec extends SparkSpec {
       "\t48 Mbps", // tab prefix: Spark trim keeps it → unparseable on BOTH paths
       "48 Mbps\n") ++
       Seq.fill(500)(s"${rnd.nextInt(100000)}.${rnd.nextInt(100)} ${units(rnd.nextInt(units.size))}")
+    // carry the input through the row so a failure names the RIGHT case
+    // (collect order after repartition is not guaranteed to match the Seq)
     val both = inputs.toDF("v").repartition(1).select(
+      col("v"),
       call_function("parse_bitrate_mbps", col("v")).as("native"),
       NetFunctions.parseBitrateMbps(col("v")).as("declarative")).collect()
-    inputs.zip(both).foreach { case (in, r) =>
-      val n = if (r.isNullAt(0)) None else Some(r.getDouble(0))
-      val d = if (r.isNullAt(1)) None else Some(r.getDouble(1))
-      assert(n === d, s"input '$in'")
+    assert(both.length === inputs.length)
+    both.foreach { r =>
+      val n = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val d = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(n === d, s"input '${r.getString(0)}'")
     }
   }
 

@@ -230,15 +230,17 @@ class StreamingSpec extends SparkSpec {
     // be a nonempty subset of the batch computation over the same data
     val ckptDir = tempDir("graft-pq-ckpt")
     val eventsSchema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
-    val raw = spark.readStream
+    // adapt to the envelope-count shape: event_type as the grouping key,
+    // seconds-truncated nanos as the event time — ONE shaping definition
+    // for both sides, so the stream≡batch assertion can't drift
+    def shape(df: DataFrame): DataFrame =
+      df.select(col("event_type").as("event"),
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000")
+          .as("timestamp"))
+    val shaped = shape(spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet("/root/testdata/sf0.001/")
-    // adapt to the envelope-count shape: event_type as the grouping key,
-    // seconds-truncated nanos as the event time
-    val shaped = raw.select(col("event_type").as("event"),
-      org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000")
-        .as("timestamp"))
+      .parquet("/root/testdata/sf0.001/"))
     val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     val q = Stream.windowedEventCounts(shaped, "1 hour", "10 minutes")
       .writeStream
@@ -254,10 +256,8 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(collected.nonEmpty, "closed windows must be emitted")
     val batch = Stream.windowedEventCounts(
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-          .select(col("event_type").as("event"),
-            org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000")
-              .as("timestamp")), "1 hour", "10 minutes")
+        shape(spark.read.parquet("/root/testdata/sf0.001/events.parquet")),
+        "1 hour", "10 minutes")
       .collect().map(r => (r.getAs[Long]("window_start"),
         r.getAs[String]("event"), r.getAs[Long]("n"))).toSet
     val missing = collected.toSet -- batch
