@@ -31,11 +31,16 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case NonFatal(_) => () } // warmup failures re-surface in the timed pass
     }
-    spark.catalog.clearCache()
     val results = selected.map { case (name, fn) =>
-      // take the GC pause OUTSIDE the timed section: with a 32 GiB heap a
+      // every timed query starts cache-cold and memory-neutral: drop
+      // operator-internal persists (d03 shingle sets, d04 signatures) and
+      // eager localCheckpoint blocks left by the PREVIOUS query, then take
+      // the GC pause OUTSIDE the timed section — with a 32 GiB heap a
       // stop-the-world collection otherwise lands on one random query per
       // run (round-3 observations: 2 s queries spiking to 17-28 s)
+      // (System.gc() also lets ContextCleaner reap unreferenced
+      // localCheckpoint RDD blocks, which clearCache does not cover)
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val err = try {

@@ -435,7 +435,8 @@ object SparkEntry {
     // Dedup: exact word-3-gram Jaccard via inverted shingle index.
     "d03_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 50), docs, n = 3, threshold = 0.2)
+      Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 50), docs, n = 3, threshold = 0.2,
+        maxDf = 1000L) // finite cap = skew guard; exact here (corpus max DF 25 << 1000)
         .orderBy(col("a_id"), col("b_id"))
     }),
 

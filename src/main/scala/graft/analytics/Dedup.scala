@@ -80,15 +80,17 @@ object Dedup {
     * `maxDf` caps the document frequency of index shingles: a shingle shared
     * by m corpus documents yields O(m·probes) join rows, so at 100 TB a stop-
     * word-like shingle is a skew bomb — standard practice drops shingles with
-    * DF > K from the index (they carry no near-dup signal). The cap only
-    * *undercounts* intersections for pairs glued by ultra-common shingles;
-    * with K safely above the corpus's true near-dup cluster size the output
-    * is unchanged (testdata max DF is 25 at sf0.1, so the default 1000 is
-    * exact there while still bounding worst-case skew at scale).
+    * DF > K from the index (they carry no near-dup signal). The default
+    * (`Long.MaxValue`) keeps the operator EXACT; passing a finite cap makes
+    * it approximate — intersections are *undercounted* for pairs glued by
+    * shingles above the cap, which can drop true pairs near the threshold.
+    * Callers at scale should pick K safely above the expected near-dup
+    * cluster size (the engine's d03 query uses 1000 against a corpus whose
+    * max DF is 25, so its output is provably unchanged).
     */
   def ngramJaccardPairs(probes: DataFrame, corpus: DataFrame, n: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text",
-      maxDf: Long = 1000L): DataFrame = {
+      maxDf: Long = Long.MaxValue): DataFrame = {
     def exploded(sets: DataFrame, side: String): DataFrame =
       sets.select(col("id").as(s"${side}_id"),
         size(col("sh")).cast(LongType).as(s"${side}_size"),
@@ -119,7 +121,10 @@ object Dedup {
     * h_i(x) = a_i·x + b_i (mod 2^64) over a single xxhash64 per shingle.
     * One multiply-add per (shingle, position) — k× cheaper than k
     * independent string hashes, same collision estimate. Constants are
-    * seeded (deterministic plans). Empty set → all Long.MaxValue.
+    * seeded (deterministic plans). Empty set → all Long.MaxValue; a NULL
+    * `hashes` array also yields all Long.MaxValue (the outer `coalesce`
+    * preserves the pre-round-3 contract — the raw `aggregate` form would
+    * null-propagate instead).
     *
     * `hashes` must be an attribute or single-use argument chain; the lambda
     * bodies touch only lambda variables and the (a,b) literal array.
@@ -127,9 +132,11 @@ object Dedup {
   def minhashFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val ab = typedLit(Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))) // odd multipliers
-    aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, ab,
-        (m, c) => least(m, h * c.getField("_1") + c.getField("_2"))))
+    coalesce(
+      aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
+        (acc, h) => zip_with(acc, ab,
+          (m, c) => least(m, h * c.getField("_1") + c.getField("_2")))),
+      array_repeat(lit(Long.MaxValue), k))
   }
 
   /** id + k-element MinHash signature per document (sub-n-token docs

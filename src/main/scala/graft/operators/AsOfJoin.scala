@@ -36,6 +36,18 @@ object AsOfJoin {
     */
   def leftAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCol: String, rightPrefix: String = "right_"): DataFrame = {
+    // fail fast with a clear message — a violated precondition otherwise
+    // surfaces as an opaque analysis error deep inside the union/window plan
+    for ((side, cols) <- Seq("left" -> left.columns, "right" -> right.columns)) {
+      val missing = (keyCols :+ tsCol).filterNot(cols.contains)
+      require(missing.isEmpty,
+        s"AsOfJoin.leftAsOf: $side frame is missing column(s) ${missing.mkString(", ")} " +
+          s"(required keyCols=${keyCols.mkString(", ")} tsCol=$tsCol)")
+      val reserved = cols.filter(_.startsWith("_asof_"))
+      require(reserved.isEmpty,
+        s"AsOfJoin.leftAsOf: $side frame contains reserved column(s) ${reserved.mkString(", ")} " +
+          "(the '_asof_' prefix is reserved for internal tagging)")
+    }
     val rightPayloadCols = right.columns.filterNot(c => keyCols.contains(c) || c == tsCol)
     val payload = struct(rightPayloadCols.map(col).toIndexedSeq: _*)
     val matchableRight = (keyCols :+ tsCol)
