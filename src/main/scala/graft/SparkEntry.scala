@@ -360,6 +360,58 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // F8/E5 — pivot (wide conditional aggregation): order counts by
+    // priority × status. Explicit pivot values keep the plan static (no
+    // driver-side distinct-values job — at 100 TB the value scan is a full
+    // pass, so production pivots should always declare their columns).
+    "q28_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // C1/F8 — standalone positional explode (LATERAL with ordinality): the
+    // first 5 tokens of each document with their positions. One generate
+    // per row, no join.
+    "q29_posexplode" -> ((s, dir) => {
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(slice(col("ws"), 1, 5)))
+        .withColumnRenamed("col", "token")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // E4 at scale — HLL approximate distinct: one pass, fixed-size partial
+    // state merged across partitions (vs countDistinct's shuffle of every
+    // distinct value — THE count-distinct shape for 100 TB). Both the
+    // HyperLogLog++ estimator and a mergeable Apache DataSketches HLL
+    // sketch. The exact count (here only to exhibit the error) runs as a
+    // SEPARATE aggregation joined on the 3-row result: mixing it into one
+    // agg triggers the distinct-rewrite, whose first phase groups by
+    // (flag, partkey) — and every one of those ~200k groups would carry
+    // the 16 KB rsd=0.01 HLL++ partial buffer (measured: 27 s vs 2 s at
+    // sf0.1). No SQL twin (estimator internals are engine-specific); the
+    // ≤2%-relative-error invariant vs the exact count is asserted in
+    // OperatorsSpec.
+    "q30_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("sketch_parts"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      approx.join(exact, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // B3 — as-of join: for each error event, the user's most recent
     // purchase at or before it (union+window shape, no range-join blowup);
     // DuckDB twin uses its native ASOF JOIN. Testdata has no (user_id, ts)
@@ -460,6 +512,24 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(e, e.where(col("vec_id") < 100), threshold = 0.35)
         .select(col("a_id"), col("b_id"), col("sim"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Dedup: cluster resolution — exact Jaccard pairs → connected
+    // components (iterative min-label propagation) → per-doc cluster id,
+    // size, and min-id survivor flag. The step between near-dup PAIRS and
+    // an actual keep/drop decision.
+    "d07_dedup_clusters" -> ((s, dir) => {
+      Dedup.dedupClusters(t(s, dir, "documents"), n = 3, threshold = 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup: 64-bit SimHash with the PORTABLE md5-low64 token hash — the
+    // oracle-checked representative of the simhash family (d05 is the fast
+    // xxhash64 one; same vote/fold construction, hash-for-hash comparable
+    // with DuckDB's md5).
+    "d08_simhash_portable" -> ((s, dir) => {
+      Dedup.simhashedPortable(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
     }),
 
     // Similarity: brute-force cosine top-k (exact baseline).
@@ -788,6 +858,20 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.user_id, l.event_id""".stripMargin,
 
+    "q28_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q29_posexplode" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents WHERE doc_id < 20),
+         |ex AS (SELECT doc_id, unnest(list_transform(range(least(len(ws), 5)),
+         |  i -> {'pos': i, 'token': ws[CAST(i + 1 AS INT)]})) AS u FROM tok)
+         |SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token AS token FROM ex
+         |ORDER BY doc_id, pos""".stripMargin),
+
     // Golden VALUES twin of the policy gate: UE_COMM rows denied, supi
     // sha256-hashed (DuckDB sha256 = Spark sha2(…,256)), dnn redacted,
     // pdb_ms metric dropped. Expected rows derived from the q20 goldens.
@@ -835,6 +919,57 @@ object SparkEntry {
          |SELECT a_id, b_id, jaccard FROM (
          | SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS jaccard FROM inter)
          |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+
+    // Transitive closure via recursive CTE: the UNION (distinct) bounds the
+    // state space, and a label only propagates to strictly larger ids —
+    // every path out of a component's min vertex visits only larger ids, so
+    // the min label reaches every member.
+    "d07_dedup_clusters" -> (
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |  ELSE [] END AS sh FROM tok),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+         |inter AS (
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
+         | FROM e a JOIN e b USING (shingle)
+         | WHERE a.doc_id < b.doc_id
+         | GROUP BY 1, 2, 3, 4),
+         |edges AS (
+         | SELECT a_id, b_id FROM inter
+         | WHERE CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) >= 0.2),
+         |bidir AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM edges),
+         |reach(id, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS is_survivor
+         |FROM cc ORDER BY doc_id""".stripMargin),
+
+    // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
+    // (hex→UBIGINT, re-centered to signed 64-bit), then the identical
+    // per-bit vote + fold. The 64 vote/fold terms are generated.
+    "d08_simhash_portable" -> {
+      val votes = (0 until 64).map(i =>
+        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n ")
+      val fold = (0 until 64).map { i =>
+        val bit = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+        s"(CASE WHEN v$i > 0 THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" | ")
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tu AS (SELECT doc_id, unnest(ws) AS t FROM tok),
+         |th AS (SELECT doc_id,
+         |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
+         |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 17, 16)) AS UBIGINT)::HUGEINT AS u FROM tu)),
+         |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
+         |SELECT d.doc_id, $fold AS simhash
+         |FROM documents d LEFT JOIN votes USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "d06_embedding_neardup" ->
       """WITH p AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 100),

@@ -248,4 +248,111 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Signed 64-bit value of the LOW 8 bytes of md5 — a PORTABLE per-token
+    * hash: md5 is bit-identical across engines, so unlike the
+    * xxhash64-family operators this is reproducible by any SQL engine
+    * (DuckDB: `CAST('0x' || substr(md5(t), 17, 16) AS UBIGINT)` re-centered
+    * to signed). Slower than xxhash64 (crypto rounds + hex decode) — use
+    * [[simhashed]] in production and this variant where cross-engine
+    * verifiability matters.
+    */
+  def md5Low64(c: Column): Column =
+    conv(substring(md5(c), 17, 16), 16, -10).cast(LongType)
+
+  /** 64-bit SimHash with the portable md5 token hash — same vote/fold
+    * construction as [[simhashed]]'s declarative path, different token
+    * hash. Exists so the simhash FAMILY has a full DuckDB-oracle-checked
+    * representative (d08) alongside the fast xxhash64 one (d05, invariant-
+    * tested only).
+    */
+  def simhashedPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def bitVotes(h: Column): Column = array(
+      (0 until 64).map(i =>
+        when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
+    val folded = (0 until 64).map(i =>
+      when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    spreadForCpu(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), transform(col("ws"), t => md5Low64(t)).as("hs"))
+      .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
+      .select(col(idCol), folded.as("simhash"))
+  }
+
+  /** Connected components over an undirected edge list: every vertex gets
+    * `cluster_id` = the minimum vertex id reachable from it. This is the
+    * cluster-resolution step a dedup pipeline needs between near-dup PAIRS
+    * (d03/d04/d06 output) and a keep/drop decision — transitive closure
+    * turns pairwise matches into duplicate clusters, and min-id gives a
+    * deterministic canonical survivor per cluster.
+    *
+    * Algorithm: iterative min-label propagation. Each round every vertex
+    * takes the min of its own label and its neighbors' labels (one shuffle
+    * join + one aggregation per round); converged when no label changes.
+    * Rounds needed = the graph diameter. Near-dup clusters are small and
+    * dense (quasi-cliques glued by shared content), so diameter is a small
+    * constant — for adversarial long-chain graphs swap in the
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"), which converges in O(log n)
+    * rounds with the same per-round shape.
+    *
+    * Scale mechanics: each iteration `localCheckpoint`s the label table —
+    * without the lineage cut, round k would replay rounds 1..k-1 (and the
+    * convergence probe would replay everything again); with it, each round
+    * is one shuffle over (id, label) pairs — 16 bytes/vertex, orders of
+    * magnitude smaller than the documents. The per-round driver round-trip
+    * is a convergence PROBE (`isEmpty` on changed labels), not a data
+    * collect — the standard shape for iterative graph algorithms (GraphX
+    * Pregel does the same). Edge list is persisted once, both directions.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    val bidir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = bidir.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    bidir.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Full dedup-cluster resolution over a corpus: exact n-gram Jaccard
+    * pairs (inverted shingle index — never all-pairs) → connected
+    * components → per-document (cluster_id, cluster_size, is_survivor)
+    * with the min-id canonical survivor rule. Singleton documents are their
+    * own cluster (kept), so the output is a total keep/drop decision for
+    * the corpus.
+    */
+  def dedupClusters(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, docs, n, threshold, idCol, textCol, maxDf)
+      .where(col("a_id") < col("b_id"))
+    val cc = connectedComponents(pairs, docs.select(col(idCol)),
+      idCol = idCol, srcCol = "a_id", dstCol = "b_id")
+    cc.withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .select(col("id").as(idCol), col("cluster_id"), col("cluster_size"),
+        (col("id") === col("cluster_id")).as("is_survivor"))
+  }
 }

@@ -134,6 +134,55 @@ class DedupSpec extends SparkSpec {
     assert(native === declarative)
   }
 
+  test("connected components (d07): chain, triangle, and singletons resolve to min-id clusters") {
+    // 0-1-2 is a chain (transitivity must glue 0 and 2 without a direct
+    // edge), 5-6-7 a triangle, 3 and 9 singletons, edge 8-4 reversed
+    // (src > dst) to prove orientation doesn't matter.
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (5L, 7L), (8L, 4L))
+      .toDF("src", "dst")
+    val vertices = (0L to 9L).toDF("id")
+    val cc = Dedup.connectedComponents(edges, vertices).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 4L, 9L -> 9L))
+  }
+
+  test("connected components: long chain converges (diameter > 1 iteration)") {
+    val n = 12L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges, (0L until n).toDF("id")).collect()
+    assert(cc.forall(_.getAs[Long]("cluster_id") == 0L))
+  }
+
+  test("dedup clusters (d07 shape): exact + near duplicates cluster, survivor is min id") {
+    val out = Dedup.dedupClusters(docs, n = 3, threshold = 0.2).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_survivor")))
+    // A/B exact dups and C a near-dup of A → one cluster {0,1,2}; D alone.
+    assert(out.toSeq === Seq((0L, 0L, 3L, true), (1L, 0L, 3L, false),
+      (2L, 0L, 3L, false), (3L, 3L, 1L, true)))
+  }
+
+  test("md5Low64 golden: signed low 8 bytes of md5 (cross-engine portable)") {
+    // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72; low 16 hex chars as
+    // unsigned = 15462616177412505458, re-centered signed = value below
+    // (independently computed in DuckDB — the d08 oracle's hash)
+    val v = Seq("abc").toDF("t").select(Dedup.md5Low64(col("t"))).collect().head.getLong(0)
+    assert(v === -2984127896297046158L)
+  }
+
+  test("portable simhash (d08): identical docs equal, near-dups close, disjoint far") {
+    val sh = Dedup.simhashedPortable(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(0L) === sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) <= 16)
+    assert(ham(sh(0L), sh(3L)) > 16)
+    // empty-token doc folds to 0 (matches the oracle's LEFT JOIN null votes)
+    val empty = Dedup.simhashedPortable(Seq((9L, "")).toDF("doc_id", "text")).collect().head
+    assert(empty.getAs[Long]("simhash") === 0L)
+  }
+
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
     val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
         (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))

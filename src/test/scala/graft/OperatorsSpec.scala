@@ -99,4 +99,30 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.06,
       s"HLL estimate $approx too far from exact $exact") // 3× rsd safety margin
   }
+
+  test("q30 shape: HLL++ and DataSketches estimates within 2% of exact per group") {
+    val rows = SparkEntry.queries("q30_approx_distinct")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val hll = r.getAs[Long]("approx_parts").toDouble
+      val sketch = r.getAs[Long]("sketch_parts").toDouble
+      assert(math.abs(hll - exact) / exact <= 0.02, s"HLL++ $hll vs exact $exact")
+      assert(math.abs(sketch - exact) / exact <= 0.02, s"sketch $sketch vs exact $exact")
+    }
+  }
+
+  test("as-of join preconditions fail fast with clear messages") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "ts", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.leftAsOf(l, r.withColumnRenamed("ts", "t"), Seq("k"), "ts")
+    }
+    assert(e1.getMessage.contains("missing column"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.leftAsOf(l.withColumn("_asof_side", lit(1)), r, Seq("k"), "ts")
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
 }
