@@ -412,6 +412,19 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // E5 — arbitrary GROUPING SETS (beyond q09 rollup / q15 cube) with
+    // grouping_id disambiguating which set produced each row.
+    "q31_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority")).as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // B3 — as-of join: for each error event, the user's most recent
     // purchase at or before it (union+window shape, no range-join blowup);
     // DuckDB twin uses its native ASOF JOIN. Testdata has no (user_id, ts)
@@ -864,6 +877,12 @@ object SparkEntry {
         | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q29_posexplode" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents WHERE doc_id < 20),

@@ -126,6 +126,34 @@ object Stream {
       }
   }
 
+  /** Stream-stream INTERVAL join: for each left row, the right rows with
+    * the same key whose event time falls in `[leftTs - lookback, leftTs]`.
+    * Both sides carry a watermark, which is what BOUNDS THE JOIN STATE —
+    * Spark buffers each side only until the other side's watermark passes
+    * the interval, so state is O(rate × (lookback + delay)), not O(stream).
+    * This is the shape for enriching a live stream with recent context
+    * from ANOTHER live stream (vs. the broadcast stream-static join in
+    * Ingest, and the batch as-of join in operators.AsOfJoin — which picks
+    * only the single latest match).
+    *
+    * Column names must be disjoint apart from `keys` (pre-rename one side);
+    * the timestamp columns must be TimestampType. Works identically on
+    * batch frames (watermarks are no-ops there) — tested both ways.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      lookback: String = "30 seconds",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTsCol) >= l(leftTsCol) - expr(s"interval $lookback") &&
+      r(rightTsCol) <= l(leftTsCol)
+    val joined = l.join(r, cond, "inner")
+    // drop the right side's copy of the join keys
+    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+  }
+
   /** Convenience: a file-based raw-notification stream (one JSON document
     * per line) — the test/demo source; production would use
     * `format("kafka")`.

@@ -264,6 +264,54 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"streaming windows disagree with batch: $missing")
   }
 
+  test("stream-stream interval join: watermarked state-bounded match within lookback") {
+    val errDir = tempDir("graft-ssj-err")
+    val purDir = tempDir("graft-ssj-pur")
+    val ckptDir = tempDir("graft-ssj-ckpt")
+    Files.write(java.nio.file.Paths.get(errDir, "e.jsonl"),
+      """{"user_id":1,"ets":100}
+        |{"user_id":2,"ets":100}
+        |{"user_id":3,"ets":100}
+        |""".stripMargin.getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(purDir, "p.jsonl"),
+      """{"user_id":1,"pts":80,"value":5.0}
+        |{"user_id":1,"pts":10,"value":9.0}
+        |{"user_id":2,"pts":95,"value":7.0}
+        |""".stripMargin.getBytes("UTF-8"))
+    def src(dir: String, schema: String, ts: String): DataFrame =
+      spark.readStream.schema(schema).json(dir)
+        .withColumn(ts, timestamp_seconds(col(ts)))
+    val errors = src(errDir, "user_id LONG, ets LONG", "ets")
+    val purchases = src(purDir, "user_id LONG, pts LONG, value DOUBLE", "pts")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = Stream.intervalJoin(errors, purchases, Seq("user_id"), "ets", "pts",
+        lookback = "30 seconds")
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collected ++= batch.collect().map(r =>
+          (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // user 1: only the purchase at t=80 is within [70,100] (t=10 is stale);
+    // user 2: t=95 matches; user 3: no purchases at all
+    assert(collected.sorted.toSeq === Seq((1L, 5.0), (2L, 7.0)))
+
+    // same operator over batch frames (watermark no-op) gives the same rows
+    def bsrc(dir: String, schema: String, ts: String): DataFrame =
+      spark.read.schema(schema).json(dir).withColumn(ts, timestamp_seconds(col(ts)))
+    val batchRows = Stream.intervalJoin(
+        bsrc(errDir, "user_id LONG, ets LONG", "ets"),
+        bsrc(purDir, "user_id LONG, pts LONG, value DOUBLE", "pts"),
+        Seq("user_id"), "ets", "pts", lookback = "30 seconds")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value"))).sorted.toSeq
+    assert(batchRows === Seq((1L, 5.0), (2L, 7.0)))
+  }
+
   test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
     val srcDir = tempDir("graft-empty-src")
     val ckptDir = tempDir("graft-empty-ckpt")
