@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Similarity}
+
+/** Scale-behavior smoke: blow the sf corpus up N× via id-shifted unions and
+  * run the operators whose cost model matters at 100 TB — per-row hashing
+  * (simhash fast + portable), MinHash LSH candidate generation, full dedup
+  * cluster resolution (pair-gen + iterative connected components), and
+  * LSH ANN top-k. Prints one JSON line of seconds per op.
+  *
+  * The id-shifted union is deliberately adversarial for dedup: every
+  * document gains N-1 exact copies, so duplicate mass — the O(bands·c²)
+  * candidate term and the connected-components edge count — grows
+  * quadratically in N while the corpus grows linearly. Per-row ops must
+  * scale ~linearly in N; pair ops are expected to scale with duplicate
+  * mass, NOT corpus size (the documented operator cost model). Run:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleSmoke 20"
+  */
+object ScaleSmoke {
+
+  private def timed(fn: => DataFrame): (Double, Long) = {
+    val t0 = System.nanoTime()
+    // count() instead of noop sink: these are operator-cost probes whose
+    // outputs are tiny aggregates/pairs; result materialization is not the
+    // term under test
+    val n = fn.count()
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val vecs0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docShift = 1000000L
+    val vecShift = 1000000L
+    def blowUp(base: DataFrame, idCol: String, shift: Long): DataFrame =
+      (0 until mult).map(i =>
+        base.withColumn(idCol, col(idCol) + lit(i * shift))).reduce(_ union _)
+    val docs = blowUp(docs0, "doc_id", docShift)
+    val vecs = blowUp(vecs0, "vec_id", vecShift)
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    def run(name: String)(fn: => DataFrame): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      results(name) = timed(fn)
+      System.err.println(s"[scale-smoke] $name: ${results(name)._1}s rows=${results(name)._2}")
+    }
+
+    run("simhash_native")(Dedup.simhashed(docs))
+    run("simhash_portable")(Dedup.simhashedPortable(docs))
+    run("minhash_lsh")(
+      Dedup.minhashCandidates(docs, n = 3, k = 64, bands = 16, threshold = 0.9))
+    // the scale path: clusters from LSH candidates (the exact-pair variant's
+    // shingle join grows with the SQUARE of duplicate-cluster size — at 5×
+    // it is already 5× the cost of this one)
+    run("dedup_clusters_lsh")(
+      Dedup.dedupClustersApprox(docs, n = 3, k = 64, bands = 16, threshold = 0.9)
+        .where(col("is_survivor")))
+    run("lsh_topk")(
+      Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
+        nTables = 16, planesPerTable = 4, dim = 64))
+
+    def j(s: String): String = "\"" + s + "\""
+    val body = results.map { case (k, (sec, rows)) =>
+      s"${j(k)}:{${j("sec")}:$sec,${j("rows")}:$rows}"
+    }.mkString(",")
+    println(s"""{"mult":$mult,"sf":${j(sfDir)},"ops":{$body}}""")
+    spark.stop()
+  }
+}

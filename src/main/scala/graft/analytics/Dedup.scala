@@ -357,6 +357,25 @@ object Dedup {
       maxDf: Long = Long.MaxValue): DataFrame = {
     val pairs = ngramJaccardPairs(docs, docs, n, threshold, idCol, textCol, maxDf)
       .where(col("a_id") < col("b_id"))
+    clustersFromPairs(pairs, docs, idCol)
+  }
+
+  /** The 100 TB dedup-cluster path: candidate pairs from banded MinHash LSH
+    * (never the exact all-sharing-a-shingle join — its cost grows with the
+    * SQUARE of duplicate-cluster size) → connected components → the same
+    * (cluster_id, cluster_size, is_survivor) resolution as [[dedupClusters]].
+    * `threshold` filters candidates on ESTIMATED Jaccard (signature
+    * agreement), so clustering is approximate exactly where the candidate
+    * generation is; at high thresholds (exact/near-exact copies) the two
+    * operators agree — asserted in DedupSpec.
+    */
+  def dedupClustersApprox(docs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = minhashCandidates(docs, n, k, bands, threshold, idCol, textCol)
+    clustersFromPairs(pairs, docs, idCol)
+  }
+
+  private def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
     val cc = connectedComponents(pairs, docs.select(col(idCol)),
       idCol = idCol, srcCol = "a_id", dstCol = "b_id")
     cc.withColumn("cluster_size",

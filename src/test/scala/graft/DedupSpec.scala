@@ -86,6 +86,29 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
   }
 
+  test("approx (LSH) dedup clusters ≡ exact clusters at high threshold (planted dupes)") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = real.where(col("doc_id") < 5)
+      .select(col("doc_id") + 100000L as "doc_id", col("text"))
+    val corpus = real.unionByName(planted)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"), r.getAs[Boolean]("is_survivor")))
+      .toMap
+    val exact = asMap(Dedup.dedupClusters(corpus, n = 3, threshold = 0.9))
+    // LSH candidate threshold below the exact one: bucket recall is what's
+    // under test, the est-Jaccard filter must not be the reason a pair is kept
+    val approx = asMap(Dedup.dedupClustersApprox(corpus, n = 3, k = 64, bands = 16, threshold = 0.5))
+    assert(exact.count { case (_, (_, sz, _)) => sz > 1 } >= 10, "planted dupes must cluster")
+    // exact copies must land identically in both (LSH may add extra merges
+    // at its lower threshold, so compare the planted block only)
+    (0L until 5L).foreach { id =>
+      assert(approx(id + 100000L)._1 === approx(id)._1, s"planted copy of $id not co-clustered")
+      assert(exact(id + 100000L)._1 === exact(id)._1)
+    }
+  }
+
   test("hot-shingle cap only prunes ultra-common shingles (output stable below cap)") {
     val uncapped = Dedup.ngramJaccardPairs(docs, docs, n = 3, threshold = 0.2, maxDf = 1000L)
       .collect().map(_.toSeq).toSet
