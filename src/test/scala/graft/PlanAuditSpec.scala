@@ -54,4 +54,39 @@ class PlanAuditSpec extends SparkSpec {
       s"expected map-side partial aggregation, plan:\n$p")
     assert(p.contains("HashAggregate"), s"expected hash aggregation, plan:\n$p")
   }
+
+  test("q28: pivot compiles to ONE aggregation pass, no per-value scans") {
+    val p = plan("q28_pivot")
+    // explicit pivot values → a single groupBy(priority) aggregate of
+    // conditional counts; the source is scanned once (count detail-section
+    // headers — formatted mode prints each node in tree AND details)
+    assert("""(?m)^\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"pivot must scan the table once, plan:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation, plan:\n$p")
+  }
+
+  test("q30: HLL sketches aggregate without shuffling distinct values") {
+    val p = plan("q30_approx_distinct")
+    // the approximate branch must NOT contain the distinct-rewrite Expand —
+    // that's the whole point of sketch-based distinct at scale (the exact
+    // branch is allowed its expand/two-phase shape)
+    val approxSide = p.substring(0, p.indexOf("exact_parts").max(0).min(p.length))
+    assert(p.contains("partial_approx_count_distinct") || p.contains("approx_count_distinct"),
+      s"expected HLL partial aggregation, plan:\n$p")
+    assert(!approxSide.contains("Expand"),
+      s"approx branch must not use the distinct-rewrite Expand, plan:\n$p")
+  }
+
+  test("d07: pair generation is index-join shaped — no cartesian/loop join") {
+    val p = plan("d07_dedup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dedup clustering must never plan an all-pairs join, plan:\n$p")
+  }
+
+  test("d08: portable simhash is a pure per-row projection chain (no shuffle before ordering)") {
+    val p = SparkEntry.queries("d08_simhash_portable")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row hashing must not shuffle, plan:\n$p")
+  }
 }
