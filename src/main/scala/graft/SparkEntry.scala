@@ -660,6 +660,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal: audio chunk planning — stubbed decode metadata through
+    // the REAL fixed-window segmentation arithmetic (ceil-div chunks, the
+    // last one carrying the remainder).
+    "m03_audio_chunks" -> ((s, dir) => {
+      val audio = Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "audio")
+      val meta = Multimodal.decodeAudioStub(col("payload"))
+      audio.select(col("doc_id"), meta.as("m"))
+        .select(col("doc_id"),
+          col("m").getField("n_samples").as("n_samples"),
+          Multimodal.audioChunkPlan(col("m")).getField("n_chunks").as("n_chunks"),
+          Multimodal.audioChunkPlan(col("m")).getField("last_chunk_samples").as("last_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // B1/E3 — correlated scalar subquery, decorrelated the way Catalyst
+    // itself does it: orders at >2× their customer's average order value.
+    // The average goes through the exact-decimal-sum → one-double-division
+    // convention so the comparison is bit-identical cross-engine.
+    "q32_scalar_subquery" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgs = o.groupBy(col("o_custkey"))
+        .agg((sum(dec(col("o_totalprice"), 18, 2)).cast("double") / count(lit(1)))
+          .as("avg_price"))
+      o.join(avgs, Seq("o_custkey"))
+        .where(col("o_totalprice") > lit(2) * col("avg_price"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("avg_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Multimodal: binary payload + stubbed decode metadata (plumbing real).
     "m01_multimodal_meta" -> ((s, dir) => {
       Multimodal.extractFeatures(t(s, dir, "documents")).select(
@@ -1065,6 +1096,23 @@ object SparkEntry {
         | CAST((CAST(w AS BIGINT) * 64) // greatest(w, h) AS INTEGER) AS rw,
         | CAST((CAST(h AS BIGINT) * 64) // greatest(w, h) AS INTEGER) AS rh
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "m03_audio_chunks" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) * 100 AS n_samples
+        |FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        | CAST((n_samples + 15999) // 16000 AS BIGINT) AS n_chunks,
+        | CAST(n_samples - ((n_samples + 15999) // 16000 - 1) * 16000 AS BIGINT) AS last_chunk
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q32_scalar_subquery" ->
+      """WITH a AS (SELECT o_custkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, o_orderkey, o_totalprice, avg_price
+        |FROM orders JOIN a USING (o_custkey)
+        |WHERE o_totalprice > 2 * avg_price
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "m01_multimodal_meta" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -43,6 +43,22 @@ object Multimodal {
     (length(payload) * lit(100L)).cast(LongType).as("n_samples"),
     lit(1).cast(IntegerType).as("channels"))
 
+  /** Chunking plan for an audio payload: fixed `chunkSeconds` windows over
+    * the decoded sample count — the segmentation arithmetic a real splitter
+    * (e.g. for ASR batch inference) would follow. Integer ceil-division;
+    * the last chunk carries the remainder (a full `chunk` when the length
+    * divides exactly). Pure per-row arithmetic, shuffle-free.
+    */
+  def audioChunkPlan(meta: Column, chunkSeconds: Int = 1): Column = {
+    val chunk = meta.getField("sample_rate").cast(LongType) * lit(chunkSeconds.toLong)
+    val n = meta.getField("n_samples")
+    // exact for any realistic sample count (< 2^53)
+    val nChunks = floor((n + chunk - lit(1L)) / chunk).cast(LongType)
+    struct(
+      nChunks.as("n_chunks"),
+      (n - (nChunks - lit(1L)) * chunk).as("last_chunk_samples"))
+  }
+
   /** Frame-sampling plan for a video payload: n evenly spaced byte offsets —
     * this arithmetic is the real scheduling logic a decoder would follow.
     */

@@ -36,4 +36,21 @@ class FormatsSpec extends SparkSpec {
   test("CSV round-trip with declared schema") { roundTrip("csv", Map("header" -> "true")) }
   test("JSON-lines round-trip with declared schema") { roundTrip("json") }
   test("ORC round-trip with declared schema") { roundTrip("orc") }
+
+  test("hive-partitioned parquet: partition pruning reaches the scan (no full read)") {
+    // THE 100 TB layout: facts partitioned by a low-cardinality key; a
+    // filter on that key must become a PartitionFilter (directories never
+    // listed), not a post-scan filter over all bytes
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.partitionBy("event_type").parquet(dir)
+    val part = spark.read.parquet(dir).where(col("event_type") === "purchase")
+    val p = part.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("isnotnull(event_type"),
+      s"expected partition pruning, plan:\n$p")
+    // values survive the partition column round-trip
+    assert(part.count() ===
+      events.where(col("event_type") === "purchase").count())
+  }
 }
