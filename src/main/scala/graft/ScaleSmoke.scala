@@ -57,6 +57,8 @@ object ScaleSmoke {
 
     run("simhash_native")(Dedup.simhashed(docs))
     run("simhash_portable")(Dedup.simhashedPortable(docs))
+    run("minhash_signatures")(
+      Dedup.minhashSignatures(docs, n = 3, k = 64))
     run("minhash_lsh")(
       Dedup.minhashCandidates(docs, n = 3, k = 64, bands = 16, threshold = 0.9))
     // the scale path: clusters from LSH candidates (the exact-pair variant's

@@ -150,12 +150,21 @@ object Dedup {
     * single pushed filter was ~5× the cost of the real signature work).
     */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    tokenized(docs, idCol, textCol)
-      .where(size(col("ws")) >= n)
-      .select(col("id"), shinglesFromTokens(col("ws"), n).as("sh"))
-      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-      .select(col("id"), minhashFromHashes(col("hs"), k).as("sig"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = tokenized(docs, idCol, textCol).where(size(col("ws")) >= n)
+    if (docs.sparkSession.catalog.functionExists("minhash_sig")) {
+      // native fused kernel (graft.plans.MinHashSig via GraftExtensions):
+      // bit-identical to the declarative chain below (DedupSpec), one
+      // codegen'd loop instead of three interpreted HOF projections
+      tok.select(col("id"),
+        call_function("minhash_sig", col("ws"), lit(n), lit(k), lit(42L)).as("sig"))
+    } else {
+      tok
+        .select(col("id"), shinglesFromTokens(col("ws"), n).as("sh"))
+        .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+        .select(col("id"), minhashFromHashes(col("hs"), k).as("sig"))
+    }
+  }
 
   /** MinHash + banded LSH candidate pairs with estimated Jaccard.
     *

@@ -47,6 +47,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(children(0), children(1))
       }))
 
+    // minhash_sig(tokens, n, k, seed): n/k/seed must be foldable literals —
+    // the universal-hash constants are generated once at plan time.
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinHashSig].getName, null, "minhash_sig",
+        "_FUNC_(tokens, n, k, seed) - k-element MinHash signature over word n-gram shingles.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 4, "minhash_sig takes 4 arguments")
+        require(children.drop(1).forall(_.foldable),
+          "minhash_sig n/k/seed must be literals")
+        def longArg(i: Int): Long =
+          children(i).eval(null) match { case num: Number => num.longValue() }
+        val n = longArg(1).toInt
+        val k = longArg(2).toInt
+        val seed = longArg(3)
+        MinHashSig(children.head, n, MinHashSig.abConstants(k, seed))
+      }))
+
     // lsh_sign_buckets(vec, seed, nTables, planesPerTable, dim): the trailing
     // four arguments must be foldable literals — the seeded hyperplane
     // matrix is built once at plan time and rides into codegen as a

@@ -186,6 +186,37 @@ class DedupSpec extends SparkSpec {
       (2L, 0L, 3L, false), (3L, 3L, 1L, true)))
   }
 
+  test("native minhash_sig expression ≡ declarative shingle→hash→min chain") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    assert(spark.catalog.functionExists("minhash_sig"))
+    def sigMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[Long](r.fieldIndex("sig"))).toMap
+    val native = sigMap(Dedup.minhashSignatures(real, n = 3, k = 64))
+    // declarative chain, built directly so the functionExists branch can't hide it
+    val tok = real.select(col("doc_id").as("id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 3)
+    val declarative = sigMap(tok
+      .select(col("id"), Dedup.shinglesFromTokens(col("ws"), 3).as("sh"))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), Dedup.minhashFromHashes(col("hs"), 64).as("sig")))
+    assert(native.size === declarative.size)
+    assert(native === declarative)
+    // null tokens inside a window follow concat_ws null-skip; sub-n arrays
+    // give the all-MaxValue signature
+    import spark.implicits._
+    val edge = Seq((0L, Seq[String]("a", null, "c", "d")), (1L, Seq[String]("x", "y")))
+      .toDF("id", "ws")
+    val nat = sigMap(edge.select(col("id"),
+      call_function("minhash_sig", col("ws"), lit(3), lit(8), lit(42L)).as("sig")))
+    val dec = sigMap(edge
+      .select(col("id"), Dedup.shinglesFromTokens(col("ws"), 3).as("sh"))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"), Dedup.minhashFromHashes(col("hs"), 8).as("sig")))
+    assert(nat === dec)
+    assert(nat(1L) === Seq.fill(8)(Long.MaxValue))
+  }
+
   test("md5Low64 golden: signed low 8 bytes of md5 (cross-engine portable)") {
     // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72; low 16 hex chars as
     // unsigned = 15462616177412505458, re-centered signed = value below
