@@ -425,6 +425,34 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // G1/F8 — VALUE-range window frame (vs q08's ROWS frame): per-customer
+    // rolling 30-day spend. The frame bound is on the ORDER-BY VALUE
+    // (epoch seconds), so ties and gaps behave identically cross-engine;
+    // decimal-exact sum keeps the double bit-comparable.
+    "q33_range_frame" -> ((s, dir) => {
+      // NTZ → TIMESTAMP → epoch long (exact under the UTC session TZ)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"), 18, 2)).over(w).cast("double").as("spend_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // G1 — distribution analytics: quartile bucketing + exact rank ratios
+    // (total tiebreak order makes every value deterministic cross-engine).
+    "q34_distribution_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    }),
+
     // B3 — as-of join: for each error event, the user's most recent
     // purchase at or before it (union+window shape, no range-join blowup);
     // DuckDB twin uses its native ASOF JOIN. Testdata has no (user_id, ts)
@@ -908,6 +936,21 @@ object SparkEntry {
         | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q33_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q34_distribution_windows" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | ntile(4) OVER w AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q31_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
