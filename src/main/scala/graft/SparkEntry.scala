@@ -666,6 +666,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Text: top-5 terms per language — corpus term-frequency statistics
+    // (explode → two-level agg → per-group top-k window).
+    "t06_top_terms" -> ((s, dir) => {
+      val tok = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val counts = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+      counts.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("token"), col("n"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // E3 at scale — sketch percentiles (GK/QuantileSummaries: fixed-size
+    // mergeable state, the 100 TB shape) side by side with the exact
+    // sort-based percentile (q27's operator). No SQL twin (sketch
+    // internals engine-specific); closeness invariant in OperatorsSpec.
+    "q35_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Text: PII scrub over documents with synthesized PII (emails/IPs/SSNs
     // derived from doc_id so the operator provably fires); outputs the
     // scrubbed text plus per-class redaction counts. Patterns are shared
@@ -1081,6 +1109,14 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "t06_top_terms" -> (
+      s"""WITH tok AS (SELECT lang, unnest($tokensSqlExpr) AS token FROM documents),
+         |c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+         |r AS (SELECT lang, token, n,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM c)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, CAST(n AS BIGINT) AS n
+         |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
 
     "t01_langid" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),

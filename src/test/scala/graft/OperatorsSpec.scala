@@ -112,6 +112,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q35 shape: sketch percentiles land within 1% of exact per group") {
+    val rows = SparkEntry.queries("q35_approx_percentiles")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(("p50_approx", "p50_exact"), ("p95_approx", "p95_exact")).foreach {
+        case (a, e) =>
+          val approx = r.getAs[Double](a)
+          val exact = r.getAs[Double](e)
+          assert(math.abs(approx - exact) / exact <= 0.01,
+            s"$a=$approx too far from $e=$exact")
+      }
+    }
+  }
+
   test("as-of join preconditions fail fast with clear messages") {
     import spark.implicits._
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")

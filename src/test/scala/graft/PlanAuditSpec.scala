@@ -55,6 +55,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation, plan:\n$p")
   }
 
+  test("join strategy is controllable per join via hints (shuffle_hash / merge)") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    def planOf(hint: String): String =
+      c.hint(hint).join(o, c("c_custkey") === o("o_custkey"))
+        .queryExecution.executedPlan.toString
+    // at 100 TB the optimizer's stats-based choice is sometimes wrong
+    // (e.g. a "small" side that explodes after filters) — per-join hints
+    // are the override mechanism, and they must actually take effect
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
+
   test("q28: pivot compiles to ONE aggregation pass, no per-value scans") {
     val p = plan("q28_pivot")
     // explicit pivot values → a single groupBy(priority) aggregate of
