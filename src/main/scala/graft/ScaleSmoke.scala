@@ -23,11 +23,16 @@ object ScaleSmoke {
 
   private def timed(fn: => DataFrame): (Double, Long) = {
     val t0 = System.nanoTime()
-    // count() instead of noop sink: these are operator-cost probes whose
-    // outputs are tiny aggregates/pairs; result materialization is not the
-    // term under test
-    val n = fn.count()
-    ((System.nanoTime() - t0) / 1e9, n)
+    // operator CONSTRUCTION stays inside the timed region: iterative
+    // operators (connected components) run driver-side rounds while the
+    // frame is being built, not at sink time
+    val df = fn
+    // noop sink, NOT count(): count() lets Catalyst prune every projected
+    // column, so a per-row hash kernel would be dead code and the probe
+    // would time only the scan (the round-4 review caught exactly that)
+    df.write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, df.count()) // row count for the record, untimed re-run
   }
 
   def main(args: Array[String]): Unit = {
@@ -39,8 +44,10 @@ object ScaleSmoke {
 
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val vecs0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val docShift = 1000000L
-    val vecShift = 1000000L
+    // shifts derived from the corpus so copies can never collide with
+    // originals whatever sf dir is pointed at
+    val docShift = docs0.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val vecShift = vecs0.agg(max(col("vec_id"))).head.getLong(0) + 1L
     def blowUp(base: DataFrame, idCol: String, shift: Long): DataFrame =
       (0 until mult).map(i =>
         base.withColumn(idCol, col(idCol) + lit(i * shift))).reduce(_ union _)

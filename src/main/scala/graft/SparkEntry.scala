@@ -1181,7 +1181,8 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 3 = 1)
         |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
         | CAST((n_samples + 15999) // 16000 AS BIGINT) AS n_chunks,
-        | CAST(n_samples - ((n_samples + 15999) // 16000 - 1) * 16000 AS BIGINT) AS last_chunk
+        | CAST(CASE WHEN n_samples = 0 THEN 0
+        |  ELSE n_samples - ((n_samples + 15999) // 16000 - 1) * 16000 END AS BIGINT) AS last_chunk
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "q32_scalar_subquery" ->

@@ -102,10 +102,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aEx = exploded(shingleSets(probes, n, idCol, textCol), "a")
     val bEx = exploded(bSets, "b")
-    val hotShingles = bEx.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
-      .select(col("shingle"))
-    aEx.join(bEx.join(broadcast(hotShingles), Seq("shingle"), "left_anti"), Seq("shingle"))
+    // with the exact default cap the census could never filter anything —
+    // skip the full-corpus DF aggregation entirely
+    val bIndexed = if (maxDf == Long.MaxValue) bEx else {
+      val hotShingles = bEx.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).where(col("df") > maxDf)
+        .select(col("shingle"))
+      bEx.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
+    }
+    aEx.join(bIndexed, Seq("shingle"))
       .where(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
       .agg(count(lit(1)).as("inter"))
@@ -239,19 +244,27 @@ object Dedup {
       // bit-identical even on null-text rows
       tokenized.select(col(idCol),
         coalesce(call_function("simhash64", col("ws")), lit(0L)).as("simhash"))
-    } else {
-      def bitVotes(h: Column): Column = array(
-        (0 until 64).map(i =>
-          when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
-      val folded = (0 until 64).map(i =>
-        when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b))
-      tokenized
-        .select(col(idCol), transform(col("ws"), t => xxhash64(t)).as("hs"))
-        .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
-          (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
-        .select(col(idCol), folded.as("simhash"))
-    }
+    } else declarativeSimhash(tokenized, idCol, t => xxhash64(t))
+  }
+
+  /** The declarative vote/fold SimHash construction over a tokenized frame
+    * (`ws` attribute), parameterized by the per-token hash — ONE definition
+    * shared by [[simhashed]]'s fallback and [[simhashedPortable]] so the
+    * bit construction cannot diverge between d05 and d08.
+    */
+  private def declarativeSimhash(tokenized: DataFrame, idCol: String,
+      tokenHash: Column => Column): DataFrame = {
+    def bitVotes(h: Column): Column = array(
+      (0 until 64).map(i =>
+        when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
+    val folded = (0 until 64).map(i =>
+      when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tokenized
+      .select(col(idCol), transform(col("ws"), t => tokenHash(t)).as("hs"))
+      .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
+      .select(col(idCol), folded.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -275,20 +288,10 @@ object Dedup {
     * representative (d08) alongside the fast xxhash64 one (d05, invariant-
     * tested only).
     */
-  def simhashedPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def bitVotes(h: Column): Column = array(
-      (0 until 64).map(i =>
-        when(shiftright(h, i).bitwiseAND(lit(1L)) =!= 0, lit(1L)).otherwise(lit(-1L))): _*)
-    val folded = (0 until 64).map(i =>
-      when(element_at(col("votes"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    spreadForCpu(docs)
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
-      .select(col(idCol), transform(col("ws"), t => md5Low64(t)).as("hs"))
-      .select(col(idCol), aggregate(col("hs"), array_repeat(lit(0L), 64),
-        (acc, h) => zip_with(acc, bitVotes(h), _ + _)).as("votes"))
-      .select(col(idCol), folded.as("simhash"))
-  }
+  def simhashedPortable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    declarativeSimhash(
+      spreadForCpu(docs).select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws")),
+      idCol, md5Low64)
 
   /** Connected components over an undirected edge list: every vertex gets
     * `cluster_id` = the minimum vertex id reachable from it. This is the
@@ -349,6 +352,13 @@ object Dedup {
       iter += 1
     }
     bidir.unpersist()
+    // partially-propagated labels are a SILENT keep/drop error downstream
+    // (one true cluster splits into several, each electing a "survivor") —
+    // never return them
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — the graph " +
+        "has a component with diameter > maxIter; raise maxIter (rounds are " +
+        "cheap: one compact shuffle each) or pre-contract the graph")
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))

@@ -54,9 +54,12 @@ object Multimodal {
     val n = meta.getField("n_samples")
     // exact for any realistic sample count (< 2^53)
     val nChunks = floor((n + chunk - lit(1L)) / chunk).cast(LongType)
+    // zero-length audio is 0 chunks with NO remainder — the naive formula
+    // would report a phantom full last chunk
     struct(
       nChunks.as("n_chunks"),
-      (n - (nChunks - lit(1L)) * chunk).as("last_chunk_samples"))
+      when(n === 0, lit(0L))
+        .otherwise(n - (nChunks - lit(1L)) * chunk).as("last_chunk_samples"))
   }
 
   /** Frame-sampling plan for a video payload: n evenly spaced byte offsets —

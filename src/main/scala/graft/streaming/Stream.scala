@@ -144,6 +144,18 @@ object Stream {
       leftTsCol: String, rightTsCol: String,
       lookback: String = "30 seconds",
       watermarkDelay: String = "10 seconds"): DataFrame = {
+    // fail fast (cf. AsOfJoin.leftAsOf): a shared non-key column would
+    // otherwise surface much later as an ambiguous-reference analysis error
+    for ((side, cols, ts) <- Seq(("left", left.columns, leftTsCol),
+        ("right", right.columns, rightTsCol))) {
+      val missing = (keys :+ ts).filterNot(cols.contains)
+      require(missing.isEmpty,
+        s"intervalJoin: $side frame is missing column(s) ${missing.mkString(", ")}")
+    }
+    val overlap = (left.columns.toSet & right.columns.toSet) -- keys
+    require(overlap.isEmpty,
+      s"intervalJoin: non-key column(s) ${overlap.mkString(", ")} exist on both " +
+        "sides — rename one side first")
     val l = left.withWatermark(leftTsCol, watermarkDelay)
     val r = right.withWatermark(rightTsCol, watermarkDelay)
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&

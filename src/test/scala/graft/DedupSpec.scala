@@ -177,6 +177,14 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_.getAs[Long]("cluster_id") == 0L))
   }
 
+  test("connected components: refuses to return partially-propagated labels at maxIter") {
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, (0L until 12L).toDF("id"), maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup clusters (d07 shape): exact + near duplicates cluster, survivor is min id") {
     val out = Dedup.dedupClusters(docs, n = 3, threshold = 0.2).orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),

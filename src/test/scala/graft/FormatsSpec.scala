@@ -47,7 +47,10 @@ class FormatsSpec extends SparkSpec {
     val part = spark.read.parquet(dir).where(col("event_type") === "purchase")
     val p = part.queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("PartitionFilters") && p.contains("isnotnull(event_type"),
+    // the filter must be INSIDE the PartitionFilters bracket — the header
+    // prints even when empty, and isnotnull also appears in post-scan
+    // Filter nodes, so two independent contains() would pass without pruning
+    assert("""PartitionFilters: \[[^\]]*event_type""".r.findFirstIn(p).nonEmpty,
       s"expected partition pruning, plan:\n$p")
     // values survive the partition column round-trip
     assert(part.count() ===

@@ -126,6 +126,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("audio chunk plan: exact-multiple, remainder, and zero-length cases") {
+    import spark.implicits._
+    val metas = Seq((0L, 32000L), (1L, 16001L), (2L, 0L))
+      .toDF("id", "n")
+      .select(col("id"), struct(lit(16000).as("sample_rate"), col("n").as("n_samples")).as("m"))
+    val out = metas.select(col("id"),
+        graft.analytics.Multimodal.audioChunkPlan(col("m")).as("p"))
+      .select(col("id"), col("p.n_chunks"), col("p.last_chunk_samples"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) === ((2L, 16000L))) // exact multiple: full last chunk
+    assert(out(1L) === ((2L, 1L)))     // remainder carries into last chunk
+    assert(out(2L) === ((0L, 0L)))     // zero-length: no phantom chunk
+  }
+
   test("as-of join preconditions fail fast with clear messages") {
     import spark.implicits._
     val l = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
