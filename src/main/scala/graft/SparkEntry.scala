@@ -694,6 +694,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Sampling: reproducible stratified subset — exactly 50 docs per
+    // language, ordered by the portable md5 permutation of the id (NOT
+    // partition-seeded Bernoulli, which changes under repartitioning).
+    // The reproducibility contract a training-data pipeline needs.
+    "q36_stratified_sample" -> ((s, dir) => {
+      analytics.Sampling.deterministicStratified(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          stratumCol = "lang", k = 50, idCol = "doc_id")
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
     // Text: PII scrub over documents with synthesized PII (emails/IPs/SSNs
     // derived from doc_id so the operator provably fires); outputs the
     // scrubbed text plus per-class redaction counts. Patterns are shared
@@ -1109,6 +1121,14 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q36_stratified_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        | FROM documents)
+        |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
 
     "t06_top_terms" -> (
       s"""WITH tok AS (SELECT lang, unnest($tokensSqlExpr) AS token FROM documents),

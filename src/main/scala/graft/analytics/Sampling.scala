@@ -1,0 +1,38 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data curation. The workhorse is the
+  * DETERMINISTIC stratified sample: at 100 TB a training subset must be
+  * reproducible run-to-run and engine-to-engine (audits, ablations,
+  * incremental rebuilds), which rules out partition-order-dependent RNG
+  * (`df.sample`/`sampleBy` draw per-row Bernoulli streams seeded by
+  * partition index — repartitioning silently changes the sample).
+  */
+object Sampling {
+
+  /** Exactly-k-per-stratum sample, ordered by a PORTABLE pseudo-random
+    * permutation: md5 of the row id. Every engine that can hash can
+    * reproduce the subset bit-for-bit; strata smaller than k are taken
+    * whole. One shuffle on the stratum key; the per-stratum sort is
+    * O(|stratum| log |stratum|) in the window operator — at scale, strata
+    * are the partition unit, never the corpus.
+    */
+  def deterministicStratified(df: DataFrame, stratumCol: String, k: Int,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .where(col("sample_rank") <= k)
+  }
+
+  /** Probabilistic Bernoulli sample — the cheap one-pass path when
+    * reproducibility across repartitioning is NOT required (the per-row
+    * RNG stream is seeded by partition). Kept as the documented contrast
+    * to [[deterministicStratified]]; fraction accuracy is invariant-tested.
+    */
+  def bernoulli(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+}

@@ -126,6 +126,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("deterministic stratified sample is stable under repartitioning; bernoulli is in-tolerance") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Sampling.deterministicStratified(df, "lang", 10, "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(17, col("doc_id"))) // different physical layout
+    assert(a === b, "deterministic sample must not depend on partitioning")
+    assert(a.nonEmpty)
+    // per-stratum quota respected
+    val perLang = graft.analytics.Sampling.deterministicStratified(docs, "lang", 10, "doc_id")
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(perLang.forall(_ <= 10))
+    // bernoulli: fraction lands within 3σ of the binomial expectation
+    val n = docs.count().toDouble
+    val got = graft.analytics.Sampling.bernoulli(docs, 0.3, seed = 7L).count().toDouble
+    val sigma = math.sqrt(n * 0.3 * 0.7)
+    assert(math.abs(got - 0.3 * n) <= 3 * sigma, s"sampled $got of $n at fraction 0.3")
+  }
+
   test("audio chunk plan: exact-multiple, remainder, and zero-length cases") {
     import spark.implicits._
     val metas = Seq((0L, 32000L), (1L, 16001L), (2L, 0L))
