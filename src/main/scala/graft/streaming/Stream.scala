@@ -139,11 +139,19 @@ object Stream {
     * Column names must be disjoint apart from `keys` (pre-rename one side);
     * the timestamp columns must be TimestampType. Works identically on
     * batch frames (watermarks are no-ops there) — tested both ways.
+    *
+    * `joinType` "left_outer": unmatched left rows ARE emitted (with null
+    * right columns) — but only once the right watermark has passed their
+    * whole match interval, i.e. when Spark can PROVE no future right row
+    * can match; until then they sit in state. This is the streaming outer
+    * join's fundamental latency/completeness trade, driven entirely by
+    * `watermarkDelay` (StreamingSpec demonstrates the eviction).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String,
       lookback: String = "30 seconds",
-      watermarkDelay: String = "10 seconds"): DataFrame = {
+      watermarkDelay: String = "10 seconds",
+      joinType: String = "inner"): DataFrame = {
     // fail fast (cf. AsOfJoin.leftAsOf): a shared non-key column would
     // otherwise surface much later as an ambiguous-reference analysis error
     for ((side, cols, ts) <- Seq(("left", left.columns, leftTsCol),
@@ -161,7 +169,7 @@ object Stream {
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTsCol) >= l(leftTsCol) - expr(s"interval $lookback") &&
       r(rightTsCol) <= l(leftTsCol)
-    val joined = l.join(r, cond, "inner")
+    val joined = l.join(r, cond, joinType)
     // drop the right side's copy of the join keys
     keys.foldLeft(joined)((df, k) => df.drop(r(k)))
   }

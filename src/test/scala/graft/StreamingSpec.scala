@@ -312,6 +312,47 @@ class StreamingSpec extends SparkSpec {
     assert(batchRows === Seq((1L, 5.0), (2L, 7.0)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched rows emit after watermark eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val errors = MemoryStream[(Long, Long)](spark)
+    val purchases = MemoryStream[(Long, Long, Double)](spark)
+    val e = errors.toDF.toDF("user_id", "ets")
+      .withColumn("ets", timestamp_seconds(col("ets")))
+    val p = purchases.toDF.toDF("user_id", "pts", "value")
+      .withColumn("pts", timestamp_seconds(col("pts")))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    val q = Stream.intervalJoin(e, p, Seq("user_id"), "ets", "pts",
+        lookback = "30 seconds", watermarkDelay = "10 seconds", joinType = "left_outer")
+      .writeStream
+      .option("checkpointLocation", tempDir("graft-ssoj-ckpt"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collected ++= batch.collect().map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue())))
+        ()
+      }
+      .start()
+    // batch 1: users 1 and 2 have in-window purchases, user 3 has none
+    errors.addData((1L, 100L), (2L, 100L), (3L, 100L))
+    purchases.addData((1L, 80L, 5.0), (2L, 95L, 7.0))
+    q.processAllAvailable()
+    assert(collected.toSet === Set((1L, Some(5.0)), (2L, Some(7.0))),
+      s"inner matches emit immediately; user 3 must be HELD in state, got $collected")
+    // batch 2 advances both watermarks far past user 3's match interval —
+    // Spark can now prove no future purchase can match, and emits the null row
+    errors.addData((9L, 10000L))
+    purchases.addData((9L, 10000L, 1.0))
+    q.processAllAvailable()
+    // one more micro-batch so the eviction results flush
+    errors.addData((9L, 10001L))
+    purchases.addData((9L, 10001L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.contains((3L, None)),
+      s"unmatched left row must emit with null after eviction, got $collected")
+  }
+
   test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
     val srcDir = tempDir("graft-empty-src")
     val ckptDir = tempDir("graft-empty-ckpt")
