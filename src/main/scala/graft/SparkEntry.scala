@@ -533,6 +533,15 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Dedup: ASYMMETRIC containment |A∩B|/|A| — sub-document duplication
+    // (a doc contained in a larger one scores ~1.0 while its symmetric
+    // Jaccard can be near 0). Same inverted-index candidate generation.
+    "d09_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentPairs(docs.where(col("doc_id") < 50), docs, n = 3, threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Dedup: MinHash + banded LSH candidates (no SQL twin — xxhash64 family).
     "d04_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, k = 64, bands = 16, threshold = 0.4)
@@ -1052,6 +1061,21 @@ object SparkEntry {
          |SELECT a_id, b_id, jaccard FROM (
          | SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS jaccard FROM inter)
          |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+
+    "d09_containment" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |  ELSE [] END AS sh FROM tok),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+         |inter AS (
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, count(*) AS n_inter
+         | FROM e a JOIN e b USING (shingle)
+         | WHERE a.doc_id < 50 AND a.doc_id <> b.doc_id
+         | GROUP BY 1, 2, 3)
+         |SELECT a_id, b_id, containment FROM (
+         | SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / a_size AS containment FROM inter)
+         |WHERE containment >= 0.4 ORDER BY a_id, b_id""".stripMargin),
 
     // Transitive closure via recursive CTE: the UNION (distinct) bounds the
     // state space, and a label only propagates to strictly larger ids —

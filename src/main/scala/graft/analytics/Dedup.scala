@@ -90,7 +90,36 @@ object Dedup {
     */
   def ngramJaccardPairs(probes: DataFrame, corpus: DataFrame, n: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text",
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue): DataFrame =
+    intersectionCounts(probes, corpus, n, idCol, textCol, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) /
+          (col("a_size") + col("b_size") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+
+  /** ASYMMETRIC containment near-dup pairs: C(A→B) = |A∩B| / |A|. Finds
+    * sub-document duplication — a probe document contained in a larger
+    * corpus document (boilerplate paragraphs, quoted articles, prefix
+    * crawls) scores ~1.0 here while its symmetric Jaccard can be
+    * arbitrarily low. The standard second axis of text dedup next to
+    * [[ngramJaccardPairs]]; same inverted-index candidate generation.
+    */
+  def containmentPairs(probes: DataFrame, corpus: DataFrame, n: Int,
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text",
+      maxDf: Long = Long.MaxValue): DataFrame =
+    intersectionCounts(probes, corpus, n, idCol, textCol, maxDf)
+      .withColumn("containment",
+        col("inter").cast(DoubleType) / col("a_size").cast(DoubleType))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
+
+  /** Shared candidate stage of the exact pair operators: per probe/corpus
+    * pair sharing ≥1 shingle, the shingle-set sizes and intersection count
+    * via the inverted shingle index (never all-pairs).
+    */
+  private def intersectionCounts(probes: DataFrame, corpus: DataFrame, n: Int,
+      idCol: String, textCol: String, maxDf: Long): DataFrame = {
     def exploded(sets: DataFrame, side: String): DataFrame =
       sets.select(col("id").as(s"${side}_id"),
         size(col("sh")).cast(LongType).as(s"${side}_size"),
@@ -114,11 +143,6 @@ object Dedup {
       .where(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id"), col("a_size"), col("b_size"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast(DoubleType) /
-          (col("a_size") + col("b_size") - col("inter")).cast(DoubleType))
-      .where(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   /** MinHash signature from per-shingle base hashes in ONE `aggregate` pass:

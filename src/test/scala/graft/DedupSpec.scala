@@ -86,6 +86,21 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
   }
 
+  test("containment (d09): sub-document scores ~1.0 where symmetric Jaccard is low") {
+    // doc 10 = a 6-word fragment, doc 11 = a 40-word doc CONTAINING it
+    val frag = "alpha beta gamma delta epsilon zeta"
+    val host = ("lorem ipsum dolor sit amet " * 7).trim + " " + frag
+    val corpus = Seq((10L, frag), (11L, host)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, corpus, n = 3, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(cont((10L, 11L)) === 1.0) // every fragment shingle is in the host
+    assert(!cont.contains((11L, 10L))) // host is NOT contained in the fragment
+    val jac = Dedup.ngramJaccardPairs(corpus, corpus, n = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty, "symmetric Jaccard must miss the sub-document pair")
+  }
+
   test("approx (LSH) dedup clusters ≡ exact clusters at high threshold (planted dupes)") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
