@@ -715,6 +715,23 @@ object SparkEntry {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    // Curation composition: quality score (t02's operator) → per-language
+    // rank → keep the best 10 docs per language. The standard
+    // quality-quota selection step of a training-data pipeline.
+    "q37_quality_topk" -> ((s, dir) => {
+      val scored = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // Text: PII scrub over documents with synthesized PII (emails/IPs/SSNs
     // derived from doc_id so the operator provably fires); outputs the
     // scrubbed text plus per-class redaction counts. Patterns are shared
@@ -1161,6 +1178,20 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM c)
          |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, CAST(n AS BIGINT) AS n
          |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
+
+    "q37_quality_topk" -> (
+      s"""WITH tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM documents),
+         |f AS (SELECT doc_id, lang, text, len(ws) AS n_tokens,
+         | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+         | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
+         |FROM tok),
+         |q AS (SELECT doc_id, lang,
+         | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+         |FROM f),
+         |r AS (SELECT lang, doc_id, quality,
+         | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin),
 
     "t01_langid" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
