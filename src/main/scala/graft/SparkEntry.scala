@@ -732,6 +732,30 @@ object SparkEntry {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // Flagship curation composition: exact-dedup survivor election
+    // (md5 fingerprint, min-id canonical) → quality scoring → per-language
+    // quota — the full "dedupe, score, select" chain a training-data build
+    // runs, as ONE declarative plan (dedup agg + broadcast-able survivor
+    // semi-join + per-row scoring + quota window).
+    "q38_curation_pipeline" -> ((s, dir) => {
+      val docs = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+      val survivors = docs
+        .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val scored = docs.join(survivors, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 20)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     // Text: PII scrub over documents with synthesized PII (emails/IPs/SSNs
     // derived from doc_id so the operator provably fires); outputs the
     // scrubbed text plus per-class redaction counts. Patterns are shared
@@ -1178,6 +1202,24 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk FROM c)
          |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, CAST(n AS BIGINT) AS n
          |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
+
+    "q38_curation_pipeline" -> (
+      s"""WITH fp AS (SELECT min(doc_id) AS doc_id
+         |  FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
+         |d AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM fp)),
+         |tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM d),
+         |f AS (SELECT doc_id, lang, text, len(ws) AS n_tokens,
+         | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+         | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
+         |FROM tok),
+         |q AS (SELECT doc_id, lang,
+         | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+         |FROM f),
+         |r AS (SELECT lang, doc_id, quality,
+         | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+         |FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin),
 
     "q37_quality_topk" -> (
       s"""WITH tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM documents),
