@@ -718,42 +718,18 @@ object SparkEntry {
     // Curation composition: quality score (t02's operator) → per-language
     // rank → keep the best 10 docs per language. The standard
     // quality-quota selection step of a training-data pipeline.
-    "q37_quality_topk" -> ((s, dir) => {
-      val scored = analytics.Par.spreadForCpu(t(s, dir, "documents"))
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextAnalysis.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
-        .where(col("rnk") <= 10)
-        .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
-        .orderBy(col("lang"), col("rnk"))
-    }),
+    "q37_quality_topk" -> ((s, dir) =>
+      qualityQuota(analytics.Par.spreadForCpu(t(s, dir, "documents")), k = 10)),
 
     // Flagship curation composition: exact-dedup survivor election
-    // (md5 fingerprint, min-id canonical) → quality scoring → per-language
-    // quota — the full "dedupe, score, select" chain a training-data build
-    // runs, as ONE declarative plan (dedup agg + broadcast-able survivor
-    // semi-join + per-row scoring + quota window).
+    // (Dedup.byFingerprint — md5 fingerprint, min-id canonical) → quality
+    // scoring → per-language quota — the full "dedupe, score, select"
+    // chain a training-data build runs, as ONE declarative plan (dedup agg
+    // + survivor semi-join + per-row scoring + quota window).
     "q38_curation_pipeline" -> ((s, dir) => {
       val docs = analytics.Par.spreadForCpu(t(s, dir, "documents"))
-      val survivors = docs
-        .select(col("doc_id"), TextAnalysis.contentFingerprint(col("text")).as("fp"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val scored = docs.join(survivors, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextAnalysis.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("lang"),
-          TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("quality").desc, col("doc_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("bigint"))
-        .where(col("rnk") <= 20)
-        .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
-        .orderBy(col("lang"), col("rnk"))
+      val survivors = Dedup.byFingerprint(docs).select(col("keep_id").as("doc_id"))
+      qualityQuota(docs.join(survivors, Seq("doc_id"), "left_semi"), k = 20)
     }),
 
     // Text: PII scrub over documents with synthesized PII (emails/IPs/SSNs
@@ -821,6 +797,24 @@ object SparkEntry {
     })
   )
 
+  /** Shared q37/q38 tail: quality score → per-language rank → top-k quota
+    * (ONE definition so the two curation queries and their oracles cannot
+    * drift from each other).
+    */
+  private def qualityQuota(docs: DataFrame, k: Int): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   // ── DuckDB oracle twins (ANSI SQL on the same parquet tables) ──
 
   private val bitrateSqlExpr =
@@ -831,6 +825,25 @@ object SparkEntry {
 
   private val tokensSqlExpr =
     """list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> length(x) > 0)"""
+
+  /** SQL twin of [[qualityQuota]]: `sourceCtes` must open the WITH list and
+    * define a CTE `d(doc_id, lang, text)`; the shared tail scores and
+    * quota-selects exactly like the Spark helper.
+    */
+  private def qualityQuotaSql(sourceCtes: String, k: Int): String =
+    s"""$sourceCtes,
+       |tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM d),
+       |f AS (SELECT doc_id, lang, text,
+       | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
+       |FROM tok),
+       |q AS (SELECT doc_id, lang,
+       | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+       |FROM f),
+       |r AS (SELECT lang, doc_id, quality,
+       | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
+       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+       |FROM r WHERE rnk <= $k ORDER BY lang, rnk""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1203,37 +1216,14 @@ object SparkEntry {
          |SELECT lang, CAST(rnk AS BIGINT) AS rnk, token, CAST(n AS BIGINT) AS n
          |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
 
-    "q38_curation_pipeline" -> (
-      s"""WITH fp AS (SELECT min(doc_id) AS doc_id
-         |  FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))),
-         |d AS (SELECT doc_id, lang, text FROM documents
-         |  WHERE doc_id IN (SELECT doc_id FROM fp)),
-         |tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM d),
-         |f AS (SELECT doc_id, lang, text, len(ws) AS n_tokens,
-         | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
-         | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
-         |FROM tok),
-         |q AS (SELECT doc_id, lang,
-         | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
-         |FROM f),
-         |r AS (SELECT lang, doc_id, quality,
-         | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
-         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
-         |FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin),
+    "q38_curation_pipeline" -> qualityQuotaSql(
+      """WITH fp AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        |d AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM fp))""".stripMargin, 20),
 
-    "q37_quality_topk" -> (
-      s"""WITH tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM documents),
-         |f AS (SELECT doc_id, lang, text, len(ws) AS n_tokens,
-         | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
-         | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
-         |FROM tok),
-         |q AS (SELECT doc_id, lang,
-         | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
-         |FROM f),
-         |r AS (SELECT lang, doc_id, quality,
-         | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
-         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
-         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin),
+    "q37_quality_topk" -> qualityQuotaSql(
+      "WITH d AS (SELECT doc_id, lang, text FROM documents)", 10),
 
     "t01_langid" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),

@@ -146,12 +146,21 @@ object Stream {
     * can match; until then they sit in state. This is the streaming outer
     * join's fundamental latency/completeness trade, driven entirely by
     * `watermarkDelay` (StreamingSpec demonstrates the eviction).
+    *
+    * Only "inner" and "left_outer" are accepted: the output keeps the
+    * LEFT side's key columns, which an unmatched right row (right/full
+    * outer) would leave null — swap the sides for a right-outer interval
+    * join.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String,
       lookback: String = "30 seconds",
       watermarkDelay: String = "10 seconds",
       joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner and left_outer, got $joinType — an " +
+        "unmatched right row would emit with null join keys (swap sides " +
+        "for right-outer semantics)")
     // fail fast (cf. AsOfJoin.leftAsOf): a shared non-key column would
     // otherwise surface much later as an ambiguous-reference analysis error
     for ((side, cols, ts) <- Seq(("left", left.columns, leftTsCol),
