@@ -671,7 +671,7 @@ object SparkEntry {
     "t04_rolling_fingerprint" -> ((s, dir) => {
       analytics.Par.spreadForCpu(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), TextAnalysis.rollingHashFromTokens(col("ws")).as("fp64"))
+        .select(col("doc_id"), TextAnalysis.rollingHashFromTokens(s, col("ws")).as("fp64"))
         .orderBy(col("doc_id"))
     }),
 

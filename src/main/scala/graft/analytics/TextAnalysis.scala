@@ -111,6 +111,15 @@ object TextAnalysis {
     aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + xxhash64(t))
   def rollingHash(text: Column): Column = rollingHashFromTokens(tokens(text))
 
+  /** Session-aware rolling hash: the fused native `rolling_hash64`
+    * expression when GraftExtensions is registered (one codegen'd
+    * multiply-add loop; bit-identical — TextAnalysisSpec), else the
+    * interpreted HOF fallback above.
+    */
+  def rollingHashFromTokens(spark: org.apache.spark.sql.SparkSession, toks: Column): Column =
+    if (spark.catalog.functionExists("rolling_hash64")) call_function("rolling_hash64", toks)
+    else rollingHashFromTokens(toks)
+
   // ── PII scrubbing (training-data hygiene) ──
 
   /** PII patterns scrubbed from training text. Kept to constructs shared by

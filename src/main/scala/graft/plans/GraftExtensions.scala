@@ -47,6 +47,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(children(0), children(1))
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(
+        classOf[RollingHash64].getName, null, "rolling_hash64",
+        "_FUNC_(tokens) - order-sensitive rolling polynomial fingerprint (base 1000003 over xxhash64).",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "rolling_hash64 takes 1 argument")
+        RollingHash64(children.head)
+      }))
+
     // minhash_sig(tokens, n, k, seed): n/k/seed must be foldable literals —
     // the universal-hash constants are generated once at plan time.
     ext.injectFunction((

@@ -71,6 +71,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((2, 1, 1)))
   }
 
+  test("native rolling_hash64 expression ≡ declarative HOF aggregate") {
+    assert(spark.catalog.functionExists("rolling_hash64"))
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+    val native = real.select(col("doc_id"),
+        TextAnalysis.rollingHashFromTokens(spark, col("ws")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declarative = real.select(col("doc_id"),
+        TextAnalysis.rollingHashFromTokens(col("ws")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.size === declarative.size)
+    assert(native === declarative)
+    // edge parity: empty array → 0; null element → seed contribution
+    import spark.implicits._
+    val edge = Seq((0L, Seq.empty[String]), (1L, Seq[String]("a", null, "b")))
+      .toDF("id", "ws")
+    val n = edge.select(col("id"), call_function("rolling_hash64", col("ws")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = edge.select(col("id"), TextAnalysis.rollingHashFromTokens(col("ws")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n === d)
+    assert(n(0L) === 0L)
+  }
+
   test("qualityScore composition matches its published formula") {
     val text = "the quick brown fox is a good dog"
     val r = Seq(text).toDF("t").select(
