@@ -91,6 +91,24 @@ class PlanAuditSpec extends SparkSpec {
       s"distinct-rewrite Expand must not appear, plan:\n$p")
   }
 
+  test("d04: the signature table is served from cache in every consuming branch") {
+    // the round-2 1824s regression was exactly this persist missing: four
+    // plan branches each re-running tokenize→shingle→minhash. The executed
+    // plan must read signatures through InMemoryTableScan.
+    val p = SparkEntry.queries("d04_minhash_lsh")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"persisted signature table must appear as InMemoryTableScan, plan:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("q38: flagship curation plan — one scan family, semi-join survivor election, no cartesian") {
+    val p = plan("q38_curation_pipeline")
+    assert(p.contains("LeftSemi"), s"survivor election must be a semi join, plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs joins in the curation chain, plan:\n$p")
+  }
+
   test("d07: pair generation is index-join shaped — no cartesian/loop join") {
     val p = plan("d07_dedup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
