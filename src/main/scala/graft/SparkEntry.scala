@@ -542,6 +542,23 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Dedup: the MinHash CORE, oracle-checked — signatures over the
+    // PORTABLE md5-low64 shingle hash, one row per (doc, position). With
+    // d08 this proves both sketch families' machinery (universal-hash
+    // running minimum here; vote/fold there) bit-exact cross-engine; the
+    // production operators (d04/d05) swap in xxhash64 for speed.
+    "d10_minhash_portable" -> ((s, dir) => {
+      val tok = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .where(size(col("ws")) >= 3)
+      tok.select(col("doc_id"), Dedup.shinglesFromTokens(col("ws"), 3).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), sh => Dedup.md5Low64(sh)).as("hs"))
+        .select(col("doc_id"), Dedup.minhashFromHashes(col("hs"), 16).as("sig"))
+        .select(col("doc_id"), posexplode(col("sig")))
+        .toDF("doc_id", "pos", "min_hash")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Dedup: MinHash + banded LSH candidates (no SQL twin — xxhash64 family).
     "d04_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, k = 64, bands = 16, threshold = 0.4)
@@ -1160,6 +1177,33 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin),
+
+    // MinHash core twin: the (a, b) constants are generated HERE by the
+    // SAME seeded sequence minhashFromHashes uses, so operator and oracle
+    // cannot drift. Spark's wrapping long arithmetic h·a+b is reproduced
+    // in HUGEINT then re-centered to signed 64-bit before the min.
+    "d10_minhash_portable" -> {
+      val rnd = new scala.util.Random(42L)
+      val consts = (0 until 16).map { p =>
+        val a = rnd.nextLong() | 1L
+        val b = rnd.nextLong()
+        s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+      }.mkString(", ")
+      val sw = "(((h * a + b) % 18446744073709551616 + 18446744073709551616 + " +
+        "9223372036854775808) % 18446744073709551616) - 9223372036854775808"
+      val md5h = "CASE WHEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT) >= 9223372036854775808" +
+        " THEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT - 18446744073709551616" +
+        " ELSE CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT END"
+      s"""WITH consts(pos, a, b) AS (VALUES $consts),
+         |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+         |  FROM tok WHERE len(ws) >= 3),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> $md5h) AS hl FROM g)
+         |SELECT doc_id, pos, CAST(list_min(list_transform(hl, h -> $sw)) AS BIGINT) AS min_hash
+         |FROM hs CROSS JOIN consts
+         |ORDER BY doc_id, pos""".stripMargin
+    },
 
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical
