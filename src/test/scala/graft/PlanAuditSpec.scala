@@ -55,6 +55,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregation, plan:\n$p")
   }
 
+  test("runtime bloom-filter join pruning injects might_contain and preserves results") {
+    // THE runtime row-level filter for selective joins at 100 TB: the
+    // selective side builds a bloom filter that prunes the big side's rows
+    // before the shuffle. Thresholds are lowered so the toy tables qualify.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .where(org.apache.spark.sql.functions.col("o_totalprice") > 400000)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      assert(joined.queryExecution.executedPlan.toString.contains("might_contain"),
+        "bloom filter must be injected on the probe side")
+      val withBloom = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(withBloom === li.join(o, li("l_orderkey") === o("o_orderkey")).count(),
+        "bloom pruning must not change the result")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join strategy is controllable per join via hints (shuffle_hash / merge)") {
     val c = spark.read.parquet(s"$dir/customer.parquet")
     val o = spark.read.parquet(s"$dir/orders.parquet")
