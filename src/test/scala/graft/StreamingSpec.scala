@@ -353,6 +353,44 @@ class StreamingSpec extends SparkSpec {
       s"unmatched left row must emit with null after eviction, got $collected")
   }
 
+  test("dropDuplicatesWithinWatermark: replays deduped, state bounded by the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val src = MemoryStream[(String, Long)](spark)
+    val deduped = Stream.dedupWithinWatermark(
+      src.toDF.toDF("notif_id", "ts")
+        .withColumn("event_time", timestamp_seconds(col("ts"))),
+      Seq("notif_id"), "event_time", watermarkDelay = "10 seconds")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q = deduped.writeStream
+      .option("checkpointLocation", tempDir("graft-dedup-ckpt"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collected ++= batch.collect().map(r =>
+          (r.getAs[String]("notif_id"), r.getAs[Long]("ts")))
+        ()
+      }
+      .start()
+    // batch 1: A twice (an at-least-once replay) and B once
+    src.addData(("A", 100L), ("A", 100L), ("B", 101L))
+    q.processAllAvailable()
+    assert(collected.map(_._1).sorted.toSeq === Seq("A", "B"),
+      s"in-batch replay must dedupe, got $collected")
+    // batch 2: another A replay while still within the watermark → dropped
+    src.addData(("A", 102L))
+    q.processAllAvailable()
+    assert(collected.count(_._1 == "A") === 1, s"in-watermark replay must drop, got $collected")
+    // advance the watermark far past A's state, then A reappears → state
+    // was evicted (bounded), so the new A is treated as first-seen
+    src.addData(("Z", 10000L))
+    q.processAllAvailable()
+    src.addData(("A", 10001L))
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.count(_._1 == "A") === 2,
+      s"post-eviction key must pass again (bounded state), got $collected")
+  }
+
   test("empty surviving-record set produces no Kafka message (C7 / 204 path)") {
     val srcDir = tempDir("graft-empty-src")
     val ckptDir = tempDir("graft-empty-ckpt")
