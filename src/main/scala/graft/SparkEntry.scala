@@ -1178,15 +1178,13 @@ object SparkEntry {
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin),
 
-    // MinHash core twin: the (a, b) constants are generated HERE by the
-    // SAME seeded sequence minhashFromHashes uses, so operator and oracle
-    // cannot drift. Spark's wrapping long arithmetic h·a+b is reproduced
-    // in HUGEINT then re-centered to signed 64-bit before the min.
+    // MinHash core twin: the (a, b) constants come from the ONE shared
+    // generator (Dedup.minhashConstants — also behind minhashFromHashes
+    // and the native expression), so operator and oracle cannot drift.
+    // Spark's wrapping long arithmetic h·a+b is reproduced in HUGEINT
+    // then re-centered to signed 64-bit before the min.
     "d10_minhash_portable" -> {
-      val rnd = new scala.util.Random(42L)
-      val consts = (0 until 16).map { p =>
-        val a = rnd.nextLong() | 1L
-        val b = rnd.nextLong()
+      val consts = Dedup.minhashConstants(16).zipWithIndex.map { case ((a, b), p) =>
         s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
       }.mkString(", ")
       val sw = "(((h * a + b) % 18446744073709551616 + 18446744073709551616 + " +

@@ -158,9 +158,18 @@ object Dedup {
     * `hashes` must be an attribute or single-use argument chain; the lambda
     * bodies touch only lambda variables and the (a,b) literal array.
     */
-  def minhashFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
+  /** The (a_i, b_i) constants of the k universal hashes — THE single
+    * source shared by the declarative operator below, the native
+    * `minhash_sig` expression, and the d10 oracle builder, so none of the
+    * three can drift (odd multipliers so h·a is a bijection mod 2^64).
+    */
+  def minhashConstants(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
-    val ab = typedLit(Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))) // odd multipliers
+    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  def minhashFromHashes(hashes: Column, k: Int, seed: Long = 42L): Column = {
+    val ab = typedLit(minhashConstants(k, seed))
     coalesce(
       aggregate(hashes, array_repeat(lit(Long.MaxValue), k),
         (acc, h) => zip_with(acc, ab,

@@ -51,20 +51,13 @@ object MinHashSig {
   private val Space = UTF8String.fromString(" ")
 
   /** The (a, b) constant pairs for k universal hashes, interleaved
-    * [a0, b0, a1, b1, …] — the SAME seeded sequence as
-    * [[graft.analytics.Dedup.minhashFromHashes]] (odd multipliers).
+    * [a0, b0, a1, b1, …] — delegates to the ONE generator in
+    * [[graft.analytics.Dedup.minhashConstants]] shared with the
+    * declarative operator and the d10 oracle builder.
     */
-  def abConstants(k: Int, seed: Long): Array[Long] = {
-    val rnd = new scala.util.Random(seed)
-    val out = new Array[Long](2 * k)
-    var i = 0
-    while (i < k) {
-      out(2 * i) = rnd.nextLong() | 1L
-      out(2 * i + 1) = rnd.nextLong()
-      i += 1
-    }
-    out
-  }
+  def abConstants(k: Int, seed: Long): Array[Long] =
+    graft.analytics.Dedup.minhashConstants(k, seed)
+      .flatMap { case (a, b) => Seq(a, b) }.toArray
 
   /** Shared kernel for interpreted eval and generated code. Overflow wraps
     * exactly like Spark's non-ANSI long arithmetic in the declarative form.

@@ -183,13 +183,18 @@ object Stream {
     keys.foldLeft(joined)((df, k) => df.drop(r(k)))
   }
 
-  /** Replay dedup with BOUNDED state: drops rows whose `idCols` were
-    * already seen while their event time is within the watermark; state for
-    * older keys is evicted. Composed with [[runIngest]]'s checkpointed
-    * at-least-once delivery this gives effectively-once into the sink —
-    * the replayed micro-batch's duplicates are filtered here — WITHOUT the
-    * unbounded key set a plain `dropDuplicates` would accumulate at
-    * 100 TB/day ingest rates.
+  /** SOURCE-side duplicate filtering with BOUNDED state: drops rows whose
+    * `idCols` were already seen while their event time is within the
+    * watermark (upstream redelivery — NEF re-notification, producer
+    * retries); state for older keys is evicted, unlike the unbounded key
+    * set a plain `dropDuplicates` accumulates at 100 TB/day ingest rates.
+    *
+    * This does NOT dedupe a SINK-side micro-batch replay: on restart after
+    * a foreachBatch failure the operator's state rolls back to the
+    * checkpoint taken BEFORE that batch, so the replayed rows pass the
+    * filter again. End-to-end exactly-once additionally requires an
+    * idempotent sink keyed on (batchId, row key) — the standard
+    * foreachBatch contract.
     */
   def dedupWithinWatermark(stream: DataFrame, idCols: Seq[String],
       eventTimeCol: String, watermarkDelay: String = "10 minutes"): DataFrame =

@@ -124,11 +124,12 @@ class PlanAuditSpec extends SparkSpec {
     // the round-2 1824s regression was exactly this persist missing: four
     // plan branches each re-running tokenize→shingle→minhash. The executed
     // plan must read signatures through InMemoryTableScan.
-    val p = SparkEntry.queries("d04_minhash_lsh")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"),
-      s"persisted signature table must appear as InMemoryTableScan, plan:\n$p")
-    spark.catalog.clearCache()
+    try {
+      val p = SparkEntry.queries("d04_minhash_lsh")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"persisted signature table must appear as InMemoryTableScan, plan:\n$p")
+    } finally spark.catalog.clearCache() // never leak the persist into other tests
   }
 
   test("q38: flagship curation plan — one scan family, semi-join survivor election, no cartesian") {

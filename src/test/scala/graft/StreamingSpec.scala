@@ -353,7 +353,7 @@ class StreamingSpec extends SparkSpec {
       s"unmatched left row must emit with null after eviction, got $collected")
   }
 
-  test("dropDuplicatesWithinWatermark: replays deduped, state bounded by the watermark") {
+  test("dropDuplicatesWithinWatermark: source-side duplicates dropped, state bounded by the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     val src = MemoryStream[(String, Long)](spark)
@@ -371,15 +371,15 @@ class StreamingSpec extends SparkSpec {
         ()
       }
       .start()
-    // batch 1: A twice (an at-least-once replay) and B once
+    // batch 1: A re-sent twice by the source and B once
     src.addData(("A", 100L), ("A", 100L), ("B", 101L))
     q.processAllAvailable()
     assert(collected.map(_._1).sorted.toSeq === Seq("A", "B"),
-      s"in-batch replay must dedupe, got $collected")
-    // batch 2: another A replay while still within the watermark → dropped
+      s"in-batch duplicate must drop, got $collected")
+    // batch 2: the source re-delivers A while still within the watermark → dropped
     src.addData(("A", 102L))
     q.processAllAvailable()
-    assert(collected.count(_._1 == "A") === 1, s"in-watermark replay must drop, got $collected")
+    assert(collected.count(_._1 == "A") === 1, s"in-watermark redelivery must drop, got $collected")
     // advance the watermark far past A's state, then A reappears → state
     // was evicted (bounded), so the new A is treated as first-seen
     src.addData(("Z", 10000L))
