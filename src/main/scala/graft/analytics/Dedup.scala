@@ -366,8 +366,14 @@ object Dedup {
       .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // initial labels already fold in the FIRST propagation round for free:
+    // min(self, direct neighbors) is a plain aggregation over the edge
+    // list — no join. Each loop iteration then extends the horizon by one
+    // hop, so a diameter-2 component (the common near-dup cluster) needs
+    // one joined round plus the convergence check instead of three.
+    var labels = bidir.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     var iter = 0
     var converged = false
