@@ -147,20 +147,22 @@ object Stream {
     * join's fundamental latency/completeness trade, driven entirely by
     * `watermarkDelay` (StreamingSpec demonstrates the eviction).
     *
-    * Only "inner" and "left_outer" are accepted: the output keeps the
-    * LEFT side's key columns, which an unmatched right row (right/full
-    * outer) would leave null — swap the sides for a right-outer interval
-    * join.
+    * `joinType` "full_outer": unmatched rows on BOTH sides are emitted
+    * (with the other side's columns null) under the same
+    * watermark-proof-then-evict rule. The output key columns coalesce the
+    * two sides' copies, so a right-only row still carries its key.
+    *
+    * "inner", "left_outer" and "full_outer" are accepted; for right-outer
+    * semantics swap the sides (the left frame's columns lead the output).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String,
       lookback: String = "30 seconds",
       watermarkDelay: String = "10 seconds",
       joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"intervalJoin supports inner and left_outer, got $joinType — an " +
-        "unmatched right row would emit with null join keys (swap sides " +
-        "for right-outer semantics)")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"intervalJoin supports inner, left_outer and full_outer, got " +
+        s"$joinType (swap sides for right-outer semantics)")
     // fail fast (cf. AsOfJoin.leftAsOf): a shared non-key column would
     // otherwise surface much later as an ambiguous-reference analysis error
     for ((side, cols, ts) <- Seq(("left", left.columns, leftTsCol),
@@ -179,8 +181,17 @@ object Stream {
       r(rightTsCol) >= l(leftTsCol) - expr(s"interval $lookback") &&
       r(rightTsCol) <= l(leftTsCol)
     val joined = l.join(r, cond, joinType)
-    // drop the right side's copy of the join keys
-    keys.foldLeft(joined)((df, k) => df.drop(r(k)))
+    if (joinType == "full_outer")
+      // a row unmatched on EITHER side leaves that side's key copy null —
+      // fold the two copies into one output key column (select, not
+      // withColumn+drop, so the key keeps its leading position)
+      joined.select(
+        keys.map(k => coalesce(l(k), r(k)).as(k)) ++
+          (left.columns.filterNot(keys.contains).map(l(_)) ++
+            right.columns.filterNot(keys.contains).map(r(_))): _*)
+    else
+      // drop the right side's copy of the join keys
+      keys.foldLeft(joined)((df, k) => df.drop(r(k)))
   }
 
   /** SOURCE-side duplicate filtering with BOUNDED state: drops rows whose

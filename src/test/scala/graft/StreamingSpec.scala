@@ -353,6 +353,50 @@ class StreamingSpec extends SparkSpec {
       s"unmatched left row must emit with null after eviction, got $collected")
   }
 
+  test("stream-stream FULL OUTER interval join: unmatched rows on both sides emit with coalesced keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val errors = MemoryStream[(Long, Long)](spark)
+    val purchases = MemoryStream[(Long, Long, Double)](spark)
+    val e = errors.toDF.toDF("user_id", "ets")
+      .withColumn("ets", timestamp_seconds(col("ets")))
+    val p = purchases.toDF.toDF("user_id", "pts", "value")
+      .withColumn("pts", timestamp_seconds(col("pts")))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Option[Double])]
+    val q = Stream.intervalJoin(e, p, Seq("user_id"), "ets", "pts",
+        lookback = "30 seconds", watermarkDelay = "10 seconds", joinType = "full_outer")
+      .writeStream
+      .option("checkpointLocation", tempDir("graft-ssfoj-ckpt"))
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        collected ++= batch.collect().map(r => (r.getAs[Long]("user_id"),
+          r.isNullAt(r.fieldIndex("ets")),
+          Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue())))
+        ()
+      }
+      .start()
+    // batch 1: user 1 matches; user 3 is left-only; user 4 is right-only
+    // (purchase at t=95 with no error row at all)
+    errors.addData((1L, 100L), (3L, 100L))
+    purchases.addData((1L, 80L, 5.0), (4L, 95L, 7.0))
+    q.processAllAvailable()
+    assert(collected.toSet === Set((1L, false, Some(5.0))),
+      s"only the inner match may emit before eviction, got $collected")
+    // advance both watermarks far past every pending interval, then flush
+    errors.addData((9L, 10000L))
+    purchases.addData((9L, 10000L, 1.0))
+    q.processAllAvailable()
+    errors.addData((9L, 10001L))
+    purchases.addData((9L, 10001L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.contains((3L, false, None)),
+      s"unmatched LEFT row must emit with null right columns, got $collected")
+    assert(collected.contains((4L, true, Some(7.0))),
+      s"unmatched RIGHT row must emit with its key coalesced (non-null " +
+        s"user_id, null ets), got $collected")
+  }
+
   test("dropDuplicatesWithinWatermark: source-side duplicates dropped, state bounded by the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
