@@ -29,25 +29,36 @@ object Sinks {
     * carries a map column, which struct ordering rejects.)
     */
   def kafkaBatches(records: DataFrame, deterministicOrder: Boolean = false): DataFrame = {
-    val collected = collect_list(struct(
+    val record = struct(
       col("timestamp"), col("tags"), col("event"), col("metrics"),
-      col("trajectory"), col("comms")))
+      col("trajectory"), col("comms"))
     // total order: (timestamp, event) fast path, serialized-record final
     // tie-break — records tying on both keys (e.g. two same-second
     // perfDataInfos) must still sort deterministically, or the JSON array
-    // keeps partition-arrival order and flips run-to-run.
-    def cmp(l: Column, r: Column): Column = {
-      val (lj, rj) = (to_json(l), to_json(r))
-      when(l.getField("timestamp") < r.getField("timestamp"), -1)
-        .when(l.getField("timestamp") > r.getField("timestamp"), 1)
-        .when(l.getField("event") < r.getField("event"), -1)
-        .when(l.getField("event") > r.getField("event"), 1)
-        .when(lj < rj, -1).when(lj > rj, 1)
+    // keeps partition-arrival order and flips run-to-run. The sort key
+    // (including the record's JSON form) is computed ONCE per element at
+    // collect time; the comparator touches only those precomputed fields —
+    // an array_sort comparator runs O(n log n) times, and serializing both
+    // records inside it would re-run to_json per COMPARISON.
+    def cmp(l: Column, r: Column): Column =
+      when(l.getField("ts") < r.getField("ts"), -1)
+        .when(l.getField("ts") > r.getField("ts"), 1)
+        .when(l.getField("ev") < r.getField("ev"), -1)
+        .when(l.getField("ev") > r.getField("ev"), 1)
+        .when(l.getField("j") < r.getField("j"), -1)
+        .when(l.getField("j") > r.getField("j"), 1)
         .otherwise(0)
-    }
+    val ordered =
+      if (deterministicOrder)
+        transform(
+          array_sort(collect_list(struct(
+            col("timestamp").as("ts"), col("event").as("ev"),
+            to_json(record).as("j"), record.as("rec"))), cmp),
+          k => k.getField("rec"))
+      else collect_list(record)
     records
       .groupBy(col("notifId"))
-      .agg((if (deterministicOrder) array_sort(collected, cmp) else collected).as("records"))
+      .agg(ordered.as("records"))
       .select(
         col("notifId").as("key"),
         to_json(col("records")).as("value"))
