@@ -559,10 +559,36 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
-    // Dedup: MinHash + banded LSH candidates (no SQL twin — xxhash64 family).
+    // Dedup: MinHash + banded LSH candidates (xxhash64 family — the fast
+    // production variant; its band→bucket-join→estimate chain is proven
+    // end-to-end by the oracle-checked portable twin d11 below, which runs
+    // the SAME minhashCandidates code with only the base hash swapped).
     "d04_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, k = 64, bands = 16, threshold = 0.4)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Dedup: the FULL LSH pair pipeline, oracle-checked end-to-end —
+    // signatures over the portable md5-low64 shingle hash (as d10), then
+    // the SAME banding / bucket self-join / signature-agreement estimate
+    // code path as d04 (Dedup.minhashCandidates, portableHash=true). The
+    // DuckDB twin rebuilds signatures from the shared constant generator
+    // and expresses each band as slice equality, so candidate generation
+    // AND est_jaccard are hash-matched cross-engine.
+    "d11_minhash_lsh_portable" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, k = 64, bands = 16,
+          threshold = 0.4, portableHash = true)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Dedup: the 100 TB cluster path DECLARED — LSH candidate pairs
+    // (portable twin of d04's generation) → connected components → the
+    // same (cluster_id, cluster_size, is_survivor) resolution as d07.
+    // Oracle = d11's pair chain feeding d07's recursive-CTE closure.
+    "d12_dedup_clusters_approx" -> ((s, dir) => {
+      Dedup.dedupClustersApprox(t(s, dir, "documents"), n = 3, k = 64, bands = 16,
+          threshold = 0.4, portableHash = true)
+        .orderBy(col("doc_id"))
     }),
 
     // Dedup: 64-bit SimHash per doc (no SQL twin — xxhash64 family).
@@ -586,7 +612,8 @@ object SparkEntry {
     // size, and min-id survivor flag. The step between near-dup PAIRS and
     // an actual keep/drop decision.
     "d07_dedup_clusters" -> ((s, dir) => {
-      Dedup.dedupClusters(t(s, dir, "documents"), n = 3, threshold = 0.2)
+      Dedup.dedupClusters(t(s, dir, "documents"), n = 3, threshold = 0.2,
+        maxDf = 1000L) // finite skew cap, exact here (corpus max DF 25 << 1000 — see d03)
         .orderBy(col("doc_id"))
     }),
 

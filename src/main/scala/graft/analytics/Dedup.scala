@@ -204,6 +204,19 @@ object Dedup {
     }
   }
 
+  /** MinHash signatures over the PORTABLE md5-low64 shingle hash — the
+    * same tokenize → shingle → hash → running-min chain as
+    * [[minhashSignatures]] with [[md5Low64]] substituted for xxhash64, so
+    * any SQL engine with md5 can reproduce the signatures bit-for-bit
+    * (the d10/d11 oracle path). Use the xxhash64 variant in production.
+    */
+  def minhashSignaturesPortable(docs: DataFrame, n: Int, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenized(docs, idCol, textCol).where(size(col("ws")) >= n)
+      .select(col("id"), shinglesFromTokens(col("ws"), n).as("sh"))
+      .select(col("id"), transform(col("sh"), s => md5Low64(s)).as("hs"))
+      .select(col("id"), minhashFromHashes(col("hs"), k).as("sig"))
+
   /** MinHash + banded LSH candidate pairs with estimated Jaccard.
     *
     * signature(k) → split into `bands` bands of k/bands rows → bucket key =
@@ -232,10 +245,19 @@ object Dedup {
     * MEMORY_AND_DISK spills safely at scale.
     */
   def minhashCandidates(docs: DataFrame, n: Int, k: Int, bands: Int,
-      threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(docs, n, k, idCol, textCol)
+    // `portableHash` swaps ONLY the per-shingle base hash (md5-low64 vs
+    // xxhash64); banding, bucket join, and est_jaccard are the same code
+    // path, so a cross-engine oracle on the portable variant (d11) proves
+    // the whole band→bucket-join→estimate chain the production variant
+    // runs. (The internal bucket key stays xxhash64(band, slice) — it is a
+    // pure partitioning key whose equality coincides with band-slice
+    // equality; the oracle expresses the banding as slice equality.)
+    val sigs = (if (portableHash) minhashSignaturesPortable(docs, n, k, idCol, textCol)
+                else minhashSignatures(docs, n, k, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // All `bands` bucket hashes in ONE projection over the cached sig —
     // xxhash64 of a slice of an in-memory array (xxhash64 hashes array
@@ -428,8 +450,9 @@ object Dedup {
     * operators agree — asserted in DedupSpec.
     */
   def dedupClustersApprox(docs: DataFrame, n: Int, k: Int, bands: Int,
-      threshold: Double, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = minhashCandidates(docs, n, k, bands, threshold, idCol, textCol)
+      threshold: Double, idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = false): DataFrame = {
+    val pairs = minhashCandidates(docs, n, k, bands, threshold, idCol, textCol, portableHash)
     clustersFromPairs(pairs, docs, idCol)
   }
 
