@@ -870,6 +870,63 @@ object SparkEntry {
   private val tokensSqlExpr =
     """list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> length(x) > 0)"""
 
+  // ── shared CTE builders of the portable-MinHash twins (d10/d11/d12) ──
+
+  /** Spark's wrapping 64-bit h·a+b reproduced in HUGEINT, re-centered to
+    * signed 64-bit (expects columns `h`, `a`, `b` in scope). */
+  private val minhashSwExpr =
+    "(((h * a + b) % 18446744073709551616 + 18446744073709551616 + " +
+      "9223372036854775808) % 18446744073709551616) - 9223372036854775808"
+
+  /** md5-low64 of `s` as a signed BIGINT-range HUGEINT — the portable
+    * base hash ([[Dedup.md5Low64]]'s twin). */
+  private val md5Low64SqlExpr =
+    "CASE WHEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT) >= 9223372036854775808" +
+      " THEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT - 18446744073709551616" +
+      " ELSE CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT END"
+
+  /** Opening CTEs of every portable-MinHash oracle: the k (a,b) constants
+    * from the ONE shared generator ([[Dedup.minhashConstants]] — also
+    * behind `minhashFromHashes` and the native expression, so operator and
+    * oracle cannot drift), then tokenize → 3-gram shingle → md5-low64 base
+    * hash. Emits `consts(pos, a, b)`, `tok`, `g`, `hs`; callers append
+    * consumers of `hs CROSS JOIN consts`.
+    */
+  private def portableMinhashCtes(k: Int): String = {
+    val consts = Dedup.minhashConstants(k).zipWithIndex.map { case ((a, b), p) =>
+      s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+    }.mkString(", ")
+    s"""consts(pos, a, b) AS (VALUES $consts),
+       |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+       |  FROM tok WHERE len(ws) >= 3),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> $md5Low64SqlExpr) AS hl FROM g)""".stripMargin
+  }
+
+  /** Band→bucket-join→estimate tail of the LSH twins (d11/d12), mirroring
+    * [[Dedup.minhashCandidates]]: per-doc ordered signature lists, `bands`
+    * bands of k/bands as list slices, candidate pairs on ANY equal band
+    * slice (a_id < b_id, distinct), est_jaccard = agreeing-position
+    * fraction over the full k, thresholded. Emits `sig`, `bnd`, `cand`,
+    * `pairs(a_id, b_id, est_jaccard)` on top of [[portableMinhashCtes]].
+    */
+  private def portableLshPairCtes(k: Int, bands: Int, threshold: Double): String = {
+    val rpb = k / bands
+    s"""sig AS (SELECT doc_id,
+       |  list(CAST(list_min(list_transform(hl, h -> $minhashSwExpr)) AS BIGINT) ORDER BY pos) AS sg
+       |  FROM hs CROSS JOIN consts GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, b, list_slice(sg, b*$rpb + 1, b*$rpb + $rpb) AS slc
+       |  FROM sig CROSS JOIN range($bands) r(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bnd x JOIN bnd y ON x.b = y.b AND x.slc = y.slc AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT a_id, b_id, est_jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_filter(range(1, ${k + 1}), i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.a_id JOIN sig sb ON sb.doc_id = cand.b_id)
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
+  }
+
   /** SQL twin of [[qualityQuota]]: `sourceCtes` must open the WITH list and
     * define a CTE `d(doc_id, lang, text)`; the shared tail scores and
     * quota-selects exactly like the Spark helper.
@@ -1178,16 +1235,22 @@ object SparkEntry {
     // Transitive closure via recursive CTE: the UNION (distinct) bounds the
     // state space, and a label only propagates to strictly larger ids —
     // every path out of a component's min vertex visits only larger ids, so
-    // the min label reaches every member.
+    // the min label reaches every member. The `ef` index side mirrors the
+    // operator's maxDf=1000 hot-shingle cap (index rows whose shingle DF
+    // exceeds the cap are dropped; set sizes stay UNcapped) so operator and
+    // oracle express the same algorithm on any corpus — at this one the cap
+    // is inert (max DF 25).
     "d07_dedup_clusters" -> (
       s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
          |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
          |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
          |  ELSE [] END AS sh FROM tok),
          |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+         |df AS (SELECT shingle, count(*) AS dfreq FROM e GROUP BY shingle),
+         |ef AS (SELECT e.doc_id, e.sz, e.shingle FROM e JOIN df USING (shingle) WHERE dfreq <= 1000),
          |inter AS (
          | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
-         | FROM e a JOIN e b USING (shingle)
+         | FROM e a JOIN ef b USING (shingle)
          | WHERE a.doc_id < b.doc_id
          | GROUP BY 1, 2, 3, 4),
          |edges AS (
@@ -1205,30 +1268,43 @@ object SparkEntry {
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin),
 
-    // MinHash core twin: the (a, b) constants come from the ONE shared
-    // generator (Dedup.minhashConstants — also behind minhashFromHashes
-    // and the native expression), so operator and oracle cannot drift.
-    // Spark's wrapping long arithmetic h·a+b is reproduced in HUGEINT
-    // then re-centered to signed 64-bit before the min.
-    "d10_minhash_portable" -> {
-      val consts = Dedup.minhashConstants(16).zipWithIndex.map { case ((a, b), p) =>
-        s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
-      }.mkString(", ")
-      val sw = "(((h * a + b) % 18446744073709551616 + 18446744073709551616 + " +
-        "9223372036854775808) % 18446744073709551616) - 9223372036854775808"
-      val md5h = "CASE WHEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT) >= 9223372036854775808" +
-        " THEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT - 18446744073709551616" +
-        " ELSE CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT END"
-      s"""WITH consts(pos, a, b) AS (VALUES $consts),
-         |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
-         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
-         |  FROM tok WHERE len(ws) >= 3),
-         |hs AS (SELECT doc_id, list_transform(sh, s -> $md5h) AS hl FROM g)
-         |SELECT doc_id, pos, CAST(list_min(list_transform(hl, h -> $sw)) AS BIGINT) AS min_hash
+    // MinHash core twin: signature values per (doc, position) from the
+    // shared CTE builder (constants, base hash, and wrapping arithmetic
+    // documented at portableMinhashCtes).
+    "d10_minhash_portable" ->
+      s"""WITH ${portableMinhashCtes(16)}
+         |SELECT doc_id, pos, CAST(list_min(list_transform(hl, h -> $minhashSwExpr)) AS BIGINT) AS min_hash
          |FROM hs CROSS JOIN consts
-         |ORDER BY doc_id, pos""".stripMargin
-    },
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // Full LSH pair twin of d11: the same signature chain at k=64, then
+    // banding expressed as band-slice equality (Spark's internal
+    // xxhash64(band, slice) bucket key is a pure partitioning key whose
+    // equality coincides with slice equality), distinct a<b candidate
+    // pairs, est_jaccard as the agreeing-position fraction, >= 0.4.
+    "d11_minhash_lsh_portable" ->
+      s"""WITH ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)}
+         |SELECT a_id, b_id, est_jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    // Approx-cluster twin of d12: d11's pair chain as the edge set feeding
+    // the SAME recursive-CTE transitive closure as d07 (min-label
+    // reachability, see the d07 comment), then the identical
+    // (cluster_id, cluster_size, is_survivor) resolution.
+    "d12_dedup_clusters_approx" ->
+      s"""WITH RECURSIVE ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)},
+         |bidir AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS is_survivor
+         |FROM cc ORDER BY doc_id""".stripMargin,
 
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical
