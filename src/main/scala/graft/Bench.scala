@@ -15,6 +15,13 @@ import scala.util.control.NonFatal
   *    cold 9.3 s vs 1.8 s steady-state). Operator-internal persists from the
   *    warmup are dropped (`clearCache`) so timed runs are JIT-warm but
   *    cache-cold;
+  *  - each query is timed over THREE iterations (cache-cold each, see
+  *    below) and the MEDIAN is reported (round-5/6 postmortems: single
+  *    iterations produced 2× phantom deltas on unchanged code — one GC
+  *    pause or JIT recompilation landing on a random query per run is the
+  *    dominant term at this timescale; the median of 3 rejects a single
+  *    outlier iteration). Per-iteration seconds go to stderr for manual
+  *    spread inspection;
   *  - failures are reported structurally in a "failed" object (and the query
   *    is excluded from "queries"/total) instead of a -1 timing.
   * Optional args = query-name filter (local iteration; driver passes none).
@@ -31,27 +38,37 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case NonFatal(_) => () } // warmup failures re-surface in the timed pass
     }
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      // every timed query starts cache-cold and memory-neutral: drop
+      // every timed iteration starts cache-cold and memory-neutral: drop
       // operator-internal persists (d03 shingle sets, d04 signatures) and
-      // eager localCheckpoint blocks left by the PREVIOUS query, then take
+      // eager localCheckpoint blocks left by the PREVIOUS run, then take
       // the GC pause OUTSIDE the timed section — with a 32 GiB heap a
       // stop-the-world collection otherwise lands on one random query per
       // run (round-3 observations: 2 s queries spiking to 17-28 s)
       // (System.gc() also lets ContextCleaner reap unreferenced
       // localCheckpoint RDD blocks, which clearCache does not cover)
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        None
-      } catch {
-        case NonFatal(e) =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          Some(s"${e.getClass.getSimpleName}")
+      val timings = (1 to iters).flatMap { _ =>
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      // any failed iteration fails the query — a partially-failing query
+      // must not report a healthy-looking median
+      if (timings.size < iters) (name, -1.0, Some("failed"))
+      else {
+        val sorted = timings.sorted
+        System.err.println(f"[bench] $name iters=${sorted.map(t => f"$t%.3f").mkString(",")}")
+        (name, sorted(iters / 2), None)
+      }
     }
     // full JSON string escape (backslash, quote, control chars) — sfDir is
     // environment-provided and must not be able to corrupt the one-line
