@@ -39,6 +39,7 @@ object Bench {
       catch { case NonFatal(_) => () } // warmup failures re-surface in the timed pass
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val results = selected.map { case (name, fn) =>
       // every timed iteration starts cache-cold and memory-neutral: drop
       // operator-internal persists (d03 shingle sets, d04 signatures) and
@@ -48,6 +49,7 @@ object Bench {
       // run (round-3 observations: 2 s queries spiking to 17-28 s)
       // (System.gc() also lets ContextCleaner reap unreferenced
       // localCheckpoint RDD blocks, which clearCache does not cover)
+      var firstErr: Option[String] = None
       val timings = (1 to iters).flatMap { _ =>
         spark.catalog.clearCache()
         System.gc()
@@ -58,12 +60,14 @@ object Bench {
         } catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            if (firstErr.isEmpty) firstErr = Some(e.getClass.getSimpleName)
             None
         }
       }
       // any failed iteration fails the query — a partially-failing query
-      // must not report a healthy-looking median
-      if (timings.size < iters) (name, -1.0, Some("failed"))
+      // must not report a healthy-looking median; the failure class goes
+      // into the driver-visible report, not just stderr
+      if (timings.size < iters) (name, -1.0, Some(firstErr.getOrElse("failed")))
       else {
         val sorted = timings.sorted
         System.err.println(f"[bench] $name iters=${sorted.map(t => f"$t%.3f").mkString(",")}")

@@ -912,6 +912,7 @@ object SparkEntry {
     * `pairs(a_id, b_id, est_jaccard)` on top of [[portableMinhashCtes]].
     */
   private def portableLshPairCtes(k: Int, bands: Int, threshold: Double): String = {
+    require(k % bands == 0, s"signature length $k must divide into $bands bands")
     val rpb = k / bands
     s"""sig AS (SELECT doc_id,
        |  list(CAST(list_min(list_transform(hl, h -> $minhashSwExpr)) AS BIGINT) ORDER BY pos) AS sg
@@ -1278,10 +1279,13 @@ object SparkEntry {
          |ORDER BY doc_id, pos""".stripMargin,
 
     // Full LSH pair twin of d11: the same signature chain at k=64, then
-    // banding expressed as band-slice equality (Spark's internal
-    // xxhash64(band, slice) bucket key is a pure partitioning key whose
-    // equality coincides with slice equality), distinct a<b candidate
-    // pairs, est_jaccard as the agreeing-position fraction, >= 0.4.
+    // banding expressed as band-slice equality. Spark's internal
+    // xxhash64(band, slice) bucket key is a pure partitioning key: slice
+    // equality implies bucket equality, and the converse holds modulo
+    // 64-bit hash collisions between distinct (band, slice) pairs — a
+    // collision could admit a Spark-only candidate pair this twin lacks
+    // (visible only if its est_jaccard also clears the threshold);
+    // negligible at 2^-64 but worth considering if this oracle mismatches.
     "d11_minhash_lsh_portable" ->
       s"""WITH ${portableMinhashCtes(64)},
          |${portableLshPairCtes(64, 16, 0.4)}

@@ -86,6 +86,28 @@ class DedupSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-Jaccard pairs: $missed")
   }
 
+  test("portable-hash LSH parity: md5-low64 and xxhash64 variants emit the " +
+    "same candidate ID-pair set (sf0.001 corpus + planted dupes)") {
+    // portableHash swaps ONLY the per-shingle base hash; both variants are
+    // deterministic, and at this corpus the surviving (est_jaccard >= 0.5)
+    // pair set must agree — the contract that lets the d11 oracle on the
+    // portable variant stand in for the production chain.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val planted = real.where(col("doc_id") < 5)
+      .select(col("doc_id") + 100000L as "doc_id", col("text"))
+    val corpus = real.unionByName(planted)
+    def pairSet(portable: Boolean) =
+      Dedup.minhashCandidates(corpus, n = 3, k = 64, bands = 16, threshold = 0.5,
+          portableHash = portable)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val prod = pairSet(portable = false)
+    val port = pairSet(portable = true)
+    assert(prod.nonEmpty, "planted duplicates must surface as LSH pairs")
+    assert(prod === port,
+      s"prod-only=${prod -- port} portable-only=${port -- prod}")
+  }
+
   test("containment (d09): sub-document scores ~1.0 where symmetric Jaccard is low") {
     // doc 10 = a 6-word fragment, doc 11 = a 40-word doc CONTAINING it
     val frag = "alpha beta gamma delta epsilon zeta"
