@@ -636,8 +636,11 @@ object SparkEntry {
     }),
 
     // Similarity: multi-table LSH random-hyperplane top-k (the scale path;
-    // recall vs s01 floor-asserted in SimilaritySpec — no SQL twin, planes
-    // are seeded RNG).
+    // recall vs s01 floor-asserted in SimilaritySpec). The hyperplanes are
+    // seeded literals from Similarity.hyperplanes — the oracle embeds the
+    // SAME doubles as a VALUES CTE (lshPlanesValues), so bucketing,
+    // candidate generation, and the exact re-ranking are all hash-matched
+    // cross-engine.
     "s02_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5,
@@ -648,8 +651,10 @@ object SparkEntry {
     }),
 
     // Similarity: IVF coarse-quantizer top-k (the bucketed ANN alternative
-    // to s02; recall floor-asserted in SimilaritySpec — no SQL twin, the
-    // ranking ties depend on engine-internal float accumulation order).
+    // to s02; recall floor-asserted in SimilaritySpec). Cell assignment
+    // ranks on round(cosine, 6) with cent_id tie-break — deterministic
+    // across engines — so the DuckDB twin reproduces assignment, candidate
+    // generation, and the exact re-ranking end-to-end.
     "s03_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 8)
@@ -711,11 +716,24 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // Text: order-sensitive rolling-hash fingerprint (no SQL twin — xxhash64).
+    // Text: order-sensitive rolling-hash fingerprint (xxhash64 family — the
+    // fast production variant; the fold construction is oracle-checked via
+    // the portable twin t07 below, which differs only in the base hash).
     "t04_rolling_fingerprint" -> ((s, dir) => {
       analytics.Par.spreadForCpu(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
         .select(col("doc_id"), TextAnalysis.rollingHashFromTokens(s, col("ws")).as("fp64"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text: the rolling fingerprint with the PORTABLE md5-low64 token hash —
+    // the oracle-checked representative of the fingerprint family (the
+    // DuckDB twin folds the same base-1000003 multiply-add with HUGEINT
+    // wraparound; cf. d08/d10 for simhash/minhash).
+    "t07_rolling_fingerprint_portable" -> ((s, dir) => {
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.rollingHashPortableFromTokens(col("ws")).as("fp64"))
         .orderBy(col("doc_id"))
     }),
 
@@ -927,6 +945,33 @@ object SparkEntry {
        |  FROM cand JOIN sig sa ON sa.doc_id = cand.a_id JOIN sig sb ON sb.doc_id = cand.b_id)
        |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
+
+  /** VALUES rows `(tbl, pl, w)` of the seeded random-hyperplane tables used
+    * by s02 — generated from the SAME [[Similarity.hyperplanes]] calls as
+    * the operator (one table per seed offset), so operator and oracle share
+    * every plane coefficient bit-for-bit. `Double.toString` round-trips
+    * exactly and DuckDB parses both plain and E-notation literals as
+    * DOUBLE, so no precision is lost crossing engines.
+    */
+  private def lshPlanesValues(nTables: Int, planesPerTable: Int, dim: Int, seed: Long): String =
+    (0 until nTables).flatMap { t =>
+      Similarity.hyperplanes(planesPerTable, dim, seed + t).zipWithIndex.map { case (w, i) =>
+        s"($t, $i, [${w.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+
+  /** Shared scoring tail of the ANN twins (s02/s03): exact cosine over the
+    * candidate pairs, per-probe rank (sim desc, neighbor asc — s01's
+    * contract), top `k`, display-rounded to 6 dp. Expects CTEs
+    * `v(vec_id, ev)` and `cand(probe_id, neighbor_id)` in scope.
+    */
+  private def annRankSql(k: Int): String =
+    s"""s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv.ev, cv.ev) AS sim
+       |  FROM cand JOIN v pv ON pv.vec_id = cand.probe_id JOIN v cv ON cv.vec_id = cand.neighbor_id),
+       |r AS (SELECT probe_id, neighbor_id, sim,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+       |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
+       |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
 
   /** SQL twin of [[qualityQuota]]: `sourceCtes` must open the WITH list and
     * define a CTE `d(doc_id, lang, text)`; the shared tail scores and
@@ -1348,6 +1393,60 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // ANN twin of s02: the operator's seeded hyperplanes embedded as
+    // literal VALUES (lshPlanesValues — same Similarity.hyperplanes
+    // doubles), sign-pattern bucket per (vector, table) as a bit-summed
+    // aggregate, candidates = bucket hits in ANY table, then s01's exact
+    // cosine re-rank. Sign decisions ride IEEE-double dots; both engines
+    // see identical plane/vector doubles, so a flip would need a dot
+    // within one accumulation-reorder ulp of 0 — vanishingly rare for
+    // Gaussian planes, and caught by this oracle if it ever happens.
+    "s02_lsh_topk" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(16, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 10),
+         |${annRankSql(5)}""".stripMargin,
+
+    // ANN twin of s03: centroids = 16 lowest-id vectors, assignment ranks
+    // round(cosine, 6) with cent_id tie-break (the operator's documented
+    // deterministic contract), corpus to its 1 nearest cell, probes to 8,
+    // candidates per shared cell, then s01's exact cosine re-rank.
+    "s03_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM v CROSS JOIN cents),
+         |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn) WHERE r <= 1),
+         |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+         |cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${annRankSql(5)}""".stripMargin,
+
+    // Portable rolling-fingerprint twin (t07): md5-low64 per token (d10's
+    // base-hash expression), then the base-1000003 multiply-add fold with
+    // Java-long wraparound in HUGEINT; empty token lists fold to 0 like
+    // Spark's aggregate over an empty array.
+    "t07_rolling_fingerprint_portable" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |hl AS (SELECT doc_id, list_transform(ws, s -> $md5Low64SqlExpr) AS hl FROM tok)
+         |SELECT doc_id, CAST(CASE WHEN len(hl) = 0 THEN 0
+         |  ELSE list_reduce(hl, (acc, h) -> (((acc * 1000003 + h) % 18446744073709551616
+         |    + 18446744073709551616 + 9223372036854775808) % 18446744073709551616)
+         |    - 9223372036854775808) END AS BIGINT) AS fp64
+         |FROM hl ORDER BY doc_id""".stripMargin),
 
     "q36_stratified_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (

@@ -186,6 +186,12 @@ object Similarity {
     * production deployment would train k-means centroids once (e.g.
     * spark.ml KMeans) and keep everything downstream identical.
     *
+    * Cell assignment ranks centroids by the cosine ROUNDED to 6 decimals
+    * (ties broken by cent_id): near-equal centroid similarities collapse
+    * into a deterministic id-ordered tie instead of depending on the
+    * engine's float accumulation order, which is what lets a SQL twin
+    * reproduce the assignment exactly (the s03 oracle).
+    *
     * Scale shape: assignment is one broadcast-NLJ pass over the corpus
     * (nCells dot products per row, no shuffle of the corpus); at 100 TB the
     * cell assignment is written once with bucketBy(cell) so probe batches
@@ -205,7 +211,7 @@ object Similarity {
         .select(col(idCol).as(s"${side}_id"), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
         .join(cents)
         .select(col(s"${side}_id"), col("cent_id"),
-          cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")).as("csim"))
+          round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6).as("csim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(s"${side}_id"))
         .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)

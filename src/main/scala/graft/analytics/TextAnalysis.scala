@@ -120,6 +120,16 @@ object TextAnalysis {
     if (spark.catalog.functionExists("rolling_hash64")) call_function("rolling_hash64", toks)
     else rollingHashFromTokens(toks)
 
+  /** Rolling hash over the PORTABLE md5-low64 token hash — the same
+    * base-1000003 multiply-add fold as [[rollingHashFromTokens]] with
+    * [[Dedup.md5Low64]] substituted for xxhash64, so any engine with md5
+    * and 128-bit integer arithmetic can reproduce the fingerprint
+    * bit-for-bit (the t07 oracle path; cf. d08/d10 for the simhash and
+    * minhash families). Production uses the xxhash64 variant.
+    */
+  def rollingHashPortableFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc * lit(1000003L) + Dedup.md5Low64(t))
+
   // ── PII scrubbing (training-data hygiene) ──
 
   /** PII patterns scrubbed from training text. Kept to constructs shared by
