@@ -92,3 +92,40 @@ object Sinks {
         .select(lit("comms").as("field")))
       .distinct()
 }
+
+/** D3 — the dynamic-registration CONTROL LOOP on top of
+  * [[Sinks.discoveredFields]]: the reference re-registers its output schema
+  * with the registry service whenever a batch surfaces a metric field it
+  * has not seen before (receiver.py:399–410 — "if new fields discovered →
+  * call registration once with the full field set"). The engine's analog:
+  * per micro-batch, diff the batch's discovered fields against the
+  * registered universe; on any delta, invoke `onRegister` EXACTLY ONCE with
+  * the ENLARGED universe. Idempotent batches (no new fields) invoke nothing.
+  *
+  * The per-batch `collect` here is a driver-side CONTROL decision over the
+  * distinct field-NAME set (dimension-sized — a handful of metric names,
+  * bounded by the schema, not the data volume); the aggregation that
+  * produces it is the same distributed plan as q21. This is the standard
+  * shape for control loops at 100 TB: the data path stays distributed, only
+  * the decision variable lands on the driver.
+  */
+final class FieldRegistry(onRegister: Set[String] => Unit) {
+  @volatile private var registered = Set.empty[String]
+
+  /** The currently-registered field universe. */
+  def universe: Set[String] = registered
+
+  /** Process one (micro-)batch of envelopes; registers once if the batch
+    * enlarges the universe. Returns the newly-discovered fields.
+    */
+  def observe(envelopes: DataFrame): Set[String] = synchronized {
+    import envelopes.sparkSession.implicits._
+    val batchFields = Sinks.discoveredFields(envelopes).as[String].collect().toSet
+    val fresh = batchFields -- registered
+    if (fresh.nonEmpty) {
+      registered = registered ++ fresh
+      onRegister(registered)
+    }
+    fresh
+  }
+}

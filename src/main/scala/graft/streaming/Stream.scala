@@ -213,6 +213,63 @@ object Stream {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** H5 — the idempotent-sink half of end-to-end exactly-once. foreachBatch
+    * delivery is at-least-once (a batch whose sink failed is re-delivered
+    * with the SAME batchId after restart — StreamingSpec proves the
+    * redelivery), so a sink that UPSERTS by (batchId, key) makes the replay
+    * overwrite its own partial first attempt instead of appending
+    * duplicates: at-least-once delivery + idempotent writes = exactly-once
+    * OBSERVABLE state, the standard foreachBatch contract this file's
+    * dedupWithinWatermark doc points at.
+    *
+    * The store is the single-JVM analog of a transactional keyed target
+    * (Delta `MERGE`, JDBC `INSERT .. ON CONFLICT DO UPDATE`): instances
+    * carry only a `storeId`, and all closure copies in the JVM address one
+    * shared table (how a remote keyed system behaves from every executor).
+    */
+  final class KeyedUpsertStore(val storeId: String) extends Serializable {
+    private def table = KeyedUpsertStore.tableFor(storeId)
+    /** Idempotent write: replaces any prior value for (batchId, key). */
+    def upsert(batchId: Long, key: String, value: String): Unit =
+      table.put((batchId, key), value)
+    def snapshot: Map[(Long, String), String] = table.readOnlySnapshot().toMap
+  }
+
+  object KeyedUpsertStore {
+    private val stores =
+      scala.collection.concurrent.TrieMap
+        .empty[String, scala.collection.concurrent.TrieMap[(Long, String), String]]
+    private def tableFor(id: String) =
+      stores.getOrElseUpdate(id, scala.collection.concurrent.TrieMap.empty)
+  }
+
+  /** A `sendBatch` adapter for [[runIngest]]: writes each (key, value) row
+    * into `store` keyed by (batchId, key). The write path is
+    * `foreachPartition` — executor-side, no driver materialization — which
+    * is exactly where a production sink would open its per-partition
+    * connection to the keyed target.
+    */
+  def upsertSender(store: KeyedUpsertStore): (DataFrame, Long) => Unit =
+    (frame, batchId) =>
+      frame.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach(r =>
+          store.upsert(batchId, r.getAs[String]("key"), r.getAs[String]("value")))
+      }
+
+  /** D3 streaming wiring — run a [[graft.sinks.FieldRegistry]]'s observe
+    * loop per micro-batch over an envelope stream: any batch that enlarges
+    * the discovered-field universe triggers exactly one registration
+    * callback (reference receiver.py:399–410).
+    */
+  def fieldRegistrationStream(envelopes: DataFrame, checkpointDir: String,
+      registry: graft.sinks.FieldRegistry,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => registry.observe(batch); () }
+      .start()
+
   /** Convenience: a file-based raw-notification stream (one JSON document
     * per line) — the test/demo source; production would use
     * `format("kafka")`.

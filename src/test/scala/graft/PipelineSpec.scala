@@ -156,6 +156,33 @@ class PipelineSpec extends SparkSpec {
       "thrputDl_mbps", "thrputUl_mbps", "trajectory"))
   }
 
+  test("FieldRegistry control loop: a new metric key triggers exactly one re-registration (D3)") {
+    // reference receiver.py:399–410: on discovering unseen metric fields,
+    // the service re-registers its output schema ONCE with the full set.
+    val calls = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+    val registry = new sinks.FieldRegistry(calls += _)
+    val perfFields = Set("pdb_ms", "plr_per_thousand", "thrputUl_mbps", "thrputDl_mbps")
+
+    // batch 1: first sight of the PERF_DATA fields → one registration
+    assert(registry.observe(envelopes(Fixtures.perfDataPayload)) === perfFields)
+    assert(calls.toSeq === Seq(perfFields))
+
+    // batch 2: same fields again → no delta, NO registration call
+    assert(registry.observe(envelopes(Fixtures.perfDataPayload)) === Set.empty)
+    assert(calls.size === 1)
+
+    // batch 3: a payload with a new metric key (pdbDl_ms) → exactly one
+    // more registration, carrying the ENLARGED universe
+    val newKeyPayload =
+      s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[{"event":"PERF_DATA",
+         |"perfDataInfos":[{"ueIpAddr":{"ipv4Addr":"10.0.0.1"},
+         |"perfData":{"pdbDl":"250"}}]}]}""".stripMargin.replace("\n", "")
+    assert(registry.observe(envelopes(newKeyPayload)) === Set("pdbDl_ms"))
+    assert(calls.size === 2)
+    assert(calls.last === perfFields + "pdbDl_ms")
+    assert(registry.universe === perfFields + "pdbDl_ms")
+  }
+
   test("DiscoveredFieldsAgg: the typed Aggregator form agrees with the plan form") {
     import spark.implicits._
     val metricKeys = SparkEntry.entry(spark)

@@ -224,6 +224,42 @@ class StreamingSpec extends SparkSpec {
     assert(delivered.toSeq === Seq(Fixtures.NotifId))
   }
 
+  test("exactly-once observable state: (batchId, key) upsert sink absorbs the replayed batch (H5)") {
+    // The complement of the at-least-once test above: the sink WRITES its
+    // rows and THEN crashes, so the batch is both partially-applied and
+    // re-delivered. A (batchId, key)-keyed UPSERT makes the replay
+    // overwrite the first attempt — exactly one row per key survives, where
+    // an append sink would hold duplicates.
+    val srcDir = tempDir("graft-eos-src")
+    val ckptDir = tempDir("graft-eos-ckpt")
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Fixtures.perfDataPayload + "\n").getBytes("UTF-8"))
+    val store = new Stream.KeyedUpsertStore("h5-" + java.util.UUID.randomUUID())
+    val appended = scala.collection.mutable.ArrayBuffer.empty[String] // non-idempotent contrast
+    def run(crashAfterWrite: Boolean): Option[Throwable] = {
+      val q = Stream.runIngest(
+        raw = Stream.fileSource(spark, srcDir),
+        subscriptions = Fixtures.subscriptions(spark),
+        checkpointDir = ckptDir,
+        sendBatch = (batch: DataFrame, batchId: Long) => {
+          Stream.upsertSender(store)(batch, batchId)
+          appended ++= batch.collect().map(_.getAs[String]("key"))
+          if (crashAfterWrite) throw new RuntimeException("sink crashed AFTER writing")
+        },
+        now = Some(org.apache.spark.sql.functions.lit(FixedNow)))
+      try { q.awaitTermination(60000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    assert(run(crashAfterWrite = true).nonEmpty)
+    assert(store.snapshot.size === 1, "first attempt applied its writes before crashing")
+    // restart: the SAME batch (same batchId) is re-delivered and re-written
+    assert(run(crashAfterWrite = false).isEmpty)
+    assert(appended.size === 2, "delivery alone is at-least-once: the batch ran twice")
+    // ...but the idempotent store holds exactly one row per (batchId, key)
+    assert(store.snapshot.size === 1)
+    assert(store.snapshot.keys.map(_._2).toSeq === Seq(Fixtures.NotifId))
+  }
+
   test("parquet streaming source: windowed counts over real events agree with batch") {
     // the driver's events table itself as a stream (readStream.parquet with
     // a glob filter), through the watermarked windows — closed windows must
