@@ -84,11 +84,17 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"${j(k)}:$v" }.mkString("{", ",", "}")
+    // ms precision, not Double.toString: the driver keeps only the LAST
+    // 2000 bytes of output and parses the JSON line out of that window.
+    // 17-digit doubles pushed the 63-query line to ~2400 bytes, so every
+    // round's report landed truncated ("parsed": null, rounds 1-7); at
+    // %.3f the worst-case line is ~1770 bytes and fits under the sbt
+    // epilogue with margin.
+    val qs = ok.map { case (k, v, _) => f"${j(k)}:$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"${j(k)}:${j(e)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":${j(sfDir)}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":${j(sfDir)}}""")
     spark.stop()
   }
 }

@@ -397,9 +397,14 @@ object SparkEntry {
     // agg triggers the distinct-rewrite, whose first phase groups by
     // (flag, partkey) — and every one of those ~200k groups would carry
     // the 16 KB rsd=0.01 HLL++ partial buffer (measured: 27 s vs 2 s at
-    // sf0.1). No SQL twin (estimator internals are engine-specific); the
-    // ≤2%-relative-error invariant vs the exact count is asserted in
-    // OperatorsSpec.
+    // sf0.1). Estimator internals are engine-specific, so the raw
+    // estimates cannot hash-match a DuckDB twin; instead the OUTPUT is the
+    // oracle-checkable part of the contract: the exact distinct count
+    // (hash-matched cross-engine) plus per-estimator ≤2%-relative-error
+    // flags, which the twin asserts as literal TRUE — the gate now checks
+    // the error contract on real data, not just in OperatorsSpec. Both
+    // estimators are order-insensitive (HLL register merge is a max), so
+    // the flags are deterministic under task reordering.
     "q30_approx_distinct" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val approx = li.groupBy(col("l_returnflag"))
@@ -409,6 +414,11 @@ object SparkEntry {
       val exact = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_parts"))
       approx.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.02).as("approx_err_ok"),
+          (abs(col("sketch_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.02).as("sketch_err_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -752,8 +762,13 @@ object SparkEntry {
 
     // E3 at scale — sketch percentiles (GK/QuantileSummaries: fixed-size
     // mergeable state, the 100 TB shape) side by side with the exact
-    // sort-based percentile (q27's operator). No SQL twin (sketch
-    // internals engine-specific); closeness invariant in OperatorsSpec.
+    // sort-based percentile (q27's operator). GK internals are
+    // engine-specific, so like q30 the output is the oracle-checkable
+    // contract: exact percentiles (hash-matched vs quantile_cont, the
+    // q27 recipe) plus ≤1%-relative-error flags for the sketch values,
+    // asserted TRUE by the twin. accuracy=10000 bounds rank error at
+    // n/10000 ≈ 2 rows per group at sf0.01, so the 1% value flag holds
+    // with wide margin regardless of partial-merge order.
     "q35_approx_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -762,6 +777,11 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
           expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
           expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.01).as("p50_err_ok"),
+          (abs(col("p95_approx") - col("p95_exact")) <=
+            abs(col("p95_exact")) * 0.01).as("p95_err_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1172,6 +1192,23 @@ object SparkEntry {
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         | quantile_cont(o_totalprice, 0.95) AS p95, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Sketch twins (q30/q35): the estimator internals are engine-specific,
+    // so the twin checks the two halves of the contract separately — the
+    // exact aggregate hash-matches cross-engine, and the sketch's
+    // documented error bound is a deterministic boolean the Spark side
+    // computes and the twin asserts as literal TRUE. A sketch regression
+    // beyond its bound now fails the gate, not just the unit test.
+    "q30_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS approx_err_ok, TRUE AS sketch_err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q35_approx_percentiles" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        | quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+        | TRUE AS p50_err_ok, TRUE AS p95_err_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q26_asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'),
