@@ -881,9 +881,10 @@ object SparkEntry {
 
   /** Shared q37/q38 tail: quality score → per-language rank → top-k quota
     * (ONE definition so the two curation queries and their oracles cannot
-    * drift from each other).
+    * drift from each other). Package-private: ScaleSmoke times the same
+    * chain at blown-up corpus sizes.
     */
-  private def qualityQuota(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def qualityQuota(docs: DataFrame, k: Int): DataFrame = {
     val scored = docs
       .select(col("doc_id"), col("lang"), col("text"),
         TextAnalysis.tokens(col("text")).as("ws"))

@@ -151,4 +151,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"per-row hashing must not shuffle, plan:\n$p")
   }
+
+  test("s02: LSH ANN candidates equi-join on (table, bucket) — no all-pairs join anywhere") {
+    val p = plan("s02_lsh_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed ANN must never plan an all-pairs join, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast into the bucket join, plan:\n$p")
+  }
+
+  test("s03: IVF candidates equi-join on cent_id; the only loop join is the bounded centroid broadcast") {
+    val p = plan("s03_ivf_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF must never plan an unbounded cartesian, plan:\n$p")
+    // the nCells-row centroid table broadcast-NLJs against each side by
+    // design (assignment = nCells dot products per row, no corpus
+    // shuffle); anything beyond those two assignment joins is a defect.
+    // Count the "(n) Op" detail entries — formatted explain also repeats
+    // each operator in the tree rendering.
+    val loops = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(loops <= 2,
+      s"only the two centroid-assignment loop joins are allowed, found $loops, plan:\n$p")
+  }
 }
