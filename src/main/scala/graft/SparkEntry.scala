@@ -747,6 +747,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality: within-document repetition (the Gopher-style duplicate
+    // n-gram rule) — RAW 3-gram multiplicity per row, no shuffle; the
+    // keep flag compares the 6-dp-ROUNDED fraction so the keep/drop
+    // boundary is bit-identical cross-engine. Gram construction crosses
+    // one projection boundary as an attribute (the expression-shape rule:
+    // size() and array_distinct() both consume it).
+    "t08_repetition" -> ((s, dir) => {
+      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          TextAnalysis.ngramsFromTokens(TextAnalysis.tokens(col("text")), 3).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("n_grams"),
+          size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          TextAnalysis.repetitionFraction(col("n_grams"), col("n_distinct")).as("dup_frac"))
+        .withColumn("keep", col("dup_frac") <= 0.2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Text: top-5 terms per language — corpus term-frequency statistics
     // (explode → two-level agg → per-group top-k window).
     "t06_top_terms" -> ((s, dir) => {
@@ -1485,6 +1504,25 @@ object SparkEntry {
          |    + 18446744073709551616 + 9223372036854775808) % 18446744073709551616)
          |    - 9223372036854775808) END AS BIGINT) AS fp64
          |FROM hl ORDER BY doc_id""".stripMargin),
+
+    // Repetition twin (t08): raw (non-distinct) 3-grams rebuilt with the
+    // same range/concat construction as the d10 shingle CTE minus the
+    // list_distinct, counts materialized once, the shared 1−distinct/total
+    // formula rounded to 6 dp, and the keep flag compared on the ROUNDED
+    // value — so the keep/drop boundary cannot drift between engines.
+    "t08_repetition" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         |  ELSE []::VARCHAR[] END AS g FROM tok),
+         |c AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct FROM g),
+         |f AS (SELECT doc_id, n_grams, n_distinct,
+         |  CASE WHEN n_grams = 0 THEN 0.0
+         |    ELSE round(1.0::DOUBLE - n_distinct::DOUBLE / n_grams::DOUBLE, 6)
+         |  END AS dup_frac FROM c)
+         |SELECT doc_id, n_grams, n_distinct, dup_frac, dup_frac <= 0.2 AS keep
+         |FROM f ORDER BY doc_id""".stripMargin),
 
     "q36_stratified_sample" ->
       """SELECT lang, sample_rank, doc_id FROM (

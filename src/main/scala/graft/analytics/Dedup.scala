@@ -370,9 +370,10 @@ object Dedup {
     * convergence probe would replay everything again); with it, each round
     * is one shuffle over (id, label) pairs — 16 bytes/vertex, orders of
     * magnitude smaller than the documents. The per-round driver round-trip
-    * is a convergence PROBE (`isEmpty` on changed labels), not a data
-    * collect — the standard shape for iterative graph algorithms (GraphX
-    * Pregel does the same). Edge list is persisted once, both directions.
+    * is a convergence PROBE (a scalar label-sum aggregation — see the
+    * monotonicity argument at the probe itself), not a data collect — the
+    * standard shape for iterative graph algorithms (GraphX Pregel does
+    * the same). Edge list is persisted once, both directions.
     *
     * The iteration runs only over EDGE ENDPOINTS; vertices that appear in
     * no edge are their own component by definition and are attached with
@@ -393,10 +394,28 @@ object Dedup {
     // list — no join. Each loop iteration then extends the horizon by one
     // hop, so a diameter-2 component (the common near-dup cluster) needs
     // one joined round plus the convergence check instead of three.
+    // LAZY checkpoints throughout the loop: the convergence probe's sum
+    // aggregation reads every partition, so it materializes the round's
+    // checkpoint as a side effect — one job per round instead of an eager
+    // checkpoint job plus a probe job.
     var labels = bidir.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // Convergence probe: labels only ever DECREASE (min-propagation is
+    // monotone) and the endpoint id set is fixed, so the label sum is
+    // strictly decreasing until the fixpoint — equal sum ⟺ no label
+    // changed. One scalar aggregation per round instead of the previous
+    // next⋈old join probe (halves the per-round job count). decimal(38)
+    // keeps the sum exact: long ids can overflow Long summed over
+    // billions of endpoints, and a wrapped sum could alias two states.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over an empty endpoint set is NULL (edge-free graph) — fold
+      // to zero so the probe still converges on the first round
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -404,11 +423,10 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .where(col("n.label") =!= col("o.label"))
-        .isEmpty
+        .localCheckpoint(eager = false)
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

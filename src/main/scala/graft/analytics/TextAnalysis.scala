@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * tokenization, token-count estimates, quality scoring, n-gram language ID,
@@ -38,6 +38,37 @@ object TextAnalysis {
     aggregate(toks, lit(0L),
       (acc, t) => acc + ceil(length(t).cast(DoubleType) / 4.0).cast(LongType))
   def bpeTokenEstimate(text: Column): Column = bpeTokenEstimateFromTokens(tokens(text))
+
+  /** RAW word n-grams, order-preserving and NOT deduplicated — the
+    * within-document repetition signal needs multiplicity, unlike
+    * [[Dedup.shinglesFromTokens]]'s distinct shingle SET (cross-document
+    * similarity needs set semantics). Space-joined like the shingles so
+    * the two gram spaces stay comparable.
+    */
+  def ngramsFromTokens(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*)))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Within-document repetition fraction: 1 − distinct/total over raw
+    * n-grams (0.0 for documents shorter than n tokens). The classic
+    * pre-training quality rule — boilerplate and low-quality generated
+    * text repeats itself — applied per row with no shuffle; rounded to
+    * 6 dp BEFORE any threshold comparison so the keep/drop boundary is
+    * bit-identical cross-engine (the d06/s01 rounding convention).
+    * The count form is the ONE formula definition; the t08 query and its
+    * DuckDB twin both consume it over materialized gram counts.
+    */
+  def repetitionFraction(nGrams: Column, nDistinct: Column): Column =
+    when(nGrams === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - nDistinct.cast(DoubleType) / nGrams.cast(DoubleType), 6))
+
+  def repetitionFractionFromTokens(ws: Column, n: Int): Column = {
+    val g = ngramsFromTokens(ws, n)
+    repetitionFraction(size(g), size(array_distinct(g)))
+  }
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column = {

@@ -152,6 +152,13 @@ class PlanAuditSpec extends SparkSpec {
       s"per-row hashing must not shuffle, plan:\n$p")
   }
 
+  test("t08: repetition scoring is a pure per-row projection chain (no shuffle before ordering)") {
+    val p = SparkEntry.queries("t08_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row repetition scoring must not shuffle, plan:\n$p")
+  }
+
   test("s02: LSH ANN candidates equi-join on (table, bucket) — no all-pairs join anywhere") {
     val p = plan("s02_lsh_topk")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

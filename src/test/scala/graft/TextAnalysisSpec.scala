@@ -29,6 +29,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(1) === 2L + 1L + 1L) // ceil(5/4)+ceil(2/4)+ceil(1/4)
   }
 
+  test("repetition: raw n-gram multiplicity counted, short docs zero") {
+    val df = Seq(
+      (1L, "a b a b a b"), // 4 raw 3-grams ("a b a","b a b")×2 → 2 distinct → 0.5
+      (2L, "one two"),     // shorter than n → 0 grams → 0.0 by definition
+      (3L, "x y z w")      // 2 grams, both distinct → 0.0
+    ).toDF("doc_id", "text")
+    val r = df
+      .select(col("doc_id"),
+        TextAnalysis.ngramsFromTokens(TextAnalysis.tokens(col("text")), 3).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n"),
+        TextAnalysis.repetitionFraction(
+          size(col("g")), size(array_distinct(col("g")))).as("f"))
+      .orderBy(col("doc_id")).collect()
+    assert(r(0).getInt(1) === 4 && r(0).getDouble(2) === 0.5)
+    assert(r(1).getInt(1) === 0 && r(1).getDouble(2) === 0.0)
+    assert(r(2).getInt(1) === 2 && r(2).getDouble(2) === 0.0)
+  }
+
   test("punctRatio and avgWordLen goldens") {
     val r = Seq("ab, cd!").toDF("t").select(
       TextAnalysis.punctRatio(col("t")).as("p"),
