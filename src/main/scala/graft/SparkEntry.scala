@@ -601,6 +601,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Decontamination: flag corpus documents sharing ANY 3-gram shingle
+    // with a contamination set (stand-in: doc_id < 20 as the "benchmark"
+    // docs). Broadcast contamination shingle universe, one corpus scan —
+    // the eval-overlap hygiene step of a training-data build.
+    "d13_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationFlags(docs, docs.where(col("doc_id") < 20), n = 3)
+        .select(col("id").as("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: 64-bit SimHash per doc (no SQL twin — xxhash64 family).
     "d05_simhash" -> ((s, dir) => {
       Dedup.simhashed(t(s, dir, "documents"))
@@ -1411,6 +1422,23 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // Decontamination twin (d13): the d10 shingle CTE on both sides —
+    // contamination shingle universe from doc_id < 20, hit = any shared
+    // shingle, LEFT JOIN back to the full corpus for the total decision.
+    // Sub-n-token documents have no shingles and stay false on both
+    // engines.
+    "d13_decontaminate" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+         |  FROM tok WHERE len(ws) >= 3),
+         |cs AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id < 20),
+         |hit AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id, unnest(sh) AS sh FROM g) ds JOIN cs USING (sh))
+         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
 
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical

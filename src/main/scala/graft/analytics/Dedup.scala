@@ -72,6 +72,35 @@ object Dedup {
     tokenized(docs, idCol, textCol)
       .select(col("id"), shinglesFromTokens(col("ws"), n).as("sh"))
 
+  /** Decontamination flags: mark every corpus document that shares at
+    * least one n-gram shingle with a contamination set (held-out eval /
+    * benchmark documents) — the standard pre-training hygiene step that
+    * keeps test data out of the training corpus. Returns the FULL corpus
+    * as (id, contaminated) so the caller has a total keep/drop decision
+    * (drop contaminated, keep the rest), the d07 output convention.
+    *
+    * Scale shape: benchmark sets are tiny relative to a 100 TB corpus, so
+    * the contamination shingle UNIVERSE (distinct shingles, not documents)
+    * is broadcast; the corpus side is one scan — explode shingles,
+    * broadcast-semi-join, distinct ids — with no corpus shuffle before
+    * the final flag join. Documents shorter than n tokens have no
+    * shingles and are never flagged; contamination documents present in
+    * the corpus flag themselves via total self-overlap.
+    */
+  def contaminationFlags(docs: DataFrame, contaminated: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val contamShingles = broadcast(
+      shingleSets(contaminated, n, idCol, textCol)
+        .select(explode(col("sh")).as("sh")).distinct())
+    val hits = shingleSets(docs, n, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("sh"))
+      .join(contamShingles, Seq("sh"), "left_semi")
+      .select(col("id")).distinct()
+    docs.select(col(idCol).as("id"))
+      .join(hits.withColumn("contaminated", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs between a probe set and the corpus,
     * via an inverted shingle index: explode probe and corpus shingles, join
     * on the shingle, count intersections, then J = |∩| / (|A|+|B|-|∩|).

@@ -282,6 +282,18 @@ class DedupSpec extends SparkSpec {
     assert(empty.getAs[Long]("simhash") === 0L)
   }
 
+  test("decontamination (d13): any shared shingle flags; short and disjoint docs stay clean") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),   // contamination doc
+      (1L, "a quick brown fox runs home"), // shares "quick brown fox" → flagged
+      (2L, "completely different words entirely"), // disjoint → clean
+      (3L, "too short")                    // < 3 tokens, no shingles → clean
+    ).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(docs, docs.where(col("doc_id") === 0L), n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(flags === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
     val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
         (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))

@@ -159,6 +159,14 @@ class PlanAuditSpec extends SparkSpec {
       s"per-row repetition scoring must not shuffle, plan:\n$p")
   }
 
+  test("d13: contamination shingle universe broadcasts; corpus never shuffles for the semi-join") {
+    val p = plan("d13_decontaminate")
+    assert(!p.contains("CartesianProduct"),
+      s"decontamination must never plan an all-pairs join, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"shingle hit-test must be a broadcast semi join, plan:\n$p")
+  }
+
   test("s02: LSH ANN candidates equi-join on (table, bucket) — no all-pairs join anywhere") {
     val p = plan("s02_lsh_topk")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
