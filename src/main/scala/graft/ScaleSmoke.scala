@@ -98,6 +98,12 @@ object ScaleSmoke {
       val survivors = Dedup.byFingerprint(docs).select(col("keep_id").as("doc_id"))
       SparkEntry.qualityQuota(docs.join(survivors, Seq("doc_id"), "left_semi"), k = 20)
     }
+    // decontamination at blowup: the contamination set stays the ORIGINAL
+    // 20 benchmark stand-ins while every corpus doc gains mult−1 copies —
+    // the broadcast shingle universe is constant-size, so cost must track
+    // the corpus scan, not the duplicate mass
+    run("decontaminate")(
+      Dedup.contaminationFlags(docs, docs.where(col("doc_id") < 20), n = 3))
     run("lsh_topk")(
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))

@@ -612,6 +612,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic dedup clusters: the embedding-space sibling of d12 — s02's
+    // sign-LSH buckets generate candidates over the FULL corpus, exact
+    // cosine (rounded, d06 threshold) filters them, and d07's CC/survivor
+    // machinery resolves clusters. The oracle chains the s02 bucket twin
+    // into the d07 recursive-CTE closure, so the whole semantic path is
+    // hash-matched end-to-end like the lexical one.
+    "d14_dedup_clusters_semantic" -> ((s, dir) => {
+      Similarity.semanticClusters(t(s, dir, "embeddings"), threshold = 0.35,
+          nTables = 16, planesPerTable = 4, dim = 64)
+        .orderBy(col("vec_id"))
+    }),
+
     // Dedup: 64-bit SimHash per doc (no SQL twin — xxhash64 family).
     "d05_simhash" -> ((s, dir) => {
       Dedup.simhashed(t(s, dir, "documents"))
@@ -761,13 +773,15 @@ object SparkEntry {
     // Quality: within-document repetition (the Gopher-style duplicate
     // n-gram rule) — RAW 3-gram multiplicity per row, no shuffle; the
     // keep flag compares the 6-dp-ROUNDED fraction so the keep/drop
-    // boundary is bit-identical cross-engine. Gram construction crosses
-    // one projection boundary as an attribute (the expression-shape rule:
-    // size() and array_distinct() both consume it).
+    // boundary is bit-identical cross-engine. BOTH the token array and
+    // the gram array cross projection boundaries as attributes — the
+    // expression-shape rule: the ngram lambda reads `ws` per element, so
+    // an inlined tokens(text) subtree would re-tokenize O(tokens) times
+    // per row (first cut of this query: 58 s at sf0.1 vs 0.7 s fixed).
     "t08_repetition" -> ((s, dir) => {
       analytics.Par.spreadForCpu(t(s, dir, "documents"))
-        .select(col("doc_id"),
-          TextAnalysis.ngramsFromTokens(TextAnalysis.tokens(col("text")), 3).as("g"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), TextAnalysis.ngramsFromTokens(col("ws"), 3).as("g"))
         .select(col("doc_id"),
           size(col("g")).cast("long").as("n_grams"),
           size(array_distinct(col("g"))).cast("long").as("n_distinct"))
@@ -1439,6 +1453,34 @@ object SparkEntry {
          |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+
+    // Semantic-cluster twin (d14): s02's plane/bucket CTEs generate the
+    // same candidate pairs, exact cosine at round-6dp filters them (the
+    // d06 boundary convention), and d07's recursive-CTE closure resolves
+    // the clusters over the embeddings id universe.
+    "d14_dedup_clusters_semantic" -> (
+      s"""WITH RECURSIVE planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(16, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id, round(list_cosine_similarity(av.ev, bv.ev), 6) AS sim
+         |  FROM cand JOIN v av ON av.vec_id = a_id JOIN v bv ON bv.vec_id = b_id)
+         |  WHERE sim >= 0.35),
+         |bidir AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, label) AS (
+         | SELECT vec_id, vec_id FROM embeddings
+         | UNION
+         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+         |cc AS (SELECT id AS vec_id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT vec_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | vec_id = cluster_id AS is_survivor
+         |FROM cc ORDER BY vec_id""".stripMargin),
 
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical

@@ -503,7 +503,7 @@ object Dedup {
     clustersFromPairs(pairs, docs, idCol)
   }
 
-  private def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
+  private[analytics] def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
     val cc = connectedComponents(pairs, docs.select(col(idCol)),
       idCol = idCol, srcCol = "a_id", dstCol = "b_id")
     cc.withColumn("cluster_size",

@@ -126,27 +126,33 @@ object Similarity {
     * bucketBy(table, bucket) so repeated probe batches never reshuffle the
     * corpus; the probe side is broadcast.
     */
+  /** Per-row array of `nTables` sign-pattern bucket keys — the native
+    * `lsh_sign_buckets` kernel when registered (graft.plans
+    * .GraftExtensions; one fused codegen'd loop), the declarative
+    * fallback otherwise (bit-identical, asserted in SimilaritySpec).
+    * Shared by the ANN probe path (lshTopK) and the semantic-cluster
+    * path (semanticClusters).
+    */
+  private def bucketArrayFor(df: DataFrame, vecCol: String, nTables: Int,
+      planesPerTable: Int, dim: Int, seed: Long): Column =
+    if (df.sparkSession.catalog.functionExists("lsh_sign_buckets"))
+      // coalesce: the native expression null-propagates a NULL vector,
+      // the declarative form yields an all-zero bucket array (null dots →
+      // no bits) — align on the declarative value so a null-vector row
+      // buckets identically on both paths
+      coalesce(
+        call_function("lsh_sign_buckets", col(vecCol),
+          lit(seed), lit(nTables), lit(planesPerTable), lit(dim)),
+        typedLit(Seq.fill(nTables)(0L)))
+    else array((0 until nTables).map(t =>
+      signBits(col(vecCol), hyperplanes(planesPerTable, dim, seed + t))): _*)
+
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nTables: Int, planesPerTable: Int,
       dim: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tables = (0 until nTables).map(t =>
-      hyperplanes(planesPerTable, dim, seed + t))
-    // one fused kernel per row when the native expression is registered
-    // (graft.plans.GraftExtensions); declarative fallback is bit-identical
-    // (equivalence asserted in SimilaritySpec)
-    val native = corpus.sparkSession.catalog.functionExists("lsh_sign_buckets")
     def bucketArray: Column =
-      if (native)
-        // coalesce: the native expression null-propagates a NULL vector,
-        // the declarative form yields an all-zero bucket array (null dots →
-        // no bits) — align on the declarative value so a null-vector row
-        // buckets identically on both paths
-        coalesce(
-          call_function("lsh_sign_buckets", col(vecCol),
-            lit(seed), lit(nTables), lit(planesPerTable), lit(dim)),
-          typedLit(Seq.fill(nTables)(0L)))
-      else array(tables.map(p => signBits(col(vecCol), p)): _*)
+      bucketArrayFor(corpus, vecCol, nTables, planesPerTable, dim, seed)
     def buckets(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
         posexplode(bucketArray).as(Seq("table", "bucket")))
@@ -172,6 +178,52 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Semantic dedup clusters — the embedding-space sibling of the lexical
+    * cluster paths (d07 exact / d12 LSH): sign-LSH bucket candidates over
+    * the FULL corpus (pair = any shared (table, bucket) hit, a_id < b_id,
+    * deduplicated), exact cosine computed ONLY on candidates and rounded
+    * to 6 dp BEFORE thresholding (the d06 boundary convention), then the
+    * same connected-components + min-id survivor election the lexical
+    * family uses ([[Dedup.clustersFromPairs]]) — so "semantically
+    * near-identical" groups collapse to one kept representative.
+    *
+    * Scale shape: identical to d12's — the corpus becomes nTables narrow
+    * (table, bucket, id) index rows (persisted: both sides of the
+    * self-join consume it), candidates are a bucketed self-join, exact
+    * scoring touches candidates only, and CC iterates over edge
+    * endpoints. At 100 TB the bucket index is written once with
+    * bucketBy(table, bucket); recall is tuned by (nTables,
+    * planesPerTable) exactly as in [[lshTopK]].
+    */
+  def semanticClusters(vecs: DataFrame, threshold: Double,
+      nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nf = normFn(vecs)
+    val cf = cosineFromNorms(dotFn(vecs)) _
+    val index = Par.spreadForCpu(vecs)
+      .select(col(idCol).as("id"),
+        posexplode(bucketArrayFor(vecs, vecCol, nTables, planesPerTable, dim, seed))
+          .as(Seq("table", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = index.select(col("table"), col("bucket"), col("id").as("a_id"))
+      .join(index.select(col("table"), col("bucket"), col("id").as("b_id")),
+        Seq("table", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val sided = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nf(col(vecCol)).as("nrm"))
+    val pairs = candidates
+      .join(sided.select(col("id").as("a_id"), col("v").as("av"), col("nrm").as("an")),
+        Seq("a_id"))
+      .join(sided.select(col("id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cf(col("av"), col("bv"), col("an"), col("bn")), 6).as("sim"))
+      .where(col("sim") >= threshold)
+    Dedup.clustersFromPairs(pairs, vecs, idCol)
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path next to

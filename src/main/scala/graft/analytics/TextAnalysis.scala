@@ -44,6 +44,11 @@ object TextAnalysis {
     * [[Dedup.shinglesFromTokens]]'s distinct shingle SET (cross-document
     * similarity needs set semantics). Space-joined like the shingles so
     * the two gram spaces stay comparable.
+    *
+    * `ws` MUST be a materialized attribute, not an inlined `tokens(text)`
+    * tree: the transform lambda reads it per element, and Spark
+    * re-evaluates embedded subtrees per element — an inlined tokenizer
+    * here is O(tokens²) per row (measured 80× on t08).
     */
   def ngramsFromTokens(ws: Column, n: Int): Column =
     when(size(ws) >= n,

@@ -114,4 +114,22 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Double]("sim")))
     assert(out.toSeq === Seq((0L, 1L, 1.0)))
   }
+
+  test("semantic clusters (d14): near-identical vectors collapse, min-id survives, others stay singletons") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.999f, 0.01f)), // cos ≈ 1 with 0 → same cluster
+      (2L, Array(0f, 1f)),        // orthogonal → singleton
+      (3L, Array(-1f, 0f))        // opposite → singleton
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.semanticClusters(corpus, threshold = 0.9,
+        nTables = 8, planesPerTable = 2, dim = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_survivor")))).toMap
+    assert(rows(0L) === ((0L, 2L, true)))
+    assert(rows(1L) === ((0L, 2L, false))) // collapsed into 0's cluster
+    assert(rows(2L) === ((2L, 1L, true)))
+    assert(rows(3L) === ((3L, 1L, true)))
+  }
 }
