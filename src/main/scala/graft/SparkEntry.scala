@@ -612,15 +612,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Semantic dedup clusters: the embedding-space sibling of d12 — s02's
-    // sign-LSH buckets generate candidates over the FULL corpus, exact
-    // cosine (rounded, d06 threshold) filters them, and d07's CC/survivor
-    // machinery resolves clusters. The oracle chains the s02 bucket twin
-    // into the d07 recursive-CTE closure, so the whole semantic path is
-    // hash-matched end-to-end like the lexical one.
+    // Semantic dedup clusters: the embedding-space sibling of d12 — sign-
+    // LSH buckets generate candidates over the FULL corpus, exact cosine
+    // (rounded, d06 boundary convention) filters them, and d07's CC/
+    // survivor machinery resolves clusters. The oracle chains the s02-
+    // style plane/bucket twin into the d07 recursive-CTE closure, so the
+    // whole semantic path is hash-matched end-to-end like the lexical one.
+    // LSH config is the CLUSTER trade, not s02's top-k trade: 8 tables ×
+    // 8 planes collides ~0.4% of orthogonal pairs per table (~3% OR-ed)
+    // while keeping ~93% recall at cos 0.9 — s02's 16×4 recall-first
+    // config collides ~63% of ALL pairs, degenerating candidate gen to
+    // near-all-pairs (measured 71 s vs ~2 s at sf0.1).
     "d14_dedup_clusters_semantic" -> ((s, dir) => {
-      Similarity.semanticClusters(t(s, dir, "embeddings"), threshold = 0.35,
-          nTables = 16, planesPerTable = 4, dim = 64)
+      Similarity.semanticClusters(t(s, dir, "embeddings"), threshold = 0.5,
+          nTables = 8, planesPerTable = 8, dim = 64)
         .orderBy(col("vec_id"))
     }),
 
@@ -1454,12 +1459,13 @@ object SparkEntry {
          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
          |ORDER BY d.doc_id""".stripMargin),
 
-    // Semantic-cluster twin (d14): s02's plane/bucket CTEs generate the
+    // Semantic-cluster twin (d14): the s02-style plane/bucket CTEs at the
+    // operator's own cluster config (8 tables × 8 planes) generate the
     // same candidate pairs, exact cosine at round-6dp filters them (the
     // d06 boundary convention), and d07's recursive-CTE closure resolves
     // the clusters over the embeddings id universe.
     "d14_dedup_clusters_semantic" -> (
-      s"""WITH RECURSIVE planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(16, 4, 64, 42L)}),
+      s"""WITH RECURSIVE planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(8, 8, 64, 42L)}),
          |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          |bk AS (SELECT vec_id, tbl,
          |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
@@ -1469,7 +1475,7 @@ object SparkEntry {
          |pairs AS (SELECT a_id, b_id FROM (
          |  SELECT a_id, b_id, round(list_cosine_similarity(av.ev, bv.ev), 6) AS sim
          |  FROM cand JOIN v av ON av.vec_id = a_id JOIN v bv ON bv.vec_id = b_id)
-         |  WHERE sim >= 0.35),
+         |  WHERE sim >= 0.5),
          |bidir AS (SELECT a_id AS src, b_id AS dst FROM pairs
          |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
          |reach(id, label) AS (
