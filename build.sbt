@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST 2000 bytes of `sbt runMain graft.Bench` output
+// for a one-line JSON report. sbt's default LoggedOutput strategy prefixes
+// every forked-process line with "[info] " / "[error] ", which breaks a
+// line-starts-with-'{' JSON parse (BENCH_r08: line fully inside the tail
+// window, still "parsed": null). StdoutOutput passes the child's
+// stdout/stderr straight through, unprefixed.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

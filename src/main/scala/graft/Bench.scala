@@ -27,6 +27,35 @@ import scala.util.control.NonFatal
   * Optional args = query-name filter (local iteration; driver passes none).
   */
 object Bench {
+  /** Fixed single-threaded CPU workload, timed. Run before and after the
+    * query loop; the pair is emitted as `"calib":[pre,post]` in the JSON
+    * line. Purpose: the round-8 artifact read 1.87× of round 7 purely from
+    * sandbox host contention during the driver's run — with no fixed-work
+    * reference in the artifact, load inflation is indistinguishable from a
+    * code regression. The workload (32 passes of a byte-mixing scan over a
+    * fixed 8 MiB buffer, ~0.2-0.5 s idle) does constant work regardless of
+    * the engine, so `calib` scales only with host contention: normalize a
+    * round's total by `mean(calib_rN)/mean(calib_baseline)` before comparing
+    * against the 2× gate (documented in README).
+    */
+  private def calibrate(): Double = {
+    val buf = new Array[Byte](8 << 20)
+    var i = 0
+    while (i < buf.length) { buf(i) = (i * 31 + (i >> 11)).toByte; i += 1 }
+    var h = 1125899906842597L
+    def pass(): Unit = {
+      var j = 0
+      while (j < buf.length) { h = h * 6364136223846793005L + buf(j); j += 1 }
+    }
+    pass() // untimed JIT warm pass so the first timed calib isn't C2-cold
+    val t0 = System.nanoTime()
+    var p = 0
+    while (p < 32) { pass(); p += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) System.err.println("calib sink") // keep the loop live
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,6 +69,7 @@ object Bench {
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
+    val calibPre = calibrate()
     val results = selected.map { case (name, fn) =>
       // every timed iteration starts cache-cold and memory-neutral: drop
       // operator-internal persists (d03 shingle sets, d04 signatures) and
@@ -83,18 +113,28 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val calibPost = calibrate()
     val ok = results.filter(_._3.isEmpty)
     // ms precision, not Double.toString: the driver keeps only the LAST
-    // 2000 bytes of output and parses the JSON line out of that window.
-    // 17-digit doubles pushed the 63-query line to ~2400 bytes, so every
-    // round's report landed truncated ("parsed": null, rounds 1-7); at
-    // %.3f the worst-case line is ~1770 bytes and fits under the sbt
-    // epilogue with margin.
-    val qs = ok.map { case (k, v, _) => f"${j(k)}:$v%.3f" }.mkString("{", ",", "}")
+    // 2000 bytes of output and parses the JSON line out of that window;
+    // 17-digit doubles pushed the 63-query line to ~2400 bytes and rounds
+    // 1-7 landed truncated. At %.3f the line fits with margin — yet the r8
+    // report STILL read "parsed": null with the line fully inside the tail:
+    // sbt's LoggedOutput prefixed it with "[info] ". Both conditions must
+    // hold: the line fits the 2000-byte window (this %.3f) AND it reaches
+    // stdout unprefixed (build.sbt outputStrategy := StdoutOutput).
+    // Formatting goes through Locale.ROOT explicitly: the f"" interpolator
+    // uses the default locale, and a comma-decimal locale would emit
+    // invalid JSON ("value":110,035).
+    def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = ok.map { case (k, v, _) => s"${j(k)}:${d3(v)}" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"${j(k)}:${j(e)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":${j(sfDir)}}""")
+    val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failed,"calib":[${d3(calibPre)},${d3(calibPost)}],"sf":${j(sfDir)}}"""
     spark.stop()
+    // last line of program output: nothing (not even Spark shutdown chatter,
+    // which is why stop() runs first) may land between it and process exit
+    println(line)
   }
 }
