@@ -701,19 +701,19 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
-    // Multimodal: resize planning for image payloads — the stubbed decode
-    // metadata through the REAL aspect-preserving integer resize arithmetic
-    // (the scheduling logic a decoder would follow).
+    // Multimodal: resize planning for image payloads — width/height PARSED
+    // from the synthesized PNG IHDR bytes, then the aspect-preserving
+    // integer resize arithmetic (the scheduling logic a decoder follows).
     "m02_multimodal_resize" -> ((s, dir) => {
       val withBin = Multimodal.withPayload(t(s, dir, "documents"))
         .where(col("modality") === "image")
-      val meta = Multimodal.decodeImageStub(col("payload"))
+      val meta = Multimodal.decodeImage(col("payload"))
       withBin
         .select(col("doc_id"), meta.as("meta"))
         .select(col("doc_id"),
           col("meta.width").as("w"), col("meta.height").as("h"),
-          Multimodal.resizeStub(col("meta"), 64).getField("width").as("rw"),
-          Multimodal.resizeStub(col("meta"), 64).getField("height").as("rh"))
+          Multimodal.resizePlan(col("meta"), 64).getField("width").as("rw"),
+          Multimodal.resizePlan(col("meta"), 64).getField("height").as("rh"))
         .orderBy(col("doc_id"))
     }),
 
@@ -885,13 +885,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Multimodal: audio chunk planning — stubbed decode metadata through
-    // the REAL fixed-window segmentation arithmetic (ceil-div chunks, the
+    // Multimodal: audio chunk planning — sample count PARSED from the
+    // synthesized WAV RIFF header (little-endian dataSize / blockAlign),
+    // then the fixed-window segmentation arithmetic (ceil-div chunks, the
     // last one carrying the remainder).
     "m03_audio_chunks" -> ((s, dir) => {
       val audio = Multimodal.withPayload(t(s, dir, "documents"))
         .where(col("modality") === "audio")
-      val meta = Multimodal.decodeAudioStub(col("payload"))
+      val meta = Multimodal.decodeAudio(col("payload"))
       audio.select(col("doc_id"), meta.as("m"))
         .select(col("doc_id"),
           col("m").getField("n_samples").as("n_samples"),
@@ -916,12 +917,14 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
-    // Multimodal: binary payload + stubbed decode metadata (plumbing real).
+    // Multimodal: binary payloads with REAL container headers (PNG
+    // signature+IHDR, WAV RIFF), metadata parsed back from the bytes.
     "m01_multimodal_meta" -> ((s, dir) => {
       Multimodal.extractFeatures(t(s, dir, "documents")).select(
         col("doc_id"), col("modality"), col("n_bytes"),
         col("image_meta").getField("width").as("img_w"),
         col("image_meta").getField("height").as("img_h"),
+        col("image_meta").getField("channels").as("img_c"),
         col("audio_meta").getField("n_samples").as("audio_samples"),
         element_at(col("frame_offsets"), 3).as("frame2_off"))
         .orderBy(col("doc_id"))
@@ -1675,22 +1678,54 @@ object SparkEntry {
         |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed
         |FROM p) ORDER BY doc_id""".stripMargin,
 
+    // Synthesizes the same PNG signature+IHDR bytes Spark builds, then
+    // PARSES width/height back out of the blob (hex-string offsets: DuckDB
+    // 1.0 has no blob substring) — cross-engine proof the byte layout and
+    // the parse both agree with the spec.
     "m02_multimodal_resize" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE doc_id % 3 = 0),
-        |m AS (SELECT doc_id, CAST(16 + n % 64 AS INTEGER) AS w, CAST(16 + (n * 7) % 64 AS INTEGER) AS h FROM b)
-        |SELECT doc_id, w, h,
-        | CAST((CAST(w AS BIGINT) * 64) // greatest(w, h) AS INTEGER) AS rw,
-        | CAST((CAST(h AS BIGINT) * 64) // greatest(w, h) AS INTEGER) AS rh
+      """WITH b AS (SELECT doc_id, encode(text) AS body, octet_length(encode(text)) AS n
+        | FROM documents WHERE doc_id % 3 = 0),
+        |p AS (SELECT doc_id, unhex('89504E470D0A1A0A0000000D49484452'
+        |  || lpad(hex(16 + n % 64), 8, '0') || lpad(hex(16 + (n * 7) % 64), 8, '0')
+        |  || '080200000000000000') || body AS payload FROM b),
+        |hx AS (SELECT doc_id, hex(payload) AS h FROM p),
+        |m AS (SELECT doc_id,
+        |  CAST(('0x' || substring(h, 33, 8)) AS INTEGER) AS w,
+        |  CAST(('0x' || substring(h, 41, 8)) AS INTEGER) AS h2
+        | FROM hx WHERE substring(h, 1, 16) = '89504E470D0A1A0A')
+        |SELECT doc_id, w, h2 AS h,
+        | CAST((CAST(w AS BIGINT) * 64) // greatest(w, h2) AS INTEGER) AS rw,
+        | CAST((CAST(h2 AS BIGINT) * 64) // greatest(w, h2) AS INTEGER) AS rh
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // Synthesizes the same 44-byte WAV RIFF header Spark builds (computed
+    // little-endian chunkSize/dataSize), then PARSES sample_rate, channels,
+    // bits and dataSize back out of the blob and recovers n_samples =
+    // dataSize*8/(channels*bits) — the chunk plan runs on PARSED values.
     "m03_audio_chunks" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) * 100 AS n_samples
-        |FROM documents WHERE doc_id % 3 = 1)
+      """WITH b AS (SELECT doc_id, encode(text) AS body, octet_length(encode(text)) AS n
+        | FROM documents WHERE doc_id % 3 = 1),
+        |b2 AS (SELECT doc_id, body,
+        |  lpad(hex(n * 200), 8, '0') AS dz, lpad(hex(n * 200 + 36), 8, '0') AS cz FROM b),
+        |p AS (SELECT doc_id, unhex('52494646'
+        |  || substring(cz,7,2) || substring(cz,5,2) || substring(cz,3,2) || substring(cz,1,2)
+        |  || '57415645666D742010000000' || '0100' || '0100'
+        |  || '803E0000' || '007D0000' || '0200' || '1000' || '64617461'
+        |  || substring(dz,7,2) || substring(dz,5,2) || substring(dz,3,2) || substring(dz,1,2))
+        |  || body AS payload FROM b2),
+        |hx AS (SELECT doc_id, hex(payload) AS h FROM p),
+        |m AS (SELECT doc_id,
+        |  CAST(('0x' || substring(h,55,2) || substring(h,53,2) || substring(h,51,2) || substring(h,49,2)) AS BIGINT) AS sample_rate,
+        |  CAST(('0x' || substring(h,47,2) || substring(h,45,2)) AS BIGINT) AS channels,
+        |  CAST(('0x' || substring(h,71,2) || substring(h,69,2)) AS BIGINT) AS bits,
+        |  CAST(('0x' || substring(h,87,2) || substring(h,85,2) || substring(h,83,2) || substring(h,81,2)) AS BIGINT) AS data_size
+        | FROM hx WHERE substring(h,1,8) = '52494646' AND substring(h,17,16) = '57415645666D7420'),
+        |s AS (SELECT doc_id, sample_rate, data_size * 8 // (channels * bits) AS n_samples FROM m)
         |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
-        | CAST((n_samples + 15999) // 16000 AS BIGINT) AS n_chunks,
+        | CAST((n_samples + sample_rate - 1) // sample_rate AS BIGINT) AS n_chunks,
         | CAST(CASE WHEN n_samples = 0 THEN 0
-        |  ELSE n_samples - ((n_samples + 15999) // 16000 - 1) * 16000 END AS BIGINT) AS last_chunk
-        |FROM b ORDER BY doc_id""".stripMargin,
+        |  ELSE n_samples - ((n_samples + sample_rate - 1) // sample_rate - 1) * sample_rate END AS BIGINT) AS last_chunk
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q32_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey,
@@ -1701,15 +1736,42 @@ object SparkEntry {
         |WHERE o_totalprice > 2 * avg_price
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    // Full multimodal twin: per-modality payload synthesis (PNG header for
+    // images, WAV header for audio, raw bytes for video), then every
+    // metadata column is PARSED back from the payload bytes — img_w/img_h
+    // big-endian from IHDR, channels via the PNG colorType mapping,
+    // audio_samples from the little-endian RIFF dataSize/blockAlign.
     "m01_multimodal_meta" ->
-      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      """WITH b AS (SELECT doc_id, encode(text) AS body, octet_length(encode(text)) AS n,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
-        |FROM documents)
+        |FROM documents),
+        |p AS (SELECT doc_id, modality, CASE modality
+        | WHEN 'image' THEN unhex('89504E470D0A1A0A0000000D49484452'
+        |   || lpad(hex(16 + n % 64), 8, '0') || lpad(hex(16 + (n * 7) % 64), 8, '0')
+        |   || '080200000000000000') || body
+        | WHEN 'audio' THEN unhex('52494646'
+        |   || substring(lpad(hex(n*200+36),8,'0'),7,2) || substring(lpad(hex(n*200+36),8,'0'),5,2)
+        |   || substring(lpad(hex(n*200+36),8,'0'),3,2) || substring(lpad(hex(n*200+36),8,'0'),1,2)
+        |   || '57415645666D742010000000' || '0100' || '0100'
+        |   || '803E0000' || '007D0000' || '0200' || '1000' || '64617461'
+        |   || substring(lpad(hex(n*200),8,'0'),7,2) || substring(lpad(hex(n*200),8,'0'),5,2)
+        |   || substring(lpad(hex(n*200),8,'0'),3,2) || substring(lpad(hex(n*200),8,'0'),1,2))
+        |   || body
+        | ELSE body END AS payload FROM b),
+        |hx AS (SELECT doc_id, modality, octet_length(payload) AS n_bytes, hex(payload) AS h FROM p)
         |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
-        | CASE WHEN modality = 'image' THEN CAST(16 + n_bytes % 64 AS INTEGER) END AS img_w,
-        | CASE WHEN modality = 'image' THEN CAST(16 + (n_bytes * 7) % 64 AS INTEGER) END AS img_h,
-        | CASE WHEN modality = 'audio' THEN CAST(n_bytes * 100 AS BIGINT) END AS audio_samples,
+        | CASE WHEN modality = 'image' AND substring(h,1,16) = '89504E470D0A1A0A'
+        |  THEN CAST(('0x' || substring(h,33,8)) AS INTEGER) END AS img_w,
+        | CASE WHEN modality = 'image' AND substring(h,1,16) = '89504E470D0A1A0A'
+        |  THEN CAST(('0x' || substring(h,41,8)) AS INTEGER) END AS img_h,
+        | CASE WHEN modality = 'image' AND substring(h,1,16) = '89504E470D0A1A0A'
+        |  THEN CAST(CASE substring(h,51,2) WHEN '00' THEN 1 WHEN '02' THEN 3
+        |            WHEN '04' THEN 2 WHEN '06' THEN 4 END AS INTEGER) END AS img_c,
+        | CASE WHEN modality = 'audio' AND substring(h,1,8) = '52494646' AND substring(h,17,16) = '57415645666D7420'
+        |  THEN CAST(('0x' || substring(h,87,2) || substring(h,85,2) || substring(h,83,2) || substring(h,81,2)) AS BIGINT) * 8
+        |   // (CAST(('0x' || substring(h,47,2) || substring(h,45,2)) AS BIGINT)
+        |      * CAST(('0x' || substring(h,71,2) || substring(h,69,2)) AS BIGINT)) END AS audio_samples,
         | CASE WHEN modality = 'video' THEN CAST((2 * n_bytes) // 4 AS BIGINT) END AS frame2_off
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM hx ORDER BY doc_id""".stripMargin
   )
 }

@@ -7,41 +7,141 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct alongside.
   *
-  * The decode step itself (JPEG/WAV/MP4 parsing) would run native libraries
-  * via `mapPartitions` over Arrow batches on a real cluster; those libs are
-  * not in this container, so decode is STUBBED with a deterministic fake
-  * (clearly marked below). Everything Spark-side — schema, batch shape,
-  * partition-parallel structure, frame-sampling arithmetic — is real and
-  * tested.
+  * The payload fixtures carry REAL container headers — a PNG signature +
+  * IHDR chunk for images, a canonical 44-byte WAV RIFF header for audio —
+  * synthesized from the document row, with the UTF-8 text bytes standing in
+  * for the compressed body. Decode then actually PARSES those bytes
+  * (signature check, big-endian IHDR fields, little-endian RIFF fields)
+  * with codegen'd binary/hex expressions — no UDF, no image library. What
+  * stays out of scope in this container: pixel/sample decode (zlib/codec
+  * work), which on a real cluster runs native libs via `mapPartitions`
+  * over Arrow batches; header parse, schema, batch shape, and the
+  * chunking/frame-sampling arithmetic are the real thing.
+  *
+  * Layout references (public specs):
+  *  - PNG: 8-byte signature, then IHDR chunk = len(4,BE) "IHDR" width(4,BE)
+  *    height(4,BE) bitDepth(1) colorType(1) compression(1) filter(1)
+  *    interlace(1) crc(4). The fixture zeroes the CRC — like most
+  *    metadata-only probes, the parser reads fields and skips CRC checks.
+  *  - WAV: "RIFF" size(4,LE) "WAVE" "fmt " 16(4,LE) fmt(2,LE) channels(2,LE)
+  *    sampleRate(4,LE) byteRate(4,LE) blockAlign(2,LE) bits(2,LE) "data"
+  *    dataSize(4,LE). The fixture's declared dataSize describes the
+  *    (absent) sample body — header-only probing, the ffprobe access
+  *    pattern.
   */
 object Multimodal {
 
-  /** Attach an opaque binary payload column (here: the UTF-8 bytes of the
-    * text column stand in for real media bytes) plus a declared modality.
+  /** value → fixed-width big-endian hex (PNG integer byte order). */
+  private def beHex(v: Column, nBytes: Int): Column =
+    lpad(hex(v.cast(LongType)), nBytes * 2, "0")
+
+  /** value → fixed-width little-endian hex (RIFF byte order): big-endian
+    * hex, byte pairs reversed.
     */
-  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+  private def leHex(v: Column, nBytes: Int): Column = {
+    val be = beHex(v, nBytes)
+    concat((nBytes to 1 by -1).map(i => substring(be, (i - 1) * 2 + 1, 2)): _*)
+  }
+
+  /** Parse an unsigned little-endian integer out of payload bytes
+    * [off, off+nBytes): hex the slice (file order = LSB first), reverse the
+    * byte pairs into big-endian hex, radix-convert. All codegen'd builtins.
+    */
+  private def leUint(payload: Column, off: Int, nBytes: Int): Column = {
+    val h = hex(substring(payload, off, nBytes))
+    val be = concat((nBytes to 1 by -1).map(i => substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(be, 16, 10).cast(LongType)
+  }
+
+  /** Parse an unsigned big-endian integer at byte offset `off` (1-based). */
+  private def beUint(payload: Column, off: Int, nBytes: Int): Column =
+    conv(hex(substring(payload, off, nBytes)), 16, 10).cast(LongType)
+
+  private val PngSigHex = "89504E470D0A1A0A"
+
+  /** Valid PNG prefix: signature + IHDR chunk (zeroed CRC) for an 8-bit
+    * truecolor (colorType 2) image of the given dimensions.
+    */
+  def pngHeader(width: Column, height: Column): Column =
+    unhex(concat(
+      lit(PngSigHex),        // signature
+      lit("0000000D49484452"), // IHDR length=13, type
+      beHex(width, 4), beHex(height, 4),
+      lit("0802000000"),     // bitDepth=8 colorType=2 compress/filter/interlace=0
+      lit("00000000")))      // CRC (zeroed fixture; parsers read past it)
+
+  /** Canonical 44-byte WAV/RIFF PCM header. `nSamples` is per channel;
+    * dataSize = nSamples * channels * bits/8.
+    */
+  def wavHeader(sampleRate: Column, channels: Column, bitsPerSample: Column,
+                nSamples: Column): Column = {
+    val blockAlign = (channels.cast(LongType) * bitsPerSample.cast(LongType) / lit(8L)).cast(LongType)
+    val dataSize = nSamples.cast(LongType) * blockAlign
+    unhex(concat(
+      lit("52494646"), leHex(dataSize + lit(36L), 4), // "RIFF" chunkSize
+      lit("57415645666D742010000000"),                // "WAVE" "fmt " subchunk1=16
+      lit("0100"), leHex(channels, 2),                // PCM format tag, channels
+      leHex(sampleRate, 4), leHex(sampleRate.cast(LongType) * blockAlign, 4),
+      leHex(blockAlign, 2), leHex(bitsPerSample, 2),
+      lit("64617461"), leHex(dataSize, 4)))           // "data" dataSize
+  }
+
+  /** Attach a binary payload column with a REAL container header per
+    * modality (PNG for images, WAV for audio; video rides header-less as a
+    * raw stream stand-in), body = the UTF-8 text bytes. Metadata encoded in
+    * the headers derives deterministically from the body length so results
+    * are reproducible and oracle-checkable; decode below recovers it from
+    * the BYTES alone.
+    */
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val body = col(textCol).cast(BinaryType)
+    val n = length(body)
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
     docs
-      .withColumn("payload", col(textCol).cast(BinaryType))
-      .withColumn("modality",
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)))
+      .withColumn("modality", modality)
+      .withColumn("payload",
+        when(modality === "image",
+          concat(pngHeader(lit(16) + pmod(n, lit(64)),
+                           lit(16) + pmod(n * 7, lit(64))), body))
+        .when(modality === "audio",
+          concat(wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
+        .otherwise(body))
+  }
 
-  /** ===== STUB ===== deterministic fake image decode.
-    * A real implementation decodes the payload with an image library inside
-    * `mapPartitions` (one decoder instance per partition, vectorized over
-    * the batch). The fake derives plausible metadata purely from the byte
-    * length so results are reproducible and oracle-checkable.
+  /** Image decode: verify the PNG signature + IHDR chunk type, then parse
+    * width/height (big-endian) and map the spec's colorType byte to a
+    * channel count. Null struct on a non-PNG payload — real parser
+    * behavior, not a crash.
     */
-  def decodeImageStub(payload: Column): Column = struct(
-    (lit(16) + pmod(length(payload), lit(64))).cast(IntegerType).as("width"),
-    (lit(16) + pmod(length(payload) * 7, lit(64))).cast(IntegerType).as("height"),
-    lit(3).cast(IntegerType).as("channels"))
+  def decodeImage(payload: Column): Column = {
+    val isPng = hex(substring(payload, 1, 8)) === PngSigHex &&
+      hex(substring(payload, 13, 4)) === "49484452" // "IHDR"
+    val colorType = beUint(payload, 26, 1)
+    when(isPng, struct(
+      beUint(payload, 17, 4).cast(IntegerType).as("width"),
+      beUint(payload, 21, 4).cast(IntegerType).as("height"),
+      // PNG spec: 0=grey, 2=RGB, 4=grey+alpha, 6=RGBA
+      when(colorType === 0, 1).when(colorType === 2, 3)
+        .when(colorType === 4, 2).when(colorType === 6, 4)
+        .cast(IntegerType).as("channels")))
+  }
 
-  /** ===== STUB ===== deterministic fake audio decode (sample count ∝ bytes). */
-  def decodeAudioStub(payload: Column): Column = struct(
-    lit(16000).cast(IntegerType).as("sample_rate"),
-    (length(payload) * lit(100L)).cast(LongType).as("n_samples"),
-    lit(1).cast(IntegerType).as("channels"))
+  /** Audio decode: verify RIFF/WAVE/fmt magics, then parse the
+    * little-endian header fields; n_samples recovers from dataSize /
+    * blockAlign. Null struct on a non-WAV payload.
+    */
+  def decodeAudio(payload: Column): Column = {
+    val isWav = hex(substring(payload, 1, 4)) === "52494646" &&
+      hex(substring(payload, 9, 8)) === "57415645666D7420" // "WAVEfmt "
+    val channels = leUint(payload, 23, 2)
+    val bits = leUint(payload, 35, 2)
+    when(isWav, struct(
+      leUint(payload, 25, 4).cast(IntegerType).as("sample_rate"),
+      floor(leUint(payload, 41, 4) * lit(8L) / (channels * bits))
+        .cast(LongType).as("n_samples"),
+      channels.cast(IntegerType).as("channels")))
+  }
 
   /** Chunking plan for an audio payload: fixed `chunkSeconds` windows over
     * the decoded sample count — the segmentation arithmetic a real splitter
@@ -69,10 +169,10 @@ object Multimodal {
     transform(sequence(lit(0), lit(n - 1)),
       i => ((i.cast(LongType) * length(payload).cast(LongType)) / lit(n.toLong)).cast(LongType))
 
-  /** "Resize": the stub recomputes metadata for a target box, preserving the
-    * fake aspect ratio via integer arithmetic (deterministic).
+  /** Resize planning: recompute metadata for a target box, preserving the
+    * parsed aspect ratio via integer arithmetic (deterministic).
     */
-  def resizeStub(meta: Column, maxSide: Int): Column = {
+  def resizePlan(meta: Column, maxSide: Int): Column = {
     val w = meta.getField("width").cast(LongType)
     val h = meta.getField("height").cast(LongType)
     val longest = greatest(w, h)
@@ -83,16 +183,16 @@ object Multimodal {
   }
 
   /** Full multimodal feature-extraction pass: payload → per-modality typed
-    * metadata + a frame-sampling plan for videos. Pure projection —
-    * partition-parallel, no shuffle.
+    * metadata (parsed from the container headers) + a frame-sampling plan
+    * for videos. Pure projection — partition-parallel, no shuffle.
     */
   def extractFeatures(docs: DataFrame): DataFrame = {
     val withBin = withPayload(docs)
     withBin.select(
       col("doc_id"), col("modality"),
       length(col("payload")).cast(LongType).as("n_bytes"),
-      when(col("modality") === "image", decodeImageStub(col("payload"))).as("image_meta"),
-      when(col("modality") === "audio", decodeAudioStub(col("payload"))).as("audio_meta"),
+      when(col("modality") === "image", decodeImage(col("payload"))).as("image_meta"),
+      when(col("modality") === "audio", decodeAudio(col("payload"))).as("audio_meta"),
       when(col("modality") === "video", frameSampleOffsets(col("payload"), 4)).as("frame_offsets"))
   }
 }
