@@ -62,8 +62,16 @@ object ScaleSmoke {
 
     val opFilter = args.drop(1).toSet
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // every op name registers here whether or not it runs, so a misspelled
+    // filter arg is detectable (an empty results JSON used to look like a
+    // valid measurement)
+    val declaredOps = scala.collection.mutable.LinkedHashSet.empty[String]
+    def shouldRun(name: String): Boolean = {
+      declaredOps += name
+      opFilter.isEmpty || opFilter(name)
+    }
     def run(name: String)(fn: => DataFrame): Unit =
-      if (opFilter.isEmpty || opFilter(name)) {
+      if (shouldRun(name)) {
         spark.catalog.clearCache()
         System.gc()
         results(name) = timed(fn)
@@ -108,11 +116,63 @@ object ScaleSmoke {
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))
 
+    // The one scale number the streaming surface lacked: the FULL NEF data
+    // plane end-to-end — fileSource → runIngest (parse → enrich →
+    // normalize → policy → Kafka-shaped per-notifId batches) → idempotent
+    // KeyedUpsertStore sink, Trigger.AvailableNow. Corpus = 10k
+    // notifications × mult (one JSON document per line, notifIds cycling a
+    // 100-subscription dimension), written distributed and untimed; the
+    // timed region is the streaming query start → drain.
+    if (shouldRun("streaming_ingest")) {
+      import graft.streaming.Stream
+      import org.apache.spark.sql.Row
+      val nNotifs = 10000L * mult
+      val nSubs = 100
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-smoke")
+      val srcDir = s"$tmp/src"
+      val payload = format_string(
+        """{"notifId":"sub-%d","eventNotifs":[{"event":"PERF_DATA",""" +
+          """"timeStamp":"2026-04-20T10:15:00Z","perfDataInfos":[{""" +
+          """"ueIpAddr":{"ipv4Addr":"10.0.%d.%d"},"appId":"app-%d",""" +
+          """"timeStamp":"2026-04-20T10:15:00Z","perfData":{""" +
+          """"thrputUl":"%d.%d Mbps","thrputDl":"%d.%d Mbps","pdb":%d,"plr":%d}}]}]}""",
+        pmod(col("id"), lit(nSubs)),
+        pmod(col("id"), lit(250)), pmod(col("id") * 7, lit(250)),
+        pmod(col("id"), lit(10)),
+        pmod(col("id"), lit(90)) + 10, pmod(col("id"), lit(100)),
+        pmod(col("id") * 3, lit(900)) + 100, pmod(col("id") * 11, lit(100)),
+        pmod(col("id"), lit(50)) + 1, pmod(col("id"), lit(30)))
+      spark.range(nNotifs).select(payload.as("value")).write.text(srcDir)
+      val subs = spark.createDataFrame(
+        java.util.Arrays.asList((0 until nSubs).map(i =>
+          Row(s"sub-$i", Row(1, "000001"), "internet",
+            Seq("PERF_DATA", "UE_MOBILITY"), s"nef-sub-$i",
+            "http://nef:8090/nnef-event-exposure/v1/subscriptions", 1000000L)): _*),
+        graft.schemas.NefSchemas.subscription)
+      val store = new Stream.KeyedUpsertStore(s"scale-smoke-${System.nanoTime()}")
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      Stream.runIngest(Stream.fileSource(spark, srcDir), subs, s"$tmp/ck",
+        Stream.upsertSender(store)).awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      results("streaming_ingest") = (sec, nNotifs)
+      System.err.println(f"[scale-smoke] streaming_ingest: $sec%.2fs " +
+        f"rows=$nNotifs (${nNotifs / sec}%.0f notifs/s, sink keys=${store.snapshot.size})")
+    }
+
+    val unknown = opFilter.diff(declaredOps.toSet)
+    if (unknown.nonEmpty)
+      System.err.println(s"[scale-smoke] WARNING: no such op(s): " +
+        s"${unknown.mkString(", ")} — known: ${declaredOps.mkString(", ")}")
     def j(s: String): String = "\"" + s + "\""
     val body = results.map { case (k, (sec, rows)) =>
       s"${j(k)}:{${j("sec")}:$sec,${j("rows")}:$rows}"
     }.mkString(",")
     println(s"""{"mult":$mult,"sf":${j(sfDir)},"ops":{$body}}""")
     spark.stop()
+    // a filter that matched nothing is an operator error, not a
+    // measurement of zero ops — make it loud for scripts too
+    if (unknown.nonEmpty) sys.exit(2)
   }
 }

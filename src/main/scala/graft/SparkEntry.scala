@@ -570,11 +570,25 @@ object SparkEntry {
     }),
 
     // Dedup: MinHash + banded LSH candidates (xxhash64 family — the fast
-    // production variant; its band→bucket-join→estimate chain is proven
-    // end-to-end by the oracle-checked portable twin d11 below, which runs
-    // the SAME minhashCandidates code with only the base hash swapped).
+    // production variant). Contract twin (q30 recipe): the emitted pair
+    // set is the xx-family's own, the oracle rebuilds the PORTABLE
+    // (md5-low64) pair set in SQL, and `portable_agree` is Spark's own
+    // check that the two families' pair sets are identical (symmetric
+    // difference empty) — so green requires xx pairs == md5 pairs in
+    // Spark AND xx pairs == md5 pairs in DuckDB. est_jaccard stays
+    // family-internal (position-agreement fractions differ across base
+    // hashes); d11 below carries the hash-matched estimates.
     "d04_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashCandidates(t(s, dir, "documents"), n = 3, k = 64, bands = 16, threshold = 0.4)
+      val docs = t(s, dir, "documents")
+      val xx = Dedup.minhashCandidates(docs, n = 3, k = 64, bands = 16, threshold = 0.4)
+        .select(col("a_id"), col("b_id"))
+      val md5 = Dedup.minhashCandidates(docs, n = 3, k = 64, bands = 16, threshold = 0.4,
+          portableHash = true)
+        .select(col("a_id"), col("b_id"))
+      val agree = xx.union(md5).groupBy(col("a_id"), col("b_id")).count()
+        .where(col("count") === 1) // pairs found by exactly one family
+        .agg((count(lit(1)) === 0).as("portable_agree"))
+      xx.crossJoin(agree) // 1-row scalar broadcast
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -629,9 +643,28 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
-    // Dedup: 64-bit SimHash per doc (no SQL twin — xxhash64 family).
+    // Dedup: 64-bit SimHash, xxhash64 family (the native-expression
+    // production path). Contract twin: the fingerprints themselves are
+    // family-internal — d08 carries the hash-matched md5 values, and
+    // distinct-fingerprint CARDINALITY is NOT a sound cross-family
+    // invariant (near-dup collapse is what simhash is for, and whether
+    // two near-dups collide depends on the token-hash bits: measured 496
+    // xx vs 498 md5 distinct at sf0.001). What IS checkable end-to-end:
+    // the native codegen'd `simhash64` expression and the declarative
+    // vote/fold produce bit-identical fingerprints over the whole corpus
+    // (the q30-style flag recipe), anchored per row by oracle-checked
+    // n_tokens.
     "d05_simhash" -> ((s, dir) => {
-      Dedup.simhashed(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
+      val nat = Dedup.simhashed(docs).withColumnRenamed("simhash", "fp_n")
+      val dec = Dedup.simhashedDeclarativeXx(docs).withColumnRenamed("simhash", "fp_d")
+      val flag = nat.join(dec, Seq("doc_id"))
+        .agg(count(when(col("fp_n") =!= col("fp_d"), 1)).as("n_diff"))
+        .select((col("n_diff") === 0).as("native_eq_declarative"))
+      analytics.Par.spreadForCpu(docs)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountFromTokens(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+        .crossJoin(flag) // 1-row scalar broadcast
         .orderBy(col("doc_id"))
     }),
 
@@ -754,13 +787,24 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // Text: order-sensitive rolling-hash fingerprint (xxhash64 family — the
-    // fast production variant; the fold construction is oracle-checked via
-    // the portable twin t07 below, which differs only in the base hash).
+    // Text: order-sensitive rolling-hash fingerprint, xxhash64 family (the
+    // fused native-expression production path; t07 below carries the
+    // hash-matched md5 fold values). Contract twin: distinct-fingerprint
+    // cardinality — the count of distinct token SEQUENCES, identical
+    // across base-hash families absent differential collisions — is
+    // value-compared against DuckDB's count over the md5 fold, and
+    // card_agree is Spark's own xx-vs-md5 equality check.
     "t04_rolling_fingerprint" -> ((s, dir) => {
-      analytics.Par.spreadForCpu(t(s, dir, "documents"))
+      val toks = analytics.Par.spreadForCpu(t(s, dir, "documents"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), TextAnalysis.rollingHashFromTokens(s, col("ws")).as("fp64"))
+      val cards = toks
+        .select(TextAnalysis.rollingHashFromTokens(s, col("ws")).as("fp64"))
+        .agg(countDistinct(col("fp64")).as("fp_card"))
+        .crossJoin(toks
+          .select(TextAnalysis.rollingHashPortableFromTokens(col("ws")).as("fp64"))
+          .agg(countDistinct(col("fp64")).as("md5_card")))
+        .select(col("fp_card"), (col("fp_card") === col("md5_card")).as("card_agree"))
+      toks.select(col("doc_id")).crossJoin(cards) // 1-row scalar broadcast
         .orderBy(col("doc_id"))
     }),
 
@@ -1018,6 +1062,46 @@ object SparkEntry {
        |  FROM cand JOIN sig sa ON sa.doc_id = cand.a_id JOIN sig sb ON sb.doc_id = cand.b_id)
        |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
+
+  /** SimHash fold CTEs over the portable md5-low64 token hash, mirroring
+    * [[Dedup.simhashedPortable]]'s vote/fold construction: tokenize →
+    * per-token signed-64 hash → 64 per-bit votes → fold to one BIGINT
+    * (bit i set iff vote_i > 0; token-less docs LEFT-JOIN to all-zero
+    * votes = fingerprint 0, matching Spark's declarative fold). Emits
+    * `fps(doc_id, simhash)`; shared by the d08 value twin and the d05
+    * cardinality contract so the construction cannot drift.
+    */
+  private def portableSimhashCtes: String = {
+    val votes = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n ")
+    val fold = (0 until 64).map { i =>
+      val bit = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN v$i > 0 THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |tu AS (SELECT doc_id, unnest(ws) AS t FROM tok),
+       |th AS (SELECT doc_id,
+       |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 17, 16)) AS UBIGINT)::HUGEINT AS u FROM tu)),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |fps AS (SELECT d.doc_id, $fold AS simhash
+       |  FROM documents d LEFT JOIN votes USING (doc_id))""".stripMargin
+  }
+
+  /** Rolling-fingerprint fold CTEs over the portable md5-low64 token hash,
+    * mirroring [[graft.analytics.TextAnalysis.rollingHashPortableFromTokens]]:
+    * ordered token hashes folded with acc*1000003 + h under signed-64
+    * wraparound (HUGEINT modular arithmetic), empty docs = 0. Emits
+    * `fps(doc_id, fp64)`; shared by the t07 value twin and the t04
+    * cardinality contract.
+    */
+  private def portableRollingFpCtes: String =
+    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |hl AS (SELECT doc_id, list_transform(ws, s -> $md5Low64SqlExpr) AS hl FROM tok),
+       |fps AS (SELECT doc_id, CAST(CASE WHEN len(hl) = 0 THEN 0
+       |  ELSE list_reduce(hl, (acc, h) -> (((acc * 1000003 + h) % 18446744073709551616
+       |    + 18446744073709551616 + 9223372036854775808) % 18446744073709551616)
+       |    - 9223372036854775808) END AS BIGINT) AS fp64 FROM hl)""".stripMargin
 
   /** VALUES rows `(tbl, pl, w)` of the seeded random-hyperplane tables used
     * by s02 — generated from the SAME [[Similarity.hyperplanes]] calls as
@@ -1426,6 +1510,16 @@ object SparkEntry {
          |${portableLshPairCtes(64, 16, 0.4)}
          |SELECT a_id, b_id, est_jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin,
 
+    // LSH pair-set contract (d04): the oracle rebuilds the PORTABLE pair
+    // set; value-compare then asserts the xx-family pair set (Spark's
+    // output rows) is identical, and the TRUE flag is asserted against
+    // Spark's own symmetric-difference check between the two families.
+    "d04_minhash_lsh" ->
+      s"""WITH ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)}
+         |SELECT a_id, b_id, TRUE AS portable_agree FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin,
+
     // Approx-cluster twin of d12: d11's pair chain as the edge set feeding
     // the SAME recursive-CTE transitive closure as d07 (min-label
     // reachability, see the d07 comment), then the identical
@@ -1494,23 +1588,19 @@ object SparkEntry {
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical
     // per-bit vote + fold. The 64 vote/fold terms are generated.
-    "d08_simhash_portable" -> {
-      val votes = (0 until 64).map(i =>
-        s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n ")
-      val fold = (0 until 64).map { i =>
-        val bit = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
-        s"(CASE WHEN v$i > 0 THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString(" | ")
-      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
-         |tu AS (SELECT doc_id, unnest(ws) AS t FROM tok),
-         |th AS (SELECT doc_id,
-         |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
-         |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 17, 16)) AS UBIGINT)::HUGEINT AS u FROM tu)),
-         |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id)
-         |SELECT d.doc_id, $fold AS simhash
-         |FROM documents d LEFT JOIN votes USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "d08_simhash_portable" ->
+      s"""WITH $portableSimhashCtes
+         |SELECT doc_id, simhash FROM fps ORDER BY doc_id""".stripMargin,
+
+    // SimHash contract twin (d05): the fingerprint values are xx-family-
+    // internal (see the query comment — cardinality across families is
+    // NOT invariant), so the twin anchors each row by token count and
+    // asserts Spark's own native≡declarative equality flag TRUE.
+    "d05_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+         | TRUE AS native_eq_declarative
+         |FROM tok ORDER BY doc_id""".stripMargin,
 
     "d06_embedding_neardup" ->
       """WITH p AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS av FROM embeddings WHERE vec_id < 100),
@@ -1576,13 +1666,17 @@ object SparkEntry {
     // Java-long wraparound in HUGEINT; empty token lists fold to 0 like
     // Spark's aggregate over an empty array.
     "t07_rolling_fingerprint_portable" -> (
-      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
-         |hl AS (SELECT doc_id, list_transform(ws, s -> $md5Low64SqlExpr) AS hl FROM tok)
-         |SELECT doc_id, CAST(CASE WHEN len(hl) = 0 THEN 0
-         |  ELSE list_reduce(hl, (acc, h) -> (((acc * 1000003 + h) % 18446744073709551616
-         |    + 18446744073709551616 + 9223372036854775808) % 18446744073709551616)
-         |    - 9223372036854775808) END AS BIGINT) AS fp64
-         |FROM hl ORDER BY doc_id""".stripMargin),
+      s"""WITH $portableRollingFpCtes
+         |SELECT doc_id, fp64 FROM fps ORDER BY doc_id""".stripMargin),
+
+    // Rolling-fingerprint cardinality contract (t04): DuckDB counts
+    // distinct md5-fold fingerprints (= distinct token sequences absent
+    // collisions); Spark's fp_card is the xx-family count.
+    "t04_rolling_fingerprint" -> (
+      s"""WITH $portableRollingFpCtes
+         |SELECT d.doc_id, (SELECT count(DISTINCT fp64) FROM fps) AS fp_card,
+         | TRUE AS card_agree
+         |FROM documents d ORDER BY doc_id""".stripMargin),
 
     // Repetition twin (t08): raw (non-distinct) 3-grams rebuilt with the
     // same range/concat construction as the d10 shingle CTE minus the

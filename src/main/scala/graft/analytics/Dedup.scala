@@ -351,6 +351,17 @@ object Dedup {
       .select(col(idCol), folded.as("simhash"))
   }
 
+  /** The declarative xxhash64 vote/fold path regardless of whether the
+    * native `simhash64` expression is registered — the comparison arm of
+    * d05's native≡declarative contract (the q30-style flag the driver gate
+    * asserts every round, complementing the 500-case DedupSpec test).
+    */
+  private[graft] def simhashedDeclarativeXx(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    declarativeSimhash(
+      spreadForCpu(docs).select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws")),
+      idCol, t => xxhash64(t))
+
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -466,10 +477,94 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — the graph " +
         "has a component with diameter > maxIter; raise maxIter (rounds are " +
-        "cheap: one compact shuffle each) or pre-contract the graph")
+        "cheap: one compact shuffle each) or switch to " +
+        "connectedComponentsContracted, the large-star/small-star " +
+        "contraction (Kiveris et al., \"Connected Components in MapReduce " +
+        "and Beyond\") that converges in O(log n) rounds on any diameter")
     vertices.select(col(idCol).as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
+  /** Connected components by LARGE-STAR/SMALL-STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * escape hatch [[connectedComponents]]'s non-convergence error points
+    * at. Min-label propagation needs one round per hop of component
+    * DIAMETER; this contraction restructures the edge set itself and
+    * converges in O(log n) rounds on ANY topology, so it is the shape for
+    * adversarial graphs (long duplication chains, crawl-link structures)
+    * where diameter is unbounded.
+    *
+    * Per round, with edges kept oriented high→low:
+    *  - large-star: every node attaches its LARGER neighbors to the
+    *    minimum of its closed neighborhood — expressed as a per-src `min`
+    *    aggregation joined back to the bidirected edge list (no neighbor
+    *    list is ever materialized, so a hot node costs a skew-join, not an
+    *    OOM);
+    *  - small-star: every node attaches its smaller-or-equal neighbors
+    *    (and itself) to that minimum — same aggregation + join over the
+    *    canonical orientation.
+    * Both emit strictly-smaller-id parents, so edge weight sums decrease
+    * monotonically; the fixpoint is a forest of stars rooted at each
+    * component's min id. Convergence is detected EXACTLY (symmetric
+    * difference of consecutive edge sets empty — one union+group job), not
+    * by a collision-prone checksum. Labels then read directly off the
+    * star edges; vertices absent from every edge are their own component.
+    *
+    * Same state discipline as [[connectedComponents]]: lazy
+    * localCheckpoint per round cuts lineage, per-round shuffles carry only
+    * (src, dst) id pairs.
+    */
+  def connectedComponentsContracted(edges: DataFrame, vertices: DataFrame,
+      idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 30): DataFrame = {
+    def canonical(df: DataFrame): DataFrame =
+      df.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+    def largeStar(cur: DataFrame): DataFrame = {
+      val bidir = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = bidir.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      bidir.join(mins, Seq("src"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")) // m ≤ src < dst: stays high→low
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(cur: DataFrame): DataFrame = {
+      // input is high→low, so every dst ≤ src and m = min(closed nbhd)
+      val mins = cur.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      cur.join(mins, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(mins.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = canonical(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      // exact fixpoint test: both sets are distinct, so the edge sets are
+      // equal iff no (src, dst) appears in exactly one of them
+      converged = e.union(next).groupBy(col("src"), col("dst"))
+        .count().where(col("count") === 1).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsContracted did not converge in $maxIter rounds — " +
+        "contraction needs O(log n) rounds, so this indicates maxIter far " +
+        "below log2(|V|) or a defect; raise maxIter")
+    // fixpoint = star forest: src → its component min; roots and isolated
+    // vertices carry their own id
+    vertices.select(col(idCol).as("id"))
+      .join(e.select(col("src").as("id"), col("dst").as("cluster_id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Full dedup-cluster resolution over a corpus: exact n-gram Jaccard

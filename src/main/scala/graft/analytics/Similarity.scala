@@ -199,6 +199,17 @@ object Similarity {
     */
   def semanticClusters(vecs: DataFrame, threshold: Double,
       nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Dedup.clustersFromPairs(
+      semanticPairs(vecs, threshold, nTables, planesPerTable, dim, seed, idCol, vecCol),
+      vecs, idCol)
+
+  /** The candidate-generation + exact-scoring stage of [[semanticClusters]],
+    * exposed so the plan is auditable on its own (the cluster output's plan
+    * only shows the CC tail — the pair joins execute inside the iteration).
+    */
+  private[graft] def semanticPairs(vecs: DataFrame, threshold: Double,
+      nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nf = normFn(vecs)
     val cf = cosineFromNorms(dotFn(vecs)) _
@@ -213,9 +224,14 @@ object Similarity {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+    // persisted like the index: the (id, vec, norm) projection feeds BOTH
+    // pair-join sides — unpersisted, the embeddings table is re-scanned
+    // (and norms recomputed) once per side (~4 corpus scans total with the
+    // CC vertex list; persisted it is 2)
     val sided = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       nf(col(vecCol)).as("nrm"))
-    val pairs = candidates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidates
       .join(sided.select(col("id").as("a_id"), col("v").as("av"), col("nrm").as("an")),
         Seq("a_id"))
       .join(sided.select(col("id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
@@ -223,7 +239,6 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         round(cf(col("av"), col("bv"), col("an"), col("bn")), 6).as("sim"))
       .where(col("sim") >= threshold)
-    Dedup.clustersFromPairs(pairs, vecs, idCol)
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path next to

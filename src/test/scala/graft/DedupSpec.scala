@@ -222,6 +222,46 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("contracted CC (large-star/small-star): agrees with propagation CC on mixed topology") {
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (6L, 7L), (5L, 7L), (8L, 4L))
+      .toDF("src", "dst")
+    val vertices = (0L to 9L).toDF("id")
+    val a = Dedup.connectedComponents(edges, vertices).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsContracted(edges, vertices).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("contracted CC: diameter-63 chain resolves in O(log n) rounds (propagation would need 63)") {
+    // the adversarial case the contraction exists for: maxIter = 12 is far
+    // below the 63 propagation rounds the diameter demands but comfortably
+    // above log2(64) — convergence here proves the edge-set restructuring
+    // is doing the O(log n) work, not hop-by-hop label flow
+    val n = 64L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponentsContracted(edges, (0L until n).toDF("id"),
+      maxIter = 12).collect()
+    assert(cc.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(cc.length === n)
+  }
+
+  test("connected components: adversarial diameter-13 chain trips maxIter=10 and names the escape hatch") {
+    // min-label propagation advances one hop per round, so a component
+    // whose diameter exceeds maxIter CANNOT have converged — returning its
+    // labels would silently split one true cluster into several, each
+    // electing its own "survivor". The throw must fire, and the message
+    // must point at the documented O(log n) escape hatch for adversarial
+    // graphs (large-star/small-star contraction).
+    val edges = (0L until 13L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, (0L until 14L).toDF("id"), maxIter = 10).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("large-star/small-star"),
+      s"message must name the contraction escape hatch, got: ${e.getMessage}")
+  }
+
   test("dedup clusters (d07 shape): exact + near duplicates cluster, survivor is min id") {
     val out = Dedup.dedupClusters(docs, n = 3, threshold = 0.2).orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),

@@ -175,6 +175,26 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must broadcast into the bucket join, plan:\n$p")
   }
 
+  test("d14: the (id, vec, norm) projection is served from cache on both pair-join sides") {
+    // the cluster output's plan only shows the CC tail (pair joins execute
+    // inside the iteration), so audit the pair stage directly. Without the
+    // `sided` persist the embeddings parquet is re-scanned (and norms
+    // recomputed) once per join side; persisted, both sides read
+    // InMemoryTableScan and the only parquet scan left is the index build.
+    try {
+      val pairs = graft.analytics.Similarity.semanticPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.5,
+        nTables = 8, planesPerTable = 8, dim = 64)
+      pairs.write.format("noop").mode("overwrite").save() // materialize caches
+      val p = pairs.queryExecution.executedPlan.toString
+      val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(cacheScans >= 2,
+        s"both pair-join sides must read the persisted projection, found $cacheScans InMemoryTableScans, plan:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"semantic dedup must never plan an all-pairs join, plan:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("s03: IVF candidates equi-join on cent_id; the only loop join is the bounded centroid broadcast") {
     val p = plan("s03_ivf_topk")
     assert(!p.contains("CartesianProduct"),
