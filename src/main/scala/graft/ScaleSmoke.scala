@@ -116,6 +116,20 @@ object ScaleSmoke {
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))
 
+    // Adversarial CC topology at scale: ONE path component of 100k×mult
+    // nodes (diameter = n−1). Min-label propagation needs one round per
+    // hop — structurally impossible here; the large-star/small-star
+    // contraction must resolve it in O(log n) rounds, so this times the
+    // escape-hatch path the propagation variant's error message points at
+    // (construction runs inside the timed region, which captures the
+    // iterative rounds — see timed()).
+    run("cc_chain_contracted") {
+      val n = 25000L * mult
+      val chain = spark.range(n - 1)
+        .select(col("id").as("src"), (col("id") + 1L).as("dst"))
+      Dedup.connectedComponentsContracted(chain, spark.range(n).toDF("id"))
+    }
+
     // The one scale number the streaming surface lacked: the FULL NEF data
     // plane end-to-end — fileSource → runIngest (parse → enrich →
     // normalize → policy → Kafka-shaped per-notifId batches) → idempotent

@@ -525,11 +525,13 @@ object Dedup {
       val bidir = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
       val mins = bidir.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // no distinct here: duplicate edges don't perturb smallStar's min
+      // aggregation, and its trailing distinct canonicalizes the round's
+      // output — one shuffle per round saved
       bidir.join(mins, Seq("src"))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst")) // m ≤ src < dst: stays high→low
         .where(col("src") =!= col("dst"))
-        .distinct()
     }
     def smallStar(cur: DataFrame): DataFrame = {
       // input is high→low, so every dst ≤ src and m = min(closed nbhd)
@@ -545,14 +547,22 @@ object Dedup {
         .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst")))
       .distinct()
       .localCheckpoint(eager = false)
+    var prevCount = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      // exact fixpoint test: both sets are distinct, so the edge sets are
-      // equal iff no (src, dst) appears in exactly one of them
-      converged = e.union(next).groupBy(col("src"), col("dst"))
-        .count().where(col("count") === 1).isEmpty
+      // two-tier fixpoint test: the count (a cheap scan of the
+      // just-materialized checkpoint; equal counts are NECESSARY for
+      // equality) gates the exact symmetric-difference check (a full
+      // union+group shuffle; both sets are distinct, so equal iff no
+      // (src, dst) appears in exactly one) — mid-run rounds pay one scan,
+      // not one extra shuffle
+      val nextCount = next.count()
+      converged = nextCount == prevCount &&
+        e.union(next).groupBy(col("src"), col("dst"))
+          .count().where(col("count") === 1).isEmpty
+      prevCount = nextCount
       e = next
       iter += 1
     }
