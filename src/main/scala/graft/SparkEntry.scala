@@ -890,6 +890,26 @@ object SparkEntry {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    // Sequence packing: curated docs → fixed 512-token training sequences,
+    // per-language windows (no global sort), each doc assigned to the
+    // sequence containing its start offset. The step between curation and
+    // a training run.
+    "q39_pack" -> ((s, dir) =>
+      analytics.Packing.packSequences(
+          analytics.Par.spreadForCpu(t(s, dir, "documents")), budget = 512)
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Temperature mixture sampling (α = 0.5): per-language quota
+    // ceil(sqrt(count)) over the portable md5 permutation — the
+    // language-rebalance step of a training-mix builder; the quota
+    // boundary rides an integer predicate so no float pow is on the gate.
+    "q40_mix" -> ((s, dir) =>
+      analytics.Sampling.sqrtMixture(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          stratumCol = "lang", idCol = "doc_id")
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("stratum_n"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
     // Curation composition: quality score (t02's operator) → per-language
     // rank → keep the best 10 docs per language. The standard
     // quality-quota selection step of a training-data pipeline.
@@ -1704,6 +1724,34 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
         | FROM documents)
         |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
+
+    // Packing twin (q39): the same per-language running token count
+    // (ROWS frame — explicit, so both engines use identical frames) and
+    // the same start-offset bin arithmetic. DuckDB's sum(BIGINT) widens
+    // to HUGEINT, hence the explicit casts back.
+    "q39_pack" -> (
+      s"""WITH tok AS (SELECT lang, doc_id,
+         | CAST(len($tokensSqlExpr) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         | sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+         |FROM tok)
+         |SELECT lang, doc_id, n_tokens,
+         | CAST(start // 512 AS BIGINT) AS seq_id,
+         | CAST(start % 512 AS BIGINT) AS off
+         |FROM c ORDER BY lang, doc_id""".stripMargin),
+
+    // Mixture twin (q40): identical md5 permutation to q36's twin, the
+    // quota as the same integer predicate (rank−1)² < count.
+    "q40_mix" ->
+      """SELECT lang, sample_rank, doc_id, stratum_n FROM (
+        | SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank,
+        |  count(*) OVER (PARTITION BY lang) AS stratum_n
+        | FROM documents)
+        |WHERE (sample_rank - 1) * (sample_rank - 1) < stratum_n
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "t06_top_terms" -> (
       s"""WITH tok AS (SELECT lang, unnest($tokensSqlExpr) AS token FROM documents),

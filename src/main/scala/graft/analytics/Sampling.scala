@@ -28,6 +28,25 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Temperature mixture sampling at α = 0.5 — the "square-root sampling"
+    * rebalance for skewed language/source mixtures (big strata are
+    * down-weighted, small strata over-represented relative to their share):
+    * per-stratum quota = ceil(sqrt(count)), selected by the SAME portable
+    * md5 permutation as [[deterministicStratified]]. The quota boundary is
+    * expressed as the integer predicate `(rank−1)² < count` — equivalent to
+    * `rank ≤ ceil(√count)` for integer rank ≥ 1 — so no float `pow` sits on
+    * the cross-engine gate (IEEE pow at a perfect-square boundary could
+    * flip ceil by one between engines). Same scale shape as the stratified
+    * sample: one shuffle on the stratum key, per-stratum window sort.
+    */
+  def sqrtMixture(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .withColumn("stratum_n", count(lit(1)).over(Window.partitionBy(col(stratumCol))))
+      .where((col("sample_rank") - 1) * (col("sample_rank") - 1) < col("stratum_n"))
+  }
+
   /** Probabilistic Bernoulli sample — the cheap one-pass path when
     * reproducibility across repartitioning is NOT required (the per-row
     * RNG stream is seeded by partition). Kept as the documented contrast

@@ -160,6 +160,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0L)))     // zero-length: no phantom chunk
   }
 
+  test("sequence packing: start-offset bins, boundary spans, empty docs, per-stratum isolation") {
+    import spark.implicits._
+    // budget 5; en stream: 3,4,0,6 tokens → starts 0,3,7,7
+    //   doc0 seq0 off0; doc1 starts at 3 (spans into seq1 — splitter's
+    //   concern); doc2 is EMPTY, lands where the stream stands (seq1 off2);
+    //   doc3 same start (seq1 off2), spans into seq2. de restarts at 0.
+    val docs = Seq(
+      (0L, "en", "a b c"), (1L, "en", "d e f g"), (2L, "en", ""),
+      (3L, "en", "h i j k l m"), (4L, "de", "x y")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.analytics.Packing.packSequences(docs, budget = 5)
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("de", 4L, 2L, 0L, 0L),
+      ("en", 0L, 3L, 0L, 0L), ("en", 1L, 4L, 0L, 3L),
+      ("en", 2L, 0L, 1L, 2L), ("en", 3L, 6L, 1L, 2L)))
+  }
+
+  test("sqrt mixture: integer quota boundary is exact on perfect squares") {
+    import spark.implicits._
+    // stratum a: 9 docs → quota ceil(√9)=3 — a float-pow boundary case;
+    // stratum b: 10 docs → quota ceil(√10)=4; stratum c: 1 doc → 1
+    val docs = ((0 until 9).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b")) ++ Seq((200L, "c")))
+      .toDF("doc_id", "lang")
+    val got = graft.analytics.Sampling.sqrtMixture(docs, "lang", "doc_id")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 4L, "c" -> 1L))
+  }
+
   test("multimodal header codecs: synthesize → parse round-trips; bad magic → null") {
     import spark.implicits._
     val M = graft.analytics.Multimodal

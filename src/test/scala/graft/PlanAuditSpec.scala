@@ -175,6 +175,18 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must broadcast into the bucket join, plan:\n$p")
   }
 
+  test("q39/q40: packing and mixture plan ONE stratum shuffle each — no global sort before output ordering") {
+    for (name <- Seq("q39_pack", "q40_mix")) {
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashShuffles == 1,
+        s"$name must shuffle once on the stratum key, found $hashShuffles, plan:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name must never collapse to one partition, plan:\n$p")
+    }
+  }
+
   test("d14: the (id, vec, norm) projection is served from cache on both pair-join sides") {
     // the cluster output's plan only shows the CC tail (pair joins execute
     // inside the iteration), so audit the pair stage directly. Without the
