@@ -890,6 +890,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("sample_rank"))
     }),
 
+    // Unigram LM quality score: corpus-self-trained token frequencies →
+    // per-doc mean log-probability (the CCNet/Gopher perplexity-proxy
+    // filter). Cross-engine float determinism is engineered: 9-dp-rounded
+    // per-token log-probs, position-ordered left-fold summation, 6-dp
+    // display rounding (see TextAnalysis.unigramLogProbScores).
+    "t09_ppl" -> ((s, dir) =>
+      TextAnalysis.unigramLogProbScores(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Sequence packing: curated docs → fixed 512-token training sequences,
     // per-language windows (no global sort), each doc assigned to the
     // sequence containing its start offset. The step between curation and
@@ -1740,6 +1749,24 @@ object SparkEntry {
          | CAST(start // 512 AS BIGINT) AS seq_id,
          | CAST(start % 512 AS BIGINT) AS off
          |FROM c ORDER BY lang, doc_id""".stripMargin),
+
+    // Unigram-LM twin (t09): the same frequency table, the same
+    // 9-dp-rounded ln(c/total) per token, the same position-ordered left
+    // fold (list_reduce over list(lp ORDER BY pos) ≡ Spark's aggregate
+    // over the pos-sorted array: 0.0 + x == x exactly in IEEE, so the
+    // missing explicit init changes nothing), the same 6-dp display round.
+    "t09_ppl" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tu AS (SELECT doc_id, unnest(ws) AS token, generate_subscripts(ws, 1) AS pos FROM tok),
+         |f AS (SELECT token, count(*) AS c FROM tu GROUP BY token),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+         |lp AS (SELECT doc_id, pos, round(ln(CAST(c AS DOUBLE) / total), 9) AS lp
+         |  FROM tu JOIN f USING (token) CROSS JOIN tot),
+         |agg AS (SELECT doc_id, list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s,
+         |  count(*) AS n FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+         | round(agg.s / agg.n, 6) AS lp_avg
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // Mixture twin (q40): identical md5 permutation to q36's twin, the
     // quota as the same integer predicate (rank−1)² < count.

@@ -197,4 +197,50 @@ object TextAnalysis {
     PiiPatterns.map { case (name, _, token) =>
       name -> (size(split(scrubbed, java.util.regex.Pattern.quote(token), -1)) - 1)
     }
+
+  /** Corpus-self-trained unigram language-model score — the perplexity
+    * proxy of the classic quality filters (CCNet/Gopher lineage): train
+    * unigram frequencies over the corpus itself, then score each document
+    * by its mean token log-probability `avg(ln(c_token / total))`. Highly
+    * repetitive or boilerplate-heavy documents score HIGH (common tokens);
+    * gibberish scores LOW — a complementary signal to the rule-based
+    * [[qualityScoreFromTokens]].
+    *
+    * Float determinism across engines is engineered, not hoped for:
+    * per-token log-probs are rounded to 9 dp BEFORE summation (ln may
+    * differ by 1 ulp between libm implementations), each document's values
+    * are summed in TOKEN-POSITION order via an explicit left fold over a
+    * sorted array (aggregate-in-partition order is nondeterministic, array
+    * folds are not), and the final mean is display-rounded to 6 dp — the
+    * repo's standard similarity-score convention.
+    *
+    * Scale shape: the frequency table is vocabulary-sized (Zipf — millions
+    * of rows at 100 TB, a feature-store artifact built once per corpus
+    * snapshot); the token→frequency join is the one big shuffle and its
+    * key distribution IS Zipf (stopwords are hot keys) — AQE skew-join
+    * splits them, and the d03-style salting is the manual fallback. The
+    * grand total broadcasts as a 1-row scalar.
+    */
+  def unigramLogProbScores(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = Par.spreadForCpu(docs)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val freqs = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = freqs.agg(sum(col("c")).as("total"))
+    val perTok = toks
+      .join(freqs, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("pos"),
+        round(log(col("c").cast(DoubleType) / col("total").cast(DoubleType)), 9).as("lp"))
+    val scored = perTok.groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("lp"))).as("lps"))
+      .select(col(idCol),
+        aggregate(transform(array_sort(col("lps")), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        size(col("lps")).cast(LongType).as("n"))
+      .select(col(idCol), col("n"), round(col("s") / col("n"), 6).as("lp_avg"))
+    // token-less docs carry a null score (nothing to average), count 0
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_tokens"), col("lp_avg"))
+  }
 }

@@ -123,4 +123,24 @@ class TextAnalysisSpec extends SparkSpec {
       0.4 * r.getDouble(1) + 0.2 * (1.0 - r.getDouble(2))
     assert(r.getDouble(0) === expected)
   }
+
+  test("unigram LM score: common-token docs outscore rare-token docs; empty doc is null") {
+    // corpus: "the" appears 4x, every other token once (total 8) —
+    // doc 0 averages ln(4/8); doc 1 averages over four ln(1/8) tokens;
+    // doc 2 has no tokens at all
+    val docs = Seq(
+      (0L, "the the the the"), (1L, "zyx wvu tsr qpo"), (2L, "  ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProbScores(docs).orderBy("doc_id").collect()
+    val lp = (c: Long) =>
+      BigDecimal(math.log(c / 8.0)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getLong(1) === 4L)
+    assert(out(0).getDouble(2) ===
+      BigDecimal(lp(4L)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getDouble(2) ===
+      BigDecimal(lp(1L)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getDouble(2) > out(1).getDouble(2),
+      "common-token doc must outscore rare-token doc")
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+  }
 }
