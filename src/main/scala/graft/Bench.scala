@@ -56,6 +56,39 @@ object Bench {
     sec
   }
 
+  /** Full JSON string escape (backslash, quote, control chars) — sfDir is
+    * environment-provided and must not be able to corrupt the one-line
+    * contract the driver parses.
+    */
+  private def j(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** The one-line report, built pure so its byte budget is testable. The
+    * driver keeps only the LAST 2000 bytes of output and parses the JSON
+    * line out of that window (sharing it with sbt's ~75-byte epilogue) —
+    * ms precision normally, falling back to 10 ms precision if the line
+    * would crowd the window (e.g. many queries all above 10 s): a
+    * slightly coarser timing beats an unparseable report (rounds 1-8).
+    * Locale.ROOT throughout: the default locale could emit comma
+    * decimals, which is invalid JSON.
+    */
+  private[graft] def reportLine(ok: Seq[(String, Double)],
+      failed: Seq[(String, String)], calib: (Double, Double), sfDir: String): String = {
+    def build(fmt: String): String = {
+      def d(v: Double): String = fmt.formatLocal(java.util.Locale.ROOT, v)
+      val qs = ok.map { case (k, v) => s"${j(k)}:${d(v)}" }.mkString("{", ",", "}")
+      val fl = failed.map { case (k, e) => s"${j(k)}:${j(e)}" }.mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$fl,"calib":[${d(calib._1)},${d(calib._2)}],"sf":${j(sfDir)}}"""
+    }
+    val line = build("%.3f")
+    if (line.length <= 1900) line else build("%.2f")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,34 +137,15 @@ object Bench {
         (name, sorted(iters / 2), None)
       }
     }
-    // full JSON string escape (backslash, quote, control chars) — sfDir is
-    // environment-provided and must not be able to corrupt the one-line
-    // contract the driver parses
-    def j(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val calibPost = calibrate()
-    val ok = results.filter(_._3.isEmpty)
-    // ms precision, not Double.toString: the driver keeps only the LAST
-    // 2000 bytes of output and parses the JSON line out of that window;
-    // 17-digit doubles pushed the 63-query line to ~2400 bytes and rounds
-    // 1-7 landed truncated. At %.3f the line fits with margin — yet the r8
-    // report STILL read "parsed": null with the line fully inside the tail:
-    // sbt's LoggedOutput prefixed it with "[info] ". Both conditions must
-    // hold: the line fits the 2000-byte window (this %.3f) AND it reaches
-    // stdout unprefixed (build.sbt outputStrategy := StdoutOutput).
-    // Formatting goes through Locale.ROOT explicitly: the f"" interpolator
-    // uses the default locale, and a comma-decimal locale would emit
-    // invalid JSON ("value":110,035).
-    def d3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = ok.map { case (k, v, _) => s"${j(k)}:${d3(v)}" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => s"${j(k)}:${j(e)}" }
-      .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"failed":$failed,"calib":[${d3(calibPre)},${d3(calibPost)}],"sf":${j(sfDir)}}"""
+    // the line must reach stdout UNPREFIXED to parse: the r8 report read
+    // "parsed": null with the line fully inside the tail window because
+    // sbt's LoggedOutput prepended "[info] " — build.sbt sets
+    // outputStrategy := StdoutOutput (byte budget handled in reportLine)
+    val line = reportLine(
+      results.collect { case (k, v, None) => (k, v) },
+      results.collect { case (k, _, Some(e)) => (k, e) },
+      (calibPre, calibPost), sfDir)
     spark.stop()
     // last line of program output: nothing (not even Spark shutdown chatter,
     // which is why stop() runs first) may land between it and process exit
