@@ -25,8 +25,25 @@ object Sinks {
     * per-request arrival order (H6) — a single-writer property a
     * distributed engine replaces with an explicit sort key; the Kafka
     * message key (notifId) still gives per-subscription partition ordering.
-    * (`array_sort` with a comparator, not `sort_array`: the record struct
-    * carries a map column, which struct ordering rejects.)
+    * (`array_sort` with a comparator, not `sort_array`: comparing whole
+    * record structs is both illegal — the struct carries a map column,
+    * which struct ordering rejects — and unnecessary.)
+    *
+    * Each record is serialized to its JSON form BEFORE the groupBy and the
+    * array is assembled by string join, not `to_json(collect_list(struct))`.
+    * Two reasons, both load-bearing at scale:
+    *  - the aggregate's input projection then references the upstream
+    *    parse subtree ONCE (notifId + one `to_json`). Collecting the raw
+    *    6-field struct instead makes the collapsed projection repeat the
+    *    `from_json` subtree per field — measured 3202 cpu-s vs 121 for
+    *    this shape on a 1M-notification batch (26×), with the interpreted
+    *    full-schema re-parse (`JsonToStructsEvaluator`) as the hot frame;
+    *  - the shuffle then carries one compact string per record instead of
+    *    nested structs with map columns (same batch: 983 GC-s vs 10).
+    * Byte-equivalence of the two shapes: `to_json` of an array emits its
+    * elements exactly as the per-element `to_json`, with no separator
+    * whitespace, so bracket + comma-join reproduces it byte-for-byte
+    * (q23's golden oracle pins this).
     */
   def kafkaBatches(records: DataFrame, deterministicOrder: Boolean = false): DataFrame = {
     val record = struct(
@@ -48,20 +65,23 @@ object Sinks {
         .when(l.getField("j") < r.getField("j"), -1)
         .when(l.getField("j") > r.getField("j"), 1)
         .otherwise(0)
-    val ordered =
+    val grouped =
       if (deterministicOrder)
-        transform(
-          array_sort(collect_list(struct(
+        records
+          .select(col("notifId"), struct(
             col("timestamp").as("ts"), col("event").as("ev"),
-            to_json(record).as("j"), record.as("rec"))), cmp),
-          k => k.getField("rec"))
-      else collect_list(record)
-    records
-      .groupBy(col("notifId"))
-      .agg(ordered.as("records"))
-      .select(
-        col("notifId").as("key"),
-        to_json(col("records")).as("value"))
+            to_json(record).as("j")).as("k"))
+          .groupBy(col("notifId"))
+          .agg(transform(array_sort(collect_list(col("k")), cmp),
+            k => k.getField("j")).as("js"))
+      else
+        records
+          .select(col("notifId"), to_json(record).as("j"))
+          .groupBy(col("notifId"))
+          .agg(collect_list(col("j")).as("js"))
+    grouped.select(
+      col("notifId").as("key"),
+      concat(lit("["), array_join(col("js"), ","), lit("]")).as("value"))
   }
 
   /** A4: per-record WebSocket fan-out payload
