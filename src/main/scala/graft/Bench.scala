@@ -56,6 +56,53 @@ object Bench {
     sec
   }
 
+  /** All-cores companion to [[calibrate]], emitted as `"calibmt":[pre,post]`.
+    * The single-thread calib has a measured blind spot: this sandbox shows
+    * windows where one busy thread runs at full speed while a 32-thread
+    * Spark stage's task threads report up to 60× the executor-CPU of an
+    * idle-window run of the SAME jar on the SAME data (round-9 probes:
+    * 159 → 9725 cpu-s for one fixed pipeline, calib flat at ~0.3 s, guest
+    * steal 0%) — i.e. the host throttles multi-core occupancy specifically.
+    * This workload is the same byte-mix pass run on every core at once
+    * (8 passes per thread, own buffer, latch-aligned start; idle ≈ 0.1 s
+    * wall), so its inflation tracks exactly the contention mode that
+    * distorts query timings and the single-thread calib cannot see.
+    */
+  private def calibrateMt(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val ready = new java.util.concurrent.CountDownLatch(n)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(n)
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val ts = (0 until n).map { _ =>
+      val t = new Thread(() => {
+        val buf = new Array[Byte](8 << 20)
+        var i = 0
+        while (i < buf.length) { buf(i) = (i * 31 + (i >> 11)).toByte; i += 1 }
+        var h = 1125899906842597L
+        def pass(): Unit = {
+          var j = 0
+          while (j < buf.length) { h = h * 6364136223846793005L + buf(j); j += 1 }
+        }
+        pass()
+        ready.countDown(); start.await()
+        var p = 0
+        while (p < 8) { pass(); p += 1 }
+        sink.addAndGet(h)
+        done.countDown()
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    ready.await()
+    val t0 = System.nanoTime()
+    start.countDown()
+    done.await()
+    val sec = (System.nanoTime() - t0) / 1e9
+    ts.foreach(_.join())
+    if (sink.get == 42L) System.err.println("calibmt sink") // keep loops live
+    sec
+  }
+
   /** Full JSON string escape (backslash, quote, control chars) — sfDir is
     * environment-provided and must not be able to corrupt the one-line
     * contract the driver parses.
@@ -77,13 +124,14 @@ object Bench {
     * decimals, which is invalid JSON.
     */
   private[graft] def reportLine(ok: Seq[(String, Double)],
-      failed: Seq[(String, String)], calib: (Double, Double), sfDir: String): String = {
+      failed: Seq[(String, String)], calib: (Double, Double),
+      calibMt: (Double, Double), sfDir: String): String = {
     def build(fmt: String): String = {
       def d(v: Double): String = fmt.formatLocal(java.util.Locale.ROOT, v)
       val qs = ok.map { case (k, v) => s"${j(k)}:${d(v)}" }.mkString("{", ",", "}")
       val fl = failed.map { case (k, e) => s"${j(k)}:${j(e)}" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$fl,"calib":[${d(calib._1)},${d(calib._2)}],"sf":${j(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$fl,"calib":[${d(calib._1)},${d(calib._2)}],"calibmt":[${d(calibMt._1)},${d(calibMt._2)}],"sf":${j(sfDir)}}"""
     }
     val line = build("%.3f")
     if (line.length <= 1900) line else build("%.2f")
@@ -103,6 +151,7 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val calibPre = calibrate()
+    val calibMtPre = calibrateMt()
     val results = selected.map { case (name, fn) =>
       // every timed iteration starts cache-cold and memory-neutral: drop
       // operator-internal persists (d03 shingle sets, d04 signatures) and
@@ -138,6 +187,7 @@ object Bench {
       }
     }
     val calibPost = calibrate()
+    val calibMtPost = calibrateMt()
     // the line must reach stdout UNPREFIXED to parse: the r8 report read
     // "parsed": null with the line fully inside the tail window because
     // sbt's LoggedOutput prepended "[info] " — build.sbt sets
@@ -145,7 +195,7 @@ object Bench {
     val line = reportLine(
       results.collect { case (k, v, None) => (k, v) },
       results.collect { case (k, _, Some(e)) => (k, e) },
-      (calibPre, calibPost), sfDir)
+      (calibPre, calibPost), (calibMtPre, calibMtPost), sfDir)
     spark.stop()
     // last line of program output: nothing (not even Spark shutdown chatter,
     // which is why stop() runs first) may land between it and process exit

@@ -171,7 +171,7 @@ class OperatorsSpec extends SparkSpec {
     // that the 2× perf gate has failed long before the byte budget.
     val worstCase = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
     val line = Bench.reportLine(worstCase, Seq.empty, (99.99, 99.99),
-      "/root/testdata/sf0.1")
+      (99.99, 99.99), "/root/testdata/sf0.1")
     assert(line.length + 100 < 2000,
       s"worst-case bench line is ${line.length} bytes for ${worstCase.size} " +
         "queries — over the tail-window budget with the sbt epilogue; " +
