@@ -220,4 +220,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(loops <= 2,
       s"only the two centroid-assignment loop joins are allowed, found $loops, plan:\n$p")
   }
+
+  test("q23: the Kafka-batch aggregate collects serialized strings, never record structs") {
+    // the round-9 regression this pins: to_json(collect_list(record))
+    // collected the 6-field record struct (with its map column) — the
+    // aggregate input re-evaluated the from_json subtree per field (26×
+    // CPU on a 1M-notification batch) and the shuffle carried nested
+    // structs (983 GC-s vs 10). The contract: every CollectList in the
+    // sink's plan buffers either the JSON string itself or the flat
+    // (ts, ev, j) sort-key struct — nothing with a map, nothing untyped.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val notifs = Fixtures.notifications(spark, Seq(
+      Fixtures.perfDataPayload, Fixtures.ueCommPayload))
+    val env = Ingest.envelopes(notifs, Fixtures.subscriptions(spark),
+      now = org.apache.spark.sql.functions.lit(1776680100L))
+    for (det <- Seq(true, false)) {
+      val collected = sinks.Sinks.kafkaBatches(env, deterministicOrder = det)
+        .queryExecution.optimizedPlan.collect { case a: Aggregate =>
+          a.aggregateExpressions.flatMap(_.collect {
+            case ae: AggregateExpression => ae.aggregateFunction
+          })
+        }.flatten.collect { case c: CollectList => c.child.dataType }
+      assert(collected.size == 1,
+        s"deterministicOrder=$det: expected exactly one CollectList, got $collected")
+      assert(!hasMap(collected.head),
+        s"deterministicOrder=$det: aggregate buffers the record struct " +
+          s"(map column present) — the serialize-before-shuffle contract is " +
+          s"broken: ${collected.head}")
+      val leaf = collected.head match {
+        case s: StructType => s.fields.map(_.dataType).toSeq
+        case other => Seq(other)
+      }
+      assert(leaf.contains(StringType),
+        s"deterministicOrder=$det: collected element carries no serialized " +
+          s"JSON string: ${collected.head}")
+    }
+  }
 }
