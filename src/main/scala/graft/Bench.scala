@@ -123,13 +123,28 @@ object Bench {
     * Locale.ROOT throughout: the default locale could emit comma
     * decimals, which is invalid JSON.
     */
+  /** Report key for a catalog query: the `q01`/`d15`/`t09`-style prefix
+    * before the first underscore — unique across the catalog (asserted in
+    * OperatorsSpec), and ~15 bytes shorter per query than the full name,
+    * which is what keeps 70+ queries at full ms precision inside the
+    * driver's tail window. Falls back to the full name if a prefix ever
+    * collides (two colliding keys would otherwise silently merge in the
+    * report map).
+    */
+  private[graft] def reportKeys(names: Seq[String]): Map[String, String] = {
+    val short = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val counts = short.values.groupBy(identity).view.mapValues(_.size).toMap
+    short.map { case (full, s) => full -> (if (counts(s) == 1) s else full) }
+  }
+
   private[graft] def reportLine(ok: Seq[(String, Double)],
       failed: Seq[(String, String)], calib: (Double, Double),
       calibMt: (Double, Double), sfDir: String): String = {
+    val keys = reportKeys(ok.map(_._1) ++ failed.map(_._1))
     def build(fmt: String): String = {
       def d(v: Double): String = fmt.formatLocal(java.util.Locale.ROOT, v)
-      val qs = ok.map { case (k, v) => s"${j(k)}:${d(v)}" }.mkString("{", ",", "}")
-      val fl = failed.map { case (k, e) => s"${j(k)}:${j(e)}" }.mkString("{", ",", "}")
+      val qs = ok.map { case (k, v) => s"${j(keys(k))}:${d(v)}" }.mkString("{", ",", "}")
+      val fl = failed.map { case (k, e) => s"${j(keys(k))}:${j(e)}" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
       s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$fl,"calib":[${d(calib._1)},${d(calib._2)}],"calibmt":[${d(calibMt._1)},${d(calibMt._2)}],"sf":${j(sfDir)}}"""
     }

@@ -643,6 +643,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Dedup: duplicate n-gram SPAN coverage (exact-substring dedup family,
+    // Lee et al. 2022) — positions covered by a word 8-gram shared with
+    // another document; the keep/trim signal for span-level dedup.
+    "d15_spans" -> ((s, dir) => {
+      Dedup.duplicateSpanCoverage(t(s, dir, "documents"), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: 64-bit SimHash, xxhash64 family (the native-expression
     // production path). Contract twin: the fingerprints themselves are
     // family-internal — d08 carries the hash-matched md5 values, and
@@ -1613,6 +1621,25 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | vec_id = cluster_id AS is_survivor
          |FROM cc ORDER BY vec_id""".stripMargin),
+
+    // Duplicate-span twin (d15): same md5 gram keys, same ≥2-distinct-docs
+    // rule, and the same lag-window union of overlapping spans (first
+    // start contributes 8, each later one min(8, pos−prev)).
+    "d15_spans" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |gr AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1:i+8], ' ')) AS g
+         |  FROM tok, UNNEST(range(len(ws) - 7)) AS u(i) WHERE len(ws) >= 8),
+         |dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |ds AS (SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM gr WHERE g IN (SELECT g FROM dup)),
+         |cov AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN prev IS NULL THEN 8 ELSE LEAST(8, pos - prev) END) AS BIGINT) AS dup_tokens
+         |  FROM ds GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+         | COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         | round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_ratio
+         |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical

@@ -608,6 +608,58 @@ object Dedup {
     clustersFromPairs(pairs, docs, idCol)
   }
 
+  /** Duplicate n-gram SPAN coverage — the exact-substring dedup family
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": duplicated *spans* are removed, not whole documents). A
+    * position-indexed word n-gram occurring in ≥2 DISTINCT documents marks
+    * its n token positions as duplicated; per document this reports the
+    * count of token positions covered by at least one duplicated n-gram
+    * and the covered fraction — the keep/trim decision for span-level
+    * dedup.
+    *
+    * Scale shape: positional grams `(doc, pos, hash(gram))` form an
+    * inverted index — the duplicate-gram set is one hash aggregation on
+    * the gram key, and the per-document union of overlapping spans is a
+    * lag window over span STARTS (first span contributes n, each later
+    * one `min(n, pos − prev)`), never an explode of the n covered
+    * positions: that n× row blowup is the difference between a shuffle of
+    * gram starts and a shuffle of the whole corpus at 100 TB. Gram keys
+    * here are md5 hex (the portable-oracle recipe); the production
+    * variant swaps in xxhash64 for 8-byte shuffle keys exactly as d04
+    * does vs d11. Suffix-array machinery (the paper's exact algorithm)
+    * is deliberately traded for fixed-n grams: fixed n loses
+    * shorter-than-n duplicates but keeps the whole operator in two
+    * shuffles of narrow keys.
+    */
+  def duplicateSpanCoverage(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    // (id, n_toks, gram-hash array); < n tokens → empty array, so every
+    // document keeps a row here and in the final left join
+    val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
+      when(size(col("ws")) >= n,
+        transform(sequence(lit(0), size(col("ws")) - n),
+          i => md5(concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))))
+        .otherwise(array().cast(ArrayType(StringType))).as("gh"))
+    val pos = grams.select(col("id"), posexplode(col("gh")))
+      .toDF("id", "pos", "g")
+    val dup = pos.groupBy(col("g")).agg(countDistinct(col("id")).as("df"))
+      .where(col("df") >= 2).select(col("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val cov = pos.join(dup, Seq("g"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .groupBy(col("id"))
+      .agg(sum(when(col("prev").isNull, lit(n))
+        .otherwise(least(lit(n), col("pos") - col("prev")))).as("dup_tokens"))
+    grams.select(col("id").as(idCol), col("n_toks"))
+      .join(cov.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast(DoubleType) / greatest(col("n_toks"), lit(1L)), 6))
+  }
+
   private[analytics] def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
     val cc = connectedComponents(pairs, docs.select(col(idCol)),
       idCol = idCol, srcCol = "a_id", dstCol = "b_id")

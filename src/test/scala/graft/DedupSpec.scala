@@ -334,6 +334,30 @@ class DedupSpec extends SparkSpec {
     assert(flags === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("duplicate spans (d15): overlapping spans union, same-doc repeats don't count, " +
+      "short/empty docs zero") {
+    val docs = Seq(
+      (0L, "a b c d e f"),            // dup 3-gram starts 0,1 → union 4 tokens
+      (1L, "x a b c d y"),            // dup starts 1,2 → union 4
+      (2L, "p q r"),                  // no shared gram → 0
+      (3L, "a b"),                    // < n tokens → no grams → 0
+      (4L, ""),                       // empty → n_toks 0, ratio 0 (guarded division)
+      (5L, "a b c z z z z b c d"),    // dup starts 0,7 — DISJOINT spans → 3+3=6
+      (6L, "m n o m n o m n o")       // gram repeats only WITHIN this doc → not dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanCoverage(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_ratio"))))
+      .toMap
+    assert(out(0L) === ((6L, 4L, 0.666667)))
+    assert(out(1L) === ((6L, 4L, 0.666667)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    assert(out(5L) === ((10L, 6L, 0.6)))
+    assert(out(6L) === ((9L, 0L, 0.0)))
+  }
+
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
     val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
         (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))

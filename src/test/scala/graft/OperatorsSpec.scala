@@ -178,6 +178,14 @@ class OperatorsSpec extends SparkSpec {
         "shorten query names")
     // and the line must actually be JSON a line-parser accepts
     assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"))
+    // report keys are the q01/d15-style prefixes — they must stay unique
+    // across the catalog or the report silently falls back to long names
+    // (burning the byte budget the short keys exist to protect)
+    val keys = Bench.reportKeys(SparkEntry.queries.keys.toSeq)
+    assert(keys.values.toSeq.distinct.size === keys.size)
+    assert(keys.values.forall(!_.contains('_')),
+      s"catalog prefix collision forced long report keys: " +
+        keys.collect { case (full, k) if k.contains('_') => full }.mkString(", "))
   }
 
   test("sequence packing: start-offset bins, boundary spans, empty docs, per-stratum isolation") {
