@@ -651,6 +651,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: bloom-filter decontamination — d13's 100 TB scale path (the
+    // contamination shingles fold into Spark's runtime-filter bloom sketch
+    // instead of a broadcast array). Contract twin: `contaminated` is the
+    // EXACT d13 flag (hash-matched by the oracle); `bloom_ok` asserts the
+    // bloom's one-sided-error contract — every exactly-contaminated doc is
+    // bloom-flagged (no false negatives) — and must be TRUE on every row.
+    "d16_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val contam = docs.where(col("doc_id") < 20)
+      val exact = Dedup.contaminationFlags(docs, contam, n = 3)
+      val bloom = Dedup.contaminationFlagsBloom(s, docs, contam, n = 3,
+        estItems = 1L << 14, numBits = 1L << 18)
+      exact.join(bloom, Seq("id"))
+        .select(col("id").as("doc_id"), col("contaminated"),
+          (col("bloom_hit") || !col("contaminated")).as("bloom_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: 64-bit SimHash, xxhash64 family (the native-expression
     // production path). Contract twin: the fingerprints themselves are
     // family-internal — d08 carries the hash-matched md5 values, and
@@ -1621,6 +1639,22 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | vec_id = cluster_id AS is_survivor
          |FROM cc ORDER BY vec_id""".stripMargin),
+
+    // Bloom decontamination twin (d16): the exact column IS d13's oracle;
+    // the bloom column is checked through its one-sided-error contract
+    // (exact ⊆ bloom ⇒ bloom_ok TRUE everywhere), the q30/q35 recipe.
+    "d16_bloom" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+         |  FROM tok WHERE len(ws) >= 3),
+         |cs AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id < 20),
+         |hit AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id, unnest(sh) AS sh FROM g) ds JOIN cs USING (sh))
+         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated,
+         | TRUE AS bloom_ok
+         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Duplicate-span twin (d15): same md5 gram keys, same ≥2-distinct-docs
     // rule, and the same lag-window union of overlapping spans (first

@@ -608,6 +608,48 @@ object Dedup {
     clustersFromPairs(pairs, docs, idCol)
   }
 
+  /** Bloom-filter decontamination — the 100 TB scale path of
+    * [[contaminationFlags]]. The exact variant broadcasts the DISTINCT
+    * contamination shingles as an in-memory set; fine while benchmark
+    * suites are small, but the broadcast grows with the contamination
+    * set and stops fitting executor memory long before a large held-out
+    * corpus does. This variant folds the contamination shingles into a
+    * fixed-size bloom filter (Spark's own runtime-filter sketch, exposed
+    * via the engine's `bloom_agg`/`bloom_contains` functions) built by
+    * one aggregation and shipped to every task as a scalar-subquery
+    * constant; the corpus side stays a single codegen'd scan + probe.
+    *
+    * Error is ONE-SIDED: `bloom_contains` has no false negatives, so
+    * every exactly-contaminated document is flagged; false positives
+    * over-flag at the filter's fpp (pick `numBits` ≈ 10–20× the distinct
+    * shingle count for ≲1%). Returns `(id, bloom_hit)` for every corpus
+    * document — short documents (< n tokens) have no shingles and are
+    * never flagged.
+    */
+  def contaminationFlagsBloom(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, contaminated: DataFrame, n: Int,
+      estItems: Long, numBits: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    shingleSets(contaminated, n, idCol, textCol)
+      .select(explode(col("sh")).as("s")).distinct()
+      .createOrReplaceTempView("graft_bloom_contam")
+    shingleSets(docs, n, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .createOrReplaceTempView("graft_bloom_corpus")
+    // the bloom rides as a scalar-subquery CONSTANT (bloom_contains
+    // requires one); docs whose every probe misses — or with no shingles
+    // at all — resolve to false via the left join below
+    val hits = spark.sql(
+      s"""SELECT id, max(bloom_contains(
+         |    (SELECT bloom_agg(xxhash64(s), ${estItems}L, ${numBits}L)
+         |     FROM graft_bloom_contam),
+         |    xxhash64(s))) AS bloom_hit
+         |FROM graft_bloom_corpus GROUP BY id""".stripMargin)
+    docs.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
+  }
+
   /** Duplicate n-gram SPAN coverage — the exact-substring dedup family
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     * Better": duplicated *spans* are removed, not whole documents). A

@@ -78,6 +78,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, n, MinHashSig.abConstants(k, seed))
       }))
 
+    // bloom_agg / bloom_contains: Spark's OWN runtime-filter bloom
+    // machinery (catalyst BloomFilterAggregate / BloomFilterMightContain,
+    // the expressions behind spark.sql.optimizer.runtimeFilter) exposed as
+    // SQL functions. This is the 100 TB decontamination path: d13's
+    // broadcast shingle-universe array stops fitting executor memory long
+    // before the corpus does, while a fixed-size bloom filter (built by
+    // one aggregation, shipped as a scalar-subquery constant) keeps the
+    // corpus side a single codegen'd scan. One-sided error only: no false
+    // negatives, so bloom-flagged ⊇ exact-flagged always holds (the d16
+    // contract flag). bloom_contains requires a CONSTANT filter (scalar
+    // subquery or literal) — enforced by the expression's own type check.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "bloom_agg",
+        "_FUNC_(xxhash64_value, est_items, num_bits) - binary bloom filter aggregate over long hashes.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "bloom_agg takes 3 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "bloom_contains",
+        "_FUNC_(bloom, xxhash64_value) - might-contain probe; false has no false negatives.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "bloom_contains takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
+
     // lsh_sign_buckets(vec, seed, nTables, planesPerTable, dim): the trailing
     // four arguments must be foldable literals — the seeded hyperplane
     // matrix is built once at plan time and rides into codegen as a

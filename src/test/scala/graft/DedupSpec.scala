@@ -334,6 +334,38 @@ class DedupSpec extends SparkSpec {
     assert(flags === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("bloom decontamination (d16): superset of exact flags; tiny filter forces " +
+      "false positives but never false negatives") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "a quick brown fox runs home"),
+      (2L, "completely different words entirely"),
+      (3L, "too short"),
+      (4L, "spark engines cluster scheduling today now"),
+      (5L, "another unrelated stretch of plain words here")
+    ).toDF("doc_id", "text")
+    val contam = docs.where(col("doc_id") === 0L)
+    val exact = Dedup.contaminationFlags(docs, contam, n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("contaminated")).toMap
+    // generous filter: bloom ≡ exact at this scale (fpp ~0)
+    val wide = Dedup.contaminationFlagsBloom(spark, docs, contam, n = 3,
+        estItems = 1L << 14, numBits = 1L << 18)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("bloom_hit")).toMap
+    assert(wide === exact)
+    // pathological filter: 64 bits (the sketch's bitset floor) at
+    // estItems=1 gives ~44 hash functions, so a dozen inserted shingles
+    // saturate every bit — false positives everywhere EXCEPT no-shingle
+    // docs (nothing to probe), and still no false negatives (the
+    // one-sided contract d16's bloom_ok flag asserts)
+    val tiny = Dedup.contaminationFlagsBloom(spark, docs, contam, n = 3,
+        estItems = 1L, numBits = 64L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("bloom_hit")).toMap
+    exact.foreach { case (id, e) => if (e) assert(tiny(id), s"false negative on $id") }
+    assert(tiny.count { case (id, b) => b && !exact(id) } > 0,
+      "8-bit filter produced no false positives — probe path is not a bloom")
+    assert(!tiny(3L), "no-shingle doc cannot be flagged")
+  }
+
   test("duplicate spans (d15): overlapping spans union, same-doc repeats don't count, " +
       "short/empty docs zero") {
     val docs = Seq(
