@@ -760,6 +760,29 @@ object SparkEntry {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // ANN quality measurement: recall@5 of the IVF scale path (s03's
+    // config) against exact brute force (s01) — "measure, don't guess"
+    // applied to the engine's own approximate operator. Per-probe hit
+    // counts, so a recall regression localizes to the probe that lost
+    // its neighbor.
+    "s04_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, probes, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+        .orderBy(col("probe_id"))
+    }),
+
     // Multimodal: resize planning for image payloads — width/height PARSED
     // from the synthesized PNG IHDR bytes, then the aspect-preserving
     // integer resize arithmetic (the scheduling logic a decoder follows).
@@ -1750,6 +1773,46 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT probe_id, neighbor_id
          |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
          |${annRankSql(5)}""".stripMargin,
+
+    // ANN recall twin (s04): s01's exact-topk chain and s03's IVF chain
+    // composed in one WITH list (CTEs renamed apart), then per-probe
+    // overlap — the oracle re-derives BOTH sides, so a drift in either
+    // operator breaks the recall row for the probe it touched.
+    "s04_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |ex AS (SELECT probe_id, neighbor_id FROM (
+        |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY p.vec_id
+        |       ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+        |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10)
+        | WHERE rnk <= 5),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn) WHERE r <= 1),
+        |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+        |cand AS (SELECT DISTINCT probe_id, neighbor_id
+        |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+        |iv AS (SELECT probe_id, neighbor_id FROM (
+        |   SELECT cand.probe_id, cand.neighbor_id,
+        |     row_number() OVER (PARTITION BY cand.probe_id
+        |       ORDER BY list_cosine_similarity(pv.ev, nv.ev) DESC, cand.neighbor_id) AS rnk
+        |   FROM cand JOIN v pv ON pv.vec_id = cand.probe_id
+        |     JOIN v nv ON nv.vec_id = cand.neighbor_id)
+        | WHERE rnk <= 5),
+        |hit AS (SELECT probe_id, count(*) AS n_hit FROM ex JOIN iv USING (probe_id, neighbor_id) GROUP BY probe_id),
+        |base AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+        |SELECT b.probe_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+        | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+        |FROM base b LEFT JOIN hit h USING (probe_id) ORDER BY b.probe_id""".stripMargin,
 
     // Portable rolling-fingerprint twin (t07): md5-low64 per token (d10's
     // base-hash expression), then the base-1000003 multiply-add fold with

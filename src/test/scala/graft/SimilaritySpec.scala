@@ -104,6 +104,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall below floor; |approx|=${approx.size}")
   }
 
+  test("IVF recall (s04 invariant): probing ALL cells degenerates to brute force — recall exactly 1.0") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
+    val all = pairs(Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 16))
+    assert(all === exact,
+      s"nProbe=nCells must recover the exact top-k; missing=${(exact diff all).size}")
+  }
+
   test("near-dup pairs: threshold applied to the ROUNDED similarity") {
     val corpus = Seq(
       (0L, Array(1f, 0f)),
