@@ -112,6 +112,22 @@ object ScaleSmoke {
     // the corpus scan, not the duplicate mass
     run("decontaminate")(
       Dedup.contaminationFlags(docs, docs.where(col("doc_id") < 20), n = 3))
+    // the bloom scale path (d16): same constant-size contamination set,
+    // but folded into a fixed-size sketch instead of a broadcast array —
+    // cost must track the corpus scan like decontaminate above, with the
+    // sketch build a constant prefix
+    run("decontaminate_bloom")(
+      Dedup.contaminationFlagsBloom(spark, docs,
+        docs.where(col("doc_id") < 20), n = 3,
+        estItems = 1L << 14, numBits = 1L << 18))
+    // duplicate-span coverage (d15) under blowup: the id-shifted copies
+    // make every 8-gram cross-document duplicated, so the dup semi-join
+    // passes ~every gram start — positional-gram rows grow linearly in
+    // mult while the gram-key groupBy key space stays constant (the
+    // original corpus's distinct grams); the lag-window union then runs
+    // over near-total coverage, the worst case for the window stage
+    run("dup_spans")(
+      Dedup.duplicateSpanCoverage(docs, n = 8))
     run("lsh_topk")(
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))

@@ -660,18 +660,21 @@ object Dedup {
     * dedup.
     *
     * Scale shape: positional grams `(doc, pos, hash(gram))` form an
-    * inverted index — the duplicate-gram set is one hash aggregation on
-    * the gram key, and the per-document union of overlapping spans is a
-    * lag window over span STARTS (first span contributes n, each later
-    * one `min(n, pos − prev)`), never an explode of the n covered
-    * positions: that n× row blowup is the difference between a shuffle of
-    * gram starts and a shuffle of the whole corpus at 100 TB. Gram keys
-    * here are md5 hex (the portable-oracle recipe); the production
-    * variant swaps in xxhash64 for 8-byte shuffle keys exactly as d04
-    * does vs d11. Suffix-array machinery (the paper's exact algorithm)
-    * is deliberately traded for fixed-n grams: fixed n loses
-    * shorter-than-n duplicates but keeps the whole operator in two
-    * shuffles of narrow keys.
+    * inverted index that is exploded ONCE — "gram appears in ≥2 distinct
+    * documents" is `min(id) ≠ max(id)` over a window partitioned by the
+    * gram key, which replaces the groupBy + semi-join formulation (that
+    * shape re-derives the whole gram explode on both sides of the join;
+    * this one shuffles the gram rows a single time). The per-document
+    * union of overlapping spans is then a lag window over span STARTS
+    * (first span contributes n, each later one `min(n, pos − prev)`),
+    * never an explode of the n covered positions: that n× row blowup is
+    * the difference between a shuffle of gram starts and a shuffle of
+    * the whole corpus at 100 TB. Gram keys here are md5 hex (the
+    * portable-oracle recipe); the production variant swaps in xxhash64
+    * for 8-byte shuffle keys exactly as d04 does vs d11. Suffix-array
+    * machinery (the paper's exact algorithm) is deliberately traded for
+    * fixed-n grams: fixed n loses shorter-than-n duplicates but keeps
+    * the whole operator in two shuffles of narrow keys.
     */
   def duplicateSpanCoverage(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -685,11 +688,12 @@ object Dedup {
         .otherwise(array().cast(ArrayType(StringType))).as("gh"))
     val pos = grams.select(col("id"), posexplode(col("gh")))
       .toDF("id", "pos", "g")
-    val dup = pos.groupBy(col("g")).agg(countDistinct(col("id")).as("df"))
-      .where(col("df") >= 2).select(col("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    val cov = pos.join(dup, Seq("g"), "left_semi")
+    val cov = pos
+      .withColumn("dup", min(col("id")).over(wg) =!= max(col("id")).over(wg))
+      .where(col("dup"))
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .groupBy(col("id"))
       .agg(sum(when(col("prev").isNull, lit(n))

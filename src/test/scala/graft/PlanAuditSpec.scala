@@ -221,6 +221,34 @@ class PlanAuditSpec extends SparkSpec {
       s"only the two centroid-assignment loop joins are allowed, found $loops, plan:\n$p")
   }
 
+  test("d15: span coverage explodes grams ONCE; dup filter is a window, not a self-join") {
+    val p = plan("d15_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must never plan an all-pairs join, plan:\n$p")
+    assert(p.contains("Window"), s"dup filter + span union must be windows, plan:\n$p")
+    // exactly one Generate NODE: the positional gram explode (formatted
+    // explain prints each node in the tree AND the details section — count
+    // details entries "(k) Generate"). The groupBy+semi-join formulation
+    // planned TWO full explodes, one per side of the join; the min≠max
+    // window over the gram key keeps it to one
+    val generates = "\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(generates == 1, s"expected exactly 1 Generate node, got $generates, plan:\n$p")
+    // and only ONE join remains: the final left join stitching coverage
+    // back onto the (id, n_toks) base
+    val joins = "\\(\\d+\\) \\w*(HashJoin|MergeJoin)".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly 1 join (coverage→base), got $joins, plan:\n$p")
+  }
+
+  test("d16: bloom probe rides a scalar-subquery constant; corpus side never shuffles for it") {
+    val p = plan("d16_bloom")
+    assert(p.contains("might_contain") || p.contains("bloom_contains"),
+      s"bloom probe expression missing from plan:\n$p")
+    assert(p.contains("Subquery"),
+      s"bloom must arrive as a scalar-subquery constant, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bloom decontamination must never plan an all-pairs join, plan:\n$p")
+  }
+
   test("q23: the Kafka-batch aggregate collects serialized strings, never record structs") {
     // the round-9 regression this pins: to_json(collect_list(record))
     // collected the 6-field record struct (with its map column) — the
