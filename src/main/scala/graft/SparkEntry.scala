@@ -968,6 +968,17 @@ object SparkEntry {
         .select(col("lang"), col("sample_rank"), col("doc_id"), col("stratum_n"))
         .orderBy(col("lang"), col("sample_rank"))),
 
+    // Deterministic corpus shuffle into training shards: md5-permutation
+    // bucket + within-shard order — the reproducible "shuffle and shard"
+    // step every epoch reader depends on; one shard shuffle, per-shard
+    // window sort, NO global sort.
+    "q41_shard" -> ((s, dir) =>
+      analytics.Sampling.shardAssignment(
+          t(s, dir, "documents").select(col("doc_id")), nShards = 8,
+          idCol = "doc_id")
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))),
+
     // Curation composition: quality score (t02's operator) → per-language
     // rank → keep the best 10 docs per language. The standard
     // quality-quota selection step of a training-data pipeline.
@@ -1903,6 +1914,18 @@ object SparkEntry {
         | FROM documents)
         |WHERE (sample_rank - 1) * (sample_rank - 1) < stratum_n
         |ORDER BY lang, sample_rank""".stripMargin,
+
+    // Shard twin (q41): same md5 permutation; shard = first 32 hash bits
+    // mod 8 (exact integer arithmetic both engines), pos = rank along the
+    // same permutation within the shard.
+    "q41_shard" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS perm FROM documents),
+        |s AS (SELECT doc_id, perm,
+        |  CAST(CAST(('0x' || substr(perm, 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard FROM h)
+        |SELECT shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY perm, doc_id) AS BIGINT) AS pos,
+        | doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "t06_top_terms" -> (
       s"""WITH tok AS (SELECT lang, unnest($tokensSqlExpr) AS token FROM documents),

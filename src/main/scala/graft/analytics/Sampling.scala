@@ -47,6 +47,25 @@ object Sampling {
       .where((col("sample_rank") - 1) * (col("sample_rank") - 1) < col("stratum_n"))
   }
 
+  /** Deterministic training-shard assignment — the corpus "shuffle" step
+    * of a training-data pipeline: every epoch reader wants the corpus in
+    * a reproducible pseudo-random order, split into fixed shards. Shard =
+    * first 32 bits of the md5 permutation value mod `nShards` (uniform,
+    * content-blind, portable); within-shard position = rank along the
+    * same permutation. Scale property: ONE shuffle on the shard key and a
+    * per-shard window sort — never a global sort of the corpus. Shards
+    * are the parallel unit for the write and for every epoch read after;
+    * the same hash drives bucket AND order, so the assignment survives
+    * any upstream repartitioning bit-for-bit.
+    */
+  def shardAssignment(df: DataFrame, nShards: Int, idCol: String): DataFrame = {
+    val hashed = df.withColumn("perm", md5(col(idCol).cast("string")))
+      .withColumn("shard",
+        conv(substring(col("perm"), 1, 8), 16, 10).cast("bigint") % nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col("perm"), col(idCol))
+    hashed.withColumn("pos", row_number().over(w).cast("bigint"))
+  }
+
   /** Probabilistic Bernoulli sample — the cheap one-pass path when
     * reproducibility across repartitioning is NOT required (the per-row
     * RNG stream is seeded by partition). Kept as the documented contrast

@@ -123,6 +123,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment (q41): total, repartition-stable, and every shard non-empty") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Sampling.shardAssignment(df, nShards = 8, idCol = "doc_id")
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = rows(docs)
+    // the assignment must survive a physical re-layout bit-for-bit —
+    // that is the whole point of hashing instead of zipWithIndex
+    val b = rows(docs.repartition(13, col("doc_id")))
+    assert(a === b, "shard assignment must not depend on partitioning")
+    assert(a.map(_._1).size === docs.count(), "every doc exactly once")
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet === (0L until 8L).toSet, "all 8 shards populated")
+    // positions within each shard are 1..|shard| with no gaps
+    byShard.foreach { case (s, rs) =>
+      assert(rs.map(_._3) === (1L to rs.size.toLong).toSet, s"gapped pos in shard $s")
+    }
+  }
+
   test("deterministic stratified sample is stable under repartitioning; bernoulli is in-tolerance") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("lang"))
