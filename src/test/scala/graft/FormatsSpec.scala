@@ -56,4 +56,29 @@ class FormatsSpec extends SparkSpec {
     assert(part.count() ===
       events.where(col("event_type") === "purchase").count())
   }
+
+  test("binaryFile source: raw multimodal payloads ingest and decode from disk") {
+    // the multimodal ingestion path a real corpus arrives through: opaque
+    // files on disk → binaryFile scan (path, length, content) → the same
+    // container-header decode the m-queries run on synthesized payloads.
+    // Writes three PNG payloads via the engine's own header builder, reads
+    // them back as files, and recovers width/height from the BYTES alone.
+    import graft.analytics.Multimodal
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val payloads = spark.range(3).select(
+      col("id"),
+      Multimodal.pngHeader(lit(16) + col("id").cast("int"),
+        lit(32) + col("id").cast("int")).as("payload"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    payloads.foreach { case (id, bytes) =>
+      Files.write(java.nio.file.Paths.get(s"$dir/img_$id.png"), bytes)
+    }
+    val decoded = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), Multimodal.decodeImage(col("content")).as("m"))
+      .select(col("path"), col("m.width").as("w"), col("m.height").as("h"))
+      .collect().map(r => (r.getString(0).split("img_")(1).stripSuffix(".png").toLong,
+        r.getInt(1), r.getInt(2))).toSet
+    assert(decoded === Set((0L, 16, 32), (1L, 17, 33), (2L, 18, 34)),
+      s"binaryFile decode mismatch: $decoded")
+  }
 }
