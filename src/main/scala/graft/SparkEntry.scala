@@ -985,6 +985,15 @@ object SparkEntry {
     "q37_quality_topk" -> ((s, dir) =>
       qualityQuota(analytics.Par.spreadForCpu(t(s, dir, "documents")), k = 10)),
 
+    // Token-BUDGET selection: keep the best documents per language until a
+    // fixed token budget fills — the "take the best N tokens" curation
+    // rule (quality-ordered running token sum, inclusive-prefix cutoff).
+    // Same scale shape as q37/q39/q40/q41: one stratum shuffle, per-
+    // stratum window, no global sort.
+    "q42_budget" -> ((s, dir) =>
+      tokenBudgetSelect(analytics.Par.spreadForCpu(t(s, dir, "documents")),
+        budgetPerLang = 2000L)),
+
     // Flagship curation composition: exact-dedup survivor election
     // (Dedup.byFingerprint — md5 fingerprint, min-id canonical) → quality
     // scoring → per-language quota — the full "dedupe, score, select"
@@ -1081,6 +1090,29 @@ object SparkEntry {
       .where(col("rnk") <= k)
       .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
       .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** q42: per-language token-budget selection — quality-ordered running
+    * token sum (rows-unbounded-preceding window), keep while the INCLUSIVE
+    * cumulative count stays within the budget. The running sum is integer
+    * arithmetic, so the cross-engine cutoff is exact; the quality ORDER
+    * inside the window reuses the double formula q37's oracle already
+    * hash-matches.
+    */
+  private[graft] def tokenBudgetSelect(docs: DataFrame, budgetPerLang: Long): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"),
+        size(col("ws")).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"), col("quality"))
+      .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
   }
 
   // ── DuckDB oracle twins (ANSI SQL on the same parquet tables) ──
@@ -1223,16 +1255,25 @@ object SparkEntry {
     * define a CTE `d(doc_id, lang, text)`; the shared tail scores and
     * quota-selects exactly like the Spark helper.
     */
-  private def qualityQuotaSql(sourceCtes: String, k: Int): String =
+  /** Shared scoring CTEs of the quality-driven curation twins (q37/q38/
+    * q42): `sourceCtes` must open the WITH list and define
+    * `d(doc_id, lang, text)`; emits `tok`, `f`, and `q(doc_id, lang,
+    * n_tokens, quality)` — the same formula as
+    * [[TextAnalysis.qualityScoreFromTokens]].
+    */
+  private def qualityScoreCtes(sourceCtes: String): String =
     s"""$sourceCtes,
        |tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM d),
-       |f AS (SELECT doc_id, lang, text,
+       |f AS (SELECT doc_id, lang, text, CAST(len(ws) AS BIGINT) AS n_tokens,
        | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
        | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
        |FROM tok),
-       |q AS (SELECT doc_id, lang,
+       |q AS (SELECT doc_id, lang, n_tokens,
        | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
-       |FROM f),
+       |FROM f)""".stripMargin
+
+  private def qualityQuotaSql(sourceCtes: String, k: Int): String =
+    s"""${qualityScoreCtes(sourceCtes)},
        |r AS (SELECT lang, doc_id, quality,
        | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
@@ -1943,6 +1984,16 @@ object SparkEntry {
 
     "q37_quality_topk" -> qualityQuotaSql(
       "WITH d AS (SELECT doc_id, lang, text FROM documents)", 10),
+
+    // Budget twin (q42): same scoring CTEs as q37, running token sum over
+    // the same (quality DESC, doc_id) window order, inclusive cutoff.
+    "q42_budget" -> (
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |c AS (SELECT lang, doc_id, n_tokens, quality,
+         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+         |SELECT lang, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quality
+         |FROM c WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens, doc_id""".stripMargin),
 
     "t01_langid" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),

@@ -123,6 +123,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("token-budget selection (q42): exact inclusive prefix of the quality ordering") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    def rows(budget: Long) = SparkEntry.tokenBudgetSelect(docs, budget).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum_tokens"))).toSet
+    // an effectively-unbounded budget yields the full ordering with its
+    // running sums; any finite budget must be exactly its cum ≤ B subset
+    // (the inclusive-prefix rule — no best-fit skipping)
+    val all = rows(Long.MaxValue / 2)
+    val sel = rows(2000L)
+    assert(sel === all.filter(_._3 <= 2000L))
+    assert(sel.nonEmpty && sel.size < all.size,
+      s"budget must bind: ${sel.size} of ${all.size}")
+    assert(sel.forall(_._3 <= 2000L))
+  }
+
   test("shard assignment (q41): total, repartition-stable, and every shard non-empty") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"))
