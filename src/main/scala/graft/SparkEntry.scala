@@ -1043,6 +1043,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal: the full video frame-sampling plan — 4 evenly spaced
+    // byte offsets per payload (m01 surfaces only one), the scheduling
+    // arithmetic a distributed frame decoder fans out over.
+    "m04_frames" -> ((s, dir) => {
+      Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "video")
+        .select(col("doc_id"), length(col("payload")).cast("bigint").as("n_bytes"),
+          posexplode(Multimodal.frameSampleOffsets(col("payload"), 4)))
+        .toDF("doc_id", "n_bytes", "frame_idx", "byte_off")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // B1/E3 — correlated scalar subquery, decorrelated the way Catalyst
     // itself does it: orders at >2× their customer's average order value.
     // The average goes through the exact-decimal-sum → one-double-division
@@ -2093,6 +2105,16 @@ object SparkEntry {
         | CAST(CASE WHEN n_samples = 0 THEN 0
         |  ELSE n_samples - ((n_samples + sample_rate - 1) // sample_rate - 1) * sample_rate END AS BIGINT) AS last_chunk
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Frame-plan twin (m04): video payloads are header-less UTF-8 bodies,
+    // so n_bytes = octet_length; offsets are the same integer division
+    // i·n/4 (DuckDB // = Spark long division for non-negative operands).
+    "m04_frames" ->
+      """WITH v AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, n_bytes, CAST(i AS INTEGER) AS frame_idx,
+        | CAST(i * n_bytes // 4 AS BIGINT) AS byte_off
+        |FROM v, UNNEST(range(4)) AS u(i) ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q32_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey,
