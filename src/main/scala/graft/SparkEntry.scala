@@ -948,6 +948,13 @@ object SparkEntry {
       TextAnalysis.unigramLogProbScores(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Model-based quality, one order deeper: corpus-self-trained bigram
+    // LM with add-half smoothing (t09's determinism recipe on the float
+    // path; word-order-sensitive where the unigram is not).
+    "t10_lm2" -> ((s, dir) =>
+      TextAnalysis.bigramLogProbScores(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Sequence packing: curated docs → fixed 512-token training sequences,
     // per-language windows (no global sort), each doc assigned to the
     // sequence containing its start offset. The step between curation and
@@ -1954,6 +1961,26 @@ object SparkEntry {
          |  count(*) AS n FROM lp GROUP BY doc_id)
          |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
          | round(agg.s / agg.n, 6) AS lp_avg
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Bigram-LM twin (t10): same counts, same add-half smoothing (0.5 and
+    // the integer counts are exact in both engines), t09's rounded-log +
+    // position-sorted-fold determinism recipe.
+    "t10_lm2" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz FROM
+         |  (SELECT unnest(ws) AS t FROM tok)),
+         |bg AS (SELECT doc_id, i AS pos, ws[i+1] AS prev, ws[i+2] AS cur
+         |  FROM tok, UNNEST(range(len(ws) - 1)) AS u(i) WHERE len(ws) >= 2),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY prev, cur),
+         |c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY prev),
+         |lp AS (SELECT doc_id, pos,
+         |  round(ln((CAST(c2 AS DOUBLE) + 0.5) / (CAST(c1 AS DOUBLE) + 0.5 * vsz)), 9) AS lp
+         |  FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v),
+         |agg AS (SELECT doc_id, list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s,
+         |  count(*) AS n FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+         | round(agg.s / agg.n, 6) AS lp2_avg
          |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // Mixture twin (q40): identical md5 permutation to q36's twin, the

@@ -243,4 +243,53 @@ object TextAnalysis {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_tokens"), col("lp_avg"))
   }
+
+  /** Bigram LM average log-probability with add-½ smoothing — t09's
+    * unigram model one order deeper (the CCNet recipe trains n-gram LMs;
+    * the bigram captures local word order a unigram cannot). For bigram
+    * (prev, cur): `P = (c(prev,cur) + ½) / (c(prev·) + ½·V)` with V the
+    * corpus vocabulary size; ½ is exactly representable, both counts are
+    * integers, so the only float ops on the cross-engine gate are the
+    * division and the log — handled by t09's determinism recipe (round
+    * the per-bigram log-prob to 9 dp, sum by a position-sorted fold,
+    * round the average to 6 dp).
+    *
+    * Scale shape: bigram rows join their c(prev,cur) and c(prev·) counts
+    * — two hash-key joins whose key distribution is Zipf (AQE skew-join
+    * handles the hot stopword contexts, as in t09); vocabulary size
+    * broadcasts as a 1-row scalar. Documents with < 2 tokens have no
+    * bigrams: count 0, null score.
+    */
+  def bigramLogProbScores(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = Par.spreadForCpu(docs)
+      .select(col(idCol), tokens(col(textCol)).as("ws"))
+    val bg = toks
+      .where(size(col("ws")) >= 2)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("prev"),
+          element_at(col("ws"), i + 2).as("cur")))).as(Seq("pos", "b")))
+      .select(col(idCol), col("pos"),
+        col("b").getField("prev").as("prev"), col("b").getField("cur").as("cur"))
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("t"))
+      .agg(countDistinct(col("t")).cast(DoubleType).as("vsz"))
+    val perBg = bg
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"),
+        round(log((col("c2").cast(DoubleType) + lit(0.5)) /
+          (col("c1").cast(DoubleType) + lit(0.5) * col("vsz"))), 9).as("lp"))
+    val scored = perBg.groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("lp"))).as("lps"))
+      .select(col(idCol),
+        aggregate(transform(array_sort(col("lps")), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        size(col("lps")).cast(LongType).as("n"))
+      .select(col(idCol), col("n"), round(col("s") / col("n"), 6).as("lp2_avg"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
+  }
 }

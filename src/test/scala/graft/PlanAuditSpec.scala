@@ -175,8 +175,8 @@ class PlanAuditSpec extends SparkSpec {
       s"probe side must broadcast into the bucket join, plan:\n$p")
   }
 
-  test("q39/q40/q41: packing, mixture, and sharding plan ONE stratum shuffle each — no global sort before output ordering") {
-    for (name <- Seq("q39_pack", "q40_mix", "q41_shard")) {
+  test("q39–q42: packing, mixture, sharding, and budget selection plan ONE stratum shuffle each — no global sort before output ordering") {
+    for (name <- Seq("q39_pack", "q40_mix", "q41_shard", "q42_budget")) {
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
       val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -143,4 +143,34 @@ class TextAnalysisSpec extends SparkSpec {
       "common-token doc must outscore rare-token doc")
     assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
   }
+
+  test("bigram LM score (t10): word order matters, golden smoothed values; sub-bigram docs null") {
+    // corpus: doc 0 "a b a b a b" and doc 1 "b a b a" share a vocabulary
+    // but reversed order; V = {a, b, z} = 3. Bigram rows: doc 0 → ab, ba,
+    // ab, ba, ab; doc 1 → ba, ab, ba. Totals c2(ab)=4, c2(ba)=4,
+    // c1(a)=4, c1(b)=4 — symmetric, so lp(ab)=lp(ba)=ln(4.5/5.5) and both
+    // docs score identically (the golden); doc 2 has one token (no
+    // bigrams), doc 3 none.
+    val docs = Seq(
+      (0L, "a b a b a b"), (1L, "b a b a"), (2L, "z"), (3L, " ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbScores(docs).orderBy("doc_id").collect()
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp = r(math.log(4.5 / 5.5), 9)
+    assert(out(0).getLong(1) === 5L)
+    assert(out(0).getDouble(2) === r(lp, 6))
+    assert(out(1).getLong(1) === 3L)
+    assert(out(1).getDouble(2) === r(lp, 6))
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(2))
+    assert(out(3).getLong(1) === 0L && out(3).isNullAt(2))
+    // order-sensitivity: "a b" occurs 3× (z breaks the back-edge so "b a"
+    // occurs only in doc 1, once) — the reversed doc must score LOWER
+    val docs2 = Seq(
+      (0L, "a b z a b z a b"), (1L, "b a")
+    ).toDF("doc_id", "text")
+    val out2 = TextAnalysis.bigramLogProbScores(docs2).orderBy("doc_id").collect()
+    assert(out2(0).getDouble(2) > out2(1).getDouble(2),
+      "the dominant word order must outscore its reversal")
+  }
 }
