@@ -1097,15 +1097,24 @@ object SparkEntry {
     * drift from each other). Package-private: ScaleSmoke times the same
     * chain at blown-up corpus sizes.
     */
-  private[graft] def qualityQuota(docs: DataFrame, k: Int): DataFrame = {
-    val scored = docs
+  /** The ONE quality-scoring projection behind q37/q38/q42 (the Spark twin
+    * of [[qualityScoreCtes]]): (doc_id, lang, quality, n_tokens), with the
+    * tokenizer materialized on its own projection boundary per the HOF
+    * rule. Any scoring change propagates to all three queries — exactly
+    * the no-drift contract their oracles share.
+    */
+  private def qualityScored(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), col("text"),
         TextAnalysis.tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"))
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"),
+        size(col("ws")).cast("bigint").as("n_tokens"))
+
+  private[graft] def qualityQuota(docs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+    qualityScored(docs).withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= k)
       .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
       .orderBy(col("lang"), col("rnk"))
@@ -1119,16 +1128,10 @@ object SparkEntry {
     * hash-matches.
     */
   private[graft] def tokenBudgetSelect(docs: DataFrame, budgetPerLang: Long): DataFrame = {
-    val scored = docs
-      .select(col("doc_id"), col("lang"), col("text"),
-        TextAnalysis.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"),
-        size(col("ws")).cast("bigint").as("n_tokens"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    qualityScored(docs).withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= budgetPerLang)
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"), col("quality"))
       .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))

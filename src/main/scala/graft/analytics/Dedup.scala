@@ -630,25 +630,40 @@ object Dedup {
       docs: DataFrame, contaminated: DataFrame, n: Int,
       estItems: Long, numBits: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // per-call view names + drop-after-build: spark.sql resolves views
+    // EAGERLY at analysis, so once `hits` exists the plan no longer
+    // references the catalog entries — fixed names would make concurrent
+    // or interleaved calls silently rebind each other's inputs and leak
+    // session-global state
+    val tag = Dedup.bloomViewTag.incrementAndGet()
+    val contamView = s"graft_bloom_contam_$tag"
+    val corpusView = s"graft_bloom_corpus_$tag"
     shingleSets(contaminated, n, idCol, textCol)
       .select(explode(col("sh")).as("s")).distinct()
-      .createOrReplaceTempView("graft_bloom_contam")
+      .createOrReplaceTempView(contamView)
     shingleSets(docs, n, idCol, textCol)
       .select(col("id"), explode(col("sh")).as("s"))
-      .createOrReplaceTempView("graft_bloom_corpus")
+      .createOrReplaceTempView(corpusView)
     // the bloom rides as a scalar-subquery CONSTANT (bloom_contains
     // requires one); docs whose every probe misses — or with no shingles
     // at all — resolve to false via the left join below
-    val hits = spark.sql(
-      s"""SELECT id, max(bloom_contains(
-         |    (SELECT bloom_agg(xxhash64(s), ${estItems}L, ${numBits}L)
-         |     FROM graft_bloom_contam),
-         |    xxhash64(s))) AS bloom_hit
-         |FROM graft_bloom_corpus GROUP BY id""".stripMargin)
+    val hits =
+      try spark.sql(
+        s"""SELECT id, max(bloom_contains(
+           |    (SELECT bloom_agg(xxhash64(s), ${estItems}L, ${numBits}L)
+           |     FROM $contamView),
+           |    xxhash64(s))) AS bloom_hit
+           |FROM $corpusView GROUP BY id""".stripMargin)
+      finally {
+        spark.catalog.dropTempView(contamView)
+        spark.catalog.dropTempView(corpusView)
+      }
     docs.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id"), coalesce(col("bloom_hit"), lit(false)).as("bloom_hit"))
   }
+
+  private val bloomViewTag = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Duplicate n-gram SPAN coverage — the exact-substring dedup family
     * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -680,12 +695,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)
     // (id, n_toks, gram-hash array); < n tokens → empty array, so every
-    // document keeps a row here and in the final left join
+    // document keeps a row here and in the final left join. The positional
+    // gram windowing is the ONE shared definition (ngramsFromTokens, in
+    // argument position so it evaluates once per row); only the md5 keying
+    // is d15's own
     val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
-      when(size(col("ws")) >= n,
-        transform(sequence(lit(0), size(col("ws")) - n),
-          i => md5(concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*))))
-        .otherwise(array().cast(ArrayType(StringType))).as("gh"))
+      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => md5(g)).as("gh"))
     val pos = grams.select(col("id"), posexplode(col("gh")))
       .toDF("id", "pos", "g")
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
