@@ -651,6 +651,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: incremental — classify a new batch against the existing
+    // corpus (the rolling-build step). The batch re-submits docs 390–399
+    // (id-shifted → dup_corpus) and double-submits 495–499 (→ the copy is
+    // dup_batch, the original keeps 'new').
+    "d17_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(col("doc_id") >= 400)
+        .unionByName(docs.where(col("doc_id").between(390, 399))
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(docs.where(col("doc_id").between(495, 499))
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.incrementalDedup(docs.where(col("doc_id") < 400), batch)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: bloom-filter decontamination — d13's 100 TB scale path (the
     // contamination shingles fold into Spark's runtime-filter bloom sketch
     // instead of a broadcast array). Contract twin: `contaminated` is the
@@ -1736,6 +1751,22 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | vec_id = cluster_id AS is_survivor
          |FROM cc ORDER BY vec_id""".stripMargin),
+
+    // Incremental-dedup twin (d17): same fingerprint, same id-shifted
+    // batch construction, same corpus-membership + within-batch-min rules.
+    "d17_incr" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 390 AND 399
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id BETWEEN 495 AND 499),
+        |cf AS (SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 400),
+        |bf AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp FROM batch),
+        |j AS (SELECT doc_id, fp IN (SELECT fp FROM cf) AS in_corpus,
+        |  min(doc_id) OVER (PARTITION BY fp) AS first_id FROM bf)
+        |SELECT doc_id, CASE WHEN in_corpus THEN 'dup_corpus'
+        |  WHEN doc_id <> first_id THEN 'dup_batch' ELSE 'new' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // Bloom decontamination twin (d16): the exact column IS d13's oracle;
     // the bloom column is checked through its one-sided-error contract

@@ -608,6 +608,36 @@ object Dedup {
     clustersFromPairs(pairs, docs, idCol)
   }
 
+  /** Incremental dedup — the rolling-build staple: classify a NEW batch
+    * of documents against an existing corpus without touching the corpus
+    * rows themselves. `dup_corpus` = content fingerprint already present
+    * in the corpus (every copy, including the batch's first); `dup_batch`
+    * = novel fingerprint that another batch document with a smaller id
+    * already claimed; `new` = the keeper.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT fingerprint index
+    * (in production the index is persisted and bucketed by fp, so the
+    * membership join is co-located and the corpus is never re-scanned per
+    * batch); the batch side is one fingerprint projection, one join on
+    * the 16-byte key, and one within-batch min-id window. Batch size,
+    * not corpus size, drives the incremental cost.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusFps = corpus
+      .select(TextAnalysis.contentFingerprint(col(textCol)).as("fp"))
+      .distinct().withColumn("in_corpus", lit(true))
+    val b = batch.select(col(idCol).as("id"),
+      TextAnalysis.contentFingerprint(col(textCol)).as("fp"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    b.join(corpusFps, Seq("fp"), "left")
+      .withColumn("first_id", min(col("id")).over(wf))
+      .select(col("id").as(idCol),
+        when(coalesce(col("in_corpus"), lit(false)), lit("dup_corpus"))
+          .when(col("id") =!= col("first_id"), lit("dup_batch"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB scale path of
     * [[contaminationFlags]]. The exact variant broadcasts the DISTINCT
     * contamination shingles as an in-memory set; fine while benchmark

@@ -334,6 +334,20 @@ class DedupSpec extends SparkSpec {
     assert(flags === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("incremental dedup (d17): corpus dup beats batch-first; min-id keeps within batch") {
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha  BETA "),   // normalizes to a corpus fp → dup_corpus
+      (11L, "epsilon zeta"),   // novel, first → new
+      (12L, "epsilon zeta"),   // same fp, larger id → dup_batch
+      (13L, "eta theta")       // novel singleton → new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(out === Map(10L -> "dup_corpus", 11L -> "new",
+      12L -> "dup_batch", 13L -> "new"))
+  }
+
   test("bloom decontamination (d16): superset of exact flags; tiny filter forces " +
       "false positives but never false negatives") {
     val docs = Seq(
