@@ -120,6 +120,15 @@ object ScaleSmoke {
       Dedup.contaminationFlagsBloom(spark, docs,
         docs.where(col("doc_id") < 20), n = 3,
         estItems = 1L << 14, numBits = 1L << 18))
+    // incremental dedup (d17) with the corpus blown up mult× and the
+    // batch FIXED at the base corpus: the timed region covers both the
+    // corpus fingerprint-index pass (linear in corpus, one scan+agg —
+    // amortized away in production where the index persists) and the
+    // batch classify (join + window, constant here); the delta between
+    // mults is the index pass, the floor is the true incremental cost
+    run("incremental_dedup")(
+      Dedup.incrementalDedup(docs,
+        docs0.withColumn("doc_id", col("doc_id") + mult.toLong * docShift)))
     // duplicate-span coverage (d15) under blowup: the id-shifted copies
     // make every 8-gram cross-document duplicated, so the dup semi-join
     // passes ~every gram start — positional-gram rows grow linearly in
