@@ -137,6 +137,11 @@ object ScaleSmoke {
     // over near-total coverage, the worst case for the window stage
     run("dup_spans")(
       Dedup.duplicateSpanCoverage(docs, n = 8))
+    // the xxhash64 production family: identical coverage, 8-byte shuffle
+    // keys instead of 32-char md5 hex — the md5-vs-xx gap is the recorded
+    // price of oracle portability (same trade d04/d11 document)
+    run("dup_spans_xx")(
+      Dedup.duplicateSpanCoverage(docs, n = 8, portableHash = false))
     run("lsh_topk")(
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))

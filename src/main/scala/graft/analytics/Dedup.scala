@@ -714,23 +714,28 @@ object Dedup {
     * (first span contributes n, each later one `min(n, pos − prev)`),
     * never an explode of the n covered positions: that n× row blowup is
     * the difference between a shuffle of gram starts and a shuffle of
-    * the whole corpus at 100 TB. Gram keys here are md5 hex (the
-    * portable-oracle recipe); the production variant swaps in xxhash64
-    * for 8-byte shuffle keys exactly as d04 does vs d11. Suffix-array
-    * machinery (the paper's exact algorithm) is deliberately traded for
-    * fixed-n grams: fixed n loses shorter-than-n duplicates but keeps
-    * the whole operator in two shuffles of narrow keys.
+    * the whole corpus at 100 TB. Gram keys: `portableHash = true` (the
+    * catalog query) uses md5 hex so DuckDB reproduces them; `false` is
+    * the production family — xxhash64 longs, 8-byte shuffle keys instead
+    * of 32-char strings, exactly the d04-vs-d11 trade (coverage output
+    * is hash-family-invariant absent a 64-bit collision; asserted equal
+    * in DedupSpec). Suffix-array machinery (the paper's exact algorithm)
+    * is deliberately traded for fixed-n grams: fixed n loses
+    * shorter-than-n duplicates but keeps the whole operator in two
+    * shuffles of narrow keys.
     */
   def duplicateSpanCoverage(docs: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = true): DataFrame = {
     val toks = tokenized(docs, idCol, textCol)
     // (id, n_toks, gram-hash array); < n tokens → empty array, so every
     // document keeps a row here and in the final left join. The positional
     // gram windowing is the ONE shared definition (ngramsFromTokens, in
-    // argument position so it evaluates once per row); only the md5 keying
+    // argument position so it evaluates once per row); only the keying
     // is d15's own
+    val key: Column => Column = if (portableHash) md5 else (g => xxhash64(g))
     val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
-      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => md5(g)).as("gh"))
+      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => key(g)).as("gh"))
     val pos = grams.select(col("id"), posexplode(col("gh")))
       .toDF("id", "pos", "g")
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))

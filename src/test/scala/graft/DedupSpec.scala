@@ -402,6 +402,14 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0.0)))
     assert(out(5L) === ((10L, 6L, 0.6)))
     assert(out(6L) === ((9L, 0L, 0.0)))
+    // the xxhash64 production family (8-byte shuffle keys) must yield the
+    // identical coverage — the result is hash-family-invariant absent a
+    // 64-bit collision
+    val xx = Dedup.duplicateSpanCoverage(docs, n = 3, portableHash = false)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_ratio"))))
+      .toMap
+    assert(xx === out)
   }
 
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
