@@ -31,9 +31,22 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
   */
 object Multimodal {
 
-  /** value → fixed-width big-endian hex (PNG integer byte order). */
-  private def beHex(v: Column, nBytes: Int): Column =
-    lpad(hex(v.cast(LongType)), nBytes * 2, "0")
+  /** value → fixed-width big-endian hex (PNG integer byte order). A value
+    * wider than the declared field would silently lpad-TRUNCATE to the
+    * high-order digits — a corrupt container header — so out-of-range
+    * values fail loudly instead (in-repo callers are bounded: pmod 64
+    * dims, n*200 sizes; the guard is for future callers).
+    */
+  private def beHex(v: Column, nBytes: Int): Column = {
+    val lv = v.cast(LongType)
+    val guarded =
+      if (nBytes >= 8) lv
+      else when(lv >= 0 && lv < (1L << (8 * nBytes)), lv)
+        .otherwise(raise_error(concat(
+          lit(s"multimodal header field out of range for $nBytes bytes: "),
+          lv.cast("string"))))
+    lpad(hex(guarded), nBytes * 2, "0")
+  }
 
   /** value → fixed-width little-endian hex (RIFF byte order): big-endian
     * hex, byte pairs reversed.

@@ -40,9 +40,12 @@ object Packing {
         TextAnalysis.tokenCountFromTokens(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
       .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col(partCol), col(idCol), col("n_tokens"),
-        // start < 2^53 within any realistic stratum, so the floor-division
-        // through double is exact; both engines integer-divide the same
-        floor(col("start") / budget).cast(LongType).as("seq_id"),
+        // pure INTEGER division (SQL `div`), matching the oracle's `//`:
+        // a double-rounded `/` quotient can cross the integer boundary for
+        // start within ~2/budget of a multiple of budget near 2^53 and
+        // mis-bin the document — start is a token count, but 100 TB-scale
+        // strata make 2^53 tokens merely improbable, not impossible
+        expr(s"start div CAST($budget AS BIGINT)").cast(LongType).as("seq_id"),
         pmod(col("start"), lit(budget.toLong)).cast(LongType).as("off"))
   }
 }

@@ -199,18 +199,34 @@ object Similarity {
     */
   def semanticClusters(vecs: DataFrame, threshold: Double,
       nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    Dedup.clustersFromPairs(
-      semanticPairs(vecs, threshold, nTables, planesPerTable, dim, seed, idCol, vecCol),
-      vecs, idCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (pairs, caches) =
+      semanticPairsCached(vecs, threshold, nTables, planesPerTable, dim, seed, idCol, vecCol)
+    val out = Dedup.clustersFromPairs(pairs, vecs, idCol)
+    // clustersFromPairs' CC loop runs its convergence probes EAGERLY and
+    // returns a plan rooted at the checkpointed label state, so by the time
+    // it returns the pair-stage caches are fully consumed — unpersist here
+    // (the cluster-size window below the CC tail reads labels, not pairs)
+    // instead of leaking two cached plans per call for the session lifetime
+    caches.foreach(_.unpersist(blocking = false))
+    out
+  }
 
   /** The candidate-generation + exact-scoring stage of [[semanticClusters]],
     * exposed so the plan is auditable on its own (the cluster output's plan
     * only shows the CC tail — the pair joins execute inside the iteration).
+    * NOTE: the returned plan rides two MEMORY_AND_DISK caches (bucket index,
+    * sided norms); standalone callers own their lifetime (`clearCache`) —
+    * [[semanticClusters]] unpersists them itself once CC has consumed them.
     */
   private[graft] def semanticPairs(vecs: DataFrame, threshold: Double,
       nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticPairsCached(vecs, threshold, nTables, planesPerTable, dim, seed, idCol, vecCol)._1
+
+  private def semanticPairsCached(vecs: DataFrame, threshold: Double,
+      nTables: Int, planesPerTable: Int, dim: Int, seed: Long,
+      idCol: String, vecCol: String): (DataFrame, Seq[DataFrame]) = {
     val nf = normFn(vecs)
     val cf = cosineFromNorms(dotFn(vecs)) _
     val index = Par.spreadForCpu(vecs)
@@ -231,7 +247,7 @@ object Similarity {
     val sided = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       nf(col(vecCol)).as("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidates
+    val pairs = candidates
       .join(sided.select(col("id").as("a_id"), col("v").as("av"), col("nrm").as("an")),
         Seq("a_id"))
       .join(sided.select(col("id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")),
@@ -239,6 +255,7 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         round(cf(col("av"), col("bv"), col("an"), col("bn")), 6).as("sim"))
       .where(col("sim") >= threshold)
+    (pairs, Seq(index, sided))
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path next to
