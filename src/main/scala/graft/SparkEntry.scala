@@ -978,6 +978,30 @@ object SparkEntry {
       TextAnalysis.bigramLogProbScores(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // BPE tokenizer, trained AND applied — real subword token ids, not
+    // t03's ~4-chars/token estimate. 12 deterministic top-pair-merge
+    // rounds over the word-frequency vocab (count desc, lexicographic
+    // tie-break), then encode via the trained-vocab broadcast join; the
+    // DuckDB twin REPLAYS the same 12 merges in SQL (materialized CTE
+    // chain + the same greedy string fold), so merge selection, final
+    // segmentations, id assignment, and every per-doc id sequence are
+    // hash-matched end-to-end. est_ratio cross-checks t03's estimator
+    // against the real token count (corpus estimate ÷ real, 3 dp).
+    "t11_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = analytics.Bpe.train(docs, nMerges = 12)
+      val enc = analytics.Bpe.encode(docs, vocab)
+      val est = analytics.Par.spreadForCpu(docs)
+        .select(TextAnalysis.bpeTokenEstimate(col("text")).as("est"))
+        .agg(sum(col("est")).as("est_total"))
+      val ratio = enc.agg(sum(col("n_bpe")).as("bpe_total"))
+        .crossJoin(est) // 1-row scalar broadcast
+        .select(round(col("est_total").cast("double") / col("bpe_total"), 3)
+          .as("est_ratio"))
+      enc.crossJoin(ratio) // 1-row scalar broadcast
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: curated docs → fixed 512-token training sequences,
     // per-language windows (no global sort), each doc assigned to the
     // sequence containing its start offset. The step between curation and
@@ -1323,6 +1347,55 @@ object SparkEntry {
        | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
        |FROM r WHERE rnk <= $k ORDER BY lang, rnk""".stripMargin
+
+  /** Full SQL twin of t11: BPE training replayed round by round (see the
+    * oracleSql entry's comment for the correspondence argument), then the
+    * id assignment, per-doc encoding, and t03-estimator cross-check.
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(freq) AS c FROM (
+         |  SELECT freq, syms[j] AS a, syms[j+1] AS b
+         |  FROM (SELECT freq, string_split(symstr, ' ') AS syms FROM v${i - 1}),
+         |    UNNEST(range(1, len(syms))) AS t(j))
+         |  GROUP BY a, b),
+         |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq,
+         |  CASE WHEN len(syms) <= 1 THEN symstr
+         |    ELSE list_reduce(syms, (acc, x) ->
+         |      CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |        THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS symstr
+         |  FROM (SELECT word, freq, symstr, string_split(symstr, ' ') AS syms FROM v${i - 1})
+         |  LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(ws) AS word FROM tok) GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+       |    || ' </w>' AS symstr FROM wf),
+       |$rounds,
+       |ids AS MATERIALIZED (SELECT tokstr,
+       |  CAST(row_number() OVER (ORDER BY tokstr) - 1 AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(string_split(symstr, ' ')) AS tokstr FROM v$nMerges)),
+       |dw AS (SELECT doc_id, j - 1 AS pos, ws[j] AS word
+       |  FROM tok, UNNEST(range(1, len(ws) + 1)) AS t(j)),
+       |sub AS (SELECT doc_id, pos, k - 1 AS spos, syms[k] AS tokstr
+       |  FROM (SELECT doc_id, pos, string_split(v.symstr, ' ') AS syms
+       |        FROM dw JOIN v$nMerges v USING (word)),
+       |    UNNEST(range(1, len(syms) + 1)) AS u(k)),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+       |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos, spos) AS ids_str
+       |  FROM sub JOIN ids USING (tokstr) GROUP BY doc_id),
+       |tot AS (SELECT round(CAST(
+       |    (SELECT sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) FROM tok)
+       |    AS DOUBLE) / (SELECT sum(n_bpe) FROM enc), 3) AS est_ratio)
+       |SELECT d.doc_id, COALESCE(e.n_bpe, 0) AS n_bpe, COALESCE(e.ids_str, '') AS ids_str,
+       |  tot.est_ratio
+       |FROM documents d LEFT JOIN enc e USING (doc_id) CROSS JOIN tot
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2008,6 +2081,22 @@ object SparkEntry {
     // Bigram-LM twin (t10): same counts, same add-half smoothing (0.5 and
     // the integer counts are exact in both engines), t09's rounded-log +
     // position-sorted-fold determinism recipe.
+    // BPE twin (t11): REPLAYS the 12 training rounds in SQL — per round, a
+    // vocabulary pair-count CTE, a 1-row argmax CTE (count DESC, pair
+    // lexicographic — the operator's exact ranking), and a merge
+    // application via the SAME greedy left-to-right string fold
+    // (list_reduce seeds the accumulator with the first symbol, so "the
+    // accumulator's last symbol is exactly `a`" is `acc = a OR
+    // ends_with(acc, ' '||a)`; a fused symbol a||b never re-matches). All
+    // chain CTEs are MATERIALIZED — each round's state feeds two
+    // consumers, and CTE inlining would expand the 12-round chain
+    // exponentially. LEFT JOIN ON TRUE (not CROSS JOIN) keeps a
+    // fully-merged vocabulary from vanishing: an empty argmax row makes
+    // the fold's CASE test NULL = never-true, i.e. the identity merge —
+    // matching the operator's early-stop. Ids, encoding, and est_ratio
+    // then mirror Bpe.tokenIds/encode and the t03 estimator.
+    "t11_bpe" -> bpeOracleSql(12),
+
     "t10_lm2" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
          |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vsz FROM
