@@ -1002,6 +1002,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality classifier (fasttext-style): hashed
+    // unigram+bigram features → fixed literal weight vector → sigmoid
+    // keep-probability. Pure per-row projection (no shuffle/join/UDF);
+    // weights embedded in both engines like s02's hyperplanes, sum folded
+    // strictly left-to-right, sigmoid on the 9-dp-rounded mean, keep
+    // compared on the 6-dp-rounded score.
+    "t12_clf" -> ((s, dir) =>
+      analytics.QualityClassifier.score(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Sequence packing: curated docs → fixed 512-token training sequences,
     // per-language windows (no global sort), each doc assigned to the
     // sequence containing its start offset. The step between curation and
@@ -2096,6 +2106,33 @@ object SparkEntry {
     // matching the operator's early-stop. Ids, encoding, and est_ratio
     // then mirror Bpe.tokenIds/encode and the t03 estimator.
     "t11_bpe" -> bpeOracleSql(12),
+
+    // Classifier twin (t12): the operator's weight vector embedded as a
+    // DOUBLE[] literal (Double.toString round-trips exactly), the same
+    // md5-low64 → pmod(64) feature hash, and the same strict
+    // left-to-right folds (list_reduce seeds with the first element —
+    // adding to an exact 0.0 seed or starting from w1 is bit-identical).
+    // exp sits on the 9-dp-rounded mean; keep compares the 6-dp score.
+    "t12_clf" -> (
+      s"""WITH w(wv) AS (SELECT [${analytics.QualityClassifier.weights.mkString(", ")}]::DOUBLE[]),
+         |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 2
+         |  THEN list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])
+         |  ELSE []::VARCHAR[] END AS bg FROM tok),
+         |f AS (SELECT doc_id, CAST(len(ws) + len(bg) AS BIGINT) AS n_feats,
+         |  (CASE WHEN len(ws) = 0 THEN 0.0 ELSE list_reduce(
+         |     list_transform(ws, s -> wv[CAST((($md5Low64SqlExpr) % 64 + 64) % 64 AS INT) + 1]),
+         |     (a, b) -> a + b) END)
+         |  + (CASE WHEN len(bg) = 0 THEN 0.0 ELSE list_reduce(
+         |     list_transform(bg, s -> wv[CAST((($md5Low64SqlExpr) % 64 + 64) % 64 AS INT) + 1]),
+         |     (a, b) -> a + b) END) AS s
+         |  FROM g CROSS JOIN w),
+         |z AS (SELECT doc_id, n_feats,
+         |  CASE WHEN n_feats = 0 THEN NULL
+         |       ELSE round(${analytics.QualityClassifier.Bias} + s / n_feats, 9) END AS z FROM f),
+         |sc AS (SELECT doc_id, n_feats, round(1.0 / (1.0 + exp(-z)), 6) AS score FROM z)
+         |SELECT doc_id, n_feats, score, COALESCE(score >= 0.5, FALSE) AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin),
 
     "t10_lm2" -> (
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),

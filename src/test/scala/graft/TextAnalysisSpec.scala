@@ -173,4 +173,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out2(0).getDouble(2) > out2(1).getDouble(2),
       "the dominant word order must outscore its reversal")
   }
+
+  test("classifier: per-row, deterministic, empty doc null score keep=false") {
+    import graft.analytics.QualityClassifier
+    val df = Seq((1L, "the table scan"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val r = QualityClassifier.score(df).orderBy(col("doc_id")).collect()
+    // n_feats = tokens + bigrams
+    assert(r(0).getLong(1) === 3L + 2L)
+    assert(r(1).getLong(1) === 0L && r(1).isNullAt(2) && !r(1).getBoolean(3))
+    assert(r(2).getLong(1) === 1L)
+    // deterministic across runs
+    val r2 = QualityClassifier.score(df).orderBy(col("doc_id")).collect()
+    assert(r.map(_.getAs[Any]("score")).toSeq === r2.map(_.getAs[Any]("score")).toSeq)
+    // score within (0,1) and keep matches the rounded threshold
+    r.filter(!_.isNullAt(2)).foreach { row =>
+      val s = row.getDouble(2)
+      assert(s > 0.0 && s < 1.0)
+      assert(row.getBoolean(3) === (s >= 0.5))
+    }
+  }
 }
