@@ -654,6 +654,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: duplicate-span TRIM — d15's output side (Lee et al. REMOVE
+    // the spans): merged dup islands per doc, kept-position complement,
+    // reconstructed clean text. n_toks − n_kept ≡ d15's dup_tokens
+    // (spec-asserted), so coverage and trim cannot drift.
+    "d18_trim" -> ((s, dir) => {
+      Dedup.duplicateSpanTrim(t(s, dir, "documents"), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup: incremental — classify a new batch against the existing
     // corpus (the rolling-build step). The batch re-submits docs 390–399
     // (id-shifted → dup_corpus) and double-submits 495–499 (→ the copy is
@@ -1893,6 +1902,35 @@ object SparkEntry {
          | COALESCE(c.dup_tokens, 0) AS dup_tokens,
          | round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_ratio
          |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // Span-trim twin (d18): d15's gram/dup CTEs, then the same
+    // gaps-and-islands merge (new island when pos−prev > 8, running-sum
+    // island id), interval complement via nested list_filter, and the
+    // same kept-token reconstruction.
+    "d18_trim" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |gr AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1:i+8], ' ')) AS g
+         |  FROM tok, UNNEST(range(len(ws) - 7)) AS u(i) WHERE len(ws) >= 8),
+         |dup AS (SELECT g FROM gr GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |ds AS (SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM gr WHERE g IN (SELECT g FROM dup)),
+         |si AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM ds),
+         |iv AS (SELECT doc_id, isl, min(pos) AS lo, max(pos) + 7 AS hi
+         |  FROM si GROUP BY doc_id, isl),
+         |ivs AS (SELECT doc_id, list(struct_pack(lo := lo, hi := hi) ORDER BY lo) AS ivs
+         |  FROM iv GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, ws,
+         |    list_filter(range(len(ws)), p -> i.ivs IS NULL OR
+         |      len(list_filter(i.ivs, v -> p >= v.lo AND p <= v.hi)) = 0) AS kept
+         |  FROM tok t LEFT JOIN ivs i USING (doc_id))
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+         | CAST(len(kept) AS BIGINT) AS n_kept,
+         | COALESCE(array_to_string(list_transform(kept, p -> ws[p+1]), ' '), '') AS trimmed_text
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // Portable simhash: DuckDB reproduces the md5-low64 token hash exactly
     // (hex→UBIGINT, re-centered to signed 64-bit), then the identical

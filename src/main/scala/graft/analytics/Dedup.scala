@@ -727,23 +727,10 @@ object Dedup {
   def duplicateSpanCoverage(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text",
       portableHash: Boolean = true): DataFrame = {
-    val toks = tokenized(docs, idCol, textCol)
-    // (id, n_toks, gram-hash array); < n tokens → empty array, so every
-    // document keeps a row here and in the final left join. The positional
-    // gram windowing is the ONE shared definition (ngramsFromTokens, in
-    // argument position so it evaluates once per row); only the keying
-    // is d15's own
-    val key: Column => Column = if (portableHash) md5 else (g => xxhash64(g))
-    val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
-      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => key(g)).as("gh"))
-    val pos = grams.select(col("id"), posexplode(col("gh")))
-      .toDF("id", "pos", "g")
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val (grams, dupStarts) = dupSpanStarts(tokenized(docs, idCol, textCol), n, portableHash)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    val cov = pos
-      .withColumn("dup", min(col("id")).over(wg) =!= max(col("id")).over(wg))
-      .where(col("dup"))
+    val cov = dupStarts
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .groupBy(col("id"))
       .agg(sum(when(col("prev").isNull, lit(n))
@@ -754,6 +741,80 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
       .withColumn("dup_ratio",
         round(col("dup_tokens").cast(DoubleType) / greatest(col("n_toks"), lit(1L)), 6))
+  }
+
+  /** Shared first stage of the span family (d15 coverage / d18 trim):
+    * positional gram-hash rows, and the subset whose gram occurs in ≥2
+    * DISTINCT documents (`min(id) ≠ max(id)` over the gram window — one
+    * explode, one shuffle; see [[duplicateSpanCoverage]]'s scale notes).
+    * Returns (grams = (id, n_toks, gh array), dupStarts = (id, pos)).
+    * `toks` is the `tokenized` projection — callers choose the corpus.
+    */
+  private def dupSpanStarts(toks: DataFrame, n: Int,
+      portableHash: Boolean): (DataFrame, DataFrame) = {
+    // (id, n_toks, gram-hash array); < n tokens → empty array, so every
+    // document keeps a row here and in the final left join. The positional
+    // gram windowing is the ONE shared definition (ngramsFromTokens, in
+    // argument position so it evaluates once per row); only the keying
+    // is the span family's own
+    val key: Column => Column = if (portableHash) md5 else (g => xxhash64(g))
+    val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
+      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => key(g)).as("gh"))
+    val pos = grams.select(col("id"), posexplode(col("gh")))
+      .toDF("id", "pos", "g")
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val dupStarts = pos
+      .withColumn("dup", min(col("id")).over(wg) =!= max(col("id")).over(wg))
+      .where(col("dup"))
+      .select(col("id"), col("pos"))
+    (grams, dupStarts)
+  }
+
+  /** Duplicate-span TRIM — the output side of Lee et al. 2022: d15 only
+    * REPORTS coverage; this emits the cleaned document with every
+    * duplicated span removed. Same dup-start derivation as
+    * [[duplicateSpanCoverage]] ([[dupSpanStarts]]), then per document:
+    *  - merge overlapping/adjacent spans [pos, pos+n) into maximal
+    *    islands with the classic gaps-and-islands window (new island when
+    *    `pos − prev > n`; island = running sum of the new-island flag) —
+    *    island COUNT per doc is bounded by n_toks/n, so the
+    *    collect_list of (lo, hi) intervals below is bounded per row, never
+    *    corpus-sized;
+    *  - keep token positions covered by NO island (a per-row HOF filter
+    *    over the interval array — O(tokens × islands) per row, no
+    *    shuffle) and re-join the survivors into `trimmed_text`.
+    * `n_toks − n_kept` equals d15's `dup_tokens` by construction (the lag
+    * union and the island complement count the same positions) — asserted
+    * in DedupSpec, so coverage and trim cannot drift apart.
+    */
+  def duplicateSpanTrim(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = true): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val (_, dupStarts) = dupSpanStarts(toks, n, portableHash)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val islands = dupStarts
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("pos") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("pos")).as("lo"), (max(col("pos")) + n - 1).as("hi"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("lo"), col("hi")))).as("ivs"))
+    toks.join(islands, Seq("id"), "left")
+      .select(col("id"), col("ws"), col("ivs"))
+      .select(col("id"), col("ws"), size(col("ws")).cast(LongType).as("n_toks"),
+        when(size(col("ws")) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(0), size(col("ws")) - 1),
+            p => col("ivs").isNull ||
+              !exists(col("ivs"), iv =>
+                p >= iv.getField("lo") && p <= iv.getField("hi")))).as("kept"))
+      .select(col("id").as(idCol), col("n_toks"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        concat_ws(" ", transform(col("kept"), p => element_at(col("ws"), p + 1)))
+          .as("trimmed_text"))
   }
 
   private[analytics] def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {

@@ -412,6 +412,35 @@ class DedupSpec extends SparkSpec {
     assert(xx === out)
   }
 
+  test("span trim (d18): removes merged dup islands; complement count ≡ d15 coverage") {
+    val docs = Seq(
+      (0L, "a b c d e f"),            // dup starts 0,1 → island [0,3] → keep "e f"
+      (1L, "x a b c d y"),            // dup starts 1,2 → island [1,4] → keep "x y"
+      (2L, "p q r"),                  // untouched
+      (3L, "a b"),                    // < n → untouched
+      (4L, ""),                       // empty stays empty
+      (5L, "a b c z z z z b c d"),    // disjoint islands [0,2] and [7,9] → keep 3..6
+      (6L, "m n o m n o m n o")       // within-doc repeats only → untouched
+    ).toDF("doc_id", "text")
+    val trim = Dedup.duplicateSpanTrim(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("trimmed_text")))).toMap
+    assert(trim(0L) === ((6L, 2L, "e f")))
+    assert(trim(1L) === ((6L, 2L, "x y")))
+    assert(trim(2L) === ((3L, 3L, "p q r")))
+    assert(trim(3L) === ((2L, 2L, "a b")))
+    assert(trim(4L) === ((0L, 0L, "")))
+    assert(trim(5L) === ((10L, 4L, "z z z z")))
+    assert(trim(6L) === ((9L, 9L, "m n o m n o m n o")))
+    // the two span operators count the SAME positions: removed ≡ covered
+    val cov = Dedup.duplicateSpanCoverage(docs, n = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_tokens")).toMap
+    trim.foreach { case (id, (nToks, nKept, _)) =>
+      assert(nToks - nKept === cov(id), s"doc $id trim/coverage drift")
+    }
+  }
+
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
     val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
         (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))
