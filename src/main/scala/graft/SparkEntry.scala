@@ -678,6 +678,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Crawl hygiene: URL → registered-domain extraction + per-domain doc
+    // quota. URLs are synthesized deterministically from driver data (the
+    // t05 PII-injection precedent) with rotating www/cdn/bare subdomains,
+    // so the extraction has real work to do; the cap is the q36
+    // deterministic-permutation quota on the domain key — one shuffle,
+    // per-domain window, reproducible under any partitioning.
+    "d19_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(""))
+            .otherwise(lit("cdn.")),
+          col("source"), lit(".example.com/"), col("lang"), lit("/"),
+          col("doc_id").cast("string")))
+      analytics.Domains.domainQuota(docs, urlCol = "url",
+          publicSuffix = "example.com", k = 15)
+        .select(col("domain"), col("sample_rank"), col("doc_id"), col("host"))
+        .orderBy(col("domain"), col("sample_rank"))
+    }),
+
     // Dedup: bloom-filter decontamination — d13's 100 TB scale path (the
     // contamination shingles fold into Spark's runtime-filter bloom sketch
     // instead of a broadcast array). Contract twin: `contaminated` is the
@@ -1902,6 +1922,25 @@ object SparkEntry {
          | COALESCE(c.dup_tokens, 0) AS dup_tokens,
          | round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_ratio
          |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // Domain-quota twin (d19): same deterministic URL synthesis, the same
+    // host/registered-domain regexes (no lookaround — RE2-safe), and
+    // q36's md5-permutation quota on the domain key.
+    "d19_domain" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.'
+        |                     WHEN doc_id % 3 = 1 THEN '' ELSE 'cdn.' END
+        |   || source || '.example.com/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u),
+        |d AS (SELECT doc_id, host,
+        |  regexp_extract(host, '([^.]+\.example\.com)$', 1) AS domain FROM h),
+        |r AS (SELECT domain, doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        |  FROM d)
+        |SELECT domain, sample_rank, doc_id, host FROM r
+        |WHERE sample_rank <= 15 ORDER BY domain, sample_rank""".stripMargin,
 
     // Span-trim twin (d18): d15's gram/dup CTEs, then the same
     // gaps-and-islands merge (new island when pos−prev > 8, running-sum
