@@ -129,6 +129,14 @@ object ScaleSmoke {
     run("incremental_dedup")(
       Dedup.incrementalDedup(docs,
         docs0.withColumn("doc_id", col("doc_id") + mult.toLong * docShift)))
+    // incremental SPAN dedup (d20) under the same regime — corpus blown
+    // up mult×, batch fixed: the timed region = corpus gram-index build
+    // (linear in corpus; persisted/bucketed in production) + the batch
+    // probe (explode + window + keyed join, constant). The delta between
+    // mults is the index pass, the floor is the true per-batch cost.
+    run("incremental_spans")(
+      Dedup.incrementalSpanCoverage(docs,
+        docs0.withColumn("doc_id", col("doc_id") + mult.toLong * docShift), n = 8))
     // duplicate-span coverage (d15) under blowup: the id-shifted copies
     // make every 8-gram cross-document duplicated, so the dup semi-join
     // passes ~every gram start — positional-gram rows grow linearly in

@@ -678,6 +678,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: cross-snapshot incremental SPAN coverage — d15 composed with
+    // d17's rolling-build shape: the new batch's grams probe the corpus
+    // gram index (plus the within-batch ≥2-distinct-docs rule); corpus
+    // rows are never re-scored. Same batch construction as d17: shifted
+    // copies of 390–399 are fully corpus-covered, double-submitted
+    // 495–499 duplicate within the batch.
+    "d20_span_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(col("doc_id") >= 400)
+        .unionByName(docs.where(col("doc_id").between(390, 399))
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(docs.where(col("doc_id").between(495, 499))
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.incrementalSpanCoverage(docs.where(col("doc_id") < 400), batch, n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Crawl hygiene: URL → registered-domain extraction + per-domain doc
     // quota. URLs are synthesized deterministically from driver data (the
     // t05 PII-injection precedent) with rotating www/cdn/bare subdomains,
@@ -1922,6 +1939,34 @@ object SparkEntry {
          | COALESCE(c.dup_tokens, 0) AS dup_tokens,
          | round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_ratio
          |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    // Incremental-span twin (d20): corpus gram index as a DISTINCT CTE,
+    // batch rebuilt with the d17 unions, dup = corpus membership OR the
+    // within-batch min≠max window, then d15's lag-window span union.
+    "d20_span_incr" ->
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 390 AND 399
+         |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id BETWEEN 495 AND 499),
+         |tok_c AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents WHERE doc_id < 400),
+         |ci AS (SELECT DISTINCT md5(array_to_string(ws[i+1:i+8], ' ')) AS g
+         |  FROM tok_c, UNNEST(range(len(ws) - 7)) AS u(i) WHERE len(ws) >= 8),
+         |tok_b AS (SELECT doc_id, $tokensSqlExpr AS ws FROM b),
+         |gr AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1:i+8], ' ')) AS g
+         |  FROM tok_b, UNNEST(range(len(ws) - 7)) AS u(i) WHERE len(ws) >= 8),
+         |d AS (SELECT doc_id, pos,
+         |    (min(doc_id) OVER (PARTITION BY g) <> max(doc_id) OVER (PARTITION BY g))
+         |      OR g IN (SELECT g FROM ci) AS dup
+         |  FROM gr),
+         |ds AS (SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM d WHERE dup),
+         |cov AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN prev IS NULL THEN 8 ELSE LEAST(8, pos - prev) END) AS BIGINT) AS dup_tokens
+         |  FROM ds GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(ws) AS BIGINT) AS n_toks,
+         | COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         | round(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / greatest(len(ws), 1), 6) AS dup_ratio
+         |FROM tok_b t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // Domain-quota twin (d19): same deterministic URL synthesis, the same
     // host/registered-domain regexes (no lookaround — RE2-safe), and

@@ -752,22 +752,72 @@ object Dedup {
     */
   private def dupSpanStarts(toks: DataFrame, n: Int,
       portableHash: Boolean): (DataFrame, DataFrame) = {
-    // (id, n_toks, gram-hash array); < n tokens → empty array, so every
-    // document keeps a row here and in the final left join. The positional
-    // gram windowing is the ONE shared definition (ngramsFromTokens, in
-    // argument position so it evaluates once per row); only the keying
-    // is the span family's own
-    val key: Column => Column = if (portableHash) md5 else (g => xxhash64(g))
-    val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
-      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => key(g)).as("gh"))
-    val pos = grams.select(col("id"), posexplode(col("gh")))
-      .toDF("id", "pos", "g")
+    val (grams, pos) = positionalGrams(toks, n, portableHash)
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
     val dupStarts = pos
       .withColumn("dup", min(col("id")).over(wg) =!= max(col("id")).over(wg))
       .where(col("dup"))
       .select(col("id"), col("pos"))
     (grams, dupStarts)
+  }
+
+  /** Positional gram-hash stage shared across the span family:
+    * grams = (id, n_toks, gh array) — < n tokens → empty array, so every
+    * document keeps a row here and in each final left join; pos = the
+    * exploded (id, pos, g) rows. The positional gram windowing is the ONE
+    * shared definition (ngramsFromTokens, in argument position so it
+    * evaluates once per row); only the keying is the span family's own.
+    */
+  private def positionalGrams(toks: DataFrame, n: Int,
+      portableHash: Boolean): (DataFrame, DataFrame) = {
+    val key: Column => Column = if (portableHash) md5 else (g => xxhash64(g))
+    val grams = toks.select(col("id"), size(col("ws")).cast(LongType).as("n_toks"),
+      transform(TextAnalysis.ngramsFromTokens(col("ws"), n), g => key(g)).as("gh"))
+    val pos = grams.select(col("id"), posexplode(col("gh")))
+      .toDF("id", "pos", "g")
+    (grams, pos)
+  }
+
+  /** Cross-snapshot INCREMENTAL span dedup — d15's coverage with d17's
+    * rolling-build shape: score a NEW batch's duplicated-span coverage
+    * against an existing corpus WITHOUT re-scoring the corpus. A batch
+    * gram position is duplicated when its gram exists in the corpus gram
+    * index, OR occurs in ≥2 distinct batch documents (the within-batch
+    * d15 rule); the per-document span union is the same lag window.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT gram-key index —
+    * built once per snapshot and, in production, persisted bucketed by
+    * gram key so each batch's membership probe is a co-located join and
+    * the corpus is never re-read per batch (the d17 fingerprint-index
+    * story, one level deeper). Batch size drives the incremental cost:
+    * one batch explode, one window over batch grams, one keyed join
+    * against the index ([[graft.ScaleSmoke]] measures the
+    * batch-cost-vs-corpus-blowup invariant).
+    */
+  def incrementalSpanCoverage(corpus: DataFrame, batch: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = true): DataFrame = {
+    val corpusIdx = positionalGrams(tokenized(corpus, idCol, textCol), n, portableHash)
+      ._2.select(col("g")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val (grams, pos) = positionalGrams(tokenized(batch, idCol, textCol), n, portableHash)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val cov = pos
+      .withColumn("batch_dup", min(col("id")).over(wg) =!= max(col("id")).over(wg))
+      .join(corpusIdx, Seq("g"), "left")
+      .where(col("batch_dup") || coalesce(col("in_corpus"), lit(false)))
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .groupBy(col("id"))
+      .agg(sum(when(col("prev").isNull, lit(n))
+        .otherwise(least(lit(n), col("pos") - col("prev")))).as("dup_tokens"))
+    grams.select(col("id").as(idCol), col("n_toks"))
+      .join(cov.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ratio",
+        round(col("dup_tokens").cast(DoubleType) / greatest(col("n_toks"), lit(1L)), 6))
   }
 
   /** Duplicate-span TRIM — the output side of Lee et al. 2022: d15 only

@@ -441,6 +441,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental spans (d20): corpus-covered, within-batch-dup, and novel spans") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j")   // corpus grams: starts 0,1,2 (n=8)
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e f g h i j"), // identical to corpus doc → full coverage
+      (11L, "p q r s t u v w x y"), // novel, submitted once → 0
+      (12L, "m n o p q r s t u v"), // shares batch grams with 13 → within-batch dup
+      (13L, "m n o p q r s t u v"),
+      (14L, "a b")                  // < n tokens → no grams → 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalSpanCoverage(corpus, batch, n = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(out(10L) === ((10L, 10L))) // corpus membership → every position covered
+    assert(out(11L) === ((10L, 0L)))  // novel batch doc untouched
+    assert(out(12L) === ((10L, 10L))) // within-batch duplication still counts
+    assert(out(13L) === ((10L, 10L)))
+    assert(out(14L) === ((2L, 0L)))
+    // corpus docs are NOT scored — output is batch-only
+    assert(!out.contains(0L))
+    // the xx production family yields identical coverage
+    val xx = Dedup.incrementalSpanCoverage(corpus, batch, n = 8, portableHash = false)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("dup_tokens")))).toMap
+    assert(xx === out)
+  }
+
   test("rolling hash (t04): order-sensitive, deterministic, content-sensitive") {
     val h = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"),
         (2L, "alpha beta gamma"), (3L, "alpha beta gamma delta"))
