@@ -847,6 +847,42 @@ object SparkEntry {
         .orderBy(col("probe_id"))
     }),
 
+    // Trained-quantizer IVF: deterministic fixed-iteration spherical
+    // k-means (init = s03's lowest-id quantizer, so iteration 0 is the
+    // baseline) feeding the same IVF search; recall@5 of BOTH quantizers
+    // against exact brute force, per probe. km_ge_base compares total hit
+    // COUNTS (integer, order-free) — the trained quantizer must not lose
+    // to the stand-in it replaces. The oracle replays training exactly:
+    // round-6 assignment ties, vec-id-ordered mean folds, 9-dp centroid
+    // rounding.
+    "s05_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, probes, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val base = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      val cents = Similarity.kmeansCentroids(e, nCells = 16, iters = 3)
+      val km = Similarity.ivfTopKWithCentroids(e, probes, k = 5, cents, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      def hits(app: org.apache.spark.sql.DataFrame, name: String) =
+        exact.join(app, Seq("probe_id", "neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+      val out = exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(base, "hb"), Seq("probe_id"), "left")
+        .join(hits(km, "hk"), Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("hb"), lit(0L)).as("n_hit_base"),
+          coalesce(col("hk"), lit(0L)).as("n_hit_km"))
+        .withColumn("recall_base",
+          round(col("n_hit_base").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_km",
+          round(col("n_hit_km").cast("double") / col("n_exact"), 6))
+      val flag = out.agg((sum(col("n_hit_km")) >= sum(col("n_hit_base"))).as("km_ge_base"))
+      out.crossJoin(flag) // 1-row scalar broadcast
+        .orderBy(col("probe_id"))
+    }),
+
     // Multimodal: resize planning for image payloads — width/height PARSED
     // from the synthesized PNG IHDR bytes, then the aspect-preserving
     // integer resize arithmetic (the scheduling logic a decoder follows).
@@ -1403,6 +1439,76 @@ object SparkEntry {
        | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
        |FROM r WHERE rnk <= $k ORDER BY lang, rnk""".stripMargin
+
+  /** Full SQL twin of s05: k-means training replayed iteration by
+    * iteration (assignment → per-(cell,dim) id-ordered mean fold →
+    * centroid update with empty-cell carry-over), then the s04 recall
+    * machinery over BOTH quantizers. All chain CTEs MATERIALIZED — each
+    * state feeds multiple consumers and inlining would blow up the
+    * iteration chain.
+    */
+  private def kmeansOracleSql(nCells: Int, nProbe: Int, iters: Int,
+      dim: Int, k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.ev, c.cv), 6) DESC NULLS LAST, c.cent_id) AS r
+         |    FROM v CROSS JOIN c${i - 1} c) WHERE r = 1),
+         |m$i AS MATERIALIZED (SELECT cent_id, d,
+         |    round(list_reduce(list(x ORDER BY vec_id), (p, q) -> p + q) / count(*), 9) AS mv
+         |  FROM (SELECT a.cent_id, a.vec_id, t.d, v.ev[t.d + 1] AS x
+         |        FROM a$i a JOIN v USING (vec_id), UNNEST(range($dim)) AS t(d))
+         |  GROUP BY cent_id, d),
+         |c$i AS MATERIALIZED (SELECT c.cent_id, COALESCE(n.cv, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN
+         |    (SELECT cent_id, list(mv ORDER BY d) AS cv FROM m$i GROUP BY cent_id) n
+         |  USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+    def ivfChain(cents: String, p: String) =
+      s"""${p}ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.ev, c.cv), 6) DESC NULLS LAST, c.cent_id) AS r
+         |    FROM v CROSS JOIN $cents c) WHERE r <= 1),
+         |${p}pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.ev, c.cv), 6) DESC NULLS LAST, c.cent_id) AS r
+         |    FROM v CROSS JOIN $cents c WHERE v.vec_id < 10) WHERE r <= $nProbe),
+         |${p}cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM ${p}pa JOIN ${p}ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${p}tk AS (SELECT probe_id, neighbor_id FROM (
+         |   SELECT c.probe_id, c.neighbor_id,
+         |     row_number() OVER (PARTITION BY c.probe_id
+         |       ORDER BY list_cosine_similarity(pv.ev, nv.ev) DESC, c.neighbor_id) AS rnk
+         |   FROM ${p}cand c JOIN v pv ON pv.vec_id = c.probe_id
+         |     JOIN v nv ON nv.vec_id = c.neighbor_id)
+         | WHERE rnk <= $k)""".stripMargin
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT $nCells),
+       |$iterCtes,
+       |ex AS (SELECT probe_id, neighbor_id FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+       |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10)
+       | WHERE rnk <= $k),
+       |${ivfChain("c0", "b")},
+       |${ivfChain(s"c$iters", "t")},
+       |hb AS (SELECT probe_id, count(*) AS hb FROM ex JOIN btk USING (probe_id, neighbor_id) GROUP BY probe_id),
+       |ht AS (SELECT probe_id, count(*) AS ht FROM ex JOIN ttk USING (probe_id, neighbor_id) GROUP BY probe_id),
+       |bs AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id),
+       |o AS (SELECT b.probe_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+       |   CAST(COALESCE(hb.hb, 0) AS BIGINT) AS n_hit_base,
+       |   CAST(COALESCE(ht.ht, 0) AS BIGINT) AS n_hit_km
+       |  FROM bs b LEFT JOIN hb USING (probe_id) LEFT JOIN ht USING (probe_id))
+       |SELECT probe_id, n_exact, n_hit_base, n_hit_km,
+       | round(CAST(n_hit_base AS DOUBLE) / n_exact, 6) AS recall_base,
+       | round(CAST(n_hit_km AS DOUBLE) / n_exact, 6) AS recall_km,
+       | (SELECT sum(n_hit_km) FROM o) >= (SELECT sum(n_hit_base) FROM o) AS km_ge_base
+       |FROM o ORDER BY probe_id""".stripMargin
+  }
 
   /** Full SQL twin of t11: BPE training replayed round by round (see the
     * oracleSql entry's comment for the correspondence argument), then the
@@ -2131,6 +2237,10 @@ object SparkEntry {
         | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
         | round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
         |FROM base b LEFT JOIN hit h USING (probe_id) ORDER BY b.probe_id""".stripMargin,
+
+    // Trained-quantizer recall twin (s05): see kmeansOracleSql.
+    "s05_kmeans" -> kmeansOracleSql(nCells = 16, nProbe = 8, iters = 3,
+      dim = 64, k = 5),
 
     // Portable rolling-fingerprint twin (t07): md5-low64 per token (d10's
     // base-hash expression), then the base-1000003 multiply-add fold with

@@ -284,12 +284,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nCells: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWithCentroids(corpus, probes, k,
+      corpus.orderBy(col(idCol)).limit(nCells)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")),
+      nProbe, idCol, vecCol)
+
+  /** [[ivfTopK]] with a caller-supplied quantizer `(cent_id, cent_vec)` —
+    * the entry point for TRAINED centroids ([[kmeansCentroids]]); the
+    * default path feeds it the lowest-id stand-in quantizer.
+    */
+  def ivfTopKWithCentroids(corpus: DataFrame, probes: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val nf = normFn(corpus)
     val cf = cosineFromNorms(dotFn(corpus)) _
-    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        nf(col(vecCol)).as("cent_norm")))
+    val cents = broadcast(centroids
+      .select(col("cent_id"), col("cent_vec"),
+        nf(col("cent_vec")).as("cent_norm")))
     def assign(df: DataFrame, side: String, nNearest: Int): DataFrame = {
       val scored = df
         .select(col(idCol).as(s"${side}_id"), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
@@ -322,6 +334,81 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic fixed-iteration spherical Lloyd's k-means — the real
+    * IVF quantizer training s03's lowest-id stand-in documents as the
+    * production path. Every source of nondeterminism in textbook k-means
+    * is pinned so a SQL twin replays training exactly (the s05 oracle):
+    *  - init is the `nCells` lowest-id corpus vectors (seeded and
+    *    portable — iteration 0 IS s03's quantizer, so recall deltas are
+    *    attributable to training alone);
+    *  - assignment ranks centroids by `round(cosine, 6)` with cent_id
+    *    tie-break (s03's recipe — near-equal similarities collapse into
+    *    a deterministic id-ordered tie instead of a float-accumulation
+    *    race);
+    *  - the centroid mean folds each (cell, dim)'s member values in
+    *    VEC-ID ORDER (collect + array_sort + left fold, the t09 recipe —
+    *    aggregation-order-free) and rounds to 9 dp;
+    *  - empty cells keep their previous centroid.
+    * Spherical variant: assignment by cosine, means left unnormalized —
+    * cosine is scale-invariant in the centroid, so normalization would
+    * only burn a pass.
+    *
+    * Scale shape: per iteration, assignment is one broadcast-NLJ pass
+    * over the corpus (nCells dots per row) and the mean is ONE
+    * aggregation keyed by (cell, dim) — the classic distributed k-means;
+    * the id-sorted fold bounds each group's buffer at cell population and
+    * exists for the cross-engine gate (production swaps in plain `avg`
+    * and loses nothing but bit-replayability). Lazy localCheckpoints per
+    * iteration (the CC discipline) keep lineage flat; the returned
+    * centroids are materialized (training is inherently iterative — the
+    * caller gets state, not lineage).
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        nf(col(vecCol)).as("vn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("cent_vec"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val cw = broadcast(cents.select(col("cent_id"), col("cent_vec"),
+        nf(col("cent_vec")).as("cn")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+      val assigned = vecs.crossJoin(cw)
+        .select(col("vec_id"), col("cent_id"),
+          round(cf(col("v"), col("cent_vec"), col("vn"), col("cn")), 6).as("csim"))
+        .withColumn("r", row_number().over(w))
+        .where(col("r") === 1)
+        .select(col("vec_id"), col("cent_id"))
+      val means = assigned
+        .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
+        .select(col("cent_id"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy(col("cent_id"), col("d"))
+        .agg(collect_list(struct(col("vec_id"), col("x").cast(DoubleType).as("x"))).as("xs"))
+        .select(col("cent_id"), col("d"),
+          round(aggregate(transform(array_sort(col("xs")), s => s.getField("x")),
+            lit(0.0), (a, b) => a + b) / size(col("xs")), 9).as("mv"))
+      val newC = means.groupBy(col("cent_id"))
+        .agg(collect_list(struct(col("d"), col("mv"))).as("ds"))
+        .select(col("cent_id"),
+          transform(array_sort(col("ds")), s => s.getField("mv")).as("cent_vec"))
+      cents = cents.select(col("cent_id"), col("cent_vec").as("prev_vec"))
+        .join(newC, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("cent_vec"), col("prev_vec")).as("cent_vec"))
+        .localCheckpoint(eager = false)
+    }
+    cents.count() // materialize the checkpoint chain before releasing the cache
+    vecs.unpersist(blocking = false)
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, probe set vs

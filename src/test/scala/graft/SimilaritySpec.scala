@@ -115,6 +115,34 @@ class SimilaritySpec extends SparkSpec {
       s"nProbe=nCells must recover the exact top-k; missing=${(exact diff all).size}")
   }
 
+  test("k-means quantizer (s05): deterministic across runs, iteration-0 ≡ lowest-id, " +
+      "trained recall ≥ 0.5 on sf0.001") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 5)
+    // determinism: two independent trainings produce identical centroids
+    def centMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Double](r.fieldIndex("cent_vec")))
+      .toMap
+    val c1 = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2))
+    val c2 = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2))
+    assert(c1 === c2)
+    assert(c1.size === 8 && c1.values.forall(_.length === 64))
+    // zero iterations = the lowest-id quantizer: search results must match
+    // ivfTopK exactly (float→double cast is value-preserving)
+    val zeroIter = Similarity.ivfTopKWithCentroids(e, probes, k = 3,
+      Similarity.kmeansCentroids(e, nCells = 8, iters = 0), nProbe = 4)
+    val standIn = Similarity.ivfTopK(e, probes, k = 3, nCells = 8, nProbe = 4)
+    assert(zeroIter.collect().map(_.toSeq).toSet === standIn.collect().map(_.toSeq).toSet)
+    // trained quantizer still recalls against brute force
+    val exact = Similarity.bruteForceTopK(e, probes, k = 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val trained = Similarity.ivfTopKWithCentroids(e, probes, k = 3,
+      Similarity.kmeansCentroids(e, nCells = 8, iters = 2), nProbe = 4)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hit = exact.join(trained, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    assert(hit.toDouble / exact.count() >= 0.5)
+  }
+
   test("near-dup pairs: threshold applied to the ROUNDED similarity") {
     val corpus = Seq(
       (0L, Array(1f, 0f)),
