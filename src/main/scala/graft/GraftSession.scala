@@ -20,7 +20,10 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       // …but keep size(NULL) = NULL (ansi=false flips the legacy -1 default).
       .config("spark.sql.legacy.sizeOfNull", "false")
-      // events.parquet carries INT64 TIMESTAMP(NANOS) — read as LongType.
+      // Older testdata generations carried INT64 TIMESTAMP(NANOS) — keep
+      // reading those as LongType; current generations ship timestamp[us]
+      // (TIMESTAMP_NTZ), untouched by this flag. EventTime dispatches on
+      // whichever dtype arrives.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Engine Catalyst extensions (simhash64, vec_dot, lsh_sign_buckets).
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

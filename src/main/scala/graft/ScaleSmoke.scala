@@ -153,6 +153,15 @@ object ScaleSmoke {
     run("lsh_topk")(
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))
+    // s05's quantizer training at blowup, PRODUCTION mean path: the
+    // centroid mean is a partial-aggregable avg keyed by (cell, dim) with
+    // constant per-group state — cost must track the assignment scan
+    // (broadcast-NLJ over the corpus), NOT cell population. The r10 shape
+    // (per-(cell,dim) collect_list) carried buffers that grew with the
+    // mult× membership; this datapoint is the receipt that it no longer
+    // does.
+    run("kmeans_train")(
+      Similarity.kmeansCentroids(vecs, nCells = 16, iters = 2))
 
     // Adversarial CC topology at scale: ONE path component of 100k×mult
     // nodes (diameter = n−1). Min-label propagation needs one round per

@@ -235,15 +235,14 @@ object SparkEntry {
     }),
 
     // F2/H3-analog — event-time to unix seconds + tumbling 1h buckets.
-    // `ts` arrives as LongType nanos (TIMESTAMP(NANOS) parquet under
-    // legacy.parquet.nanosAsLong) — exceeds 2^53, so the bucket floor must
-    // stay in integer arithmetic; `ts - pmod(ts, d)` is the FLOOR multiple
-    // (Spark's bare `div` truncates toward zero, which would shift any
-    // pre-1970 timestamp into the wrong bucket vs the oracle's date_trunc).
+    // `ts` has carried two dtypes across testdata generations (LongType
+    // nanos, now TIMESTAMP_NTZ micros) — EventTime.hourEpoch dispatches on
+    // the schema so this query survives either.
     "q18_events_hourly" -> ((s, dir) => {
-      t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      ev
         .groupBy(col("event_type"),
-          (expr("(ts - pmod(ts, 3600000000000)) div 3600000000000") * 3600L).as("hour_epoch"))
+          EventTime.hourEpoch(ev).as("hour_epoch"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
         .orderBy(col("event_type"), col("hour_epoch"))
@@ -322,9 +321,10 @@ object SparkEntry {
     // window end = last event + gap (Spark merges on overlap-or-touch — the DuckDB twin reproduces it
     // with a gaps-and-islands cumulative sum).
     "q24_session_windows" -> ((s, dir) => {
-      t(s, dir, "events")
-        // floor-to-second (see q18: `div` alone truncates toward zero)
-        .withColumn("et", timestamp_seconds(expr("(ts - pmod(ts, 1000000000)) div 1000000000")))
+      val ev = t(s, dir, "events")
+      ev
+        // floor-to-second, dtype-dispatched (EventTime)
+        .withColumn("et", EventTime.secondsFloor(ev))
         .groupBy(col("event_type"), session_window(col("et"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"),
           sum(dec(col("value"), 18, 2)).cast("double").as("total_value"))
@@ -339,8 +339,9 @@ object SparkEntry {
     // event lands in exactly windowDur/slide = 2 windows. The DuckDB twin
     // unnests the two aligned window starts per event.
     "q25_sliding_windows" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("et", timestamp_seconds(expr("(ts - pmod(ts, 1000000000)) div 1000000000")))
+      val ev = t(s, dir, "events")
+      ev
+        .withColumn("et", EventTime.secondsFloor(ev))
         .groupBy(col("event_type"), window(col("et"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"))
         .select(col("event_type"),
@@ -862,7 +863,10 @@ object SparkEntry {
         .select(col("probe_id"), col("neighbor_id"))
       val base = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
         .select(col("probe_id"), col("neighbor_id"))
-      val cents = Similarity.kmeansCentroids(e, nCells = 16, iters = 3)
+      // replayableMeans: the SQL twin replays the mean fold in vec-id
+      // order bit-exactly; the production default is plain partial avg
+      val cents = Similarity.kmeansCentroids(e, nCells = 16, iters = 3,
+        replayableMeans = true)
       val km = Similarity.ivfTopKWithCentroids(e, probes, k = 5, cents, nProbe = 8)
         .select(col("probe_id"), col("neighbor_id"))
       def hits(app: org.apache.spark.sql.DataFrame, name: String) =
@@ -1072,7 +1076,10 @@ object SparkEntry {
     "t11_bpe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (_, vocab) = analytics.Bpe.train(docs, nMerges = 12)
+      // training-corpus encode: every word in vocab, so n_unk is
+      // vacuously 0 — dropped here (t13 is the OOV query)
       val enc = analytics.Bpe.encode(docs, vocab)
+        .select(col("doc_id"), col("n_bpe"), col("ids_str"))
       val est = analytics.Par.spreadForCpu(docs)
         .select(TextAnalysis.bpeTokenEstimate(col("text")).as("est"))
         .agg(sum(col("est")).as("est_total"))
@@ -1081,6 +1088,22 @@ object SparkEntry {
         .select(round(col("est_total").cast("double") / col("bpe_total"), 3)
           .as("est_ratio"))
       enc.crossJoin(ratio) // 1-row scalar broadcast
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE on HELD-OUT data — the production encode path: train on the
+    // even-doc_id half, encode the odd half, whose words were never seen
+    // in training. OOV words segment by replaying the learned merge list
+    // (segmentWords — identical to how they'd have segmented in-corpus);
+    // subword strings training never produced map to UNK id -1, counted
+    // per doc as n_unk. The DuckDB twin replays training AND the OOV
+    // fold round by round.
+    "t13_bpe_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (merges, vocab) =
+        analytics.Bpe.train(docs.where(pmod(col("doc_id"), lit(2)) === 0), nMerges = 12)
+      analytics.Bpe.encode(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          vocab, merges = merges)
         .orderBy(col("doc_id"))
     }),
 
@@ -1556,6 +1579,72 @@ object SparkEntry {
        |SELECT d.doc_id, COALESCE(e.n_bpe, 0) AS n_bpe, COALESCE(e.ids_str, '') AS ids_str,
        |  tot.est_ratio
        |FROM documents d LEFT JOIN enc e USING (doc_id) CROSS JOIN tot
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Full SQL twin of t13: BPE training replayed on the even-doc half
+    * (the bpeOracleSql rounds, plus a parallel o$i chain applying each
+    * round's merge to the held-out OOV words — the same greedy fold, so
+    * an unseen word segments exactly as the engine's segmentWords
+    * replay), then the odd half encoded against v$n ∪ o$n with unknown
+    * subwords mapped to -1 and counted.
+    */
+  private def bpeOovOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(freq) AS c FROM (
+         |  SELECT freq, syms[j] AS a, syms[j+1] AS b
+         |  FROM (SELECT freq, string_split(symstr, ' ') AS syms FROM v${i - 1}),
+         |    UNNEST(range(1, len(syms))) AS t(j))
+         |  GROUP BY a, b),
+         |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq,
+         |  CASE WHEN len(syms) <= 1 THEN symstr
+         |    ELSE list_reduce(syms, (acc, x) ->
+         |      CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |        THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS symstr
+         |  FROM (SELECT word, freq, symstr, string_split(symstr, ' ') AS syms FROM v${i - 1})
+         |  LEFT JOIN m$i m ON TRUE),
+         |o$i AS MATERIALIZED (SELECT word,
+         |  CASE WHEN len(syms) <= 1 THEN symstr
+         |    ELSE list_reduce(syms, (acc, x) ->
+         |      CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |        THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS symstr
+         |  FROM (SELECT word, symstr, string_split(symstr, ' ') AS syms FROM o${i - 1})
+         |  LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(ws) AS word FROM tok WHERE doc_id % 2 = 0) GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+       |    || ' </w>' AS symstr FROM wf),
+       |o0 AS MATERIALIZED (SELECT word,
+       |  array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+       |    || ' </w>' AS symstr
+       |  FROM (SELECT DISTINCT unnest(ws) AS word FROM tok WHERE doc_id % 2 = 1)
+       |  WHERE word NOT IN (SELECT word FROM v0)),
+       |$rounds,
+       |ids AS MATERIALIZED (SELECT tokstr,
+       |  CAST(row_number() OVER (ORDER BY tokstr) - 1 AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(string_split(symstr, ' ')) AS tokstr FROM v$nMerges)),
+       |segs AS (SELECT word, symstr FROM v$nMerges
+       |  UNION ALL SELECT word, symstr FROM o$nMerges),
+       |dw AS (SELECT doc_id, j - 1 AS pos, ws[j] AS word
+       |  FROM tok, UNNEST(range(1, len(ws) + 1)) AS t(j) WHERE doc_id % 2 = 1),
+       |sub AS (SELECT doc_id, pos, k - 1 AS spos, syms[k] AS tokstr
+       |  FROM (SELECT doc_id, pos, string_split(v.symstr, ' ') AS syms
+       |        FROM dw JOIN segs v USING (word)),
+       |    UNNEST(range(1, len(syms) + 1)) AS u(k)),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+       |  string_agg(CAST(COALESCE(i.tok_id, -1) AS VARCHAR), ',' ORDER BY pos, spos) AS ids_str,
+       |  CAST(sum(CASE WHEN i.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+       |  FROM sub LEFT JOIN ids i USING (tokstr) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(e.n_bpe, 0) AS n_bpe, COALESCE(e.ids_str, '') AS ids_str,
+       |  COALESCE(e.n_unk, 0) AS n_unk
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN enc e USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -2338,6 +2427,10 @@ object SparkEntry {
     // matching the operator's early-stop. Ids, encoding, and est_ratio
     // then mirror Bpe.tokenIds/encode and the t03 estimator.
     "t11_bpe" -> bpeOracleSql(12),
+
+    // Held-out BPE twin (t13): training replayed on the even half, the
+    // OOV merge fold replayed on the held-out word set, unknowns → -1.
+    "t13_bpe_oov" -> bpeOovOracleSql(12),
 
     // Classifier twin (t12): the operator's weight vector embedded as a
     // DOUBLE[] literal (Double.toString round-trips exactly), the same

@@ -79,6 +79,25 @@ object Bpe {
             concat(acc, x))
             .otherwise(concat(acc, lit(" "), x))))
 
+  /** Segment words through a trained merge list — the out-of-vocabulary
+    * path: initial character symstr, then every merge applied in training
+    * order (BPE's canonical OOV recipe — an unseen word segments exactly
+    * as it would have had it been in the training corpus with frequency
+    * 0). One projection per merge over the DISTINCT missing-word set
+    * (batch-OOV-sized, never corpus-sized); a lazy localCheckpoint every
+    * 16 merges bounds the collapsed expression depth for long merge
+    * lists.
+    */
+  def segmentWords(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var df = words.select(col("word"), initialSymstr(col("word")).as("symstr"))
+    merges.zipWithIndex.foreach { case (m, i) =>
+      df = df.select(col("word"), split(col("symstr"), " ").as("syms"))
+        .select(col("word"), applyMerge(col("syms"), m).as("symstr"))
+      if ((i + 1) % 16 == 0) df = df.localCheckpoint(eager = false)
+    }
+    df
+  }
+
   /** Word-frequency table of the corpus (the ONE corpus-sized pass of
     * training).
     */
@@ -131,46 +150,91 @@ object Bpe {
   }
 
   /** Deterministic token-id table from a trained vocabulary: the distinct
-    * final symbols, ids assigned in lexicographic order. Global window
-    * over a vocabulary-sized set (id assignment is a build-once artifact,
-    * like the t09 frequency table — never a corpus-sized sort).
+    * final symbols, ids assigned in lexicographic order.
+    *
+    * tok_id = global lexicographic rank, computed WITHOUT a global
+    * single-partition window (the r10 `WindowExec: No Partition Defined`
+    * tail): range-repartition on the symbol puts each partition on a
+    * contiguous key range in partition order, a PARTITIONED window ranks
+    * locally in parallel, and per-partition populations — a
+    * numPartitions-row control table — prefix-sum on the driver (the
+    * FieldRegistry one-row-decision precedent) into broadcast offsets.
+    * The assigned ids are independent of where the sampled range
+    * boundaries fall: local rank + preceding-partition population IS the
+    * global rank for any contiguous ordered partitioning.
     */
-  def tokenIds(vocab: DataFrame): DataFrame =
-    vocab.select(explode(split(col("symstr"), " ")).as("tokstr")).distinct()
-      .withColumn("tok_id",
-        (row_number().over(Window.orderBy(col("tokstr"))) - 1).cast(LongType))
+  def tokenIds(vocab: DataFrame): DataFrame = {
+    val parts = vocab.select(explode(split(col("symstr"), " ")).as("tokstr")).distinct()
+      .repartitionByRange(col("tokstr"))
+      .withColumn("pid", spark_partition_id())
+      // materialize once: the count job and the rank pass must see the
+      // SAME sampled range boundaries (a recompute may re-sample)
+      .localCheckpoint(eager = false)
+    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
+    val offsetsDf = vocab.sparkSession.createDataFrame(offsets.toSeq)
+      .toDF("pid", "offset")
+    parts
+      .withColumn("lrank",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col("tokstr"))))
+      .join(broadcast(offsetsDf), Seq("pid"))
+      .select(col("tokstr"),
+        (col("offset") + col("lrank") - 1).cast(LongType).as("tok_id"))
+  }
 
   /** Encode documents against a trained vocabulary: per document, the
-    * real BPE token count and the comma-joined token-id sequence (in
-    * token order — collect + array_sort on (pos, spos), the t09
-    * position-determinism recipe). The corpus is scanned once; vocabulary
-    * and id table broadcast. Documents with no tokens encode to
-    * (0, ""). Assumes every corpus word is in `vocab` (true whenever
-    * encoding the corpus the vocabulary was trained on); production OOV
-    * handling replays the merge list via [[applyMerge]] on the missing
-    * words first.
+    * real BPE token count, the comma-joined token-id sequence (in token
+    * order — collect + array_sort on (pos, spos), the t09
+    * position-determinism recipe), and the unknown-subword count. The
+    * corpus is scanned once; segmentations and id table broadcast.
+    * Documents with no tokens encode to (0, "", 0).
+    *
+    * Out-of-vocabulary words: with `merges` supplied, words absent from
+    * `vocab` are segmented by [[segmentWords]] (merge-list replay over
+    * the distinct missing words — a batch-OOV-sized side table unioned
+    * into the broadcast). Resulting subword strings the training run
+    * never produced (novel characters, unmerged partials) map to
+    * `unkId`. With `merges` empty the caller asserts every corpus word
+    * is in `vocab` (true when encoding the training corpus itself) and
+    * absent words are silently dropped, as before.
     */
   def encode(docs: DataFrame, vocab: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      merges: Seq[Merge] = Nil, unkId: Long = -1L): DataFrame = {
     val ids = tokenIds(vocab)
     val toks = Par.spreadForCpu(docs)
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
         .as(Seq("pos", "word")))
+    val vocabSegs = vocab.select(col("word"), split(col("symstr"), " ").as("syms"))
+    val segs =
+      if (merges.isEmpty) vocabSegs
+      else vocabSegs.unionByName(
+        segmentWords(
+          toks.select(col("word")).distinct()
+            .join(vocab.select(col("word")), Seq("word"), "left_anti"),
+          merges)
+          .select(col("word"), split(col("symstr"), " ").as("syms")))
     val sub = toks
-      .join(broadcast(vocab.select(col("word"), split(col("symstr"), " ").as("syms"))),
-        Seq("word"))
+      .join(broadcast(segs), Seq("word"))
       .select(col(idCol), col("pos"), posexplode(col("syms")).as(Seq("spos", "tokstr")))
-      .join(broadcast(ids), Seq("tokstr"))
+      .join(broadcast(ids), Seq("tokstr"), "left")
+      .select(col(idCol), col("pos"), col("spos"),
+        coalesce(col("tok_id"), lit(unkId)).as("tok_id"))
     val enc = sub
       .groupBy(col(idCol))
-      .agg(collect_list(struct(col("pos"), col("spos"), col("tok_id"))).as("ts"))
+      .agg(collect_list(struct(col("pos"), col("spos"), col("tok_id"))).as("ts"),
+        sum(when(col("tok_id") === lit(unkId), 1L).otherwise(0L)).as("n_unk"))
       .select(col(idCol),
-        transform(array_sort(col("ts")), x => x.getField("tok_id").cast("string")).as("ids"))
+        transform(array_sort(col("ts")), x => x.getField("tok_id").cast("string")).as("ids"),
+        col("n_unk"))
       .select(col(idCol), size(col("ids")).cast(LongType).as("n_bpe"),
-        array_join(col("ids"), ",").as("ids_str"))
+        array_join(col("ids"), ",").as("ids_str"), col("n_unk"))
     docs.select(col(idCol)).join(enc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
-        coalesce(col("ids_str"), lit("")).as("ids_str"))
+        coalesce(col("ids_str"), lit("")).as("ids_str"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
   }
 }

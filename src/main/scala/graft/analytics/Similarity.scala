@@ -347,9 +347,14 @@ object Similarity {
     *    tie-break (s03's recipe — near-equal similarities collapse into
     *    a deterministic id-ordered tie instead of a float-accumulation
     *    race);
-    *  - the centroid mean folds each (cell, dim)'s member values in
-    *    VEC-ID ORDER (collect + array_sort + left fold, the t09 recipe —
-    *    aggregation-order-free) and rounds to 9 dp;
+    *  - the centroid mean is `avg` keyed by (cell, dim), rounded to 9 dp
+    *    (the PRODUCTION default — a partial-aggregable HashAggregate with
+    *    constant per-group state, the shape that survives million-member
+    *    cells at 100 TB). `replayableMeans = true` swaps in the id-sorted
+    *    fold (collect + array_sort + left fold, the t09 recipe) whose
+    *    addition ORDER a SQL twin can replay bit-exactly — that buffer
+    *    grows with cell population, so it exists only for the
+    *    cross-engine oracle gate (s05), never the scale path;
     *  - empty cells keep their previous centroid.
     * Spherical variant: assignment by cosine, means left unnormalized —
     * cosine is scale-invariant in the centroid, so normalization would
@@ -357,16 +362,14 @@ object Similarity {
     *
     * Scale shape: per iteration, assignment is one broadcast-NLJ pass
     * over the corpus (nCells dots per row) and the mean is ONE
-    * aggregation keyed by (cell, dim) — the classic distributed k-means;
-    * the id-sorted fold bounds each group's buffer at cell population and
-    * exists for the cross-engine gate (production swaps in plain `avg`
-    * and loses nothing but bit-replayability). Lazy localCheckpoints per
-    * iteration (the CC discipline) keep lineage flat; the returned
-    * centroids are materialized (training is inherently iterative — the
-    * caller gets state, not lineage).
+    * aggregation keyed by (cell, dim) — the classic distributed k-means.
+    * Lazy localCheckpoints per iteration (the CC discipline) keep lineage
+    * flat; the returned centroids are materialized (training is
+    * inherently iterative — the caller gets state, not lineage).
     */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      replayableMeans: Boolean = false): DataFrame = {
     val nf = normFn(corpus)
     val cf = cosineFromNorms(dotFn(corpus)) _
     val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
@@ -388,14 +391,21 @@ object Similarity {
         .withColumn("r", row_number().over(w))
         .where(col("r") === 1)
         .select(col("vec_id"), col("cent_id"))
-      val means = assigned
+      val members = assigned
         .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
         .select(col("cent_id"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
-        .groupBy(col("cent_id"), col("d"))
-        .agg(collect_list(struct(col("vec_id"), col("x").cast(DoubleType).as("x"))).as("xs"))
-        .select(col("cent_id"), col("d"),
-          round(aggregate(transform(array_sort(col("xs")), s => s.getField("x")),
-            lit(0.0), (a, b) => a + b) / size(col("xs")), 9).as("mv"))
+      val means =
+        if (replayableMeans)
+          members
+            .groupBy(col("cent_id"), col("d"))
+            .agg(collect_list(struct(col("vec_id"), col("x").cast(DoubleType).as("x"))).as("xs"))
+            .select(col("cent_id"), col("d"),
+              round(aggregate(transform(array_sort(col("xs")), s => s.getField("x")),
+                lit(0.0), (a, b) => a + b) / size(col("xs")), 9).as("mv"))
+        else
+          members
+            .groupBy(col("cent_id"), col("d"))
+            .agg(round(avg(col("x").cast(DoubleType)), 9).as("mv"))
       val newC = means.groupBy(col("cent_id"))
         .agg(collect_list(struct(col("d"), col("mv"))).as("ds"))
         .select(col("cent_id"),

@@ -54,7 +54,9 @@ class BpeSpec extends SparkSpec {
     // invert: ids_str → token strings → concatenate, split words on the
     // end-of-word marker → must equal the original token stream
     val idToTok = ids.as[(String, Long)].collect().map(_.swap).toMap
-    val rows = enc.orderBy(col("doc_id")).as[(Long, Long, String)].collect()
+    val rows = enc.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_bpe"), col("ids_str"))
+      .as[(Long, Long, String)].collect()
     val reconstructed = rows.map { case (_, n, s) =>
       val toks = if (s.isEmpty) Array.empty[String]
         else s.split(",").map(i => idToTok(i.toLong))
@@ -63,6 +65,50 @@ class BpeSpec extends SparkSpec {
         .filter(_.nonEmpty).mkString(" ")
     }
     assert(reconstructed.toSeq === Seq("table scan joins the table", "merge sort merge", ""))
+  }
+
+  test("OOV encode: held-out words segment identically to a from-scratch " +
+      "merge replay; novel symbols map to UNK (-1)") {
+    val trainDocs = Seq(
+      (2L, "lower lower newest newest newest"),
+      (4L, "lowest lowest wider")).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(trainDocs, nMerges = 8)
+    // from-scratch replay in plain Scala — the independent reference the
+    // engine's segmentWords fold must reproduce exactly
+    def replay(word: String): Seq[String] = {
+      var syms: Seq[String] = word.map(_.toString) :+ Bpe.EndMark
+      for (m <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.a && syms(i + 1) == m.b) {
+            out += m.a + m.b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    // held-out: "low" and "newer" are OOV but all-known characters;
+    // "quiz" carries characters training never saw → every subword UNK
+    val held = Seq((1L, "low newer lower quiz")).toDF("doc_id", "text")
+    val segged = Bpe.segmentWords(
+      Seq("low", "newer", "quiz").toDF("word"), merges)
+      .as[(String, String)].collect().toMap
+    for (w <- Seq("low", "newer", "quiz"))
+      assert(segged(w).split(" ").toSeq === replay(w), s"word $w")
+    // end-to-end: ids decode back through the trained id table; UNK count
+    // equals the number of replayed subwords absent from that table
+    val ids = Bpe.tokenIds(vocab).as[(String, Long)].collect().toMap
+    val expectedIds = "low newer lower quiz".split(" ").toSeq
+      .flatMap(w => replay(w).map(t => ids.getOrElse(t, -1L)))
+    val enc = Bpe.encode(held, vocab, merges = merges)
+      .as[(Long, Long, String, Long)].collect()
+    assert(enc.length === 1)
+    val (_, nBpe, idsStr, nUnk) = enc.head
+    assert(idsStr.split(",").toSeq.map(_.toLong) === expectedIds)
+    assert(nBpe === expectedIds.length)
+    assert(nUnk === expectedIds.count(_ == -1L) && nUnk > 0)
   }
 
   test("train stops early on a fully-merged vocabulary") {

@@ -123,10 +123,20 @@ class SimilaritySpec extends SparkSpec {
     def centMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("cent_id") -> r.getSeq[Double](r.fieldIndex("cent_vec")))
       .toMap
-    val c1 = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2))
-    val c2 = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2))
+    val c1 = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2,
+      replayableMeans = true))
+    val c2 = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2,
+      replayableMeans = true))
     assert(c1 === c2)
     assert(c1.size === 8 && c1.values.forall(_.length === 64))
+    // the production mean (partial avg, the 100 TB shape) agrees with the
+    // replayable fold to well under the 1e-6 assignment-rounding grain —
+    // same members, same mean, different (but mathematically equal modulo
+    // float association) addition order
+    val cProd = centMap(Similarity.kmeansCentroids(e, nCells = 8, iters = 2))
+    assert(cProd.keySet === c1.keySet)
+    for ((k, v) <- cProd; (a, b) <- v.zip(c1(k)))
+      assert(math.abs(a - b) < 1e-7, s"cell $k prod-vs-replayable mean drift")
     // zero iterations = the lowest-id quantizer: search results must match
     // ivfTopK exactly (float→double cast is value-preserving)
     val zeroIter = Similarity.ivfTopKWithCentroids(e, probes, k = 3,

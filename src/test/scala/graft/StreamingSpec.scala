@@ -267,11 +267,12 @@ class StreamingSpec extends SparkSpec {
     val ckptDir = tempDir("graft-pq-ckpt")
     val eventsSchema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
     // adapt to the envelope-count shape: event_type as the grouping key,
-    // seconds-truncated nanos as the event time — ONE shaping definition
-    // for both sides, so the stream≡batch assertion can't drift
+    // seconds-truncated event time (dtype-dispatched via EventTime — the
+    // testdata ts dtype has shifted across generations) — ONE shaping
+    // definition for both sides, so the stream≡batch assertion can't drift
     def shape(df: DataFrame): DataFrame =
       df.select(col("event_type").as("event"),
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000000000)) div 1000000000")
+        org.apache.spark.sql.functions.unix_timestamp(EventTime.secondsFloor(df))
           .as("timestamp"))
     val shaped = shape(spark.readStream
       .schema(eventsSchema)
