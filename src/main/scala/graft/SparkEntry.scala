@@ -40,6 +40,15 @@ object SparkEntry {
   /** Fixed clock for the NEF fixture query (determinism). */
   private val FixedNow = 1700000000L
 
+  /** d19's public-suffix rule list — a PSL slice with single- and
+    * multi-label rules so longest-match is exercised (github.io beats io,
+    * co.uk beats uk, example.com beats com); the SQL twin carries the
+    * identical literal list.
+    */
+  private[graft] val d19Psl: Seq[String] =
+    Seq("com", "net", "org", "io", "uk", "co.uk", "ac.uk",
+      "github.io", "example.com")
+
   /** Flagship: the full NEF data plane (parse → broadcast-enrich →
     * explode×2/normalize → tag-filter → policy) over the reference's own
     * test payloads, plus a scan of the driver's sf0.001 lineitem to prove
@@ -698,8 +707,10 @@ object SparkEntry {
 
     // Crawl hygiene: URL → registered-domain extraction + per-domain doc
     // quota. URLs are synthesized deterministically from driver data (the
-    // t05 PII-injection precedent) with rotating www/cdn/bare subdomains,
-    // so the extraction has real work to do; the cap is the q36
+    // t05 PII-injection precedent) with rotating www/cdn/bare subdomains
+    // AND rotating public suffixes — single-label (net), multi-label
+    // (co.uk, github.io), and a listed private domain (example.com) — so
+    // the PSL longest-match rule has real work to do; the cap is the q36
     // deterministic-permutation quota on the domain key — one shuffle,
     // per-domain window, reproducible under any partitioning.
     "d19_domain" -> ((s, dir) => {
@@ -708,10 +719,13 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
             .when(pmod(col("doc_id"), lit(3)) === 1, lit(""))
             .otherwise(lit("cdn.")),
-          col("source"), lit(".example.com/"), col("lang"), lit("/"),
-          col("doc_id").cast("string")))
+          col("source"), lit("."),
+          element_at(array(lit("example.com"), lit("co.uk"),
+            lit("github.io"), lit("net")),
+            (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          lit("/"), col("lang"), lit("/"), col("doc_id").cast("string")))
       analytics.Domains.domainQuota(docs, urlCol = "url",
-          publicSuffix = "example.com", k = 15)
+          psl = SparkEntry.d19Psl, k = 15)
         .select(col("domain"), col("sample_rank"), col("doc_id"), col("host"))
         .orderBy(col("domain"), col("sample_rank"))
     }),
@@ -2164,23 +2178,38 @@ object SparkEntry {
          |FROM tok_b t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     // Domain-quota twin (d19): same deterministic URL synthesis, the same
-    // host/registered-domain regexes (no lookaround — RE2-safe), and
+    // host regex (no lookaround — RE2-safe), the same PSL literal with
+    // longest-proper-suffix matching (suffixes generated longest-first,
+    // first list member present in the PSL wins, registered domain =
+    // suffix + one label, two-label fallback for unlisted TLDs), and
     // q36's md5-permutation quota on the domain key.
-    "d19_domain" ->
-      """WITH u AS (SELECT doc_id,
+    "d19_domain" -> (
+      s"""WITH u AS (SELECT doc_id,
         |  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.'
         |                     WHEN doc_id % 3 = 1 THEN '' ELSE 'cdn.' END
-        |   || source || '.example.com/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+        |   || source || '.' ||
+        |   CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'co.uk'
+        |     WHEN 2 THEN 'github.io' ELSE 'net' END
+        |   || '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
         |  FROM documents),
         |h AS (SELECT doc_id, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host FROM u),
+        |m AS (SELECT doc_id, host, labels,
+        |  list_filter(list_transform(range(1, len(labels)),
+        |      k -> array_to_string(labels[k+1:], '.')),
+        |    s -> list_contains([${d19Psl.map("'" + _ + "'").mkString(",")}], s)) AS matched
+        |  FROM (SELECT doc_id, host, string_split(host, '.') AS labels FROM h)),
         |d AS (SELECT doc_id, host,
-        |  regexp_extract(host, '([^.]+\.example\.com)$', 1) AS domain FROM h),
+        |  CASE WHEN len(labels) < 2 THEN host
+        |       WHEN len(matched) >= 1 THEN
+        |         array_to_string(labels[len(labels) - len(string_split(matched[1], '.')):], '.')
+        |       ELSE array_to_string(labels[len(labels)-1:], '.') END AS domain
+        |  FROM m),
         |r AS (SELECT domain, doc_id, host,
         |  CAST(row_number() OVER (PARTITION BY domain
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
         |  FROM d)
         |SELECT domain, sample_rank, doc_id, host FROM r
-        |WHERE sample_rank <= 15 ORDER BY domain, sample_rank""".stripMargin,
+        |WHERE sample_rank <= 15 ORDER BY domain, sample_rank""".stripMargin),
 
     // Span-trim twin (d18): d15's gram/dup CTEs, then the same
     // gaps-and-islands merge (new island when pos−prev > 8, running-sum

@@ -21,27 +21,51 @@ object Domains {
   def host(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
-  /** Registered (registrable) domain of a hostname under `publicSuffix`:
-    * the suffix plus ONE label — e.g. `deep.cdn.src0.example.com` with
-    * suffix `example.com` → `src0.example.com`. A full implementation
-    * swaps the single literal for the public-suffix list (a broadcast
-    * lookup keyed by longest matching suffix); the extraction shape —
-    * per-row, no shuffle — is unchanged.
+  /** Registered (registrable) domain of a hostname under a public-suffix
+    * rule list: the LONGEST proper suffix of the host present in `psl`
+    * wins (the PSL longest-match rule — `github.io` beats `io`,
+    * `co.uk` beats `uk`), and the registered domain is that suffix plus
+    * ONE label — e.g. `deep.cdn.src0.example.com` with matching suffix
+    * `example.com` → `src0.example.com`. Hosts matching no rule fall
+    * back to the last two labels (the PSL's implicit `*` rule: an
+    * unlisted TLD is itself a public suffix); single-label hosts pass
+    * through unchanged.
+    *
+    * Pure per-row projection — candidate proper suffixes come from a
+    * label-count-bounded array HOF and membership is a literal-array
+    * lookup, so there is still no join and no shuffle. The real PSL is
+    * ~10k rules: that still fits a plan literal / broadcast comfortably
+    * at fleet scale; wildcard (`*.ck`) and exception (`!www.ck`) rules
+    * would ride as two more literal arrays checked before this one.
     */
-  def registeredDomain(hostCol: Column, publicSuffix: String): Column =
-    regexp_extract(hostCol,
-      "([^.]+\\." + java.util.regex.Pattern.quote(publicSuffix) + ")$", 1)
+  def registeredDomain(hostCol: Column, psl: Seq[String]): Column = {
+    val pslLit = array(psl.map(lit): _*)
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    // proper suffixes, longest first: k leading labels dropped, k = 1..n-1
+    val suffixes = transform(sequence(lit(1), n - 1),
+      k => array_join(slice(labels, k + 1, n - k), "."))
+    val matched = filter(suffixes, s => array_contains(pslLit, s))
+    val best = element_at(matched, 1) // first surviving = longest
+    val m = size(split(best, "\\."))
+    val reg = array_join(slice(labels, n - m, m + 1), ".")
+    // n == 1 guard also keeps sequence(1, 0) (which descends) out of play
+    when(n >= 2,
+      when(size(matched) >= 1, reg)
+        .otherwise(array_join(slice(labels, n - 1, lit(2)), ".")))
+      .otherwise(hostCol)
+  }
 
   /** Per-registered-domain quota: keep at most `k` documents per domain,
     * selected by the portable md5 permutation ([[Sampling]]'s
     * reproducibility contract). Emits the input columns plus `host`,
     * `domain`, and the within-domain `sample_rank`, quota-filtered.
     */
-  def domainQuota(docs: DataFrame, urlCol: String, publicSuffix: String,
+  def domainQuota(docs: DataFrame, urlCol: String, psl: Seq[String],
       k: Int, idCol: String = "doc_id"): DataFrame = {
     val withDomain = docs
       .withColumn("host", host(col(urlCol)))
-      .withColumn("domain", registeredDomain(col("host"), publicSuffix))
+      .withColumn("domain", registeredDomain(col("host"), psl))
     Sampling.deterministicStratified(withDomain, stratumCol = "domain",
       k = k, idCol = idCol)
   }

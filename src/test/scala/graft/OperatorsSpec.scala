@@ -297,32 +297,41 @@ class OperatorsSpec extends SparkSpec {
     junk.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
-  test("domain extraction (d19): deep subdomains collapse, foreign suffixes don't match, " +
-      "quota is repartition-stable") {
+  test("domain extraction (d19): PSL longest-match, deep subdomains collapse, " +
+      "unlisted TLDs fall back to two labels, quota is repartition-stable") {
     import graft.analytics.Domains
+    val psl = Seq("com", "uk", "co.uk", "io", "github.io", "example.com")
     val urls = Seq(
       (1L, "https://www.src0.example.com/en/1"),
       (2L, "http://deep.cdn.src1.example.com:8080/x?q=1"),
       (3L, "https://src2.example.com/fr/3"),
-      (4L, "https://evil.example.org/en/4"), // different suffix → no domain
-      (5L, "ftp://src0.example.com/raw")
+      (4L, "https://evil.example.zz/en/4"), // unlisted TLD → implicit-* fallback
+      (5L, "ftp://src0.example.com/raw"),
+      (6L, "https://a.b.site6.co.uk/x"),    // co.uk must beat uk
+      (7L, "https://user7.github.io/repo"), // github.io must beat io
+      (8L, "https://plain.io/x"),           // single-label rule
+      (9L, "https://localhost/x")           // one label → pass-through
     ).toDF("doc_id", "url")
     val d = urls
       .withColumn("host", Domains.host(col("url")))
-      .withColumn("domain", Domains.registeredDomain(col("host"), "example.com"))
+      .withColumn("domain", Domains.registeredDomain(col("host"), psl))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[String]("host"), r.getAs[String]("domain")))).toMap
     assert(d(1L) === (("www.src0.example.com", "src0.example.com")))
     assert(d(2L) === (("deep.cdn.src1.example.com", "src1.example.com"))) // port stripped
     assert(d(3L) === (("src2.example.com", "src2.example.com")))
-    assert(d(4L) === (("evil.example.org", "")))
+    assert(d(4L) === (("evil.example.zz", "example.zz")))
     assert(d(5L) === (("src0.example.com", "src0.example.com")))
+    assert(d(6L) === (("a.b.site6.co.uk", "site6.co.uk")))
+    assert(d(7L) === (("user7.github.io", "user7.github.io")))
+    assert(d(8L) === (("plain.io", "plain.io")))
+    assert(d(9L) === (("localhost", "localhost")))
     // quota determinism under repartitioning (the Sampling contract)
     val many = spark.range(200).select(col("id").as("doc_id"),
       concat(lit("https://src"), pmod(col("id"), lit(4)).cast("string"),
         lit(".example.com/p/"), col("id").cast("string")).as("url"))
     def kept(df: org.apache.spark.sql.DataFrame) =
-      Domains.domainQuota(df, "url", "example.com", k = 10)
+      Domains.domainQuota(df, "url", psl, k = 10)
         .select(col("domain"), col("sample_rank"), col("doc_id"))
         .collect().map(_.toSeq).toSet
     val a = kept(many)
