@@ -256,6 +256,75 @@ object Stream {
           store.upsert(batchId, r.getAs[String]("key"), r.getAs[String]("value")))
       }
 
+  /** A4 — the executable WebSocket fan-out analog (receiver.py:450–452):
+    * the reference pushes each ingested record, wrapped
+    * `{"type":"data_ingested","data":rec}`, to every WebSocket client
+    * subscribed to that record's notifId. The hub is the single-JVM
+    * stand-in for the push layer's connection registry (the
+    * [[KeyedUpsertStore]] discipline: instances carry only an id, every
+    * closure copy in the JVM addresses one shared table — how a remote
+    * push service looks from every executor). Frames append per
+    * connection in delivery order; a deployment swaps `push`'s table
+    * write for the socket send and keeps the routing shape.
+    */
+  final class WebSocketHub(val hubId: String) extends Serializable {
+    private def conns = WebSocketHub.tableFor(hubId)
+    /** Register a client connection subscribed to one notifId. */
+    def connect(connId: String, notifId: String): Unit =
+      conns.put(connId,
+        (notifId, new java.util.concurrent.ConcurrentLinkedQueue[String]()))
+    /** Deliver a frame to every connection subscribed to `notifId`. */
+    def push(notifId: String, frame: String): Unit =
+      conns.values.foreach { case (nid, q) => if (nid == notifId) q.add(frame) }
+    /** Frames delivered to one connection so far, in delivery order. */
+    def frames(connId: String): Seq[String] =
+      conns.get(connId)
+        .map(_._2.toArray(new Array[String](0)).toSeq)
+        .getOrElse(Seq.empty)
+  }
+
+  object WebSocketHub {
+    private val hubs = scala.collection.concurrent.TrieMap.empty[String,
+      scala.collection.concurrent.TrieMap[String,
+        (String, java.util.concurrent.ConcurrentLinkedQueue[String])]]
+    private def tableFor(id: String) =
+      hubs.getOrElseUpdate(id, scala.collection.concurrent.TrieMap.empty)
+  }
+
+  /** A4 wiring: raw notification stream → envelopes → per-record
+    * `data_ingested` frames ([[graft.sinks.Sinks.websocketMessages]]) →
+    * hub routing. The route runs `foreachPartition` executor-side — no
+    * driver materialization; exactly where a production push layer holds
+    * its per-partition connection pool. Delivery matches the reference's
+    * semantics: every surviving record of a batch is pushed to that
+    * notifId's subscribers, per record, not per batch.
+    */
+  def websocketFanoutStream(
+      raw: DataFrame,
+      subscriptions: DataFrame,
+      checkpointDir: String,
+      hub: WebSocketHub,
+      rules: Policy.Rules = Policy.Rules.allowAll,
+      jsonCol: String = "value",
+      now: Option[Column] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val env = Ingest.envelopes(
+            Ingest.parseNotifications(batch, jsonCol), subscriptions, rules,
+            now.getOrElse(unix_timestamp(current_timestamp())))
+          graft.sinks.Sinks.websocketMessages(env)
+            .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+              it.foreach(r =>
+                hub.push(r.getAs[String]("key"), r.getAs[String]("value")))
+            }
+        }
+      }
+      .start()
+
   /** D3 streaming wiring — run a [[graft.sinks.FieldRegistry]]'s observe
     * loop per micro-batch over an envelope stream: any batch that enlarges
     * the discovered-field universe triggers exactly one registration

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.schemas.NefSchemas
 import graft.streaming.Stream
 
 /** H2/H4/H5 — the Structured Streaming driver: a file-source micro-batch
@@ -46,6 +47,57 @@ class StreamingSpec extends SparkSpec {
     assert(!value.contains("unknown")) // 403 path contributes nothing
     // checkpoint exists and records the committed batch (H5 at-least-once)
     assert(new java.io.File(ckptDir, "commits").list().nonEmpty)
+  }
+
+  test("websocket fan-out: per-record data_ingested frames route to the " +
+      "subscribed connection only (A4, receiver.py:450–452)") {
+    import org.apache.spark.sql.Row
+    val srcDir = tempDir("graft-ws-src")
+    val ckptDir = tempDir("graft-ws-ckpt")
+    val otherNotif = "test-notif-002"
+    // two registered subscriptions; each gets a client connection, plus a
+    // second connection on the first notifId (fan-OUT, not queueing)
+    val subs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Fixtures.NotifId, Row(1, "000001"), "internet",
+          Seq("PERF_DATA", "UE_MOBILITY"), "nef-sub-abc",
+          "http://nef:8090/nnef-event-exposure/v1/subscriptions", 1000000L),
+        Row(otherNotif, Row(1, "000001"), "internet",
+          Seq("PERF_DATA"), "nef-sub-def",
+          "http://nef:8090/nnef-event-exposure/v1/subscriptions", 1000000L)),
+      NefSchemas.subscription)
+    val otherPayload = Fixtures.perfDataPayload.replace(Fixtures.NotifId, otherNotif)
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Seq(Fixtures.perfDataPayload, Fixtures.ueCommPayload, otherPayload)
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+
+    val hub = new Stream.WebSocketHub("ws-spec-" + System.nanoTime())
+    hub.connect("client-a", Fixtures.NotifId)
+    hub.connect("client-a2", Fixtures.NotifId)
+    hub.connect("client-b", otherNotif)
+    hub.connect("client-idle", "never-notified")
+    val q = Stream.websocketFanoutStream(
+      raw = Stream.fileSource(spark, srcDir),
+      subscriptions = subs,
+      checkpointDir = ckptDir,
+      hub = hub,
+      now = Some(lit(FixedNow)))
+    q.awaitTermination(60000)
+
+    // notif-001 produced 2 surviving records (1 PERF_DATA + 1 UE_COMM)
+    // → one frame PER RECORD, identical to both of its connections
+    val a = hub.frames("client-a")
+    assert(a.size === 2, s"expected 2 per-record frames, got $a")
+    assert(a.forall(_.contains("\"type\":\"data_ingested\"")))
+    assert(a.forall(_.contains("\"data\":{")))
+    assert(a.count(_.contains("\"event\":\"PERF_DATA\"")) === 1)
+    assert(a.count(_.contains("\"event\":\"UE_COMM\"")) === 1)
+    assert(hub.frames("client-a2").sorted === a.sorted)
+    // notif-002's connection sees ONLY its own record
+    val b = hub.frames("client-b")
+    assert(b.size === 1 && b.forall(_.contains("\"event\":\"PERF_DATA\"")))
+    // no cross-talk anywhere
+    assert(hub.frames("client-idle").isEmpty)
   }
 
   test("streaming discovered-fields: dropDuplicates state across micro-batches (H4)") {
