@@ -705,6 +705,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup: incremental NEAR-dup gate — d17's rolling-build shape lifted
+    // to MinHash/LSH (portable md5 family so the twin replays the
+    // signatures bit-exactly): each batch doc classifies dup_corpus /
+    // dup_batch / new against the corpus band index + lower-id batch
+    // peers; corpus-corpus pairs never form. Same batch construction as
+    // d17/d20: shifted copies of 390–399 are exact corpus dups (est 1.0),
+    // double-submitted 495–499 duplicate within the batch.
+    "d21_incr_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(col("doc_id") >= 400)
+        .unionByName(docs.where(col("doc_id").between(390, 399))
+          .withColumn("doc_id", col("doc_id") + 10000))
+        .unionByName(docs.where(col("doc_id").between(495, 499))
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.incrementalNearDup(docs.where(col("doc_id") < 400), batch,
+          n = 3, k = 64, bands = 16, threshold = 0.4, portableHash = true)
+        .orderBy(col("doc_id"))
+    }),
+
     // Crawl hygiene: URL → registered-domain extraction + per-domain doc
     // quota. URLs are synthesized deterministically from driver data (the
     // t05 PII-injection precedent) with rotating www/cdn/bare subdomains
@@ -899,6 +918,21 @@ object SparkEntry {
       val flag = out.agg((sum(col("n_hit_km")) >= sum(col("n_hit_base"))).as("km_ge_base"))
       out.crossJoin(flag) // 1-row scalar broadcast
         .orderBy(col("probe_id"))
+    }),
+
+    // Similarity: cluster-balanced sampling — the q36 quota with the
+    // stratum lifted to embedding space (SemDeDup-style cluster
+    // balancing): s03's deterministic cell assignment (round-6 cosine,
+    // cent_id tie-break, lowest-id quantizer) + per-cell md5-permutation
+    // cap. Corpus is one broadcast-NLJ pass; quota is one shuffle on the
+    // cell id.
+    "s06_cluster_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.clusterBalancedSample(e, cents, k = 8)
+        .select(col("cent_id"), col("sample_rank"), col("vec_id"))
+        .orderBy(col("cent_id"), col("sample_rank"))
     }),
 
     // Multimodal: resize planning for image payloads — width/height PARSED
@@ -1346,12 +1380,12 @@ object SparkEntry {
     * hash. Emits `consts(pos, a, b)`, `tok`, `g`, `hs`; callers append
     * consumers of `hs CROSS JOIN consts`.
     */
-  private def portableMinhashCtes(k: Int): String = {
+  private def portableMinhashCtes(k: Int, src: String = "documents"): String = {
     val consts = Dedup.minhashConstants(k).zipWithIndex.map { case ((a, b), p) =>
       s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
     }.mkString(", ")
     s"""consts(pos, a, b) AS (VALUES $consts),
-       |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM $src),
        |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
        |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
        |  FROM tok WHERE len(ws) >= 3),
@@ -2152,6 +2186,37 @@ object SparkEntry {
     // Incremental-span twin (d20): corpus gram index as a DISTINCT CTE,
     // batch rebuilt with the d17 unions, dup = corpus membership OR the
     // within-batch min≠max window, then d15's lag-window span union.
+    // Incremental near-dup twin (d21): corpus (<400) and the d17-shaped
+    // batch unify into one id-disjoint table, the d11 portable
+    // signature/band/pair chain runs over it, and the classification
+    // reads the generic pair set by id range (corpus ids < 400 ≤ batch
+    // ids, so corpus-batch pairs are exactly (a<400, b≥400) and
+    // batch-peer pairs (a≥400, b≥400) with a the lower peer).
+    "d21_incr_neardup" -> (
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+         |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 390 AND 399
+         |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id BETWEEN 495 AND 499),
+         |${portableMinhashCtes(64, "alldocs")},
+         |${portableLshPairCtes(64, 16, 0.4)},
+         |bm AS (SELECT doc_id FROM alldocs WHERE doc_id >= 400),
+         |cbest AS (SELECT b_id AS id, a_id AS match_id, est_jaccard,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY est_jaccard DESC, a_id) AS r
+         |  FROM pairs WHERE a_id < 400 AND b_id >= 400),
+         |pbest AS (SELECT b_id AS id, a_id AS match_id, est_jaccard,
+         |    row_number() OVER (PARTITION BY b_id ORDER BY est_jaccard DESC, a_id) AS r
+         |  FROM pairs WHERE a_id >= 400 AND b_id >= 400)
+         |SELECT bm.doc_id,
+         |  CASE WHEN c.id IS NOT NULL THEN 'dup_corpus'
+         |       WHEN p.id IS NOT NULL THEN 'dup_batch' ELSE 'new' END AS status,
+         |  CASE WHEN c.id IS NOT NULL THEN c.match_id ELSE p.match_id END AS match_id,
+         |  CASE WHEN c.id IS NOT NULL THEN c.est_jaccard ELSE p.est_jaccard END AS est_jaccard
+         |FROM bm
+         |LEFT JOIN (SELECT * FROM cbest WHERE r = 1) c ON bm.doc_id = c.id
+         |LEFT JOIN (SELECT * FROM pbest WHERE r = 1) p ON bm.doc_id = p.id
+         |ORDER BY bm.doc_id""".stripMargin),
+
     "d20_span_incr" ->
       s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
          |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id BETWEEN 390 AND 399
@@ -2355,6 +2420,25 @@ object SparkEntry {
         | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
         | round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
         |FROM base b LEFT JOIN hit h USING (probe_id) ORDER BY b.probe_id""".stripMargin,
+
+    // Cluster-balanced sampling twin (s06): s03's assignment CTEs + the
+    // q36 md5-permutation quota on the cell id.
+    "s06_cluster_sample" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |ca AS (SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn) WHERE r = 1),
+        |rk AS (SELECT cent_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY cent_id
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS sample_rank
+        |  FROM ca)
+        |SELECT cent_id, sample_rank, vec_id FROM rk WHERE sample_rank <= 8
+        |ORDER BY cent_id, sample_rank""".stripMargin,
 
     // Trained-quantizer recall twin (s05): see kmeansOracleSql.
     "s05_kmeans" -> kmeansOracleSql(nCells = 16, nProbe = 8, iters = 3,

@@ -638,6 +638,86 @@ object Dedup {
           .otherwise(lit("new")).as("status"))
   }
 
+  /** Incremental NEAR-duplicate gate — [[incrementalDedup]]'s
+    * rolling-build step lifted from exact fingerprints to MinHash/LSH:
+    * classify each batch document against the corpus's banded signature
+    * index, and against lower-id batch peers, WITHOUT ever forming a
+    * corpus-corpus pair.
+    *
+    * Statuses (priority order): `dup_corpus` — some corpus doc estimates
+    * ≥ `threshold`; `dup_batch` — no corpus match but a LOWER-id batch
+    * doc does (pairwise greedy semantics: the lowest id of a batch
+    * near-dup chain survives — chains that need transitive closure are
+    * d12's job, this is the per-ingest gate); `new` otherwise (including
+    * sub-n-token docs, which have no signature). `match_id` /
+    * `est_jaccard` carry the winning class's best match (highest
+    * estimate, ties to the lowest id) — `m/k` is a dyadic rational, so
+    * the double compares exactly cross-engine.
+    *
+    * Scale shape: corpus signatures + band buckets are ONE corpus pass —
+    * in a rolling ingest that index is the persisted artifact
+    * (bucketBy(bucket) parquet), amortized across batches exactly like
+    * d17's fingerprint index and d20's gram index. The probe side is
+    * batch-sized: batch bands hash-join the index on bucket, candidates
+    * are (batch doc × its collisions), and signature re-joins attach k
+    * longs per surviving pair only.
+    */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+      n: Int, k: Int, bands: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rpb = k / bands
+    def sigsOf(df: DataFrame) =
+      (if (portableHash) minhashSignaturesPortable(df, n, k, idCol, textCol)
+       else minhashSignatures(df, n, k, idCol, textCol))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucketsOf(sigs: DataFrame) = sigs.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb))))).as("bucket"))
+    val cs = sigsOf(corpus)
+    val bs = sigsOf(batch)
+    val corpusIdx = bucketsOf(cs)
+    val batchBands = bucketsOf(bs)
+    def estim(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast(DoubleType) / k
+    def best(cands: DataFrame): DataFrame = {
+      // winning match per batch doc: highest estimate, ties → lowest id
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        .orderBy(col("est_jaccard").desc, col("match_id").asc)
+      cands.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("id"), col("match_id"), col("est_jaccard"))
+    }
+    val corpusBest = best(batchBands
+      .join(corpusIdx.withColumnRenamed("id", "match_id"), Seq("bucket"))
+      .select(col("id"), col("match_id")).distinct()
+      .join(bs.select(col("id"), col("sig").as("b_sig")), Seq("id"))
+      .join(cs.select(col("id").as("match_id"), col("sig").as("m_sig")), Seq("match_id"))
+      .select(col("id"), col("match_id"), estim(col("b_sig"), col("m_sig")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold))
+    val batchBest = best(batchBands
+      .join(batchBands.select(col("bucket"), col("id").as("match_id")), Seq("bucket"))
+      .where(col("match_id") < col("id"))
+      .select(col("id"), col("match_id")).distinct()
+      .join(bs.select(col("id"), col("sig").as("b_sig")), Seq("id"))
+      .join(bs.select(col("id").as("match_id"), col("sig").as("m_sig")), Seq("match_id"))
+      .select(col("id"), col("match_id"), estim(col("b_sig"), col("m_sig")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold))
+    batch.select(col(idCol).as("id"))
+      .join(corpusBest.select(col("id"),
+        col("match_id").as("c_id"), col("est_jaccard").as("c_j")), Seq("id"), "left")
+      .join(batchBest.select(col("id"),
+        col("match_id").as("p_id"), col("est_jaccard").as("p_j")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("c_id").isNotNull, lit("dup_corpus"))
+          .when(col("p_id").isNotNull, lit("dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        when(col("c_id").isNotNull, col("c_id")).otherwise(col("p_id")).as("match_id"),
+        when(col("c_id").isNotNull, col("c_j")).otherwise(col("p_j")).as("est_jaccard"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB scale path of
     * [[contaminationFlags]]. The exact variant broadcasts the DISTINCT
     * contamination shingles as an in-memory set; fine while benchmark

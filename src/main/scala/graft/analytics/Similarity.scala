@@ -421,6 +421,43 @@ object Similarity {
     cents
   }
 
+  /** Cluster-balanced (semantic-stratified) sampling — q36's
+    * deterministic per-stratum quota with the stratum lifted from
+    * metadata to EMBEDDING SPACE (the cluster-balance step of
+    * SemDeDup-style curation: cap each semantic cluster's share of the
+    * training mix instead of each language/source's). Every vector is
+    * assigned to its cell by the s03 deterministic recipe — round-6
+    * cosine against a caller-supplied quantizer, cent_id tie-break —
+    * then at most `k` per cell survive, selected by the portable md5
+    * permutation on the vector id ([[Sampling.deterministicStratified]]'s
+    * reproducibility contract).
+    *
+    * Scale shape: assignment is one broadcast-NLJ corpus pass (quantizer
+    * broadcast, corpus never shuffled); the quota is ONE shuffle on the
+    * cell id + a per-cell window. Output: (idCol, cent_id, sample_rank),
+    * quota-filtered.
+    */
+  def clusterBalancedSample(corpus: DataFrame, centroids: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val cents = broadcast(centroids.select(col("cent_id"), col("cent_vec"),
+      nf(col("cent_vec")).as("cent_norm")))
+    val scored = Par.spreadForCpu(corpus)
+      .select(col(idCol), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
+      .join(cents)
+      .select(col(idCol), col("cent_id"),
+        round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6).as("csim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+    val assigned = scored.withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select(col(idCol), col("cent_id"))
+    Sampling.deterministicStratified(assigned, stratumCol = "cent_id",
+      k = k, idCol = idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, probe set vs
     * corpus (broadcast probe side — the exact-verification step after any
     * candidate generation). The similarity is rounded to `roundDp` decimals

@@ -348,6 +348,40 @@ class DedupSpec extends SparkSpec {
       12L -> "dup_batch", 13L -> "new"))
   }
 
+  test("incremental near-dup (d21): corpus match beats batch peer; short docs are new; " +
+      "exact copies estimate 1.0; families agree") {
+    // 24-token docs: one changed token kills 3 of 22 shingles (true
+    // J = 19/25 = 0.76) — high enough that band collision and the 0.4
+    // estimate threshold are both safe margins, while disjoint text
+    // shares nothing
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val corpus = Seq((0L, base), (1L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                              // exact corpus copy → dup_corpus @ 1.0
+      (11L, base.replace("delta", "zulu")),     // near corpus copy → dup_corpus < 1.0
+      (12L, "red orange yellow green blue indigo violet black white brown pink grey"),
+      (13L, "red orange yellow green blue indigo violet black white brown pink grey"),
+      (14L, "too short")                        // < n tokens → no signature → new
+    ).toDF("doc_id", "text")
+    def run(portable: Boolean) = Dedup.incrementalNearDup(corpus, batch,
+        n = 3, k = 64, bands = 16, threshold = 0.4, portableHash = portable)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.getAs[java.lang.Long]("match_id")).map(Long.unbox),
+          Option(r.getAs[java.lang.Double]("est_jaccard")).map(Double.unbox)))).toMap
+    val out = run(portable = true)
+    assert(out(10L) === (("dup_corpus", Some(0L), Some(1.0))))
+    assert(out(11L)._1 === "dup_corpus" && out(11L)._2 === Some(0L))
+    assert(out(11L)._3.get < 1.0 && out(11L)._3.get >= 0.4)
+    assert(out(12L) === (("new", None, None)))
+    assert(out(13L) === (("dup_batch", Some(12L), Some(1.0))))
+    assert(out(14L) === (("new", None, None)))
+    // statuses agree across hash families (estimates are family-internal)
+    assert(run(portable = false).view.mapValues(_._1).toMap ===
+      out.view.mapValues(_._1).toMap)
+  }
+
   test("bloom decontamination (d16): superset of exact flags; tiny filter forces " +
       "false positives but never false negatives") {
     val docs = Seq(
