@@ -935,6 +935,18 @@ object SparkEntry {
         .orderBy(col("cent_id"), col("sample_rank"))
     }),
 
+    // Similarity: product-quantization ADC top-k — the memory-compression
+    // ANN path (codes are m small ints vs dim floats): literal codebook
+    // (ks lowest-id subvectors), per-row encode + probe tables as pure
+    // projections, scoring by m table lookups. The twin re-derives the
+    // codebook, encoding, tables, and the j-ordered ADC fold.
+    "s07_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 10), k = 5,
+          m = 8, ks = 16, dim = 64)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Multimodal: resize planning for image payloads — width/height PARSED
     // from the synthesized PNG IHDR bytes, then the aspect-preserving
     // integer resize arithmetic (the scheduling logic a decoder follows).
@@ -2439,6 +2451,39 @@ object SparkEntry {
         |  FROM ca)
         |SELECT cent_id, sample_rank, vec_id FROM rk WHERE sample_rank <= 8
         |ORDER BY cent_id, sample_rank""".stripMargin,
+
+    // PQ twin (s07): codebook = the 16 lowest-id vectors' 8-dim
+    // subvectors; sub-distance = round-6 squared L2 via an ordered
+    // fold (list_reduce left fold ≡ Spark's 0.0-seeded fold — 0+e1 is
+    // exact); encode = first strict minimum per (vec, subspace); ADC =
+    // the 8 rounded table entries added in subspace order.
+    "s07_pq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ev
+        |  FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 16)),
+        |cbe AS (SELECT j, code, ev[j*8+1:j*8+8] AS cw
+        |  FROM cbv CROSS JOIN range(8) r(j)),
+        |dist AS (SELECT v.vec_id, c.j, c.code,
+        |    round(list_reduce(list_transform(range(1, 9),
+        |      i -> (ev[c.j*8+i] - cw[i]) * (ev[c.j*8+i] - cw[i])),
+        |      (a, b) -> a + b), 6) AS d2
+        |  FROM v CROSS JOIN cbe c),
+        |enc AS (SELECT vec_id AS neighbor_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+        |    FROM dist) WHERE r = 1),
+        |pt AS (SELECT vec_id AS probe_id, j, code, d2 AS pd
+        |  FROM dist WHERE vec_id < 10),
+        |adc AS (SELECT probe_id, neighbor_id,
+        |    list_reduce(list(pd ORDER BY j), (a, b) -> a + b) AS adc
+        |  FROM enc JOIN pt USING (j, code) WHERE probe_id <> neighbor_id
+        |  GROUP BY probe_id, neighbor_id)
+        |SELECT probe_id, rank, neighbor_id, round(adc, 6) AS adc_dist FROM (
+        |  SELECT probe_id, neighbor_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // Trained-quantizer recall twin (s05): see kmeansOracleSql.
     "s05_kmeans" -> kmeansOracleSql(nCells = 16, nProbe = 8, iters = 3,

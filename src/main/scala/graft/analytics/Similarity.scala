@@ -458,6 +458,90 @@ object Similarity {
       k = k, idCol = idCol)
   }
 
+  /** Product-quantization ADC top-k — the memory-compression ANN scale
+    * path next to LSH (s02) and IVF (s03), after Jégou et al. 2011
+    * ("Product quantization for nearest neighbor search"): the vector
+    * splits into `m` subspaces; each subspace gets a `ks`-codeword
+    * codebook; a vector encodes as `m` small codes; a probe precomputes
+    * its per-(subspace, codeword) squared-L2 table once and scores every
+    * corpus vector by `m` TABLE LOOKUPS (asymmetric distance
+    * computation) instead of a `dim`-wide float scan.
+    *
+    * Determinism (the cross-engine contract, every float pinned):
+    *  - codebook = the `ks` lowest-id corpus vectors' subvectors (the
+    *    s03 stand-in recipe — production trains per-subspace k-means via
+    *    [[kmeansCentroids]] on sliced dims and keeps everything
+    *    downstream identical);
+    *  - sub-distances round to 6 dp; code assignment takes the first
+    *    strict minimum (≡ order by (distance, code)) per subspace;
+    *  - ADC = the m rounded table entries added in subspace order (left
+    *    fold), ties in the final ranking broken by neighbor id.
+    *
+    * Scale shape: the codebook is a MODEL ARTIFACT — m·ks·(dim/m)
+    * doubles, collected once driver-side (the s02 hyperplane-literal /
+    * t12 weight-vector precedent) and embedded as a plan literal, so
+    * BOTH encode and probe-table build are pure per-row projections: no
+    * join, no shuffle anywhere in the index path. The scoring pass joins
+    * corpus CODES (m ints/row — the 32× memory win over raw floats)
+    * against broadcast probe tables; the only shuffle is the final
+    * per-probe top-k window. At 100 TB the code table is the persisted
+    * artifact and re-encoding never touches raw vectors again.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      m: Int, ks: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    val cbRows = corpus.orderBy(col(idCol)).limit(ks)
+      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(cbRows.nonEmpty && cbRows.head.length == dim,
+      s"codebook needs $ks vectors of dim $dim")
+    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
+      cbRows.map(r => r.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+    val cbLit = typedlit(cb)
+    def dvec(c: Column): Column = transform(c, x => x.cast(DoubleType))
+    // squared L2, rounded — zip then strict left fold, the pinned order
+    def d2(a: Column, b: Column): Column =
+      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (s, x) => s + x), 6)
+    def codesOf(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sv = slice(v, j * sub + 1, lit(sub))
+        aggregate(sequence(lit(0), lit(ks - 1)),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+          (acc, c) => {
+            val dd = d2(sv, element_at(element_at(cbLit, j + 1), c + 1))
+            when(dd < acc.getField("d"),
+              struct(dd.as("d"), c.as("c"))).otherwise(acc)
+          }).getField("c")
+      })
+    def flatTableOf(v: Column): Column =
+      flatten(transform(sequence(lit(0), lit(m - 1)), j => {
+        val sv = slice(v, j * sub + 1, lit(sub))
+        transform(sequence(lit(0), lit(ks - 1)),
+          c => d2(sv, element_at(element_at(cbLit, j + 1), c + 1)))
+      }))
+    val enc = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), dvec(col(vecCol)).as("v"))
+      .select(col("neighbor_id"), codesOf(col("v")).as("codes"))
+    val pt = broadcast(probes
+      .select(col(idCol).as("probe_id"), dvec(col(vecCol)).as("v"))
+      .select(col("probe_id"), flatTableOf(col("v")).as("flat")))
+    val scored = enc.join(pt, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (s, j) =>
+          s + element_at(col("flat"),
+            j * ks + element_at(col("codes"), j + 1) + 1)).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, probe set vs
     * corpus (broadcast probe side — the exact-verification step after any
     * candidate generation). The similarity is rounded to `roundDp` decimals
