@@ -628,6 +628,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-free train/val split: d12's near-dup clusters assigned to a
+    // split AS A UNIT (group-aware md5-u32 threshold on the cluster id,
+    // 80/20) — near-duplicates can never straddle train and validation.
+    // The twin replays the d12 chain and the same integer threshold.
+    "q43_split" -> ((s, dir) => {
+      analytics.Sampling.groupAwareSplit(
+          Dedup.dedupClustersApprox(t(s, dir, "documents"), n = 3, k = 64,
+            bands = 16, threshold = 0.4, portableHash = true),
+          groupCol = "cluster_id", trainFrac = 0.8)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_survivor"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Decontamination: flag corpus documents sharing ANY 3-gram shingle
     // with a contamination set (stand-in: doc_id < 20 as the "benchmark"
     // docs). Broadcast contamination shingle universe, one corpus scan —
@@ -2097,6 +2111,25 @@ object SparkEntry {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin,
+
+    // Leakage-free split twin (q43): d12's recursive-CTE cluster chain +
+    // the q41 hex-u32 idiom against round(0.8·2^32) = 3435973837.
+    "q43_split" -> (
+      s"""WITH RECURSIVE ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)},
+         |bidir AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS is_survivor,
+         | CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |        < 3435973837 THEN 'train' ELSE 'val' END AS split
+         |FROM cc ORDER BY doc_id""".stripMargin),
 
     // Decontamination twin (d13): the d10 shingle CTE on both sides —
     // contamination shingle universe from doc_id < 20, hit = any shared

@@ -66,6 +66,26 @@ object Sampling {
     hashed.withColumn("pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Leakage-free (group-aware) train/validation split: every row of a
+    * group lands in the SAME split, so correlated rows — near-duplicate
+    * cluster members, same-domain pages — can never straddle train and
+    * validation (the split-leakage failure mode a row-wise random split
+    * has by construction). Group key → md5 → first 32 bits as a uniform
+    * u32; train iff u32 < round(trainFrac·2³²) — an INTEGER threshold,
+    * so no float boundary sits on the cross-engine gate, and the
+    * assignment is reproducible under any partitioning (the q36/q41
+    * permutation contract). Pure per-row projection once the group key
+    * is on the row: no join, no shuffle.
+    */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+      trainFrac: Double): DataFrame = {
+    require(trainFrac >= 0.0 && trainFrac <= 1.0, s"trainFrac=$trainFrac")
+    val cut = math.round(trainFrac * 4294967296.0) // ·2^32
+    df.withColumn("split",
+      when(conv(substring(md5(col(groupCol).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") < cut, lit("train")).otherwise(lit("val")))
+  }
+
   /** Probabilistic Bernoulli sample — the cheap one-pass path when
     * reproducibility across repartitioning is NOT required (the per-row
     * RNG stream is seeded by partition). Kept as the documented contrast

@@ -161,6 +161,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("group-aware split (q43): group members never straddle splits, fraction " +
+      "in tolerance, repartition-stable, frac 0/1 degenerate") {
+    import graft.analytics.Sampling
+    val rows = spark.range(3000).select(col("id").as("doc_id"),
+      (col("id") % 500).as("grp")) // 500 groups × 6 members
+    def split(df: org.apache.spark.sql.DataFrame) =
+      Sampling.groupAwareSplit(df, "grp", trainFrac = 0.8)
+        .select("doc_id", "grp", "split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val a = split(rows)
+    // every member of a group carries the group's split — zero straddle
+    a.groupBy(_._2).foreach { case (g, ms) =>
+      assert(ms.map(_._3).distinct.length === 1, s"group $g straddles splits")
+    }
+    // group-level fraction near 0.8 (binomial over 500 groups: ±5σ ≈ ±0.09)
+    val trainGroups = a.groupBy(_._2).count(_._2.head._3 == "train")
+    assert(math.abs(trainGroups / 500.0 - 0.8) < 0.09,
+      s"train fraction ${trainGroups / 500.0} far from 0.8")
+    assert(a.toSet === split(rows.repartition(7)).toSet)
+    // degenerate fractions: everything on one side
+    assert(Sampling.groupAwareSplit(rows, "grp", 1.0)
+      .where(col("split") =!= "train").count() === 0)
+    assert(Sampling.groupAwareSplit(rows, "grp", 0.0)
+      .where(col("split") =!= "val").count() === 0)
+  }
+
   test("deterministic stratified sample is stable under repartitioning; bernoulli is in-tolerance") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("lang"))
