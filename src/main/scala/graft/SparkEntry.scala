@@ -934,6 +934,39 @@ object SparkEntry {
         .orderBy(col("probe_id"))
     }),
 
+    // Similarity: TRAINED PQ codebooks — per-subspace L2 Lloyd (iteration
+    // 0 = s07's stand-in), recall@5 of both codebooks against exact
+    // squared-L2 brute force, per probe. The oracle replays training
+    // round by round (vec-id-ordered mean folds, round-9) plus both
+    // encode/ADC chains and the exact reference.
+    "s08_pq_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceL2TopK(e, probes, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val base = Similarity.pqTopK(e, probes, k = 5, m = 8, ks = 16, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"))
+      val cb = Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 2,
+        dim = 64, replayableMeans = true)
+      val tr = Similarity.pqTopKWithCodebooks(e, probes, k = 5, cb,
+          m = 8, ks = 16, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"))
+      def hits(app: org.apache.spark.sql.DataFrame, name: String) =
+        exact.join(app, Seq("probe_id", "neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(base, "hb"), Seq("probe_id"), "left")
+        .join(hits(tr, "ht"), Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("hb"), lit(0L)).as("n_hit_base"),
+          coalesce(col("ht"), lit(0L)).as("n_hit_tr"))
+        .withColumn("recall_base",
+          round(col("n_hit_base").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_tr",
+          round(col("n_hit_tr").cast("double") / col("n_exact"), 6))
+        .orderBy(col("probe_id"))
+    }),
+
     // Similarity: cluster-balanced sampling — the q36 quota with the
     // stratum lifted to embedding space (SemDeDup-style cluster
     // balancing): s03's deterministic cell assignment (round-6 cosine,
@@ -1720,6 +1753,83 @@ object SparkEntry {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
        |LEFT JOIN enc e USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Full SQL twin of s08: per-subspace L2 Lloyd PQ training replayed
+    * round by round (assignment = first minimum of the round-6 squared
+    * L2, ≡ order by (d2, code); means = vec-id-ordered fold / count,
+    * round 9; empty codes keep the previous codeword), then both
+    * codebooks' encode → ADC → top-k chains and the exact squared-L2
+    * reference, reduced to per-probe hit counts and recalls.
+    */
+  private def pqTrainedOracleSql(m: Int, ks: Int, sub: Int, iters: Int,
+      k: Int, nProbes: Int): String = {
+    val dim = m * sub
+    def d2sql(a: String, b: String): String =
+      s"round(list_reduce(list_transform(range(1, ${sub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y), 6)"
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (SELECT vec_id, j, code FROM (
+         |    SELECT sv.vec_id, sv.j, c.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |        ORDER BY ${d2sql("s", "cw")}, c.code) AS rr
+         |    FROM sv JOIN cb${r - 1} c ON sv.j = c.j) WHERE rr = 1),
+         |m$r AS (SELECT j, code, i,
+         |    round(list_reduce(list(s[i] ORDER BY vec_id), (x, y) -> x + y)
+         |      / count(*), 9) AS mv
+         |  FROM a$r JOIN sv USING (vec_id, j) CROSS JOIN range(1, ${sub + 1}) t(i)
+         |  GROUP BY j, code, i),
+         |n$r AS (SELECT j, code, list(mv ORDER BY i) AS cw FROM m$r GROUP BY j, code),
+         |cb$r AS (SELECT c.j, c.code, COALESCE(n.cw, c.cw) AS cw
+         |  FROM cb${r - 1} c LEFT JOIN n$r n ON c.j = n.j AND c.code = n.code)""".stripMargin
+    }.mkString(",\n")
+    def encChain(tag: String, cbName: String): String =
+      s"""enc$tag AS (SELECT vec_id AS neighbor_id, j, code FROM (
+         |    SELECT sv.vec_id, sv.j, c.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |        ORDER BY ${d2sql("s", "cw")}, c.code) AS rr
+         |    FROM sv JOIN $cbName c ON sv.j = c.j) WHERE rr = 1),
+         |pt$tag AS (SELECT sv.vec_id AS probe_id, sv.j, c.code,
+         |    ${d2sql("s", "cw")} AS pd
+         |  FROM sv JOIN $cbName c ON sv.j = c.j WHERE sv.vec_id < $nProbes),
+         |top$tag AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rk
+         |    FROM (SELECT probe_id, neighbor_id,
+         |        list_reduce(list(pd ORDER BY j), (x, y) -> x + y) AS adc
+         |      FROM enc$tag JOIN pt$tag USING (j, code)
+         |      WHERE probe_id <> neighbor_id
+         |      GROUP BY probe_id, neighbor_id)) WHERE rk <= $k)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |sv AS (SELECT vec_id, j, ev[j*$sub+1:j*$sub+$sub] AS s
+       |  FROM v CROSS JOIN range($m) r(j)),
+       |cb0 AS (SELECT j, code, s AS cw FROM (
+       |    SELECT vec_id, j, s,
+       |      row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code
+       |    FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT $ks))),
+       |$rounds,
+       |${encChain("B", "cb0")},
+       |${encChain("T", s"cb$iters")},
+       |ex AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        round(list_reduce(list_transform(range(1, ${dim + 1}),
+       |          i -> (p.ev[i] - c.ev[i]) * (p.ev[i] - c.ev[i])), (x, y) -> x + y), 6),
+       |        c.vec_id) AS rnk
+       |    FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < $nProbes)
+       |  WHERE rnk <= $k),
+       |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY probe_id),
+       |hb AS (SELECT ex.probe_id, count(*) AS n
+       |  FROM ex JOIN topB USING (probe_id, neighbor_id) GROUP BY ex.probe_id),
+       |ht AS (SELECT ex.probe_id, count(*) AS n
+       |  FROM ex JOIN topT USING (probe_id, neighbor_id) GROUP BY ex.probe_id)
+       |SELECT ne.probe_id, ne.n_exact,
+       |  CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_hit_base,
+       |  CAST(COALESCE(ht.n, 0) AS BIGINT) AS n_hit_tr,
+       |  round(CAST(COALESCE(hb.n, 0) AS DOUBLE) / ne.n_exact, 6) AS recall_base,
+       |  round(CAST(COALESCE(ht.n, 0) AS DOUBLE) / ne.n_exact, 6) AS recall_tr
+       |FROM ne LEFT JOIN hb USING (probe_id) LEFT JOIN ht USING (probe_id)
+       |ORDER BY ne.probe_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2517,6 +2627,10 @@ object SparkEntry {
         |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
         |  FROM adc) WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // Trained-PQ recall twin (s08): see pqTrainedOracleSql.
+    "s08_pq_trained" -> pqTrainedOracleSql(m = 8, ks = 16, sub = 8,
+      iters = 2, k = 5, nProbes = 10),
 
     // Trained-quantizer recall twin (s05): see kmeansOracleSql.
     "s05_kmeans" -> kmeansOracleSql(nCells = 16, nProbe = 8, iters = 3,

@@ -489,44 +489,131 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       m: Int, ks: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWithCodebooks(corpus, probes, k,
+      pqStandInCodebooks(corpus, m, ks, dim, idCol, vecCol),
+      m, ks, dim, idCol, vecCol)
+
+  private def pqDvec(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Squared L2, rounded — zip then strict left fold, the pinned order. */
+  private def pqD2(a: Column, b: Column): Column =
+    round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x), 6)
+
+  /** Nearest codeword for one ALREADY-SLICED subvector in subspace `j`
+    * (0-based, as a Column): first strict minimum of the rounded squared
+    * L2 ≡ order by (distance, code) — lowest code wins ties.
+    */
+  private def pqArgmin(sv: Column, j: Column, cbLit: Column, ks: Int): Column =
+    aggregate(sequence(lit(0), lit(ks - 1)),
+      struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+      (acc, c) => {
+        val dd = pqD2(sv, element_at(element_at(cbLit, j + 1), c + 1))
+        when(dd < acc.getField("d"),
+          struct(dd.as("d"), c.as("c"))).otherwise(acc)
+      }).getField("c")
+
+  /** The stand-in codebook: the `ks` lowest-id corpus vectors'
+    * subvectors, collected driver-side (m·ks·(dim/m) doubles — a model
+    * artifact, the s02 hyperplane precedent). Training iteration 0 IS
+    * this codebook, so recall deltas attribute to training alone.
+    */
+  def pqStandInCodebooks(corpus: DataFrame, m: Int, ks: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
     val cbRows = corpus.orderBy(col(idCol)).limit(ks)
-      .select(transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .select(pqDvec(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Double](0).toIndexedSeq)
     require(cbRows.nonEmpty && cbRows.head.length == dim,
       s"codebook needs $ks vectors of dim $dim")
-    val cb: Seq[Seq[Seq[Double]]] = (0 until m).map(j =>
-      cbRows.map(r => r.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+    (0 until m).map(j => cbRows.map(r => r.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
+  }
+
+  /** Deterministic per-subspace L2 Lloyd training for PQ codebooks — the
+    * production quantizer [[pqTopK]]'s Scaladoc points at (and what the
+    * s08 oracle replays). Same pinning discipline as [[kmeansCentroids]]:
+    * lowest-id init (= the stand-in, so iteration 0 is s07's codebook),
+    * round-6 assignment with first-strict-min code ties, means per
+    * (subspace, code, dim) as plain partial `avg` rounded to 9 dp
+    * (production default) or the vec-id-ordered fold (`replayableMeans`,
+    * the cross-engine gate); empty codes keep their previous codeword.
+    *
+    * Scale shape: the corpus explodes ONCE to (id, subspace, subvector)
+    * rows, persisted across iterations; each iteration is a pure
+    * projection against the codebook LITERAL (no join — the codebook is
+    * a model artifact) plus one (j, code, dim)-keyed aggregation whose
+    * result — at most m·ks·(dim/m) rows — lands on the driver as the
+    * next iteration's literal: the standard distributed-k-means control
+    * loop, model-sized driver state only.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int, ks: Int, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      replayableMeans: Boolean = false): Seq[Seq[Seq[Double]]] = {
+    val sub = dim / m
+    var cb = pqStandInCodebooks(corpus, m, ks, dim, idCol, vecCol)
+    if (iters == 0) return cb
+    val sv = corpus.select(col(idCol).as("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.as("j"), slice(pqDvec(col(vecCol)), j * sub + 1, lit(sub)).as("sv"))))
+          .as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val cbLit = typedlit(cb)
+      val members = sv
+        .select(col("vec_id"), col("j"),
+          pqArgmin(col("sv"), col("j"), cbLit, ks).as("code"), col("sv"))
+        .select(col("vec_id"), col("j"), col("code"),
+          posexplode(col("sv")).as(Seq("d", "x")))
+      val means =
+        if (replayableMeans)
+          members.groupBy(col("j"), col("code"), col("d"))
+            .agg(collect_list(struct(col("vec_id"), col("x"))).as("xs"))
+            .select(col("j"), col("code"), col("d"),
+              round(aggregate(transform(array_sort(col("xs")), x => x.getField("x")),
+                lit(0.0), (a, b) => a + b) / size(col("xs")), 9).as("mv"))
+        else
+          members.groupBy(col("j"), col("code"), col("d"))
+            .agg(round(avg(col("x")), 9).as("mv"))
+      val upd = means.collect()
+        .groupBy(r => (r.getAs[Int]("j"), r.getAs[Int]("code")))
+        .view.mapValues(rs =>
+          rs.sortBy(_.getAs[Int]("d")).map(_.getAs[Double]("mv")).toSeq)
+        .toMap
+      cb = (0 until m).map(j => (0 until ks).map(c => upd.getOrElse((j, c), cb(j)(c))))
+    }
+    sv.unpersist(blocking = false)
+    cb
+  }
+
+  /** [[pqTopK]] with caller-supplied codebooks — the entry point for
+    * TRAINED codebooks ([[pqTrainCodebooks]]); the default path feeds it
+    * the lowest-id stand-in.
+    */
+  def pqTopKWithCodebooks(corpus: DataFrame, probes: DataFrame, k: Int,
+      cb: Seq[Seq[Seq[Double]]], m: Int, ks: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(cb.length == m && cb.forall(_.length == ks),
+      s"codebook shape must be $m x $ks")
+    val sub = dim / m
     val cbLit = typedlit(cb)
-    def dvec(c: Column): Column = transform(c, x => x.cast(DoubleType))
-    // squared L2, rounded — zip then strict left fold, the pinned order
-    def d2(a: Column, b: Column): Column =
-      round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (s, x) => s + x), 6)
     def codesOf(v: Column): Column =
-      transform(sequence(lit(0), lit(m - 1)), j => {
-        val sv = slice(v, j * sub + 1, lit(sub))
-        aggregate(sequence(lit(0), lit(ks - 1)),
-          struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
-          (acc, c) => {
-            val dd = d2(sv, element_at(element_at(cbLit, j + 1), c + 1))
-            when(dd < acc.getField("d"),
-              struct(dd.as("d"), c.as("c"))).otherwise(acc)
-          }).getField("c")
-      })
+      transform(sequence(lit(0), lit(m - 1)),
+        j => pqArgmin(slice(v, j * sub + 1, lit(sub)), j, cbLit, ks))
     def flatTableOf(v: Column): Column =
       flatten(transform(sequence(lit(0), lit(m - 1)), j => {
         val sv = slice(v, j * sub + 1, lit(sub))
         transform(sequence(lit(0), lit(ks - 1)),
-          c => d2(sv, element_at(element_at(cbLit, j + 1), c + 1)))
+          c => pqD2(sv, element_at(element_at(cbLit, j + 1), c + 1)))
       }))
     val enc = Par.spreadForCpu(corpus)
-      .select(col(idCol).as("neighbor_id"), dvec(col(vecCol)).as("v"))
+      .select(col(idCol).as("neighbor_id"), pqDvec(col(vecCol)).as("v"))
       .select(col("neighbor_id"), codesOf(col("v")).as("codes"))
     val pt = broadcast(probes
-      .select(col(idCol).as("probe_id"), dvec(col(vecCol)).as("v"))
+      .select(col(idCol).as("probe_id"), pqDvec(col(vecCol)).as("v"))
       .select(col("probe_id"), flatTableOf(col("v")).as("flat")))
     val scored = enc.join(pt, col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -540,6 +627,28 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** Exact squared-L2 top-k by brute force — the reference ranking for
+    * the PQ family ([[pqTopK]] approximates L2; [[bruteForceTopK]] is
+    * the cosine family's). Distances round to 6 dp before ranking, ties
+    * to the lowest neighbor id — the standard pinning.
+    */
+  def bruteForceL2TopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      pqDvec(col(vecCol)).as("pv")))
+    val scored = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), pqDvec(col(vecCol)).as("cv"))
+      .join(p, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        pqD2(col("pv"), col("cv")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("d2"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, probe set vs

@@ -153,6 +153,41 @@ class SimilaritySpec extends SparkSpec {
       s"PQ recall $recall not above 3x random baseline $randomRecall")
   }
 
+  test("PQ trained codebooks (s08): deterministic, iteration-0 ≡ stand-in, " +
+      "trained recall ≥ stand-in, production mean tracks replayable fold") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val standIn = Similarity.pqStandInCodebooks(e, m = 8, ks = 16, dim = 64)
+    assert(Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 0, dim = 64)
+      === standIn) // iteration 0 IS the stand-in
+    val trained = Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 2,
+      dim = 64, replayableMeans = true)
+    assert(trained === Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 2,
+      dim = 64, replayableMeans = true)) // deterministic
+    // Lloyd's actual guarantee is monotone non-increasing total
+    // quantization distortion — NOT top-k recall (which the s08 oracle
+    // pins as measured VALUES at sf0.01, where training wins 14/50 vs
+    // 8/50; at this 100-vector scale recall can tie or dip)
+    val vecs = e.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def distortion(cb: Seq[Seq[Seq[Double]]]): Double =
+      vecs.map { v =>
+        (0 until 8).map { j =>
+          val sv = v.slice(j * 8, j * 8 + 8)
+          (0 until 16).map(c =>
+            sv.zip(cb(j)(c)).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum
+    assert(distortion(trained) <= distortion(standIn) + 1e-6,
+      "training must not increase quantization distortion")
+    // the production mean (partial avg) tracks the replayable fold far
+    // below the round-6 assignment grain
+    val prod = Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 2, dim = 64)
+    for (j <- 0 until 8; c <- 0 until 16; d <- 0 until 8)
+      assert(math.abs(prod(j)(c)(d) - trained(j)(c)(d)) < 1e-7,
+        s"prod-vs-replayable drift at ($j,$c,$d)")
+  }
+
   test("k-means quantizer (s05): deterministic across runs, iteration-0 ≡ lowest-id, " +
       "trained recall ≥ 0.5 on sf0.001") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
