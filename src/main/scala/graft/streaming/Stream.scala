@@ -96,6 +96,27 @@ object Stream {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("window_start"), col("event"), col("n"))
 
+  /** H3 streaming — SESSION windows with a watermark over the envelope
+    * stream: per (session, event) record counts, append mode. A session
+    * groups events whose gaps are ≤ `gap` (window end = last event +
+    * gap); a session is emitted exactly once, when the watermark passes
+    * its end and it can no longer grow or merge. The stateful sibling of
+    * [[windowedEventCounts]] — session windows carry MERGEABLE state (two
+    * sessions fuse when a bridging event arrives), which is exactly what
+    * q24 computes statically with the gaps-and-islands oracle. Works
+    * identically over a batch envelope frame.
+    */
+  def sessionizedEventCounts(envelopes: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    envelopes
+      .withColumn("event_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(session_window(col("event_time"), gap), col("event"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("event"), col("n"))
+
   /** Per-subscription running activity, emitted on every micro-batch the
     * subscription appears in. */
   case class SubActivity(notifId: String, totalRecords: Long, lastTimestamp: Long)

@@ -188,6 +188,61 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toSeq === Seq((1776686400L, "PERF_DATA", 2L))) // 12:00 UTC window
   }
 
+  test("watermarked SESSION windows: bridging events merge sessions in state, " +
+      "sessions close exactly once (H3)") {
+    val srcDir = tempDir("graft-session-src")
+    val ckptDir = tempDir("graft-session-ckpt")
+    def perfAt(ts: String): String =
+      s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[{"event":"PERF_DATA",
+         |"perfDataInfos":[{"ueIpAddr":{"ipv4Addr":"10.0.0.1"},"timeStamp":"$ts",
+         |"perfData":{"pdb":1}}]}]}""".stripMargin.replace("\n", "")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    def run(): Unit = {
+      val env = Stream.envelopeStream(
+        Stream.fileSource(spark, srcDir), Fixtures.subscriptions(spark))
+      val q = Stream.sessionizedEventCounts(env, "30 minutes", "10 minutes")
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          collected ++= batch.collect().map(r => (r.getAs[Long]("session_start"),
+            r.getAs[Long]("session_end"), r.getAs[String]("event"), r.getAs[Long]("n")))
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // batch 0: 10:00 and 10:40 are 40 min apart — two separate sessions
+    // (10:00–10:30, 10:40–11:10) until 10:20 BRIDGES them (each gap ≤ 30
+    // min) in the same batch, so state holds
+    // ONE merged session 10:00–11:10; 13:00 advances the watermark past
+    // 11:10 and closes it exactly once with all 3 events
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Seq(perfAt("2026-04-20T10:00:00Z"), perfAt("2026-04-20T10:40:00Z"),
+        perfAt("2026-04-20T10:20:00Z"), perfAt("2026-04-20T13:00:00Z"))
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.toSeq === Seq((1776679200L, 1776683400L, "PERF_DATA", 3L)),
+      s"merged session expected: $collected") // 10:00 → 11:10 UTC
+    // batch 1: a LATE 10:50 row (watermark 12:50 → dropped, the closed
+    // session is not reopened or re-emitted)
+    collected.clear()
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      (perfAt("2026-04-20T10:50:00Z") + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.isEmpty, s"late row must not reopen a closed session: $collected")
+    // batch 2: 15:00 closes 13:00's singleton session (13:00–13:30) once
+    collected.clear()
+    Files.write(java.nio.file.Paths.get(srcDir, "b2.jsonl"),
+      (perfAt("2026-04-20T15:00:00Z") + "\n").getBytes("UTF-8"))
+    run()
+    assert(collected.toSeq === Seq((1776690000L, 1776691800L, "PERF_DATA", 1L)),
+      s"singleton session expected: $collected")
+  }
+
   test("flatMapGroupsWithState: per-subscription state accumulates across restarts") {
     val srcDir = tempDir("graft-state-src")
     val ckptDir = tempDir("graft-state-ckpt")
