@@ -162,6 +162,23 @@ object ScaleSmoke {
     // does.
     run("kmeans_train")(
       Similarity.kmeansCentroids(vecs, nCells = 16, iters = 2))
+    // incremental NEAR-dup gate (d21) under the d17 regime — corpus
+    // blown up mult×, batch FIXED at the base corpus: the timed region =
+    // the corpus signature/band index build (one pass — the persisted
+    // artifact of a rolling ingest) + the batch-sized probe. The delta
+    // between mults is the index pass; the floor is the true per-ingest
+    // cost, which must track the batch, never the corpus.
+    run("incremental_neardup")(
+      Dedup.incrementalNearDup(docs,
+        docs0.withColumn("doc_id", col("doc_id") + mult.toLong * docShift),
+        n = 3, k = 64, bands = 16, threshold = 0.9))
+    // PQ ADC search (s07) at blowup: codebook collect, corpus encode and
+    // probe tables are pure projections (codebook is a plan literal);
+    // the scoring join carries m ints per corpus row. Cost must track
+    // the corpus scan — there is no pair term to blow up.
+    run("pq_topk")(
+      Similarity.pqTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
+        m = 8, ks = 16, dim = 64))
 
     // Adversarial CC topology at scale: ONE path component of 100k×mult
     // nodes (diameter = n−1). Min-label propagation needs one round per
