@@ -1198,6 +1198,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HTML boilerplate removal (C4/RefinedWeb-style): deterministic HTML
+    // synthesized around each document's text (title head, link-dense nav
+    // and footer, an inline content link every 5th doc), then the
+    // segment-split + link-density strip. Nav/footer must drop, content —
+    // including its inline link's anchor text — must survive.
+    "t14_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><head><title>"), col("source"), lit("</title></head><body>"),
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact</a></nav>"),
+          lit("<p>"), col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" <a href=\"/x\">click here</a>")).otherwise(lit("")),
+          lit("</p>"),
+          lit("<div class=\"footer\"><a href=\"/t\">Terms</a> " +
+            "<a href=\"/p\">Privacy</a></div></body></html>")))
+      TextAnalysis.boilerplateStrip(docs, "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE on HELD-OUT data — the production encode path: train on the
     // even-doc_id half, encode the odd half, whose words were never seen
     // in training. OOV words segment by replaying the learned merge list
@@ -2736,6 +2757,40 @@ object SparkEntry {
     // Held-out BPE twin (t13): training replayed on the even half, the
     // OOV merge fold replayed on the held-out word set, unknowns → -1.
     "t13_bpe_oov" -> bpeOovOracleSql(12),
+
+    // Boilerplate twin (t14): same synthesized HTML, same head-strip +
+    // chr(1)-sentinel segment split (RE2 has no lookahead — the split
+    // point is materialized on both engines), same length-difference
+    // anchor count and integer link-density gate.
+    "t14_boilerplate" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>' || source || '</title></head><body>' ||
+        |  '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>' ||
+        |  '<p>' || text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' <a href="/x">click here</a>' ELSE '' END ||
+        |  '</p>' ||
+        |  '<div class="footer"><a href="/t">Terms</a> <a href="/p">Privacy</a></div></body></html>'
+        |  AS html FROM documents),
+        |pre AS (SELECT doc_id, regexp_replace(html, '<head>.*?</head>', '') AS ph FROM h),
+        |seg AS (SELECT doc_id,
+        |  string_split(regexp_replace(ph, '<(p|nav|div|h1|footer)\b', chr(1) || '<\1', 'g'),
+        |    chr(1)) AS segs FROM pre),
+        |st AS (SELECT doc_id, list_transform(segs, s -> struct_pack(
+        |    txt := trim(regexp_replace(regexp_replace(s, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |    links := CAST((length(s) - length(regexp_replace(s, '<a ', '', 'g'))) / 3 AS BIGINT)))
+        |  AS ss FROM seg),
+        |res AS (SELECT doc_id,
+        |  CAST(len(ss) AS BIGINT) AS n_segments,
+        |  list_filter(ss, x -> x.txt <> '' AND
+        |    x.links * 3 <= len(string_split(x.txt, ' '))) AS kept
+        |  FROM st)
+        |SELECT doc_id, n_segments,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(list_transform(kept, x -> x.txt), ' ') AS clean_text,
+        |  CAST(CASE WHEN array_to_string(list_transform(kept, x -> x.txt), ' ') = '' THEN 0
+        |    ELSE len(string_split(array_to_string(list_transform(kept, x -> x.txt), ' '), ' '))
+        |  END AS BIGINT) AS clean_tokens
+        |FROM res ORDER BY doc_id""".stripMargin,
 
     // Classifier twin (t12): the operator's weight vector embedded as a
     // DOUBLE[] literal (Double.toString round-trips exactly), the same

@@ -292,4 +292,52 @@ object TextAnalysis {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
   }
+
+  /** HTML boilerplate removal — the C4/RefinedWeb-style extraction step
+    * between a crawl and every text operator above: strip the head, split
+    * the markup into block segments, drop LINK-DENSE segments (nav bars,
+    * footers — the segments whose anchor count dominates their token
+    * count), and keep the rest as cleaned text.
+    *
+    * Mechanics, identical in both engines (no lookaround — RE2-safe):
+    * `<head>…</head>` removed; a  sentinel injected before each
+    * block tag (p/nav/div/h1/footer) then split — RE2 has no lookahead,
+    * so the split point is materialized instead; per segment, anchor
+    * count = the `"<a "` occurrence count via the length-difference
+    * idiom, text = tags → space, whitespace collapsed; keep iff
+    * `links·3 ≤ tokens` (an INTEGER predicate — no float threshold on
+    * the gate) and the segment has tokens at all. Tokens here are plain
+    * whitespace splits of the already-collapsed text — the density
+    * denominator needs any consistent proxy, not the full tokenizer.
+    *
+    * Emits (id, n_segments, n_kept, clean_text, clean_tokens). Pure
+    * per-row projection: no join, no shuffle, no explode — segments live
+    * and die inside one row's HOF chain.
+    */
+  def boilerplateStrip(docs: org.apache.spark.sql.DataFrame, htmlCol: String,
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val pre = regexp_replace(col(htmlCol), "<head>.*?</head>", "")
+    val segs = split(
+      regexp_replace(pre, "<(p|nav|div|h1|footer)\\b", "\u0001<$1"), "\u0001")
+    def toks(t: Column): Column =
+      when(t === "", lit(0)).otherwise(size(split(t, " ")))
+    docs.select(col(idCol), segs.as("segs"))
+      .select(col(idCol), transform(col("segs"), s => {
+        val txt = trim(regexp_replace(regexp_replace(s, "<[^>]*>", " "), "\\s+", " "))
+        val links = ((length(s) - length(regexp_replace(s, "<a ", ""))) / lit(3))
+          .cast(LongType)
+        struct(txt.as("txt"), links.as("links"))
+      }).as("ss"))
+      .select(col(idCol),
+        size(col("ss")).cast(LongType).as("n_segments"),
+        filter(col("ss"), x =>
+          x.getField("links") * 3 <= toks(x.getField("txt")) &&
+            toks(x.getField("txt")) > 0).as("kept"))
+      .select(col(idCol), col("n_segments"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(transform(col("kept"), x => x.getField("txt")), " ").as("clean_text"))
+      .withColumn("clean_tokens",
+        when(col("clean_text") === "", lit(0L))
+          .otherwise(size(split(col("clean_text"), " ")).cast(LongType)))
+  }
 }

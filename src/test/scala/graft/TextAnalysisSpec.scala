@@ -192,4 +192,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(row.getBoolean(3) === (s >= 0.5))
     }
   }
+
+  test("boilerplate strip (t14): link-dense segments drop, content links survive, " +
+      "empty and all-boilerplate docs degrade cleanly") {
+    import spark.implicits._
+    val docs = Seq(
+      // nav + content + footer: only the paragraph survives
+      (1L, "<html><head><title>x</title></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/b\">Blog</a></nav>" +
+        "<p>real content with many words here to keep density low" +
+        " <a href=\"/ref\">see docs</a></p>" +
+        "<div class=\"footer\"><a href=\"/t\">Terms</a></div></body></html>"),
+      // all boilerplate: nothing survives
+      (2L, "<html><body><nav><a href=\"/\">Home</a></nav></body></html>"),
+      // no markup at all: one segment, all kept
+      (3L, "plain text no tags"),
+      // h1 is its own segment and is kept (no links)
+      (4L, "<h1>Title Words</h1><p>body text</p>")
+    ).toDF("doc_id", "html")
+    val out = graft.analytics.TextAnalysis.boilerplateStrip(docs, "html")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text"), r.getAs[Long]("clean_tokens")))).toMap
+    assert(out(1L)._2 === 1)
+    assert(out(1L)._3 === "real content with many words here to keep density low see docs")
+    assert(out(2L) === ((2L, 0L, "", 0L))) // shell + nav, both dropped
+    assert(out(3L) === ((1L, 1L, "plain text no tags", 4L)))
+    assert(out(4L)._3 === "Title Words body text")
+  }
 }
