@@ -628,6 +628,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dataset profiling (ANALYZE-shaped): one-scan numeric column profile
+    // of lineitem — nulls, distincts, min/max, exact-decimal mean — in
+    // long form. The twin recomputes each column's row from the same
+    // exact-sum formula.
+    "q44_profile" -> ((s, dir) =>
+      analytics.Profile.numericProfile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("column"))),
+
+    // Data-quality expectations (Deequ-shaped): named constraint checks
+    // over lineitem in one scan — violation counts + pass flags, nulls
+    // count as violations. tax_under_5pct intentionally FAILS (TPC-H tax
+    // ranges to 0.08) so real counting, not just all-green flags, is on
+    // the gate.
+    "q45_expectations" -> ((s, dir) =>
+      analytics.Profile.expectations(t(s, dir, "lineitem"), Seq(
+          "quantity_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_bounds" -> col("l_discount").between(0.00, 0.10),
+          "shipdate_range" -> col("l_shipdate").between(
+            lit("1995-01-01").cast("timestamp"), lit("2001-12-31").cast("timestamp")),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "tax_under_5pct" -> (col("l_tax") <= 0.05)))
+        .orderBy(col("check_name"))),
+
     // Leakage-free train/val split: d12's near-dup clusters assigned to a
     // split AS A UNIT (group-aware md5-u32 threshold on the cluster id,
     // 80/20) — near-duplicates can never straddle train and validation.
@@ -1216,6 +1241,21 @@ object SparkEntry {
           lit("<div class=\"footer\"><a href=\"/t\">Terms</a> " +
             "<a href=\"/p\">Privacy</a></div></body></html>")))
       TextAnalysis.boilerplateStrip(docs, "html")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Within-document repeated-line removal (CCNet-style paragraph
+    // dedup): multi-line text synthesized deterministically from token
+    // slices with a repeated "template header" paragraph and an injected
+    // blank line; the repeats must drop (keep-first), the blank must not
+    // bridge or count.
+    "t15_line_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ws", TextAnalysis.tokens(col("text")))
+      val p1 = array_join(slice(col("ws"), 1, 6), " ")
+      val p2 = array_join(slice(col("ws"), 7, 6), " ")
+      val multi = concat_ws("\n", p1, lit("  "), p2, p1, p2)
+      TextAnalysis.dedupLines(docs.withColumn("mtext", multi), "mtext")
         .orderBy(col("doc_id"))
     }),
 
@@ -2243,6 +2283,40 @@ object SparkEntry {
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin,
 
+    // Profile twin (q44): per-column row from the identical exact-sum
+    // mean formula (decimal sum → double → /n → round 6).
+    "q44_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           | CASE WHEN count($c) = 0 THEN NULL
+           |   ELSE round(CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / count($c), 6)
+           | END AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    // Expectations twin (q45): same predicates, same null-is-violation
+    // coalesce, same pass flags.
+    "q45_expectations" -> {
+      val checks = Seq(
+        "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_bounds" -> "l_discount BETWEEN 0.00 AND 0.10",
+        "shipdate_range" -> "l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'",
+        "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "tax_under_5pct" -> "l_tax <= 0.05")
+      checks.map { case (n, p) =>
+        s"""SELECT '$n' AS check_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           | sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+    },
+
     // Leakage-free split twin (q43): d12's recursive-CTE cluster chain +
     // the q41 hex-u32 idiom against round(0.8·2^32) = 3435973837.
     "q43_split" -> (
@@ -2757,6 +2831,26 @@ object SparkEntry {
     // Held-out BPE twin (t13): training replayed on the even half, the
     // OOV merge fold replayed on the held-out word set, unknowns → -1.
     "t13_bpe_oov" -> bpeOovOracleSql(12),
+
+    // Line-dedup twin (t15): same token-slice synthesis, same
+    // trim-filter, and the same keep-first rule via the 1-based
+    // index-lambda strict-prefix membership test.
+    "t15_line_dedup" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  array_to_string(ws[1:6], ' ') || chr(10) || '  ' || chr(10) ||
+         |  array_to_string(ws[7:12], ' ') || chr(10) ||
+         |  array_to_string(ws[1:6], ' ') || chr(10) ||
+         |  array_to_string(ws[7:12], ' ') AS mtext FROM tok),
+         |l0 AS (SELECT doc_id,
+         |  list_filter(list_transform(string_split(mtext, chr(10)), x -> trim(x)),
+         |    x -> x <> '') AS lines FROM m),
+         |k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |  list_filter(lines, (x, i) ->
+         |    coalesce(list_position(lines[1:i-1], x), 0) = 0) AS kept FROM l0)
+         |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+         |  array_to_string(kept, chr(10)) AS clean_text
+         |FROM k ORDER BY doc_id""".stripMargin),
 
     // Boilerplate twin (t14): same synthesized HTML, same head-strip +
     // chr(1)-sentinel segment split (RE2 has no lookahead — the split

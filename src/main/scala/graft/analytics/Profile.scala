@@ -1,0 +1,73 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Dataset profiling and data-quality expectations — the ANALYZE /
+  * Deequ-shaped utility surface of the engine: before a 100 TB corpus is
+  * trusted, something has to report its shape, and a pipeline gate has
+  * to count constraint violations instead of exploding on the first one.
+  *
+  * Both operators are ONE full scan each, every statistic a partial
+  * aggregate folded in the same pass (the multi-distinct profile plans
+  * through Spark's Expand — one shuffle total); the long-form output is
+  * a pure projection over the single 1-row aggregate, so cost is the
+  * scan, never the statistic count.
+  */
+object Profile {
+
+  /** Numeric column profile in LONG form: one row per column with total
+    * rows, null/distinct counts, min/max, and the mean. The mean is the
+    * EXACT decimal sum (order-free — float summation order would differ
+    * run to run and engine to engine) cast to double, divided by the
+    * non-null count, rounded to 6 dp: bit-identical cross-engine.
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast(DoubleType).as(s"${c}__min"),
+        max(col(c)).cast(DoubleType).as(s"${c}__max"),
+        sum(col(c).cast("decimal(28,10)")).as(s"${c}__sum"),
+        count(col(c)).as(s"${c}__nn"))
+    }
+    val a = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"),
+        when(col(s"${c}__nn") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(col(s"${c}__sum").cast(DoubleType) / col(s"${c}__nn"), 6))
+          .as("mean_v"))
+    }
+    a.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Data-quality expectations: per named predicate, the violation count
+    * and a pass flag over one scan. A NULL predicate result counts as a
+    * VIOLATION — an expectation must hold definitively, and null-eating
+    * comparisons are precisely how bad rows hide from row-wise gates.
+    */
+  def expectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one expectation")
+    val aggs = checks.map { case (n, p) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"${n}__v")
+    }
+    val a = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = checks.map { case (n, _) =>
+      struct(
+        lit(n).as("check_name"),
+        col("__n").as("n_rows"),
+        col(s"${n}__v").as("n_violations"),
+        (col(s"${n}__v") === 0L).as("passed"))
+    }
+    a.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
+  }
+}

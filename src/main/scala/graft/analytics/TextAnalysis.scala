@@ -293,6 +293,36 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
   }
 
+  /** Within-document repeated-line removal — the CCNet-style paragraph
+    * dedup that runs BEFORE cross-document dedup: drop every repeat of a
+    * line already seen earlier in the same document (templated pages
+    * repeat headers/CTAs dozens of times; cross-doc operators shouldn't
+    * pay for them). Keep-first is order-preserving: a line survives iff
+    * no EARLIER line equals it — expressed with the index-lambda filter
+    * over a materialized line array (`array_position` over the strict
+    * prefix), so the whole operator is one per-row HOF chain: no
+    * explode, no window, no shuffle. Quadratic in the per-document line
+    * count, which is bounded by document length — the same bound d15
+    * documents for its per-row interval work.
+    *
+    * Emits (id, n_lines, n_kept, clean_text) with lines re-joined by
+    * `\n`. Blank/whitespace-only lines are dropped outright (not
+    * deduped — they carry no content and would bridge distinct repeats).
+    */
+  def dedupLines(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol),
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= "").as("lines"))
+      .select(col(idCol),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        filter(col("lines"), (x, i) =>
+          array_position(slice(col("lines"), lit(1), i), x) === 0).as("kept"))
+      .select(col(idCol), col("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        array_join(col("kept"), "\n").as("clean_text"))
+
   /** HTML boilerplate removal — the C4/RefinedWeb-style extraction step
     * between a crawl and every text operator above: strip the head, split
     * the markup into block segments, drop LINK-DENSE segments (nav bars,
