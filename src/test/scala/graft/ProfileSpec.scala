@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Profile
+
+/** Profiling + expectations invariants that the oracle's clean lineitem
+  * can't exercise: null accounting, the null-predicate-is-violation rule,
+  * and the approx-distinct scale path.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericProfile: nulls counted, distinct exact, mean over non-null only") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.0), (2L, 2.0), (3L, 4.0), (4L, null), (5L, null))
+      .toDF("id", "v")
+    val p = Profile.numericProfile(df, Seq("v")).collect().head
+    assert(p.getAs[Long]("n_rows") === 5)
+    assert(p.getAs[Long]("n_nulls") === 2)
+    assert(p.getAs[Long]("n_distinct") === 2) // nulls not a distinct value
+    assert(p.getAs[Double]("min_v") === 2.0 && p.getAs[Double]("max_v") === 4.0)
+    assert(p.getAs[Double]("mean_v") === 2.666667) // (2+2+4)/3 rounded 6dp
+    // all-null column: mean is null, min/max null, zero distincts
+    val q = Profile.numericProfile(
+      df.withColumn("w", lit(null).cast("double")), Seq("w")).collect().head
+    assert(q.getAs[Long]("n_nulls") === 5 && q.getAs[Long]("n_distinct") === 0)
+    assert(q.isNullAt(q.fieldIndex("mean_v")))
+  }
+
+  test("numericProfile approxDistinct: no Expand in the plan, estimate within rsd") {
+    val df = spark.range(20000).select(col("id").cast("double").as("v"),
+      (col("id") % 97).cast("double").as("w"))
+    val exact = Profile.numericProfile(df, Seq("v", "w"))
+    val approx = Profile.numericProfile(df, Seq("v", "w"), approxDistinct = true)
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-distinct is expected to plan through Expand")
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approx path must not fan rows out through Expand")
+    val est = approx.collect()
+      .map(r => r.getAs[String]("column") -> r.getAs[Long]("n_distinct")).toMap
+    assert(math.abs(est("v") - 20000.0) / 20000.0 < 0.1)
+    assert(math.abs(est("w") - 97.0) / 97.0 < 0.1)
+  }
+
+  test("expectations: NULL predicate counts as violation; pass flags exact") {
+    val df = Seq[(Long, java.lang.Double)]((1L, 5.0), (2L, 50.0), (3L, null))
+      .toDF("id", "v")
+    val out = Profile.expectations(df, Seq(
+        "v_small" -> (col("v") < 10), // 50.0 violates; NULL row violates
+        "id_pos" -> (col("id") > 0))) // holds on every row
+      .collect().map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed")))).toMap
+    assert(out("v_small") === ((2L, false)))
+    assert(out("id_pos") === ((0L, true)))
+  }
+}
