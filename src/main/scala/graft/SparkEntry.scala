@@ -628,6 +628,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Graph centrality: deterministic fixed-iteration PageRank over a
+    // synthesized 2-out-link graph (dst = (7·id+13) mod n and
+    // (31·id+7) mod n — derived from the corpus size, so it scales with
+    // the table). Every float pinned: src-ordered contribution folds,
+    // round-15 contributions, round-12 ranks. The twin replays all 10
+    // iterations as a CTE chain.
+    "g01_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      analytics.Graph.pageRank(edges, docs, iters = 10, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dataset profiling (ANALYZE-shaped): one-scan numeric column profile
     // of lineitem — nulls, distincts, min/max, exact-decimal mean — in
     // long form. The twin recomputes each column's row from the same
@@ -1893,7 +1911,35 @@ object SparkEntry {
        |ORDER BY ne.probe_id""".stripMargin
   }
 
+  /** Full SQL twin of g01: the 10 PageRank iterations as a CTE chain —
+    * same synthesized edges, same src-ordered contribution folds. The
+    * teleport base is interpolated from the SAME Scala double
+    * (`1.0 - damping` is 0.15000000000000002, not 0.15 — writing the
+    * rounder literal would make the engines round different doubles).
+    */
+  private def pageRankOracleSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  round(${1.0 - damping}/(SELECT n FROM nn) + $damping * COALESCE(s.s, 0.0), 12) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT dst AS id, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS s
+         |    FROM (SELECT e.dst, e.src, round(p.pr / d.deg, 15) AS c
+         |          FROM e JOIN pr${i - 1} p ON e.src = p.id JOIN deg d ON e.src = d.src)
+         |    GROUP BY dst) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |verts AS (SELECT doc_id AS id FROM documents),
+       |e AS (SELECT doc_id AS src, (doc_id*7+13) % (SELECT n FROM nn) AS dst FROM documents
+       |      UNION ALL SELECT doc_id, (doc_id*31+7) % (SELECT n FROM nn) FROM documents),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, round(1.0/(SELECT n FROM nn), 12) AS pr FROM verts),
+       |$rounds
+       |SELECT id AS doc_id, pr FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> pageRankOracleSql(iters = 10, damping = 0.85),
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,72 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the link structure of a corpus — the curation
+  * signal family CC (d07/d12) doesn't cover: connected components tell
+  * you WHICH pages are duplicates; PageRank-style authority tells you
+  * which DOMAINS/pages deserve weight in the training mix (the classic
+  * crawl-quality prior next to t02/t12's content-based scores).
+  */
+object Graph {
+
+  /** Deterministic fixed-iteration PageRank. Every float is pinned so a
+    * SQL twin replays training exactly (the kmeans/BPE discipline):
+    *  - initial rank and the teleport base are the SAME double division
+    *    both engines compute (`1.0/n`, `(1−d)/n`), rounded with the rank;
+    *  - per-edge contribution = `round(pr/outdeg, 15)`;
+    *  - the per-vertex sum folds contributions in SRC-ID ORDER (collect +
+    *    sort + left fold — the t09 recipe, aggregation-order-free);
+    *  - new rank = `round((1−d)/n + d·sum, 12)`; vertices with no
+    *    in-links keep the teleport base.
+    *
+    * Scale shape: per iteration, one join of the rank vector with the
+    * edge list on src (both partitioned by the join key — at 100 TB the
+    * edge list is the persisted artifact, bucketed by src so rounds
+    * co-locate) and ONE aggregation keyed by dst; the src-sorted fold's
+    * buffer is bounded by in-degree (cap/salt genuinely viral dst keys —
+    * the production swap is plain `sum`, losing only bit-replayability,
+    * the s05/s08 trade). Lazy localCheckpoints keep lineage flat across
+    * rounds; the caller gets materialized state.
+    *
+    * `vertices` must carry every node (including sinks with no
+    * in-links); dangling vertices (no OUT-links) simply contribute
+    * nothing — their mass leaks to teleport, the common simplification.
+    */
+  def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int,
+      damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    val n = vertices.count() // scalar control decision, not a data collect
+    require(n > 0, "pageRank needs a non-empty vertex set")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val verts = vertices.select(col(idCol).as("id"))
+    val base: Column = lit(1.0 - damping) / lit(n)
+    var pr = verts.select(col("id"), round(lit(1.0) / lit(n), 12).as("pr"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), col("src"),
+          round(col("pr") / col("deg"), 15).as("c"))
+      val sums = contrib
+        .groupBy(col("id"))
+        .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
+        .select(col("id"),
+          aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
+            lit(0.0), (a, b) => a + b).as("s"))
+      pr = verts
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          round(base + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    pr.count() // materialize the checkpoint chain before releasing the cache
+    e.unpersist(blocking = false)
+    pr
+  }
+}

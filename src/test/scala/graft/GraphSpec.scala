@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Graph
+
+/** PageRank invariants: mass conservation (no dangling nodes → ranks sum
+  * to 1), symmetry (a uniform ring is a fixpoint), authority ordering
+  * (a node everyone links to outranks the rest), and determinism.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: ring graph is the uniform fixpoint; mass conserved") {
+    val n = 10L
+    val verts = spark.range(n).toDF("id")
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val pr = Graph.pageRank(ring, verts, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size === 10)
+    assert(pr.values.toSet.size === 1, "uniform ring must stay uniform")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass leak: ${pr.values.sum}")
+  }
+
+  test("pageRank: a universally-linked hub outranks spokes; deterministic") {
+    // spokes 1..9 each link ONLY to node 0; node 0 links back to node 1
+    val verts = spark.range(10).toDF("id")
+    val edges = spark.range(1, 10).select(col("id").as("src"), lit(0L).as("dst"))
+      .unionByName(Seq((0L, 1L)).toDF("src", "dst"))
+    def run() = Graph.pageRank(edges, verts, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = run()
+    // the hub and its sole out-target trade the circulating mass between
+    // iterations (a 2-cycle), so assert both dominate the spokes rather
+    // than an order between the two of them
+    assert(pr(0L) > pr(2L) && pr(1L) > pr(2L),
+      s"expected hub and its target above plain spokes: $pr")
+    assert((2L to 9L).map(pr).toSet.size === 1, "equivalent spokes must tie")
+    assert(pr === run(), "bit-deterministic across runs")
+  }
+}
