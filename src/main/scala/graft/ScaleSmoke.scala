@@ -179,6 +179,24 @@ object ScaleSmoke {
     run("pq_topk")(
       Similarity.pqTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         m = 8, ks = 16, dim = 64))
+    // PageRank (g01) at blowup: per iteration one src-keyed join + one
+    // dst-keyed aggregation over a 2-out-link graph that scales with the
+    // corpus — cost must track edges × iterations linearly (no pair
+    // term, no densification).
+    if (shouldRun("pagerank")) {
+      val nDocs = docs.count()
+      val verts = docs.select(col("doc_id"))
+      val edges = verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(nDocs)).as("dst"))
+        .unionByName(verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(nDocs)).as("dst")))
+      spark.catalog.clearCache()
+      System.gc()
+      results("pagerank") = timed(
+        graft.analytics.Graph.pageRank(edges, docs, iters = 5, idCol = "doc_id"))
+      System.err.println(
+        s"[scale-smoke] pagerank: ${results("pagerank")._1}s rows=${results("pagerank")._2}")
+    }
 
     // Adversarial CC topology at scale: ONE path component of 100k×mult
     // nodes (diameter = n−1). Min-label propagation needs one round per
