@@ -182,7 +182,8 @@ object ScaleSmoke {
     // PageRank (g01) at blowup: per iteration one src-keyed join + one
     // dst-keyed aggregation over a 2-out-link graph that scales with the
     // corpus — cost must track edges × iterations linearly (no pair
-    // term, no densification).
+    // term, no densification). The nDocs count for edge synthesis stays
+    // outside the timed region (shouldRun is idempotent).
     if (shouldRun("pagerank")) {
       val nDocs = docs.count()
       val verts = docs.select(col("doc_id"))
@@ -190,12 +191,8 @@ object ScaleSmoke {
           pmod(col("doc_id") * 7 + 13, lit(nDocs)).as("dst"))
         .unionByName(verts.select(col("doc_id").as("src"),
           pmod(col("doc_id") * 31 + 7, lit(nDocs)).as("dst")))
-      spark.catalog.clearCache()
-      System.gc()
-      results("pagerank") = timed(
+      run("pagerank")(
         graft.analytics.Graph.pageRank(edges, docs, iters = 5, idCol = "doc_id"))
-      System.err.println(
-        s"[scale-smoke] pagerank: ${results("pagerank")._1}s rows=${results("pagerank")._2}")
     }
 
     // Adversarial CC topology at scale: ONE path component of 100k×mult

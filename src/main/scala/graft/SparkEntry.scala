@@ -2911,7 +2911,7 @@ object SparkEntry {
         |  '</p>' ||
         |  '<div class="footer"><a href="/t">Terms</a> <a href="/p">Privacy</a></div></body></html>'
         |  AS html FROM documents),
-        |pre AS (SELECT doc_id, regexp_replace(html, '<head>.*?</head>', '') AS ph FROM h),
+        |pre AS (SELECT doc_id, regexp_replace(html, '(?s)<head\b[^>]*>.*?</head>', '') AS ph FROM h),
         |seg AS (SELECT doc_id,
         |  string_split(regexp_replace(ph, '<(p|nav|div|h1|footer)\b', chr(1) || '<\1', 'g'),
         |    chr(1)) AS segs FROM pre),

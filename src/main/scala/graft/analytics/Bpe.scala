@@ -188,7 +188,8 @@ object Bpe {
     * real BPE token count, the comma-joined token-id sequence (in token
     * order — collect + array_sort on (pos, spos), the t09
     * position-determinism recipe), and the unknown-subword count. The
-    * corpus is scanned once; segmentations and id table broadcast.
+    * corpus is tokenized once (the OOV path persists it across its two
+    * consumers); segmentations and id table broadcast.
     * Documents with no tokens encode to (0, "", 0).
     *
     * Out-of-vocabulary words: with `merges` supplied, words absent from
@@ -204,9 +205,15 @@ object Bpe {
       idCol: String = "doc_id", textCol: String = "text",
       merges: Seq[Merge] = Nil, unkId: Long = -1L): DataFrame = {
     val ids = tokenIds(vocab)
-    val toks = Par.spreadForCpu(docs)
+    val toks0 = Par.spreadForCpu(docs)
       .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
         .as(Seq("pos", "word")))
+    // the OOV path consumes the tokenized corpus TWICE (missing-word
+    // derivation + the segmentation join) — persist so the
+    // tokenize/explode pass runs once (minhashCandidates' documented
+    // cache lifecycle: deduped by plan, released by clearCache)
+    val toks = if (merges.isEmpty) toks0
+      else toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocabSegs = vocab.select(col("word"), split(col("symstr"), " ").as("syms"))
     val segs =
       if (merges.isEmpty) vocabSegs

@@ -273,6 +273,25 @@ object Dedup {
     * re-executes per branch. The cache holds only (id, k longs) per doc —
     * MEMORY_AND_DISK spills safely at scale.
     */
+  /** The ONE banding projection: all `bands` bucket hashes per signature
+    * row — xxhash64 of a slice of the in-memory array (no string concat).
+    * Shared by [[minhashCandidates]] and [[incrementalNearDup]] so the
+    * bucket scheme cannot drift between the d04/d11 family and the d21
+    * gate (their oracles all express banding as slice equality).
+    */
+  private def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as("bucket"))
+
+  /** The ONE estimate formula: agreeing-position fraction over the full
+    * k — shared for the same no-drift reason as [[bandBuckets]]. */
+  private def estJaccard(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast(DoubleType) / k
+
   def minhashCandidates(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, idCol: String = "doc_id", textCol: String = "text",
       portableHash: Boolean = false): DataFrame = {
@@ -288,14 +307,7 @@ object Dedup {
     val sigs = (if (portableHash) minhashSignaturesPortable(docs, n, k, idCol, textCol)
                 else minhashSignatures(docs, n, k, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // All `bands` bucket hashes in ONE projection over the cached sig —
-    // xxhash64 of a slice of an in-memory array (xxhash64 hashes array
-    // columns natively; no string concat).
-    val buckets = sigs.select(
-      col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as("bucket"))
+    val buckets = bandBuckets(sigs, bands, rowsPerBand)
     val candidates = buckets.select(col("bucket"), col("id").as("a_id"))
       .join(buckets.select(col("bucket"), col("id").as("b_id")), Seq("bucket"))
       .where(col("a_id") < col("b_id"))
@@ -305,8 +317,7 @@ object Dedup {
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), b => b))
-          .cast(DoubleType) / k).as("est_jaccard"))
+        estJaccard(col("a_sig"), col("b_sig"), k).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -672,17 +683,11 @@ object Dedup {
       (if (portableHash) minhashSignaturesPortable(df, n, k, idCol, textCol)
        else minhashSignatures(df, n, k, idCol, textCol))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bucketsOf(sigs: DataFrame) = sigs.select(
-      col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb))))).as("bucket"))
     val cs = sigsOf(corpus)
     val bs = sigsOf(batch)
-    val corpusIdx = bucketsOf(cs)
-    val batchBands = bucketsOf(bs)
-    def estim(a: Column, b: Column): Column =
-      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
-        .cast(DoubleType) / k
+    val corpusIdx = bandBuckets(cs, bands, rpb)
+    val batchBands = bandBuckets(bs, bands, rpb)
+    def estim(a: Column, b: Column): Column = estJaccard(a, b, k)
     def best(cands: DataFrame): DataFrame = {
       // winning match per batch doc: highest estimate, ties → lowest id
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))

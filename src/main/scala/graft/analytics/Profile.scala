@@ -23,6 +23,13 @@ object Profile {
     * run to run and engine to engine) cast to double, divided by the
     * non-null count, rounded to 6 dp: bit-identical cross-engine.
     *
+    * Overflow honesty: values beyond DECIMAL(28,10) (≥ 1e18 — e.g. an
+    * epoch-nanos column) null out under the engine's non-ANSI cast, which
+    * would silently skew the sum while the denominator still counts the
+    * row. The profile detects the disagreement (decimal-castable count ≠
+    * non-null count) and reports mean_v as NULL for that column instead
+    * of a wrong number. Empty inputs report 0 counts, not NULLs.
+    *
     * `approxDistinct`: the exact multi-column distinct plans through
     * Spark's Expand — each input row fans out (n_cols + 1)× before the
     * hash aggregate, the dominant cost of this operator (measured ~4 s
@@ -37,12 +44,14 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nulls"),
         (if (approxDistinct) approx_count_distinct(col(c))
          else count_distinct(col(c))).as(s"${c}__distinct"),
         min(col(c)).cast(DoubleType).as(s"${c}__min"),
         max(col(c)).cast(DoubleType).as(s"${c}__max"),
         sum(col(c).cast("decimal(28,10)")).as(s"${c}__sum"),
+        count(col(c).cast("decimal(28,10)")).as(s"${c}__ndec"),
         count(col(c)).as(s"${c}__nn"))
     }
     val a = df.agg(count(lit(1)).as("__n"), aggs: _*)
@@ -54,7 +63,8 @@ object Profile {
         col(s"${c}__distinct").as("n_distinct"),
         col(s"${c}__min").as("min_v"),
         col(s"${c}__max").as("max_v"),
-        when(col(s"${c}__nn") === 0, lit(null).cast(DoubleType))
+        when(col(s"${c}__nn") === 0 || col(s"${c}__ndec") =!= col(s"${c}__nn"),
+          lit(null).cast(DoubleType))
           .otherwise(round(col(s"${c}__sum").cast(DoubleType) / col(s"${c}__nn"), 6))
           .as("mean_v"))
     }
@@ -65,11 +75,14 @@ object Profile {
     * and a pass flag over one scan. A NULL predicate result counts as a
     * VIOLATION — an expectation must hold definitively, and null-eating
     * comparisons are precisely how bad rows hide from row-wise gates.
+    * Empty inputs pass vacuously with 0 violations (n_rows = 0 is
+    * visible on every row for a gate that wants to refuse empty data).
     */
   def expectations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "need at least one expectation")
     val aggs = checks.map { case (n, p) =>
-      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(s"${n}__v")
+      coalesce(sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"${n}__v")
     }
     val a = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = checks.map { case (n, _) =>

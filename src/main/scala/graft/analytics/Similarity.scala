@@ -526,8 +526,12 @@ object Similarity {
     val cbRows = corpus.orderBy(col(idCol)).limit(ks)
       .select(pqDvec(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Double](0).toIndexedSeq)
-    require(cbRows.nonEmpty && cbRows.head.length == dim,
-      s"codebook needs $ks vectors of dim $dim")
+    // a short codebook would surface much later as an opaque driver
+    // IndexOutOfBounds in training (absent codes) — fail at the source
+    require(cbRows.length == ks,
+      s"codebook needs $ks vectors, corpus has only ${cbRows.length}")
+    require(cbRows.head.length == dim,
+      s"codebook vectors must have dim $dim, got ${cbRows.head.length}")
     (0 until m).map(j => cbRows.map(r => r.slice(j * sub, (j + 1) * sub).toSeq).toSeq)
   }
 

@@ -346,7 +346,8 @@ object TextAnalysis {
     */
   def boilerplateStrip(docs: org.apache.spark.sql.DataFrame, htmlCol: String,
       idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
-    val pre = regexp_replace(col(htmlCol), "<head>.*?</head>", "")
+    // (?s): real heads span lines; [^>]* : real head tags carry attrs
+    val pre = regexp_replace(col(htmlCol), "(?s)<head\\b[^>]*>.*?</head>", "")
     val segs = split(
       regexp_replace(pre, "<(p|nav|div|h1|footer)\\b", "\u0001<$1"), "\u0001")
     def toks(t: Column): Column =

@@ -43,6 +43,31 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(est("w") - 97.0) / 97.0 < 0.1)
   }
 
+  test("numericProfile: decimal-overflow values yield NULL mean, not a silently " +
+      "skewed one; empty input yields 0-counts") {
+    // 1e30 overflows DECIMAL(28,10) → non-ANSI cast nulls it out of the
+    // sum while remaining a counted non-null value: mean must refuse
+    val big = Seq((1L, 1.0e30), (2L, 2.0)).toDF("id", "v")
+    val p = Profile.numericProfile(big, Seq("v")).collect().head
+    assert(p.getAs[Long]("n_nulls") === 0)
+    assert(p.isNullAt(p.fieldIndex("mean_v")),
+      "overflowed sum must surface as NULL mean, not a wrong number")
+    // empty input: all counts 0, no NULL longs
+    val e = Profile.numericProfile(
+      spark.range(0).select(col("id").cast("double").as("v")), Seq("v")).collect().head
+    assert(e.getAs[Long]("n_rows") === 0 && e.getAs[Long]("n_nulls") === 0)
+    assert(e.isNullAt(e.fieldIndex("mean_v")))
+  }
+
+  test("expectations: empty input passes vacuously with 0 violations, not NULLs") {
+    val out = Profile.expectations(
+        spark.range(0).select(col("id")), Seq("id_pos" -> (col("id") > 0)))
+      .collect().head
+    assert(out.getAs[Long]("n_rows") === 0)
+    assert(out.getAs[Long]("n_violations") === 0)
+    assert(out.getAs[Boolean]("passed"))
+  }
+
   test("expectations: NULL predicate counts as violation; pass flags exact") {
     val df = Seq[(Long, java.lang.Double)]((1L, 5.0), (2L, 50.0), (3L, null))
       .toDF("id", "v")

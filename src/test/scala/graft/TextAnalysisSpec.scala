@@ -219,5 +219,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((2L, 0L, "", 0L))) // shell + nav, both dropped
     assert(out(3L) === ((1L, 1L, "plain text no tags", 4L)))
     assert(out(4L)._3 === "Title Words body text")
+    // realistic head: newlines inside, attributes on the tag, style text
+    // that must NOT leak into clean_text ((?s) + <head\b[^>]*>)
+    val realHead = Seq((5L,
+      "<html><head lang=\"en\">\n<title>Leak</title>\n" +
+        "<style>body { color: red }</style>\n</head>" +
+        "<p>actual words</p></html>")).toDF("doc_id", "html")
+    val r = graft.analytics.TextAnalysis.boilerplateStrip(realHead, "html")
+      .collect().head
+    assert(r.getAs[String]("clean_text") === "actual words",
+      s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
 }
