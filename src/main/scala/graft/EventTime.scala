@@ -37,6 +37,19 @@ object EventTime {
         date_trunc("second", col(field)).cast(TimestampType)
     }
 
+  /** Exact epoch microseconds of the event time (q46's interval bounds —
+    * full precision, no bucketing; the oracle's `epoch_us`). Long path:
+    * floor-divide nanos by 1000 via the pmod guard (bare `div` truncates
+    * toward zero, shifting pre-1970 values).
+    */
+  def epochMicros(df: DataFrame, field: String = "ts"): Column =
+    df.schema(field).dataType match {
+      case LongType =>
+        expr(s"($field - pmod($field, 1000)) div 1000")
+      case _ =>
+        unix_micros(col(field).cast(TimestampType))
+    }
+
   /** Epoch seconds of the event's hour bucket (q18's grouping key). */
   def hourEpoch(df: DataFrame, field: String = "ts"): Column =
     df.schema(field).dataType match {

@@ -628,6 +628,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Soft dedup: reweight near-duplicate clusters instead of dropping
+    // them — each doc in a cluster of size s gets weight 1/s (9 dp), so
+    // every cluster contributes one document's worth of training mass.
+    // Same d12 cluster chain; the weight is a pure projection on top.
+    "d22_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(
+          Dedup.dedupClustersApprox(t(s, dir, "documents"), n = 3, k = 64,
+            bands = 16, threshold = 0.4, portableHash = true))
+        .orderBy(col("doc_id"))),
+
     // Graph centrality: deterministic fixed-iteration PageRank over a
     // synthesized 2-out-link graph (dst = (7·id+13) mod n and
     // (31·id+7) mod n — derived from the corpus size, so it scales with
@@ -670,6 +680,27 @@ object SparkEntry {
           "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
           "tax_under_5pct" -> (col("l_tax") <= 0.05)))
         .orderBy(col("check_name"))),
+
+    // SCD2 history build: the events change-log folded into a slowly-
+    // changing-dimension type-2 table — per user, each event opens a
+    // validity interval [valid_from, valid_to) closed by the NEXT event
+    // (lead over the (ts, event_id)-ordered per-user sequence; the last
+    // interval stays open, is_current). The warehouse step that turns an
+    // append-only log into an as-of-queryable dimension (q26's as-of join
+    // is the read side of this build). One shuffle on user_id; per-user
+    // window state only — no global sort.
+    "q46_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          EventTime.epochMicros(ev).as("ts_us"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          row_number().over(w).cast("long").as("version"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1).over(w).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy(col("user_id"), col("version"))
+    }),
 
     // Leakage-free train/val split: d12's near-dup clusters assigned to a
     // split AS A UNIT (group-aware md5-u32 threshold on the cluster id,
@@ -1276,6 +1307,14 @@ object SparkEntry {
       TextAnalysis.dedupLines(docs.withColumn("mtext", multi), "mtext")
         .orderBy(col("doc_id"))
     }),
+
+    // Per-doc top-3 keywords by tf-idf (smooth-idf): the document-level
+    // topic signal next to t06's language-level frequency top-k. One
+    // float chain, 9-dp rounded pre-ranking, term tie-break — the twin
+    // replays scoring and ranking exactly.
+    "t16_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rnk"))),
 
     // BPE on HELD-OUT data — the production encode path: train on the
     // even-doc_id half, encode the odd half, whose words were never seen
@@ -2329,6 +2368,24 @@ object SparkEntry {
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin,
 
+    // Soft-dedup twin (d22): d12's cluster chain + the same 1/size
+    // division of exact operands, rounded to 9 dp.
+    "d22_soft_dedup" ->
+      s"""WITH RECURSIVE ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)},
+         |bidir AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM cc)
+         |SELECT doc_id, cluster_id, cluster_size,
+         | round(CAST(1.0 AS DOUBLE) / CAST(cluster_size AS DOUBLE), 9) AS weight
+         |FROM sz ORDER BY doc_id""".stripMargin,
+
     // Profile twin (q44): per-column row from the identical exact-sum
     // mean formula (decimal sum → double → /n → round 6).
     "q44_profile" -> {
@@ -2362,6 +2419,19 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
     },
+
+    // SCD2 twin (q46): same per-user (ts, event_id) ordering, same lead
+    // interval close, epoch_us for the exact microsecond bounds.
+    "q46_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, event_id, event_type, value,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  ts_us AS valid_from_us, lead(ts_us) OVER w AS valid_to_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, event_type, value, version,
+        |  valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     // Leakage-free split twin (q43): d12's recursive-CTE cluster chain +
     // the q41 hex-u32 idiom against round(0.8·2^32) = 3435973837.
@@ -2877,6 +2947,25 @@ object SparkEntry {
     // Held-out BPE twin (t13): training replayed on the even half, the
     // OOV merge fold replayed on the held-out word set, unknowns → -1.
     "t13_bpe_oov" -> bpeOovOracleSql(12),
+
+    // tf-idf twin (t16): df derived from the tf CTE, N as a 1-row scalar,
+    // the identical divide→ln→+1→×tf chain rounded to 9 dp before
+    // ranking, row_number with the same (score DESC, term ASC) order.
+    "t16_tfidf" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tu AS (SELECT doc_id, unnest(ws) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tu GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term,
+         |  round(CAST(tf AS DOUBLE) *
+         |    (ln((1.0 + n_docs) / (1.0 + CAST(df AS DOUBLE))) + 1.0), 9) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin),
 
     // Line-dedup twin (t15): same token-slice synthesis, same
     // trim-filter, and the same keep-first rule via the 1-based

@@ -619,6 +619,23 @@ object Dedup {
     clustersFromPairs(pairs, docs, idCol)
   }
 
+  /** Soft dedup — reweighting instead of removal (the SoftDeDup idea:
+    * down-weight duplicated content in the training mix rather than
+    * dropping all-but-one copy; loss-weighting keeps coverage while
+    * removing the duplication bias). Each document in a near-dup cluster
+    * of size s carries `weight = round(1/s, 9)`, so every cluster
+    * contributes exactly one document's worth of expected gradient mass;
+    * singletons keep weight 1.0.
+    *
+    * Input is any cluster frame shaped like [[dedupClusters]] /
+    * [[dedupClustersApprox]] output (doc_id, cluster_id, cluster_size, …).
+    * Pure per-row projection on top of the clustering — the weight adds
+    * no shuffle beyond what the clustering already paid.
+    */
+  def softDedupWeights(clusters: DataFrame, idCol: String = "doc_id"): DataFrame =
+    clusters.select(col(idCol), col("cluster_id"), col("cluster_size"),
+      round(lit(1.0) / col("cluster_size").cast(DoubleType), 9).as("weight"))
+
   /** Incremental dedup — the rolling-build staple: classify a NEW batch
     * of documents against an existing corpus without touching the corpus
     * rows themselves. `dup_corpus` = content fingerprint already present

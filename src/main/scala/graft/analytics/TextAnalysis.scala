@@ -293,6 +293,46 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
   }
 
+  /** Per-document top-k keyword extraction by tf-idf — the classic
+    * relevance weighting (Salton & Buckley 1988; smooth-idf as in
+    * scikit-learn): `score = tf · (ln((1+N)/(1+df)) + 1)`. The curation
+    * use next to t06's per-language frequency top-k: t06 says what a
+    * LANGUAGE talks about, tf-idf says what a DOCUMENT talks about
+    * relative to the corpus — topic tagging / domain-mix measurement
+    * over a training corpus.
+    *
+    * Cross-engine float determinism (the t09 recipe): tf, df, N are
+    * exact integers; the one float chain (divide → ln → +1 → ×tf) is
+    * written in the SAME op order in both engines and rounded to 9 dp
+    * BEFORE ranking; ties rank by term ascending, so top-k is total.
+    *
+    * Scale shape: one token explode → (doc, term) count (one shuffle on
+    * the composite key), df derived FROM the tf frame (second agg keyed
+    * by term — never re-reads the corpus), tf⋈df on the Zipf-keyed term
+    * (AQE skew-join absorbs stopword heat, as t09), N broadcast as a
+    * 1-row scalar, and the final top-k is a window partitioned by
+    * doc_id — per-doc state only, no global sort.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val tf = Par.spreadForCpu(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        round(col("tf").cast(DoubleType) *
+          (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df").cast(DoubleType)))
+            + lit(1.0)), 9).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tfidf"))
+  }
+
   /** Within-document repeated-line removal — the CCNet-style paragraph
     * dedup that runs BEFORE cross-document dedup: drop every repeat of a
     * line already seen earlier in the same document (templated pages
