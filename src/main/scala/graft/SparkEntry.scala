@@ -681,6 +681,56 @@ object SparkEntry {
           "tax_under_5pct" -> (col("l_tax") <= 0.05)))
         .orderBy(col("check_name"))),
 
+    // Incremental aggregate maintenance: per-event-type stats refreshed
+    // by merging the stored state of the "old" 80% with the state of a
+    // new 20% batch (disjoint event_id split) — algebraic partials
+    // (count / exact decimal sum / min / max), avg derived at finish.
+    // The oracle is the SINGLE-PASS recompute over all events: the merge
+    // must be bit-identical to never having split at all.
+    "q48_incr_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val oldState = analytics.Incremental.state(
+        ev.where(pmod(col("event_id"), lit(10)) < 8), "event_type", "value")
+      val batchState = analytics.Incremental.state(
+        ev.where(pmod(col("event_id"), lit(10)) >= 8), "event_type", "value")
+      analytics.Incremental.finish(
+          analytics.Incremental.merge(oldState, batchState, "event_type"),
+          "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Heavy hitters by Misra-Gries sketch (k=16 counters): the bounded-
+    // memory top-terms path for open vocabularies a groupBy can't hold.
+    // Item stream = document tokens with three synthesized hot items
+    // (position-derived, ~14% each — the q19 synthesized-input idiom;
+    // the 31-token tail sits below threshold and forces real decrements,
+    // k=16 < 31). Output = the EXACT heavy hitters (c·(k+1) > n, an
+    // integer predicate, hash-matched) with the q30/q35 sketch contract:
+    // in_sketch is TRUE by the MG guarantee (undercount ≤ n/(k+1)),
+    // cand_within_k is TRUE structurally. Sketch pass + exact pass —
+    // the two-pass shape a 100 TB deployment uses (the exact pass then
+    // only aggregates the ≤k candidate keys).
+    "q47_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 16
+      val items = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(when(pmod(col("pos"), lit(7)) < 3,
+            concat(lit("hot"), pmod(col("pos"), lit(3)).cast("string")))
+          .otherwise(col("tok")).as("term"))
+      val sketch = items.as[String]
+        .select(new analytics.Sketches.MisraGries(k).toColumn.name("cand"))
+      val exact = items.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val n = exact.agg(sum(col("c")).as("n"))
+      exact.crossJoin(broadcast(n))
+        .where(col("c") * (k + 1) > col("n"))
+        .crossJoin(broadcast(sketch))
+        .select(col("term"), col("c"),
+          array_contains(col("cand"), col("term")).as("in_sketch"),
+          (size(col("cand")) <= k).as("cand_within_k"))
+        .orderBy(col("term"))
+    }),
+
     // SCD2 history build: the events change-log folded into a slowly-
     // changing-dimension type-2 table — per user, each event opens a
     // validity interval [valid_from, valid_to) closed by the NEXT event
@@ -1447,6 +1497,23 @@ object SparkEntry {
           posexplode(Multimodal.frameSampleOffsets(col("payload"), 4)))
         .toDF("doc_id", "n_bytes", "frame_idx", "byte_off")
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ViT patch tiling plan: decoded PNG dims → 16×16 grid fan-out with
+    // edge clipping (m04's frame-offset schedule, two dimensions up) —
+    // the per-tile unit a distributed patch embedder consumes. Header
+    // arithmetic only; tile pixel decode is the documented stub.
+    "m05_patch_grid" -> ((s, dir) => {
+      val withBin = Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "image")
+      withBin
+        .select(col("doc_id"), Multimodal.decodeImage(col("payload")).as("meta"))
+        .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"),
+          explode(Multimodal.patchGridPlan(col("meta"), 16)).as("pt"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("pt.py"), col("pt.px"), col("pt.x0"), col("pt.y0"),
+          col("pt.pw"), col("pt.ph"))
+        .orderBy(col("doc_id"), col("py"), col("px"))
     }),
 
     // B1/E3 — correlated scalar subquery, decorrelated the way Catalyst
@@ -2420,6 +2487,28 @@ object SparkEntry {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
     },
 
+    // Incremental-agg twin (q48): the single-pass recompute — the merged
+    // split state must match it bit-for-bit (exact decimal partials).
+    "q48_incr_agg" ->
+      """SELECT event_type, count(value) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total,
+        | min(value) AS mn, max(value) AS mx,
+        | round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6) AS avg_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Heavy-hitters twin (q47): same synthesized item stream, exact
+    // counts + the integer threshold; the sketch flags are asserted TRUE
+    // (the MG guarantee + the structural k bound — the q30/q35 pattern).
+    "q47_heavy_hitters" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tu AS (SELECT unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM tok),
+         |it AS (SELECT CASE WHEN pos % 7 < 3 THEN 'hot' || CAST(pos % 3 AS VARCHAR)
+         |  ELSE tok END AS term FROM tu),
+         |c AS (SELECT term, count(*) AS c FROM it GROUP BY term),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+         |SELECT term, c, TRUE AS in_sketch, TRUE AS cand_within_k
+         |FROM c CROSS JOIN n WHERE c * 17 > n ORDER BY term""".stripMargin),
+
     // SCD2 twin (q46): same per-user (ts, event_id) ordering, same lead
     // interval close, epoch_us for the exact microsecond bounds.
     "q46_scd2" ->
@@ -3224,6 +3313,22 @@ object SparkEntry {
         |SELECT doc_id, n_bytes, CAST(i AS INTEGER) AS frame_idx,
         | CAST(i * n_bytes // 4 AS BIGINT) AS byte_off
         |FROM v, UNNEST(range(4)) AS u(i) ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Patch-grid twin (m05): the same header-derived dims and the same
+    // ceil-division grid, two lateral range unnests for the fan-out.
+    "m05_patch_grid" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+        | FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT doc_id, CAST(16 + n % 64 AS INTEGER) AS w,
+        | CAST(16 + (n * 7) % 64 AS INTEGER) AS h FROM b)
+        |SELECT doc_id, w, h, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+        | CAST(px * 16 AS BIGINT) AS x0, CAST(py * 16 AS BIGINT) AS y0,
+        | CAST(least(16, w - px * 16) AS BIGINT) AS pw,
+        | CAST(least(16, h - py * 16) AS BIGINT) AS ph
+        |FROM d,
+        | UNNEST(range((CAST(h AS BIGINT) + 15) // 16)) AS uy(py),
+        | UNNEST(range((CAST(w AS BIGINT) + 15) // 16)) AS ux(px)
+        |ORDER BY doc_id, py, px""".stripMargin,
 
     "q32_scalar_subquery" ->
       """WITH a AS (SELECT o_custkey,

@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Incremental aggregate maintenance — the materialized-view refresh
+  * pattern: keep per-key ALGEBRAIC partial states (count, exact decimal
+  * sum, min, max), fold a new batch's state into the stored state, and
+  * derive display aggregates (avg) only at finish. At 100 TB the point is
+  * that a daily refresh costs one scan of the DELTA plus a key-sized
+  * state merge — the historical corpus is never re-aggregated (d17/d20's
+  * rolling-build economics applied to aggregation; Structured Streaming's
+  * stateful aggs are the streaming twin of this same decomposition).
+  *
+  * Correctness rests on the merge being exact: counts and extremes are
+  * trivially associative, and the sum is carried as DECIMAL(28,10)
+  * partials (exact, order-independent — the q01/q44 discipline), so
+  * merge(state(old), state(delta)) is bit-identical to state(old ∪ delta)
+  * for ANY split of the input. q48's oracle asserts exactly that: the
+  * merged two-part state against DuckDB's single-pass recompute.
+  */
+object Incremental {
+
+  /** One key's algebraic partial state over `valueCol`. */
+  def state(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(col(valueCol)).as("n"),
+      sum(col(valueCol).cast("decimal(28,10)")).as("s"),
+      min(col(valueCol)).as("mn"),
+      max(col(valueCol)).as("mx"))
+
+  /** Fold two states (same shape as [[state]] output) into one. Keys
+    * present in only one side pass through unchanged — a shuffle keyed on
+    * the (pre-aggregated, key-sized) state tables, never on raw rows.
+    */
+  def merge(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(key)).agg(
+        sum(col("n")).as("n"),
+        sum(col("s")).as("s"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Derive display aggregates from a state: the exact decimal total as
+    * DOUBLE and the 6-dp mean of exact operands (q44's formula).
+    */
+  def finish(st: DataFrame, key: String): DataFrame =
+    st.select(col(key), col("n"),
+      col("s").cast(DoubleType).as("total"),
+      col("mn"), col("mx"),
+      round(col("s").cast(DoubleType) / col("n"), 6).as("avg_v"))
+}

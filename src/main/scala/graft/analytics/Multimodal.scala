@@ -195,6 +195,29 @@ object Multimodal {
       meta.getField("channels").as("channels"))
   }
 
+  /** Patch-grid plan for an image: the ViT-style tiling schedule — cover
+    * the decoded width×height with a `patch`×`patch` grid, edge tiles
+    * clipped to the image bounds. Returns the full tile array (row-major:
+    * py, px, pixel origin, clipped extent); the caller explodes it into
+    * the per-tile fan-out a distributed patch embedder consumes (m04's
+    * frame-offset idiom, two dimensions up). Pure per-row arithmetic from
+    * header metadata — the decode of tile PIXELS is exactly the stub the
+    * container cannot host; the plan is the real Spark-side work.
+    */
+  def patchGridPlan(meta: Column, patch: Int): Column = {
+    val p = lit(patch.toLong)
+    val w = meta.getField("width").cast(LongType)
+    val h = meta.getField("height").cast(LongType)
+    val nx = floor((w + p - lit(1L)) / p).cast(LongType)
+    val ny = floor((h + p - lit(1L)) / p).cast(LongType)
+    flatten(transform(sequence(lit(0L), ny - 1), py =>
+      transform(sequence(lit(0L), nx - 1), px =>
+        struct(py.as("py"), px.as("px"),
+          (px * p).as("x0"), (py * p).as("y0"),
+          least(p, w - px * p).as("pw"),
+          least(p, h - py * p).as("ph")))))
+  }
+
   /** Full multimodal feature-extraction pass: payload → per-modality typed
     * metadata (parsed from the container headers) + a frame-sampling plan
     * for videos. Pure projection — partition-parallel, no shuffle.
