@@ -628,6 +628,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Graph centrality, two-sided: deterministic fixed-iteration HITS
+    // over g01's synthesized link graph — authority (what good hubs point
+    // at) and hub (link-directory value) scores, L1-normalized per
+    // half-step. Same pinning discipline as g01; the twin replays all 5
+    // iterations (10 half-steps) as a CTE chain.
+    "g02_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      analytics.Graph.hits(edges, docs, iters = 5, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("auth"), col("hub"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Soft dedup: reweight near-duplicate clusters instead of dropping
     // them — each doc in a cluster of size s gets weight 1/s (9 dp), so
     // every cluster contributes one document's worth of training mass.
@@ -2043,8 +2060,40 @@ object SparkEntry {
        |SELECT id AS doc_id, pr FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** HITS twin (g02): replays every half-step — src-ordered in-edge folds
+    * for authority, dst-ordered out-edge folds for hub, id-ordered L1
+    * totals, round-12 normalized scores. Score CTEs are MATERIALIZED
+    * (each feeds the next half-step AND the final join).
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id,
+         |  list_reduce(list(h.v ORDER BY e.src), (x, y) -> x + y) AS raw
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+         |at$i AS (SELECT list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS tot FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT v.id, round(COALESCE(ar.raw, 0.0) / t.tot, 12) AS v
+         |  FROM verts v LEFT JOIN ar$i ar ON v.id = ar.id CROSS JOIN at$i t),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id,
+         |  list_reduce(list(a.v ORDER BY e.dst), (x, y) -> x + y) AS raw
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+         |ht$i AS (SELECT list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS tot FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT v.id, round(COALESCE(hr.raw, 0.0) / t.tot, 12) AS v
+         |  FROM verts v LEFT JOIN hr$i hr ON v.id = hr.id CROSS JOIN ht$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |verts AS (SELECT doc_id AS id FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id AS src, (doc_id*7+13) % (SELECT n FROM nn) AS dst FROM documents
+       |      UNION ALL SELECT doc_id, (doc_id*31+7) % (SELECT n FROM nn) FROM documents),
+       |h0 AS (SELECT id, round(1.0/(SELECT n FROM nn), 12) AS v FROM verts),
+       |$rounds
+       |SELECT v.id AS doc_id, a$iters.v AS auth, h$iters.v AS hub
+       |FROM verts v JOIN a$iters ON v.id = a$iters.id JOIN h$iters ON v.id = h$iters.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankOracleSql(iters = 10, damping = 0.85),
+    "g02_hits" -> hitsOracleSql(iters = 5),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -69,4 +69,78 @@ object Graph {
     e.unpersist(blocking = false)
     pr
   }
+
+  /** Deterministic fixed-iteration HITS (Kleinberg 1999): authority and
+    * hub scores over the same edge list PageRank consumes — authorities
+    * are the pages worth keeping (what good hubs point at), hubs are the
+    * link-directory pages a crawler mines for frontier expansion; the
+    * two-sided complement to [[pageRank]]'s one-score authority prior.
+    *
+    * Determinism is the [[pageRank]] discipline applied twice per
+    * iteration: auth(v) = fold of hub(u) over in-edges in SRC order,
+    * hub(u) = fold of auth(v) over out-edges in DST order; each half-step
+    * normalizes by the TOTAL (L1 — chosen over the classic L2 because it
+    * needs no sqrt on the cross-engine gate; the RANKING is identical
+    * under any positive scaling), where the total itself is an id-ordered
+    * fold, and the normalized score is rounded to 12 dp. Initial hub =
+    * round(1/n, 12).
+    *
+    * Scale shape per iteration: two joins of a score vector with the
+    * edge list (by src, then by dst — at 100 TB keep TWO bucketed copies
+    * of the edge list, one per key, the standard adjacency/reverse-
+    * adjacency layout) and two key-wise aggregations; the L1 totals are
+    * 1-row scalar folds (model-sized control state, the t11/BPE trade).
+    * Fold buffers are bounded by in-/out-degree — cap or salt viral
+    * keys; the production swap is plain `sum` + L2, losing only
+    * bit-replayability.
+    */
+  def hits(edges: DataFrame, vertices: DataFrame, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    val n = vertices.count()
+    require(n > 0, "hits needs a non-empty vertex set")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(!e.isEmpty, "hits needs a non-empty edge set (L1 norm is 0 otherwise)")
+    val verts = vertices.select(col(idCol).as("id"))
+
+    // key-wise sum of `v` folded in sortKey order (the t09 recipe)
+    def orderedSum(df: DataFrame, key: String, sortKey: String): DataFrame =
+      df.groupBy(col(key))
+        .agg(collect_list(struct(col(sortKey).as("o"), col("v").as("x"))).as("cs"))
+        .select(col(key).as("id"),
+          aggregate(transform(array_sort(col("cs")), c => c.getField("x")),
+            lit(0.0), (a, b) => a + b).as("raw"))
+
+    // L1-normalize a raw score vector over the full vertex set
+    def normalize(raw: DataFrame): DataFrame = {
+      val tot = raw.agg(collect_list(struct(col("id"), col("raw"))).as("xs"))
+        .select(aggregate(transform(array_sort(col("xs")), c => c.getField("raw")),
+          lit(0.0), (a, b) => a + b).as("tot"))
+      verts.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("id"),
+          round(coalesce(col("raw"), lit(0.0)) / col("tot"), 12).as("v"))
+    }
+
+    var hub = verts.select(col("id"), round(lit(1.0) / lit(n), 12).as("v"))
+      .localCheckpoint(eager = false)
+    var auth: DataFrame = hub
+    for (_ <- 1 to iters) {
+      auth = normalize(orderedSum(
+          e.join(hub.withColumnRenamed("id", "src"), Seq("src")),
+          key = "dst", sortKey = "src"))
+        .localCheckpoint(eager = false)
+      hub = normalize(orderedSum(
+          e.join(auth.withColumnRenamed("id", "dst"), Seq("dst")),
+          key = "src", sortKey = "dst"))
+        .localCheckpoint(eager = false)
+    }
+    val out = verts
+      .join(auth.withColumnRenamed("v", "auth"), Seq("id"))
+      .join(hub.withColumnRenamed("v", "hub"), Seq("id"))
+    out.count() // materialize the checkpoint chain before releasing the cache
+    e.unpersist(blocking = false)
+    out
+  }
 }

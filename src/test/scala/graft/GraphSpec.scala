@@ -39,4 +39,23 @@ class GraphSpec extends SparkSpec {
     assert((2L to 9L).map(pr).toSet.size === 1, "equivalent spokes must tie")
     assert(pr === run(), "bit-deterministic across runs")
   }
+
+  test("hits: star graph separates hubs from authorities; L1 norms hold") {
+    // spokes 1..9 all link to node 0: node 0 is the pure authority,
+    // spokes are pure (and equivalent) hubs
+    val verts = spark.range(10).toDF("id")
+    val edges = spark.range(1, 10).select(col("id").as("src"), lit(0L).as("dst"))
+    def run() = Graph.hits(edges, verts, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toList.sortBy(_._1)
+    val out = run()
+    val auth = out.map(t => t._1 -> t._2).toMap
+    val hub = out.map(t => t._1 -> t._3).toMap
+    assert(auth(0L) === 1.0, s"sole sink must hold ALL authority: $auth")
+    assert(hub(0L) === 0.0, "the authority has no out-links, zero hub")
+    assert((1L to 9L).map(hub).toSet.size === 1, "equivalent spokes must tie")
+    assert(math.abs(auth.values.sum - 1.0) < 1e-9, "authority L1 norm")
+    assert(math.abs(hub.values.sum - 1.0) < 1e-9, "hub L1 norm")
+    assert(out === run(), "bit-deterministic across runs")
+  }
 }
