@@ -716,6 +716,40 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Funnel analysis over the event stream: per user, the first 'view',
+    // the first 'click' STRICTLY after it, the first 'purchase' strictly
+    // after that — stage reached + time-to-convert. The ordered-sequence
+    // sibling of q24's sessionization: three per-user min-aggregations,
+    // each stage's candidate set gated by the previous stage's timestamp.
+    // Scale: three shuffles on the same user key (a single-shuffle
+    // alternative folds the per-user ts-sorted event list through the
+    // stage machine — the d15 bounded-per-row-state trade; the 3-agg
+    // form stays fully codegen'd and lets AQE size each stage's shuffle).
+    "q49_funnel" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val ev = evRaw.select(col("user_id"), col("event_type"),
+        EventTime.epochMicros(evRaw).as("ts_us"))
+      val users = ev.select(col("user_id")).distinct()
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts_us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts_us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).cast("int").as("stage"),
+          (col("t_purchase") - col("t_view")).as("convert_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // Heavy hitters by Misra-Gries sketch (k=16 counters): the bounded-
     // memory top-terms path for open vocabularies a groupBy can't hold.
     // Item stream = document tokens with three synthesized hot items
@@ -1011,6 +1045,18 @@ object SparkEntry {
         .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Diversified retrieval: MMR greedy top-3 over the 10 nearest
+    // candidates (λ=0.7) — near-duplicate neighbors can't crowd a result
+    // set (diverse few-shot selection / dedup'd RAG contexts). Round-6
+    // relevance and pair sims, identical score chain, id tie-breaks; the
+    // twin unrolls all greedy rounds.
+    "s09_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrTopK(e, e.where(col("vec_id") < 5),
+          kCand = 10, kSelect = 3, lambda = 0.7)
+        .orderBy(col("probe_id"), col("mmr_rank"))
     }),
 
     // ANN quality measurement: recall@5 of the IVF scale path (s03's
@@ -2091,9 +2137,57 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** MMR twin (s09): candidate pool + candidate-pair sims as round-6
+    * cosines, then every greedy round unrolled — per round, the max-sim
+    * penalty against the selected-so-far union, the interpolated
+    * `rel·λ − pen·(1−λ)` chain (λ and 1−λ printed from the SAME Scala
+    * doubles the operator multiplies by), round-6 score, id tie-break.
+    */
+  private def mmrOracleSql(kCand: Int, kSelect: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    def selUnion(r: Int) =
+      (1 to r).map(i => s"SELECT probe_id, neighbor_id FROM sel$i").mkString(" UNION ALL ")
+    val rounds = (2 to kSelect).map { r =>
+      s"""selu${r - 1} AS (${selUnion(r - 1)}),
+         |pen$r AS (SELECT cc.probe_id, cc.a_id AS neighbor_id, max(cc.cc) AS pen
+         |  FROM cc JOIN selu${r - 1} s ON cc.probe_id = s.probe_id AND cc.b_id = s.neighbor_id
+         |  GROUP BY cc.probe_id, cc.a_id),
+         |sc$r AS (SELECT c.probe_id, c.neighbor_id, c.rel,
+         |    round(c.rel * $lambda - COALESCE(p.pen, 0.0) * $mu, 7) AS mmr_score
+         |  FROM cand c LEFT JOIN pen$r p USING (probe_id, neighbor_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s
+         |    WHERE s.probe_id = c.probe_id AND s.neighbor_id = c.neighbor_id)),
+         |sel$r AS MATERIALIZED (SELECT probe_id, CAST($r AS BIGINT) AS mmr_rank,
+         |    neighbor_id, rel, mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |     ORDER BY mmr_score DESC, neighbor_id) AS rn FROM sc$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finalUnion = (1 to kSelect).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv, cv) AS sim
+       |      FROM p JOIN c ON probe_id <> neighbor_id),
+       |cand AS MATERIALIZED (SELECT probe_id, neighbor_id, round(sim, 6) AS rel FROM (
+       |  SELECT probe_id, neighbor_id, sim, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, neighbor_id) AS rnk FROM s) WHERE rnk <= $kCand),
+       |cc AS MATERIALIZED (SELECT a.probe_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |    round(list_cosine_similarity(ca.cv, cb.cv), 6) AS cc
+       |  FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN c ca ON ca.neighbor_id = a.neighbor_id
+       |  JOIN c cb ON cb.neighbor_id = b.neighbor_id),
+       |sel1 AS MATERIALIZED (SELECT probe_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, rel,
+       |    round(rel * $lambda - 0.0 * $mu, 7) AS mmr_score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY round(rel * $lambda - 0.0 * $mu, 7) DESC, neighbor_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT * FROM ($finalUnion) ORDER BY probe_id, mmr_rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankOracleSql(iters = 10, damping = 0.85),
     "g02_hits" -> hitsOracleSql(iters = 5),
+    "s09_mmr" -> mmrOracleSql(kCand = 10, kSelect = 3, lambda = 0.7),
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2535,6 +2629,25 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
     },
+
+    // Funnel twin (q49): the same stage-gated min chain.
+    "q49_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY e.user_id)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        | CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |           WHEN t_click IS NOT NULL THEN 2
+        |           WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage,
+        | t_purchase - t_view AS convert_us
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        | LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // Incremental-agg twin (q48): the single-pass recompute — the merged
     // split state must match it bit-for-bit (exact decimal partials).

@@ -678,4 +678,84 @@ object Similarity {
           col("a_norm"), col("b_norm")), roundDp).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** Diversified top-k retrieval by Maximal Marginal Relevance (Carbonell
+    * & Goldstein 1998): greedily select `kSelect` of the `kCand` nearest
+    * candidates, each round maximizing `λ·rel − (1−λ)·max_sim_to_selected`
+    * — the retrieval-side answer to embedding near-dup (d06/d14 drop
+    * duplicates from the CORPUS; MMR keeps them out of a RESULT SET —
+    * diverse few-shot example selection, dedup'd RAG contexts).
+    *
+    * Determinism: relevance and candidate-candidate similarities are
+    * round-6 cosines; each round's score is the identical
+    * `rel·λ − pen·(1−λ)` float chain rounded to SEVEN dp, argmax ties
+    * break on neighbor id; the penalty is a MAX over rounded sims
+    * (order-free). The oracle unrolls every greedy round.
+    *
+    * Why 7 dp and not the house 6: with 1-decimal λ and 6-decimal
+    * rel/pen, the exact score has EXACTLY 7 decimals — so its 7th digit
+    * sits ON the 6-dp half boundary whenever it is 5, and there Spark
+    * (rounds the shortest decimal repr, BigDecimal.valueOf) and DuckDB
+    * (rounds the exact binary value) systematically disagree. At 7 dp
+    * the exact decimal is recovered on both engines (float error ~1e-16
+    * ≪ 0.5e-7) and no tie-break is ever exercised — measured: sf0.01
+    * probe 1's top score 0.2600395 flipped 0.26004 vs 0.260039 at 6 dp.
+    *
+    * Scale shape: one broadcast-probe corpus scan builds the candidate
+    * pool (s01's shape); everything after — the candidate-pair sims and
+    * the greedy rounds — runs on probes×kCand rows, index-sized, never
+    * corpus-sized. kSelect is a fixed small constant, so the sequential
+    * rounds are bounded; per-round state is the (probe, selected) frame.
+    */
+  def mmrTopK(corpus: DataFrame, probes: DataFrame, kCand: Int, kSelect: Int,
+      lambda: Double, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kSelect >= 1 && kCand >= kSelect, s"need 1 <= kSelect <= kCand")
+    val cand = bruteForceTopK(corpus, probes, kCand, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("rel"))
+      .localCheckpoint(eager = false)
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    val cv = cand.join(vecs, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("vec"),
+        nf(col("vec")).as("nrm"))
+    val cc = cv.select(col("probe_id"), col("neighbor_id").as("a_id"),
+        col("vec").as("a_vec"), col("nrm").as("a_norm"))
+      .join(cv.select(col("probe_id"), col("neighbor_id").as("b_id"),
+        col("vec").as("b_vec"), col("nrm").as("b_norm")), Seq("probe_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("probe_id"), col("a_id"), col("b_id"),
+        round(cf(col("a_vec"), col("b_vec"),
+          col("a_norm"), col("b_norm")), 6).as("cc"))
+      .localCheckpoint(eager = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("mmr_score").desc, col("neighbor_id").asc)
+    def score(rel: Column, pen: Column): Column =
+      round(rel * lit(lambda) - pen * lit(1.0 - lambda), 7)
+    var selected: DataFrame = null
+    for (r <- 1 to kSelect) {
+      val pick =
+        if (r == 1)
+          cand.withColumn("mmr_score", score(col("rel"), lit(0.0)))
+        else {
+          val pens = cc
+            .join(selected.select(col("probe_id"), col("neighbor_id").as("b_id")),
+              Seq("probe_id", "b_id"))
+            .groupBy(col("probe_id"), col("a_id")).agg(max(col("cc")).as("pen"))
+            .withColumnRenamed("a_id", "neighbor_id")
+          cand
+            .join(selected.select(col("probe_id"), col("neighbor_id")),
+              Seq("probe_id", "neighbor_id"), "left_anti")
+            .join(pens, Seq("probe_id", "neighbor_id"), "left")
+            .withColumn("mmr_score", score(col("rel"), coalesce(col("pen"), lit(0.0))))
+        }
+      val sel = pick.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("probe_id"), lit(r.toLong).as("mmr_rank"),
+          col("neighbor_id"), col("rel"), col("mmr_score"))
+      selected = (if (r == 1) sel else selected.unionByName(sel))
+        .localCheckpoint(eager = false)
+    }
+    selected
+  }
 }

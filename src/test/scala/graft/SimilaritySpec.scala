@@ -254,4 +254,25 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(2L) === ((2L, 1L, true)))
     assert(rows(3L) === ((3L, 1L, true)))
   }
+
+  test("mmrTopK: diverse neighbor displaces an exact duplicate; λ=1 is plain relevance") {
+    // probe [1,0,0]; ids 1 and 2 are exact duplicates at cos 0.9; id 3 is
+    // diverse (cos 0.8 to probe, cos 0.5 to id 1)
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.43589f, 0f)),
+      (2L, Array(0.9f, 0.43589f, 0f)),
+      (3L, Array(0.8f, -0.50472f, 0.32479f))
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0)
+    // λ=0.5: round 2 scores — dup: 0.45 − 0.5·1.0 = −0.05; diverse:
+    // 0.40 − 0.5·0.5 = 0.15 → the duplicate is displaced
+    val mmr = Similarity.mmrTopK(corpus, probes, kCand = 3, kSelect = 2, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(mmr.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 3L))
+    // λ=1: pure relevance — the duplicate ties at 0.9 and wins on id
+    val rel = Similarity.mmrTopK(corpus, probes, kCand = 3, kSelect = 2, lambda = 1.0)
+      .orderBy("mmr_rank").collect()
+    assert(rel.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+  }
 }
