@@ -147,6 +147,53 @@ object Stream {
       }
   }
 
+  /** [[subscriptionActivity]]'s accumulator as a Spark-4
+    * `transformWithState` StatefulProcessor — the arbitrary-state API a
+    * production pipeline should target over `flatMapGroupsWithState`:
+    * NAMED typed state handles (value/list/map, each its own column
+    * family in the store instead of one opaque blob), per-state TTL,
+    * event/processing-time timers, and schema-evolvable state. Requires
+    * the RocksDB state-store provider (enforced at query start), which
+    * is also the 100 TB answer for state larger than executor heap —
+    * changelog-checkpointed off-heap state per partition.
+    */
+  final class SubActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), SubActivity] {
+    import implicits._
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("activity",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SubActivity] = {
+      val (c0, t0) = if (state.exists()) state.get() else (0L, 0L)
+      var c = c0
+      var tMax = t0
+      rows.foreach { case (_, ts) => c += 1; tMax = math.max(tMax, ts) }
+      state.update((c, tMax))
+      Iterator(SubActivity(key, c, tMax))
+    }
+  }
+
+  /** [[subscriptionActivity]] via [[SubActivityProcessor]] — identical
+    * output contract (StreamingSpec runs the same restart-resume scenario
+    * against both), different state machinery underneath.
+    */
+  def subscriptionActivityTws(envelopes: DataFrame): Dataset[SubActivity] = {
+    import envelopes.sparkSession.implicits._
+    envelopes
+      .select(col("notifId").cast("string"), col("timestamp").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SubActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stream-stream INTERVAL join: for each left row, the right rows with
     * the same key whose event time falls in `[leftTs - lookback, leftTs]`.
     * Both sides carry a watermark, which is what BOUNDS THE JOIN STATE —

@@ -281,6 +281,52 @@ class StreamingSpec extends SparkSpec {
       Stream.SubActivity(Fixtures.NotifId, 3L, 1776680100L)))
   }
 
+  test("transformWithState: the same per-subscription state on the Spark-4 API") {
+    // identical scenario to the flatMapGroupsWithState test above — the
+    // output contract must not depend on which state API carries it
+    val srcDir = tempDir("graft-tws-src")
+    val ckptDir = tempDir("graft-tws-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.SubActivity]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val env = Stream.envelopeStream(
+          Stream.fileSource(spark, srcDir), Fixtures.subscriptions(spark))
+        val q = Stream.subscriptionActivityTws(env)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.SubActivity], _: Long) =>
+            collected ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+        (Fixtures.perfDataPayload + "\n").getBytes("UTF-8"))
+      run()
+      assert(collected.toSeq === Seq(
+        Stream.SubActivity(Fixtures.NotifId, 1L, 1776680100L)))
+      collected.clear()
+      Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+        (Seq(Fixtures.ueCommPayload, Fixtures.ueMobilityPayload).mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+      run()
+      assert(collected.toSeq === Seq(
+        Stream.SubActivity(Fixtures.NotifId, 3L, 1776680100L)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("typed envelope Dataset round-trips the closed output shape") {
     val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
     val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
