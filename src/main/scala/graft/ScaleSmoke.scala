@@ -195,6 +195,24 @@ object ScaleSmoke {
         graft.analytics.Graph.pageRank(edges, docs, iters = 5, idCol = "doc_id"))
     }
 
+    // HITS (g02) at blowup: same graph, TWO joins + TWO aggregations per
+    // iteration (src- and dst-keyed) plus two 1-row L1-total folds — cost
+    // must track edges × iterations like pagerank, at roughly twice the
+    // per-iteration constant. The L1-total folds collect the VERTEX-count
+    // score vector into one row each — the price of bit-replayable
+    // normalization, honest here: it is corpus-sized, not model-sized,
+    // and the production swap is plain sum(+L2) as Graph.hits documents.
+    if (shouldRun("hits")) {
+      val nDocs = docs.count()
+      val verts = docs.select(col("doc_id"))
+      val edges = verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(nDocs)).as("dst"))
+        .unionByName(verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(nDocs)).as("dst")))
+      run("hits")(
+        graft.analytics.Graph.hits(edges, docs, iters = 3, idCol = "doc_id"))
+    }
+
     // Adversarial CC topology at scale: ONE path component of 100k×mult
     // nodes (diameter = n−1). Min-label propagation needs one round per
     // hop — structurally impossible here; the large-star/small-star

@@ -716,6 +716,68 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // EWMA feature per user (α=0.25): the classic online smoothing a
+    // feature store computes per entity — the recurrence is replayed by
+    // folding the (ts, event_id)-ordered value list, seeded with the
+    // first value on both engines. The recurrence runs in EXACT DECIMAL
+    // (values at (18,6), state at (28,9), round-9 each step): a
+    // round-the-double variant measured a cross-engine flip at ~50
+    // magnitude (ulp 7e-15 vs the 1e-9 half boundary → ~7e-6 boundary
+    // probability per step × 10^4 steps at sf0.01 — Spark rounds the
+    // shortest decimal repr, DuckDB the exact binary value, the s09
+    // lesson at scale-magnitude doubles); decimal arithmetic has no
+    // boundary at all. The (18,6)→(28,9) double cast is deliberate:
+    // double→decimal conversion itself is engine-divergent at fine
+    // scales (same shortest-repr-vs-binary split), so the input coarsens
+    // at 6 dp (boundary odds 7e-9/value) and then WIDENS exactly to the
+    // fold scale — which must be the LIST ELEMENT type, because DuckDB's
+    // list_reduce unifies each lambda result back to the element type
+    // (measured: (18,6) elements silently truncated the fold to 6 dp).
+    // One shuffle on user_id; per-user state is the
+    // event list (bounded by per-entity history, the d15 trade).
+    "q50_ewma" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val quarter = lit(new java.math.BigDecimal("0.25"))
+      val threeQ = lit(new java.math.BigDecimal("0.75"))
+      evRaw
+        .select(col("user_id"),
+          struct(EventTime.epochMicros(evRaw).as("o1"), col("event_id").as("o2"),
+            col("value").cast("decimal(18,6)").cast("decimal(28,9)").as("v")).as("r"))
+        .groupBy(col("user_id")).agg(collect_list(col("r")).as("rs"))
+        .select(col("user_id"),
+          size(col("rs")).cast("bigint").as("n"),
+          aggregate(transform(array_sort(col("rs")), x => x.getField("v")),
+            lit(null).cast("decimal(28,9)"),
+            (acc, x) => when(acc.isNull, x)
+              .otherwise(round(quarter * x + threeQ * acc, 9)
+                .cast("decimal(28,9)")))
+            .cast("double").as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Cohort retention over the event stream: users grouped by first-
+    // activity day, distinct-user counts per (cohort, day offset) plus
+    // the retention ratio — the engagement matrix behind every "day-N
+    // retention" metric. Day buckets are exact integer division of epoch
+    // micros; two shuffles (per-user min, then the cohort-cell distinct).
+    "q51_retention" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val us = EventTime.epochMicros(evRaw)
+      // subtract the remainder first so the division is of an exact
+      // multiple — the quotient is then an exactly-representable integer
+      val e = evRaw.select(col("user_id"),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long").as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      e.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .join(sizes, Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"), col("cohort_size"),
+          round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Funnel analysis over the event stream: per user, the first 'view',
     // the first 'click' STRICTLY after it, the first 'purchase' strictly
     // after that — stage reached + time-to-convert. The ordered-sequence
@@ -2629,6 +2691,34 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
     },
+
+    // EWMA twin (q50): list_reduce over the same (ts, event_id)-ordered
+    // DECIMAL(18,6) values — DuckDB seeds the fold with the first
+    // element, Spark's null-seeded when-branch does the same; every
+    // subsequent step is the identical exact-decimal round-9 recurrence.
+    "q50_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |      CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,9)) AS v FROM events),
+        |g AS (SELECT user_id, list(v ORDER BY ts_us, event_id) AS vs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        | CAST(list_reduce(vs, (acc, x) ->
+        |   CAST(round(0.25 * x + 0.75 * acc, 9) AS DECIMAL(28,9))) AS DOUBLE) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    // Retention twin (q51): same exact-integer day buckets and the same
+    // one-double-division ratio.
+    "q51_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day),
+        |r AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |      count(DISTINCT e.user_id) AS n_users
+        |      FROM e JOIN f USING (user_id) GROUP BY cohort_day, day_offset)
+        |SELECT cohort_day, day_offset, n_users, cohort_size,
+        | round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     // Funnel twin (q49): the same stage-gated min chain.
     "q49_funnel" ->

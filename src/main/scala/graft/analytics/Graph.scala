@@ -88,11 +88,13 @@ object Graph {
     * Scale shape per iteration: two joins of a score vector with the
     * edge list (by src, then by dst — at 100 TB keep TWO bucketed copies
     * of the edge list, one per key, the standard adjacency/reverse-
-    * adjacency layout) and two key-wise aggregations; the L1 totals are
-    * 1-row scalar folds (model-sized control state, the t11/BPE trade).
-    * Fold buffers are bounded by in-/out-degree — cap or salt viral
-    * keys; the production swap is plain `sum` + L2, losing only
-    * bit-replayability.
+    * adjacency layout) and two key-wise aggregations. Per-key fold
+    * buffers are bounded by in-/out-degree — cap or salt viral keys. The
+    * L1 totals fold the whole VERTEX-count score vector into one row —
+    * corpus-sized, the real cost of bit-replayable normalization (NOT
+    * model-sized like the BPE argmax); the production swap is a plain
+    * partial-aggregated `sum` (and classically L2), losing only
+    * bit-replayability — the s05 replayableMeans trade.
     */
   def hits(edges: DataFrame, vertices: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",
