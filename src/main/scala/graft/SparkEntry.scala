@@ -682,6 +682,13 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy(col("column"))),
 
+    // ANALYZE-style distribution shape: 8-bin equi-width histogram of
+    // l_extendedprice, bounds from the data. No rounding anywhere — the
+    // bin index is floor of identical IEEE ops, boundary-free.
+    "q52_histogram" -> ((s, dir) =>
+      analytics.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", nBins = 8)
+        .orderBy(col("bin"))),
+
     // Data-quality expectations (Deequ-shaped): named constraint checks
     // over lineitem in one scan — violation counts + pass flags, nulls
     // count as violations. tax_under_5pct intentionally FAILS (TPC-H tax
@@ -2673,6 +2680,18 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+
+    // Histogram twin (q52): same data-derived bounds, same floor/least
+    // bin map.
+    "q52_histogram" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+        |v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |  ELSE least(floor((v - lo) / ((hi - lo) / 8)), 7) END AS BIGINT) AS bin,
+        | count(*) AS n
+        |FROM v CROSS JOIN b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Expectations twin (q45): same predicates, same null-is-violation
     // coalesce, same pass flags.

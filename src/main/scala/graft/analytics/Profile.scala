@@ -94,4 +94,32 @@ object Profile {
     }
     a.select(explode(array(rows: _*)).as("e")).select(col("e.*"))
   }
+
+  /** Equi-width histogram of a numeric column — the ANALYZE statistics
+    * companion to [[numericProfile]] (optimizers and skew diagnostics
+    * want the distribution's SHAPE, not just its extremes). Bounds come
+    * from the data (one 1-row aggregate, broadcast); each non-null value
+    * maps to `least(floor((v-lo)/w), nBins-1)` so the max lands in the
+    * last bin. Empty bins are absent from the output (their count is 0).
+    *
+    * Cross-engine determinism needs NO rounding here: lo/hi/w and the
+    * bin index are the same IEEE ops on the same doubles in both engines,
+    * and floor has no half-boundary. A constant column (hi == lo)
+    * degenerates to one bin 0 holding everything.
+    *
+    * Scale: two scans (bounds, then binning — at 100 TB fuse the first
+    * into existing profile stats), one shuffle on the nBins-sized key.
+    */
+  def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"need at least one bin, got $nBins")
+    val bounds = df.agg(min(col(c)).cast(DoubleType).as("lo"),
+      max(col(c)).cast(DoubleType).as("hi"))
+    val w = (col("hi") - col("lo")) / nBins
+    df.select(col(c).cast(DoubleType).as("v")).where(col("v").isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(when(col("hi") === col("lo"), lit(0L))
+        .otherwise(least(floor((col("v") - col("lo")) / w),
+          lit(nBins - 1L))).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
 }

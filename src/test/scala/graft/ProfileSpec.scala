@@ -28,6 +28,18 @@ class ProfileSpec extends SparkSpec {
     assert(q.isNullAt(q.fieldIndex("mean_v")))
   }
 
+  test("histogram: max lands in the last bin; constant column degenerates to bin 0") {
+    val df = spark.range(101).select(col("id").cast("double").as("v"))
+    val h = Profile.histogram(df, "v", nBins = 4).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    // [0,100] in 4 bins of width 25: 0-24, 25-49, 50-74, 75-100 (max clamped)
+    assert(h === Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 26L))
+    val const = Profile.histogram(
+      df.select(lit(7.0).as("v")), "v", nBins = 4).collect()
+    assert(const.length === 1 &&
+      const.head.getAs[Long]("bin") === 0L && const.head.getAs[Long]("n") === 101L)
+  }
+
   test("numericProfile approxDistinct: no Expand in the plan, estimate within rsd") {
     val df = spark.range(20000).select(col("id").cast("double").as("v"),
       (col("id") % 97).cast("double").as("w"))
