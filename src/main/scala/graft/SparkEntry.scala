@@ -2176,22 +2176,30 @@ object SparkEntry {
   }
 
   /** HITS twin (g02): replays every half-step — src-ordered in-edge folds
-    * for authority, dst-ordered out-edge folds for hub, id-ordered L1
-    * totals, round-12 normalized scores. Score CTEs are MATERIALIZED
-    * (each feeds the next half-step AND the final join).
+    * for authority, dst-ordered out-edge folds for hub, the two-level
+    * BLOCKED L1 totals (id-ordered folds per id//4096 block, then a
+    * block-ordered fold of the block sums — Graph.hits' exact tree),
+    * round-12 normalized scores. Score CTEs are MATERIALIZED (each feeds
+    * the next half-step AND the final join).
     */
   private def hitsOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""ar$i AS MATERIALIZED (SELECT e.dst AS id,
          |  list_reduce(list(h.v ORDER BY e.src), (x, y) -> x + y) AS raw
          |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
-         |at$i AS (SELECT list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS tot FROM ar$i),
+         |abs$i AS (SELECT id // 4096 AS blk,
+         |  list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS s
+         |  FROM ar$i GROUP BY blk),
+         |at$i AS (SELECT list_reduce(list(s ORDER BY blk), (x, y) -> x + y) AS tot FROM abs$i),
          |a$i AS MATERIALIZED (SELECT v.id, round(COALESCE(ar.raw, 0.0) / t.tot, 12) AS v
          |  FROM verts v LEFT JOIN ar$i ar ON v.id = ar.id CROSS JOIN at$i t),
          |hr$i AS MATERIALIZED (SELECT e.src AS id,
          |  list_reduce(list(a.v ORDER BY e.dst), (x, y) -> x + y) AS raw
          |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
-         |ht$i AS (SELECT list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS tot FROM hr$i),
+         |hbs$i AS (SELECT id // 4096 AS blk,
+         |  list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS s
+         |  FROM hr$i GROUP BY blk),
+         |ht$i AS (SELECT list_reduce(list(s ORDER BY blk), (x, y) -> x + y) AS tot FROM hbs$i),
          |h$i AS MATERIALIZED (SELECT v.id, round(COALESCE(hr.raw, 0.0) / t.tot, 12) AS v
          |  FROM verts v LEFT JOIN hr$i hr ON v.id = hr.id CROSS JOIN ht$i t)""".stripMargin
     }.mkString(",\n")

@@ -90,9 +90,14 @@ object Graph {
     * of the edge list, one per key, the standard adjacency/reverse-
     * adjacency layout) and two key-wise aggregations. Per-key fold
     * buffers are bounded by in-/out-degree — cap or salt viral keys. The
-    * L1 totals fold the whole VERTEX-count score vector into one row —
-    * corpus-sized, the real cost of bit-replayable normalization (NOT
-    * model-sized like the BPE argmax); the production swap is a plain
+    * L1 totals use a FIXED TWO-LEVEL BLOCKED fold: per-block (id div
+    * 4096) ordered partial sums — distributed, buffer ≤ block size —
+    * then one block-ordered fold of the ~n/4096 block sums. The tree
+    * shape is keyed by id, never by partitioning, so the result is
+    * bit-replayable AND scales; the first cut folded the whole
+    * vertex-count vector in ONE row and measured SUPERLINEAR at corpus
+    * blowup (9.3 s @5× → 59 s @20× — single-task sort+fold), vs
+    * near-linear blocked. The production swap remains a plain
     * partial-aggregated `sum` (and classically L2), losing only
     * bit-replayability — the s05 replayableMeans trade.
     */
@@ -114,10 +119,17 @@ object Graph {
           aggregate(transform(array_sort(col("cs")), c => c.getField("x")),
             lit(0.0), (a, b) => a + b).as("raw"))
 
-    // L1-normalize a raw score vector over the full vertex set
+    // L1-normalize a raw score vector over the full vertex set; the
+    // total is the blocked two-level ordered fold described above
     def normalize(raw: DataFrame): DataFrame = {
-      val tot = raw.agg(collect_list(struct(col("id"), col("raw"))).as("xs"))
-        .select(aggregate(transform(array_sort(col("xs")), c => c.getField("raw")),
+      val blockSums = raw
+        .groupBy((col("id") - pmod(col("id"), lit(4096L))).as("blk"))
+        .agg(collect_list(struct(col("id"), col("raw"))).as("xs"))
+        .select(col("blk"),
+          aggregate(transform(array_sort(col("xs")), c => c.getField("raw")),
+            lit(0.0), (a, b) => a + b).as("s"))
+      val tot = blockSums.agg(collect_list(struct(col("blk"), col("s"))).as("bs"))
+        .select(aggregate(transform(array_sort(col("bs")), c => c.getField("s")),
           lit(0.0), (a, b) => a + b).as("tot"))
       verts.join(raw, Seq("id"), "left")
         .crossJoin(broadcast(tot))

@@ -708,11 +708,16 @@ object Similarity {
     * rounds are bounded; per-round state is the (probe, selected) frame.
     */
   def mmrTopK(corpus: DataFrame, probes: DataFrame, kCand: Int, kSelect: Int,
-      lambda: Double, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      lambda: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      checkpoint: Boolean = true): DataFrame = {
     require(kSelect >= 1 && kCand >= kSelect, s"need 1 <= kSelect <= kCand")
-    val cand = bruteForceTopK(corpus, probes, kCand, idCol, vecCol)
-      .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("rel"))
-      .localCheckpoint(eager = false)
+    // `checkpoint = false` is for plan audits only: lazy localCheckpoint
+    // replaces the logical plan with a LogicalRDD, so the full join tree
+    // is invisible to explain; semantics are identical either way
+    def cp(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(eager = false) else df
+    val cand = cp(bruteForceTopK(corpus, probes, kCand, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("rel")))
     val nf = normFn(corpus)
     val cf = cosineFromNorms(dotFn(corpus)) _
     val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
@@ -727,7 +732,7 @@ object Similarity {
       .select(col("probe_id"), col("a_id"), col("b_id"),
         round(cf(col("a_vec"), col("b_vec"),
           col("a_norm"), col("b_norm")), 6).as("cc"))
-      .localCheckpoint(eager = false)
+    val ccCp = cp(cc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("mmr_score").desc, col("neighbor_id").asc)
@@ -739,7 +744,7 @@ object Similarity {
         if (r == 1)
           cand.withColumn("mmr_score", score(col("rel"), lit(0.0)))
         else {
-          val pens = cc
+          val pens = ccCp
             .join(selected.select(col("probe_id"), col("neighbor_id").as("b_id")),
               Seq("probe_id", "b_id"))
             .groupBy(col("probe_id"), col("a_id")).agg(max(col("cc")).as("pen"))
@@ -753,8 +758,7 @@ object Similarity {
       val sel = pick.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("probe_id"), lit(r.toLong).as("mmr_rank"),
           col("neighbor_id"), col("rel"), col("mmr_score"))
-      selected = (if (r == 1) sel else selected.unionByName(sel))
-        .localCheckpoint(eager = false)
+      selected = cp(if (r == 1) sel else selected.unionByName(sel))
     }
     selected
   }

@@ -292,4 +292,46 @@ class PlanAuditSpec extends SparkSpec {
           s"JSON string: ${collected.head}")
     }
   }
+
+  test("q47: the MG sketch partial-aggregates per partition; no cartesian anywhere") {
+    val p = plan("q47_heavy_hitters")
+    // the typed Aggregator plans as ObjectHashAggregate with a partial
+    // pass — per-partition k-counter summaries merge, raw tokens never
+    // shuffle for the sketch side
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the typed sketch aggregate, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected, plan:\n$p")
+    // the 1-row sketch and total rejoin the exact side as broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch/total must broadcast back, plan:\n$p")
+  }
+
+  test("s09: loop joins only in the probe/corpus scan; greedy rounds are hash joins") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 5)
+    // stage 1 — the candidate pool: exactly ONE broadcast loop join
+    // (probe × corpus with the self-exclusion predicate), no cartesian
+    val candPlan = analytics.Similarity.bruteForceTopK(e, probes, k = 10)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!candPlan.contains("CartesianProduct"), s"plan:\n$candPlan")
+    // count node-detail headers — formatted explain prints each node
+    // once in the tree and once in the details section
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(candPlan).size === 1,
+      s"expected exactly the probe×corpus loop join, plan:\n$candPlan")
+    // full operator (checkpoint=false exposes the whole logical tree —
+    // at runtime the checkpoints materialize cand/cc ONCE; the explain
+    // artifact is subtree duplication, so count SHAPES, not instances):
+    // no cartesian anywhere, and the greedy rounds' pens/anti/pick joins
+    // key on probe_id as HASH joins
+    val p = analytics.Similarity.mmrTopK(e, probes,
+        kCand = 10, kSelect = 3, lambda = 0.7, checkpoint = false)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"no cartesian expected, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"greedy-round joins must be hash/merge equi-joins, plan:\n$p")
+  }
 }
