@@ -180,6 +180,89 @@ object Stream {
     }
   }
 
+  /** One closed session: key, record count, first/last event seconds. */
+  case class SessionClose(key: String, nRecords: Long,
+    firstEventSec: Long, lastEventSec: Long)
+
+  /** Session closing with EVENT-TIME TIMERS — the transformWithState
+    * capability `session_window` (H3) cannot express: emit a session's
+    * summary the moment the WATERMARK proves it over, not only when a
+    * newer record from the same key shows up. Two close paths, both
+    * exercised by StreamingSpec:
+    *  - inline: a record beyond `gapSec` of the session's last event
+    *    closes it in `handleInputRows` (batch rows folded in ts order);
+    *  - timer: `registerTimer(lastEvent + gap)` arms per key, re-armed on
+    *    every update (previous timer deleted); when the watermark passes
+    *    it with no newer record, `handleExpiredTimer` emits the close and
+    *    clears the state — bounded state without same-key traffic.
+    *
+    * Input frame needs (`k` string, `ts` epoch seconds). State per key is
+    * one (count, first, last) triple + one timer — subscription-sized.
+    */
+  final class SessionCloseProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), SessionClose] {
+    import implicits._
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)]("session",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionClose] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionClose]
+      var cur = if (state.exists()) Some(state.get()) else None
+      rows.map(_._2).toSeq.sorted.foreach { ts =>
+        cur match {
+          case Some((c, f, l)) if ts - l > gapSec =>
+            closed += SessionClose(key, c, f, l)
+            cur = Some((1L, ts, ts))
+          case Some((c, f, l)) =>
+            cur = Some((c + 1L, f, math.max(l, ts)))
+          case None =>
+            cur = Some((1L, ts, ts))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((s._3 + gapSec) * 1000L)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionClose] = {
+      val out = if (state.exists()) {
+        val (c, f, l) = state.get()
+        Iterator.single(SessionClose(key, c, f, l))
+      } else Iterator.empty
+      state.clear()
+      out
+    }
+  }
+
+  /** Watermarked session closing over a (k, ts-epoch-seconds) frame via
+    * [[SessionCloseProcessor]]. RocksDB state store required (as for all
+    * transformWithState operators).
+    */
+  def sessionCloseTws(events: DataFrame, gapSec: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("k").cast("string").as("k"), col("ts").cast("long").as("ts"),
+        timestamp_seconds(col("ts")).as("ets"))
+      .withWatermark("ets", watermarkDelay)
+      .select(col("k"), col("ts")).as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionCloseProcessor(gapSec),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[subscriptionActivity]] via [[SubActivityProcessor]] — identical
     * output contract (StreamingSpec runs the same restart-resume scenario
     * against both), different state machinery underneath.

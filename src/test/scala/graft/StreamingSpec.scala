@@ -327,6 +327,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState timers: watermark closes idle sessions; gaps close inline") {
+    val srcDir = tempDir("graft-twstimer-src")
+    val ckptDir = tempDir("graft-twstimer-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.SessionClose]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val T = 1000000000L
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema("k string, ts long").json(srcDir)
+        val q = Stream.sessionCloseTws(src, gapSec = 1800L)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.SessionClose], _: Long) =>
+            collected ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      def write(name: String, rows: (String, Long)*): Unit =
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (rows.map { case (k, ts) => s"""{"k":"$k","ts":$ts}""" }
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+
+      // b0: two a-records inside one session — watermark ends the run at
+      // T+900, short of a's timer (T+2700): nothing closes
+      write("b0.jsonl", ("a", T), ("a", T + 900))
+      run()
+      assert(collected.isEmpty, s"no session may close yet: $collected")
+      // b1: b appears at T+10800. AvailableNow appends a no-data batch
+      // after the data batch, so the watermark advances to T+10800
+      // WITHIN this run and a's timer fires with no a-traffic at all —
+      // the pure timer-close path
+      write("b1.jsonl", ("b", T + 10800))
+      run()
+      assert(collected.toSeq === Seq(Stream.SessionClose("a", 2L, T, T + 900)),
+        s"expected the timer close of a: $collected")
+      // b2: b again 60s later — same session extends, its timer re-arms
+      // to T+12660, watermark only reaches T+10860: nothing closes
+      collected.clear()
+      write("b2.jsonl", ("b", T + 10860))
+      run()
+      assert(collected.isEmpty, s"b must extend, not close: $collected")
+      // b3: two a-records 3000s apart in ONE batch — the first closes
+      // INLINE (gap exceeded within handleInputRows); the same run's
+      // watermark (T+23000) then fires b's T+12660 timer
+      write("b3.jsonl", ("a", T + 20000), ("a", T + 23000))
+      run()
+      assert(collected.sortBy(_.key).toSeq === Seq(
+        Stream.SessionClose("a", 1L, T + 20000, T + 20000),
+        Stream.SessionClose("b", 2L, T + 10800, T + 10860)),
+        s"expected a's inline close + b's timer close: $collected")
+      // b4: unrelated c at T+23100 — a's re-armed timer (T+24800) stays
+      // ahead of the watermark; open sessions (a, c) survive the run
+      collected.clear()
+      write("b4.jsonl", ("c", T + 23100))
+      run()
+      assert(collected.isEmpty, s"no close expected: $collected")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("typed envelope Dataset round-trips the closed output shape") {
     val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
     val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
