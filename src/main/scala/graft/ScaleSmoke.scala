@@ -213,6 +213,14 @@ object ScaleSmoke {
         graft.analytics.Graph.hits(edges, docs, iters = 3, idCol = "doc_id"))
     }
 
+    // MMR diversified retrieval (s09) at blowup: the candidate pool is a
+    // broadcast-probe corpus scan (s01's shape), everything after runs on
+    // probes×kCand rows — cost must track the corpus scan term only; the
+    // greedy rounds are corpus-size-independent.
+    run("mmr")(
+      Similarity.mmrTopK(vecs, vecs.where(col("vec_id") < 10), kCand = 10,
+        kSelect = 3, lambda = 0.7))
+
     // Adversarial CC topology at scale: ONE path component of 100k×mult
     // nodes (diameter = n−1). Min-label propagation needs one round per
     // hop — structurally impossible here; the large-star/small-star

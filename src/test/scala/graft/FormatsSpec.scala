@@ -37,6 +37,28 @@ class FormatsSpec extends SparkSpec {
   test("JSON-lines round-trip with declared schema") { roundTrip("json") }
   test("ORC round-trip with declared schema") { roundTrip("orc") }
 
+  test("schema evolution: mergeSchema unions columns across parquet generations") {
+    // generation 1 without, generation 2 with a new column — the exact
+    // shape a long-lived ingest directory takes when the envelope grows a
+    // field (the reference's dynamically-discovered metrics, D3)
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/data"
+    sample.select("l_orderkey", "l_linenumber", "l_quantity")
+      .write.parquet(s"$dir/gen=1")
+    sample.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag").as("new_flag"))
+      .write.parquet(s"$dir/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set(
+      "l_orderkey", "l_linenumber", "l_quantity", "new_flag", "gen"))
+    // old-generation rows surface the new column as null, not an error
+    val gen1 = merged.where(col("gen") === 1)
+    assert(gen1.count() === sample.count())
+    assert(gen1.where(col("new_flag").isNull).count() === sample.count(),
+      "pre-evolution rows must read the new column as null")
+    assert(merged.where(col("gen") === 2 && col("new_flag").isNotNull).count()
+      === sample.count())
+  }
+
   test("hive-partitioned parquet: partition pruning reaches the scan (no full read)") {
     // THE 100 TB layout: facts partitioned by a low-cardinality key; a
     // filter on that key must become a PartitionFilter (directories never

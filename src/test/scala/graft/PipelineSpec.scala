@@ -191,4 +191,29 @@ class PipelineSpec extends SparkSpec {
     assert(viaAggregator === Seq("pdb_ms", "plr_per_thousand",
       "thrputDl_mbps", "thrputUl_mbps"))
   }
+
+  test("observe: the pipeline reports its own counters without a second pass") {
+    // CollectMetrics rides the existing action — record count, UE-id
+    // drops and absent-metric records surface as observed metrics with
+    // ZERO extra scans (the production ops story: a 100 TB ingest cannot
+    // afford count() side-queries for its dashboards)
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val env = envelopes(Fixtures.perfDataPayload, Fixtures.ueMobilityPayload,
+      Fixtures.ueCommPayload, Fixtures.unsupportedEventPayload)
+      .observe(obs,
+        count(lit(1)).as("n_envelopes"),
+        sum(when(size(map_keys(col("metrics"))) === 0, 1L).otherwise(0L))
+          .as("n_no_metrics"),
+        // DISTINCT aggregates are rejected in observed metrics
+        // (INVALID_OBSERVED_METRICS) — the HLL sketch is the metric that
+        // IS allowed, and the right one at scale anyway
+        approx_count_distinct(col("event")).as("n_event_types"))
+    val n = env.count() // the one action; metrics piggyback on it
+    val m = obs.get
+    assert(m("n_envelopes") === n)
+    // mobility/comm payloads live in the nested array columns, so their
+    // scalar-metrics maps are legitimately empty (C8)
+    assert(m("n_no_metrics") === 2L)
+    assert(m("n_event_types") === 3L) // unsupported event never normalizes
+  }
 }
