@@ -370,6 +370,30 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // IQR outlier gate (Tukey fences): per event_type, exact interpolated
+    // quartiles (q27's machinery) → [q1 − 1.5·IQR, q3 + 1.5·IQR] bounds →
+    // out-of-fence row counts. The numeric-column cleaning rule next to
+    // q45's declared expectations — the bounds come from the DATA. No
+    // rounding on the gate: both engines derive bit-identical quartiles
+    // (q27-proven), 1.5 is exact, and the fence comparison reuses those
+    // exact doubles. Dim-sized stats broadcast back onto the fact scan.
+    "q53_iqr_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .select(col("event_type"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy(col("event_type"))
+    }),
+
     // F8/E5 — pivot (wide conditional aggregation): order counts by
     // priority × status. Explicit pivot values keep the plan static (no
     // driver-side distinct-values job — at 100 TB the value scan is a full
@@ -2445,6 +2469,18 @@ object SparkEntry {
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         | quantile_cont(o_totalprice, 0.95) AS p95, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // IQR twin (q53): quantile_cont quartiles, the same fence arithmetic.
+    "q53_iqr_outliers" ->
+      """WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.75) AS q3 FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |  q3 + (q3 - q1) * 1.5 AS hi FROM s)
+        |SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | min(lo) AS lo, min(hi) AS hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     // Sketch twins (q30/q35): the estimator internals are engine-specific,
     // so the twin checks the two halves of the contract separately — the
