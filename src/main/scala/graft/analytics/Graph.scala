@@ -121,7 +121,10 @@ object Graph {
 
     // L1-normalize a raw score vector over the full vertex set; the
     // total is the blocked two-level ordered fold described above
-    def normalize(raw: DataFrame): DataFrame = {
+    def normalize(raw0: DataFrame): DataFrame = {
+      // raw feeds BOTH the total and the per-vertex division — pin it
+      // once or the join+fold upstream runs twice per half-step
+      val raw = raw0.localCheckpoint(eager = false)
       val blockSums = raw
         .groupBy((col("id") - pmod(col("id"), lit(4096L))).as("blk"))
         .agg(collect_list(struct(col("id"), col("raw"))).as("xs"))
