@@ -44,6 +44,34 @@ class SketchesSpec extends SparkSpec {
     assert(cand.sorted === Seq("v0", "v1", "v2", "v3", "v4"))
   }
 
+  test("guarantee property: 200 random streams × random merge trees (no Spark)") {
+    // exercises reduce/merge directly — random item skew, random k,
+    // random partition split, random left/right merge fold — the
+    // combinations a single cluster run never covers
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 200) {
+      val k = 4 + rnd.nextInt(29)
+      val nHot = 1 + rnd.nextInt(3)
+      val hot = (0 until nHot).flatMap(h =>
+        Seq.fill(2000 + rnd.nextInt(2000))(s"hot$h"))
+      val tail = Seq.fill(3000 + rnd.nextInt(3000))(s"t${rnd.nextInt(500)}")
+      val items = rnd.shuffle(hot ++ tail)
+      val n = items.size.toLong
+      val exact = items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val heavy = exact.collect { case (t, c) if c * (k + 1) > n => t }.toSet
+      val mg = new MisraGries(k)
+      // random split into 1..8 partitions, each reduced, then merged in
+      // a random fold order
+      val nParts = 1 + rnd.nextInt(8)
+      val parts = items.grouped(math.max(1, items.size / nParts)).toSeq
+        .map(_.foldLeft(mg.zero)(mg.reduce))
+      val summary = rnd.shuffle(parts).reduce(mg.merge)
+      assert(summary.size <= k, s"trial $trial: size ${summary.size} > k=$k")
+      assert(heavy.subsetOf(summary.keySet),
+        s"trial $trial (k=$k, n=$n): lost ${heavy.diff(summary.keySet)}")
+    }
+  }
+
   test("empty input yields an empty summary") {
     val cand = Seq.empty[String].toDF("term").as[String]
       .select(new MisraGries(4).toColumn.name("cand"))
