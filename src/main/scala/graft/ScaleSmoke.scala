@@ -213,6 +213,22 @@ object ScaleSmoke {
         graft.analytics.Graph.hits(edges, docs, iters = 3, idCol = "doc_id"))
     }
 
+    // Production graph paths (replayable=false: plain partial-aggregated
+    // sums, no ordered folds) — paired with the `pagerank`/`hits`
+    // datapoints above, the delta IS the measured determinism tax.
+    if (shouldRun("pagerank_prod") || shouldRun("hits_prod")) {
+      val nDocs = docs.count()
+      val verts = docs.select(col("doc_id"))
+      val edges = verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(nDocs)).as("dst"))
+        .unionByName(verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(nDocs)).as("dst")))
+      run("pagerank_prod")(graft.analytics.Graph.pageRank(
+        edges, docs, iters = 5, idCol = "doc_id", replayable = false))
+      run("hits_prod")(graft.analytics.Graph.hits(
+        edges, docs, iters = 3, idCol = "doc_id", replayable = false))
+    }
+
     // MMR diversified retrieval (s09) at blowup: the candidate pool is a
     // broadcast-probe corpus scan (s01's shape), everything after runs on
     // probes×kCand rows — cost must track the corpus scan term only; the

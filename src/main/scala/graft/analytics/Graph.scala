@@ -37,7 +37,7 @@ object Graph {
   def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int,
       damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", replayable: Boolean = true): DataFrame = {
     val n = vertices.count() // scalar control decision, not a data collect
     require(n > 0, "pageRank needs a non-empty vertex set")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -53,12 +53,17 @@ object Graph {
         .join(outDeg, Seq("src"))
         .select(col("dst").as("id"), col("src"),
           round(col("pr") / col("deg"), 15).as("c"))
-      val sums = contrib
-        .groupBy(col("id"))
-        .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
-        .select(col("id"),
-          aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
-            lit(0.0), (a, b) => a + b).as("s"))
+      // replayable=false is the documented production swap: a plain
+      // partial-aggregated sum — map-side combine, no per-key buffers,
+      // no bit-replayability (ScaleSmoke records the delta)
+      val sums =
+        if (replayable) contrib
+          .groupBy(col("id"))
+          .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
+          .select(col("id"),
+            aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
+              lit(0.0), (a, b) => a + b).as("s"))
+        else contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
       pr = verts
         .join(sums, Seq("id"), "left")
         .select(col("id"),
@@ -103,7 +108,7 @@ object Graph {
     */
   def hits(edges: DataFrame, vertices: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", replayable: Boolean = true): DataFrame = {
     val n = vertices.count()
     require(n > 0, "hits needs a non-empty vertex set")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -111,13 +116,17 @@ object Graph {
     require(!e.isEmpty, "hits needs a non-empty edge set (L1 norm is 0 otherwise)")
     val verts = vertices.select(col(idCol).as("id"))
 
-    // key-wise sum of `v` folded in sortKey order (the t09 recipe)
+    // key-wise sum of `v` folded in sortKey order (the t09 recipe);
+    // replayable=false swaps in the plain partial-aggregated sum (the
+    // production path — ScaleSmoke records the determinism tax)
     def orderedSum(df: DataFrame, key: String, sortKey: String): DataFrame =
-      df.groupBy(col(key))
+      if (replayable) df.groupBy(col(key))
         .agg(collect_list(struct(col(sortKey).as("o"), col("v").as("x"))).as("cs"))
         .select(col(key).as("id"),
           aggregate(transform(array_sort(col("cs")), c => c.getField("x")),
             lit(0.0), (a, b) => a + b).as("raw"))
+      else df.groupBy(col(key)).agg(sum(col("v")).as("raw"))
+        .withColumnRenamed(key, "id")
 
     // L1-normalize a raw score vector over the full vertex set; the
     // total is the blocked two-level ordered fold described above
@@ -125,15 +134,17 @@ object Graph {
       // raw feeds BOTH the total and the per-vertex division — pin it
       // once or the join+fold upstream runs twice per half-step
       val raw = raw0.localCheckpoint(eager = false)
-      val blockSums = raw
-        .groupBy((col("id") - pmod(col("id"), lit(4096L))).as("blk"))
-        .agg(collect_list(struct(col("id"), col("raw"))).as("xs"))
-        .select(col("blk"),
-          aggregate(transform(array_sort(col("xs")), c => c.getField("raw")),
-            lit(0.0), (a, b) => a + b).as("s"))
-      val tot = blockSums.agg(collect_list(struct(col("blk"), col("s"))).as("bs"))
-        .select(aggregate(transform(array_sort(col("bs")), c => c.getField("s")),
-          lit(0.0), (a, b) => a + b).as("tot"))
+      val tot =
+        if (replayable) raw
+          .groupBy((col("id") - pmod(col("id"), lit(4096L))).as("blk"))
+          .agg(collect_list(struct(col("id"), col("raw"))).as("xs"))
+          .select(col("blk"),
+            aggregate(transform(array_sort(col("xs")), c => c.getField("raw")),
+              lit(0.0), (a, b) => a + b).as("s"))
+          .agg(collect_list(struct(col("blk"), col("s"))).as("bs"))
+          .select(aggregate(transform(array_sort(col("bs")), c => c.getField("s")),
+            lit(0.0), (a, b) => a + b).as("tot"))
+        else raw.agg(sum(col("raw")).as("tot"))
       verts.join(raw, Seq("id"), "left")
         .crossJoin(broadcast(tot))
         .select(col("id"),

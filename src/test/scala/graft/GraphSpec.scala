@@ -40,6 +40,25 @@ class GraphSpec extends SparkSpec {
     assert(pr === run(), "bit-deterministic across runs")
   }
 
+  test("production paths (replayable=false): same invariants on plain sums") {
+    val n = 10L
+    val verts = spark.range(n).toDF("id")
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val pr = Graph.pageRank(ring, verts, iters = 5, replayable = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.toSet.size === 1 && math.abs(pr.values.sum - 1.0) < 1e-9,
+      s"production pageRank must keep the ring uniform: $pr")
+    val star = spark.range(1, 10).select(col("id").as("src"), lit(0L).as("dst"))
+    val out = Graph.hits(star, verts, iters = 3, replayable = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val auth = out.map(t => t._1 -> t._2).toMap
+    val hub = out.map(t => t._1 -> t._3).toMap
+    assert(auth(0L) === 1.0 && hub(0L) === 0.0,
+      s"production hits must separate the star: $auth / $hub")
+    assert(math.abs(hub.values.sum - 1.0) < 1e-9, "hub L1 norm")
+  }
+
   test("hits: star graph separates hubs from authorities; L1 norms hold") {
     // spokes 1..9 all link to node 0: node 0 is the pure authority,
     // spokes are pure (and equivalent) hubs
