@@ -652,6 +652,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Content-defined chunking + chunk dedup (Rabin/FastCDC family on
+    // token streams): content-keyed cut points survive insertions that
+    // shift every fixed block; shared chunk fingerprints localize WHICH
+    // PARTS of near-dup documents coincide. Pure integer/md5 gate.
+    "d23_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunkDedup(t(s, dir, "documents"), w = 4, divisor = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Graph centrality, two-sided: deterministic fixed-iteration HITS
     // over g01's synthesized link graph — authority (what good hubs point
     // at) and hub (link-directory value) scores, L1-normalized per
@@ -807,6 +815,22 @@ object SparkEntry {
         .select(col("cohort_day"), col("day_offset"), col("n_users"), col("cohort_size"),
           round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Latest-snapshot compaction — the READ side of q46's SCD2 build (and
+    // the batch form of the streaming KeyedUpsertStore): collapse the
+    // change-log to one current row per user, latest (ts, event_id) wins.
+    // One shuffle on the key; at 100 TB this is the periodic compaction
+    // job that keeps CDC tables queryable without replaying history.
+    "q54_compact" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      evRaw.select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), EventTime.epochMicros(evRaw).as("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy(col("user_id"))
     }),
 
     // Funnel analysis over the event stream: per user, the first 'view',
@@ -2691,6 +2715,35 @@ object SparkEntry {
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin,
 
+    // CDC-chunking twin (d23): same w-gram cut predicate (md5-low64
+    // HUGEINT ≡ 0 mod 16 — sign-irrelevant for the zero test), same
+    // span assembly, same chunk md5 fingerprints and corpus-wide counts.
+    "d23_cdc_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, ws FROM (
+         |  SELECT doc_id, $tokensSqlExpr AS ws FROM documents) WHERE len(ws) >= 1),
+         |g AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  list_transform(range(4, len(ws) + 1), p ->
+         |    array_to_string(ws[p-3:p], ' ')) AS grams FROM tok),
+         |h AS (SELECT doc_id, ws, n_tokens,
+         |  list_transform(grams, s -> $md5Low64SqlExpr) AS hs FROM g),
+         |cu AS (SELECT doc_id, ws, n_tokens,
+         |  list_filter(range(4, len(ws) + 1), (p, i) -> hs[i] % 16 = 0) AS cuts FROM h),
+         |sp0 AS (SELECT doc_id, ws, n_tokens,
+         |  list_concat([CAST(1 AS BIGINT)], list_transform(cuts, c -> c + 1)) AS starts,
+         |  list_concat(cuts, [n_tokens]) AS ends FROM cu),
+         |sp AS (SELECT doc_id, ws, n_tokens,
+         |  list_filter(list_transform(range(1, len(starts) + 1),
+         |    i -> {'st': starts[i], 'en': ends[i]}), x -> x.st <= x.en) AS spans FROM sp0),
+         |e AS (SELECT doc_id, ws, unnest(spans) AS c,
+         |  generate_subscripts(spans, 1) - 1 AS chunk_idx FROM sp),
+         |f AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  c.st AS start_pos, c.en - c.st + 1 AS chunk_len,
+         |  md5(array_to_string(ws[c.st:c.en], ' ')) AS chunk_fp FROM e),
+         |n AS (SELECT chunk_fp, count(*) AS fp_n FROM f GROUP BY chunk_fp)
+         |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_fp, fp_n > 1 AS is_dup
+         |FROM f JOIN n USING (chunk_fp)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // Soft-dedup twin (d22): d12's cluster chain + the same 1/size
     // division of exact operands, rounded to 9 dp.
     "d22_soft_dedup" ->
@@ -2782,6 +2835,15 @@ object SparkEntry {
         | round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // Compaction twin (q54): same latest-wins window.
+    "q54_compact" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id, event_type, value, ts_us
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // Funnel twin (q49): the same stage-gated min chain.
     "q49_funnel" ->

@@ -619,6 +619,59 @@ object Dedup {
     clustersFromPairs(pairs, docs, idCol)
   }
 
+  /** Content-defined chunking + chunk-level dedup — the storage-dedup
+    * scheme (Rabin/FastCDC family) applied to token streams: cut a
+    * document where the hash of the w-gram ENDING at a position is
+    * ≡ 0 (mod divisor), so boundaries depend on CONTENT, not offsets —
+    * an insertion early in a document shifts every fixed-size block but
+    * leaves all later CDC chunks (and their fingerprints) intact. Chunk
+    * fingerprints shared across documents then localize WHICH PARTS of
+    * two near-dup documents coincide — finer than d02's whole-doc
+    * fingerprint, cheaper than d15's per-gram span index (one hash per
+    * position, but chunks ~divisor tokens, not grams).
+    *
+    * Emits one row per chunk: (id, chunk_idx, start_pos, chunk_len,
+    * chunk_fp, is_dup) with `is_dup` = the fingerprint occurs more than
+    * once corpus-wide. All integer/md5 arithmetic — no float gate. Scale:
+    * the chunking is a pure per-row HOF chain (O(n) hashes per doc);
+    * the only shuffle keys on chunk_fp (the dedup index — at 100 TB the
+    * persisted, bucketed artifact incremental ingests probe, d17-style).
+    *
+    * Documents shorter than w tokens form a single cut-less chunk.
+    */
+  def cdcChunkDedup(docs: DataFrame, w: Int = 4, divisor: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Par.spreadForCpu(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 1)
+    val n = size(col("ws")).cast(LongType)
+    // 1-based cut positions p ∈ [w, n]: the w-gram ending at p hashes ≡ 0
+    val cuts = when(n >= w,
+        filter(sequence(lit(w.toLong), n), p =>
+          pmod(md5Low64(array_join(
+            slice(col("ws"), (p - w + 1).cast("int"), lit(w)), " ")),
+            lit(divisor.toLong)) === 0))
+      .otherwise(array().cast("array<bigint>"))
+    val withCuts = toks.select(col(idCol), col("ws"), n.as("n_tokens"), cuts.as("cuts"))
+    val starts = concat(array(lit(1L)), transform(col("cuts"), c => c + 1))
+    val ends = concat(col("cuts"), array(col("n_tokens")))
+    // a cut at the last token leaves an empty trailing span — drop it
+    val spans = filter(zip_with(starts, ends, (s, e) =>
+      struct(s.as("st"), e.as("en"))), x => x.getField("st") <= x.getField("en"))
+    val per = withCuts
+      .select(col(idCol), col("ws"), col("n_tokens"),
+        posexplode(spans).as(Seq("chunk_idx", "ch")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        col("ch.st").as("start_pos"),
+        (col("ch.en") - col("ch.st") + 1).as("chunk_len"),
+        md5(array_join(slice(col("ws"), col("ch.st").cast("int"),
+          (col("ch.en") - col("ch.st") + 1).cast("int")), " ")).as("chunk_fp"))
+    val counts = per.groupBy(col("chunk_fp")).agg(count(lit(1)).as("fp_n"))
+    per.join(counts, Seq("chunk_fp"))
+      .select(col(idCol), col("chunk_idx"), col("start_pos"), col("chunk_len"),
+        col("chunk_fp"), (col("fp_n") > 1).as("is_dup"))
+  }
+
   /** Soft dedup — reweighting instead of removal (the SoftDeDup idea:
     * down-weight duplicated content in the training mix rather than
     * dropping all-but-one copy; loss-weighting keeps coverage while

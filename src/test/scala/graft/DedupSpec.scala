@@ -513,4 +513,32 @@ class DedupSpec extends SparkSpec {
     assert(h(0L) !== h(1L)) // order-sensitive (the point vs. a set hash)
     assert(h(0L) !== h(3L)) // content-sensitive
   }
+
+  test("cdc chunks (d23): a front insertion preserves every later chunk fingerprint") {
+    // THE content-defined property: fixed-size blocks all shift after an
+    // insertion; CDC boundaries are content-keyed, so only chunks up to
+    // the first cut can change
+    val rnd = new scala.util.Random(20260814L)
+    val words = Seq.tabulate(200)(_ => s"w${rnd.nextInt(30)}")
+    val base = words.mkString(" ")
+    val shifted = "inserted " + base
+    val out = Dedup.cdcChunkDedup(
+        Seq((0L, base), (1L, shifted)).toDF("doc_id", "text"),
+        w = 4, divisor = 16)
+      .collect()
+    val fps = out.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getAs[Long]("chunk_idx")).map(_.getAs[String]("chunk_fp")).toSeq
+      }
+    val a = fps(0L)
+    val b = fps(1L)
+    assert(a.size >= 3, s"need several chunks for the property to bite, got ${a.size}")
+    // all of a's chunks except (at most) the first survive verbatim in b
+    assert(a.drop(1).forall(b.contains),
+      s"post-insertion chunks must be unchanged: ${a.drop(1).diff(b)}")
+    // and those shared chunks are flagged as corpus-level duplicates
+    val dupFps = out.filter(_.getAs[Boolean]("is_dup"))
+      .map(_.getAs[String]("chunk_fp")).toSet
+    assert(a.drop(1).forall(dupFps.contains), "shared chunks must flag is_dup")
+  }
 }
