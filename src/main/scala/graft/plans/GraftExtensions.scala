@@ -8,12 +8,18 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * to add Catalyst extensions without forking the session builder. Register
   * with `spark.sql.extensions=graft.plans.GraftExtensions`.
   *
-  * Currently injects the one custom expression ([[SimHash64]]); the same
-  * hook would carry custom optimizer `Rule`s or `SparkStrategy`s if an
-  * operator ever outgrows the DataFrame vocabulary (none has — SURVEY §4).
+  * Injects the native expressions (below) and ONE optimizer rule
+  * ([[NativeKernelSubstitution]] — declarative rolling-hash folds execute
+  * the fused kernel automatically). No custom `SparkStrategy`: no operator
+  * has outgrown the DataFrame vocabulary (SURVEY §4), and the rule
+  * rewrites an expression, not an operator.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: declarative rolling-hash folds execute the fused
+    // native kernel automatically (see NativeKernelSubstitution)
+    ext.injectOptimizerRule(_ => NativeKernelSubstitution)
+
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(
