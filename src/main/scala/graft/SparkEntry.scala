@@ -817,6 +817,31 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Dead-letter routing: the ingest-hardening idiom the reference's
+    // bare `request.json()` lacks — parse with an explicit corrupt-record
+    // column (PERMISSIVE + columnNameOfCorruptRecord, the Spark-native
+    // DLQ), so malformed payloads route to quarantine WITH their raw
+    // bytes instead of poisoning the batch or vanishing. Corruption
+    // synthesized deterministically (every 7th event loses its closing
+    // brace); both engines agree '{"k": 6' is invalid JSON.
+    "q55_dlq" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val payload = when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+        .otherwise(col("props"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k INT, _corrupt STRING")
+      ev.select(col("event_id"), payload.as("payload"))
+        .withColumn("parsed", from_json(col("payload"), schema,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(col("event_id"),
+          when(col("parsed._corrupt").isNotNull, lit("dlq"))
+            .otherwise(lit("ok")).as("route"),
+          when(col("parsed._corrupt").isNull, col("parsed.k")).as("k"),
+          col("parsed._corrupt").as("quarantined"))
+        .orderBy(col("event_id"))
+    }),
+
     // Latest-snapshot compaction — the READ side of q46's SCD2 build (and
     // the batch form of the streaming KeyedUpsertStore): collapse the
     // change-log to one current row per user, latest (ts, event_id) wins.
@@ -1535,6 +1560,23 @@ object SparkEntry {
       val p2 = array_join(slice(col("ws"), 7, 6), " ")
       val multi = concat_ws("\n", p1, lit("  "), p2, p1, p2)
       TextAnalysis.dedupLines(docs.withColumn("mtext", multi), "mtext")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical text normalization (C4-style): case-folding, punctuation
+    // strip, whitespace collapse — exercised against synthesized dirty
+    // text (uppercase echo, punctuation, a parenthesized tail) since the
+    // corpus text is already clean. RE2-safe classes, replayed verbatim.
+    "t17_normalize" -> ((s, dir) => {
+      val dirty = t(s, dir, "documents")
+        .withColumn("dirty", concat(col("text"), lit(" -- END!! "),
+          upper(substring(col("text"), 1, 12)), lit(" (c) 2026, v1.0?")))
+      dirty.select(col("doc_id"),
+          length(col("dirty")).cast("bigint").as("n_chars_in"),
+          TextAnalysis.normalizeText(col("dirty")).as("clean_text"))
+        .withColumn("n_chars_out", length(col("clean_text")).cast("bigint"))
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("clean_text")))
         .orderBy(col("doc_id"))
     }),
 
@@ -2836,6 +2878,19 @@ object SparkEntry {
         |FROM r JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
 
+    // DLQ twin (q55): validity via json_valid, the same synthesized
+    // corruption, raw payload quarantined on the dlq route.
+    "q55_dlq" ->
+      """WITH p AS (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN substring(props, 1, length(props) - 1)
+        |       ELSE props END AS payload FROM events)
+        |SELECT event_id,
+        | CASE WHEN json_valid(payload) THEN 'ok' ELSE 'dlq' END AS route,
+        | CASE WHEN json_valid(payload)
+        |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
+        | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
+        |FROM p ORDER BY event_id""".stripMargin,
+
     // Compaction twin (q54): same latest-wins window.
     "q54_compact" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
@@ -3413,6 +3468,21 @@ object SparkEntry {
     // Held-out BPE twin (t13): training replayed on the even half, the
     // OOV merge fold replayed on the held-out word set, unknowns → -1.
     "t13_bpe_oov" -> bpeOovOracleSql(12),
+
+    // Normalization twin (t17): identical dirty-text synthesis and the
+    // identical RE2 class chain.
+    "t17_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' -- END!! ' || upper(substring(text, 1, 12)) || ' (c) 2026, v1.0?' AS dirty
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(dirty) AS BIGINT) AS n_chars_in,
+        | trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9\s]', ' ', 'g'),
+        |   '\s+', ' ', 'g')) AS clean_text,
+        | CAST(length(trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9\s]', ' ', 'g'),
+        |   '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_out,
+        | CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(dirty),
+        |   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // tf-idf twin (t16): df derived from the tf CTE, N as a 1-row scalar,
     // the identical divide→ln→+1→×tf chain rounded to 9 dp before

@@ -293,6 +293,16 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
   }
 
+  /** Canonical text normalization — the preprocessing pass every other
+    * text operator assumes has happened (C4-style): lowercase, strip
+    * everything outside [a-z0-9\s] to a space, collapse whitespace, trim.
+    * Kept to RE2-safe character classes so the oracle replays it
+    * verbatim. Pure per-row projection — no shuffle, scan-parallel.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Per-document top-k keyword extraction by tf-idf — the classic
     * relevance weighting (Salton & Buckley 1988; smooth-idf as in
     * scikit-learn): `score = tf · (ln((1+N)/(1+df)) + 1)`. The curation
