@@ -28,6 +28,34 @@ object Ingest {
     raw.select(from_json(col(jsonCol).cast("string"), NefSchemas.notification).as("n"))
       .select(col("n.*"))
 
+  /** [[parseNotifications]] with a dead-letter split — the production
+    * hardening the reference's bare `request.json()` lacks (it 500s the
+    * whole request): parse in PERMISSIVE mode with an explicit
+    * corrupt-record column, then route rows. Returns (parsed, dlq);
+    * `dlq` carries the ORIGINAL raw payload so quarantined requests are
+    * replayable after a parser fix. A null/empty payload is dlq too —
+    * silently vanishing input is the failure mode this exists to stop
+    * (the q55 catalog entry is the same idiom on the events table).
+    */
+  def parseNotificationsWithDlq(raw: DataFrame,
+      jsonCol: String = "value"): (DataFrame, DataFrame) = {
+    val schema = org.apache.spark.sql.types.StructType(
+      NefSchemas.notification.fields :+
+        org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType))
+    val parsed = raw
+      .select(col(jsonCol).cast("string").as("_raw"))
+      .withColumn("n", from_json(col("_raw"), schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt")))
+    val ok = parsed
+      .where(col("n").isNotNull && col("n._corrupt").isNull)
+      .select(col("n.*")).drop("_corrupt")
+    val dlq = parsed
+      .where(col("n").isNull || col("n._corrupt").isNotNull)
+      .select(col("_raw").as("payload"))
+    (ok, dlq)
+  }
+
   /** Full pipeline to normalized envelopes. `now` is the processing-time
     * fallback clock (injectable for determinism).
     */

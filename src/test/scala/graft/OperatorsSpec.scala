@@ -378,4 +378,34 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("reserved"))
   }
+
+  test("CBO: ANALYZE statistics surface in the plan; broadcast needs no hint") {
+    val tbl = "graft_cbo_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .write.mode("overwrite").saveAsTable(tbl)
+    val prior = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      // catalog row-count statistics reach the optimized plan
+      val stats = spark.table(tbl).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong === 25L),
+        s"ANALYZE rowCount must surface under CBO, got $stats")
+      // a stats-tiny dimension broadcasts with NO broadcast() hint — the
+      // optimizer's own size estimate makes the call
+      val fact = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      val plan = fact.join(spark.table(tbl),
+          fact("c_nationkey") === org.apache.spark.sql.functions.col("n_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected a stats-driven broadcast join, plan:\n$plan")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }

@@ -192,6 +192,22 @@ class PipelineSpec extends SparkSpec {
       "thrputDl_mbps", "thrputUl_mbps"))
   }
 
+  test("dead-letter split: malformed notifications quarantine with raw bytes") {
+    import spark.implicits._
+    val truncated = Fixtures.perfDataPayload.dropRight(5)
+    val raw = Seq(Fixtures.perfDataPayload, truncated, "not json at all")
+      .toDF("value")
+    val (ok, dlq) = Ingest.parseNotificationsWithDlq(raw)
+    assert(ok.count() === 1)
+    assert(ok.select("notifId").as[String].head() === Fixtures.NotifId)
+    val quarantined = dlq.as[String].collect().toSet
+    assert(quarantined === Set(truncated, "not json at all"),
+      "the DLQ must carry the original payloads, replayable verbatim")
+    // the good row still drives the full pipeline
+    val env = Ingest.envelopes(ok, Fixtures.subscriptions(spark), now = lit(FixedNow))
+    assert(env.count() === 1)
+  }
+
   test("observe: the pipeline reports its own counters without a second pass") {
     // CollectMetrics rides the existing action — record count, UE-id
     // drops and absent-metric records surface as observed metrics with
