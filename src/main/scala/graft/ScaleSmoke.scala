@@ -213,6 +213,12 @@ object ScaleSmoke {
         graft.analytics.Graph.hits(edges, docs, iters = 3, idCol = "doc_id"))
     }
 
+    // CDC chunking (d23) at blowup: the chunking itself is a per-row HOF
+    // chain (linear); the fp groupBy grows COUNTS with duplicate mass,
+    // never pairs — cost must track the corpus, not its square.
+    run("cdc_chunks")(
+      Dedup.cdcChunkDedup(docs, w = 4, divisor = 16))
+
     // Production graph paths (replayable=false: plain partial-aggregated
     // sums, no ordered folds) — paired with the `pagerank`/`hits`
     // datapoints above, the delta IS the measured determinism tax.
