@@ -637,7 +637,8 @@ object Dedup {
     * the only shuffle keys on chunk_fp (the dedup index — at 100 TB the
     * persisted, bucketed artifact incremental ingests probe, d17-style).
     *
-    * Documents shorter than w tokens form a single cut-less chunk.
+    * Documents shorter than w tokens form a single cut-less chunk;
+    * token-less documents have no content to chunk and emit no rows.
     */
   def cdcChunkDedup(docs: DataFrame, w: Int = 4, divisor: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
