@@ -892,6 +892,17 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis on the
+    // portable md5 uniform): quality-biased but diversity-preserving —
+    // the middle ground between q37's hard top-k and q36's uniform draw.
+    "q56_weighted_sample" -> ((s, dir) =>
+      analytics.Sampling.weightedSample(
+          qualityScored(t(s, dir, "documents")),
+          stratumCol = "lang", weightCol = "quality", k = 15, idCol = "doc_id")
+        .select(col("lang"), col("sample_rank").as("rnk"), col("doc_id"),
+          col("quality"), col("es_key"))
+        .orderBy(col("lang"), col("rnk"))),
+
     // Heavy hitters by Misra-Gries sketch (k=16 counters): the bounded-
     // memory top-terms path for open vocabularies a groupBy can't hold.
     // Item stream = document tokens with three synthesized hot items
@@ -2927,6 +2938,18 @@ object SparkEntry {
         | min(value) AS mn, max(value) AS mx,
         | round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6) AS avg_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Weighted-sample twin (q56): the shared scoring CTEs + the same
+    // exact-u → ln → ÷quality → round-9 key and (key DESC, doc_id) rank.
+    "q56_weighted_sample" -> (
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |u AS (SELECT lang, doc_id, quality,
+         |  round(ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |    + 1 AS DOUBLE) / 4294967296.0) / quality, 9) AS es_key FROM q),
+         |r AS (SELECT lang, doc_id, quality, es_key,
+         |  row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rnk FROM u)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality, es_key
+         |FROM r WHERE rnk <= 15 ORDER BY lang, rnk""".stripMargin),
 
     // Heavy-hitters twin (q47): same synthesized item stream, exact
     // counts + the integer threshold; the sketch flags are asserted TRUE

@@ -279,7 +279,7 @@ object Dedup {
     * bucket scheme cannot drift between the d04/d11 family and the d21
     * gate (their oracles all express banding as slice equality).
     */
-  private def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>

@@ -86,6 +86,31 @@ object Sampling {
         .cast("bigint") < cut, lit("train")).otherwise(lit("val")))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),
+    * deterministic: each row draws u ∈ (0,1] from the PORTABLE md5
+    * permutation ((u32+1)/2³² — exact integer operands) and ranks by
+    * `key = ln(u)/w` descending (the monotone twin of the classic
+    * u^(1/w)); the per-stratum top-k is a weight-proportional sample
+    * without replacement. This is the curation middle ground q37 (hard
+    * top-k by quality) and q36 (uniform) bracket: quality BIASES
+    * selection but low-quality docs retain mass — distribution-preserving
+    * where a hard cutoff collapses diversity. The one float chain
+    * (exact-u → ln → ÷w → round 9) is the t09 recipe; weights must be
+    * strictly positive. Same scale shape as every sampler here: one
+    * stratum shuffle, per-stratum window sort, reproducible under any
+    * partitioning.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, weightCol: String,
+      k: Int, idCol: String): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint") + 1).cast("double") / lit(4294967296.0)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", round(log(u) / col(weightCol), 9))
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Probabilistic Bernoulli sample — the cheap one-pass path when
     * reproducibility across repartitioning is NOT required (the per-row
     * RNG stream is seeded by partition). Kept as the documented contrast

@@ -514,6 +514,39 @@ class DedupSpec extends SparkSpec {
     assert(h(0L) !== h(3L)) // content-sensitive
   }
 
+  test("persisted band index: bucketBy(bucket) probe join shuffles ONLY the batch side") {
+    // the claim every LSH operator's scale note makes — "at 100 TB the
+    // band index is the persisted artifact, bucketed by bucket, so
+    // incremental batches probe without reshuffling the corpus" — held
+    // up as an actual plan, not a comment
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tbl = "graft_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.bandBuckets(Dedup.minhashSignatures(docs, n = 3, k = 64), 16, 4)
+      .withColumnRenamed("id", "corpus_id")
+      .write.bucketBy(8, "bucket").sortBy("bucket").saveAsTable(tbl)
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val batch = Dedup.bandBuckets(
+          Dedup.minhashSignatures(docs.where(col("doc_id") < 20), n = 3, k = 64), 16, 4)
+        .withColumnRenamed("id", "batch_id")
+      val joined = spark.table(tbl).join(batch, Seq("bucket"))
+        .where(col("corpus_id") =!= col("batch_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"the index scan must be bucketed, plan:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1,
+        s"only the BATCH side may shuffle, got $exchanges exchanges, plan:\n$plan")
+      assert(joined.count() > 0, "probe must actually find candidates")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("cdc chunks (d23): a front insertion preserves every later chunk fingerprint") {
     // THE content-defined property: fixed-size blocks all shift after an
     // insertion; CDC boundaries are content-keyed, so only chunks up to
