@@ -246,6 +246,57 @@ object Stream {
     }
   }
 
+  /** One discovered metric field with its running observation count. */
+  case class FieldCount(notifId: String, field: String, n: Long)
+
+  /** E1/D3 on transformWithState MAP state: per-subscription metric-key
+    * counts — each key is its own MapState entry, so an update touches
+    * ONE state row instead of rewriting a whole accumulated-set blob
+    * (the flatMapGroupsWithState/ValueState cost model inverts once the
+    * per-key universe grows: Value state = O(universe) serialization per
+    * batch, Map state = O(keys touched)). Emits only fields whose count
+    * CHANGED this batch — the on-delta contract FieldRegistry wants.
+    */
+  final class FieldCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Seq[String]), FieldCount] {
+    import implicits._
+    @transient private var counts:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("fieldCounts",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Seq[String])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FieldCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, fields) =>
+        fields.foreach { f =>
+          val cur = touched.getOrElse(f,
+            if (counts.containsKey(f)) counts.getValue(f) else 0L)
+          touched.update(f, cur + 1L)
+        }
+      }
+      touched.foreach { case (f, c) => counts.updateValue(f, c) }
+      touched.iterator.map { case (f, c) => FieldCount(key, f, c) }
+    }
+  }
+
+  /** [[FieldCountsProcessor]] over the envelope stream: per notifId, the
+    * per-batch delta of metric-field observation counts.
+    */
+  def fieldCountsTws(envelopes: DataFrame): Dataset[FieldCount] = {
+    import envelopes.sparkSession.implicits._
+    envelopes
+      .select(col("notifId").cast("string"), map_keys(col("metrics")))
+      .as[(String, Seq[String])]
+      .groupByKey(_._1)
+      .transformWithState(new FieldCountsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Watermarked session closing over a (k, ts-epoch-seconds) frame via
     * [[SessionCloseProcessor]]. RocksDB state store required (as for all
     * transformWithState operators).

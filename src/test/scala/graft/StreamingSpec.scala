@@ -327,6 +327,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState: per-field counts resume and emit deltas only") {
+    val srcDir = tempDir("graft-twsmap-src")
+    val ckptDir = tempDir("graft-twsmap-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.FieldCount]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val env = Stream.envelopeStream(
+          Stream.fileSource(spark, srcDir), Fixtures.subscriptions(spark))
+        val q = Stream.fieldCountsTws(env)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.FieldCount], _: Long) =>
+            collected ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      // batch 0: one PERF_DATA record — every scalar metric key counts 1
+      Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+        (Fixtures.perfDataPayload + "\n").getBytes("UTF-8"))
+      run()
+      val first = collected.map(f => f.field -> f.n).toMap
+      assert(first === Map("thrputDl_mbps" -> 1L, "thrputUl_mbps" -> 1L,
+        "pdb_ms" -> 1L, "plr_per_thousand" -> 1L))
+      // batch 1 (restart): the SAME payload again — counts resume from
+      // MapState (2, not 1), and ONLY touched fields re-emit
+      collected.clear()
+      Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+        (Fixtures.perfDataPayload + "\n").getBytes("UTF-8"))
+      run()
+      val second = collected.map(f => f.field -> f.n).toMap
+      assert(second === first.view.mapValues(_ + 1).toMap,
+        s"counts must resume from checkpointed MapState: $second")
+      // batch 2: a UE_MOBILITY record touches NO scalar metric keys —
+      // the delta contract means zero rows, not a re-dump of the map
+      collected.clear()
+      Files.write(java.nio.file.Paths.get(srcDir, "b2.jsonl"),
+        (Fixtures.ueMobilityPayload + "\n").getBytes("UTF-8"))
+      run()
+      assert(collected.isEmpty,
+        s"untouched fields must not re-emit: $collected")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState timers: watermark closes idle sessions; gaps close inline") {
     val srcDir = tempDir("graft-twstimer-src")
     val ckptDir = tempDir("graft-twstimer-ckpt")
