@@ -1776,6 +1776,60 @@ object SparkEntry {
         col("audio_meta").getField("n_samples").as("audio_samples"),
         element_at(col("frame_offsets"), 3).as("frame2_off"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Time-series gap-fill + forward fill (the feature-store resample next
+    // to q50's EWMA): per-user hourly sums, a dense hour grid from each
+    // user's own min..max hour (sequence/explode — generate_series in the
+    // twin), missing hours carry the last observed value forward
+    // (`last(ignoreNulls)` over an unbounded-preceding frame ≡ DuckDB's
+    // `last_value(v IGNORE NULLS)`). The hourly sum is the usual exact
+    // decimal → one double cast, so the filled value is the SAME double
+    // both engines forward-copy — no arithmetic happens after the fill.
+    // Scale: one shuffle on user_id for the agg; the grid explode is
+    // bounded by span-hours per user and stays partitioned by user_id, so
+    // the window never sees a global sort. Leading gaps (before a user's
+    // first observation) cannot exist — the grid starts AT the first
+    // observed hour, so v_filled is never null.
+    "q57_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val obs = ev.where(col("user_id") < 6)
+        .groupBy(col("user_id"), EventTime.hourEpoch(ev).as("h"))
+        .agg(sum(dec(col("value"), 18, 2)).cast("double").as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          col("v").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
+    // Semi-structured ingestion via Spark 4 VARIANT (the open-format
+    // answer to schema-on-read JSON): `parse_json` once into a variant,
+    // typed path extraction with `variant_get`, missing paths surfacing
+    // as NULL (`try_variant_get`) — then the extracted value flows into a
+    // plain relational aggregate, proving variant columns compose with
+    // the rest of the engine. The twin reads the same JSON with DuckDB's
+    // json_extract. Scale: variant parse is a per-row projection (no
+    // shuffle); the single-shuffle group-by is on an 8-value key.
+    "q58_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("var"))
+        .select(col("event_id"),
+          variant_get(col("var"), "$.k", "bigint").as("k"),
+          try_variant_get(col("var"), "$.missing", "bigint").as("absent"))
+        .groupBy(pmod(col("k"), lit(8)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("absent")).as("n_absent"))
+        .orderBy(col("k_bucket"))
     })
   )
 
@@ -2901,6 +2955,34 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Gap-fill twin (q57): generate_series grid + IGNORE NULLS carry-
+    // forward of the identical exact-decimal→double hourly sum.
+    "q57_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 6 GROUP BY user_id, h),
+        |span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS h FROM span)
+        |SELECT g.user_id, g.h,
+        | last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        | o.v IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
+    // Variant twin (q58): the same typed path extraction via JSON
+    // operators; a missing path is NULL in both engines.
+    "q58_variant" ->
+      """WITH p AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+        |  FROM events)
+        |SELECT k % 8 AS k_bucket, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        | count(absent) AS n_absent
+        |FROM p GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
 
     // Compaction twin (q54): same latest-wins window.
     "q54_compact" ->
