@@ -1809,6 +1809,32 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Blocked fuzzy entity resolution: a deterministically corrupted copy
+    // of the customer master (one digit of the 9-digit name suffix
+    // replaced with 'X', position drawn from the portable md5-u32) is
+    // linked back by multi-pass blocking — two disjoint digit-substring
+    // keys, so a 1-char corruption leaves at least one key intact
+    // (guaranteed recall at edit distance 1, NO all-pairs scan) — then a
+    // levenshtein ≤ 1 gate and a (dist, c_id)-minimal winner per record.
+    // Ambiguity is real here (custkeys differing in one digit collide at
+    // the corrupted position) and surfaces as n_cands > 1 + is_source
+    // false on the unlucky ties — exactly what an ER pipeline reports.
+    "d24_entity_resolution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      // corrupted digit position: 10 + (md5-u32(custkey) mod 9), 1-indexed
+      val p = conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 9
+      val dirty = cust.select(col("c_custkey").as("d_id"),
+        concat(col("c_name").substr(lit(1), lit(9L) + p), lit("X"),
+          col("c_name").substr(lit(11L) + p, lit(8L) - p)).as("d_name"))
+      val clean = cust.select(col("c_custkey").as("c_id"), col("c_name"))
+      val keys: Seq[Column => Column] =
+        Seq(_.substr(lit(10), lit(4)), _.substr(lit(14), lit(5)))
+      analytics.EntityResolution.blockedFuzzyMatch(dirty, clean, keys, maxDist = 1)
+        .withColumn("is_source", col("matched_id") === col("d_id"))
+        .orderBy(col("d_id"))
+    }),
+
     // Semi-structured ingestion via Spark 4 VARIANT (the open-format
     // answer to schema-on-read JSON): `parse_json` once into a variant,
     // typed path extraction with `variant_get`, missing paths surfacing
@@ -2955,6 +2981,34 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Entity-resolution twin (d24): the same corruption, the same two
+    // blocking passes (UNION dedups the pair), the same levenshtein gate
+    // and (dist, c_id)-minimal winner.
+    "d24_entity_resolution" ->
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer),
+        |dirty AS (SELECT c_custkey AS d_id,
+        |  substring(c_name, 1, CAST(9 + pp AS INTEGER)) || 'X' ||
+        |  substring(c_name, CAST(11 + pp AS INTEGER), CAST(8 - pp AS INTEGER)) AS d_name
+        |  FROM (SELECT c_custkey, c_name,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT) % 9 AS pp
+        |    FROM cust)),
+        |clean AS (SELECT c_custkey AS c_id, c_name FROM cust),
+        |cands AS (
+        |  SELECT d_id, d_name, c_id, c_name FROM dirty JOIN clean
+        |    ON substring(d_name, 10, 4) = substring(c_name, 10, 4)
+        |  UNION
+        |  SELECT d_id, d_name, c_id, c_name FROM dirty JOIN clean
+        |    ON substring(d_name, 14, 5) = substring(c_name, 14, 5)),
+        |scored AS (SELECT d_id, c_id,
+        |    CAST(levenshtein(d_name, c_name) AS BIGINT) AS dist
+        |  FROM cands WHERE levenshtein(d_name, c_name) <= 1),
+        |ranked AS (SELECT d_id, c_id, dist,
+        |    row_number() OVER (PARTITION BY d_id ORDER BY dist, c_id) AS rn,
+        |    count(*) OVER (PARTITION BY d_id) AS n_cands
+        |  FROM scored)
+        |SELECT d_id, c_id AS matched_id, dist, n_cands, c_id = d_id AS is_source
+        |FROM ranked WHERE rn = 1 ORDER BY d_id""".stripMargin,
 
     // Gap-fill twin (q57): generate_series grid + IGNORE NULLS carry-
     // forward of the identical exact-decimal→double hourly sum.

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.analytics.EntityResolution
+
+/** Blocked fuzzy record linkage (d24): the multi-pass blocking recall
+  * guarantee, deterministic tie-breaks under real ambiguity, and the gate.
+  */
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val halves: Seq[Column => Column] =
+    Seq(_.substr(lit(1), lit(3)), _.substr(lit(4), lit(3)))
+
+  test("single-substitution corruptions are always recalled (disjoint-key guarantee)") {
+    val clean = Seq((1L, "abcdef"), (2L, "ghijkl"), (3L, "mnopqr"))
+      .toDF("c_id", "c_name")
+    // corrupt one character in each half across records
+    val dirty = Seq((1L, "Xbcdef"), (2L, "ghijkX"), (3L, "mnXpqr"))
+      .toDF("d_id", "d_name")
+    val got = EntityResolution.blockedFuzzyMatch(dirty, clean, halves, maxDist = 1)
+      .orderBy("d_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)))
+  }
+
+  test("ambiguous masters tie on distance; the (dist, c_id)-minimal winner is stable") {
+    // two masters differing ONLY at the position the dirty record corrupts:
+    // both are distance-1 candidates, the lower id must win and n_cands = 2
+    val clean = Seq((10L, "aaa111"), (20L, "aaa112")).toDF("c_id", "c_name")
+    val dirty = Seq((99L, "aaa11X")).toDF("d_id", "d_name")
+    val got = EntityResolution.blockedFuzzyMatch(dirty, clean, halves, maxDist = 1)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 10L, "tie must break to the lower master id")
+    assert(got(0).getLong(3) == 2L, "both tied masters must be counted")
+  }
+
+  test("the distance gate drops blocked-but-far candidates") {
+    // shares block key 'abc' but is 3 edits away — a candidate, not a match
+    val clean = Seq((1L, "abcxyz")).toDF("c_id", "c_name")
+    val dirty = Seq((5L, "abcdef")).toDF("d_id", "d_name")
+    assert(EntityResolution.blockedFuzzyMatch(dirty, clean, halves, maxDist = 1)
+      .count() == 0L)
+  }
+
+  test("d24 on testdata: every dirty customer matches at distance 1, ambiguity is visible") {
+    val out = SparkEntry.queries("d24_entity_resolution")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val nCust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(out.length == nCust, "recall guarantee: one match row per dirty record")
+    assert(out.forall(_.getLong(2) == 1L), "corruption is exactly one substitution")
+    // the unlucky digit collisions exist at this SF and resolve deterministically
+    assert(out.exists(_.getLong(3) > 1L), "expected at least one ambiguous match")
+    // sf0.001 keys are 0..149: a last-digit corruption collides with up to
+    // ten masters and the min-id tie-break can pick another — measured 109
+    // of 150 link to source. The invariant is majority + determinism, not
+    // perfection (that's what n_cands/is_source exist to report).
+    assert(out.count(_.getBoolean(4)) > out.length / 2,
+      "the majority must link back to their source row")
+  }
+}
