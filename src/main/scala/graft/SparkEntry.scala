@@ -1809,6 +1809,26 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Per-vertex triangle counts over a synthesized link graph with real
+    // closures (ring chords i→i+1, i→i+2 guarantee triangles; the 7i+13
+    // family adds irregular degree) — degree-ordered wedge enumeration,
+    // each triangle counted once, attributed to all three corners. Pure
+    // integer arithmetic; the twin replays the same orientation and
+    // closure joins.
+    "g03_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 2, lit(n)).as("dst")))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst")))
+      analytics.Graph.triangleCounts(edges)
+        .select(col("id").as("doc_id"), col("n_triangles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Blocked fuzzy entity resolution: a deterministically corrupted copy
     // of the customer master (one digit of the 9-digit name suffix
     // replaced with 'X', position drawn from the portable md5-u32) is
@@ -2981,6 +3001,33 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Triangle twin (g03): same canonical undirected edges, same
+    // (degree, id) orientation, same wedge + closure joins.
+    "g03_triangles" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |de AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn) FROM docs),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM de WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY v),
+        |oe AS (
+        |  SELECT CASE WHEN (da.d, ue.a) < (db.d, ue.b) THEN ue.a ELSE ue.b END AS u,
+        |         CASE WHEN (da.d, ue.a) < (db.d, ue.b) THEN ue.b ELSE ue.a END AS w
+        |  FROM ue JOIN deg da ON da.v = ue.a JOIN deg db ON db.v = ue.b),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.w AS y, e2.w AS z
+        |  FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.w < e2.w
+        |  JOIN ue e3 ON e3.a = least(e1.w, e2.w) AND e3.b = greatest(e1.w, e2.w))
+        |SELECT v AS doc_id, count(*) AS n_triangles FROM
+        |  (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY v ORDER BY doc_id""".stripMargin,
 
     // Entity-resolution twin (d24): the same corruption, the same two
     // blocking passes (UNION dedups the pair), the same levenshtein gate

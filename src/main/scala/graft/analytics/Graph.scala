@@ -171,4 +171,58 @@ object Graph {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Per-vertex triangle counts — the local clustering signal (link-farm
+    * and spam-ring detection sit on it: organic link neighborhoods close
+    * triangles, generated ones don't) next to [[pageRank]]/[[hits]]'s
+    * global scores.
+    *
+    * The shape is the MapReduce-triangle-counting standard (Suri &
+    * Vassilvitskii, WWW'11): canonicalize to undirected distinct edges,
+    * then ORIENT each edge from its (degree, id)-smaller endpoint to the
+    * larger. Every triangle has exactly one vertex with two out-edges
+    * under this order, so enumerating wedges only at out-neighbors and
+    * closing them against the edge set counts each triangle once — and
+    * the out-degree of any vertex is O(sqrt(|E|)) on skewed graphs
+    * (the degree ordering is precisely what caps the hub explosion that
+    * kills naive wedge counting on power-law webs).
+    *
+    * All integer arithmetic — no rounding discipline needed. Scale: two
+    * degree joins (shuffles on the edge key), one self-join on the wedge
+    * pivot `u` (bounded by capped out-degrees), one closure equi-join on
+    * the canonical edge key, and the final explode+group-by for
+    * attribution. No all-pairs term anywhere. Vertices in no triangle are
+    * absent from the output (count 0).
+    */
+  def triangleCounts(edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = ue.select(col("a").as("v"))
+      .unionAll(ue.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // (deg, id)-lexicographic orientation: struct comparison IS that order
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oe = ue
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"))
+    val wedges = oe.as("e1")
+      .join(oe.as("e2"), col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+    val tri = wedges.join(ue,
+        col("a") === least(col("y"), col("z")) &&
+        col("b") === greatest(col("y"), col("z")))
+      .select(col("x"), col("y"), col("z"))
+    val out = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    out.count() // materialize before releasing the edge cache
+    ue.unpersist(blocking = false)
+    out
+  }
 }

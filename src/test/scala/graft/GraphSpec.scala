@@ -77,4 +77,47 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(hub.values.sum - 1.0) < 1e-9, "hub L1 norm")
     assert(out === run(), "bit-deterministic across runs")
   }
+
+  test("triangleCounts: K4 has 4 triangles, every vertex in 3") {
+    val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free star is empty; direction/dup/self-loop invariant") {
+    val star = spark.range(1, 8).select(col("id").as("src"), lit(0L).as("dst"))
+    assert(Graph.triangleCounts(star).count() === 0L)
+    // one triangle, fed as reversed + duplicated + self-looped edges:
+    // canonicalization must reduce all of that to the same 3 clean edges
+    val messy = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (1L, 3L), (2L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: matches the brute-force closure count on an irregular graph") {
+    // the g03 edge families at n=60: ring chords + an irregular third
+    val n = 60L
+    val ids = spark.range(n).toDF("doc_id")
+    val edges = ids.select(col("doc_id").as("src"), pmod(col("doc_id") + 1, lit(n)).as("dst"))
+      .unionByName(ids.select(col("doc_id").as("src"), pmod(col("doc_id") + 2, lit(n)).as("dst")))
+      .unionByName(ids.select(col("doc_id").as("src"), pmod(col("doc_id") * 7 + 13, lit(n)).as("dst")))
+    val got = Graph.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force on the driver: all id-ordered vertex triples over the
+    // canonical undirected edge set
+    val ue = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (i <- 0L until n; j <- i + 1 until n if ue((i, j));
+         k <- j + 1 until n if ue((j, k)) && ue((i, k))) {
+      expected(i) += 1; expected(j) += 1; expected(k) += 1
+    }
+    assert(got === expected.toMap)
+  }
 }
