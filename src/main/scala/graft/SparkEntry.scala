@@ -1809,6 +1809,27 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Readability scoring (Flesch Reading Ease): sentence runs, vowel-
+    // group syllables floored at 1, two exact-integer ratios, one 6-dp
+    // round — a pure per-row projection over the materialized token
+    // array (the t01–t04 attribute discipline). The counts travel WITH
+    // the score so the formula is auditable row by row.
+    "t18_readability" -> ((s, dir) => {
+      val toked = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("ws"))
+      toked
+        .select(col("doc_id"),
+          size(col("ws")).cast("bigint").as("n_words"),
+          TextAnalysis.sentenceCount(col("text")).as("n_sentences"),
+          aggregate(col("ws"), lit(0L),
+            (acc, w) => acc + TextAnalysis.syllables(w)).as("n_syllables"))
+        .where(col("n_words") > 0)
+        .withColumn("flesch", TextAnalysis.fleschFromCounts(
+          col("n_words"), col("n_sentences"), col("n_syllables")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-vertex triangle counts over a synthesized link graph with real
     // closures (ring chords i→i+1, i→i+2 guarantee triangles; the 7i+13
     // family adds irregular degree) — degree-ordered wedge enumeration,
@@ -3001,6 +3022,21 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Readability twin (t18): same tokenizer CTE, same vowel-group
+    // syllable floor, same one-round formula.
+    "t18_readability" -> (
+      s"""WITH tok AS (SELECT doc_id, text, $tokensSqlExpr AS ws FROM documents),
+         |c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |  greatest(CAST(1 AS BIGINT),
+         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+         |  CAST(list_sum(list_transform(ws, w -> greatest(CAST(1 AS BIGINT),
+         |    CAST(len(regexp_extract_all(w, '[aeiouy]+')) AS BIGINT)))) AS BIGINT) AS n_syllables
+         |  FROM tok)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         | round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+         |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin),
 
     // Triangle twin (g03): same canonical undirected edges, same
     // (degree, id) orientation, same wedge + closure joins.

@@ -421,4 +421,44 @@ object TextAnalysis {
         when(col("clean_text") === "", lit(0L))
           .otherwise(size(split(col("clean_text"), " ")).cast(LongType)))
   }
+
+  /** Sentence count: runs of sentence-final punctuation (`[.!?]+`), with
+    * an unpunctuated document counting as ONE sentence (headlines, list
+    * fragments — the Flesch denominator must never be zero).
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1L), size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast(LongType))
+
+  /** Heuristic syllable count of one (lowercase) word: vowel-GROUP count
+    * (`[aeiouy]+` runs), floored at 1 — all-consonant tokens ("123",
+    * "xyz") still syllabify. The standard dictionary-free approximation
+    * (off by silent-e and diphthong edge cases, but monotone in real
+    * syllable count — exactly what a corpus-level readability GATE needs,
+    * and exactly reproducible cross-engine, unlike dictionary lookups).
+    */
+  def syllables(word: Column): Column =
+    greatest(lit(1L), size(regexp_extract_all(word, lit("[aeiouy]+"), lit(0))).cast(LongType))
+
+  /** Flesch Reading Ease over materialized tokens:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Both ratios are single double divisions of exact integers and the
+    * linear combination rounds once at 6 dp — the one-rounding discipline
+    * every scored operator here uses. NULL for token-less documents (no
+    * words → no readability, not a score of 206.835·…).
+    *
+    * A per-row projection (one pass over the token array) — no shuffle,
+    * the shape that survives a 100 TB scan.
+    */
+  def fleschFromCounts(nWords: Column, nSentences: Column, nSyllables: Column): Column =
+    when(nWords === 0, lit(null).cast(DoubleType))
+      .otherwise(round(
+        lit(206.835) -
+          lit(1.015) * (nWords.cast(DoubleType) / nSentences.cast(DoubleType)) -
+          lit(84.6) * (nSyllables.cast(DoubleType) / nWords.cast(DoubleType)), 6))
+
+  def fleschReadingEaseFromTokens(text: Column, toks: Column): Column =
+    fleschFromCounts(size(toks).cast(LongType), sentenceCount(text),
+      aggregate(toks, lit(0L), (acc, w) => acc + syllables(w)))
+  def fleschReadingEase(text: Column): Column =
+    fleschReadingEaseFromTokens(text, tokens(text))
 }

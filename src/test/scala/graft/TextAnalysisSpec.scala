@@ -274,4 +274,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") === "actual words",
       s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
+
+  test("t18: syllable groups, sentence floor, and the Flesch formula on known text") {
+    import graft.analytics.TextAnalysis
+    val df = Seq(
+      (1L, "The cat sat."),           // 3 words, 1 sentence, 3 syllables
+      (2L, "no punctuation here"),    // floor: 1 sentence
+      (3L, "123 xyz!"),               // vowel-less tokens: 1 syllable each
+      (4L, "   ")                     // token-less: no score
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("ws"))
+    val got = df.select(col("doc_id"),
+        TextAnalysis.sentenceCount(col("text")).as("s"),
+        aggregate(col("ws"), lit(0L),
+          (a, w) => a + TextAnalysis.syllables(w)).as("syl"),
+        TextAnalysis.fleschReadingEaseFromTokens(col("text"), col("ws")).as("f"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 1L && got(0).getLong(2) == 3L)
+    // 206.835 − 1.015·(3/1) − 84.6·(3/3) = 119.19
+    assert(got(0).getDouble(3) == 119.19)
+    assert(got(1).getLong(1) == 1L, "unpunctuated text is one sentence")
+    assert(got(2).getLong(2) == 2L, "vowel-less tokens floor at 1 syllable each")
+    assert(got(3).isNullAt(3), "token-less documents score NULL")
+  }
 }
