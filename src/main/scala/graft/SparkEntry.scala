@@ -1809,6 +1809,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Pareto skyline over lineitem's (price, quantity) trade-off —
+    // minimize price, maximize quantity. Engine: bucketed prefix-max
+    // (distinct + equi-width x-buckets + per-bucket window + carried
+    // bucket maxima, no global-order window); twin: the same prefix-max
+    // identity as ONE window (fine at oracle scale, and its agreement
+    // with the bucketed plan is itself part of what's being checked).
+    "q59_skyline" -> ((s, dir) =>
+      analytics.Skyline.skyline2D(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_quantity")
+        .orderBy(col("l_extendedprice"), col("l_quantity"))),
+
     // Readability scoring (Flesch Reading Ease): sentence runs, vowel-
     // group syllables floored at 1, two exact-integer ratios, one 6-dp
     // round — a pure per-row projection over the materialized token
@@ -3022,6 +3033,17 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Skyline twin (q59): the O(n log n) prefix-max identity as a single
+    // window — dominance = predecessor (x asc, y desc) with y ≥ current.
+    "q59_skyline" ->
+      """WITH pts AS (SELECT DISTINCT l_extendedprice AS x, l_quantity AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |w AS (SELECT x, y, max(y) OVER (ORDER BY x ASC, y DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM pts)
+        |SELECT x AS l_extendedprice, y AS l_quantity FROM w
+        |WHERE pm IS NULL OR y > pm
+        |ORDER BY l_extendedprice, l_quantity""".stripMargin,
 
     // Readability twin (t18): same tokenizer CTE, same vowel-group
     // syllable floor, same one-round formula.
