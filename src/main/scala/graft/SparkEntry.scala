@@ -1809,6 +1809,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
+    // the first and second half of the month (epoch-µs cut at 2024-01-16
+    // UTC, dtype-robust via EventTime). Same generator both halves, so
+    // the expected verdict is NO drift — the interesting output is the
+    // exact D, where it's attained, and the threshold flag doing real
+    // arithmetic. ECDFs via bucketed prefix sums, never a type-wide
+    // ordered window.
+    "q60_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.ksDrift(
+          ev.select(col("event_type"), col("value"),
+            when(EventTime.epochMicros(ev) < 1705363200000000L, lit(1))
+              .otherwise(lit(2)).as("side")),
+          "event_type", "value", "side")
+        .orderBy(col("event_type"))
+    }),
+
     // Pareto skyline over lineitem's (price, quantity) trade-off —
     // minimize price, maximize quantity. Engine: bucketed prefix-max
     // (distinct + equi-width x-buckets + per-bucket window + carried
@@ -3033,6 +3050,35 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // KS twin (q60): the ECDF as one per-type window (types are small in
+    // the oracle), identical integer counts and double divisions.
+    "q60_ks_drift" ->
+      """WITH e AS (SELECT event_type, value AS v,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS s
+        |  FROM events),
+        |c AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e GROUP BY event_type, v),
+        |cum AS (SELECT event_type, v,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1c,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2c
+        |  FROM c),
+        |tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM c GROUP BY event_type),
+        |d AS (SELECT event_type, v,
+        |    abs(CAST(c1c AS DOUBLE) / n1 - CAST(c2c AS DOUBLE) / n2) AS diff
+        |  FROM cum JOIN tot USING (event_type) WHERE n1 > 0 AND n2 > 0),
+        |mx AS (SELECT event_type, max(diff) AS ks_d FROM d GROUP BY event_type)
+        |SELECT event_type, n1, n2, ks_d, min(v) AS d_at,
+        |  ks_d > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS is_drift
+        |FROM d JOIN mx USING (event_type) JOIN tot USING (event_type)
+        |WHERE diff = ks_d GROUP BY event_type, n1, n2, ks_d
+        |ORDER BY event_type""".stripMargin,
 
     // Skyline twin (q59): the O(n log n) prefix-max identity as a single
     // window — dominance = predecessor (x asc, y desc) with y ≥ current.

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analytics.{Drift, Prefix}
+
+/** q60's KS drift and the bucketed prefix-sum primitive under it. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketedPrefixSums ≡ the single-window running sum") {
+    val df = (0 until 500).map { i =>
+      (s"g${i % 3}", ((i * 37) % 211).toDouble + (i % 3), (i % 7).toLong)
+    }.toDF("g", "v", "c")
+      .groupBy("g", "v").agg(sum("c").as("c")) // unique (g, v) keys
+    val got = Prefix.bucketedPrefixSums(df, Seq("g"), "v", Seq("c"), nBuckets = 8)
+      .select("g", "v", "c_cum").orderBy("g", "v").collect().toSeq
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.select(col("g"), col("v"), sum("c").over(w).as("c_cum"))
+      .orderBy("g", "v").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("KS: hand-computed D on disjoint two-point samples") {
+    // side1 = {1,2}, side2 = {3,4}: ECDFs separate fully at v=2 → D=1
+    val df = Seq(("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 2), ("g", 4.0, 2))
+      .toDF("g", "v", "s")
+    val r = Drift.ksDrift(df, "g", "v", "s").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 2.0)
+    // n too small for the asymptotic threshold (1.358·√1 > 1): no drift call
+    assert(!r.getBoolean(5))
+  }
+
+  test("KS: identical samples show zero drift; a shifted sample trips the gate") {
+    val same = (0 until 200).flatMap(i =>
+      Seq(("g", (i % 100).toDouble, 1), ("g", (i % 100).toDouble, 2)))
+      .toDF("g", "v", "s")
+    val r0 = Drift.ksDrift(same, "g", "v", "s").collect().head
+    assert(r0.getDouble(3) == 0.0 && !r0.getBoolean(5))
+    val shifted = ((0 until 100).map(i => ("g", i.toDouble, 1)) ++
+      (0 until 100).map(i => ("g", (i + 50).toDouble, 2))).toDF("g", "v", "s")
+    val r1 = Drift.ksDrift(shifted, "g", "v", "s").collect().head
+    assert(r1.getDouble(3) == 0.5, s"expected D=0.5, got ${r1.getDouble(3)}")
+    assert(r1.getBoolean(5), "a half-range shift must trip the drift gate")
+  }
+
+  test("KS: a group missing one side is dropped, others unaffected") {
+    val df = Seq(("only1", 1.0, 1), ("both", 1.0, 1), ("both", 2.0, 2))
+      .toDF("g", "v", "s")
+    val got = Drift.ksDrift(df, "g", "v", "s").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("both"))
+  }
+
+  test("plan: ECDF windows are (group, bucket)-partitioned, never type-wide") {
+    val p = SparkEntry.queries("q60_ks_drift")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(event_type"), s"plan:\n$p")
+    assert(p.contains("__bk"), s"expected bucketed window partitions, plan:\n$p")
+  }
+}
