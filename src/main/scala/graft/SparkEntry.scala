@@ -1809,6 +1809,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Scalar-quantization (int8) ADC top-k: per-dimension corpus bounds
+    // as the model artifact, 0..255 codes as the stored representation,
+    // bin-center dequantized squared-L2 scoring — the s01 broadcast-NLJ
+    // shape with a 4× smaller corpus payload. The twin re-derives the
+    // bounds, codes, and the j-ordered fold.
+    "s10_sq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sqTopK(e, e.where(col("vec_id") < 10), k = 5, dim = 64)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
     // the first and second half of the month (epoch-µs cut at 2024-01-16
     // UTC, dtype-robust via EventTime). Same generator both halves, so
@@ -3050,6 +3061,32 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // SQ twin (s10): per-dim min/width lists, the same floor-encode /
+    // bin-center-dequantize, the same left fold (0+e1 exact, the s07
+    // precedent).
+    "s10_sq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |mm AS (SELECT j, min(ev[j]) AS lo, max(ev[j]) - min(ev[j]) AS w
+        |  FROM v CROSS JOIN range(1, 65) r(j) GROUP BY j),
+        |mml AS (SELECT list(lo ORDER BY j) AS los, list(w ORDER BY j) AS ws FROM mm),
+        |codes AS (SELECT vec_id AS neighbor_id,
+        |    list_transform(range(1, 65), j -> CASE WHEN ws[j] = 0 THEN 0.0
+        |      ELSE least(floor((ev[j] - los[j]) / ws[j] * 256), 255.0) END) AS cq
+        |  FROM v CROSS JOIN mml),
+        |p AS (SELECT vec_id AS probe_id, ev AS pev FROM v WHERE vec_id < 10),
+        |scored AS (SELECT probe_id, neighbor_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (pev[j] - (los[j] + (cq[j] + 0.5) * ws[j] / 256.0))
+        |         * (pev[j] - (los[j] + (cq[j] + 0.5) * ws[j] / 256.0))),
+        |      (a, b) -> a + b), 6) AS adc_d2
+        |  FROM codes CROSS JOIN p CROSS JOIN mml WHERE probe_id <> neighbor_id),
+        |r AS (SELECT probe_id, neighbor_id, adc_d2,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id, adc_d2 FROM r WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // KS twin (q60): the ECDF as one per-type window (types are small in
     // the oracle), identical integer counts and double divisions.

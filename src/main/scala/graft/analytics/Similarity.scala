@@ -762,4 +762,70 @@ object Similarity {
     }
     selected
   }
+
+  /** Per-dimension (lo, width) bounds of the corpus — the int8 scalar-
+    * quantization "codebook" (a dim-sized model artifact; min/max are
+    * order-free exact folds, so no pinning discipline is needed).
+    */
+  def sqMinMax(corpus: DataFrame, dim: Int,
+      vecCol: String = "embedding"): Seq[(Double, Double)] = {
+    val mm = corpus
+      .select(posexplode(transform(col(vecCol), x => x.cast(DoubleType))))
+      .toDF("j", "x")
+      .groupBy(col("j")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("j"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    require(mm.length == dim, s"corpus vectors must have dim $dim, got ${mm.length}")
+    mm.map { case (lo, hi) => (lo, hi - lo) }
+  }
+
+  /** Scalar-quantization (int8) ADC top-k — the simplest production
+    * quantizer next to PQ (s07/s08): each dimension maps to a 0..255
+    * code against per-dimension corpus bounds (4× memory vs float32,
+    * 8× vs double — the stored artifact at scale is the code array),
+    * scoring dequantizes at the bin CENTER (`lo + (q+0.5)·w/256`) and
+    * folds squared L2 in j order (round 6, the s07 discipline). Encode
+    * is a pure per-row projection against the bounds LITERAL — no join,
+    * no shuffle in the index path; scoring is the s01 broadcast-NLJ
+    * shape (probes broadcast, corpus never shuffled); only the final
+    * per-probe top-k window shuffles.
+    *
+    * Determinism: bounds are exact min/max; the encode floor sits on
+    * identical IEEE ops both engines (`least(floor((x−lo)/w·256), 255)`,
+    * exact-hi capped); constant dimensions (w = 0) encode to 0 and
+    * dequantize to lo exactly.
+    */
+  def sqTopK(corpus: DataFrame, probes: DataFrame, k: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mm = sqMinMax(corpus, dim, vecCol)
+    val loLit = array(mm.map(t => lit(t._1)): _*)
+    val wLit = array(mm.map(t => lit(t._2)): _*)
+    def enc(v: Column): Column = transform(v, (x, i) => {
+      val lo = element_at(loLit, i + 1)
+      val w = element_at(wLit, i + 1)
+      when(w === 0.0, lit(0L))
+        .otherwise(least(floor((x.cast(DoubleType) - lo) / w * 256), lit(255.0))
+          .cast("long"))
+    })
+    def deq(c: Column): Column = transform(c, (q, i) => {
+      val lo = element_at(loLit, i + 1)
+      val w = element_at(wLit, i + 1)
+      lo + (q.cast(DoubleType) + lit(0.5)) * w / 256.0
+    })
+    val codes = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), enc(col(vecCol)).as("cq"))
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("pev")))
+    val scored = codes.join(p, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(aggregate(
+          zip_with(col("pev"), deq(col("cq")), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (s, x) => s + x), 6).as("adc_d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc_d2"))
+  }
 }

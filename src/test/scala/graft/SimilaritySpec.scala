@@ -275,4 +275,44 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("mmr_rank").collect()
     assert(rel.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
   }
+
+  test("s10 SQ: bin-center dequantization error is bounded by w/512 per dimension") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mm = Similarity.sqMinMax(e, dim = 64)
+    // replay encode+dequantize on the driver for a handful of vectors
+    val rows = e.where(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      v.indices.foreach { j =>
+        val (lo, w) = mm(j)
+        val q = if (w == 0.0) 0L
+          else math.min(math.floor((v(j) - lo) / w * 256), 255.0).toLong
+        val xhat = lo + (q + 0.5) * w / 256.0
+        assert(math.abs(v(j) - xhat) <= w / 512.0 + 1e-12,
+          s"dim $j: |${v(j)} - $xhat| exceeds ${w / 512.0}")
+      }
+    }
+  }
+
+  test("s10 SQ: ADC ranking substantially recalls the exact-L2 top-k; deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def run() = Similarity.sqTopK(e, probes, k = 5, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sq = run()
+    assert(sq == run(), "bit-deterministic across runs")
+    // exact squared-L2 top-5 per probe (driver brute force on 150 vectors)
+    val all = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val exact = (0L until 10L).flatMap { p =>
+      all.keys.filter(_ != p).toSeq
+        .map(n => (n, all(p).zip(all(n)).map { case (a, b) => (a - b) * (a - b) }.sum))
+        .sortBy { case (n, d) => (d, n) }.take(5)
+        .zipWithIndex.map { case ((n, _), i) => (p, i.toLong + 1, n) }
+    }.toSet
+    val recall = sq.map(t => (t._1, t._3))
+      .intersect(exact.map(t => (t._1, t._3))).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 SQ at 64 dims should recall most of exact top-5: $recall")
+  }
 }
