@@ -219,6 +219,73 @@ object ScaleSmoke {
     run("cdc_chunks")(
       Dedup.cdcChunkDedup(docs, w = 4, divisor = 16))
 
+    // Triangle counting (g03) at blowup: the g03 edge families over the
+    // blown-up corpus — degree-ordered wedges bound the self-join, the
+    // closure is an equi-join on the canonical edge key; edges and
+    // triangles both scale linearly in mult, so cost must too (a pair
+    // term here would mean the orientation failed).
+    if (shouldRun("triangles")) {
+      val nDocs = docs.count()
+      val verts = docs.select(col("doc_id"))
+      val edges = verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, lit(nDocs)).as("dst"))
+        .unionByName(verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 2, lit(nDocs)).as("dst")))
+        .unionByName(verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(nDocs)).as("dst")))
+      run("triangles")(graft.analytics.Graph.triangleCounts(edges))
+    }
+
+    // SQ ADC search (s10) at blowup, next to pq_topk: bounds aggregate +
+    // per-row encode are one corpus scan each, scoring is the broadcast-
+    // probe NLJ — cost must track the corpus scan, no pair term.
+    run("sq_topk")(
+      Similarity.sqTopK(vecs, vecs.where(col("vec_id") < 10), k = 5, dim = 64))
+
+    // Pareto skyline (q59) at blowup on a synthesized irregular point
+    // set: distinct + bucket-partitioned prefix max — linear in points,
+    // and the receipt that the no-global-window shape holds at size.
+    run("skyline")(
+      graft.analytics.Skyline.skyline2D(
+        spark.range(200000L * mult).select(
+          (pmod(col("id") * 37, lit(99991L))).cast("double").as("x"),
+          (pmod(col("id") * 59, lit(99989L))).cast("double").as("y")),
+        "x", "y"))
+
+    // KS drift (q60) at blowup on synthesized two-sided samples: the
+    // per-(group, value) count shuffle dominates; prefix sums are
+    // bucket-partitioned — cost must track rows, never group size.
+    run("ks_drift")(
+      graft.analytics.Drift.ksDrift(
+        spark.range(200000L * mult).select(
+          concat(lit("g"), pmod(col("id"), lit(5))).as("g"),
+          pmod(col("id") * 37, lit(9973L)).cast("double").as("v"),
+          (pmod(col("id"), lit(2)) + 1).cast("int").as("s")),
+        "g", "v", "s"))
+
+    // Blocked fuzzy ER (d24) at blowup: synthesized 9-digit entity names
+    // with one md5-positioned substitution; candidates come only from the
+    // two INTERLEAVED-digit equi-joins (contiguous halves measured 13×
+    // superlinear here — zero-padded ids keep all entropy in the low
+    // digits and the high-digit key became one giant block), then the
+    // levenshtein gate — cost must track records plus candidate count,
+    // never records².
+    run("entity_resolution") {
+      val n = 1500L * mult
+      val base = spark.range(n).select(col("id"),
+        format_string("Entity#%09d", col("id")).as("c_name"))
+      val p = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 9
+      val dirty = base.select(col("id").as("d_id"),
+        concat(col("c_name").substr(lit(1), lit(7L) + p), lit("X"),
+          col("c_name").substr(lit(9L) + p, lit(8L) - p)).as("d_name"))
+      val clean = base.select(col("id").as("c_id"), col("c_name"))
+      def pick(ps: Seq[Int]): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        nm => concat(ps.map(q => nm.substr(lit(q), lit(1))): _*)
+      graft.analytics.EntityResolution.blockedFuzzyMatch(dirty, clean,
+        Seq(pick(Seq(8, 10, 12, 14, 16)), pick(Seq(9, 11, 13, 15))), maxDist = 1)
+    }
+
     // Production graph paths (replayable=false: plain partial-aggregated
     // sums, no ordered folds) — paired with the `pagerank`/`hits`
     // datapoints above, the delta IS the measured determinism tax.

@@ -206,11 +206,14 @@ object Graph {
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     // (deg, id)-lexicographic orientation: struct comparison IS that order
     val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    // persist the oriented edges: the wedge self-join reads them twice,
+    // and each derivation carries two degree joins
     val oe = ue
       .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wedges = oe.as("e1")
       .join(oe.as("e2"), col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
       .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
@@ -218,11 +221,15 @@ object Graph {
         col("a") === least(col("y"), col("z")) &&
         col("b") === greatest(col("y"), col("z")))
       .select(col("x"), col("y"), col("z"))
+    // checkpoint the result BEFORE releasing the caches — otherwise the
+    // caller's sink replays the whole wedge/closure DAG uncached
     val out = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
-    out.count() // materialize before releasing the edge cache
+      .localCheckpoint(eager = false)
+    out.count() // materialize the checkpoint
     ue.unpersist(blocking = false)
+    oe.unpersist(blocking = false)
     out
   }
 }
