@@ -1809,6 +1809,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Frequent co-purchase pairs (a-priori pruned): items below support 8
+    // never reach the per-order self-join, pairs gate at support 2, lift
+    // is one double division of exact counts. The market-basket operator
+    // whose scale knob is the item-support prune.
+    "q61_copurchase" -> ((s, dir) =>
+      analytics.Itemsets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minItemSupport = 8, minPairSupport = 2)
+        .orderBy(col("n_pairs").desc, col("p1"), col("p2"))),
+
     // Scalar-quantization (int8) ADC top-k: per-dimension corpus bounds
     // as the model artifact, 0..255 codes as the stored representation,
     // bin-center dequantized squared-L2 scoring — the s01 broadcast-NLJ
@@ -3068,6 +3077,22 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Co-purchase twin (q61): the same prune → self-join → gate chain.
+    "q61_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ntx AS (SELECT count(DISTINCT o) AS n_tx FROM items),
+        |sup AS (SELECT p, count(*) AS s FROM items GROUP BY p),
+        |pruned AS (SELECT o, items.p, s FROM items JOIN sup USING (p) WHERE s >= 8),
+        |pairs AS (SELECT a.p AS p1, b.p AS p2, a.s AS s1, b.s AS s2,
+        |    count(*) AS n_pairs
+        |  FROM pruned a JOIN pruned b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY p1, p2, s1, s2 HAVING count(*) >= 2)
+        |SELECT p1, p2, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |  CAST(n_pairs * n_tx AS DOUBLE) / CAST(s1 * s2 AS DOUBLE) AS lift
+        |FROM pairs CROSS JOIN ntx
+        |ORDER BY n_pairs DESC, p1, p2""".stripMargin,
 
     // SQ twin (s10): per-dim min/width lists, the same floor-encode /
     // bin-center-dequantize, the same left fold (0+e1 exact, the s07
