@@ -1809,6 +1809,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Perceptual image near-dup (aHash): 64 body bytes → above-mean bits
+    // (strict integer form, no division) → four 16-bit bands serving as
+    // both fingerprint and Hamming-LSH keys; candidates from the banded
+    // equi-joins only, Hamming via bit_count(xor). The byte-level image
+    // dedup next to d06's embedding-cosine one.
+    "m06_ahash_neardup" -> ((s, dir) =>
+      Multimodal.aHashNearDups(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Frequent co-purchase pairs (a-priori pruned): items below support 8
     // never reach the per-order self-join, pairs gate at support 2, lift
     // is one double division of exact counts. The market-basket operator
@@ -3077,6 +3086,40 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // aHash twin (m06): body bytes via one hex pass (DuckDB lacks blob
+    // substring — same bytes, the Spark side reads them from the payload
+    // at the body offset), identical integer folds; the OR-join is the
+    // same candidate set as the banded union at oracle scale.
+    "m06_ahash_neardup" ->
+      """WITH img AS (SELECT doc_id, hex(encode(text)) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bytes AS (SELECT doc_id, list_transform(range(1, 65),
+        |    i -> CASE WHEN length(h) >= i * 2
+        |      THEN CAST(('0x' || substring(h, CAST(i * 2 - 1 AS INTEGER), 2)) AS BIGINT)
+        |      ELSE 0 END) AS bs
+        |  FROM img),
+        |sums AS (SELECT doc_id, bs, list_reduce(bs, (a, b) -> a + b) AS s FROM bytes),
+        |bits AS (SELECT doc_id, list_transform(bs,
+        |    b -> CASE WHEN b * 64 > s THEN 1 ELSE 0 END) AS bits FROM sums),
+        |bands AS (SELECT doc_id,
+        |    CAST(list_reduce(bits[1:16], (a, b) -> a * 2 + b) AS BIGINT) AS b0,
+        |    CAST(list_reduce(bits[17:32], (a, b) -> a * 2 + b) AS BIGINT) AS b1,
+        |    CAST(list_reduce(bits[33:48], (a, b) -> a * 2 + b) AS BIGINT) AS b2,
+        |    CAST(list_reduce(bits[49:64], (a, b) -> a * 2 + b) AS BIGINT) AS b3
+        |  FROM bits),
+        |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+        |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+        |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
+        |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) +
+        |       bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+        |FROM cands
+        |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) +
+        |      bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Co-purchase twin (q61): the same prune → self-join → gate chain.
     "q61_copurchase" ->

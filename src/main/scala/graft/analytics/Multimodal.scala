@@ -231,4 +231,72 @@ object Multimodal {
       when(col("modality") === "audio", decodeAudio(col("payload"))).as("audio_meta"),
       when(col("modality") === "video", frameSampleOffsets(col("payload"), 4)).as("frame_offsets"))
   }
+
+  /** Average-hash (aHash) perceptual fingerprint over the image BODY
+    * bytes — the byte-level image near-dup signal next to the embedding-
+    * cosine one (d06): 64 body bytes stand in for the 8×8 downsampled
+    * grayscale grid (pixel decode is the documented stub; the hash
+    * pipeline downstream of decode is the real thing), bit i = 1 iff
+    * byte_i·64 > Σbytes (the strict integer form of "above the mean" —
+    * NO division, so there is no boundary to disagree on cross-engine).
+    * Short bodies zero-pad; the 64 bits fold into four 16-bit band
+    * values, which are simultaneously the fingerprint (b0..b3) and the
+    * Hamming-LSH blocking keys. Pigeonhole: at Hamming distance ≤ 3,
+    * four bands cannot all contain a differing bit, so a shared band is
+    * GUARANTEED; for d in 4..6 the differing bits can straddle all four
+    * bands and band-collision becomes a recall heuristic — the standard
+    * Hamming-LSH trade (more bands buy a higher guaranteed radius at
+    * more candidate volume).
+    *
+    * Everything is a per-row projection (hex + integer folds) until the
+    * band-keyed candidate join — counts-not-pairs, the d04 shape.
+    */
+  def aHashed(docs: DataFrame, bodyOffset: Int = 34): DataFrame = {
+    val h = hex(substring(col("payload"), bodyOffset, 64))
+    val bytes = transform(sequence(lit(1), lit(64)), i =>
+      when(length(col("__h")) >= i * 2,
+        conv(col("__h").substr(i * 2 - 1, lit(2)), 16, 10).cast(LongType))
+        .otherwise(lit(0L)))
+    val bits = transform(col("__bs"),
+      b => when(b * 64 > col("__sum"), lit(1L)).otherwise(lit(0L)))
+    def band(k: Int): Column =
+      aggregate(slice(col("__bits"), k * 16 + 1, 16), lit(0L),
+        (a, b) => a * 2 + b)
+    withPayload(docs)
+      .where(col("modality") === "image")
+      .select(col("doc_id"), h.as("__h"))
+      .select(col("doc_id"), bytes.as("__bs"))
+      .select(col("doc_id"), col("__bs"),
+        aggregate(col("__bs"), lit(0L), (a, b) => a + b).as("__sum"))
+      .select(col("doc_id"), bits.as("__bits"))
+      .select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3"))
+  }
+
+  /** Near-duplicate image pairs at Hamming ≤ `maxHamming`, candidates
+    * from the 4 band-equality equi-joins (unioned, deduped — never an
+    * OR-join, which degrades to a nested loop). Hamming distance =
+    * Σ bit_count(xor(band, band)) — sign-safe integer ops both engines.
+    */
+  def aHashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hashes = aHashed(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val cands = (0 until 4).map { k =>
+      a.join(b, col(s"a$k") === col(s"c$k") && col("id_a") < col("id_b"))
+    }.reduce(_ unionByName _).distinct()
+    def bc(x: Column, y: Column): Column = bit_count(x.bitwiseXOR(y)).cast(LongType)
+    val out = cands
+      .select(col("id_a"), col("id_b"),
+        (bc(col("a0"), col("c0")) + bc(col("a1"), col("c1")) +
+          bc(col("a2"), col("c2")) + bc(col("a3"), col("c3"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .localCheckpoint(eager = false)
+    out.count() // materialize before releasing the hash cache
+    hashes.unpersist(blocking = false)
+    out
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Multimodal
+
+/** m06's perceptual aHash: known-bit goldens, the identical-body ⇒
+  * Hamming-0 invariant, the ≤3-bit band guarantee, and the gate.
+  */
+class AHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs whose doc_id % 3 == 0 become image modality in withPayload
+  private def imageDocs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("identical bodies hash identically; the pair surfaces at Hamming 0") {
+    val docs = imageDocs((0L, "same text body"), (3L, "same text body"),
+      (6L, "completely different content here"))
+    val pairs = Multimodal.aHashNearDups(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((0L, 3L, 0L)), s"exact pair missing: ${pairs.toSeq}")
+  }
+
+  test("bands are 16-bit values and rebuild the above-mean bit pattern") {
+    val docs = imageDocs((0L, "a" * 32 + "z" * 32)) // low half, high half
+    val h = Multimodal.aHashed(docs).collect().head
+    val bands = Seq(h.getLong(1), h.getLong(2), h.getLong(3), h.getLong(4))
+    assert(bands.forall(b => b >= 0L && b <= 65535L))
+    // 'a'(97)·64 vs sum = 32·97+32·122 = 7008: 97·64=6208 < 7008 → bit 0;
+    // 'z'(122)·64 = 7808 > 7008 → bit 1: bands = [0, 0, 0xFFFF, 0xFFFF]
+    assert(bands == Seq(0L, 0L, 65535L, 65535L), s"got $bands")
+  }
+
+  test("a 1-bit body difference lands within the banded candidate guarantee") {
+    // flip one byte far above/below the mean: exactly one bit differs,
+    // d = 1 ≤ 3 ⇒ the shared-band guarantee applies and the pair emits
+    val base = "m" * 64
+    val docs = imageDocs((0L, base), (3L, "z" + base.drop(1)))
+    val pairs = Multimodal.aHashNearDups(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((0L, 3L, 1L)), s"got ${pairs.toSeq}")
+  }
+
+  test("the Hamming gate drops far pairs even when a band collides") {
+    // first 16 bytes identical (band 0 collides) but the rest alternates
+    // oppositely — a candidate that must NOT pass the gate
+    val a = "m" * 16 + "az" * 24
+    val b = "m" * 16 + "za" * 24
+    val docs = imageDocs((0L, a), (3L, b))
+    assert(Multimodal.aHashNearDups(docs, maxHamming = 6).count() == 0L)
+  }
+}
