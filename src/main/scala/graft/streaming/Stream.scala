@@ -284,6 +284,63 @@ object Stream {
     }
   }
 
+  case class RollingStat(key: String, n: Long, total: Long, latestTs: Long)
+
+  /** E1/H4 on transformWithState LIST state — the third state kind next
+    * to Value (SubActivityProcessor) and Map (FieldCountsProcessor): a
+    * bounded last-`keep` observation window per key, the feature-store
+    * rolling-window primitive (last-N metric average per subscription).
+    * ListState keeps per-element state rows, so the window APPEND is
+    * O(batch) — only the trim rewrites, and only when the window
+    * overflows. Emits the post-batch rolling aggregate per touched key.
+    *
+    * Elements are (ts, value) and the window is ordered by (ts, value) —
+    * a total order, so the retained set is deterministic under replays
+    * regardless of arrival interleaving.
+    */
+  final class RecentEventsProcessor(keep: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), RollingStat] {
+    import implicits._
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long)]("recent",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RollingStat] = {
+      val incoming = rows.map { case (_, ts, v) => (ts, v) }.toArray
+      val prior = recent.get().toArray
+      val all = (prior ++ incoming).sorted
+      if (all.length <= keep && incoming.nonEmpty) {
+        recent.appendList(incoming) // no overflow: pure append, no rewrite
+      } else {
+        recent.put(all.takeRight(keep))
+      }
+      val window = all.takeRight(keep)
+      if (incoming.isEmpty || window.isEmpty) Iterator.empty
+      else Iterator.single(RollingStat(key, window.length.toLong,
+        window.map(_._2).sum, window.last._1))
+    }
+  }
+
+  /** [[RecentEventsProcessor]] over a (k, ts, v) frame: per-key rolling
+    * last-`keep` stats, checkpoint-durable (RocksDB state store).
+    */
+  def recentActivityTws(events: DataFrame, keep: Int): Dataset[RollingStat] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("k").cast("string"), col("ts").cast("long"),
+        col("v").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(keep),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[FieldCountsProcessor]] over the envelope stream: per notifId, the
     * per-batch delta of metric-field observation counts.
     */

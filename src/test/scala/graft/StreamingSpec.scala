@@ -455,6 +455,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState: bounded rolling window resumes across restarts") {
+    val srcDir = tempDir("graft-twslist-src")
+    val ckptDir = tempDir("graft-twslist-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.RollingStat]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema("k string, ts long, v long").json(srcDir)
+        val q = Stream.recentActivityTws(src, keep = 3)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.RollingStat], _: Long) =>
+            collected ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      def write(name: String, rows: (String, Long, Long)*): Unit =
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (rows.map { case (k, ts, v) => s"""{"k":"$k","ts":$ts,"v":$v}""" }
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+
+      // b0: two observations for a — window below capacity
+      write("b0.jsonl", ("a", 10L, 100L), ("a", 20L, 200L))
+      run()
+      assert(collected.toSeq === Seq(Stream.RollingStat("a", 2L, 300L, 20L)))
+      // b1 (restart): two more — ListState resumed, window trims to the
+      // LAST 3 by ts: (20,200),(30,50),(40,10)
+      collected.clear()
+      write("b1.jsonl", ("a", 30L, 50L), ("a", 40L, 10L))
+      run()
+      assert(collected.toSeq === Seq(Stream.RollingStat("a", 3L, 260L, 40L)),
+        s"window must resume and trim: $collected")
+      // b2: a LATE observation (ts 5, before everything) — sorted window
+      // keeps (20,200),(30,50),(40,10): stats unchanged but re-emitted
+      // (the key was touched); an untouched key b starts its own window
+      collected.clear()
+      write("b2.jsonl", ("a", 5L, 999L), ("b", 1L, 7L))
+      run()
+      assert(collected.sortBy(_.key).toSeq === Seq(
+        Stream.RollingStat("a", 3L, 260L, 40L),
+        Stream.RollingStat("b", 1L, 7L, 1L)),
+        s"late row must fall off the sorted window: $collected")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("typed envelope Dataset round-trips the closed output shape") {
     val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
     val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
