@@ -25,7 +25,8 @@ object Itemsets {
     * s2, lift) with p1 < p2, gated at `minPairSupport`.
     */
   def frequentPairs(tx: DataFrame, txCol: String, itemCol: String,
-      minItemSupport: Long, minPairSupport: Long): DataFrame = {
+      minItemSupport: Long, minPairSupport: Long,
+      checkpoint: Boolean = true): DataFrame = {
     val items = tx.select(col(txCol).as("o"), col(itemCol).as("p")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTx = items.select(col("o")).distinct()
@@ -40,11 +41,14 @@ object Itemsets {
       .groupBy(col("p1"), col("p2"), col("s1"), col("s2"))
       .agg(count(lit(1)).as("n_pairs"))
       .where(col("n_pairs") >= minPairSupport)
-    val out = pairs.crossJoin(broadcast(nTx))
+    val projected = pairs.crossJoin(broadcast(nTx))
       .select(col("p1"), col("p2"), col("n_pairs"), col("s1"), col("s2"),
         ((col("n_pairs") * col("n_tx")).cast("double") /
           (col("s1") * col("s2")).cast("double")).as("lift"))
-      .localCheckpoint(eager = false)
+    // checkpoint=false exposes the full tree for plan audits; the
+    // default materializes before the caches release
+    if (!checkpoint) return projected
+    val out = projected.localCheckpoint(eager = false)
     out.count() // materialize before releasing the caches
     items.unpersist(blocking = false)
     pruned.unpersist(blocking = false)

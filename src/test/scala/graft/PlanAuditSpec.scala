@@ -334,4 +334,43 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"),
       s"greedy-round joins must be hash/merge equi-joins, plan:\n$p")
   }
+
+  test("m06: banded candidates are equi-joins — no loop join, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    // audit the candidate stage (the full operator checkpoints, which
+    // hides the tree behind a LogicalRDD): hash joins on the band keys
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hashes = analytics.Multimodal.aHashed(docs)
+    val a = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"))
+    val cand = a.join(b, col("a0") === col("c0") && col("id_a") < col("id_b"))
+    val p = cand.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must be an equi-join, plan:\n$p")
+  }
+
+  test("q61: support prune precedes the pair self-join; aggregation is partial+final") {
+    // checkpoint=false exposes the tree (the default hides it behind a
+    // LogicalRDD, the mmr precedent)
+    val p = analytics.Itemsets.frequentPairs(
+        spark.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", "l_partkey", minItemSupport = 8, minPairSupport = 2,
+        checkpoint = false)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"expected map-side partials, plan:\n$p")
+    // the support gate must sit UNDER the pair join (on the pruned build
+    // side), not above the pair fan-out; attributes print with #id tags
+    assert("""s#\d+L? >= 8""".r.findFirstIn(p).isDefined,
+      s"support filter must appear in the plan, plan:\n$p")
+  }
+
+  test("d24: both blocking passes are equi-joins; no cartesian anywhere") {
+    val p = plan("d24_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must hash-join, plan:\n$p")
+  }
 }
