@@ -286,6 +286,35 @@ object ScaleSmoke {
         Seq(pick(Seq(8, 10, 12, 14, 16)), pick(Seq(9, 11, 13, 15))), maxDist = 1)
     }
 
+    // aHash image near-dup (m06) at blowup: the per-row hash pipeline is
+    // linear; the id-shifted copies are EXACT body duplicates, so
+    // Hamming-0 pair mass grows quadratically in mult (the minhash_lsh
+    // regime) — candidate volume must track duplicate mass, never
+    // corpus² (bands, not all-pairs).
+    run("ahash_neardup")(
+      graft.analytics.Multimodal.aHashNearDups(docs, maxHamming = 6))
+
+    // A-priori pair mining (q61) at blowup on synthesized baskets
+    // (4 items each, overlapping item pattern): supports scale with
+    // mult, baskets scale with mult, pair counts scale with mult — cost
+    // must be linear (the support prune holds the fan-out constant).
+    run("copurchase")(
+      graft.analytics.Itemsets.frequentPairs(
+        spark.range(100000L * mult).select(
+          (col("id") / 4).cast("long").as("o"),
+          pmod(col("id") * 37, lit(997L)).as("p")),
+        "o", "p", minItemSupport = 50L * mult, minPairSupport = 10L * mult))
+
+    // Exact AUC (q62) at blowup: per-score counts + bucketed prefix —
+    // the count table is score-cardinality-sized (constant here), so
+    // cost must track the one counting scan.
+    run("auc")(
+      graft.analytics.Eval.aucROC(
+        spark.range(200000L * mult).select(
+          (pmod(col("id") * 37, lit(9973L)).cast("double") / 9973.0).as("score"),
+          (pmod(col("id"), lit(3)) === 0).as("label")),
+        "score", "label"))
+
     // Production graph paths (replayable=false: plain partial-aggregated
     // sums, no ordered folds) — paired with the `pagerank`/`hits`
     // datapoints above, the delta IS the measured determinism tax.
