@@ -1809,6 +1809,43 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Language-ID evaluation: t01's stopword-voting classifier measured
+    // against the labeled lang — per-class exact confusion counts +
+    // precision/recall/F1 (F1 computed FROM the emitted P/R columns so
+    // the float chain replays verbatim). 'zh' has no marker list and is
+    // never predicted: precision NULL, recall 0 — the honest row.
+    "t19_langid_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("ws"))
+      analytics.Eval.classificationReport(
+          docs.select(col("lang").as("label"),
+            TextAnalysis.langIdFromTokens(col("ws")).as("pred")),
+          "label", "pred")
+        .orderBy(col("label"))
+    }),
+
+    // Markov transition matrix over per-user event sequences: lead() on
+    // the (ts, event_id)-ordered user timeline (user-partitioned window),
+    // exact pair counts, row-conditional probability as one division.
+    // The session-behavior model a funnel (q49) summarizes one path of.
+    "q63_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(EventTime.epochMicros(ev), col("event_id"))
+      val pairs = ev
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Exact tie-aware ROC AUC (Mann–Whitney): the ranking power of the
     // t02/q37 quality score against the lang=='en' label. The measured
     // answer at sf0.01 is ≈0.495 — the composite quality score is NOT a
@@ -3100,6 +3137,53 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // LangID-eval twin (t19): t01's langid CTE, the same confusion
+    // counts and the same P/R→F1 float chain.
+    "t19_langid_eval" -> (
+      s"""WITH tok AS (SELECT doc_id, lang, $tokensSqlExpr AS ws FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         | len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+         | len(list_filter(ws, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS s_es,
+         | len(list_filter(ws, x -> list_contains(['der','die','das','und','zu','ein','ist'], x))) AS s_de,
+         | len(list_filter(ws, x -> list_contains(['le','la','de','et','que','un','est'], x))) AS s_fr
+         |FROM tok),
+         |pr AS (SELECT lang AS label, CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         | WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         | WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         | WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         | ELSE 'fr' END AS pred FROM sc),
+         |conf AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY label, pred),
+         |lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label FROM conf GROUP BY label),
+         |pt AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY pred),
+         |tp AS (SELECT label, CAST(n AS BIGINT) AS tp FROM conf WHERE label = pred),
+         |b AS (SELECT lt.label, n_label, coalesce(n_pred, 0) AS n_pred,
+         |    coalesce(tp, 0) AS tp
+         |  FROM lt LEFT JOIN tp USING (label) LEFT JOIN pt USING (label)),
+         |m AS (SELECT label, n_label, n_pred, tp,
+         |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+         |    CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall
+         |  FROM b)
+         |SELECT label, n_label, n_pred, tp, precision, recall,
+         |  CASE WHEN coalesce(precision, 0.0) + recall > 0.0
+         |    THEN 2.0 * precision * recall / (precision + recall) END AS f1
+         |FROM m ORDER BY label""".stripMargin),
+
+    // Transition twin (q63): the same user-partitioned lead() and the
+    // same one-division conditional probability.
+    "q63_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type FROM e),
+        |pairs AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM pairs GROUP BY from_type)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n, n_from,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        |FROM pairs JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // AUC twin (q62): the same per-score counts and doubled-U fold over
     // the shared quality CTEs.

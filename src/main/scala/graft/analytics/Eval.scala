@@ -22,6 +22,44 @@ object Eval {
     * global-order window), one 1-row aggregation. The per-score count
     * table is cardinality-of-score sized, not row sized.
     */
+  /** Per-class classification report over (label, prediction) pairs:
+    * confusion-derived exact counts (n_label, n_pred, tp) plus
+    * precision/recall/F1 as double divisions of those counts — F1 is
+    * computed FROM the emitted precision/recall columns, so the float
+    * chain is replayable verbatim by the SQL twin. Classes never
+    * predicted get precision NULL (0/0 is undefined, not 0); F1 is NULL
+    * when precision+recall has nothing to harmonic-mean over.
+    *
+    * Scale: two aggregations (confusion counts, then class totals) and
+    * two broadcastable class-cardinality joins.
+    */
+  def classificationReport(df: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val conf = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val labelTot = conf.groupBy(col("label")).agg(sum(col("n")).as("n_label"))
+    val predTot = conf.groupBy(col("pred").as("label"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = conf.where(col("label") === col("pred"))
+      .select(col("label"), col("n").as("tp"))
+    val base = labelTot
+      .join(broadcast(tp), Seq("label"), "left")
+      .join(broadcast(predTot), Seq("label"), "left")
+      .select(col("label"), col("n_label"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    base
+      .withColumn("precision",
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall",
+        col("tp").cast("double") / col("n_label").cast("double"))
+      .withColumn("f1",
+        when(coalesce(col("precision"), lit(0.0)) + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
   def aucROC(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val counts = df
       .groupBy(col(scoreCol).as("s"))

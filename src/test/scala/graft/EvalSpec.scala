@@ -35,4 +35,32 @@ class EvalSpec extends SparkSpec {
     val mapped = base.map { case (s, l) => (math.exp(3 * s), l) }
     assert(auc(base: _*)._4 == auc(mapped: _*)._4)
   }
+
+  test("classification report: hand-computed confusion, never-predicted class") {
+    // labels: a×3, b×2, c×1; predictions: a→a,a,b  b→b,a  c→b
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+      ("c", "b")).toDF("label", "pred")
+    val got = Eval.classificationReport(df, "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a") // tp=2, n_label=3, n_pred=3
+    assert(a.getLong(1) == 3L && a.getLong(2) == 3L && a.getLong(3) == 2L)
+    assert(a.getDouble(4) == 2.0 / 3.0 && a.getDouble(5) == 2.0 / 3.0)
+    assert(a.getDouble(6) == 2.0 / 3.0, "P==R ⇒ F1 equals both")
+    val b = got("b") // tp=1, n_label=2, n_pred=3
+    assert(b.getDouble(4) == 1.0 / 3.0 && b.getDouble(5) == 0.5)
+    val c = got("c") // never predicted: precision NULL, recall 0, f1 NULL
+    assert(c.getLong(2) == 0L && c.isNullAt(4) && c.getDouble(5) == 0.0 &&
+      c.isNullAt(6))
+  }
+
+  test("q63: per-source transition probabilities are a proper distribution") {
+    val out = SparkEntry.queries("q63_transitions")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9,
+        "row-conditional probabilities must sum to 1 per from_type")
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
+    }
+  }
 }
