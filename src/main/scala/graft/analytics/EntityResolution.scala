@@ -48,10 +48,16 @@ object EntityResolution {
       dirty.join(clean, key(col("d_name")) === key(col("c_name")))
         .select(col("d_id"), col("d_name"), col("c_id"), col("c_name"))
     }.reduce(_ unionByName _).distinct()
+    // the THRESHOLD form early-exits the DP once a row exceeds maxDist
+    // (O(maxDist·len) not O(len²) — the production win on long strings);
+    // it returns -1 above the bound, which the gate folds away. Within
+    // the gate the value equals plain levenshtein, so the SQL twin's
+    // unbounded form stays bit-identical.
     val scored = cands
       .select(col("d_id"), col("c_id"),
-        levenshtein(col("d_name"), col("c_name")).cast("bigint").as("dist"))
-      .where(col("dist") <= maxDist)
+        levenshtein(col("d_name"), col("c_name"), maxDist)
+          .cast("bigint").as("dist"))
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
     val w = Window.partitionBy(col("d_id"))
     scored
       .withColumn("rn", row_number().over(w.orderBy(col("dist"), col("c_id"))))
