@@ -1809,6 +1809,44 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Cross-document boilerplate-line removal (the corpus-level CCNet
+    // pass, distinct from t15's within-document one): lines repeating in
+    // ≥ 3 documents drop everywhere. Lines synthesized as in t15 (token
+    // slices + a shared "cookie banner" so a guaranteed cross-doc hit
+    // exists); near-dup corpus texts make ORGANIC hits too.
+    "d25_cross_doc_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ws", TextAnalysis.tokens(col("text")))
+      val p1 = array_join(slice(col("ws"), 1, 6), " ")
+      val p2 = array_join(slice(col("ws"), 7, 6), " ")
+      val multi = concat_ws("\n", lit("accept all cookies to continue"),
+        p1, p2, lit("(c) example corp all rights reserved"))
+      TextAnalysis.stripCrossDocLines(
+          docs.withColumn("mtext", multi), "mtext", minDf = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact 7-day sliding distinct users (DAU/WAU): each (user, day)
+    // observation fans out to the 7 window-ending days it supports (the
+    // standard exact shape — a bounded 7× explode, NOT a range self-
+    // join), then one count_distinct per window day; daily actives join
+    // back for the DAU column. Integer day buckets, no rounding.
+    "q64_sliding_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventTime.epochMicros(ev)
+      // exact-multiple division (the q51 idiom) → integer day bucket
+      val day = ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long")
+      val obs = ev.select(col("user_id"), day.as("day")).distinct()
+      val wau = obs
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau"))
+      val dau = obs.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      wau.join(dau, col("wday") === col("day"), "left")
+        .select(col("wday").as("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau"))
+        .orderBy(col("day"))
+    }),
+
     // Language-ID evaluation: t01's stopword-voting classifier measured
     // against the labeled lang — per-class exact confusion counts +
     // precision/recall/F1 (F1 computed FROM the emitted P/R columns so
@@ -3137,6 +3175,47 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Cross-doc-lines twin (d25): same synthesized lines, same
+    // fingerprint DF gate, same positional reassembly.
+    "d25_cross_doc_lines" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |m AS (SELECT doc_id, 'accept all cookies to continue' || chr(10) ||
+         |  array_to_string(ws[1:6], ' ') || chr(10) ||
+         |  array_to_string(ws[7:12], ' ') || chr(10) ||
+         |  '(c) example corp all rights reserved' AS mtext FROM tok),
+         |ls AS (SELECT doc_id, string_split(mtext, chr(10)) AS lines FROM m),
+         |ex AS (SELECT doc_id, unnest(lines) AS line,
+         |    unnest(range(1, len(lines) + 1)) AS pos FROM ls),
+         |nb AS (SELECT doc_id, pos, line,
+         |    md5(regexp_replace(trim(lower(line)), '\\s+', ' ', 'g')) AS fp
+         |  FROM ex WHERE trim(line) <> ''),
+         |boiler AS (SELECT fp FROM nb GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= 3),
+         |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(line ORDER BY pos), chr(10)) AS clean_text
+         |  FROM nb ANTI JOIN boiler USING (fp) GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split(mtext, chr(10)),
+         |      l -> trim(l) <> '')) AS BIGINT) AS n_lines FROM m)
+         |SELECT doc_id, n_lines, coalesce(n_kept, 0) AS n_kept,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Sliding-distinct twin (q64): the same bounded 7-day fan-out and
+    // exact distinct counts.
+    "q64_sliding_distinct" ->
+      """WITH obs AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |wau AS (SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM (SELECT user_id, unnest(generate_series(day, day + 6)) AS wday
+        |        FROM obs)
+        |  GROUP BY wday),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM obs GROUP BY day)
+        |SELECT wday AS day, coalesce(dau, 0) AS dau, wau
+        |FROM wau LEFT JOIN dau ON wday = dau.day
+        |ORDER BY wau.wday""".stripMargin,
 
     // LangID-eval twin (t19): t01's langid CTE, the same confusion
     // counts and the same P/R→F1 float chain.

@@ -456,6 +456,45 @@ object TextAnalysis {
           lit(1.015) * (nWords.cast(DoubleType) / nSentences.cast(DoubleType)) -
           lit(84.6) * (nSyllables.cast(DoubleType) / nWords.cast(DoubleType)), 6))
 
+  /** CORPUS-level repeated-line removal (the CCNet/C4 boilerplate pass
+    * [[dedupLines]] does NOT do — that one is within-document): a line
+    * whose normalized fingerprint appears in ≥ `minDf` DISTINCT documents
+    * is boilerplate (nav bars, cookie banners, license footers) and is
+    * dropped from every document; document order is preserved through
+    * positional reassembly. Blank lines drop unconditionally.
+    *
+    * Scale: one explode to (doc, pos, line), one fingerprint-keyed
+    * DF aggregation (`count_distinct(doc)` — at 100 TB swap for an
+    * approx sketch or a two-level exact count, the q30 pattern), one
+    * anti join on the fingerprint, one per-doc reassembly whose buffer
+    * is bounded by document length (the d15 trade).
+    */
+  def stripCrossDocLines(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      minDf: Long, idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "line")
+      .where(trim(col("line")) =!= "")
+      .withColumn("fp", md5(regexp_replace(trim(lower(col("line"))), "\\s+", " ")))
+    val boiler = lines.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("fp"))
+    val kept = lines.join(boiler, Seq("fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    val totals = docs.select(col(idCol),
+      size(filter(split(col(textCol), "\n"), l => trim(l) =!= ""))
+        .cast(LongType).as("n_lines"))
+    totals.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def fleschReadingEaseFromTokens(text: Column, toks: Column): Column =
     fleschFromCounts(size(toks).cast(LongType), sentenceCount(text),
       aggregate(toks, lit(0L), (acc, w) => acc + syllables(w)))

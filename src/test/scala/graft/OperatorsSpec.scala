@@ -408,4 +408,22 @@ class OperatorsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
+
+  test("q64: sliding 7-day distinct equals the brute-force window; WAU ≥ DAU") {
+    val out = SparkEntry.queries("q64_sliding_distinct")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, dau, wau) => wau >= dau })
+    // driver brute force over the raw (user, day) observations
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val us = graft.EventTime.epochMicros(ev)
+    val obs = ev.select(col("user_id"),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { case (d, dau, wau) =>
+      val expWau = obs.filter { case (_, od) => od >= d - 6 && od <= d }.map(_._1).size
+      val expDau = obs.filter(_._2 == d).map(_._1).size
+      assert(wau == expWau && dau == expDau, s"day $d: got ($dau,$wau), expected ($expDau,$expWau)")
+    }
+  }
 }

@@ -275,6 +275,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
 
+  test("d25: cross-doc boilerplate lines drop everywhere; unique lines survive in order") {
+    import graft.analytics.TextAnalysis
+    val docs = Seq(
+      (1L, "BANNER\nalpha one\nbeta two\nFOOTER"),
+      (2L, "BANNER\ngamma three\nFOOTER"),
+      (3L, "BANNER\ndelta four\nFOOTER"),
+      (4L, "BANNER\nFOOTER"), // nothing but boilerplate
+      (5L, "solo unique document")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripCrossDocLines(docs, "text", minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (4L, 2L, "alpha one\nbeta two"), "order must survive")
+    assert(got(2L) == (3L, 1L, "gamma three"))
+    assert(got(4L) == (2L, 0L, ""), "all-boilerplate docs empty out, not vanish")
+    assert(got(5L) == (1L, 1L, "solo unique document"))
+    // normalization: case/whitespace variants of the banner still collapse
+    val varied = Seq((1L, "The  Banner"), (2L, "the banner"), (3L, "THE BANNER\nkeep me"))
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.stripCrossDocLines(varied, "text", minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(v == Map(1L -> "", 2L -> "", 3L -> "keep me"))
+  }
+
   test("t18: syllable groups, sentence floor, and the Flesch formula on known text") {
     import graft.analytics.TextAnalysis
     val df = Seq(
