@@ -1809,6 +1809,13 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Interpolated Kneser–Ney bigram LM scoring — the production
+    // smoothing next to t10's add-k baseline; corpus-self-trained,
+    // continuation-unigram backoff, t09/t10 float discipline.
+    "t20_kneser_ney" -> ((s, dir) =>
+      TextAnalysis.kneserNeyBigramScores(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Cross-document boilerplate-line removal (the corpus-level CCNet
     // pass, distinct from t15's within-document one): lines repeating in
     // ≥ 3 documents drop everywhere. Lines synthesized as in t15 (token
@@ -3175,6 +3182,30 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Kneser–Ney twin (t20): same counts, same probability chain in the
+    // same op order, same position-ordered fold.
+    "t20_kneser_ney" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |bg AS (SELECT doc_id, i AS pos, ws[i+1] AS prev, ws[i+2] AS cur
+         |  FROM tok, UNNEST(range(len(ws) - 1)) AS u(i) WHERE len(ws) >= 2),
+         |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY prev, cur),
+         |c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY prev),
+         |nf AS (SELECT prev, CAST(count(*) AS BIGINT) AS nf FROM c2 GROUP BY prev),
+         |np AS (SELECT cur, CAST(count(*) AS BIGINT) AS np FROM c2 GROUP BY cur),
+         |tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c2),
+         |lp AS (SELECT doc_id, pos,
+         |  round(ln(
+         |    greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) +
+         |    0.75 * CAST(nf AS DOUBLE) / CAST(c1 AS DOUBLE) *
+         |      (CAST(np AS DOUBLE) / tt)), 9) AS lp
+         |  FROM bg JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+         |  JOIN nf USING (prev) JOIN np USING (cur) CROSS JOIN tt),
+         |agg AS (SELECT doc_id, list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s,
+         |  count(*) AS n FROM lp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bigrams,
+         | round(agg.s / agg.n, 6) AS kn_avg
+         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // Cross-doc-lines twin (d25): same synthesized lines, same
     // fingerprint DF gate, same positional reassembly.

@@ -293,6 +293,64 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing actually
+    * used by production n-gram LMs (Chen & Goodman 1999), next to t10's
+    * add-k baseline: absolute discount D on the bigram MLE, mass
+    * redistributed through the CONTINUATION unigram (how many distinct
+    * contexts a word follows — "Francisco" is frequent but only ever
+    * follows "San", so its continuation probability is tiny):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁)
+    *            + D·N₁₊(w₁•)/c(w₁) · N₁₊(•w₂)/T
+    *
+    * Corpus-self-trained (every scored bigram was counted, so P > 0
+    * always: a context's λ is positive whenever the context exists).
+    * Float discipline is the t09/t10 recipe: exact integer counts, the
+    * probability chain written in the same op order both engines, ln
+    * rounded to 9 dp per bigram, position-ordered per-doc fold, 6-dp
+    * average. Scale shape = t10's: one bigram explode, three count
+    * aggregations (+ one distinct-type scalar), broadcastable model
+    * joins keyed on vocabulary-sized keys.
+    */
+  def kneserNeyBigramScores(docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toks = Par.spreadForCpu(docs)
+      .select(col(idCol), tokens(col(textCol)).as("ws"))
+    val bg = toks
+      .where(size(col("ws")) >= 2)
+      .select(col(idCol), posexplode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("prev"),
+          element_at(col("ws"), i + 2).as("cur")))).as(Seq("pos", "b")))
+      .select(col(idCol), col("pos"),
+        col("b").getField("prev").as("prev"), col("b").getField("cur").as("cur"))
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val followers = c2.groupBy(col("prev")).agg(count(lit(1)).as("nf"))
+    val predecessors = c2.groupBy(col("cur")).agg(count(lit(1)).as("np"))
+    val types = c2.agg(count(lit(1)).cast(DoubleType).as("tt"))
+    val d = lit(discount)
+    val perBg = bg
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev")).join(followers, Seq("prev"))
+      .join(predecessors, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .select(col(idCol), col("pos"),
+        round(log(
+          greatest(col("c2").cast(DoubleType) - d, lit(0.0)) / col("c1").cast(DoubleType) +
+            d * col("nf").cast(DoubleType) / col("c1").cast(DoubleType) *
+              (col("np").cast(DoubleType) / col("tt"))), 9).as("lp"))
+    val scored = perBg.groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("lp"))).as("lps"))
+      .select(col(idCol),
+        aggregate(transform(array_sort(col("lps")), x => x.getField("lp")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        size(col("lps")).cast(LongType).as("n"))
+      .select(col(idCol), col("n"), round(col("s") / col("n"), 6).as("kn_avg"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("kn_avg"))
+  }
+
   /** Canonical text normalization — the preprocessing pass every other
     * text operator assumes has happened (C4-style): lowercase, strip
     * everything outside [a-z0-9\s] to a space, collapse whitespace, trim.

@@ -275,6 +275,45 @@ class TextAnalysisSpec extends SparkSpec {
       s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
 
+  test("t20: Kneser–Ney sums to 1 per context and prefers versatile continuations") {
+    import graft.analytics.TextAnalysis
+    val docs = Seq(
+      (1L, "a day"), (2L, "a francisco"),
+      (3L, "san francisco"), (4L, "san francisco"), (5L, "san francisco"),
+      (6L, "san francisco"), (7L, "san francisco"), (8L, "san francisco"),
+      (9L, "nice day"), (10L, "good day"), (11L, "every day"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigramScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the KN signature: "francisco" has the HIGHER raw count (7 > 4) but
+    // follows only one context; "day" follows four. From the shared
+    // context "a", the versatile continuation must score higher.
+    assert(got(1L) > got(2L),
+      s"KN must prefer 'a day' over 'a francisco': $got")
+    // per-context probabilities over the cur-vocabulary sum to exactly 1:
+    // Σ max(c−D,0)/c1 + λ·ΣPcont = (c1 − D·nf)/c1 + D·nf/c1. Recompute
+    // driver-side from the same counts for context "a".
+    val bigrams = Seq("a" -> "day", "a" -> "francisco", "san" -> "francisco",
+      "nice" -> "day", "good" -> "day", "every" -> "day") // distinct types
+    val c2 = Map(("a", "day") -> 1.0, ("a", "francisco") -> 1.0,
+      ("san", "francisco") -> 6.0, ("nice", "day") -> 1.0,
+      ("good", "day") -> 1.0, ("every", "day") -> 1.0)
+    val tt = bigrams.size.toDouble
+    val np = bigrams.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size.toDouble).toMap
+    val curVocab = np.keys.toSeq
+    val d = 0.75
+    def p(w1: String, w2: String): Double = {
+      val c1 = c2.collect { case ((a, _), n) if a == w1 => n }.sum
+      val nf = c2.keys.count(_._1 == w1).toDouble
+      math.max(c2.getOrElse((w1, w2), 0.0) - d, 0.0) / c1 +
+        d * nf / c1 * (np.getOrElse(w2, 0.0) / tt)
+    }
+    Seq("a", "san", "nice").foreach { ctx =>
+      val mass = curVocab.map(w2 => p(ctx, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-12, s"context '$ctx' mass $mass")
+    }
+  }
+
   test("d25: cross-doc boilerplate lines drop everywhere; unique lines survive in order") {
     import graft.analytics.TextAnalysis
     val docs = Seq(
