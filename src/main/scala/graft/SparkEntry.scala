@@ -1809,6 +1809,35 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Complex-event pattern (CEP): view → purchase within 1h with NO
+    // error strictly between — the negation q49's funnel cannot express.
+    // Per-user following-frame windows give each view its next purchase
+    // and next error timestamps in one pass (no self-join); the match
+    // predicate is pure integer-µs arithmetic. User-partitioned windows,
+    // one shuffle.
+    "q65_cep_pattern" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        EventTime.epochMicros(ev).as("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val flagged = base
+        .withColumn("next_purchase",
+          min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .withColumn("next_error",
+          min(when(col("event_type") === "error", col("us"))).over(w))
+        .where(col("event_type") === "view")
+        .withColumn("matched",
+          col("next_purchase").isNotNull &&
+            col("next_purchase") - col("us") <= 3600000000L &&
+            (col("next_error").isNull || col("next_error") > col("next_purchase")))
+      flagged.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"))
+        .orderBy(col("user_id"))
+    }),
+
     // Interpolated Kneser–Ney bigram LM scoring — the production
     // smoothing next to t10's add-k baseline; corpus-self-trained,
     // continuation-unigram backoff, t09/t10 float discipline.
@@ -3182,6 +3211,26 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // CEP twin (q65): the same following-frame windows and predicate.
+    "q65_cep_pattern" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, event_type, us,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase,
+        |    min(CASE WHEN event_type = 'error' THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error
+        |  FROM e),
+        |v AS (SELECT user_id,
+        |    next_purchase IS NOT NULL AND next_purchase - us <= 3600000000
+        |      AND (next_error IS NULL OR next_error > next_purchase) AS matched
+        |  FROM f WHERE event_type = 'view')
+        |SELECT user_id, count(*) AS n_views,
+        |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Kneser–Ney twin (t20): same counts, same probability chain in the
     // same op order, same position-ordered fold.

@@ -409,6 +409,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q65: CEP pattern semantics — within-window, negation, and ordering edges") {
+    // craft a micro-corpus through the same catalog query via a temp dir
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft-cep").toString
+    val T = 1700000000000000L // µs
+    val rows = Seq(
+      // u1: view → purchase in 10 min, clean: MATCH
+      (1L, T, 1L, "view"), (2L, T + 600000000L, 1L, "purchase"),
+      // u2: view → error → purchase (error between): NO match
+      (3L, T, 2L, "view"), (4L, T + 60000000L, 2L, "error"),
+      (5L, T + 600000000L, 2L, "purchase"),
+      // u3: purchase 2h after view: outside the window, NO match
+      (6L, T, 3L, "view"), (7L, T + 7200000000L, 3L, "purchase"),
+      // u4: error AFTER the purchase: still a MATCH
+      (8L, T, 4L, "view"), (9L, T + 600000000L, 4L, "purchase"),
+      (10L, T + 900000000L, 4L, "error"),
+      // u5: view with no purchase at all: NO match
+      (11L, T, 5L, "view"))
+      .toDF("event_id", "usv", "user_id", "event_type")
+      .select(col("event_id"), (col("usv") / lit(1000000L)).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q65_cep_pattern")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 0L), 3L -> (1L, 0L),
+      4L -> (1L, 1L), 5L -> (1L, 0L)), s"got $got")
+  }
+
   test("q64: sliding 7-day distinct equals the brute-force window; WAU ≥ DAU") {
     val out = SparkEntry.queries("q64_sliding_distinct")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
