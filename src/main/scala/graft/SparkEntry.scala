@@ -1809,6 +1809,48 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // CUSUM changepoint monitor per user: S_t = max(0, S_{t−1} + v − 105)
+    // folded in exact decimal over the event-time-ordered values, alarm
+    // at max S > 500 (compared on the decimal). The sequential mean-
+    // shift detector next to q60's two-snapshot KS.
+    "q66_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.cusum(
+          ev.select(col("user_id"), col("value"),
+            EventTime.epochMicros(ev).as("us"), col("event_id")),
+          "user_id", "value", Seq("us", "event_id"),
+          target = new java.math.BigDecimal("105"),
+          h = new java.math.BigDecimal("500"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Corpus rank–frequency diagnostics (Zipf): top-100 terms by
+    // frequency (freq desc, term tie-break), closed-form OLS of
+    // ln(freq) on ln(rank) — all four sums folded in rank order over
+    // one collected 100-element array (no global window, no regression
+    // library), slope/intercept from the same folded doubles.
+    "t21_zipf" -> ((s, dir) => {
+      val top = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")).limit(100)
+      val arr = array_sort(collect_list(struct((-col("freq")).as("nf"),
+        col("term"), col("freq"))))
+      top.agg(arr.as("__arr"))
+        .select(transform(col("__arr"), (e, i) =>
+            struct(log((i + 1).cast("double")).as("x"),
+              log(e.getField("freq").cast("double")).as("y"))).as("ps"),
+          size(col("__arr")).cast("bigint").as("n_terms"))
+        .select(col("n_terms"),
+          aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x")).as("sx"),
+          aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("y")).as("sy"),
+          aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x") * p.getField("y")).as("sxy"),
+          aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x") * p.getField("x")).as("sxx"))
+        .select(col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 9).as("slope"))
+    }),
+
     // Complex-event pattern (CEP): view → purchase within 1h with NO
     // error strictly between — the negation q49's funnel cannot express.
     // Per-user following-frame windows give each view its next purchase
@@ -3211,6 +3253,54 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // CUSUM twin (q66): the same prefix identity — running sum +
+    // running min windows, exact decimal throughout. least() is OFF
+    // LIMITS on decimals here: DuckDB's least(DECIMAL, DECIMAL) returns
+    // DOUBLE (measured) — the clamp is a CASE instead.
+    "q66_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,9)) - 105 AS d FROM events),
+        |w AS (SELECT user_id, us, event_id, d,
+        |    CAST(sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,9)) AS p FROM e),
+        |w2 AS (SELECT user_id, d, p,
+        |    p - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(28,9)) END) AS s
+        |  FROM (SELECT user_id, d, p,
+        |    CAST(min(p) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,9)) AS mp
+        |    FROM w))
+        |SELECT user_id, count(*) AS n, max(s) > 500 AS alarm,
+        |  CAST(max(s) AS DOUBLE) AS cusum_max,
+        |  CAST(CAST(sum(d) AS DECIMAL(28,9)) - (CASE WHEN min(p) < 0
+        |    THEN CAST(min(p) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END)
+        |    AS DOUBLE) AS cusum_final
+        |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Zipf twin (t21): same top-100, same rank-ordered folds, same
+    // closed-form slope from the same folded doubles.
+    "t21_zipf" -> (
+      s"""WITH tok AS (SELECT $tokensSqlExpr AS ws FROM documents),
+         |tf AS (SELECT t AS term, count(*) AS freq FROM
+         |  (SELECT unnest(ws) AS t FROM tok) GROUP BY t),
+         |top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 100),
+         |a AS (SELECT list(struct_pack(nf := -freq, term := term, freq := freq)
+         |    ORDER BY -freq, term) AS arr FROM top),
+         |ps AS (SELECT len(arr) AS n_terms,
+         |    list_transform(arr, e -> ln(CAST(e.freq AS DOUBLE))) AS ys,
+         |    list_transform(range(1, len(arr) + 1), i -> ln(CAST(i AS DOUBLE))) AS xs
+         |  FROM a),
+         |s AS (SELECT CAST(n_terms AS BIGINT) AS n_terms,
+         |    list_reduce(list_prepend(0.0, xs), (acc, x) -> acc + x) AS sx,
+         |    list_reduce(list_prepend(0.0, ys), (acc, y) -> acc + y) AS sy,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(1, CAST(n_terms AS INTEGER) + 1),
+         |        i -> xs[i] * ys[i])), (acc, p) -> acc + p) AS sxy,
+         |    list_reduce(list_prepend(0.0, list_transform(xs, x -> x * x)),
+         |      (acc, p) -> acc + p) AS sxx
+         |  FROM ps)
+         |SELECT n_terms, round((n_terms * sxy - sx * sy)
+         |  / (n_terms * sxx - sx * sx), 9) AS slope FROM s""".stripMargin),
 
     // CEP twin (q65): the same following-frame windows and predicate.
     "q65_cep_pattern" ->

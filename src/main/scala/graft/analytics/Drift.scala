@@ -21,6 +21,54 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Drift {
 
+  /** One-sided CUSUM changepoint statistic per entity — the sequential
+    * mean-shift monitor next to [[ksDrift]]'s two-snapshot test:
+    * S_t = max(0, S_{t−1} + (x_t − target)), alarm when max_t S_t
+    * exceeds `h`; `target` absorbs the CUSUM slack k (μ₀ + k).
+    *
+    * The recurrence is eliminated via the EXACT prefix identity
+    * `S_t = P_t − min(0, min_{j≤t} P_j)` (P = running sum of the
+    * deviations): two (ts, id)-ordered windows PARTITIONED by the
+    * entity key — no per-key fold, no single-task scan, and no
+    * accumulator at all (which also sidesteps DuckDB's list_reduce
+    * evaluating struct-accumulator fields sequentially — measured: the
+    * second field saw the first field's UPDATED value). Every operation
+    * is exact scale-9 decimal (sums, min, max — no division, nothing
+    * to round), so the cross-engine compare needs no float discipline;
+    * the alarm compares ON the decimal before the output double cast.
+    *
+    * Final state falls out aggregate-only: S_n = ΣD − min(0, min_t P_t)
+    * — both terms order-free over the windowed column.
+    */
+  def cusum(df: DataFrame, keyCol: String, valueCol: String,
+      orderCols: Seq[String], target: java.math.BigDecimal,
+      h: java.math.BigDecimal): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)")
+    val base = df.select(col(keyCol).as("k") +: orderCols.map(col) :+
+      (col(valueCol).cast("decimal(18,6)").cast("decimal(28,9)") -
+        lit(target).cast("decimal(28,9)")).as("d"): _*)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // p and its running min re-tighten to (28,9): a 38-precision minus
+    // needs 39, which DuckDB resolves by a silent DOUBLE fallback
+    // (measured: low-bit drift) and Spark by precision loss — keeping
+    // every operand at 28 keeps both engines in exact decimal
+    val s = base
+      .withColumn("p", sum(col("d")).over(w).cast("decimal(28,9)"))
+      .withColumn("s", col("p") -
+        least(zero, min(col("p")).over(w).cast("decimal(28,9)")))
+    s.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), max(col("s")).as("mx"),
+        (sum(col("d")).cast("decimal(28,9)") -
+          least(zero, min(col("p")).cast("decimal(28,9)"))).as("fin"))
+      .select(col("k").as(keyCol), col("n"),
+        (col("mx") > lit(h)).as("alarm"),
+        col("mx").cast("double").as("cusum_max"),
+        col("fin").cast("double").as("cusum_final"))
+  }
+
   /** `sideCol` must be 1 (baseline) or 2 (candidate); groups missing a
     * side entirely are dropped (no ECDF to compare). `d_at` is the
     * smallest value attaining D — deterministic under ties.

@@ -54,6 +54,31 @@ class DriftSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSeq == Seq("both"))
   }
 
+  test("CUSUM: prefix identity equals the direct recurrence; shift trips the alarm") {
+    // stable series around 100 then a sustained shift to 160
+    val vals = Seq.fill(20)(100.0) ++ Seq.fill(20)(160.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("u", i.toLong, v) }
+      .toDF("k", "ord", "v")
+    val got = graft.analytics.Drift.cusum(df, "k", "v", Seq("ord"),
+      target = new java.math.BigDecimal("105"),
+      h = new java.math.BigDecimal("500")).collect().head
+    // direct recurrence replay on the driver
+    var s = BigDecimal(0); var mx = BigDecimal(0)
+    vals.foreach { v => s = (s + (BigDecimal(v) - 105)).max(0); mx = mx.max(s) }
+    assert(got.getLong(1) == 40L)
+    assert(BigDecimal(got.getDouble(3)) == mx, s"max: ${got.getDouble(3)} vs $mx")
+    assert(BigDecimal(got.getDouble(4)) == s)
+    assert(got.getBoolean(2), "a sustained +55 shift over 20 points must alarm")
+    // the stable prefix alone must NOT alarm (max drift bounded by noise)
+    val quiet = Seq.fill(40)(100.0).zipWithIndex
+      .map { case (v, i) => ("u", i.toLong, v) }.toDF("k", "ord", "v")
+    val q = graft.analytics.Drift.cusum(quiet, "k", "v", Seq("ord"),
+      new java.math.BigDecimal("105"), new java.math.BigDecimal("500"))
+      .collect().head
+    assert(!q.getBoolean(2) && q.getDouble(3) == 0.0,
+      "below-target values clamp at zero")
+  }
+
   test("plan: ECDF windows are (group, bucket)-partitioned, never type-wide") {
     val p = SparkEntry.queries("q60_ks_drift")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

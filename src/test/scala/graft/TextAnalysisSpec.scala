@@ -275,6 +275,30 @@ class TextAnalysisSpec extends SparkSpec {
       s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
 
+  test("t21: Zipf slope matches a driver-side OLS replay and is negative on real text") {
+    val out = SparkEntry.queries("t21_zipf")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val n = out.getLong(0).toInt
+    assert(n > 10, s"need a non-trivial vocabulary, got $n")
+    val slope = out.getDouble(1)
+    assert(slope < 0, s"rank-frequency slope must be negative: $slope")
+    // driver replay from the same top-100
+    val freqs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t")).limit(100)
+      .collect().map(_.getLong(1))
+    assert(freqs.length == n)
+    val xs = freqs.indices.map(i => math.log(i + 1.0))
+    val ys = freqs.map(f => math.log(f.toDouble))
+    val (sx, sy) = (xs.foldLeft(0.0)(_ + _), ys.foldLeft(0.0)(_ + _))
+    val sxy = xs.zip(ys).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+    val sxx = xs.foldLeft(0.0)((a, x) => a + x * x)
+    val exp = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope == exp, s"$slope vs $exp")
+  }
+
   test("t20: Kneser–Ney sums to 1 per context and prefers versatile continuations") {
     import graft.analytics.TextAnalysis
     val docs = Seq(
