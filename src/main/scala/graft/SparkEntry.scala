@@ -1809,6 +1809,42 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Degree distribution + power-law exponent (g01's graph): undirected
+    // degree histogram and the Clauset–Shalizi–Newman MLE
+    // α = 1 + N/Σ ln(d/dmin). The float sum collapses to the DEGREE-
+    // VALUE level first (counts are exact integers; distinct degrees are
+    // few), then folds in degree order over one small collected array —
+    // deterministic without any blocked-fold machinery.
+    "g04_degree_dist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val de = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      val ue = de.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val deg = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("n_vertices"))
+      val summary = hist
+        .agg(collect_list(struct(col("d"), col("n_vertices"))).as("h"),
+          min(col("d")).as("dmin"), sum(col("n_vertices")).as("nv"))
+        .select(col("nv"), col("dmin"),
+          aggregate(array_sort(col("h")), lit(0.0), (acc, e) =>
+            acc + e.getField("n_vertices").cast("double") *
+              log(e.getField("d").cast("double") / col("dmin").cast("double")))
+            .as("slnd"))
+        .select(col("nv"),
+          when(col("slnd") > 0.0,
+            round(lit(1.0) + col("nv").cast("double") / col("slnd"), 9))
+            .as("alpha"))
+      hist.crossJoin(broadcast(summary))
+        .select(col("d").as("degree"), col("n_vertices"), col("nv"), col("alpha"))
+        .orderBy(col("degree"))
+    }),
+
     // CUSUM changepoint monitor per user: S_t = max(0, S_{t−1} + v − 105)
     // folded in exact decimal over the event-time-ordered values, alarm
     // at max S > 500 (compared on the decimal). The sequential mean-
@@ -3253,6 +3289,32 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Degree-dist twin (g04): same canonical degrees, same degree-level
+    // ln fold in degree order.
+    "g04_degree_dist" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |de AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT n FROM nn) AS dst FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM docs),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM de WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY v),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY d),
+        |s AS (SELECT CAST(sum(n_vertices) AS BIGINT) AS nv, min(d) AS dmin,
+        |    list(struct_pack(d := d, n_vertices := n_vertices) ORDER BY d) AS h
+        |  FROM hist),
+        |m AS (SELECT nv,
+        |    list_reduce(list_prepend(0.0, list_transform(h, e ->
+        |      CAST(e.n_vertices AS DOUBLE) * ln(CAST(e.d AS DOUBLE) / CAST(dmin AS DOUBLE)))),
+        |      (acc, x) -> acc + x) AS slnd
+        |  FROM s)
+        |SELECT d AS degree, n_vertices, nv,
+        |  CASE WHEN slnd > 0.0 THEN round(1.0 + CAST(nv AS DOUBLE) / slnd, 9) END AS alpha
+        |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin,
 
     // CUSUM twin (q66): the same prefix identity — running sum +
     // running min windows, exact decimal throughout. least() is OFF

@@ -78,6 +78,24 @@ class GraphSpec extends SparkSpec {
     assert(out === run(), "bit-deterministic across runs")
   }
 
+  test("g04: star-graph degree histogram and CSN alpha match the analytic values") {
+    // run the catalog query's logic shape on a tiny synthetic dir? — no:
+    // test the math directly through the same SQL-visible formula
+    val out = SparkEntry.queries("g04_degree_dist")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    val nv = out.head.getLong(2)
+    assert(out.map(_.getLong(1)).sum == nv, "histogram must partition the vertex set")
+    val hist = out.map(r => r.getLong(0) -> r.getLong(1))
+    val dmin = hist.map(_._1).min.toDouble
+    var slnd = 0.0
+    hist.sortBy(_._1).foreach { case (d, c) => slnd += c * math.log(d / dmin) }
+    val expAlpha = BigDecimal(1.0 + nv / slnd)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(3) == expAlpha, s"${out.head.getDouble(3)} vs $expAlpha")
+    assert(out.forall(_.getDouble(3) == expAlpha), "alpha constant across rows")
+  }
+
   test("triangleCounts: K4 has 4 triangles, every vertex in 3") {
     val k4 = (for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j))
       .toDF("src", "dst")
