@@ -315,6 +315,22 @@ object ScaleSmoke {
           (pmod(col("id"), lit(3)) === 0).as("label")),
         "score", "label"))
 
+    // Cross-doc line removal (d25) at blowup: id-shifted copies make
+    // EVERY line cross-document-duplicated (worst case — everything is
+    // boilerplate at minDf ≤ mult), so this times the full pipeline at
+    // total drop rate; cost must track line rows (explode + DF agg +
+    // anti join + reassembly), never line pairs.
+    run("cross_doc_lines")(
+      graft.analytics.TextAnalysis.stripCrossDocLines(
+        docs.withColumn("mtext", concat_ws("\n",
+          col("text"), substring(col("text"), 1, 40))), "mtext", minDf = 3))
+
+    // Kneser–Ney scoring (t20) at blowup: one bigram explode, three
+    // count aggregations, model joins on vocabulary-sized keys — linear
+    // in corpus bigrams (duplicate docs just scale the counts).
+    run("kneser_ney")(
+      graft.analytics.TextAnalysis.kneserNeyBigramScores(docs))
+
     // Production graph paths (replayable=false: plain partial-aggregated
     // sums, no ordered folds) — paired with the `pagerank`/`hits`
     // datapoints above, the delta IS the measured determinism tax.
