@@ -41,16 +41,30 @@ object Prefix {
     val wLocal = Window.partitionBy(part :+ col("__bk"): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // per-(group, bucket) totals, then the strictly-earlier-bucket offset
+    // per-(group, bucket) totals, then the strictly-earlier-bucket
+    // offset via a SELF-JOIN on the (groups × nBuckets)-sized totals
+    // table — not a per-group ordered window: a constant or low-
+    // cardinality group column would collapse that window to a single
+    // partition (the q62 constant-group case emitted `WindowExec: No
+    // Partition Defined` warnings in bench), and the join is quadratic
+    // only in nBuckets
     val totals = bucketed.groupBy(part :+ col("__bk"): _*)
       .agg(sum(col(valueCols.head)).as(s"${valueCols.head}__bt"),
         valueCols.tail.map(v => sum(col(v)).as(s"${v}__bt")): _*)
-    val wOff = Window.partitionBy(part: _*).orderBy(col("__bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = valueCols.foldLeft(totals) { (acc, v) =>
-      acc.withColumn(s"${v}__off",
-        coalesce(sum(col(s"${v}__bt")).over(wOff), lit(0L)))
-    }.select(part ++ Seq(col("__bk")) ++ valueCols.map(v => col(s"${v}__off")): _*)
+    val bSide = totals.select(
+      partCols.map(p => col(p).as(s"${p}__b")) ++
+        Seq(col("__bk").as("__bk_b")) ++
+        valueCols.map(v => col(s"${v}__bt").as(s"${v}__btb")): _*)
+    val joinCond = partCols
+      .map(p => col(p) === col(s"${p}__b"))
+      .foldLeft(col("__bk_b") < col("__bk"))(_ && _)
+    val offsets = totals.join(bSide, joinCond, "left")
+      .groupBy(part :+ col("__bk"): _*)
+      .agg(coalesce(sum(col(s"${valueCols.head}__btb")), lit(0L))
+          .as(s"${valueCols.head}__off"),
+        valueCols.tail.map(v =>
+          coalesce(sum(col(s"${v}__btb")), lit(0L)).as(s"${v}__off")): _*)
+      .select(part ++ Seq(col("__bk")) ++ valueCols.map(v => col(s"${v}__off")): _*)
     val withLocal = valueCols.foldLeft(bucketed) { (acc, v) =>
       acc.withColumn(s"${v}__loc", sum(col(v)).over(wLocal))
     }
