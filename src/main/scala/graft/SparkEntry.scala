@@ -1809,6 +1809,39 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // BM25 retrieval + reciprocal-rank-fusion reranking: three queries
+    // derived from the corpus itself (first-4-token slices of docs
+    // 0/7/14), Lucene-form BM25 over the inverted index (only docs
+    // sharing a query term score), top-10 per query, then RRF-fused
+    // with the t02 quality prior ranked WITHIN each candidate pool —
+    // the lexical-relevance × quality reranking a curation pipeline
+    // mines hard negatives with. All windows query-partitioned.
+    "t22_bm25_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id").isin(0L, 7L, 14L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ").as("qtext"))
+      val bm25 = TextAnalysis.bm25Scores(docs, queries)
+      val wQ = Window.partitionBy(col("query_id"))
+      val top = bm25
+        .withColumn("r_bm25",
+          row_number().over(wQ.orderBy(col("bm25").desc, col("doc_id"))).cast("bigint"))
+        .where(col("r_bm25") <= 10)
+      val withQuality = top.join(
+        qualityScored(docs).select(col("doc_id"), col("quality")), Seq("doc_id"))
+        .withColumn("r_q",
+          row_number().over(wQ.orderBy(col("quality").desc, col("doc_id"))).cast("bigint"))
+        .withColumn("rrf",
+          round(lit(1.0) / (lit(60.0) + col("r_bm25")) +
+            lit(1.0) / (lit(60.0) + col("r_q")), 9))
+      withQuality
+        .withColumn("fused_rank",
+          row_number().over(wQ.orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
+        .select(col("query_id"), col("fused_rank"), col("doc_id"),
+          col("bm25"), col("r_bm25"), col("r_q"), col("rrf"))
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // Degree distribution + power-law exponent (g01's graph): undirected
     // degree histogram and the Clauset–Shalizi–Newman MLE
     // α = 1 + N/Σ ln(d/dmin). The float sum collapses to the DEGREE-
@@ -3289,6 +3322,58 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // BM25+RRF twin (t22): same inverted-index scoring, same term-
+    // ordered fold, same pool-ranked fusion.
+    "t22_bm25_rrf" -> (
+      s"""WITH tok AS (SELECT doc_id, text, $tokensSqlExpr AS ws FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY doc_id, t),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:4])) AS term
+         |  FROM tok WHERE doc_id IN (0, 7, 14)),
+         |contrib AS (SELECT query_id, tf.doc_id, qt.term,
+         |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |        / (CAST(df AS DOUBLE) + 0.5)) *
+         |      (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |        + 0.75 * CAST(len AS DOUBLE) / avgdl)),
+         |      9) AS c
+         |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+         |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st),
+         |bm AS (SELECT query_id, doc_id,
+         |    round(list_reduce(list_prepend(0.0,
+         |      list_transform(list(struct_pack(term := term, c := c) ORDER BY term, c),
+         |        e -> e.c)), (a, x) -> a + x), 6) AS bm25
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |top AS (SELECT query_id, doc_id, bm25,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm25
+         |  FROM bm QUALIFY r_bm25 <= 10),
+         |fq AS (SELECT t2.doc_id,
+         |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |    + 0.4 * (CASE WHEN len(ws) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(ws, x -> list_contains(
+         |          ['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END)
+         |    + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE CAST(length(text) - length(regexp_replace(text,
+         |          '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END)) AS quality
+         |  FROM tok t2),
+         |pool AS (SELECT top.query_id, top.doc_id, top.bm25, top.r_bm25,
+         |    CAST(row_number() OVER (PARTITION BY top.query_id
+         |      ORDER BY fq.quality DESC, top.doc_id) AS BIGINT) AS r_q
+         |  FROM top JOIN fq ON fq.doc_id = top.doc_id)
+         |SELECT query_id, fused_rank, doc_id, bm25, r_bm25, r_q, rrf FROM (
+         |  SELECT query_id, doc_id, bm25, r_bm25, r_q,
+         |    round(1.0 / (60.0 + r_bm25) + 1.0 / (60.0 + r_q), 9) AS rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(1.0 / (60.0 + r_bm25) + 1.0 / (60.0 + r_q), 9) DESC,
+         |        doc_id) AS BIGINT) AS fused_rank
+         |  FROM pool)
+         |ORDER BY query_id, fused_rank""".stripMargin),
 
     // Degree-dist twin (g04): same canonical degrees, same degree-level
     // ln fold in degree order.

@@ -351,6 +351,57 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("kn_avg"))
   }
 
+  /** Okapi BM25 relevance scoring (Robertson–Spärck Jones) of documents
+    * against a small query set — the lexical retrieval leg a curation
+    * pipeline mines hard negatives and dedups search pools with:
+    *
+    *   score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl)),
+    *   idf(t) = ln(1 + (N−df+0.5)/(df+0.5))   (the Lucene form, ≥ 0)
+    *
+    * over DISTINCT query terms. Shapes: one token explode to (doc, term,
+    * tf) + doc lengths (the inverted-index build), df from the tf frame
+    * (the t16 recipe), a term-keyed join of the query terms against the
+    * index — only documents containing ≥ 1 query term ever score, the
+    * inverted-index win over scoring N×Q pairs. Float discipline: tf,
+    * df, N, len are exact integers; avgdl is ONE division; each term
+    * contribution rounds at 9 dp and the per-(query, doc) sum folds in
+    * TERM order (bounded by query length — the t09 fold); the total
+    * rounds at 6 dp before any ranking.
+    */
+  def bm25Scores(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qtextCol: String = "qtext"): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("ws"))
+    val lens = toks.select(col(idCol), size(col("ws")).cast(LongType).as("len"))
+    val tf = toks.select(col(idCol), explode(col("ws")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("len")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qterms = queries
+      .select(col(qidCol), explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+    val contrib = qterms
+      .join(tf, Seq("term"))
+      .join(df, Seq("term"))
+      .join(lens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(qidCol), col(idCol), col("term"),
+        round(
+          log(lit(1.0) + (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + 0.5) /
+            (col("df").cast(DoubleType) + 0.5)) *
+          (col("tf").cast(DoubleType) * (k1 + 1.0)) /
+            (col("tf").cast(DoubleType) +
+              lit(k1) * (lit(1.0 - b) + lit(b) * col("len").cast(DoubleType) / col("avgdl"))),
+          9).as("c"))
+    contrib.groupBy(col(qidCol), col(idCol))
+      .agg(collect_list(struct(col("term"), col("c"))).as("cs"))
+      .select(col(qidCol), col(idCol),
+        round(aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
+          lit(0.0), (a, x) => a + x), 6).as("bm25"))
+  }
+
   /** Canonical text normalization — the preprocessing pass every other
     * text operator assumes has happened (C4-style): lowercase, strip
     * everything outside [a-z0-9\s] to a space, collapse whitespace, trim.

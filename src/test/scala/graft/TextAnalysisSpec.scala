@@ -275,6 +275,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
 
+  test("t22 BM25: idf ordering, tf saturation, and length normalization") {
+    import graft.analytics.TextAnalysis
+    // 'rare' appears in 1 doc, 'common' in 4; fillers keep lengths equal
+    val docs = Seq(
+      (1L, "rare w1 w2 w3"),
+      (2L, "common x1 x2 x3"),
+      (3L, "common y1 y2 y3"),
+      (4L, "common z1 z2 z3"),
+      (5L, "common common common common"), // high tf, same length
+      (6L, "common q1 q2 q3 q4 q5 q6 q7")) // same tf=1, longer doc
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "rare common")).toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25Scores(docs, queries)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    // idf: the rare-term doc must beat any single-occurrence common doc
+    assert(got(1L) > got(2L), s"rare term must outscore common: $got")
+    // saturation: 4× tf is worth far less than 4× the score
+    assert(got(5L) > got(2L) && got(5L) < 4 * got(2L),
+      s"tf must saturate: ${got(5L)} vs ${got(2L)}")
+    // length normalization: same tf, longer doc scores lower
+    assert(got(6L) < got(2L), s"longer doc must score lower: $got")
+  }
+
   test("t21: Zipf slope matches a driver-side OLS replay and is negative on real text") {
     val out = SparkEntry.queries("t21_zipf")(spark, "/root/testdata/sf0.001")
       .collect().head
