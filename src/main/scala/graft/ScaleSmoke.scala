@@ -331,6 +331,18 @@ object ScaleSmoke {
     run("kneser_ney")(
       graft.analytics.TextAnalysis.kneserNeyBigramScores(docs))
 
+    // BM25 scoring (t22) at blowup: the inverted-index build is linear
+    // in tokens; the query-term join touches only postings of the 3
+    // fixed queries' terms — candidate rows scale with those postings
+    // (linear in mult), never with n_docs × n_queries.
+    run("bm25") {
+      val queries = docs.where(col("doc_id").isin(0L, 7L, 14L))
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", graft.analytics.TextAnalysis.tokens(col("text"))(0),
+            graft.analytics.TextAnalysis.tokens(col("text"))(1)).as("qtext"))
+      graft.analytics.TextAnalysis.bm25Scores(docs, queries)
+    }
+
     // Production graph paths (replayable=false: plain partial-aggregated
     // sums, no ordered folds) — paired with the `pagerank`/`hits`
     // datapoints above, the delta IS the measured determinism tax.
