@@ -1809,6 +1809,59 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Snapshot reconciliation (table diff): snapshot B is derived from A
+    // by deterministic deletions (k % 13 = 0), modifications (k % 7 = 0,
+    // value + 1.23 — an exact double add, no rounding boundary), and
+    // insertions (shifted keys). One full outer join on the key
+    // classifies every row added/removed/changed/unchanged; per-class
+    // counts + exact-decimal value sums are the audit the ingest loop
+    // alerts on. No modification-detection hashing needed at this width;
+    // at 100 TB compare row hashes instead of columns (same join shape).
+    "q68_table_diff" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val b = a.where(pmod(col("k"), lit(13)) =!= 0)
+        .select(col("k"),
+          when(pmod(col("k"), lit(7)) === 0, col("v") + 1.23).otherwise(col("v")).as("v"))
+        .unionByName(a.where(pmod(col("k"), lit(11)) === 0)
+          .select((col("k") + 10000000L).as("k"), (col("v") + 0.5).as("v")))
+      val diff = a.select(col("k"), col("v").as("va"))
+        .join(b.select(col("k"), col("v").as("vb")), Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("vb").isNull, lit("removed"))
+            .when(col("va").isNull, lit("added"))
+            .when(col("va") =!= col("vb"), lit("changed"))
+            .otherwise(lit("unchanged")).as("class"),
+          coalesce(col("vb"), col("va")).as("v"))
+      diff.groupBy(col("class"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("v"), 18, 2)).cast("double").as("total_v"))
+        .orderBy(col("class"))
+    }),
+
+    // Incremental JOIN maintenance (Blakeley delta rule): both orders
+    // and lineitem split 80/20 by key hash; the refreshed view is
+    // V_old ∪ ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS — the old⋈old term never
+    // re-runs. The oracle is the SINGLE-PASS full join aggregated the
+    // same way: the delta union must be row-identical, so the exact-
+    // decimal revenue sums match bit-for-bit.
+    "q67_incr_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"))
+      val (oOld, oNew) = (o.where(pmod(col("o_orderkey"), lit(5)) < 4),
+        o.where(pmod(col("o_orderkey"), lit(5)) === 4))
+      val (lOld, lNew) = (l.where(pmod(col("l_extendedprice").cast("bigint"), lit(5)) < 4),
+        l.where(pmod(col("l_extendedprice").cast("bigint"), lit(5)) === 4))
+      val vOld = oOld.join(lOld, Seq("o_orderkey"))
+      analytics.Incremental.incrementalJoin(vOld, oOld, oNew, lOld, lNew,
+          Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"), 18, 2)).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // BM25 retrieval + reciprocal-rank-fusion reranking: three queries
     // derived from the corpus itself (first-4-token slices of docs
     // 0/7/14), Lucene-form BM25 over the inverted index (only docs
@@ -3322,6 +3375,33 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Diff twin (q68): the same derived snapshot and classification.
+    "q68_table_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 1.23 ELSE v END AS v
+        |  FROM a WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, v + 0.5 FROM a WHERE k % 11 = 0),
+        |d AS (SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.k IS NULL THEN 'added'
+        |         WHEN a.v <> b.v THEN 'changed'
+        |         ELSE 'unchanged' END AS class,
+        |    coalesce(b.v, a.v) AS v
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT class, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_v
+        |FROM d GROUP BY class ORDER BY class""".stripMargin,
+
+    // Incr-join twin (q67): the single-pass full join — the delta
+    // union's exactness IS what's being checked.
+    "q67_incr_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // BM25+RRF twin (t22): same inverted-index scoring, same term-
     // ordered fold, same pool-ranked fusion.

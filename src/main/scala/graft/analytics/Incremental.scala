@@ -50,4 +50,30 @@ object Incremental {
       col("s").cast(DoubleType).as("total"),
       col("mn"), col("mx"),
       round(col("s").cast(DoubleType) / col("n"), 6).as("avg_v"))
+
+  /** Incremental JOIN maintenance — the delta rule for insert-only
+    * refreshes of a materialized join view (Blakeley et al. 1986):
+    *
+    *   Δ(R ⋈ S) = ΔR ⋈ S_old  ∪  R_old ⋈ ΔS  ∪  ΔR ⋈ ΔS
+    *
+    * so a daily refresh joins each delta against the OTHER side's
+    * snapshot (plus the delta-delta corner), never re-joining the two
+    * historical snapshots — the term that dominates at 100 TB is gone.
+    * Returns V_old ∪ Δ V as the refreshed view. Exactness is
+    * structural: the three delta terms partition exactly the new join
+    * rows ((r,s) pairs split by which side each row arrived in), so the
+    * result is row-identical to the full re-join for ANY split —
+    * downstream exact-decimal aggregation then matches bit-for-bit
+    * (q67's oracle is the single-pass recompute).
+    *
+    * At scale, keep the snapshots bucketed on the join key (the d21
+    * persisted-band-index economics): each delta term is then one
+    * exchange on the delta side only.
+    */
+  def incrementalJoin(vOld: DataFrame, rOld: DataFrame, rDelta: DataFrame,
+      sOld: DataFrame, sDelta: DataFrame, keys: Seq[String]): DataFrame =
+    vOld
+      .unionByName(rDelta.join(sOld, keys))
+      .unionByName(rOld.join(sDelta, keys))
+      .unionByName(rDelta.join(sDelta, keys))
 }

@@ -38,4 +38,37 @@ class IncrementalSpec extends SparkSpec {
     assert(out(0).getAs[Double]("avg_v") === 3.0)
     assert(out(1).getAs[Long]("n") === 1L && out(1).getAs[Double]("total") === 10.0)
   }
+
+  test("incrementalJoin: delta rule equals the full re-join for any split") {
+    val r = Seq((1L, "r1"), (2L, "r2"), (3L, "r3"), (4L, "r4")).toDF("k", "ra")
+    val s = Seq((1L, "s1"), (1L, "s1b"), (2L, "s2"), (3L, "s3"), (5L, "s5"))
+      .toDF("k", "sa")
+    val full = r.join(s, Seq("k")).orderBy("k", "ra", "sa").collect().toSeq
+    for (m <- Seq(2, 3)) {
+      val (rOld, rNew) = (r.where(pmod(col("k"), lit(m)) =!= 0),
+        r.where(pmod(col("k"), lit(m)) === 0))
+      val (sOld, sNew) = (s.where(pmod(length(col("sa")), lit(m)) =!= 0),
+        s.where(pmod(length(col("sa")), lit(m)) === 0))
+      val vOld = rOld.join(sOld, Seq("k"))
+      val got = Incremental.incrementalJoin(vOld, rOld, rNew, sOld, sNew, Seq("k"))
+        .orderBy("k", "ra", "sa").collect().toSeq
+      assert(got === full, s"delta rule diverged at split $m")
+    }
+    // empty deltas: the view refreshes to itself
+    val vAll = r.join(s, Seq("k"))
+    assert(Incremental.incrementalJoin(vAll, r, r.limit(0), s, s.limit(0), Seq("k"))
+      .orderBy("k", "ra", "sa").collect().toSeq === full)
+  }
+
+  test("q68 diff classes partition both snapshots and detect every mutation") {
+    val out = SparkEntry.queries("q68_table_diff")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val keys = o.select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(out("removed") == keys.count(_ % 13 == 0))
+    assert(out("added") == keys.count(_ % 11 == 0))
+    assert(out("changed") == keys.count(k => k % 13 != 0 && k % 7 == 0))
+    assert(out.values.sum == keys.length + keys.count(_ % 11 == 0),
+      "classes must partition the union of both snapshots")
+  }
 }
