@@ -1809,6 +1809,21 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
+    // 16), recall recovered by probing each bucket's Hamming-1
+    // neighbors — probe-side-only expansion, equi-join preserved, the
+    // index cost of 4 tables with the reach of many. Same exact-cosine
+    // re-rank; SimilaritySpec measures the recall recovery against
+    // single-probe at equal table count.
+    "s11_multiprobe_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5,
+          nTables = 4, planesPerTable = 4, dim = 64, multiProbe = true)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Snapshot reconciliation (table diff): snapshot B is derived from A
     // by deterministic deletions (k % 13 = 0), modifications (k % 7 = 0,
     // value + 1.23 — an exact double add, no rounding boundary), and
@@ -3375,6 +3390,20 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Multi-probe twin (s11): same 4-table planes, candidates = exact
+    // bucket hit OR Hamming-1 (xor a power of two), same re-rank.
+    "s11_multiprobe_lsh" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(4, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.vec_id <> c.vec_id
+         |    AND (p.bucket = c.bucket OR xor(p.bucket, c.bucket) IN (1, 2, 4, 8))
+         |  WHERE p.vec_id < 10),
+         |${annRankSql(5)}""".stripMargin,
 
     // Diff twin (q68): the same derived snapshot and classification.
     "q68_table_diff" ->

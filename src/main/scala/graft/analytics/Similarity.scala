@@ -150,14 +150,26 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nTables: Int, planesPerTable: Int,
       dim: Int, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      multiProbe: Boolean = false): DataFrame = {
     def bucketArray: Column =
       bucketArrayFor(corpus, vecCol, nTables, planesPerTable, dim, seed)
     def buckets(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
         posexplode(bucketArray).as(Seq("table", "bucket")))
     val c = buckets(Par.spreadForCpu(corpus), "neighbor")
-    val p = broadcast(buckets(probes, "probe"))
+    // multi-probe (Lv et al. 2007): each probe ALSO visits the
+    // planesPerTable Hamming-1 neighbor buckets per table — the recall
+    // of more tables at the index size of fewer, since near vectors
+    // most often land one sign-flip away. Probe-side-only expansion:
+    // the corpus index is untouched and the join stays an equi-join.
+    val pBase = buckets(probes, "probe")
+    val p = broadcast(
+      if (!multiProbe) pBase
+      else pBase.select(col("probe_id"), col("table"),
+        explode(array(Seq(col("bucket")) ++
+          (0 until planesPerTable).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket")))
     val candidates = c.join(p, Seq("table", "bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))

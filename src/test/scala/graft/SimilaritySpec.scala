@@ -276,6 +276,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rel.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
   }
 
+  test("s11 multi-probe: strictly more candidates, recall ≥ single-probe at equal tables") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def pairs(multiProbe: Boolean) =
+      Similarity.lshTopK(e, probes, k = 5, nTables = 4, planesPerTable = 4,
+          dim = 64, multiProbe = multiProbe)
+        .select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(multiProbe = false)
+    val multi = pairs(multiProbe = true)
+    // recall vs the exact top-5
+    val exact = Similarity.bruteForceTopK(e, probes, k = 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (single intersect exact).size.toDouble / exact.size
+    val rm = (multi intersect exact).size.toDouble / exact.size
+    assert(rm >= rs, s"multi-probe recall $rm must not trail single-probe $rs")
+    assert(rm > rs, s"at 4 tables the Hamming-1 probes must add recall ($rs -> $rm)")
+    assert(multi == pairs(multiProbe = true), "deterministic across runs")
+  }
+
   test("s10 SQ: bin-center dequantization error is bounded by w/512 per dimension") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val mm = Similarity.sqMinMax(e, dim = 64)
