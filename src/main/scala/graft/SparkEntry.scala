@@ -1809,6 +1809,30 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // LSH dedup quality (the s04-style recall receipt for the DEDUP
+    // family): d11's banded-MinHash pair set measured against the exact
+    // n-gram-Jaccard ≥ 0.4 ground truth — tp/fp/fn as exact set counts,
+    // precision/recall as single divisions. The number a pipeline tunes
+    // (bands, k) against instead of trusting the S-curve on faith.
+    "d26_lsh_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, docs, n = 3, threshold = 0.4,
+          maxDf = 1000L)
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(1L).as("t"))
+      val est = Dedup.minhashCandidates(docs, n = 3, k = 64, bands = 16,
+          threshold = 0.4, portableHash = true)
+        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      est.join(truth, Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("e"), lit(0L)).as("e"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .agg(sum(col("t")).as("n_true"), sum(col("e")).as("n_est"),
+          sum(col("e") * col("t")).as("tp"))
+        .select(col("n_true"), col("n_est"), col("tp"),
+          (col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
+          (col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
+    }),
+
     // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
     // 16), recall recovered by probing each bucket's Hamming-1
     // neighbors — probe-side-only expansion, equi-join preserved, the
@@ -3390,6 +3414,33 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // LSH-eval twin (d26): the d11 pair chain and the exact-Jaccard
+    // chain REUSE the same shingle CTE `g`, then the set compare.
+    "d26_lsh_eval" -> (
+      s"""WITH ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)},
+         |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
+         |  FROM ex a JOIN ex b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         |truth AS (SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id,
+         |      CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS j
+         |    FROM inter) WHERE j >= 0.4),
+         |u AS (SELECT
+         |    CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t
+         |  FROM (SELECT a_id, b_id FROM pairs) p
+         |  FULL OUTER JOIN truth t ON p.a_id = t.a_id AND p.b_id = t.b_id),
+         |agg AS (SELECT CAST(sum(t) AS BIGINT) AS n_true,
+         |    CAST(sum(e) AS BIGINT) AS n_est,
+         |    CAST(sum(e * t) AS BIGINT) AS tp FROM u)
+         |SELECT n_true, n_est, tp,
+         |  CAST(tp AS DOUBLE) / CAST(n_est AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM agg""".stripMargin),
 
     // Multi-probe twin (s11): same 4-table planes, candidates = exact
     // bucket hit OR Hamming-1 (xor a power of two), same re-rank.

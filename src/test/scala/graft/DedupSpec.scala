@@ -574,4 +574,26 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[String]("chunk_fp")).toSet
     assert(a.drop(1).forall(dupFps.contains), "shared chunks must flag is_dup")
   }
+
+  test("d26: LSH-vs-exact metrics are consistent and match an independent set recompute") {
+    val r = SparkEntry.queries("d26_lsh_eval")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (nT, nE, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= math.min(nT, nE))
+    assert(nT > 0, "the dup corpus must contain true pairs at the 0.4 gate")
+    assert(r.getDouble(3) == tp.toDouble / nE && r.getDouble(4) == tp.toDouble / nT)
+    // the compare itself does real work: recompute both pair sets and
+    // check the intersection count independently
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val truth = graft.analytics.Dedup
+      .ngramJaccardPairs(docs, docs, n = 3, threshold = 0.4, maxDf = 1000L)
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val est = graft.analytics.Dedup
+      .minhashCandidates(docs, n = 3, k = 64, bands = 16, threshold = 0.4,
+        portableHash = true)
+      .select("a_id", "b_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert((nT, nE, tp) ==
+      (truth.size.toLong, est.size.toLong, (truth intersect est).size.toLong))
+  }
 }
