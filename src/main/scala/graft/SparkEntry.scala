@@ -1809,6 +1809,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Stemming + conflation statistics: the weak (Porter-step-1-family)
+    // stemmer applied per token, then per-stem families — token mass,
+    // distinct raw variants, the alphabetically-first variant as the
+    // display form. The vocabulary-compression receipt an index builds
+    // on; top 30 families by mass, total-ordered.
+    "t23_stemming" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("raw"))
+        .select(col("raw"), TextAnalysis.stem(col("raw")).as("stem"))
+        .groupBy(col("stem"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("raw")).as("n_variants"),
+          min(col("raw")).as("first_variant"))
+        .orderBy(col("n_tokens").desc, col("stem"))
+        .limit(30)),
+
     // LSH dedup quality (the s04-style recall receipt for the DEDUP
     // family): d11's banded-MinHash pair set measured against the exact
     // n-gram-Jaccard ≥ 0.4 ground truth — tp/fp/fn as exact set counts,
@@ -3414,6 +3430,21 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Stemming twin (t23): the same rule chain in the same order.
+    "t23_stemming" -> (
+      s"""WITH tok AS (SELECT $tokensSqlExpr AS ws FROM documents),
+         |raw AS (SELECT unnest(ws) AS raw FROM tok),
+         |st AS (SELECT raw,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    raw, 'sses$$', 'ss'), 'ies$$', 'i'), '([^s])s$$', '\\1'),
+         |    '^(.{3,})ing$$', '\\1'), '^(.{3,})ed$$', '\\1') AS stem
+         |  FROM raw)
+         |SELECT stem, count(*) AS n_tokens,
+         |  CAST(count(DISTINCT raw) AS BIGINT) AS n_variants,
+         |  min(raw) AS first_variant
+         |FROM st GROUP BY stem
+         |ORDER BY n_tokens DESC, stem LIMIT 30""".stripMargin),
 
     // LSH-eval twin (d26): the d11 pair chain and the exact-Jaccard
     // chain REUSE the same shingle CTE `g`, then the set compare.

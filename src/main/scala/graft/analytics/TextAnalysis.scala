@@ -402,6 +402,23 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x), 6).as("bm25"))
   }
 
+  /** Suffix-stripping stemmer — the Porter step-1 family of rules, kept
+    * to the deterministic regexp-replace subset both engines replay
+    * verbatim (full Porter needs measure counting; this is the
+    * Harman-style "weak stemmer" that captures most of the retrieval
+    * win): sses→ss, ies→i, trailing s dropped (not after s), then
+    * ing/ed stripped when ≥ 3 characters remain. Applied per token as a
+    * pure projection; conflation statistics (variants per stem) are the
+    * vocabulary-compression receipt an index cares about.
+    */
+  def stem(word: Column): Column = {
+    val s1 = regexp_replace(word, "sses$", "ss")
+    val s2 = regexp_replace(s1, "ies$", "i")
+    val s3 = regexp_replace(s2, "([^s])s$", "$1")
+    val s4 = regexp_replace(s3, "^(.{3,})ing$", "$1")
+    regexp_replace(s4, "^(.{3,})ed$", "$1")
+  }
+
   /** Canonical text normalization — the preprocessing pass every other
     * text operator assumes has happened (C4-style): lowercase, strip
     * everything outside [a-z0-9\s] to a space, collapse whitespace, trim.

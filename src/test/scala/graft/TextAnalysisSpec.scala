@@ -275,6 +275,28 @@ class TextAnalysisSpec extends SparkSpec {
       s"head content leaked: '${r.getAs[String]("clean_text")}'")
   }
 
+  test("t23 stemmer: rule goldens incl. guards and conflation") {
+    import graft.analytics.TextAnalysis
+    val cases = Seq(
+      "glasses" -> "glass",   // sses→ss
+      "ponies" -> "poni",     // ies→i
+      "cats" -> "cat",        // trailing s
+      "glass" -> "glass",     // no strip after s
+      "running" -> "runn",    // ing with ≥3 remaining
+      "sing" -> "sing",       // guard: only 1 char would remain
+      "batted" -> "batt",     // ed with ≥3 remaining
+      "red" -> "red",         // guard
+      "joins" -> "join")
+    val got = cases.map(_._1).toDF("w")
+      .select(TextAnalysis.stem(col("w"))).collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+    // conflation: variants of one stem collapse into one family
+    val fam = Seq("join", "joins", "joining", "joined").toDF("w")
+      .select(TextAnalysis.stem(col("w")).as("s"))
+      .groupBy("s").count().collect()
+    assert(fam.length == 1 && fam.head.getLong(1) == 4L)
+  }
+
   test("t22 BM25: idf ordering, tf saturation, and length normalization") {
     import graft.analytics.TextAnalysis
     // 'rare' appears in 1 doc, 'common' in 4; fillers keep lengths equal
