@@ -1809,6 +1809,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Chi-square categorical drift: event-TYPE mix of the first vs
+    // second half-month (the discrete complement of q60's numeric KS —
+    // types have no ordering for an ECDF). 5 types × 2 sides at α=0.05
+    // → df 4, critical 9.488; same generator both halves, so the honest
+    // expected verdict is no drift with the statistic doing real work.
+    "q69_chi2_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.chiSquareDrift(
+        ev.select(col("event_type"),
+          when(EventTime.epochMicros(ev) < 1705363200000000L, lit(1))
+            .otherwise(lit(2)).as("side")),
+        "event_type", "side", critical = 9.488)
+    }),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -3430,6 +3444,29 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Chi-square twin (q69): the same margins, the same per-cell chain
+    // in the same op order, the same (cat, side)-ordered fold.
+    "q69_chi2_drift" ->
+      """WITH e AS (SELECT event_type AS cat,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS side
+        |  FROM events),
+        |cells AS (SELECT cat, side, CAST(count(*) AS BIGINT) AS o
+        |  FROM e GROUP BY cat, side),
+        |ct AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY cat),
+        |st AS (SELECT side, CAST(sum(o) AS BIGINT) AS st FROM cells GROUP BY side),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT cat, side,
+        |    round((CAST(o AS DOUBLE) - CAST(ct AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(ct AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(ct AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS term
+        |  FROM cells JOIN ct USING (cat) JOIN st USING (side) CROSS JOIN nn),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(cat := cat, side := side, term := term) ORDER BY cat, side),
+        |      x -> x.term)), (a, b) -> a + b), 9) AS chi2
+        |  FROM terms)
+        |SELECT n_cells, chi2, chi2 > 9.488 AS is_drift FROM f""".stripMargin,
 
     // Stemming twin (t23): the same rule chain in the same order.
     "t23_stemming" -> (

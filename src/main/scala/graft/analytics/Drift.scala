@@ -69,6 +69,44 @@ object Drift {
         col("fin").cast("double").as("cusum_final"))
   }
 
+  /** Chi-square homogeneity test between two snapshots of a CATEGORICAL
+    * column — the discrete complement of [[ksDrift]] (KS needs an
+    * ordering; event types, languages, shards don't have one):
+    * X² = Σ over (category, side) of (observed − expected)²/expected
+    * with expected = rowTotal·colTotal/N. Counts are exact integers;
+    * each cell's term is one double chain rounded at 9 dp, and the sum
+    * folds in category order over one collected array (category
+    * cardinality is small by definition — that's why chi-square applies
+    * at all). The caller supplies the critical value for its df/α
+    * (3×2 table at α=0.05 → 5.991 etc.); the flag compares on the
+    * rounded statistic.
+    */
+  def chiSquareDrift(df: DataFrame, catCol: String, sideCol: String,
+      critical: Double): DataFrame = {
+    val cells = df.groupBy(col(catCol).as("cat"), col(sideCol).as("side"))
+      .agg(count(lit(1)).as("o"))
+    val catTot = cells.groupBy(col("cat")).agg(sum(col("o")).as("ct"))
+    val sideTot = cells.groupBy(col("side")).agg(sum(col("o")).as("st"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val terms = cells.join(catTot, Seq("cat")).join(sideTot, Seq("side"))
+      .crossJoin(broadcast(n))
+      .select(col("cat"), col("side"),
+        round(
+          (col("o").cast(DoubleType) -
+            col("ct").cast(DoubleType) * col("st").cast(DoubleType) / col("n").cast(DoubleType)) *
+          (col("o").cast(DoubleType) -
+            col("ct").cast(DoubleType) * col("st").cast(DoubleType) / col("n").cast(DoubleType)) /
+          (col("ct").cast(DoubleType) * col("st").cast(DoubleType) / col("n").cast(DoubleType)),
+          9).as("term"))
+    terms
+      .agg(collect_list(struct(col("cat"), col("side"), col("term"))).as("ts"),
+        count(lit(1)).as("n_cells"))
+      .select(col("n_cells"),
+        round(aggregate(transform(array_sort(col("ts")), x => x.getField("term")),
+          lit(0.0), (a, x) => a + x), 9).as("chi2"))
+      .withColumn("is_drift", col("chi2") > lit(critical))
+  }
+
   /** `sideCol` must be 1 (baseline) or 2 (candidate); groups missing a
     * side entirely are dropped (no ECDF to compare). `d_at` is the
     * smallest value attaining D — deterministic under ties.

@@ -79,6 +79,26 @@ class DriftSpec extends SparkSpec {
       "below-target values clamp at zero")
   }
 
+  test("chi-square: hand-computed 2x2 statistic; identical mixes score zero") {
+    // 2×2: side1 = (a:30, b:10), side2 = (a:10, b:30) → X² = 20·80·80·...
+    // classic formula: N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) = 80·(900−100)²·…
+    val rows = Seq.fill(30)(("a", 1)) ++ Seq.fill(10)(("b", 1)) ++
+      Seq.fill(10)(("a", 2)) ++ Seq.fill(30)(("b", 2))
+    val r = graft.analytics.Drift.chiSquareDrift(
+      rows.toDF("cat", "side"), "cat", "side", critical = 3.841).collect().head
+    // N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) = 80·(30·30 − 10·10)²/(40·40·40·40)
+    val expected = 80.0 * math.pow(30.0 * 30 - 10.0 * 10, 2) / (40.0 * 40 * 40 * 40)
+    assert(math.abs(r.getDouble(1) - expected) < 1e-6,
+      s"${r.getDouble(1)} vs $expected")
+    assert(r.getBoolean(2), "a reversed mix at n=80 must trip the 2x2 gate")
+    // identical mixes: every observed equals expected → exactly 0
+    val same = Seq.fill(20)(("a", 1)) ++ Seq.fill(20)(("a", 2)) ++
+      Seq.fill(10)(("b", 1)) ++ Seq.fill(10)(("b", 2))
+    val r0 = graft.analytics.Drift.chiSquareDrift(
+      same.toDF("cat", "side"), "cat", "side", critical = 3.841).collect().head
+    assert(r0.getDouble(1) == 0.0 && !r0.getBoolean(2))
+  }
+
   test("plan: ECDF windows are (group, bucket)-partitioned, never type-wide") {
     val p = SparkEntry.queries("q60_ks_drift")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
