@@ -1809,6 +1809,65 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Benford first-digit audit (the classic books-cooking / synthetic-
+    // data tell): observed first-digit counts of l_extendedprice vs the
+    // Benford expectation p(d) = log10(1 + 1/d), goodness-of-fit X²
+    // with each term rounded at 9 dp and folded in digit order. TPC-H
+    // prices are uniform-ish, NOT Benford — the honest expected verdict
+    // is a loud deviation (is_benford false), which is exactly what the
+    // audit exists to raise.
+    "q70_benford" -> ((s, dir) => {
+      val digits = t(s, dir, "lineitem")
+        .select(substring(floor(col("l_extendedprice")).cast("bigint").cast("string"), 1, 1)
+          .cast("int").as("d"))
+        .where(col("d").between(1, 9))
+        .groupBy(col("d")).agg(count(lit(1)).as("o"))
+      val n = digits.agg(sum(col("o")).as("n"))
+      val terms = digits.crossJoin(broadcast(n))
+        .select(col("d"), col("o"),
+          round({
+            val e = col("n").cast("double") * log10(lit(1.0) + lit(1.0) / col("d").cast("double"))
+            (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+          }, 9).as("term"))
+      terms
+        .agg(collect_list(struct(col("d"), col("term"))).as("ts"),
+          sum(col("o")).as("n_values"))
+        .select(col("n_values"),
+          round(aggregate(transform(array_sort(col("ts")), x => x.getField("term")),
+            lit(0.0), (a, x) => a + x), 9).as("chi2"))
+        // df 8, α=0.05 → 15.507
+        .withColumn("is_benford", col("chi2") <= 15.507)
+    }),
+
+    // Per-language corpus statistics: exact type/token counts, type-
+    // token ratio, and unigram Shannon entropy — the float sum collapses
+    // to the FREQUENCY-VALUE level (terms with equal frequency
+    // contribute identically — the g04 trick), so determinism needs one
+    // small frequency-ordered fold per language, never a vocab-sized
+    // ordered sum.
+    "t24_entropy" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("f"))
+      val byFreq = tf.groupBy(col("lang"), col("f"))
+        .agg(count(lit(1)).as("n_terms"))
+      val totals = tf.groupBy(col("lang"))
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("n_types"))
+      byFreq.join(totals, Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("n_types"), col("f"),
+          col("n_terms"))
+        .groupBy(col("lang"), col("n_tokens"), col("n_types"))
+        .agg(collect_list(struct(col("f"), col("n_terms"))).as("fs"))
+        .select(col("lang"), col("n_tokens"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 9)
+            .as("ttr"),
+          round(aggregate(array_sort(col("fs")), lit(0.0), (a, e) => {
+            val p = e.getField("f").cast("double") / col("n_tokens").cast("double")
+            a - e.getField("n_terms").cast("double") * p * log(p)
+          }), 9).as("entropy"))
+        .orderBy(col("lang"))
+    }),
+
     // Chi-square categorical drift: event-TYPE mix of the first vs
     // second half-month (the discrete complement of q60's numeric KS —
     // types have no ordering for an ECDF). 5 types × 2 sides at α=0.05
@@ -3444,6 +3503,47 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Benford twin (q70): same digit extraction, same expectation chain,
+    // same digit-ordered fold.
+    "q70_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+        |  FROM lineitem),
+        |o AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM d
+        |  WHERE d BETWEEN 1 AND 9 GROUP BY d),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |terms AS (SELECT d, o,
+        |    round((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+        |      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE))), 9) AS term
+        |  FROM o CROSS JOIN nn),
+        |f AS (SELECT CAST(sum(o) AS BIGINT) AS n_values,
+        |    round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(d := d, term := term) ORDER BY d), x -> x.term)),
+        |      (a, b) -> a + b), 9) AS chi2
+        |  FROM terms)
+        |SELECT n_values, chi2, chi2 <= 15.507 AS is_benford FROM f""".stripMargin,
+
+    // Entropy twin (t24): same frequency-level collapse, same ordered
+    // fold, same single divisions.
+    "t24_entropy" -> (
+      s"""WITH tok AS (SELECT lang, $tokensSqlExpr AS ws FROM documents),
+         |tf AS (SELECT lang, t AS term, CAST(count(*) AS BIGINT) AS f FROM
+         |  (SELECT lang, unnest(ws) AS t FROM tok) GROUP BY lang, t),
+         |bf AS (SELECT lang, f, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM tf GROUP BY lang, f),
+         |tot AS (SELECT lang, CAST(sum(f) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types FROM tf GROUP BY lang)
+         |SELECT lang, n_tokens, n_types,
+         |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS ttr,
+         |  round(list_reduce(list_prepend(0.0, list_transform(
+         |    list(struct_pack(f := f, n_terms := n_terms) ORDER BY f, n_terms),
+         |    e -> -(CAST(e.n_terms AS DOUBLE)
+         |      * (CAST(e.f AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         |      * ln(CAST(e.f AS DOUBLE) / CAST(n_tokens AS DOUBLE))))),
+         |    (a, b) -> a + b), 9) AS entropy
+         |FROM bf JOIN tot USING (lang)
+         |GROUP BY lang, n_tokens, n_types ORDER BY lang""".stripMargin),
 
     // Chi-square twin (q69): the same margins, the same per-cell chain
     // in the same op order, the same (cat, side)-ordered fold.

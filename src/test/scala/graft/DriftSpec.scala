@@ -99,6 +99,39 @@ class DriftSpec extends SparkSpec {
     assert(r0.getDouble(1) == 0.0 && !r0.getBoolean(2))
   }
 
+  test("q70 Benford: TPC-H prices fail the gate; true Benford data passes") {
+    val out = SparkEntry.queries("q70_benford")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(!out.getBoolean(2),
+      s"uniform-ish prices must NOT look Benford (chi2 ${out.getDouble(1)})")
+    assert(out.getDouble(1) > 15.507)
+    // synthesized Benford sample: counts proportional to log10(1+1/d)
+    val n = 10000
+    val counts = (1 to 9).map(d => d -> math.round(n * math.log10(1.0 + 1.0 / d)).toInt)
+    val vals = counts.flatMap { case (d, c) => Seq.fill(c)(d * 100.0 + 23.0) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-benford").toString
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val b = SparkEntry.queries("q70_benford")(spark, dir).collect().head
+    assert(b.getBoolean(2), s"Benford-proportioned data must pass: chi2 ${b.getDouble(1)}")
+  }
+
+  test("t24 entropy: uniform unigram distribution scores exactly ln(V); TTR exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-entropy").toString
+    // one lang, 4 distinct tokens × 5 occurrences each → H = ln 4
+    Seq((1L, "aa bb cc dd " * 5, "xx"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("t24_entropy")(spark, dir).collect().head
+    assert(r.getLong(1) == 20L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.2)
+    val expected = BigDecimal(math.log(4.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(4) - expected) < 1e-9,
+      s"${r.getDouble(4)} vs $expected")
+  }
+
   test("plan: ECDF windows are (group, bucket)-partitioned, never type-wide") {
     val p = SparkEntry.queries("q60_ks_drift")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
