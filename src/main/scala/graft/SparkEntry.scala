@@ -1809,6 +1809,50 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Sparse TF-IDF cosine near-dup — the weighted-lexical similarity
+    // BETWEEN d03's unweighted set Jaccard and d06's dense-embedding
+    // cosine: w(t,d) = tf · smooth-idf (the t16 formula, 9-dp), doc
+    // norms and per-pair dot products folded in TERM order (buffers
+    // bounded by doc vocabulary / shared-term count), candidate pairs
+    // ONLY from the inverted term index (probes doc_id < 30; never
+    // all-pairs), cosine rounded at 6 dp before the 0.5 gate.
+    "d27_tfidf_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf").cast("double") *
+            (log((lit(1.0) + col("n_docs").cast("double")) /
+              (lit(1.0) + col("df").cast("double"))) + 1.0), 9).as("w"))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("term"), col("w"))).as("tw"))
+        .select(col("doc_id"),
+          sqrt(aggregate(transform(array_sort(col("tw")), x =>
+            x.getField("w") * x.getField("w")), lit(0.0), (a, x) => a + x))
+            .as("norm"))
+      val dots = w.where(col("doc_id") < 30)
+        .select(col("doc_id").as("a_id"), col("term"), col("w").as("wa"))
+        .join(w.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")),
+          Seq("term"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(collect_list(struct(col("term"), (col("wa") * col("wb")).as("p"))).as("ps"))
+        .select(col("a_id"), col("b_id"),
+          aggregate(transform(array_sort(col("ps")), x => x.getField("p")),
+            lit(0.0), (a, x) => a + x).as("dot"))
+      dots
+        .join(norms.select(col("doc_id").as("a_id"), col("norm").as("na")), Seq("a_id"))
+        .join(norms.select(col("doc_id").as("b_id"), col("norm").as("nb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+        .where(col("cosine") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Benford first-digit audit (the classic books-cooking / synthetic-
     // data tell): observed first-digit counts of l_extendedprice vs the
     // Benford expectation p(d) = log10(1 + 1/d), goodness-of-fit X²
@@ -3503,6 +3547,36 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // TF-IDF-cosine twin (d27): same weights, same term-ordered folds,
+    // same gate.
+    "d27_tfidf_cosine" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY doc_id, t),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, term,
+         |    round(CAST(tf AS DOUBLE) * (ln((1.0 + CAST(n_docs AS DOUBLE))
+         |      / (1.0 + CAST(df AS DOUBLE))) + 1.0), 9) AS w
+         |  FROM tf JOIN dfr USING (term) CROSS JOIN nn),
+         |norms AS (SELECT doc_id,
+         |    sqrt(list_reduce(list_prepend(0.0, list_transform(
+         |      list(struct_pack(term := term, w := w) ORDER BY term, w),
+         |      x -> x.w * x.w)), (a, b) -> a + b)) AS norm
+         |  FROM w GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |      list(struct_pack(term := a.term, p := a.w * b.w) ORDER BY a.term, a.w * b.w),
+         |      x -> x.p)), (x, y) -> x + y) AS dot
+         |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 30 GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, cosine FROM (
+         |  SELECT a_id, b_id,
+         |    round(dot / (na.norm * nb.norm), 6) AS cosine
+         |  FROM dots JOIN norms na ON na.doc_id = a_id
+         |  JOIN norms nb ON nb.doc_id = b_id)
+         |WHERE cosine >= 0.5 ORDER BY a_id, b_id""".stripMargin),
 
     // Benford twin (q70): same digit extraction, same expectation chain,
     // same digit-ordered fold.

@@ -575,6 +575,44 @@ class DedupSpec extends SparkSpec {
     assert(a.drop(1).forall(dupFps.contains), "shared chunks must flag is_dup")
   }
 
+  test("d27: tf-idf cosine — identical docs score 1, weighting beats raw overlap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-d27").toString
+    // docs 5/6 identical (the cosine-1 anchor); doc 1 shares ONE rare
+    // term with 11 and ONE ubiquitous term with 10 (symmetric shapes, so
+    // norms compare) — idf weighting must rank the rare-term pair higher
+    Seq(
+      (1L, "zebra the"),
+      (11L, "zebra mmm nnn"),
+      (10L, "the ppp qqq"),
+      (5L, "copy copy text"),
+      (6L, "copy copy text"),
+      (12L, "the uu1 uu2"),
+      (13L, "the vv1 vv2"),
+      (14L, "the ww1 ww2"))
+      .map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d27_tfidf_cosine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((5L, 6L)) == 1.0, s"identical docs must score exactly 1: $got")
+    // the all-cosines (unthresholded) comparison: recompute driver-side
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    def wv(id: Long) = docs(id).groupBy(identity).map { case (t, os) =>
+      t -> BigDecimal(os.size * (math.log((1.0 + n) / (1.0 + dfm(t))) + 1.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (wv(a), wv(b))
+      val shared = va.keySet intersect vb.keySet
+      val dot = shared.toSeq.sorted.map(t => va(t) * vb(t)).sum
+      dot / (math.sqrt(va.values.map(x => x * x).sum) *
+        math.sqrt(vb.values.map(x => x * x).sum))
+    }
+    assert(cos(1L, 11L) > cos(1L, 10L),
+      "a shared rare term must outweigh shared stopwords")
+  }
+
   test("d26: LSH-vs-exact metrics are consistent and match an independent set recompute") {
     val r = SparkEntry.queries("d26_lsh_eval")(spark, "/root/testdata/sf0.001")
       .collect().head
