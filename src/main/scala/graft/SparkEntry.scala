@@ -1809,6 +1809,27 @@ object SparkEntry {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Quantile discretizer (the ML feature-binning staple, q52's
+    // equi-width histogram's equi-DEPTH sibling): 9 exact interpolated
+    // decile boundaries from one 1-row aggregate (the q27/q53-proven
+    // cross-engine percentile), bin = count of boundaries ≤ v via a
+    // 9-element fold — boundary ties land deterministically in the
+    // upper bin on both engines. Output: per-bin count + actual range.
+    "q71_decile_bins" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = li.agg(expr(
+        "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .select(size(filter(col("bs"), b => col("l_extendedprice") >= b))
+            .cast("bigint").as("bin"),
+          col("l_extendedprice").as("v"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(col("bin"))
+    }),
+
     // Sparse TF-IDF cosine near-dup — the weighted-lexical similarity
     // BETWEEN d03's unweighted set Jaccard and d06's dense-embedding
     // cosine: w(t,d) = tf · smooth-idf (the t16 formula, 9-dp), doc
@@ -3556,6 +3577,16 @@ object SparkEntry {
         |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
         | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
         |FROM p ORDER BY event_id""".stripMargin,
+
+    // Decile twin (q71): quantile_cont list boundaries, same fold.
+    "q71_decile_bins" ->
+      """WITH bs AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM lineitem),
+        |a AS (SELECT CAST(len(list_filter(bs, b -> l_extendedprice >= b)) AS BIGINT) AS bin,
+        |    l_extendedprice AS v
+        |  FROM lineitem CROSS JOIN bs)
+        |SELECT bin, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+        |FROM a GROUP BY bin ORDER BY bin""".stripMargin,
 
     // TF-IDF-cosine twin (d27): same weights, same term-ordered folds,
     // same gate.

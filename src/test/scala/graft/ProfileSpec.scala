@@ -91,4 +91,21 @@ class ProfileSpec extends SparkSpec {
     assert(out("v_small") === ((2L, false)))
     assert(out("id_pos") === ((0L, true)))
   }
+
+  test("q71 decile bins: equi-depth within interpolation ties, ranges ordered") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("q71_decile_bins")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == (0L to 9L), "all ten bins must be populated")
+    val total = out.map(_._2).sum
+    // equi-depth: every bin within ±1.5% of total/10 (boundary ties and
+    // interpolation make exact tenths impossible on discrete data)
+    out.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10.0) <= total * 0.015,
+        s"bin $b holds $n of $total — not equi-depth") }
+    // ranges are disjoint and ordered
+    out.sliding(2).foreach { case Array((_, _, _, hiA), (_, _, loB, _)) =>
+      assert(hiA <= loB, s"bin ranges must be ordered: $hiA vs $loB")
+    }
+  }
 }
