@@ -418,12 +418,79 @@ object ScaleSmoke {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      Stream.runIngest(Stream.fileSource(spark, srcDir), subs, s"$tmp/ck",
-        Stream.upsertSender(store)).awaitTermination()
+      // maxFilesPerTrigger splits the AvailableNow drain into several
+      // micro-batches so per-batch latency is a measured distribution,
+      // not one wall number (the writer above emits one file per input
+      // partition)
+      val q = Stream.runIngest(
+        spark.readStream.option("maxFilesPerTrigger", 8).text(srcDir),
+        subs, s"$tmp/ck", Stream.upsertSender(store))
+      q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      val lat = batches.map(_.durationMs.get("triggerExecution").toLong)
       results("streaming_ingest") = (sec, nNotifs)
       System.err.println(f"[scale-smoke] streaming_ingest: $sec%.2fs " +
-        f"rows=$nNotifs (${nNotifs / sec}%.0f notifs/s, sink keys=${store.snapshot.size})")
+        f"rows=$nNotifs (${nNotifs / sec}%.0f notifs/s, sink keys=${store.snapshot.size}, " +
+        s"batches=${batches.length}, batch_ms mean=" +
+        f"${if (lat.isEmpty) 0.0 else lat.sum.toDouble / lat.length}%.0f " +
+        s"max=${if (lat.isEmpty) 0L else lat.max})")
+    }
+
+    // RocksDB transformWithState STATE-SCALE datapoint: the per-key
+    // ListState rolling window (RecentEventsProcessor) over a key space
+    // that grows with mult — 50k×mult keys × 4 observations. Cost must
+    // track input rows (state ops are O(keys touched) per batch, RocksDB
+    // keeps the working set off-heap); the checkpointed state at the end
+    // holds every key's bounded window, which is the 100 TB question:
+    // does per-key state survive a key space in the millions.
+    if (shouldRun("streaming_state_scale")) {
+      import graft.streaming.Stream
+      val nKeys = 50000L * mult
+      val perKey = 4L
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-state")
+      val srcDir = s"$tmp/src"
+      // key-major id layout: each of the perKey passes touches every key,
+      // so batches hit EXISTING state rather than only inserting
+      spark.range(nKeys * perKey).select(
+        concat(lit("k"), pmod(col("id"), lit(nKeys))).as("k"),
+        (col("id") / lit(nKeys)).cast("long").as("ts"),
+        pmod(col("id") * 7, lit(1000)).as("v"))
+        .write.json(srcDir)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val src = spark.readStream.schema("k string, ts long, v long")
+          .option("maxFilesPerTrigger", 8).json(srcDir)
+        val q = Stream.recentActivityTws(src, keep = 3)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ck")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("noop")
+          .start()
+        q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = nKeys * perKey
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        val lat = batches.map(_.durationMs.get("triggerExecution").toLong)
+        results("streaming_state_scale") = (sec, rows)
+        System.err.println(f"[scale-smoke] streaming_state_scale: $sec%.2fs " +
+          f"rows=$rows keys=$nKeys (${rows / sec}%.0f rows/s, " +
+          s"batches=${batches.length}, batch_ms mean=" +
+          f"${if (lat.isEmpty) 0.0 else lat.sum.toDouble / lat.length}%.0f " +
+          s"max=${if (lat.isEmpty) 0L else lat.max})")
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+      }
     }
 
     val unknown = opFilter.diff(declaredOps.toSet)

@@ -2022,11 +2022,14 @@ object SparkEntry {
     "q68_table_diff" -> ((s, dir) => {
       val a = t(s, dir, "orders")
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      // inserted keys live in the NEGATIVE key space — disjoint from any
+      // real o_orderkey at any scale factor (a fixed positive offset
+      // collides once max(o_orderkey) reaches it, fanning out the join)
       val b = a.where(pmod(col("k"), lit(13)) =!= 0)
         .select(col("k"),
           when(pmod(col("k"), lit(7)) === 0, col("v") + 1.23).otherwise(col("v")).as("v"))
         .unionByName(a.where(pmod(col("k"), lit(11)) === 0)
-          .select((col("k") + 10000000L).as("k"), (col("v") + 0.5).as("v")))
+          .select((-col("k")).as("k"), (col("v") + 0.5).as("v")))
       val diff = a.select(col("k"), col("v").as("va"))
         .join(b.select(col("k"), col("v").as("vb")), Seq("k"), "full_outer")
         .select(col("k"),
@@ -2243,7 +2246,13 @@ object SparkEntry {
         .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
         .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau"))
       val dau = obs.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      // clamp to the observed day range: windows ENDING past the last
+      // observed day would be phantom trailing rows (dau 0, wau decaying)
+      // that a real DAU/WAU report doesn't include
+      val mx = obs.agg(max(col("day")).as("max_day"))
       wau.join(dau, col("wday") === col("day"), "left")
+        .crossJoin(broadcast(mx))
+        .where(col("wday") <= col("max_day"))
         .select(col("wday").as("day"), coalesce(col("dau"), lit(0L)).as("dau"),
           col("wau"))
         .orderBy(col("day"))
@@ -3661,13 +3670,19 @@ object SparkEntry {
          |GROUP BY lang, n_tokens, n_types ORDER BY lang""".stripMargin),
 
     // Chi-square twin (q69): the same margins, the same per-cell chain
-    // in the same op order, the same (cat, side)-ordered fold.
+    // in the same op order, the same (cat, side)-ordered fold — and the
+    // same DENSIFIED table (observed=0 cells contribute their expected
+    // count, so a category vanishing from one side registers).
     "q69_chi2_drift" ->
       """WITH e AS (SELECT event_type AS cat,
         |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS side
         |  FROM events),
-        |cells AS (SELECT cat, side, CAST(count(*) AS BIGINT) AS o
+        |obs AS (SELECT cat, side, CAST(count(*) AS BIGINT) AS o
         |  FROM e GROUP BY cat, side),
+        |cells AS (SELECT g.cat, g.side, coalesce(o, 0) AS o
+        |  FROM ((SELECT DISTINCT cat FROM obs) CROSS JOIN
+        |        (SELECT DISTINCT side FROM obs)) g
+        |  LEFT JOIN obs ON g.cat = obs.cat AND g.side = obs.side),
         |ct AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY cat),
         |st AS (SELECT side, CAST(sum(o) AS BIGINT) AS st FROM cells GROUP BY side),
         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
@@ -3746,7 +3761,7 @@ object SparkEntry {
         |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 1.23 ELSE v END AS v
         |  FROM a WHERE k % 13 <> 0
         |  UNION ALL
-        |  SELECT k + 10000000, v + 0.5 FROM a WHERE k % 11 = 0),
+        |  SELECT -k, v + 0.5 FROM a WHERE k % 11 = 0),
         |d AS (SELECT coalesce(a.k, b.k) AS k,
         |    CASE WHEN b.k IS NULL THEN 'removed'
         |         WHEN a.k IS NULL THEN 'added'
@@ -3963,7 +3978,8 @@ object SparkEntry {
          |FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // Sliding-distinct twin (q64): the same bounded 7-day fan-out and
-    // exact distinct counts.
+    // exact distinct counts, clamped to the observed day range (no
+    // phantom windows ending past the last observed day).
     "q64_sliding_distinct" ->
       """WITH obs AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 86400000000 AS day FROM events),
@@ -3975,6 +3991,7 @@ object SparkEntry {
         |  FROM obs GROUP BY day)
         |SELECT wday AS day, coalesce(dau, 0) AS dau, wau
         |FROM wau LEFT JOIN dau ON wday = dau.day
+        |WHERE wday <= (SELECT max(day) FROM obs)
         |ORDER BY wau.wday""".stripMargin,
 
     // LangID-eval twin (t19): t01's langid CTE, the same confusion
@@ -3996,15 +4013,17 @@ object SparkEntry {
          |lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_label FROM conf GROUP BY label),
          |pt AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY pred),
          |tp AS (SELECT label, CAST(n AS BIGINT) AS tp FROM conf WHERE label = pred),
-         |b AS (SELECT lt.label, n_label, coalesce(n_pred, 0) AS n_pred,
-         |    coalesce(tp, 0) AS tp
-         |  FROM lt LEFT JOIN tp USING (label) LEFT JOIN pt USING (label)),
+         |u AS (SELECT coalesce(lt.label, pt.label) AS label,
+         |    coalesce(n_label, 0) AS n_label, coalesce(n_pred, 0) AS n_pred
+         |  FROM lt FULL OUTER JOIN pt ON lt.label = pt.label),
+         |b AS (SELECT u.label, n_label, n_pred, coalesce(tp, 0) AS tp
+         |  FROM u LEFT JOIN tp USING (label)),
          |m AS (SELECT label, n_label, n_pred, tp,
          |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
-         |    CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) AS recall
+         |    CASE WHEN n_label > 0 THEN CAST(tp AS DOUBLE) / CAST(n_label AS DOUBLE) END AS recall
          |  FROM b)
          |SELECT label, n_label, n_pred, tp, precision, recall,
-         |  CASE WHEN coalesce(precision, 0.0) + recall > 0.0
+         |  CASE WHEN coalesce(precision, 0.0) + coalesce(recall, 0.0) > 0.0
          |    THEN 2.0 * precision * recall / (precision + recall) END AS f1
          |FROM m ORDER BY label""".stripMargin),
 

@@ -83,8 +83,18 @@ object Drift {
     */
   def chiSquareDrift(df: DataFrame, catCol: String, sideCol: String,
       critical: Double): DataFrame = {
-    val cells = df.groupBy(col(catCol).as("cat"), col(sideCol).as("side"))
+    val observed = df.groupBy(col(catCol).as("cat"), col(sideCol).as("side"))
       .agg(count(lit(1)).as("o"))
+    // Densify: a category entirely absent from one side must contribute
+    // an observed=0 cell — its term is then the full expected count,
+    // exactly the strongest-drift case (a category vanishing between
+    // snapshots) that a sparse observed-only table silently omits. The
+    // cross join is categories × sides — chi-square only applies to
+    // small-cardinality categoricals, so both factors are tiny.
+    val cells = observed.select(col("cat")).distinct()
+      .crossJoin(observed.select(col("side")).distinct())
+      .join(observed, Seq("cat", "side"), "left")
+      .select(col("cat"), col("side"), coalesce(col("o"), lit(0L)).as("o"))
     val catTot = cells.groupBy(col("cat")).agg(sum(col("o")).as("ct"))
     val sideTot = cells.groupBy(col("side")).agg(sum(col("o")).as("st"))
     val n = cells.agg(sum(col("o")).as("n"))

@@ -26,9 +26,14 @@ object Eval {
     * confusion-derived exact counts (n_label, n_pred, tp) plus
     * precision/recall/F1 as double divisions of those counts — F1 is
     * computed FROM the emitted precision/recall columns, so the float
-    * chain is replayable verbatim by the SQL twin. Classes never
-    * predicted get precision NULL (0/0 is undefined, not 0); F1 is NULL
-    * when precision+recall has nothing to harmonic-mean over.
+    * chain is replayable verbatim by the SQL twin. The class universe is
+    * the UNION of distinct labels and distinct predictions (full outer
+    * join of the two margins), so a class that is predicted but never
+    * labeled still gets its precision row (n_label=0, recall NULL) —
+    * standard reports cover label∪prediction, and hiding such a class
+    * hides exactly its false positives. Classes never predicted get
+    * precision NULL (0/0 is undefined, not 0); F1 is NULL when either
+    * input is NULL or precision+recall has nothing to harmonic-mean over.
     *
     * Scale: two aggregations (confusion counts, then class totals) and
     * two broadcastable class-cardinality joins.
@@ -42,10 +47,13 @@ object Eval {
       .agg(sum(col("n")).as("n_pred"))
     val tp = conf.where(col("label") === col("pred"))
       .select(col("label"), col("n").as("tp"))
+    // no broadcast hint on the full outer: Spark can't build a
+    // broadcast side for it (class cardinality is tiny either way)
     val base = labelTot
+      .join(predTot, Seq("label"), "full_outer")
       .join(broadcast(tp), Seq("label"), "left")
-      .join(broadcast(predTot), Seq("label"), "left")
-      .select(col("label"), col("n_label"),
+      .select(col("label"),
+        coalesce(col("n_label"), lit(0L)).as("n_label"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
         coalesce(col("tp"), lit(0L)).as("tp"))
     base
@@ -53,9 +61,11 @@ object Eval {
         when(col("n_pred") > 0,
           col("tp").cast("double") / col("n_pred").cast("double")))
       .withColumn("recall",
-        col("tp").cast("double") / col("n_label").cast("double"))
+        when(col("n_label") > 0,
+          col("tp").cast("double") / col("n_label").cast("double")))
       .withColumn("f1",
-        when(coalesce(col("precision"), lit(0.0)) + col("recall") > 0.0,
+        when(coalesce(col("precision"), lit(0.0)) +
+            coalesce(col("recall"), lit(0.0)) > 0.0,
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
   }

@@ -99,6 +99,23 @@ class DriftSpec extends SparkSpec {
     assert(r0.getDouble(1) == 0.0 && !r0.getBoolean(2))
   }
 
+  test("chi-square: a category vanishing from one side contributes its full expected term") {
+    // 'b' exists only on side 1 — the observed=0 cell (b, 2) must appear
+    // with term = expected. side1 = (a:10, b:10), side2 = (a:20):
+    // margins ct_a=30 ct_b=10 st_1=20 st_2=20 N=40 →
+    // cells: (a,1): e=15, (10-15)²/15; (a,2): e=15, (20-15)²/15;
+    //        (b,1): e=5,  (10-5)²/5;   (b,2): o=0, e=5, term=5
+    val rows = Seq.fill(10)(("a", 1)) ++ Seq.fill(10)(("b", 1)) ++
+      Seq.fill(20)(("a", 2))
+    val r = graft.analytics.Drift.chiSquareDrift(
+      rows.toDF("cat", "side"), "cat", "side", critical = 3.841).collect().head
+    assert(r.getLong(0) == 4L, "densified table must have 2 cats × 2 sides cells")
+    val expected = 25.0 / 15 + 25.0 / 15 + 25.0 / 5 + 5.0
+    assert(math.abs(r.getDouble(1) - expected) < 1e-6,
+      s"${r.getDouble(1)} vs $expected — the zero cell's term is the full expected count")
+    assert(r.getBoolean(2), "a vanished category IS the strongest drift signal")
+  }
+
   test("q70 Benford: TPC-H prices fail the gate; true Benford data passes") {
     val out = SparkEntry.queries("q70_benford")(spark, "/root/testdata/sf0.001")
       .collect().head

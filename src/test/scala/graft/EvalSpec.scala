@@ -53,6 +53,22 @@ class EvalSpec extends SparkSpec {
       c.isNullAt(6))
   }
 
+  test("classification report: predicted-but-never-labeled class gets its FP row") {
+    // 'x' is predicted twice but never appears as a label — standard
+    // reports cover label∪prediction; hiding 'x' hides its false
+    // positives (precision 0 here, since tp is necessarily 0).
+    val df = Seq(("a", "a"), ("a", "x"), ("b", "x"), ("b", "b"))
+      .toDF("label", "pred")
+    val got = Eval.classificationReport(df, "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "x"))
+    val x = got("x")
+    assert(x.getLong(1) == 0L && x.getLong(2) == 2L && x.getLong(3) == 0L)
+    assert(x.getDouble(4) == 0.0, "precision of a never-labeled class is 0/n_pred = 0")
+    assert(x.isNullAt(5), "recall is NULL (0/0) for a class with no labeled rows")
+    assert(x.isNullAt(6))
+  }
+
   test("q63: per-source transition probabilities are a proper distribution") {
     val out = SparkEntry.queries("q63_transitions")(spark, "/root/testdata/sf0.001")
       .collect()
