@@ -1,0 +1,1380 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.NetFunctions
+import graft.QueryHelpers._
+
+/** Pipeline analytics (q36-q71): curation/sampling, profiling and
+  * quality gates, drift, incremental maintenance, time-series and
+  * sessionization operators.
+  *
+  * Extracted from the original single-file SparkEntry catalog; the
+  * driver contract is unchanged — [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] concatenate the family maps. Shared
+  * helpers (including the numeric-portability conventions documented
+  * on [[SparkEntry]]) live in [[QueryHelpers]].
+  */
+private[graft] object QueriesPipeline {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // IQR outlier gate (Tukey fences): per event_type, exact interpolated
+    // quartiles (q27's machinery) → [q1 − 1.5·IQR, q3 + 1.5·IQR] bounds →
+    // out-of-fence row counts. The numeric-column cleaning rule next to
+    // q45's declared expectations — the bounds come from the DATA. No
+    // rounding on the gate: both engines derive bit-identical quartiles
+    // (q27-proven), 1.5 is exact, and the fence comparison reuses those
+    // exact doubles. Dim-sized stats broadcast back onto the fact scan.
+    "q53_iqr_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .select(col("event_type"),
+          (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+          (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Dataset profiling (ANALYZE-shaped): one-scan numeric column profile
+    // of lineitem — nulls, distincts, min/max, exact-decimal mean — in
+    // long form. The twin recomputes each column's row from the same
+    // exact-sum formula.
+    "q44_profile" -> ((s, dir) =>
+      analytics.Profile.numericProfile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("column"))),
+
+
+    // ANALYZE-style distribution shape: 8-bin equi-width histogram of
+    // l_extendedprice, bounds from the data. No rounding anywhere — the
+    // bin index is floor of identical IEEE ops, boundary-free.
+    "q52_histogram" -> ((s, dir) =>
+      analytics.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", nBins = 8)
+        .orderBy(col("bin"))),
+
+
+    // Data-quality expectations (Deequ-shaped): named constraint checks
+    // over lineitem in one scan — violation counts + pass flags, nulls
+    // count as violations. tax_under_5pct intentionally FAILS (TPC-H tax
+    // ranges to 0.08) so real counting, not just all-green flags, is on
+    // the gate.
+    "q45_expectations" -> ((s, dir) =>
+      analytics.Profile.expectations(t(s, dir, "lineitem"), Seq(
+          "quantity_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_bounds" -> col("l_discount").between(0.00, 0.10),
+          "shipdate_range" -> col("l_shipdate").between(
+            lit("1995-01-01").cast("timestamp"), lit("2001-12-31").cast("timestamp")),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "tax_under_5pct" -> (col("l_tax") <= 0.05)))
+        .orderBy(col("check_name"))),
+
+
+    // Incremental aggregate maintenance: per-event-type stats refreshed
+    // by merging the stored state of the "old" 80% with the state of a
+    // new 20% batch (disjoint event_id split) — algebraic partials
+    // (count / exact decimal sum / min / max), avg derived at finish.
+    // The oracle is the SINGLE-PASS recompute over all events: the merge
+    // must be bit-identical to never having split at all.
+    "q48_incr_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val oldState = analytics.Incremental.state(
+        ev.where(pmod(col("event_id"), lit(10)) < 8), "event_type", "value")
+      val batchState = analytics.Incremental.state(
+        ev.where(pmod(col("event_id"), lit(10)) >= 8), "event_type", "value")
+      analytics.Incremental.finish(
+          analytics.Incremental.merge(oldState, batchState, "event_type"),
+          "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+
+    // EWMA feature per user (α=0.25): the classic online smoothing a
+    // feature store computes per entity — the recurrence is replayed by
+    // folding the (ts, event_id)-ordered value list, seeded with the
+    // first value on both engines. The recurrence runs in EXACT DECIMAL
+    // (values at (18,6), state at (28,9), round-9 each step): a
+    // round-the-double variant measured a cross-engine flip at ~50
+    // magnitude (ulp 7e-15 vs the 1e-9 half boundary → ~7e-6 boundary
+    // probability per step × 10^4 steps at sf0.01 — Spark rounds the
+    // shortest decimal repr, DuckDB the exact binary value, the s09
+    // lesson at scale-magnitude doubles); decimal arithmetic has no
+    // boundary at all. The (18,6)→(28,9) double cast is deliberate:
+    // double→decimal conversion itself is engine-divergent at fine
+    // scales (same shortest-repr-vs-binary split), so the input coarsens
+    // at 6 dp (boundary odds 7e-9/value) and then WIDENS exactly to the
+    // fold scale — which must be the LIST ELEMENT type, because DuckDB's
+    // list_reduce unifies each lambda result back to the element type
+    // (measured: (18,6) elements silently truncated the fold to 6 dp).
+    // One shuffle on user_id; per-user state is the
+    // event list (bounded by per-entity history, the d15 trade).
+    "q50_ewma" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val quarter = lit(new java.math.BigDecimal("0.25"))
+      val threeQ = lit(new java.math.BigDecimal("0.75"))
+      evRaw
+        .select(col("user_id"),
+          struct(EventTime.epochMicros(evRaw).as("o1"), col("event_id").as("o2"),
+            col("value").cast("decimal(18,6)").cast("decimal(28,9)").as("v")).as("r"))
+        .groupBy(col("user_id")).agg(collect_list(col("r")).as("rs"))
+        .select(col("user_id"),
+          size(col("rs")).cast("bigint").as("n"),
+          aggregate(transform(array_sort(col("rs")), x => x.getField("v")),
+            lit(null).cast("decimal(28,9)"),
+            (acc, x) => when(acc.isNull, x)
+              .otherwise(round(quarter * x + threeQ * acc, 9)
+                .cast("decimal(28,9)")))
+            .cast("double").as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    // Cohort retention over the event stream: users grouped by first-
+    // activity day, distinct-user counts per (cohort, day offset) plus
+    // the retention ratio — the engagement matrix behind every "day-N
+    // retention" metric. Day buckets are exact integer division of epoch
+    // micros; two shuffles (per-user min, then the cohort-cell distinct).
+    "q51_retention" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val us = EventTime.epochMicros(evRaw)
+      // subtract the remainder first so the division is of an exact
+      // multiple — the quotient is then an exactly-representable integer
+      val e = evRaw.select(col("user_id"),
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long").as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      e.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .join(sizes, Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_users"), col("cohort_size"),
+          round(col("n_users").cast("double") / col("cohort_size"), 6).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+
+    // Dead-letter routing: the ingest-hardening idiom the reference's
+    // bare `request.json()` lacks — parse with an explicit corrupt-record
+    // column (PERMISSIVE + columnNameOfCorruptRecord, the Spark-native
+    // DLQ), so malformed payloads route to quarantine WITH their raw
+    // bytes instead of poisoning the batch or vanishing. Corruption
+    // synthesized deterministically (every 7th event loses its closing
+    // brace); both engines agree '{"k": 6' is invalid JSON.
+    "q55_dlq" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val payload = when(pmod(col("event_id"), lit(7)) === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+        .otherwise(col("props"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k INT, _corrupt STRING")
+      ev.select(col("event_id"), payload.as("payload"))
+        .withColumn("parsed", from_json(col("payload"), schema,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(col("event_id"),
+          when(col("parsed._corrupt").isNotNull, lit("dlq"))
+            .otherwise(lit("ok")).as("route"),
+          when(col("parsed._corrupt").isNull, col("parsed.k")).as("k"),
+          col("parsed._corrupt").as("quarantined"))
+        .orderBy(col("event_id"))
+    }),
+
+
+    // Latest-snapshot compaction — the READ side of q46's SCD2 build (and
+    // the batch form of the streaming KeyedUpsertStore): collapse the
+    // change-log to one current row per user, latest (ts, event_id) wins.
+    // One shuffle on the key; at 100 TB this is the periodic compaction
+    // job that keeps CDC tables queryable without replaying history.
+    "q54_compact" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      evRaw.select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), EventTime.epochMicros(evRaw).as("ts_us"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .orderBy(col("user_id"))
+    }),
+
+
+    // Funnel analysis over the event stream: per user, the first 'view',
+    // the first 'click' STRICTLY after it, the first 'purchase' strictly
+    // after that — stage reached + time-to-convert. The ordered-sequence
+    // sibling of q24's sessionization: three per-user min-aggregations,
+    // each stage's candidate set gated by the previous stage's timestamp.
+    // Scale: three shuffles on the same user key (a single-shuffle
+    // alternative folds the per-user ts-sorted event list through the
+    // stage machine — the d15 bounded-per-row-state trade; the 3-agg
+    // form stays fully codegen'd and lets AQE size each stage's shuffle).
+    "q49_funnel" -> ((s, dir) => {
+      val evRaw = t(s, dir, "events")
+      val ev = evRaw.select(col("user_id"), col("event_type"),
+        EventTime.epochMicros(evRaw).as("ts_us"))
+      val users = ev.select(col("user_id")).distinct()
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id")).where(col("ts_us") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).where(col("ts_us") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).cast("int").as("stage"),
+          (col("t_purchase") - col("t_view")).as("convert_us"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis on the
+    // portable md5 uniform): quality-biased but diversity-preserving —
+    // the middle ground between q37's hard top-k and q36's uniform draw.
+    "q56_weighted_sample" -> ((s, dir) =>
+      analytics.Sampling.weightedSample(
+          qualityScored(t(s, dir, "documents")),
+          stratumCol = "lang", weightCol = "quality", k = 15, idCol = "doc_id")
+        .select(col("lang"), col("sample_rank").as("rnk"), col("doc_id"),
+          col("quality"), col("es_key"))
+        .orderBy(col("lang"), col("rnk"))),
+
+
+    // Heavy hitters by Misra-Gries sketch (k=16 counters): the bounded-
+    // memory top-terms path for open vocabularies a groupBy can't hold.
+    // Item stream = document tokens with three synthesized hot items
+    // (position-derived, ~14% each — the q19 synthesized-input idiom;
+    // the 31-token tail sits below threshold and forces real decrements,
+    // k=16 < 31). Output = the EXACT heavy hitters (c·(k+1) > n, an
+    // integer predicate, hash-matched) with the q30/q35 sketch contract:
+    // in_sketch is TRUE by the MG guarantee (undercount ≤ n/(k+1)),
+    // cand_within_k is TRUE structurally. Sketch pass + exact pass —
+    // the two-pass shape a 100 TB deployment uses (the exact pass then
+    // only aggregates the ≤k candidate keys).
+    "q47_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val k = 16
+      val items = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(when(pmod(col("pos"), lit(7)) < 3,
+            concat(lit("hot"), pmod(col("pos"), lit(3)).cast("string")))
+          .otherwise(col("tok")).as("term"))
+      val sketch = items.as[String]
+        .select(new analytics.Sketches.MisraGries(k).toColumn.name("cand"))
+      val exact = items.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val n = exact.agg(sum(col("c")).as("n"))
+      exact.crossJoin(broadcast(n))
+        .where(col("c") * (k + 1) > col("n"))
+        .crossJoin(broadcast(sketch))
+        .select(col("term"), col("c"),
+          array_contains(col("cand"), col("term")).as("in_sketch"),
+          (size(col("cand")) <= k).as("cand_within_k"))
+        .orderBy(col("term"))
+    }),
+
+
+    // SCD2 history build: the events change-log folded into a slowly-
+    // changing-dimension type-2 table — per user, each event opens a
+    // validity interval [valid_from, valid_to) closed by the NEXT event
+    // (lead over the (ts, event_id)-ordered per-user sequence; the last
+    // interval stays open, is_current). The warehouse step that turns an
+    // append-only log into an as-of-queryable dimension (q26's as-of join
+    // is the read side of this build). One shuffle on user_id; per-user
+    // window state only — no global sort.
+    "q46_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          EventTime.epochMicros(ev).as("ts_us"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+          row_number().over(w).cast("long").as("version"),
+          col("ts_us").as("valid_from_us"),
+          lead(col("ts_us"), 1).over(w).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+
+    // Leakage-free train/val split: d12's near-dup clusters assigned to a
+    // split AS A UNIT (group-aware md5-u32 threshold on the cluster id,
+    // 80/20) — near-duplicates can never straddle train and validation.
+    // The twin replays the d12 chain and the same integer threshold.
+    "q43_split" -> ((s, dir) => {
+      analytics.Sampling.groupAwareSplit(
+          Dedup.dedupClustersApprox(t(s, dir, "documents"), n = 3, k = 64,
+            bands = 16, threshold = 0.4, portableHash = true),
+          groupCol = "cluster_id", trainFrac = 0.8)
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          col("is_survivor"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Sampling: reproducible stratified subset — exactly 50 docs per
+    // language, ordered by the portable md5 permutation of the id (NOT
+    // partition-seeded Bernoulli, which changes under repartitioning).
+    // The reproducibility contract a training-data pipeline needs.
+    "q36_stratified_sample" -> ((s, dir) => {
+      analytics.Sampling.deterministicStratified(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          stratumCol = "lang", k = 50, idCol = "doc_id")
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+
+    // Sequence packing: curated docs → fixed 512-token training sequences,
+    // per-language windows (no global sort), each doc assigned to the
+    // sequence containing its start offset. The step between curation and
+    // a training run.
+    "q39_pack" -> ((s, dir) =>
+      analytics.Packing.packSequences(
+          analytics.Par.spreadForCpu(t(s, dir, "documents")), budget = 512)
+        .orderBy(col("lang"), col("doc_id"))),
+
+
+    // Temperature mixture sampling (α = 0.5): per-language quota
+    // ceil(sqrt(count)) over the portable md5 permutation — the
+    // language-rebalance step of a training-mix builder; the quota
+    // boundary rides an integer predicate so no float pow is on the gate.
+    "q40_mix" -> ((s, dir) =>
+      analytics.Sampling.sqrtMixture(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          stratumCol = "lang", idCol = "doc_id")
+        .select(col("lang"), col("sample_rank"), col("doc_id"), col("stratum_n"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
+
+    // Deterministic corpus shuffle into training shards: md5-permutation
+    // bucket + within-shard order — the reproducible "shuffle and shard"
+    // step every epoch reader depends on; one shard shuffle, per-shard
+    // window sort, NO global sort.
+    "q41_shard" -> ((s, dir) =>
+      analytics.Sampling.shardAssignment(
+          t(s, dir, "documents").select(col("doc_id")), nShards = 8,
+          idCol = "doc_id")
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))),
+
+
+    // Curation composition: quality score (t02's operator) → per-language
+    // rank → keep the best 10 docs per language. The standard
+    // quality-quota selection step of a training-data pipeline.
+    "q37_quality_topk" -> ((s, dir) =>
+      qualityQuota(analytics.Par.spreadForCpu(t(s, dir, "documents")), k = 10)),
+
+
+    // Token-BUDGET selection: keep the best documents per language until a
+    // fixed token budget fills — the "take the best N tokens" curation
+    // rule (quality-ordered running token sum, inclusive-prefix cutoff).
+    // Same scale shape as q37/q39/q40/q41: one stratum shuffle, per-
+    // stratum window, no global sort.
+    "q42_budget" -> ((s, dir) =>
+      tokenBudgetSelect(analytics.Par.spreadForCpu(t(s, dir, "documents")),
+        budgetPerLang = 2000L)),
+
+
+    // Flagship curation composition: exact-dedup survivor election
+    // (Dedup.byFingerprint — md5 fingerprint, min-id canonical) → quality
+    // scoring → per-language quota — the full "dedupe, score, select"
+    // chain a training-data build runs, as ONE declarative plan (dedup agg
+    // + survivor semi-join + per-row scoring + quota window).
+    "q38_curation_pipeline" -> ((s, dir) => {
+      val docs = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+      val survivors = Dedup.byFingerprint(docs).select(col("keep_id").as("doc_id"))
+      qualityQuota(docs.join(survivors, Seq("doc_id"), "left_semi"), k = 20)
+    }),
+
+
+    // Time-series gap-fill + forward fill (the feature-store resample next
+    // to q50's EWMA): per-user hourly sums, a dense hour grid from each
+    // user's own min..max hour (sequence/explode — generate_series in the
+    // twin), missing hours carry the last observed value forward
+    // (`last(ignoreNulls)` over an unbounded-preceding frame ≡ DuckDB's
+    // `last_value(v IGNORE NULLS)`). The hourly sum is the usual exact
+    // decimal → one double cast, so the filled value is the SAME double
+    // both engines forward-copy — no arithmetic happens after the fill.
+    // Scale: one shuffle on user_id for the agg; the grid explode is
+    // bounded by span-hours per user and stays partitioned by user_id, so
+    // the window never sees a global sort. Leading gaps (before a user's
+    // first observation) cannot exist — the grid starts AT the first
+    // observed hour, so v_filled is never null.
+    "q57_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val obs = ev.where(col("user_id") < 6)
+        .groupBy(col("user_id"), EventTime.hourEpoch(ev).as("h"))
+        .agg(sum(dec(col("value"), 18, 2)).cast("double").as("v"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_filled"),
+          col("v").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
+
+    // Quantile discretizer (the ML feature-binning staple, q52's
+    // equi-width histogram's equi-DEPTH sibling): 9 exact interpolated
+    // decile boundaries from one 1-row aggregate (the q27/q53-proven
+    // cross-engine percentile), bin = count of boundaries ≤ v via a
+    // 9-element fold — boundary ties land deterministically in the
+    // upper bin on both engines. Output: per-bin count + actual range.
+    // SCALE NOTE: the exact percentile is ORACLE-GATED — Spark's exact
+    // percentile buffers the value multiset into the final single-task
+    // merge, so at 100 TB that buffer is the column; q72 is the sketch
+    // sibling (percentile_approx / GK: fixed-size mergeable partials)
+    // with its error bound regression-guarded.
+    "q71_decile_bins" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bounds = li.agg(expr(
+        "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .select(size(filter(col("bs"), b => col("l_extendedprice") >= b))
+            .cast("bigint").as("bin"),
+          col("l_extendedprice").as("v"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"))
+        .orderBy(col("bin"))
+    }),
+
+    // q71's 100 TB sibling: the decile BOUNDARIES via percentile_approx
+    // (GK/QuantileSummaries — fixed-size mergeable state, accuracy 10000
+    // bounds rank error at n/10000; no value-multiset buffering in one
+    // final task, which is exactly q71's documented exact-path
+    // bottleneck). The q35 contract: exact boundaries hash-match the
+    // oracle's quantile_cont; each sketch boundary sits within 1%
+    // relative error of its exact twin, asserted TRUE by the oracle.
+    "q72_decile_bounds_approx" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+          expr("percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("ex"),
+          percentile_approx(col("l_extendedprice"),
+            array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("ap"))
+        .select(posexplode(arrays_zip(col("ex"), col("ap"))))
+        .select((col("pos") + 1).cast("bigint").as("decile"),
+          col("col.ex").as("exact_v"),
+          (abs(col("col.ap") - col("col.ex")) <= abs(col("col.ex")) * 0.01)
+            .as("err_ok"))
+        .orderBy(col("decile"))
+    }),
+
+    // q44's declared no-Expand scale path as its own regression-guarded
+    // catalog entry (the q30 precedent): every exact statistic
+    // hash-matches the oracle, and the HLL++ (rsd 0.01) distinct
+    // estimate is emitted as a ≤2%-relative-error flag the twin asserts
+    // TRUE. The exact multi-column distinct plans through Expand — a
+    // 5× row fan-out before the hash aggregate, q44's measured dominant
+    // cost; the sketch path is one ordinary scan with fixed-size
+    // mergeable partials per column, the profile you'd actually run at
+    // 100 TB.
+    "q73_profile_approx" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val exact = analytics.Profile.numericProfile(t(s, dir, "lineitem"), cols)
+      val approx = analytics.Profile
+        .numericProfile(t(s, dir, "lineitem"), cols,
+          approxDistinct = true, rsd = 0.01)
+        .select(col("column"), col("n_distinct").as("nd_approx"))
+      exact.join(broadcast(approx), Seq("column"))
+        .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("mean_v"),
+          (abs(col("nd_approx").cast("double") - col("n_distinct").cast("double")) <=
+            col("n_distinct").cast("double") * 0.02).as("nd_err_ok"))
+        .orderBy(col("column"))
+    }),
+
+
+    // Benford first-digit audit (the classic books-cooking / synthetic-
+    // data tell): observed first-digit counts of l_extendedprice vs the
+    // Benford expectation p(d) = log10(1 + 1/d), goodness-of-fit X²
+    // with each term rounded at 9 dp and folded in digit order. TPC-H
+    // prices are uniform-ish, NOT Benford — the honest expected verdict
+    // is a loud deviation (is_benford false), which is exactly what the
+    // audit exists to raise.
+    "q70_benford" -> ((s, dir) => {
+      val digits = t(s, dir, "lineitem")
+        .select(substring(floor(col("l_extendedprice")).cast("bigint").cast("string"), 1, 1)
+          .cast("int").as("d"))
+        .where(col("d").between(1, 9))
+        .groupBy(col("d")).agg(count(lit(1)).as("o"))
+      val n = digits.agg(sum(col("o")).as("n"))
+      val terms = digits.crossJoin(broadcast(n))
+        .select(col("d"), col("o"),
+          round({
+            val e = col("n").cast("double") * log10(lit(1.0) + lit(1.0) / col("d").cast("double"))
+            (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+          }, 9).as("term"))
+      terms
+        .agg(collect_list(struct(col("d"), col("term"))).as("ts"),
+          sum(col("o")).as("n_values"))
+        .select(col("n_values"),
+          round(aggregate(transform(array_sort(col("ts")), x => x.getField("term")),
+            lit(0.0), (a, x) => a + x), 9).as("chi2"))
+        // df 8, α=0.05 → 15.507
+        .withColumn("is_benford", col("chi2") <= 15.507)
+    }),
+
+
+    // Chi-square categorical drift: event-TYPE mix of the first vs
+    // second half-month (the discrete complement of q60's numeric KS —
+    // types have no ordering for an ECDF). 5 types × 2 sides at α=0.05
+    // → df 4, critical 9.488; same generator both halves, so the honest
+    // expected verdict is no drift with the statistic doing real work.
+    "q69_chi2_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.chiSquareDrift(
+        ev.select(col("event_type"),
+          when(EventTime.epochMicros(ev) < 1705363200000000L, lit(1))
+            .otherwise(lit(2)).as("side")),
+        "event_type", "side", critical = 9.488)
+    }),
+
+
+    // Snapshot reconciliation (table diff): snapshot B is derived from A
+    // by deterministic deletions (k % 13 = 0), modifications (k % 7 = 0,
+    // value + 1.23 — an exact double add, no rounding boundary), and
+    // insertions (shifted keys). One full outer join on the key
+    // classifies every row added/removed/changed/unchanged; per-class
+    // counts + exact-decimal value sums are the audit the ingest loop
+    // alerts on. No modification-detection hashing needed at this width;
+    // at 100 TB compare row hashes instead of columns (same join shape).
+    "q68_table_diff" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      // inserted keys live in the NEGATIVE key space, -(k+1) — disjoint
+      // from any real o_orderkey at any scale factor (a fixed positive
+      // offset collides once max(o_orderkey) reaches it and fans out the
+      // join; plain -k collides on key 0, which the testdata contains)
+      val b = a.where(pmod(col("k"), lit(13)) =!= 0)
+        .select(col("k"),
+          when(pmod(col("k"), lit(7)) === 0, col("v") + 1.23).otherwise(col("v")).as("v"))
+        .unionByName(a.where(pmod(col("k"), lit(11)) === 0)
+          .select((-col("k") - 1).as("k"), (col("v") + 0.5).as("v")))
+      val diff = a.select(col("k"), col("v").as("va"))
+        .join(b.select(col("k"), col("v").as("vb")), Seq("k"), "full_outer")
+        .select(col("k"),
+          when(col("vb").isNull, lit("removed"))
+            .when(col("va").isNull, lit("added"))
+            .when(col("va") =!= col("vb"), lit("changed"))
+            .otherwise(lit("unchanged")).as("class"),
+          coalesce(col("vb"), col("va")).as("v"))
+      diff.groupBy(col("class"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("v"), 18, 2)).cast("double").as("total_v"))
+        .orderBy(col("class"))
+    }),
+
+
+    // Incremental JOIN maintenance (Blakeley delta rule): both orders
+    // and lineitem split 80/20 by key hash; the refreshed view is
+    // V_old ∪ ΔR⋈S_old ∪ R_old⋈ΔS ∪ ΔR⋈ΔS — the old⋈old term never
+    // re-runs. The oracle is the SINGLE-PASS full join aggregated the
+    // same way: the delta union must be row-identical, so the exact-
+    // decimal revenue sums match bit-for-bit.
+    "q67_incr_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"))
+      val (oOld, oNew) = (o.where(pmod(col("o_orderkey"), lit(5)) < 4),
+        o.where(pmod(col("o_orderkey"), lit(5)) === 4))
+      val (lOld, lNew) = (l.where(pmod(col("l_extendedprice").cast("bigint"), lit(5)) < 4),
+        l.where(pmod(col("l_extendedprice").cast("bigint"), lit(5)) === 4))
+      val vOld = oOld.join(lOld, Seq("o_orderkey"))
+      analytics.Incremental.incrementalJoin(vOld, oOld, oNew, lOld, lNew,
+          Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"), 18, 2)).cast("double").as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+
+    // CUSUM changepoint monitor per user: S_t = max(0, S_{t−1} + v − 105)
+    // folded in exact decimal over the event-time-ordered values, alarm
+    // at max S > 500 (compared on the decimal). The sequential mean-
+    // shift detector next to q60's two-snapshot KS.
+    "q66_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.cusum(
+          ev.select(col("user_id"), col("value"),
+            EventTime.epochMicros(ev).as("us"), col("event_id")),
+          "user_id", "value", Seq("us", "event_id"),
+          target = new java.math.BigDecimal("105"),
+          h = new java.math.BigDecimal("500"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    // Complex-event pattern (CEP): view → purchase within 1h with NO
+    // error strictly between — the negation q49's funnel cannot express.
+    // Per-user following-frame windows give each view its next purchase
+    // and next error timestamps in one pass (no self-join); the match
+    // predicate is pure integer-µs arithmetic. User-partitioned windows,
+    // one shuffle.
+    "q65_cep_pattern" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"),
+        EventTime.epochMicros(ev).as("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val flagged = base
+        .withColumn("next_purchase",
+          min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .withColumn("next_error",
+          min(when(col("event_type") === "error", col("us"))).over(w))
+        .where(col("event_type") === "view")
+        .withColumn("matched",
+          col("next_purchase").isNotNull &&
+            col("next_purchase") - col("us") <= 3600000000L &&
+            (col("next_error").isNull || col("next_error") > col("next_purchase")))
+      flagged.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"))
+        .orderBy(col("user_id"))
+    }),
+
+
+    // Exact 7-day sliding distinct users (DAU/WAU): each (user, day)
+    // observation fans out to the 7 window-ending days it supports (the
+    // standard exact shape — a bounded 7× explode, NOT a range self-
+    // join), then one count_distinct per window day; daily actives join
+    // back for the DAU column. Integer day buckets, no rounding.
+    "q64_sliding_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventTime.epochMicros(ev)
+      // exact-multiple division (the q51 idiom) → integer day bucket
+      val day = ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long")
+      val obs = ev.select(col("user_id"), day.as("day")).distinct()
+      val wau = obs
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+        .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("wau"))
+      val dau = obs.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      // clamp to the observed day range: windows ENDING past the last
+      // observed day would be phantom trailing rows (dau 0, wau decaying)
+      // that a real DAU/WAU report doesn't include
+      val mx = obs.agg(max(col("day")).as("max_day"))
+      wau.join(dau, col("wday") === col("day"), "left")
+        .crossJoin(broadcast(mx))
+        .where(col("wday") <= col("max_day"))
+        .select(col("wday").as("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau"))
+        .orderBy(col("day"))
+    }),
+
+
+    // Markov transition matrix over per-user event sequences: lead() on
+    // the (ts, event_id)-ordered user timeline (user-partitioned window),
+    // exact pair counts, row-conditional probability as one division.
+    // The session-behavior model a funnel (q49) summarizes one path of.
+    "q63_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(EventTime.epochMicros(ev), col("event_id"))
+      val pairs = ev
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+
+    // Exact tie-aware ROC AUC (Mann–Whitney): the ranking power of the
+    // t02/q37 quality score against the lang=='en' label. The measured
+    // answer at sf0.01 is ≈0.495 — the composite quality score is NOT a
+    // language classifier despite its English stopword feature (length
+    // and punctuation dominate) — exactly the kind of assumption this
+    // metric exists to test. Midrank ties via the doubled-U integer
+    // identity; the only float op is the final division; ECDF counts
+    // ride the q60 bucketed-prefix primitive.
+    "q62_auc" -> ((s, dir) =>
+      analytics.Eval.aucROC(
+        qualityScored(t(s, dir, "documents"))
+          .select(col("quality").as("score"), (col("lang") === "en").as("label")),
+        "score", "label")),
+
+
+    // Frequent co-purchase pairs (a-priori pruned): items below support 8
+    // never reach the per-order self-join, pairs gate at support 2, lift
+    // is one double division of exact counts. The market-basket operator
+    // whose scale knob is the item-support prune.
+    "q61_copurchase" -> ((s, dir) =>
+      analytics.Itemsets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minItemSupport = 8, minPairSupport = 2)
+        .orderBy(col("n_pairs").desc, col("p1"), col("p2"))),
+
+
+    // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
+    // the first and second half of the month (epoch-µs cut at 2024-01-16
+    // UTC, dtype-robust via EventTime). Same generator both halves, so
+    // the expected verdict is NO drift — the interesting output is the
+    // exact D, where it's attained, and the threshold flag doing real
+    // arithmetic. ECDFs via bucketed prefix sums, never a type-wide
+    // ordered window.
+    "q60_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.ksDrift(
+          ev.select(col("event_type"), col("value"),
+            when(EventTime.epochMicros(ev) < 1705363200000000L, lit(1))
+              .otherwise(lit(2)).as("side")),
+          "event_type", "value", "side")
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Pareto skyline over lineitem's (price, quantity) trade-off —
+    // minimize price, maximize quantity. Engine: bucketed prefix-max
+    // (distinct + equi-width x-buckets + per-bucket window + carried
+    // bucket maxima, no global-order window); twin: the same prefix-max
+    // identity as ONE window (fine at oracle scale, and its agreement
+    // with the bucketed plan is itself part of what's being checked).
+    "q59_skyline" -> ((s, dir) =>
+      analytics.Skyline.skyline2D(t(s, dir, "lineitem"),
+          "l_extendedprice", "l_quantity")
+        .orderBy(col("l_extendedprice"), col("l_quantity"))),
+
+
+    // Semi-structured ingestion via Spark 4 VARIANT (the open-format
+    // answer to schema-on-read JSON): `parse_json` once into a variant,
+    // typed path extraction with `variant_get`, missing paths surfacing
+    // as NULL (`try_variant_get`) — then the extracted value flows into a
+    // plain relational aggregate, proving variant columns compose with
+    // the rest of the engine. The twin reads the same JSON with DuckDB's
+    // json_extract. Scale: variant parse is a per-row projection (no
+    // shuffle); the single-shuffle group-by is on an 8-value key.
+    "q58_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("var"))
+        .select(col("event_id"),
+          variant_get(col("var"), "$.k", "bigint").as("k"),
+          try_variant_get(col("var"), "$.missing", "bigint").as("absent"))
+        .groupBy(pmod(col("k"), lit(8)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("absent")).as("n_absent"))
+        .orderBy(col("k_bucket"))
+    }),
+  )
+
+  // ── DuckDB oracle twins ──
+
+  val oracle: Map[String, String] = Map(
+
+
+    // IQR twin (q53): quantile_cont quartiles, the same fence arithmetic.
+    "q53_iqr_outliers" ->
+      """WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1,
+        |  quantile_cont(value, 0.75) AS q3 FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |  q3 + (q3 - q1) * 1.5 AS hi FROM s)
+        |SELECT e.event_type, count(*) AS n,
+        | CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | min(lo) AS lo, min(hi) AS hi
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+
+    // Profile twin (q44): per-column row from the identical exact-sum
+    // mean formula (decimal sum → double → /n → round 6).
+    "q44_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           | CASE WHEN count($c) = 0 THEN NULL
+           |   ELSE round(CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / count($c), 6)
+           | END AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+
+    // Histogram twin (q52): same data-derived bounds, same floor/least
+    // bin map.
+    "q52_histogram" ->
+      """WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+        |  CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem),
+        |v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL)
+        |SELECT CAST(CASE WHEN hi = lo THEN 0
+        |  ELSE least(floor((v - lo) / ((hi - lo) / 8)), 7) END AS BIGINT) AS bin,
+        | count(*) AS n
+        |FROM v CROSS JOIN b GROUP BY bin ORDER BY bin""".stripMargin,
+
+
+    // Expectations twin (q45): same predicates, same null-is-violation
+    // coalesce, same pass flags.
+    "q45_expectations" -> {
+      val checks = Seq(
+        "quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+        "price_positive" -> "l_extendedprice > 0",
+        "discount_bounds" -> "l_discount BETWEEN 0.00 AND 0.10",
+        "shipdate_range" -> "l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31'",
+        "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "tax_under_5pct" -> "l_tax <= 0.05")
+      checks.map { case (n, p) =>
+        s"""SELECT '$n' AS check_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+           | sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+    },
+
+
+    // EWMA twin (q50): list_reduce over the same (ts, event_id)-ordered
+    // DECIMAL(18,6) values — DuckDB seeds the fold with the first
+    // element, Spark's null-seeded when-branch does the same; every
+    // subsequent step is the identical exact-decimal round-9 recurrence.
+    "q50_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |      CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,9)) AS v FROM events),
+        |g AS (SELECT user_id, list(v ORDER BY ts_us, event_id) AS vs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+        | CAST(list_reduce(vs, (acc, x) ->
+        |   CAST(round(0.25 * x + 0.75 * acc, 9) AS DECIMAL(28,9))) AS DOUBLE) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
+
+
+    // Retention twin (q51): same exact-integer day buckets and the same
+    // one-double-division ratio.
+    "q51_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY cohort_day),
+        |r AS (SELECT cohort_day, day - cohort_day AS day_offset,
+        |      count(DISTINCT e.user_id) AS n_users
+        |      FROM e JOIN f USING (user_id) GROUP BY cohort_day, day_offset)
+        |SELECT cohort_day, day_offset, n_users, cohort_size,
+        | round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM r JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+
+    // DLQ twin (q55): validity via json_valid, the same synthesized
+    // corruption, raw payload quarantined on the dlq route.
+    "q55_dlq" ->
+      """WITH p AS (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN substring(props, 1, length(props) - 1)
+        |       ELSE props END AS payload FROM events)
+        |SELECT event_id,
+        | CASE WHEN json_valid(payload) THEN 'ok' ELSE 'dlq' END AS route,
+        | CASE WHEN json_valid(payload)
+        |   THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
+        | CASE WHEN NOT json_valid(payload) THEN payload END AS quarantined
+        |FROM p ORDER BY event_id""".stripMargin,
+
+
+    // Decile twin (q71): quantile_cont list boundaries, same fold.
+    "q71_decile_bins" ->
+      """WITH bs AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM lineitem),
+        |a AS (SELECT CAST(len(list_filter(bs, b -> l_extendedprice >= b)) AS BIGINT) AS bin,
+        |    l_extendedprice AS v
+        |  FROM lineitem CROSS JOIN bs)
+        |SELECT bin, count(*) AS n, min(v) AS min_v, max(v) AS max_v
+        |FROM a GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Approx-decile twin (q72): the q35 sketch contract — exact
+    // boundaries hash-matched, the GK bound a literal TRUE.
+    "q72_decile_bounds_approx" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ex FROM lineitem),
+        |d AS (SELECT unnest(generate_series(1, 9)) AS i)
+        |SELECT CAST(i AS BIGINT) AS decile, ex[i] AS exact_v, TRUE AS err_ok
+        |FROM d CROSS JOIN q ORDER BY decile""".stripMargin,
+
+    // Approx-profile twin (q73): q44's exact rows plus the HLL++ bound
+    // as a literal TRUE (the q30 sketch contract).
+    "q73_profile_approx" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           | CASE WHEN count($c) = 0 THEN NULL
+           |   ELSE round(CAST(sum(CAST($c AS DECIMAL(28,10))) AS DOUBLE) / count($c), 6)
+           | END AS mean_v,
+           | TRUE AS nd_err_ok
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+
+    // Benford twin (q70): same digit extraction, same expectation chain,
+    // same digit-ordered fold.
+    "q70_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+        |  FROM lineitem),
+        |o AS (SELECT d, CAST(count(*) AS BIGINT) AS o FROM d
+        |  WHERE d BETWEEN 1 AND 9 GROUP BY d),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |terms AS (SELECT d, o,
+        |    round((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+        |      * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE)))
+        |      / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d AS DOUBLE))), 9) AS term
+        |  FROM o CROSS JOIN nn),
+        |f AS (SELECT CAST(sum(o) AS BIGINT) AS n_values,
+        |    round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(d := d, term := term) ORDER BY d), x -> x.term)),
+        |      (a, b) -> a + b), 9) AS chi2
+        |  FROM terms)
+        |SELECT n_values, chi2, chi2 <= 15.507 AS is_benford FROM f""".stripMargin,
+
+
+    // Chi-square twin (q69): the same margins, the same per-cell chain
+    // in the same op order, the same (cat, side)-ordered fold — and the
+    // same DENSIFIED table (observed=0 cells contribute their expected
+    // count, so a category vanishing from one side registers).
+    "q69_chi2_drift" ->
+      """WITH e AS (SELECT event_type AS cat,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS side
+        |  FROM events),
+        |obs AS (SELECT cat, side, CAST(count(*) AS BIGINT) AS o
+        |  FROM e GROUP BY cat, side),
+        |cells AS (SELECT g.cat, g.side, coalesce(o, 0) AS o
+        |  FROM ((SELECT DISTINCT cat FROM obs) CROSS JOIN
+        |        (SELECT DISTINCT side FROM obs)) g
+        |  LEFT JOIN obs ON g.cat = obs.cat AND g.side = obs.side),
+        |ct AS (SELECT cat, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY cat),
+        |st AS (SELECT side, CAST(sum(o) AS BIGINT) AS st FROM cells GROUP BY side),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |terms AS (SELECT cat, side,
+        |    round((CAST(o AS DOUBLE) - CAST(ct AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE) - CAST(ct AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(ct AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS term
+        |  FROM cells JOIN ct USING (cat) JOIN st USING (side) CROSS JOIN nn),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(cat := cat, side := side, term := term) ORDER BY cat, side),
+        |      x -> x.term)), (a, b) -> a + b), 9) AS chi2
+        |  FROM terms)
+        |SELECT n_cells, chi2, chi2 > 9.488 AS is_drift FROM f""".stripMargin,
+
+
+    // Diff twin (q68): the same derived snapshot and classification.
+    "q68_table_diff" ->
+      """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |b AS (
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 1.23 ELSE v END AS v
+        |  FROM a WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT -k - 1, v + 0.5 FROM a WHERE k % 11 = 0),
+        |d AS (SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.k IS NULL THEN 'added'
+        |         WHEN a.v <> b.v THEN 'changed'
+        |         ELSE 'unchanged' END AS class,
+        |    coalesce(b.v, a.v) AS v
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT class, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total_v
+        |FROM d GROUP BY class ORDER BY class""".stripMargin,
+
+
+    // Incr-join twin (q67): the single-pass full join — the delta
+    // union's exactness IS what's being checked.
+    "q67_incr_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+
+    // CUSUM twin (q66): the same prefix identity — running sum +
+    // running min windows, exact decimal throughout. least() is OFF
+    // LIMITS on decimals here: DuckDB's least(DECIMAL, DECIMAL) returns
+    // DOUBLE (measured) — the clamp is a CASE instead.
+    "q66_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,9)) - 105 AS d FROM events),
+        |w AS (SELECT user_id, us, event_id, d,
+        |    CAST(sum(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,9)) AS p FROM e),
+        |w2 AS (SELECT user_id, d, p,
+        |    p - (CASE WHEN mp < 0 THEN mp ELSE CAST(0 AS DECIMAL(28,9)) END) AS s
+        |  FROM (SELECT user_id, d, p,
+        |    CAST(min(p) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,9)) AS mp
+        |    FROM w))
+        |SELECT user_id, count(*) AS n, max(s) > 500 AS alarm,
+        |  CAST(max(s) AS DOUBLE) AS cusum_max,
+        |  CAST(CAST(sum(d) AS DECIMAL(28,9)) - (CASE WHEN min(p) < 0
+        |    THEN CAST(min(p) AS DECIMAL(28,9)) ELSE CAST(0 AS DECIMAL(28,9)) END)
+        |    AS DOUBLE) AS cusum_final
+        |FROM w2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+
+    // CEP twin (q65): the same following-frame windows and predicate.
+    "q65_cep_pattern" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |f AS (SELECT user_id, event_type, us,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase,
+        |    min(CASE WHEN event_type = 'error' THEN us END) OVER
+        |      (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error
+        |  FROM e),
+        |v AS (SELECT user_id,
+        |    next_purchase IS NOT NULL AND next_purchase - us <= 3600000000
+        |      AND (next_error IS NULL OR next_error > next_purchase) AS matched
+        |  FROM f WHERE event_type = 'view')
+        |SELECT user_id, count(*) AS n_views,
+        |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+
+    // Sliding-distinct twin (q64): the same bounded 7-day fan-out and
+    // exact distinct counts, clamped to the observed day range (no
+    // phantom windows ending past the last observed day).
+    "q64_sliding_distinct" ->
+      """WITH obs AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |wau AS (SELECT wday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM (SELECT user_id, unnest(generate_series(day, day + 6)) AS wday
+        |        FROM obs)
+        |  GROUP BY wday),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM obs GROUP BY day)
+        |SELECT wday AS day, coalesce(dau, 0) AS dau, wau
+        |FROM wau LEFT JOIN dau ON wday = dau.day
+        |WHERE wday <= (SELECT max(day) FROM obs)
+        |ORDER BY wau.wday""".stripMargin,
+
+
+    // Transition twin (q63): the same user-partitioned lead() and the
+    // same one-division conditional probability.
+    "q63_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS to_type FROM e),
+        |pairs AS (SELECT from_type, to_type, count(*) AS n FROM nx
+        |  WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM pairs GROUP BY from_type)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n, n_from,
+        |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        |FROM pairs JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+
+    // AUC twin (q62): the same per-score counts and doubled-U fold over
+    // the shared quality CTEs.
+    "q62_auc" -> (
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |c AS (SELECT quality AS s,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |  FROM q GROUP BY quality),
+         |cum AS (SELECT s, pos, neg,
+         |    sum(neg) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) - neg AS neg_below FROM c),
+         |agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg) AS BIGINT) AS n_neg,
+         |    CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2 FROM cum)
+         |SELECT n_pos, n_neg, u2,
+         |  CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+         |FROM agg""".stripMargin),
+
+
+    // Co-purchase twin (q61): the same prune → self-join → gate chain.
+    "q61_copurchase" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ntx AS (SELECT count(DISTINCT o) AS n_tx FROM items),
+        |sup AS (SELECT p, count(*) AS s FROM items GROUP BY p),
+        |pruned AS (SELECT o, items.p, s FROM items JOIN sup USING (p) WHERE s >= 8),
+        |pairs AS (SELECT a.p AS p1, b.p AS p2, a.s AS s1, b.s AS s2,
+        |    count(*) AS n_pairs
+        |  FROM pruned a JOIN pruned b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY p1, p2, s1, s2 HAVING count(*) >= 2)
+        |SELECT p1, p2, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |  CAST(n_pairs * n_tx AS DOUBLE) / CAST(s1 * s2 AS DOUBLE) AS lift
+        |FROM pairs CROSS JOIN ntx
+        |ORDER BY n_pairs DESC, p1, p2""".stripMargin,
+
+
+    // KS twin (q60): the ECDF as one per-type window (types are small in
+    // the oracle), identical integer counts and double divisions.
+    "q60_ks_drift" ->
+      """WITH e AS (SELECT event_type, value AS v,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS s
+        |  FROM events),
+        |c AS (SELECT event_type, v,
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM e GROUP BY event_type, v),
+        |cum AS (SELECT event_type, v,
+        |    sum(c1) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1c,
+        |    sum(c2) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2c
+        |  FROM c),
+        |tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM c GROUP BY event_type),
+        |d AS (SELECT event_type, v,
+        |    abs(CAST(c1c AS DOUBLE) / n1 - CAST(c2c AS DOUBLE) / n2) AS diff
+        |  FROM cum JOIN tot USING (event_type) WHERE n1 > 0 AND n2 > 0),
+        |mx AS (SELECT event_type, max(diff) AS ks_d FROM d GROUP BY event_type)
+        |SELECT event_type, n1, n2, ks_d, min(v) AS d_at,
+        |  ks_d > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS is_drift
+        |FROM d JOIN mx USING (event_type) JOIN tot USING (event_type)
+        |WHERE diff = ks_d GROUP BY event_type, n1, n2, ks_d
+        |ORDER BY event_type""".stripMargin,
+
+
+    // Skyline twin (q59): the O(n log n) prefix-max identity as a single
+    // window — dominance = predecessor (x asc, y desc) with y ≥ current.
+    "q59_skyline" ->
+      """WITH pts AS (SELECT DISTINCT l_extendedprice AS x, l_quantity AS y
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |w AS (SELECT x, y, max(y) OVER (ORDER BY x ASC, y DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM pts)
+        |SELECT x AS l_extendedprice, y AS l_quantity FROM w
+        |WHERE pm IS NULL OR y > pm
+        |ORDER BY l_extendedprice, l_quantity""".stripMargin,
+
+
+    // Gap-fill twin (q57): generate_series grid + IGNORE NULLS carry-
+    // forward of the identical exact-decimal→double hourly sum.
+    "q57_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events WHERE user_id < 6 GROUP BY user_id, h),
+        |span AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS h FROM span)
+        |SELECT g.user_id, g.h,
+        | last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        | o.v IS NULL AS is_gap
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+        |ORDER BY g.user_id, g.h""".stripMargin,
+
+
+    // Variant twin (q58): the same typed path extraction via JSON
+    // operators; a missing path is NULL in both engines.
+    "q58_variant" ->
+      """WITH p AS (SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+        |  FROM events)
+        |SELECT k % 8 AS k_bucket, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        | count(absent) AS n_absent
+        |FROM p GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+
+    // Compaction twin (q54): same latest-wins window.
+    "q54_compact" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id, event_type, value, ts_us
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+
+    // Funnel twin (q49): the same stage-gated min chain.
+    "q49_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts_us) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY e.user_id)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        | CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |           WHEN t_click IS NOT NULL THEN 2
+        |           WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage,
+        | t_purchase - t_view AS convert_us
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        | LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+
+    // Incremental-agg twin (q48): the single-pass recompute — the merged
+    // split state must match it bit-for-bit (exact decimal partials).
+    "q48_incr_agg" ->
+      """SELECT event_type, count(value) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total,
+        | min(value) AS mn, max(value) AS mx,
+        | round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value), 6) AS avg_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+
+    // Weighted-sample twin (q56): the shared scoring CTEs + the same
+    // exact-u → ln → ÷quality → round-9 key and (key DESC, doc_id) rank.
+    "q56_weighted_sample" -> (
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |u AS (SELECT lang, doc_id, quality,
+         |  round(ln(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |    + 1 AS DOUBLE) / 4294967296.0) / quality, 9) AS es_key FROM q),
+         |r AS (SELECT lang, doc_id, quality, es_key,
+         |  row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rnk FROM u)
+         |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality, es_key
+         |FROM r WHERE rnk <= 15 ORDER BY lang, rnk""".stripMargin),
+
+
+    // Heavy-hitters twin (q47): same synthesized item stream, exact
+    // counts + the integer threshold; the sketch flags are asserted TRUE
+    // (the MG guarantee + the structural k bound — the q30/q35 pattern).
+    "q47_heavy_hitters" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tu AS (SELECT unnest(ws) AS tok, generate_subscripts(ws, 1) - 1 AS pos FROM tok),
+         |it AS (SELECT CASE WHEN pos % 7 < 3 THEN 'hot' || CAST(pos % 3 AS VARCHAR)
+         |  ELSE tok END AS term FROM tu),
+         |c AS (SELECT term, count(*) AS c FROM it GROUP BY term),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c)
+         |SELECT term, c, TRUE AS in_sketch, TRUE AS cand_within_k
+         |FROM c CROSS JOIN n WHERE c * 17 > n ORDER BY term""".stripMargin),
+
+
+    // SCD2 twin (q46): same per-user (ts, event_id) ordering, same lead
+    // interval close, epoch_us for the exact microsecond bounds.
+    "q46_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, event_id, event_type, value,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  ts_us AS valid_from_us, lead(ts_us) OVER w AS valid_to_us
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, event_id, event_type, value, version,
+        |  valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+
+    // Leakage-free split twin (q43): d12's recursive-CTE cluster chain +
+    // the q41 hex-u32 idiom against round(0.8·2^32) = 3435973837.
+    "q43_split" -> (
+      s"""WITH RECURSIVE ${portableMinhashCtes(64)},
+         |${portableLshPairCtes(64, 16, 0.4)},
+         |bidir AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(id, label) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS is_survivor,
+         | CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |        < 3435973837 THEN 'train' ELSE 'val' END AS split
+         |FROM cc ORDER BY doc_id""".stripMargin),
+
+
+    "q36_stratified_sample" ->
+      """SELECT lang, sample_rank, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+        | FROM documents)
+        |WHERE sample_rank <= 50 ORDER BY lang, sample_rank""".stripMargin,
+
+
+    // Packing twin (q39): the same per-language running token count
+    // (ROWS frame — explicit, so both engines use identical frames) and
+    // the same start-offset bin arithmetic. DuckDB's sum(BIGINT) widens
+    // to HUGEINT, hence the explicit casts back.
+    "q39_pack" -> (
+      s"""WITH tok AS (SELECT lang, doc_id,
+         | CAST(len($tokensSqlExpr) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT lang, doc_id, n_tokens,
+         | sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start
+         |FROM tok)
+         |SELECT lang, doc_id, n_tokens,
+         | CAST(start // 512 AS BIGINT) AS seq_id,
+         | CAST(start % 512 AS BIGINT) AS off
+         |FROM c ORDER BY lang, doc_id""".stripMargin),
+
+
+    // Mixture twin (q40): identical md5 permutation to q36's twin, the
+    // quota as the same integer predicate (rank−1)² < count.
+    "q40_mix" ->
+      """SELECT lang, sample_rank, doc_id, stratum_n FROM (
+        | SELECT lang, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank,
+        |  count(*) OVER (PARTITION BY lang) AS stratum_n
+        | FROM documents)
+        |WHERE (sample_rank - 1) * (sample_rank - 1) < stratum_n
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+
+    // Shard twin (q41): same md5 permutation; shard = first 32 hash bits
+    // mod 8 (exact integer arithmetic both engines), pos = rank along the
+    // same permutation within the shard.
+    "q41_shard" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS perm FROM documents),
+        |s AS (SELECT doc_id, perm,
+        |  CAST(CAST(('0x' || substr(perm, 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard FROM h)
+        |SELECT shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY perm, doc_id) AS BIGINT) AS pos,
+        | doc_id
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+
+    "q38_curation_pipeline" -> qualityQuotaSql(
+      """WITH fp AS (SELECT min(doc_id) AS doc_id
+        |  FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        |d AS (SELECT doc_id, lang, text FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM fp))""".stripMargin, 20),
+
+
+    "q37_quality_topk" -> qualityQuotaSql(
+      "WITH d AS (SELECT doc_id, lang, text FROM documents)", 10),
+
+
+    // Budget twin (q42): same scoring CTEs as q37, running token sum over
+    // the same (quality DESC, doc_id) window order, inclusive cutoff.
+    "q42_budget" -> (
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |c AS (SELECT lang, doc_id, n_tokens, quality,
+         |  sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+         |SELECT lang, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quality
+         |FROM c WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens, doc_id""".stripMargin),
+  )
+}

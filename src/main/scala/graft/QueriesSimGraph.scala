@@ -1,0 +1,836 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.NetFunctions
+import graft.QueryHelpers._
+
+/** Similarity search (s01-s11), graph signals (g01-g04) and
+  * multimodal-column operators (m01-m06).
+  *
+  * Extracted from the original single-file SparkEntry catalog; the
+  * driver contract is unchanged — [[SparkEntry.queries]] and
+  * [[SparkEntry.oracleSql]] concatenate the family maps. Shared
+  * helpers (including the numeric-portability conventions documented
+  * on [[SparkEntry]]) live in [[QueryHelpers]].
+  */
+private[graft] object QueriesSimGraph {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+
+    // Graph centrality, two-sided: deterministic fixed-iteration HITS
+    // over g01's synthesized link graph — authority (what good hubs point
+    // at) and hub (link-directory value) scores, L1-normalized per
+    // half-step. Same pinning discipline as g01; the twin replays all 5
+    // iterations (10 half-steps) as a CTE chain.
+    "g02_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      analytics.Graph.hits(edges, docs, iters = 5, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("auth"), col("hub"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Graph centrality: deterministic fixed-iteration PageRank over a
+    // synthesized 2-out-link graph (dst = (7·id+13) mod n and
+    // (31·id+7) mod n — derived from the corpus size, so it scales with
+    // the table). Every float pinned: src-ordered contribution folds,
+    // round-15 contributions, round-12 ranks. The twin replays all 10
+    // iterations as a CTE chain.
+    "g01_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      analytics.Graph.pageRank(edges, docs, iters = 10, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Similarity: brute-force cosine top-k (exact baseline).
+    "s01_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
+    // Similarity: multi-table LSH random-hyperplane top-k (the scale path;
+    // recall vs s01 floor-asserted in SimilaritySpec). The hyperplanes are
+    // seeded literals from Similarity.hyperplanes — the oracle embeds the
+    // SAME doubles as a VALUES CTE (lshPlanesValues), so bucketing,
+    // candidate generation, and the exact re-ranking are all hash-matched
+    // cross-engine.
+    "s02_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5,
+          nTables = 16, planesPerTable = 4, dim = 64)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
+    // Similarity: IVF coarse-quantizer top-k (the bucketed ANN alternative
+    // to s02; recall floor-asserted in SimilaritySpec). Cell assignment
+    // ranks on round(cosine, 6) with cent_id tie-break — deterministic
+    // across engines — so the DuckDB twin reproduces assignment, candidate
+    // generation, and the exact re-ranking end-to-end.
+    "s03_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
+    // Diversified retrieval: MMR greedy top-3 over the 10 nearest
+    // candidates (λ=0.7) — near-duplicate neighbors can't crowd a result
+    // set (diverse few-shot selection / dedup'd RAG contexts). Round-6
+    // relevance and pair sims, identical score chain, id tie-breaks; the
+    // twin unrolls all greedy rounds.
+    "s09_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrTopK(e, e.where(col("vec_id") < 5),
+          kCand = 10, kSelect = 3, lambda = 0.7)
+        .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
+
+    // ANN quality measurement: recall@5 of the IVF scale path (s03's
+    // config) against exact brute force (s01) — "measure, don't guess"
+    // applied to the engine's own approximate operator. Per-probe hit
+    // counts, so a recall regression localizes to the probe that lost
+    // its neighbor.
+    "s04_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, probes, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+        .orderBy(col("probe_id"))
+    }),
+
+
+    // Trained-quantizer IVF: deterministic fixed-iteration spherical
+    // k-means (init = s03's lowest-id quantizer, so iteration 0 is the
+    // baseline) feeding the same IVF search; recall@5 of BOTH quantizers
+    // against exact brute force, per probe. km_ge_base compares total hit
+    // COUNTS (integer, order-free) — the trained quantizer must not lose
+    // to the stand-in it replaces. The oracle replays training exactly:
+    // round-6 assignment ties, vec-id-ordered mean folds, 9-dp centroid
+    // rounding.
+    "s05_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, probes, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val base = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      // replayableMeans: the SQL twin replays the mean fold in vec-id
+      // order bit-exactly; the production default is plain partial avg
+      val cents = Similarity.kmeansCentroids(e, nCells = 16, iters = 3,
+        replayableMeans = true)
+      val km = Similarity.ivfTopKWithCentroids(e, probes, k = 5, cents, nProbe = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      def hits(app: org.apache.spark.sql.DataFrame, name: String) =
+        exact.join(app, Seq("probe_id", "neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+      val out = exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(base, "hb"), Seq("probe_id"), "left")
+        .join(hits(km, "hk"), Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("hb"), lit(0L)).as("n_hit_base"),
+          coalesce(col("hk"), lit(0L)).as("n_hit_km"))
+        .withColumn("recall_base",
+          round(col("n_hit_base").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_km",
+          round(col("n_hit_km").cast("double") / col("n_exact"), 6))
+      val flag = out.agg((sum(col("n_hit_km")) >= sum(col("n_hit_base"))).as("km_ge_base"))
+      out.crossJoin(flag) // 1-row scalar broadcast
+        .orderBy(col("probe_id"))
+    }),
+
+
+    // Similarity: TRAINED PQ codebooks — per-subspace L2 Lloyd (iteration
+    // 0 = s07's stand-in), recall@5 of both codebooks against exact
+    // squared-L2 brute force, per probe. The oracle replays training
+    // round by round (vec-id-ordered mean folds, round-9) plus both
+    // encode/ADC chains and the exact reference.
+    "s08_pq_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceL2TopK(e, probes, k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      val base = Similarity.pqTopK(e, probes, k = 5, m = 8, ks = 16, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"))
+      val cb = Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 2,
+        dim = 64, replayableMeans = true)
+      val tr = Similarity.pqTopKWithCodebooks(e, probes, k = 5, cb,
+          m = 8, ks = 16, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"))
+      def hits(app: org.apache.spark.sql.DataFrame, name: String) =
+        exact.join(app, Seq("probe_id", "neighbor_id"), "left_semi")
+          .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(base, "hb"), Seq("probe_id"), "left")
+        .join(hits(tr, "ht"), Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("hb"), lit(0L)).as("n_hit_base"),
+          coalesce(col("ht"), lit(0L)).as("n_hit_tr"))
+        .withColumn("recall_base",
+          round(col("n_hit_base").cast("double") / col("n_exact"), 6))
+        .withColumn("recall_tr",
+          round(col("n_hit_tr").cast("double") / col("n_exact"), 6))
+        .orderBy(col("probe_id"))
+    }),
+
+
+    // Similarity: cluster-balanced sampling — the q36 quota with the
+    // stratum lifted to embedding space (SemDeDup-style cluster
+    // balancing): s03's deterministic cell assignment (round-6 cosine,
+    // cent_id tie-break, lowest-id quantizer) + per-cell md5-permutation
+    // cap. Corpus is one broadcast-NLJ pass; quota is one shuffle on the
+    // cell id.
+    "s06_cluster_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.clusterBalancedSample(e, cents, k = 8)
+        .select(col("cent_id"), col("sample_rank"), col("vec_id"))
+        .orderBy(col("cent_id"), col("sample_rank"))
+    }),
+
+
+    // Similarity: product-quantization ADC top-k — the memory-compression
+    // ANN path (codes are m small ints vs dim floats): literal codebook
+    // (ks lowest-id subvectors), per-row encode + probe tables as pure
+    // projections, scoring by m table lookups. The twin re-derives the
+    // codebook, encoding, tables, and the j-ordered ADC fold.
+    "s07_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 10), k = 5,
+          m = 8, ks = 16, dim = 64)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+
+    // Multimodal: resize planning for image payloads — width/height PARSED
+    // from the synthesized PNG IHDR bytes, then the aspect-preserving
+    // integer resize arithmetic (the scheduling logic a decoder follows).
+    "m02_multimodal_resize" -> ((s, dir) => {
+      val withBin = Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "image")
+      val meta = Multimodal.decodeImage(col("payload"))
+      withBin
+        .select(col("doc_id"), meta.as("meta"))
+        .select(col("doc_id"),
+          col("meta.width").as("w"), col("meta.height").as("h"),
+          Multimodal.resizePlan(col("meta"), 64).getField("width").as("rw"),
+          Multimodal.resizePlan(col("meta"), 64).getField("height").as("rh"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Multimodal: audio chunk planning — sample count PARSED from the
+    // synthesized WAV RIFF header (little-endian dataSize / blockAlign),
+    // then the fixed-window segmentation arithmetic (ceil-div chunks, the
+    // last one carrying the remainder).
+    "m03_audio_chunks" -> ((s, dir) => {
+      val audio = Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "audio")
+      val meta = Multimodal.decodeAudio(col("payload"))
+      audio.select(col("doc_id"), meta.as("m"))
+        .select(col("doc_id"),
+          col("m").getField("n_samples").as("n_samples"),
+          Multimodal.audioChunkPlan(col("m")).getField("n_chunks").as("n_chunks"),
+          Multimodal.audioChunkPlan(col("m")).getField("last_chunk_samples").as("last_chunk"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Multimodal: the full video frame-sampling plan — 4 evenly spaced
+    // byte offsets per payload (m01 surfaces only one), the scheduling
+    // arithmetic a distributed frame decoder fans out over.
+    "m04_frames" -> ((s, dir) => {
+      Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "video")
+        .select(col("doc_id"), length(col("payload")).cast("bigint").as("n_bytes"),
+          posexplode(Multimodal.frameSampleOffsets(col("payload"), 4)))
+        .toDF("doc_id", "n_bytes", "frame_idx", "byte_off")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+
+    // ViT patch tiling plan: decoded PNG dims → 16×16 grid fan-out with
+    // edge clipping (m04's frame-offset schedule, two dimensions up) —
+    // the per-tile unit a distributed patch embedder consumes. Header
+    // arithmetic only; tile pixel decode is the documented stub.
+    "m05_patch_grid" -> ((s, dir) => {
+      val withBin = Multimodal.withPayload(t(s, dir, "documents"))
+        .where(col("modality") === "image")
+      withBin
+        .select(col("doc_id"), Multimodal.decodeImage(col("payload")).as("meta"))
+        .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"),
+          explode(Multimodal.patchGridPlan(col("meta"), 16)).as("pt"))
+        .select(col("doc_id"), col("w"), col("h"),
+          col("pt.py"), col("pt.px"), col("pt.x0"), col("pt.y0"),
+          col("pt.pw"), col("pt.ph"))
+        .orderBy(col("doc_id"), col("py"), col("px"))
+    }),
+
+
+    // Multimodal: binary payloads with REAL container headers (PNG
+    // signature+IHDR, WAV RIFF), metadata parsed back from the bytes.
+    "m01_multimodal_meta" -> ((s, dir) => {
+      Multimodal.extractFeatures(t(s, dir, "documents")).select(
+        col("doc_id"), col("modality"), col("n_bytes"),
+        col("image_meta").getField("width").as("img_w"),
+        col("image_meta").getField("height").as("img_h"),
+        col("image_meta").getField("channels").as("img_c"),
+        col("audio_meta").getField("n_samples").as("audio_samples"),
+        element_at(col("frame_offsets"), 3).as("frame2_off"))
+        .orderBy(col("doc_id"))
+    }),
+
+
+    // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
+    // 16), recall recovered by probing each bucket's Hamming-1
+    // neighbors — probe-side-only expansion, equi-join preserved, the
+    // index cost of 4 tables with the reach of many. Same exact-cosine
+    // re-rank; SimilaritySpec measures the recall recovery against
+    // single-probe at equal table count.
+    "s11_multiprobe_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), k = 5,
+          nTables = 4, planesPerTable = 4, dim = 64, multiProbe = true)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
+    // Degree distribution + power-law exponent (g01's graph): undirected
+    // degree histogram and the Clauset–Shalizi–Newman MLE
+    // α = 1 + N/Σ ln(d/dmin). The float sum collapses to the DEGREE-
+    // VALUE level first (counts are exact integers; distinct degrees are
+    // few), then folds in degree order over one small collected array —
+    // deterministic without any blocked-fold machinery.
+    "g04_degree_dist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val de = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      val ue = de.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val deg = ue.select(col("a").as("v")).unionAll(ue.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("n_vertices"))
+      val summary = hist
+        .agg(collect_list(struct(col("d"), col("n_vertices"))).as("h"),
+          min(col("d")).as("dmin"), sum(col("n_vertices")).as("nv"))
+        .select(col("nv"), col("dmin"),
+          aggregate(array_sort(col("h")), lit(0.0), (acc, e) =>
+            acc + e.getField("n_vertices").cast("double") *
+              log(e.getField("d").cast("double") / col("dmin").cast("double")))
+            .as("slnd"))
+        .select(col("nv"),
+          when(col("slnd") > 0.0,
+            round(lit(1.0) + col("nv").cast("double") / col("slnd"), 9))
+            .as("alpha"))
+      hist.crossJoin(broadcast(summary))
+        .select(col("d").as("degree"), col("n_vertices"), col("nv"), col("alpha"))
+        .orderBy(col("degree"))
+    }),
+
+
+    // Perceptual image near-dup (aHash): 64 body bytes → above-mean bits
+    // (strict integer form, no division) → four 16-bit bands serving as
+    // both fingerprint and Hamming-LSH keys; candidates from the banded
+    // equi-joins only, Hamming via bit_count(xor). The byte-level image
+    // dedup next to d06's embedding-cosine one.
+    "m06_ahash_neardup" -> ((s, dir) =>
+      Multimodal.aHashNearDups(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+
+    // Scalar-quantization (int8) ADC top-k: per-dimension corpus bounds
+    // as the model artifact, 0..255 codes as the stored representation,
+    // bin-center dequantized squared-L2 scoring — the s01 broadcast-NLJ
+    // shape with a 4× smaller corpus payload. The twin re-derives the
+    // bounds, codes, and the j-ordered fold.
+    "s10_sq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sqTopK(e, e.where(col("vec_id") < 10), k = 5, dim = 64)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+
+    // Per-vertex triangle counts over a synthesized link graph with real
+    // closures (ring chords i→i+1, i→i+2 guarantee triangles; the 7i+13
+    // family adds irregular degree) — degree-ordered wedge enumeration,
+    // each triangle counted once, attributed to all three corners. Pure
+    // integer arithmetic; the twin replays the same orientation and
+    // closure joins.
+    "g03_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 2, lit(n)).as("dst")))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst")))
+      analytics.Graph.triangleCounts(edges)
+        .select(col("id").as("doc_id"), col("n_triangles"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  // ── DuckDB oracle twins ──
+
+  val oracle: Map[String, String] = Map(
+
+    "g01_pagerank" -> pageRankOracleSql(iters = 10, damping = 0.85),
+
+    "g02_hits" -> hitsOracleSql(iters = 5),
+
+    "s09_mmr" -> mmrOracleSql(kCand = 10, kSelect = 3, lambda = 0.7),
+
+
+    // Multi-probe twin (s11): same 4-table planes, candidates = exact
+    // bucket hit OR Hamming-1 (xor a power of two), same re-rank.
+    "s11_multiprobe_lsh" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(4, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.vec_id <> c.vec_id
+         |    AND (p.bucket = c.bucket OR xor(p.bucket, c.bucket) IN (1, 2, 4, 8))
+         |  WHERE p.vec_id < 10),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // Degree-dist twin (g04): same canonical degrees, same degree-level
+    // ln fold in degree order.
+    "g04_degree_dist" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |de AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT n FROM nn) AS dst FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM docs),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM de WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY v),
+        |hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_vertices FROM deg GROUP BY d),
+        |s AS (SELECT CAST(sum(n_vertices) AS BIGINT) AS nv, min(d) AS dmin,
+        |    list(struct_pack(d := d, n_vertices := n_vertices) ORDER BY d) AS h
+        |  FROM hist),
+        |m AS (SELECT nv,
+        |    list_reduce(list_prepend(0.0, list_transform(h, e ->
+        |      CAST(e.n_vertices AS DOUBLE) * ln(CAST(e.d AS DOUBLE) / CAST(dmin AS DOUBLE)))),
+        |      (acc, x) -> acc + x) AS slnd
+        |  FROM s)
+        |SELECT d AS degree, n_vertices, nv,
+        |  CASE WHEN slnd > 0.0 THEN round(1.0 + CAST(nv AS DOUBLE) / slnd, 9) END AS alpha
+        |FROM hist CROSS JOIN m ORDER BY degree""".stripMargin,
+
+
+    // aHash twin (m06): body bytes via one hex pass (DuckDB lacks blob
+    // substring — same bytes, the Spark side reads them from the payload
+    // at the body offset), identical integer folds; the OR-join is the
+    // same candidate set as the banded union at oracle scale.
+    "m06_ahash_neardup" ->
+      """WITH img AS (SELECT doc_id, hex(encode(text)) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bytes AS (SELECT doc_id, list_transform(range(1, 65),
+        |    i -> CASE WHEN length(h) >= i * 2
+        |      THEN CAST(('0x' || substring(h, CAST(i * 2 - 1 AS INTEGER), 2)) AS BIGINT)
+        |      ELSE 0 END) AS bs
+        |  FROM img),
+        |sums AS (SELECT doc_id, bs, list_reduce(bs, (a, b) -> a + b) AS s FROM bytes),
+        |bits AS (SELECT doc_id, list_transform(bs,
+        |    b -> CASE WHEN b * 64 > s THEN 1 ELSE 0 END) AS bits FROM sums),
+        |bands AS (SELECT doc_id,
+        |    CAST(list_reduce(bits[1:16], (a, b) -> a * 2 + b) AS BIGINT) AS b0,
+        |    CAST(list_reduce(bits[17:32], (a, b) -> a * 2 + b) AS BIGINT) AS b1,
+        |    CAST(list_reduce(bits[33:48], (a, b) -> a * 2 + b) AS BIGINT) AS b2,
+        |    CAST(list_reduce(bits[49:64], (a, b) -> a * 2 + b) AS BIGINT) AS b3
+        |  FROM bits),
+        |cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+        |    b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+        |  FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND
+        |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) +
+        |       bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+        |FROM cands
+        |WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1)) +
+        |      bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // SQ twin (s10): per-dim min/width lists, the same floor-encode /
+    // bin-center-dequantize, the same left fold (0+e1 exact, the s07
+    // precedent).
+    "s10_sq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |mm AS (SELECT j, min(ev[j]) AS lo, max(ev[j]) - min(ev[j]) AS w
+        |  FROM v CROSS JOIN range(1, 65) r(j) GROUP BY j),
+        |mml AS (SELECT list(lo ORDER BY j) AS los, list(w ORDER BY j) AS ws FROM mm),
+        |codes AS (SELECT vec_id AS neighbor_id,
+        |    list_transform(range(1, 65), j -> CASE WHEN ws[j] = 0 THEN 0.0
+        |      ELSE least(floor((ev[j] - los[j]) / ws[j] * 256), 255.0) END) AS cq
+        |  FROM v CROSS JOIN mml),
+        |p AS (SELECT vec_id AS probe_id, ev AS pev FROM v WHERE vec_id < 10),
+        |scored AS (SELECT probe_id, neighbor_id,
+        |    round(list_reduce(list_transform(range(1, 65),
+        |      j -> (pev[j] - (los[j] + (cq[j] + 0.5) * ws[j] / 256.0))
+        |         * (pev[j] - (los[j] + (cq[j] + 0.5) * ws[j] / 256.0))),
+        |      (a, b) -> a + b), 6) AS adc_d2
+        |  FROM codes CROSS JOIN p CROSS JOIN mml WHERE probe_id <> neighbor_id),
+        |r AS (SELECT probe_id, neighbor_id, adc_d2,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id, adc_d2 FROM r WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
+
+    // Triangle twin (g03): same canonical undirected edges, same
+    // (degree, id) orientation, same wedge + closure joins.
+    "g03_triangles" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM docs),
+        |de AS (
+        |  SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT n FROM nn) FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn) FROM docs),
+        |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM de WHERE src <> dst),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY v),
+        |oe AS (
+        |  SELECT CASE WHEN (da.d, ue.a) < (db.d, ue.b) THEN ue.a ELSE ue.b END AS u,
+        |         CASE WHEN (da.d, ue.a) < (db.d, ue.b) THEN ue.b ELSE ue.a END AS w
+        |  FROM ue JOIN deg da ON da.v = ue.a JOIN deg db ON db.v = ue.b),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.w AS y, e2.w AS z
+        |  FROM oe e1 JOIN oe e2 ON e1.u = e2.u AND e1.w < e2.w
+        |  JOIN ue e3 ON e3.a = least(e1.w, e2.w) AND e3.b = greatest(e1.w, e2.w))
+        |SELECT v AS doc_id, count(*) AS n_triangles FROM
+        |  (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |GROUP BY v ORDER BY doc_id""".stripMargin,
+
+
+    "s01_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv, cv) AS sim
+        |      FROM p JOIN c ON probe_id <> neighbor_id),
+        |r AS (SELECT probe_id, neighbor_id, sim,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+
+    // ANN twin of s02: the operator's seeded hyperplanes embedded as
+    // literal VALUES (lshPlanesValues — same Similarity.hyperplanes
+    // doubles), sign-pattern bucket per (vector, table) as a bit-summed
+    // aggregate, candidates = bucket hits in ANY table, then s01's exact
+    // cosine re-rank. Sign decisions ride IEEE-double dots; both engines
+    // see identical plane/vector doubles, so a flip would need a dot
+    // within one accumulation-reorder ulp of 0 — vanishingly rare for
+    // Gaussian planes, and caught by this oracle if it ever happens.
+    "s02_lsh_topk" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(16, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 10),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // ANN twin of s03: centroids = 16 lowest-id vectors, assignment ranks
+    // round(cosine, 6) with cent_id tie-break (the operator's documented
+    // deterministic contract), corpus to its 1 nearest cell, probes to 8,
+    // candidates per shared cell, then s01's exact cosine re-rank.
+    "s03_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM v CROSS JOIN cents),
+         |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn) WHERE r <= 1),
+         |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+         |cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // ANN recall twin (s04): s01's exact-topk chain and s03's IVF chain
+    // composed in one WITH list (CTEs renamed apart), then per-probe
+    // overlap — the oracle re-derives BOTH sides, so a drift in either
+    // operator breaks the recall row for the probe it touched.
+    "s04_recall" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |ex AS (SELECT probe_id, neighbor_id FROM (
+        |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |     row_number() OVER (PARTITION BY p.vec_id
+        |       ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+        |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10)
+        | WHERE rnk <= 5),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn) WHERE r <= 1),
+        |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+        |cand AS (SELECT DISTINCT probe_id, neighbor_id
+        |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+        |iv AS (SELECT probe_id, neighbor_id FROM (
+        |   SELECT cand.probe_id, cand.neighbor_id,
+        |     row_number() OVER (PARTITION BY cand.probe_id
+        |       ORDER BY list_cosine_similarity(pv.ev, nv.ev) DESC, cand.neighbor_id) AS rnk
+        |   FROM cand JOIN v pv ON pv.vec_id = cand.probe_id
+        |     JOIN v nv ON nv.vec_id = cand.neighbor_id)
+        | WHERE rnk <= 5),
+        |hit AS (SELECT probe_id, count(*) AS n_hit FROM ex JOIN iv USING (probe_id, neighbor_id) GROUP BY probe_id),
+        |base AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id)
+        |SELECT b.probe_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+        | CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall
+        |FROM base b LEFT JOIN hit h USING (probe_id) ORDER BY b.probe_id""".stripMargin,
+
+
+    // Cluster-balanced sampling twin (s06): s03's assignment CTEs + the
+    // q36 md5-permutation quota on the cell id.
+    "s06_cluster_sample" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |ca AS (SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn) WHERE r = 1),
+        |rk AS (SELECT cent_id, vec_id,
+        |  CAST(row_number() OVER (PARTITION BY cent_id
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS sample_rank
+        |  FROM ca)
+        |SELECT cent_id, sample_rank, vec_id FROM rk WHERE sample_rank <= 8
+        |ORDER BY cent_id, sample_rank""".stripMargin,
+
+
+    // PQ twin (s07): codebook = the 16 lowest-id vectors' 8-dim
+    // subvectors; sub-distance = round-6 squared L2 via an ordered
+    // fold (list_reduce left fold ≡ Spark's 0.0-seeded fold — 0+e1 is
+    // exact); encode = first strict minimum per (vec, subspace); ADC =
+    // the 8 rounded table entries added in subspace order.
+    "s07_pq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ev
+        |  FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 16)),
+        |cbe AS (SELECT j, code, ev[j*8+1:j*8+8] AS cw
+        |  FROM cbv CROSS JOIN range(8) r(j)),
+        |dist AS (SELECT v.vec_id, c.j, c.code,
+        |    round(list_reduce(list_transform(range(1, 9),
+        |      i -> (ev[c.j*8+i] - cw[i]) * (ev[c.j*8+i] - cw[i])),
+        |      (a, b) -> a + b), 6) AS d2
+        |  FROM v CROSS JOIN cbe c),
+        |enc AS (SELECT vec_id AS neighbor_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+        |    FROM dist) WHERE r = 1),
+        |pt AS (SELECT vec_id AS probe_id, j, code, d2 AS pd
+        |  FROM dist WHERE vec_id < 10),
+        |adc AS (SELECT probe_id, neighbor_id,
+        |    list_reduce(list(pd ORDER BY j), (a, b) -> a + b) AS adc
+        |  FROM enc JOIN pt USING (j, code) WHERE probe_id <> neighbor_id
+        |  GROUP BY probe_id, neighbor_id)
+        |SELECT probe_id, rank, neighbor_id, round(adc, 6) AS adc_dist FROM (
+        |  SELECT probe_id, neighbor_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
+
+    // Trained-PQ recall twin (s08): see pqTrainedOracleSql.
+    "s08_pq_trained" -> pqTrainedOracleSql(m = 8, ks = 16, sub = 8,
+      iters = 2, k = 5, nProbes = 10),
+
+
+    // Trained-quantizer recall twin (s05): see kmeansOracleSql.
+    "s05_kmeans" -> kmeansOracleSql(nCells = 16, nProbe = 8, iters = 3,
+      dim = 64, k = 5),
+
+
+    // Synthesizes the same PNG signature+IHDR bytes Spark builds, then
+    // PARSES width/height back out of the blob (hex-string offsets: DuckDB
+    // 1.0 has no blob substring) — cross-engine proof the byte layout and
+    // the parse both agree with the spec.
+    "m02_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS body, octet_length(encode(text)) AS n
+        | FROM documents WHERE doc_id % 3 = 0),
+        |p AS (SELECT doc_id, unhex('89504E470D0A1A0A0000000D49484452'
+        |  || lpad(hex(16 + n % 64), 8, '0') || lpad(hex(16 + (n * 7) % 64), 8, '0')
+        |  || '080200000000000000') || body AS payload FROM b),
+        |hx AS (SELECT doc_id, hex(payload) AS h FROM p),
+        |m AS (SELECT doc_id,
+        |  CAST(('0x' || substring(h, 33, 8)) AS INTEGER) AS w,
+        |  CAST(('0x' || substring(h, 41, 8)) AS INTEGER) AS h2
+        | FROM hx WHERE substring(h, 1, 16) = '89504E470D0A1A0A')
+        |SELECT doc_id, w, h2 AS h,
+        | CAST((CAST(w AS BIGINT) * 64) // greatest(w, h2) AS INTEGER) AS rw,
+        | CAST((CAST(h2 AS BIGINT) * 64) // greatest(w, h2) AS INTEGER) AS rh
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+
+    // Synthesizes the same 44-byte WAV RIFF header Spark builds (computed
+    // little-endian chunkSize/dataSize), then PARSES sample_rate, channels,
+    // bits and dataSize back out of the blob and recovers n_samples =
+    // dataSize*8/(channels*bits) — the chunk plan runs on PARSED values.
+    "m03_audio_chunks" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS body, octet_length(encode(text)) AS n
+        | FROM documents WHERE doc_id % 3 = 1),
+        |b2 AS (SELECT doc_id, body,
+        |  lpad(hex(n * 200), 8, '0') AS dz, lpad(hex(n * 200 + 36), 8, '0') AS cz FROM b),
+        |p AS (SELECT doc_id, unhex('52494646'
+        |  || substring(cz,7,2) || substring(cz,5,2) || substring(cz,3,2) || substring(cz,1,2)
+        |  || '57415645666D742010000000' || '0100' || '0100'
+        |  || '803E0000' || '007D0000' || '0200' || '1000' || '64617461'
+        |  || substring(dz,7,2) || substring(dz,5,2) || substring(dz,3,2) || substring(dz,1,2))
+        |  || body AS payload FROM b2),
+        |hx AS (SELECT doc_id, hex(payload) AS h FROM p),
+        |m AS (SELECT doc_id,
+        |  CAST(('0x' || substring(h,55,2) || substring(h,53,2) || substring(h,51,2) || substring(h,49,2)) AS BIGINT) AS sample_rate,
+        |  CAST(('0x' || substring(h,47,2) || substring(h,45,2)) AS BIGINT) AS channels,
+        |  CAST(('0x' || substring(h,71,2) || substring(h,69,2)) AS BIGINT) AS bits,
+        |  CAST(('0x' || substring(h,87,2) || substring(h,85,2) || substring(h,83,2) || substring(h,81,2)) AS BIGINT) AS data_size
+        | FROM hx WHERE substring(h,1,8) = '52494646' AND substring(h,17,16) = '57415645666D7420'),
+        |s AS (SELECT doc_id, sample_rate, data_size * 8 // (channels * bits) AS n_samples FROM m)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        | CAST((n_samples + sample_rate - 1) // sample_rate AS BIGINT) AS n_chunks,
+        | CAST(CASE WHEN n_samples = 0 THEN 0
+        |  ELSE n_samples - ((n_samples + sample_rate - 1) // sample_rate - 1) * sample_rate END AS BIGINT) AS last_chunk
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+
+    // Frame-plan twin (m04): video payloads are header-less UTF-8 bodies,
+    // so n_bytes = octet_length; offsets are the same integer division
+    // i·n/4 (DuckDB // = Spark long division for non-negative operands).
+    "m04_frames" ->
+      """WITH v AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        | FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, n_bytes, CAST(i AS INTEGER) AS frame_idx,
+        | CAST(i * n_bytes // 4 AS BIGINT) AS byte_off
+        |FROM v, UNNEST(range(4)) AS u(i) ORDER BY doc_id, frame_idx""".stripMargin,
+
+
+    // Patch-grid twin (m05): the same header-derived dims and the same
+    // ceil-division grid, two lateral range unnests for the fan-out.
+    "m05_patch_grid" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+        | FROM documents WHERE doc_id % 3 = 0),
+        |d AS (SELECT doc_id, CAST(16 + n % 64 AS INTEGER) AS w,
+        | CAST(16 + (n * 7) % 64 AS INTEGER) AS h FROM b)
+        |SELECT doc_id, w, h, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+        | CAST(px * 16 AS BIGINT) AS x0, CAST(py * 16 AS BIGINT) AS y0,
+        | CAST(least(16, w - px * 16) AS BIGINT) AS pw,
+        | CAST(least(16, h - py * 16) AS BIGINT) AS ph
+        |FROM d,
+        | UNNEST(range((CAST(h AS BIGINT) + 15) // 16)) AS uy(py),
+        | UNNEST(range((CAST(w AS BIGINT) + 15) // 16)) AS ux(px)
+        |ORDER BY doc_id, py, px""".stripMargin,
+
+
+    // Full multimodal twin: per-modality payload synthesis (PNG header for
+    // images, WAV header for audio, raw bytes for video), then every
+    // metadata column is PARSED back from the payload bytes — img_w/img_h
+    // big-endian from IHDR, channels via the PNG colorType mapping,
+    // audio_samples from the little-endian RIFF dataSize/blockAlign.
+    "m01_multimodal_meta" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS body, octet_length(encode(text)) AS n,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |FROM documents),
+        |p AS (SELECT doc_id, modality, CASE modality
+        | WHEN 'image' THEN unhex('89504E470D0A1A0A0000000D49484452'
+        |   || lpad(hex(16 + n % 64), 8, '0') || lpad(hex(16 + (n * 7) % 64), 8, '0')
+        |   || '080200000000000000') || body
+        | WHEN 'audio' THEN unhex('52494646'
+        |   || substring(lpad(hex(n*200+36),8,'0'),7,2) || substring(lpad(hex(n*200+36),8,'0'),5,2)
+        |   || substring(lpad(hex(n*200+36),8,'0'),3,2) || substring(lpad(hex(n*200+36),8,'0'),1,2)
+        |   || '57415645666D742010000000' || '0100' || '0100'
+        |   || '803E0000' || '007D0000' || '0200' || '1000' || '64617461'
+        |   || substring(lpad(hex(n*200),8,'0'),7,2) || substring(lpad(hex(n*200),8,'0'),5,2)
+        |   || substring(lpad(hex(n*200),8,'0'),3,2) || substring(lpad(hex(n*200),8,'0'),1,2))
+        |   || body
+        | ELSE body END AS payload FROM b),
+        |hx AS (SELECT doc_id, modality, octet_length(payload) AS n_bytes, hex(payload) AS h FROM p)
+        |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,
+        | CASE WHEN modality = 'image' AND substring(h,1,16) = '89504E470D0A1A0A'
+        |  THEN CAST(('0x' || substring(h,33,8)) AS INTEGER) END AS img_w,
+        | CASE WHEN modality = 'image' AND substring(h,1,16) = '89504E470D0A1A0A'
+        |  THEN CAST(('0x' || substring(h,41,8)) AS INTEGER) END AS img_h,
+        | CASE WHEN modality = 'image' AND substring(h,1,16) = '89504E470D0A1A0A'
+        |  THEN CAST(CASE substring(h,51,2) WHEN '00' THEN 1 WHEN '02' THEN 3
+        |            WHEN '04' THEN 2 WHEN '06' THEN 4 END AS INTEGER) END AS img_c,
+        | CASE WHEN modality = 'audio' AND substring(h,1,8) = '52494646' AND substring(h,17,16) = '57415645666D7420'
+        |  THEN CAST(('0x' || substring(h,87,2) || substring(h,85,2) || substring(h,83,2) || substring(h,81,2)) AS BIGINT) * 8
+        |   // (CAST(('0x' || substring(h,47,2) || substring(h,45,2)) AS BIGINT)
+        |      * CAST(('0x' || substring(h,71,2) || substring(h,69,2)) AS BIGINT)) END AS audio_samples,
+        | CASE WHEN modality = 'video' THEN CAST((2 * n_bytes) // 4 AS BIGINT) END AS frame2_off
+        |FROM hx ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,619 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.NetFunctions
+
+/** Shared machinery of the query catalog: parquet table readers,
+  * decimal-cast helpers, the quality-scoring chain shared by the
+  * curation queries, and every DuckDB-SQL CTE builder the oracle
+  * twins share (so operator and oracle cannot drift). Split out of
+  * the single-file catalog; see [[SparkEntry]] for the contract and
+  * the numeric-portability conventions.
+  */
+private[graft] object QueryHelpers {
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private[graft] def dec(c: Column, p: Int, sc: Int): Column = c.cast(s"decimal($p,$sc)")
+
+  /** Fixed clock for the NEF fixture query (determinism). */
+  private[graft] val FixedNow = 1700000000L
+
+  /** d19's public-suffix rule list — a PSL slice with single- and
+    * multi-label rules so longest-match is exercised (github.io beats io,
+    * co.uk beats uk, example.com beats com); the SQL twin carries the
+    * identical literal list.
+    */
+  private[graft] val d19Psl: Seq[String] =
+    Seq("com", "net", "org", "io", "uk", "co.uk", "ac.uk",
+      "github.io", "example.com")
+
+
+  /** Shared q37/q38 tail: quality score → per-language rank → top-k quota
+    * (ONE definition so the two curation queries and their oracles cannot
+    * drift from each other). Package-private: ScaleSmoke times the same
+    * chain at blown-up corpus sizes.
+    */
+  /** The ONE quality-scoring projection behind q37/q38/q42 (the Spark twin
+    * of [[qualityScoreCtes]]): (doc_id, lang, quality, n_tokens), with the
+    * tokenizer materialized on its own projection boundary per the HOF
+    * rule. Any scoring change propagates to all three queries — exactly
+    * the no-drift contract their oracles share.
+    */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScoreFromTokens(col("text"), col("ws")).as("quality"),
+        size(col("ws")).cast("bigint").as("n_tokens"))
+
+  private[graft] def qualityQuota(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    qualityScored(docs).withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** q42: per-language token-budget selection — quality-ordered running
+    * token sum (rows-unbounded-preceding window), keep while the INCLUSIVE
+    * cumulative count stays within the budget. The running sum is integer
+    * arithmetic, so the cross-engine cutoff is exact; the quality ORDER
+    * inside the window reuses the double formula q37's oracle already
+    * hash-matches.
+    */
+  private[graft] def tokenBudgetSelect(docs: DataFrame, budgetPerLang: Long): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qualityScored(docs).withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budgetPerLang)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("cum_tokens"), col("quality"))
+      .orderBy(col("lang"), col("cum_tokens"), col("doc_id"))
+  }
+
+  // ── DuckDB oracle twins (ANSI SQL on the same parquet tables) ──
+
+  private[graft] val bitrateSqlExpr =
+    """round(CAST(NULLIF(regexp_extract(trim(br), '^(\d+\.?\d*)\s*(bps|Kbps|Mbps|Gbps|Tbps)$', 1), '') AS DOUBLE)
+      | * CASE regexp_extract(trim(br), '^(\d+\.?\d*)\s*(bps|Kbps|Mbps|Gbps|Tbps)$', 2)
+      |     WHEN 'bps' THEN 1e-6 WHEN 'Kbps' THEN 1e-3 WHEN 'Mbps' THEN 1.0
+      |     WHEN 'Gbps' THEN 1e3 WHEN 'Tbps' THEN 1e6 END, 6)""".stripMargin
+
+  private[graft] val tokensSqlExpr =
+    """list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '), x -> length(x) > 0)"""
+
+  // ── shared CTE builders of the portable-MinHash twins (d10/d11/d12) ──
+
+  /** Spark's wrapping 64-bit h·a+b reproduced in HUGEINT, re-centered to
+    * signed 64-bit (expects columns `h`, `a`, `b` in scope). */
+  private[graft] val minhashSwExpr =
+    "(((h * a + b) % 18446744073709551616 + 18446744073709551616 + " +
+      "9223372036854775808) % 18446744073709551616) - 9223372036854775808"
+
+  /** md5-low64 of `s` as a signed BIGINT-range HUGEINT — the portable
+    * base hash ([[Dedup.md5Low64]]'s twin). */
+  private[graft] val md5Low64SqlExpr =
+    "CASE WHEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT) >= 9223372036854775808" +
+      " THEN CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT - 18446744073709551616" +
+      " ELSE CAST(('0x' || substr(md5(s), 17, 16)) AS UBIGINT)::HUGEINT END"
+
+  /** Opening CTEs of every portable-MinHash oracle: the k (a,b) constants
+    * from the ONE shared generator ([[Dedup.minhashConstants]] — also
+    * behind `minhashFromHashes` and the native expression, so operator and
+    * oracle cannot drift), then tokenize → 3-gram shingle → md5-low64 base
+    * hash. Emits `consts(pos, a, b)`, `tok`, `g`, `hs`; callers append
+    * consumers of `hs CROSS JOIN consts`.
+    */
+  private[graft] def portableMinhashCtes(k: Int, src: String = "documents"): String = {
+    val consts = Dedup.minhashConstants(k).zipWithIndex.map { case ((a, b), p) =>
+      s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+    }.mkString(", ")
+    s"""consts(pos, a, b) AS (VALUES $consts),
+       |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM $src),
+       |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+       |  FROM tok WHERE len(ws) >= 3),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> $md5Low64SqlExpr) AS hl FROM g)""".stripMargin
+  }
+
+  /** Band→bucket-join→estimate tail of the LSH twins (d11/d12), mirroring
+    * [[Dedup.minhashCandidates]]: per-doc ordered signature lists, `bands`
+    * bands of k/bands as list slices, candidate pairs on ANY equal band
+    * slice (a_id < b_id, distinct), est_jaccard = agreeing-position
+    * fraction over the full k, thresholded. Emits `sig`, `bnd`, `cand`,
+    * `pairs(a_id, b_id, est_jaccard)` on top of [[portableMinhashCtes]].
+    */
+  private[graft] def portableLshPairCtes(k: Int, bands: Int, threshold: Double): String = {
+    require(k % bands == 0, s"signature length $k must divide into $bands bands")
+    val rpb = k / bands
+    s"""sig AS (SELECT doc_id,
+       |  list(CAST(list_min(list_transform(hl, h -> $minhashSwExpr)) AS BIGINT) ORDER BY pos) AS sg
+       |  FROM hs CROSS JOIN consts GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, b, list_slice(sg, b*$rpb + 1, b*$rpb + $rpb) AS slc
+       |  FROM sig CROSS JOIN range($bands) r(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bnd x JOIN bnd y ON x.b = y.b AND x.slc = y.slc AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT a_id, b_id, est_jaccard FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_filter(range(1, ${k + 1}), i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / $k AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.a_id JOIN sig sb ON sb.doc_id = cand.b_id)
+       |  WHERE est_jaccard >= $threshold)""".stripMargin
+  }
+
+  /** SimHash fold CTEs over the portable md5-low64 token hash, mirroring
+    * [[Dedup.simhashedPortable]]'s vote/fold construction: tokenize →
+    * per-token signed-64 hash → 64 per-bit votes → fold to one BIGINT
+    * (bit i set iff vote_i > 0; token-less docs LEFT-JOIN to all-zero
+    * votes = fingerprint 0, matching Spark's declarative fold). Emits
+    * `fps(doc_id, simhash)`; shared by the d08 value twin and the d05
+    * cardinality contract so the construction cannot drift.
+    */
+  private[graft] def portableSimhashCtes: String = {
+    val votes = (0 until 64).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n ")
+    val fold = (0 until 64).map { i =>
+      val bit = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN v$i > 0 THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" | ")
+    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |tu AS (SELECT doc_id, unnest(ws) AS t FROM tok),
+       |th AS (SELECT doc_id,
+       |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 17, 16)) AS UBIGINT)::HUGEINT AS u FROM tu)),
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |fps AS (SELECT d.doc_id, $fold AS simhash
+       |  FROM documents d LEFT JOIN votes USING (doc_id))""".stripMargin
+  }
+
+  /** Rolling-fingerprint fold CTEs over the portable md5-low64 token hash,
+    * mirroring [[graft.analytics.TextAnalysis.rollingHashPortableFromTokens]]:
+    * ordered token hashes folded with acc*1000003 + h under signed-64
+    * wraparound (HUGEINT modular arithmetic), empty docs = 0. Emits
+    * `fps(doc_id, fp64)`; shared by the t07 value twin and the t04
+    * cardinality contract.
+    */
+  private[graft] def portableRollingFpCtes: String =
+    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |hl AS (SELECT doc_id, list_transform(ws, s -> $md5Low64SqlExpr) AS hl FROM tok),
+       |fps AS (SELECT doc_id, CAST(CASE WHEN len(hl) = 0 THEN 0
+       |  ELSE list_reduce(hl, (acc, h) -> (((acc * 1000003 + h) % 18446744073709551616
+       |    + 18446744073709551616 + 9223372036854775808) % 18446744073709551616)
+       |    - 9223372036854775808) END AS BIGINT) AS fp64 FROM hl)""".stripMargin
+
+  /** VALUES rows `(tbl, pl, w)` of the seeded random-hyperplane tables used
+    * by s02 — generated from the SAME [[Similarity.hyperplanes]] calls as
+    * the operator (one table per seed offset), so operator and oracle share
+    * every plane coefficient bit-for-bit. `Double.toString` round-trips
+    * exactly and DuckDB parses both plain and E-notation literals as
+    * DOUBLE, so no precision is lost crossing engines.
+    */
+  private[graft] def lshPlanesValues(nTables: Int, planesPerTable: Int, dim: Int, seed: Long): String =
+    (0 until nTables).flatMap { t =>
+      Similarity.hyperplanes(planesPerTable, dim, seed + t).zipWithIndex.map { case (w, i) =>
+        s"($t, $i, [${w.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n")
+
+  /** Shared scoring tail of the ANN twins (s02/s03): exact cosine over the
+    * candidate pairs, per-probe rank (sim desc, neighbor asc — s01's
+    * contract), top `k`, display-rounded to 6 dp. Expects CTEs
+    * `v(vec_id, ev)` and `cand(probe_id, neighbor_id)` in scope.
+    */
+  private[graft] def annRankSql(k: Int): String =
+    s"""s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv.ev, cv.ev) AS sim
+       |  FROM cand JOIN v pv ON pv.vec_id = cand.probe_id JOIN v cv ON cv.vec_id = cand.neighbor_id),
+       |r AS (SELECT probe_id, neighbor_id, sim,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+       |SELECT probe_id, rnk, neighbor_id, round(sim, 6) AS sim FROM r
+       |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
+
+  /** SQL twin of [[qualityQuota]]: `sourceCtes` must open the WITH list and
+    * define a CTE `d(doc_id, lang, text)`; the shared tail scores and
+    * quota-selects exactly like the Spark helper.
+    */
+  /** Shared scoring CTEs of the quality-driven curation twins (q37/q38/
+    * q42): `sourceCtes` must open the WITH list and define
+    * `d(doc_id, lang, text)`; emits `tok`, `f`, and `q(doc_id, lang,
+    * n_tokens, quality)` — the same formula as
+    * [[TextAnalysis.qualityScoreFromTokens]].
+    */
+  private[graft] def qualityScoreCtes(sourceCtes: String): String =
+    s"""$sourceCtes,
+       |tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM d),
+       |f AS (SELECT doc_id, lang, text, CAST(len(ws) AS BIGINT) AS n_tokens,
+       | CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+       | CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END AS stopword_ratio
+       |FROM tok),
+       |q AS (SELECT doc_id, lang, n_tokens,
+       | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+       |FROM f)""".stripMargin
+
+  private[graft] def qualityQuotaSql(sourceCtes: String, k: Int): String =
+    s"""${qualityScoreCtes(sourceCtes)},
+       |r AS (SELECT lang, doc_id, quality,
+       | row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk FROM q)
+       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+       |FROM r WHERE rnk <= $k ORDER BY lang, rnk""".stripMargin
+
+  /** Full SQL twin of s05: k-means training replayed iteration by
+    * iteration (assignment → per-(cell,dim) id-ordered mean fold →
+    * centroid update with empty-cell carry-over), then the s04 recall
+    * machinery over BOTH quantizers. All chain CTEs MATERIALIZED — each
+    * state feeds multiple consumers and inlining would blow up the
+    * iteration chain.
+    */
+  private[graft] def kmeansOracleSql(nCells: Int, nProbe: Int, iters: Int,
+      dim: Int, k: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.ev, c.cv), 6) DESC NULLS LAST, c.cent_id) AS r
+         |    FROM v CROSS JOIN c${i - 1} c) WHERE r = 1),
+         |m$i AS MATERIALIZED (SELECT cent_id, d,
+         |    round(list_reduce(list(x ORDER BY vec_id), (p, q) -> p + q) / count(*), 9) AS mv
+         |  FROM (SELECT a.cent_id, a.vec_id, t.d, v.ev[t.d + 1] AS x
+         |        FROM a$i a JOIN v USING (vec_id), UNNEST(range($dim)) AS t(d))
+         |  GROUP BY cent_id, d),
+         |c$i AS MATERIALIZED (SELECT c.cent_id, COALESCE(n.cv, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN
+         |    (SELECT cent_id, list(mv ORDER BY d) AS cv FROM m$i GROUP BY cent_id) n
+         |  USING (cent_id))""".stripMargin
+    }.mkString(",\n")
+    def ivfChain(cents: String, p: String) =
+      s"""${p}ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.ev, c.cv), 6) DESC NULLS LAST, c.cent_id) AS r
+         |    FROM v CROSS JOIN $cents c) WHERE r <= 1),
+         |${p}pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT v.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(list_cosine_similarity(v.ev, c.cv), 6) DESC NULLS LAST, c.cent_id) AS r
+         |    FROM v CROSS JOIN $cents c WHERE v.vec_id < 10) WHERE r <= $nProbe),
+         |${p}cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM ${p}pa JOIN ${p}ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${p}tk AS (SELECT probe_id, neighbor_id FROM (
+         |   SELECT c.probe_id, c.neighbor_id,
+         |     row_number() OVER (PARTITION BY c.probe_id
+         |       ORDER BY list_cosine_similarity(pv.ev, nv.ev) DESC, c.neighbor_id) AS rnk
+         |   FROM ${p}cand c JOIN v pv ON pv.vec_id = c.probe_id
+         |     JOIN v nv ON nv.vec_id = c.neighbor_id)
+         | WHERE rnk <= $k)""".stripMargin
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT $nCells),
+       |$iterCtes,
+       |ex AS (SELECT probe_id, neighbor_id FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+       |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10)
+       | WHERE rnk <= $k),
+       |${ivfChain("c0", "b")},
+       |${ivfChain(s"c$iters", "t")},
+       |hb AS (SELECT probe_id, count(*) AS hb FROM ex JOIN btk USING (probe_id, neighbor_id) GROUP BY probe_id),
+       |ht AS (SELECT probe_id, count(*) AS ht FROM ex JOIN ttk USING (probe_id, neighbor_id) GROUP BY probe_id),
+       |bs AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id),
+       |o AS (SELECT b.probe_id, CAST(b.n_exact AS BIGINT) AS n_exact,
+       |   CAST(COALESCE(hb.hb, 0) AS BIGINT) AS n_hit_base,
+       |   CAST(COALESCE(ht.ht, 0) AS BIGINT) AS n_hit_km
+       |  FROM bs b LEFT JOIN hb USING (probe_id) LEFT JOIN ht USING (probe_id))
+       |SELECT probe_id, n_exact, n_hit_base, n_hit_km,
+       | round(CAST(n_hit_base AS DOUBLE) / n_exact, 6) AS recall_base,
+       | round(CAST(n_hit_km AS DOUBLE) / n_exact, 6) AS recall_km,
+       | (SELECT sum(n_hit_km) FROM o) >= (SELECT sum(n_hit_base) FROM o) AS km_ge_base
+       |FROM o ORDER BY probe_id""".stripMargin
+  }
+
+  /** Full SQL twin of t11: BPE training replayed round by round (see the
+    * oracleSql entry's comment for the correspondence argument), then the
+    * id assignment, per-doc encoding, and t03-estimator cross-check.
+    */
+  private[graft] def bpeOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(freq) AS c FROM (
+         |  SELECT freq, syms[j] AS a, syms[j+1] AS b
+         |  FROM (SELECT freq, string_split(symstr, ' ') AS syms FROM v${i - 1}),
+         |    UNNEST(range(1, len(syms))) AS t(j))
+         |  GROUP BY a, b),
+         |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq,
+         |  CASE WHEN len(syms) <= 1 THEN symstr
+         |    ELSE list_reduce(syms, (acc, x) ->
+         |      CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |        THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS symstr
+         |  FROM (SELECT word, freq, symstr, string_split(symstr, ' ') AS syms FROM v${i - 1})
+         |  LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(ws) AS word FROM tok) GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+       |    || ' </w>' AS symstr FROM wf),
+       |$rounds,
+       |ids AS MATERIALIZED (SELECT tokstr,
+       |  CAST(row_number() OVER (ORDER BY tokstr) - 1 AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(string_split(symstr, ' ')) AS tokstr FROM v$nMerges)),
+       |dw AS (SELECT doc_id, j - 1 AS pos, ws[j] AS word
+       |  FROM tok, UNNEST(range(1, len(ws) + 1)) AS t(j)),
+       |sub AS (SELECT doc_id, pos, k - 1 AS spos, syms[k] AS tokstr
+       |  FROM (SELECT doc_id, pos, string_split(v.symstr, ' ') AS syms
+       |        FROM dw JOIN v$nMerges v USING (word)),
+       |    UNNEST(range(1, len(syms) + 1)) AS u(k)),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+       |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos, spos) AS ids_str
+       |  FROM sub JOIN ids USING (tokstr) GROUP BY doc_id),
+       |tot AS (SELECT round(CAST(
+       |    (SELECT sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) FROM tok)
+       |    AS DOUBLE) / (SELECT sum(n_bpe) FROM enc), 3) AS est_ratio)
+       |SELECT d.doc_id, COALESCE(e.n_bpe, 0) AS n_bpe, COALESCE(e.ids_str, '') AS ids_str,
+       |  tot.est_ratio
+       |FROM documents d LEFT JOIN enc e USING (doc_id) CROSS JOIN tot
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Full SQL twin of t13: BPE training replayed on the even-doc half
+    * (the bpeOracleSql rounds, plus a parallel o$i chain applying each
+    * round's merge to the held-out OOV words — the same greedy fold, so
+    * an unseen word segments exactly as the engine's segmentWords
+    * replay), then the odd half encoded against v$n ∪ o$n with unknown
+    * subwords mapped to -1 and counted.
+    */
+  private[graft] def bpeOovOracleSql(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(freq) AS c FROM (
+         |  SELECT freq, syms[j] AS a, syms[j+1] AS b
+         |  FROM (SELECT freq, string_split(symstr, ' ') AS syms FROM v${i - 1}),
+         |    UNNEST(range(1, len(syms))) AS t(j))
+         |  GROUP BY a, b),
+         |m$i AS MATERIALIZED (SELECT a, b FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq,
+         |  CASE WHEN len(syms) <= 1 THEN symstr
+         |    ELSE list_reduce(syms, (acc, x) ->
+         |      CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |        THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS symstr
+         |  FROM (SELECT word, freq, symstr, string_split(symstr, ' ') AS syms FROM v${i - 1})
+         |  LEFT JOIN m$i m ON TRUE),
+         |o$i AS MATERIALIZED (SELECT word,
+         |  CASE WHEN len(syms) <= 1 THEN symstr
+         |    ELSE list_reduce(syms, (acc, x) ->
+         |      CASE WHEN x = m.b AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+         |        THEN acc || x ELSE acc || ' ' || x END)
+         |  END AS symstr
+         |  FROM (SELECT word, symstr, string_split(symstr, ' ') AS syms FROM o${i - 1})
+         |  LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(ws) AS word FROM tok WHERE doc_id % 2 = 0) GROUP BY word),
+       |v0 AS MATERIALIZED (SELECT word, freq,
+       |  array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+       |    || ' </w>' AS symstr FROM wf),
+       |o0 AS MATERIALIZED (SELECT word,
+       |  array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), ' ')
+       |    || ' </w>' AS symstr
+       |  FROM (SELECT DISTINCT unnest(ws) AS word FROM tok WHERE doc_id % 2 = 1)
+       |  WHERE word NOT IN (SELECT word FROM v0)),
+       |$rounds,
+       |ids AS MATERIALIZED (SELECT tokstr,
+       |  CAST(row_number() OVER (ORDER BY tokstr) - 1 AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT unnest(string_split(symstr, ' ')) AS tokstr FROM v$nMerges)),
+       |segs AS (SELECT word, symstr FROM v$nMerges
+       |  UNION ALL SELECT word, symstr FROM o$nMerges),
+       |dw AS (SELECT doc_id, j - 1 AS pos, ws[j] AS word
+       |  FROM tok, UNNEST(range(1, len(ws) + 1)) AS t(j) WHERE doc_id % 2 = 1),
+       |sub AS (SELECT doc_id, pos, k - 1 AS spos, syms[k] AS tokstr
+       |  FROM (SELECT doc_id, pos, string_split(v.symstr, ' ') AS syms
+       |        FROM dw JOIN segs v USING (word)),
+       |    UNNEST(range(1, len(syms) + 1)) AS u(k)),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+       |  string_agg(CAST(COALESCE(i.tok_id, -1) AS VARCHAR), ',' ORDER BY pos, spos) AS ids_str,
+       |  CAST(sum(CASE WHEN i.tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+       |  FROM sub LEFT JOIN ids i USING (tokstr) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(e.n_bpe, 0) AS n_bpe, COALESCE(e.ids_str, '') AS ids_str,
+       |  COALESCE(e.n_unk, 0) AS n_unk
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN enc e USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Full SQL twin of s08: per-subspace L2 Lloyd PQ training replayed
+    * round by round (assignment = first minimum of the round-6 squared
+    * L2, ≡ order by (d2, code); means = vec-id-ordered fold / count,
+    * round 9; empty codes keep the previous codeword), then both
+    * codebooks' encode → ADC → top-k chains and the exact squared-L2
+    * reference, reduced to per-probe hit counts and recalls.
+    */
+  private[graft] def pqTrainedOracleSql(m: Int, ks: Int, sub: Int, iters: Int,
+      k: Int, nProbes: Int): String = {
+    val dim = m * sub
+    def d2sql(a: String, b: String): String =
+      s"round(list_reduce(list_transform(range(1, ${sub + 1}), " +
+        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y), 6)"
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (SELECT vec_id, j, code FROM (
+         |    SELECT sv.vec_id, sv.j, c.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |        ORDER BY ${d2sql("s", "cw")}, c.code) AS rr
+         |    FROM sv JOIN cb${r - 1} c ON sv.j = c.j) WHERE rr = 1),
+         |m$r AS (SELECT j, code, i,
+         |    round(list_reduce(list(s[i] ORDER BY vec_id), (x, y) -> x + y)
+         |      / count(*), 9) AS mv
+         |  FROM a$r JOIN sv USING (vec_id, j) CROSS JOIN range(1, ${sub + 1}) t(i)
+         |  GROUP BY j, code, i),
+         |n$r AS (SELECT j, code, list(mv ORDER BY i) AS cw FROM m$r GROUP BY j, code),
+         |cb$r AS (SELECT c.j, c.code, COALESCE(n.cw, c.cw) AS cw
+         |  FROM cb${r - 1} c LEFT JOIN n$r n ON c.j = n.j AND c.code = n.code)""".stripMargin
+    }.mkString(",\n")
+    def encChain(tag: String, cbName: String): String =
+      s"""enc$tag AS (SELECT vec_id AS neighbor_id, j, code FROM (
+         |    SELECT sv.vec_id, sv.j, c.code,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |        ORDER BY ${d2sql("s", "cw")}, c.code) AS rr
+         |    FROM sv JOIN $cbName c ON sv.j = c.j) WHERE rr = 1),
+         |pt$tag AS (SELECT sv.vec_id AS probe_id, sv.j, c.code,
+         |    ${d2sql("s", "cw")} AS pd
+         |  FROM sv JOIN $cbName c ON sv.j = c.j WHERE sv.vec_id < $nProbes),
+         |top$tag AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY adc, neighbor_id) AS rk
+         |    FROM (SELECT probe_id, neighbor_id,
+         |        list_reduce(list(pd ORDER BY j), (x, y) -> x + y) AS adc
+         |      FROM enc$tag JOIN pt$tag USING (j, code)
+         |      WHERE probe_id <> neighbor_id
+         |      GROUP BY probe_id, neighbor_id)) WHERE rk <= $k)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |sv AS (SELECT vec_id, j, ev[j*$sub+1:j*$sub+$sub] AS s
+       |  FROM v CROSS JOIN range($m) r(j)),
+       |cb0 AS (SELECT j, code, s AS cw FROM (
+       |    SELECT vec_id, j, s,
+       |      row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS code
+       |    FROM sv WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT $ks))),
+       |$rounds,
+       |${encChain("B", "cb0")},
+       |${encChain("T", s"cb$iters")},
+       |ex AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        round(list_reduce(list_transform(range(1, ${dim + 1}),
+       |          i -> (p.ev[i] - c.ev[i]) * (p.ev[i] - c.ev[i])), (x, y) -> x + y), 6),
+       |        c.vec_id) AS rnk
+       |    FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < $nProbes)
+       |  WHERE rnk <= $k),
+       |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY probe_id),
+       |hb AS (SELECT ex.probe_id, count(*) AS n
+       |  FROM ex JOIN topB USING (probe_id, neighbor_id) GROUP BY ex.probe_id),
+       |ht AS (SELECT ex.probe_id, count(*) AS n
+       |  FROM ex JOIN topT USING (probe_id, neighbor_id) GROUP BY ex.probe_id)
+       |SELECT ne.probe_id, ne.n_exact,
+       |  CAST(COALESCE(hb.n, 0) AS BIGINT) AS n_hit_base,
+       |  CAST(COALESCE(ht.n, 0) AS BIGINT) AS n_hit_tr,
+       |  round(CAST(COALESCE(hb.n, 0) AS DOUBLE) / ne.n_exact, 6) AS recall_base,
+       |  round(CAST(COALESCE(ht.n, 0) AS DOUBLE) / ne.n_exact, 6) AS recall_tr
+       |FROM ne LEFT JOIN hb USING (probe_id) LEFT JOIN ht USING (probe_id)
+       |ORDER BY ne.probe_id""".stripMargin
+  }
+
+  /** Full SQL twin of g01: the 10 PageRank iterations as a CTE chain —
+    * same synthesized edges, same src-ordered contribution folds. The
+    * teleport base is interpolated from the SAME Scala double
+    * (`1.0 - damping` is 0.15000000000000002, not 0.15 — writing the
+    * rounder literal would make the engines round different doubles).
+    */
+  private[graft] def pageRankOracleSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  round(${1.0 - damping}/(SELECT n FROM nn) + $damping * COALESCE(s.s, 0.0), 12) AS pr
+         |  FROM verts v LEFT JOIN (
+         |    SELECT dst AS id, list_reduce(list(c ORDER BY src), (a, b) -> a + b) AS s
+         |    FROM (SELECT e.dst, e.src, round(p.pr / d.deg, 15) AS c
+         |          FROM e JOIN pr${i - 1} p ON e.src = p.id JOIN deg d ON e.src = d.src)
+         |    GROUP BY dst) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |verts AS (SELECT doc_id AS id FROM documents),
+       |e AS (SELECT doc_id AS src, (doc_id*7+13) % (SELECT n FROM nn) AS dst FROM documents
+       |      UNION ALL SELECT doc_id, (doc_id*31+7) % (SELECT n FROM nn) FROM documents),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, round(1.0/(SELECT n FROM nn), 12) AS pr FROM verts),
+       |$rounds
+       |SELECT id AS doc_id, pr FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** HITS twin (g02): replays every half-step — src-ordered in-edge folds
+    * for authority, dst-ordered out-edge folds for hub, the two-level
+    * BLOCKED L1 totals (id-ordered folds per id//4096 block, then a
+    * block-ordered fold of the block sums — Graph.hits' exact tree),
+    * round-12 normalized scores. Score CTEs are MATERIALIZED (each feeds
+    * the next half-step AND the final join).
+    */
+  private[graft] def hitsOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id,
+         |  list_reduce(list(h.v ORDER BY e.src), (x, y) -> x + y) AS raw
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+         |abs$i AS (SELECT id // 4096 AS blk,
+         |  list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS s
+         |  FROM ar$i GROUP BY blk),
+         |at$i AS (SELECT list_reduce(list(s ORDER BY blk), (x, y) -> x + y) AS tot FROM abs$i),
+         |a$i AS MATERIALIZED (SELECT v.id, round(COALESCE(ar.raw, 0.0) / t.tot, 12) AS v
+         |  FROM verts v LEFT JOIN ar$i ar ON v.id = ar.id CROSS JOIN at$i t),
+         |hr$i AS MATERIALIZED (SELECT e.src AS id,
+         |  list_reduce(list(a.v ORDER BY e.dst), (x, y) -> x + y) AS raw
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+         |hbs$i AS (SELECT id // 4096 AS blk,
+         |  list_reduce(list(raw ORDER BY id), (x, y) -> x + y) AS s
+         |  FROM hr$i GROUP BY blk),
+         |ht$i AS (SELECT list_reduce(list(s ORDER BY blk), (x, y) -> x + y) AS tot FROM hbs$i),
+         |h$i AS MATERIALIZED (SELECT v.id, round(COALESCE(hr.raw, 0.0) / t.tot, 12) AS v
+         |  FROM verts v LEFT JOIN hr$i hr ON v.id = hr.id CROSS JOIN ht$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |verts AS (SELECT doc_id AS id FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id AS src, (doc_id*7+13) % (SELECT n FROM nn) AS dst FROM documents
+       |      UNION ALL SELECT doc_id, (doc_id*31+7) % (SELECT n FROM nn) FROM documents),
+       |h0 AS (SELECT id, round(1.0/(SELECT n FROM nn), 12) AS v FROM verts),
+       |$rounds
+       |SELECT v.id AS doc_id, a$iters.v AS auth, h$iters.v AS hub
+       |FROM verts v JOIN a$iters ON v.id = a$iters.id JOIN h$iters ON v.id = h$iters.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** MMR twin (s09): candidate pool + candidate-pair sims as round-6
+    * cosines, then every greedy round unrolled — per round, the max-sim
+    * penalty against the selected-so-far union, the interpolated
+    * `rel·λ − pen·(1−λ)` chain (λ and 1−λ printed from the SAME Scala
+    * doubles the operator multiplies by), round-6 score, id tie-break.
+    */
+  private[graft] def mmrOracleSql(kCand: Int, kSelect: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    def selUnion(r: Int) =
+      (1 to r).map(i => s"SELECT probe_id, neighbor_id FROM sel$i").mkString(" UNION ALL ")
+    val rounds = (2 to kSelect).map { r =>
+      s"""selu${r - 1} AS (${selUnion(r - 1)}),
+         |pen$r AS (SELECT cc.probe_id, cc.a_id AS neighbor_id, max(cc.cc) AS pen
+         |  FROM cc JOIN selu${r - 1} s ON cc.probe_id = s.probe_id AND cc.b_id = s.neighbor_id
+         |  GROUP BY cc.probe_id, cc.a_id),
+         |sc$r AS (SELECT c.probe_id, c.neighbor_id, c.rel,
+         |    round(c.rel * $lambda - COALESCE(p.pen, 0.0) * $mu, 7) AS mmr_score
+         |  FROM cand c LEFT JOIN pen$r p USING (probe_id, neighbor_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s
+         |    WHERE s.probe_id = c.probe_id AND s.neighbor_id = c.neighbor_id)),
+         |sel$r AS MATERIALIZED (SELECT probe_id, CAST($r AS BIGINT) AS mmr_rank,
+         |    neighbor_id, rel, mmr_score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |     ORDER BY mmr_score DESC, neighbor_id) AS rn FROM sc$r) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val finalUnion = (1 to kSelect).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |s AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv, cv) AS sim
+       |      FROM p JOIN c ON probe_id <> neighbor_id),
+       |cand AS MATERIALIZED (SELECT probe_id, neighbor_id, round(sim, 6) AS rel FROM (
+       |  SELECT probe_id, neighbor_id, sim, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, neighbor_id) AS rnk FROM s) WHERE rnk <= $kCand),
+       |cc AS MATERIALIZED (SELECT a.probe_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+       |    round(list_cosine_similarity(ca.cv, cb.cv), 6) AS cc
+       |  FROM cand a JOIN cand b ON a.probe_id = b.probe_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN c ca ON ca.neighbor_id = a.neighbor_id
+       |  JOIN c cb ON cb.neighbor_id = b.neighbor_id),
+       |sel1 AS MATERIALIZED (SELECT probe_id, CAST(1 AS BIGINT) AS mmr_rank, neighbor_id, rel,
+       |    round(rel * $lambda - 0.0 * $mu, 7) AS mmr_score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY round(rel * $lambda - 0.0 * $mu, 7) DESC, neighbor_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT * FROM ($finalUnion) ORDER BY probe_id, mmr_rank""".stripMargin
+  }
+}

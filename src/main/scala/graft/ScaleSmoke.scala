@@ -486,6 +486,10 @@ object ScaleSmoke {
           f"${if (lat.isEmpty) 0.0 else lat.sum.toDouble / lat.length}%.0f " +
           s"max=${if (lat.isEmpty) 0L else lat.max})")
       } finally {
+        // unload every loaded state-store provider NOW: a RocksDB
+        // background compaction still running at JVM shutdown races the
+        // executor temp-dir cleanup (measured: native abort, exit 134)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
         prior match {
           case Some(v) => spark.conf.set(providerKey, v)
           case None => spark.conf.unset(providerKey)

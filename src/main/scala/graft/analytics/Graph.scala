@@ -25,10 +25,14 @@ object Graph {
     * edge list on src (both partitioned by the join key — at 100 TB the
     * edge list is the persisted artifact, bucketed by src so rounds
     * co-locate) and ONE aggregation keyed by dst; the src-sorted fold's
-    * buffer is bounded by in-degree (cap/salt genuinely viral dst keys —
-    * the production swap is plain `sum`, losing only bit-replayability,
-    * the s05/s08 trade). Lazy localCheckpoints keep lineage flat across
-    * rounds; the caller gets materialized state.
+    * buffer is bounded by in-degree. For genuinely viral dst keys set
+    * `foldBlock > 0`: the fold becomes TWO-LEVEL — per-(dst, src-block)
+    * ordered partials (buffer ≤ foldBlock), then a block-ordered fold of
+    * the partials — still deterministic under ANY partitioning because
+    * the tree is keyed by src VALUES, never by task layout (the g02 L1
+    * recipe applied per key). The production swap is plain `sum`, losing
+    * only bit-replayability, the s05/s08 trade. Lazy localCheckpoints
+    * keep lineage flat across rounds; the caller gets materialized state.
     *
     * `vertices` must carry every node (including sinks with no
     * in-links); dangling vertices (no OUT-links) simply contribute
@@ -37,7 +41,8 @@ object Graph {
   def pageRank(edges: DataFrame, vertices: DataFrame, iters: Int,
       damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id", replayable: Boolean = true): DataFrame = {
+      idCol: String = "id", replayable: Boolean = true,
+      foldBlock: Long = 0L): DataFrame = {
     val n = vertices.count() // scalar control decision, not a data collect
     require(n > 0, "pageRank needs a non-empty vertex set")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -57,7 +62,23 @@ object Graph {
       // partial-aggregated sum — map-side combine, no per-key buffers,
       // no bit-replayability (ScaleSmoke records the delta)
       val sums =
-        if (replayable) contrib
+        if (replayable && foldBlock > 0L)
+          // viral-key cap: two-level fold keyed by src VALUE blocks —
+          // per-(dst, block) partials bound every buffer at foldBlock,
+          // the block fold at in-degree/foldBlock; partition-independent
+          contrib
+            .groupBy(col("id"),
+              (col("src") - pmod(col("src"), lit(foldBlock))).as("blk"))
+            .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
+            .select(col("id"), col("blk"),
+              aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
+                lit(0.0), (a, b) => a + b).as("bs"))
+            .groupBy(col("id"))
+            .agg(collect_list(struct(col("blk"), col("bs"))).as("bss"))
+            .select(col("id"),
+              aggregate(transform(array_sort(col("bss")), x => x.getField("bs")),
+                lit(0.0), (a, b) => a + b).as("s"))
+        else if (replayable) contrib
           .groupBy(col("id"))
           .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
           .select(col("id"),
@@ -94,7 +115,9 @@ object Graph {
     * edge list (by src, then by dst — at 100 TB keep TWO bucketed copies
     * of the edge list, one per key, the standard adjacency/reverse-
     * adjacency layout) and two key-wise aggregations. Per-key fold
-    * buffers are bounded by in-/out-degree — cap or salt viral keys. The
+    * buffers are bounded by in-/out-degree — `foldBlock > 0` caps them
+    * with the same two-level VALUE-keyed block fold (in code, not a
+    * comment — GraphSpec proves partition-independence). The
     * L1 totals use a FIXED TWO-LEVEL BLOCKED fold: per-block (id div
     * 4096) ordered partial sums — distributed, buffer ≤ block size —
     * then one block-ordered fold of the ~n/4096 block sums. The tree
@@ -108,7 +131,8 @@ object Graph {
     */
   def hits(edges: DataFrame, vertices: DataFrame, iters: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id", replayable: Boolean = true): DataFrame = {
+      idCol: String = "id", replayable: Boolean = true,
+      foldBlock: Long = 0L): DataFrame = {
     val n = vertices.count()
     require(n > 0, "hits needs a non-empty vertex set")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -117,10 +141,25 @@ object Graph {
     val verts = vertices.select(col(idCol).as("id"))
 
     // key-wise sum of `v` folded in sortKey order (the t09 recipe);
-    // replayable=false swaps in the plain partial-aggregated sum (the
-    // production path — ScaleSmoke records the determinism tax)
+    // foldBlock > 0 caps per-key buffers via the two-level VALUE-keyed
+    // block fold (see pageRank — the viral-key guard, deterministic
+    // under any partitioning); replayable=false swaps in the plain
+    // partial-aggregated sum (the production path — ScaleSmoke records
+    // the determinism tax)
     def orderedSum(df: DataFrame, key: String, sortKey: String): DataFrame =
-      if (replayable) df.groupBy(col(key))
+      if (replayable && foldBlock > 0L) df
+        .groupBy(col(key),
+          (col(sortKey) - pmod(col(sortKey), lit(foldBlock))).as("blk"))
+        .agg(collect_list(struct(col(sortKey).as("o"), col("v").as("x"))).as("cs"))
+        .select(col(key), col("blk"),
+          aggregate(transform(array_sort(col("cs")), c => c.getField("x")),
+            lit(0.0), (a, b) => a + b).as("bs"))
+        .groupBy(col(key))
+        .agg(collect_list(struct(col("blk"), col("bs"))).as("bss"))
+        .select(col(key).as("id"),
+          aggregate(transform(array_sort(col("bss")), c => c.getField("bs")),
+            lit(0.0), (a, b) => a + b).as("raw"))
+      else if (replayable) df.groupBy(col(key))
         .agg(collect_list(struct(col(sortKey).as("o"), col("v").as("x"))).as("cs"))
         .select(col(key).as("id"),
           aggregate(transform(array_sort(col("cs")), c => c.getField("x")),

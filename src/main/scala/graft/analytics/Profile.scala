@@ -40,13 +40,13 @@ object Profile {
     * entry keeps the exact default.
     */
   def numericProfile(df: DataFrame, cols: Seq[String],
-      approxDistinct: Boolean = false): DataFrame = {
+      approxDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"${c}__nulls"),
-        (if (approxDistinct) approx_count_distinct(col(c))
+        (if (approxDistinct) approx_count_distinct(col(c), rsd)
          else count_distinct(col(c))).as(s"${c}__distinct"),
         min(col(c)).cast(DoubleType).as(s"${c}__min"),
         max(col(c)).cast(DoubleType).as(s"${c}__max"),

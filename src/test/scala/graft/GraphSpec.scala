@@ -78,6 +78,72 @@ class GraphSpec extends SparkSpec {
     assert(out === run(), "bit-deterministic across runs")
   }
 
+  test("replayable and production paths agree on the RANKING (scores within 1e-9)") {
+    // the production swap (plain partial-aggregated sums) loses only
+    // bit-replayability — the ORDER a curation pipeline consumes must
+    // survive the swap. Irregular deterministic graph, both operators.
+    val n = 40L
+    val verts = spark.range(n).toDF("id")
+    val edges = spark.range(n).select(col("id").as("src"),
+        ((col("id") * 7 + 13) % n).as("dst"))
+      .unionByName(spark.range(n).select(col("id").as("src"),
+        ((col("id") * 3 + 1) % n).as("dst")))
+    def ranking(df: Array[(Long, Double)]): Seq[Long] =
+      df.sortBy { case (id, v) => (-v, id) }.map(_._1).toSeq
+    val prR = Graph.pageRank(edges, verts, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val prP = Graph.pageRank(edges, verts, iters = 8, replayable = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ranking(prR) === ranking(prP), "pageRank rank order must survive the swap")
+    val prPm = prP.toMap
+    prR.foreach { case (id, v) =>
+      assert(math.abs(v - prPm(id)) < 1e-9, s"pr($id): $v vs ${prPm(id)}") }
+    val hR = Graph.hits(edges, verts, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val hP = Graph.hits(edges, verts, iters = 4, replayable = false)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(ranking(hR.map(t => t._1 -> t._2)) === ranking(hP.map(t => t._1 -> t._2)),
+      "authority rank order must survive the swap")
+    assert(ranking(hR.map(t => t._1 -> t._3)) === ranking(hP.map(t => t._1 -> t._3)),
+      "hub rank order must survive the swap")
+  }
+
+  test("foldBlock caps viral-key fold buffers; partition-independent, ranking intact") {
+    // 500 spokes all feed ONE hub — the in-degree-500 viral key. With
+    // foldBlock=64 no single fold buffer exceeds 64 elements (per-(key,
+    // src-block) partials), and because the fold tree is keyed by src
+    // VALUES the result is bit-identical under different partitionings.
+    val n = 501L
+    val verts = spark.range(n).toDF("id")
+    val star = spark.range(1, n).select(col("id").as("src"), lit(0L).as("dst"))
+      .unionByName(Seq((0L, 1L)).toDF("src", "dst"))
+    def run(parts: Int) = Graph.pageRank(star.repartition(parts), verts,
+        iters = 4, foldBlock = 64L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    val a = run(3)
+    assert(a === run(7), "blocked fold must be bit-identical under repartitioning")
+    // and it must agree with the unblocked replayable fold to 1e-9 with
+    // identical ranking (summation tree differs only below the 12-dp round)
+    val flat = Graph.pageRank(star, verts, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    assert(a.map(_._1) === flat.map(_._1))
+    a.zip(flat).foreach { case ((id, v), (_, w)) =>
+      assert(math.abs(v - w) < 1e-9, s"pr($id): blocked $v vs flat $w") }
+    // the hub and its sole out-target trade the circulating mass (the
+    // 2-cycle noted above) — assert they dominate the plain spokes
+    val am = a.toMap
+    assert(am(0L) > am(2L) && am(1L) > am(2L),
+      s"viral hub and its target must dominate spokes: ${a.take(4)}")
+    // hits: same cap through orderedSum on both half-steps
+    val h = Graph.hits(star.repartition(5), verts, iters = 3, foldBlock = 64L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val hFlat = Graph.hits(star, verts, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    h.zip(hFlat).foreach { case ((id, a1, h1), (_, a2, h2)) =>
+      assert(math.abs(a1 - a2) < 1e-9 && math.abs(h1 - h2) < 1e-9,
+        s"hits($id): ($a1,$h1) vs ($a2,$h2)") }
+  }
+
   test("g04: star-graph degree histogram and CSN alpha match the analytic values") {
     // run the catalog query's logic shape on a tiny synthetic dir? — no:
     // test the math directly through the same SQL-visible formula
