@@ -39,6 +39,15 @@ import org.apache.spark.sql.types.LongType
   * whitespace-split, so a space can never occur inside a symbol): the
   * merge step is then a single string fold per word instead of an
   * array-rebuild, and the encoding split is one `split(' ')`.
+  *
+  * Production note on the top-1 loop: each merge round ends in an
+  * `orderBy.limit(1)` argmax — inherently sequential, rounds × one
+  * driver round-trip. At real scale you would TRAIN the merge table on
+  * a corpus SAMPLE (tokenizer quality saturates far below full-corpus
+  * counts — the standard practice for production tokenizers) and only
+  * ENCODE the full corpus; encoding is the embarrassingly parallel
+  * broadcast-join pass. q36's deterministic stratified sampler is the
+  * in-repo sampling primitive for exactly that.
   */
 object Bpe {
 
