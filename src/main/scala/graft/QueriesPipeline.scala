@@ -506,6 +506,49 @@ private[graft] object QueriesPipeline {
         .orderBy(col("column"))
     }),
 
+    // Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005) — the POINT-QUERY sketch next to q47's Misra-Gries candidate
+    // set and q30's HLL cardinality — here d=4 hash rows × w=4096
+    // counters (16k cells: still broadcastable; at 100 TB widen w to
+    // keep ε = e/w under the target — the matrix stays model-sized),
+    // entirely DECLARATIVE — the counter matrix is one (row, bucket)
+    // group-by over a d× key fan-out (broadcastable,
+    // mergeable across shards by plain cell-wise SUM — that's the whole
+    // production story, partial aggregation IS the sketch merge), point
+    // estimate = min over rows of the probed cell. Buckets come from the
+    // portable md5 idiom (d24's conv recipe), so unlike q30/q35/q47 the
+    // ENTIRE sketch — every counter and every estimate — is bit-exact
+    // cross-engine and hash-matched, not flag-asserted; over_ok exhibits
+    // the one-sided guarantee (estimate ≥ truth, always), overcount the
+    // collision mass.
+    "q74_count_min" -> ((s, dir) => {
+      val (d, w) = (4, 4096)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_partkey").cast("string").as("k"))
+      def bucket(r: Column, k: Column): Column =
+        pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), k)), 1, 8),
+          16, 10).cast("long"), lit(w.toLong))
+      val cms = li
+        .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .groupBy(col("r"), bucket(col("r"), col("k")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = li.where(col("l_partkey") <= 20)
+        .select(col("l_partkey"), col("k")).distinct()
+      val est = probes
+        .select(col("l_partkey"), col("k"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .select(col("l_partkey"), col("r"), bucket(col("r"), col("k")).as("b"))
+        .join(cms, Seq("r", "b"))
+        .groupBy(col("l_partkey")).agg(min(col("c")).as("est_n"))
+      val exact = li.where(col("l_partkey") <= 20)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+      exact.join(est, Seq("l_partkey"))
+        .select(col("l_partkey"), col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).as("over_ok"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy(col("l_partkey"))
+    }),
+
 
     // Benford first-digit audit (the classic books-cooking / synthetic-
     // data tell): observed first-digit counts of l_extendedprice vs the
@@ -916,6 +959,28 @@ private[graft] object QueriesPipeline {
         |d AS (SELECT unnest(generate_series(1, 9)) AS i)
         |SELECT CAST(i AS BIGINT) AS decile, ex[i] AS exact_v, TRUE AS err_ok
         |FROM d CROSS JOIN q ORDER BY decile""".stripMargin,
+
+    // Count-min twin (q74): the ENTIRE sketch replays — same md5
+    // buckets, same counter matrix, same min-over-rows estimates.
+    "q74_count_min" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |rk AS (SELECT k, unnest(generate_series(0, 3)) AS r FROM li),
+        |cms AS (SELECT r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || k), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM rk GROUP BY r, b),
+        |pr AS (SELECT DISTINCT l_partkey, k FROM li WHERE l_partkey <= 20),
+        |pq AS (SELECT l_partkey, k, unnest(generate_series(0, 3)) AS r FROM pr),
+        |pb AS (SELECT l_partkey, r,
+        |    CAST(CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || k), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+        |  FROM pq),
+        |est AS (SELECT l_partkey, min(c) AS est_n
+        |  FROM pb JOIN cms USING (r, b) GROUP BY l_partkey),
+        |ex AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM li WHERE l_partkey <= 20 GROUP BY l_partkey)
+        |SELECT l_partkey, exact_n, est_n, est_n >= exact_n AS over_ok,
+        |  est_n - exact_n AS overcount
+        |FROM ex JOIN est USING (l_partkey) ORDER BY l_partkey""".stripMargin,
 
     // Approx-profile twin (q73): q44's exact rows plus the HLL++ bound
     // as a literal TRUE (the q30 sketch contract).

@@ -437,6 +437,30 @@ object ScaleSmoke {
         s"max=${if (lat.isEmpty) 0L else lat.max})")
     }
 
+    // Count-min sketch (q74) at blowup: the counter matrix is d·w cells
+    // REGARDLESS of corpus size — cost must track the d× fan-out scan
+    // (linear in rows), and the probe join touches a constant-size
+    // matrix. The sketch is the one frequency structure whose state
+    // cannot grow with the key space.
+    run("count_min") {
+      val (d, w) = (4, 4096)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("k"))
+      def bucket(r: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+        pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), k)), 1, 8),
+          16, 10).cast("long"), lit(w.toLong))
+      val cms = toks
+        .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .groupBy(col("r"), bucket(col("r"), col("k")).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val probes = toks.where(col("doc_id") < 5).select(col("k")).distinct()
+      probes
+        .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .select(col("k"), col("r"), bucket(col("r"), col("k")).as("b"))
+        .join(cms, Seq("r", "b"))
+        .groupBy(col("k")).agg(min(col("c")).as("est_n"))
+    }
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must

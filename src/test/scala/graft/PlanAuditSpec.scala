@@ -120,6 +120,22 @@ class PlanAuditSpec extends SparkSpec {
       s"distinct-rewrite Expand must not appear, plan:\n$p")
   }
 
+  test("q73: the approx profile path plans WITHOUT Expand; the exact path exhibits it") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val approx = graft.analytics.Profile
+      .numericProfile(li, cols, approxDistinct = true, rsd = 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      s"the HLL++ profile must be one ordinary scan — no distinct-rewrite Expand:\n$approx")
+    // and the exact path IS the documented Expand shape — if this stops
+    // holding, q44's scale note (and q73's reason to exist) is stale
+    val exact = graft.analytics.Profile.numericProfile(li, cols)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      "the exact multi-distinct profile is expected to plan through Expand")
+  }
+
   test("d04: the signature table is served from cache in every consuming branch") {
     // the round-2 1824s regression was exactly this persist missing: four
     // plan branches each re-running tokenize→shingle→minhash. The executed

@@ -78,4 +78,59 @@ class SketchesSpec extends SparkSpec {
       .collect().head
     assert(cand.isEmpty)
   }
+
+  test("q74 CMS: estimates dominate true counts on real data") {
+    val out = SparkEntry.queries("q74_count_min")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(3) && r.getLong(2) >= r.getLong(1),
+        s"CMS must NEVER undercount (one-sided error): $r")
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("CMS degenerate width: a 1-column sketch estimates every key at the stream total") {
+    // with w=1 every key lands in the same cell per row, so min-over-rows
+    // = total row count — the collision-mass semantics in its pure form,
+    // computed through the SAME bucket/counter/min chain as q74
+    val (d, w) = (4, 1)
+    val li = Seq("a", "a", "a", "b", "c").toDF("k")
+    def bucket(r: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), k)), 1, 8),
+        16, 10).cast("long"), lit(w.toLong))
+    val cms = li.select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(col("r"), bucket(col("r"), col("k")).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = li.distinct()
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("k"), col("r"), bucket(col("r"), col("k")).as("b"))
+      .join(cms, Seq("r", "b"))
+      .groupBy(col("k")).agg(min(col("c")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+  }
+
+  test("CMS merge: cell-wise sum of shard sketches equals the whole-stream sketch") {
+    // the mergeability claim in its executable form: build the counter
+    // matrix per shard, SUM cells, compare with the single-pass matrix —
+    // partial aggregation IS the sketch merge
+    val (d, w) = (4, 16)
+    val all = (1 to 200).map(i => s"k${i % 13}").toDF("k")
+    def matrixOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(col("r"),
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"), col("k"))),
+          1, 8), 16, 10).cast("long"), lit(w.toLong)).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val whole = matrixOf(all).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s1 = matrixOf(all.where(length(col("k")) === 2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s2 = matrixOf(all.where(length(col("k")) =!= 2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (s1.keySet ++ s2.keySet)
+      .map(c => c -> (s1.getOrElse(c, 0L) + s2.getOrElse(c, 0L))).toMap
+    assert(merged === whole, "cell-wise shard sum must equal the one-pass sketch")
+  }
 }
