@@ -380,6 +380,19 @@ private[graft] object QueriesSimGraph {
       Multimodal.aHashNearDups(t(s, dir, "documents"), maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Cross-modal retrieval (the CLIP-style image↔caption pair-mining
+    // plumbing): captions (first-8-token alt-text) retrieve their image
+    // by cosine top-1 in ONE shared embedding space. Encoders are
+    // deterministic md5 token-hash integer projections (STUBS — no
+    // vision model in this container), but the image side derives its
+    // tokens FROM THE PAYLOAD BYTES (PNG header stripped, body UTF-8
+    // decoded: the vision-encoder seam a real model replaces), and the
+    // retrieval join/top-1 machinery is the real s01 shape. is_match
+    // records whether the true pair won — the mined-pair quality signal.
+    "m07_crossmodal" -> ((s, dir) =>
+      Multimodal.crossModalTop1(t(s, dir, "documents"), dim = 32,
+        captionTokens = 16, maxProbeId = 30L)),
+
 
     // Scalar-quantization (int8) ADC top-k: per-dimension corpus bounds
     // as the model artifact, 0..255 codes as the stored representation,
@@ -471,6 +484,42 @@ private[graft] object QueriesSimGraph {
     // substring — same bytes, the Spark side reads them from the payload
     // at the body offset), identical integer folds; the OR-join is the
     // same candidate set as the banded union at oracle scale.
+    // Cross-modal twin (m07): the image body bytes ARE the text bytes,
+    // so the twin embeds tokens(text) for images (what the operator's
+    // byte-decode seam must reproduce — the hash-match IS the proof the
+    // payload round-trip is lossless) and ws[1:16] for captions; same
+    // md5 projection, integer folds, and (cos desc, id) top-1.
+    "m07_crossmodal" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents
+         |  WHERE doc_id % 3 = 0),
+         |iv AS (SELECT doc_id AS image_id, list_transform(generate_series(0, 31),
+         |    j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws,
+         |      t -> CAST(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8)) AS UBIGINT) % 2001 AS BIGINT) - 1000)),
+         |      (a, b) -> a + b)) AS iv
+         |  FROM tok),
+         |cv AS (SELECT doc_id AS caption_id, list_transform(generate_series(0, 31),
+         |    j -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(ws[1:16],
+         |      t -> CAST(CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || t), 1, 8)) AS UBIGINT) % 2001 AS BIGINT) - 1000)),
+         |      (a, b) -> a + b)) AS cv
+         |  FROM tok WHERE doc_id < 30),
+         |sc AS (SELECT caption_id, image_id,
+         |    round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(generate_series(1, 32), i -> cv[i] * iv[i])),
+         |        (a, b) -> a + b) AS DOUBLE)
+         |      / sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(generate_series(1, 32), i -> cv[i] * cv[i])),
+         |          (a, b) -> a + b) AS DOUBLE)
+         |        * CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(generate_series(1, 32), i -> iv[i] * iv[i])),
+         |          (a, b) -> a + b) AS DOUBLE)), 6) AS cosine
+         |  FROM cv CROSS JOIN iv),
+         |rk AS (SELECT caption_id, image_id, cosine,
+         |    row_number() OVER (PARTITION BY caption_id
+         |      ORDER BY cosine DESC, image_id) AS rnk FROM sc)
+         |SELECT caption_id, image_id, cosine,
+         |  caption_id = image_id AS is_match
+         |FROM rk WHERE rnk = 1 ORDER BY caption_id""".stripMargin),
+
     "m06_ahash_neardup" ->
       """WITH img AS (SELECT doc_id, hex(encode(text)) AS h
         |  FROM documents WHERE doc_id % 3 = 0),

@@ -330,6 +330,15 @@ private[graft] object QueriesText {
     }),
 
 
+    // PMI phrase mining (word2phrase/collocation detection): pointwise
+    // mutual information over the corpus bigram stream, marginals from
+    // the same frame, min-count 5 gate, top-20 by (pmi desc, pair).
+    // The phrase-vocabulary step a tokenizer pipeline runs before BPE
+    // (t11) so multi-word units survive as single tokens. Exact integer
+    // counts; one 9-dp-rounded log ratio.
+    "t25_pmi_phrases" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), minCount = 5L, k = 20)),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -460,6 +469,26 @@ private[graft] object QueriesText {
 
   val oracle: Map[String, String] = Map(
 
+
+    // PMI twin (t25): the same bigram stream, marginals, gate and
+    // rounded log ratio; same total order and cutoff.
+    "t25_pmi_phrases" -> (
+      s"""WITH tok AS (SELECT $tokensSqlExpr AS ws FROM documents),
+         |bg AS (SELECT b.prev AS prev, b.cur AS cur FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+         |      i -> struct_pack(prev := ws[i], cur := ws[i + 1]))) AS b
+         |    FROM tok WHERE len(ws) >= 2)),
+         |c2 AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+         |  FROM bg GROUP BY prev, cur),
+         |cp AS (SELECT prev, CAST(count(*) AS BIGINT) AS cp FROM bg GROUP BY prev),
+         |cc AS (SELECT cur, CAST(count(*) AS BIGINT) AS cc FROM bg GROUP BY cur),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg)
+         |SELECT prev, cur, c2,
+         |  round(ln(CAST(c2 AS DOUBLE) * CAST(nb AS DOUBLE)
+         |    / (CAST(cp AS DOUBLE) * CAST(cc AS DOUBLE))), 9) AS pmi
+         |FROM c2 JOIN cp USING (prev) JOIN cc USING (cur) CROSS JOIN nb
+         |WHERE c2 >= 5
+         |ORDER BY pmi DESC, prev, cur LIMIT 20""".stripMargin),
 
     // Entropy twin (t24): same frequency-level collapse, same ordered
     // fold, same single divisions.

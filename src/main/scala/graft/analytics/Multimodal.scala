@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StringType}
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct alongside.
@@ -271,6 +271,69 @@ object Multimodal {
       .select(col("doc_id"), bits.as("__bits"))
       .select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
         band(2).as("b2"), band(3).as("b3"))
+  }
+
+  /** Cross-modal retrieval plumbing — the CLIP-style image↔caption pair
+    * mining step: both modalities embed into ONE shared `dim`-wide space
+    * and each caption retrieves its image by cosine top-1.
+    *
+    * The ENCODERS are deterministic STUBS (this container ships no
+    * vision/text encoder): both sides use the same md5 token-hash
+    * integer projection, v_j = Σ over tokens of
+    * (md5_u32("j:" ++ token) % 2001 − 1000) — an order-free INTEGER
+    * bag-of-tokens random projection, bit-exact in SQL. What is REAL and
+    * under test is the plumbing a real encoder slots into:
+    *  - the image side derives its tokens FROM THE PAYLOAD BYTES
+    *    (container header stripped at the documented offset, body
+    *    UTF-8-decoded — the vision-encoder seam; a real model replaces
+    *    exactly this one projection),
+    *  - embeddings ride as fixed-width integer vectors,
+    *  - retrieval is the broadcast-probe cosine top-1 (s01's shape) with
+    *    a deterministic (cos desc, image id) tie-break.
+    * Dot/norm folds are j-ordered integer sums (exact); the only float
+    * op is the final round(dot / sqrt(nu·nv), 6) — norms cast to double
+    * BEFORE multiplying (the long product overflows).
+    *
+    * Scale: per-row projections to `dim` ints, then probes × images NLJ
+    * on model-free vectors (at 100 TB: LSH/IVF-bucket the image side —
+    * s02/s03's machinery applies unchanged to these vectors).
+    */
+  def crossModalTop1(docs: DataFrame, dim: Int = 8, captionTokens: Int = 8,
+      maxProbeId: Long = 30L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hashTerm(j: Column, t: Column): Column =
+      pmod(conv(substring(md5(concat(j.cast(StringType), lit(":"), t)), 1, 8),
+        16, 10).cast(LongType), lit(2001L)) - lit(1000L)
+    def embed(toks: Column): Column =
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => aggregate(toks, lit(0L), (a, t) => a + hashTerm(j, t)))
+    val imgs = withPayload(docs).where(col("modality") === "image")
+      .select(col("doc_id").as("image_id"),
+        // the vision-encoder seam: tokens from the DECODED BODY BYTES
+        TextAnalysis.tokens(
+          substring(col("payload"), 34, Int.MaxValue).cast(StringType)).as("ts"))
+      .select(col("image_id"), embed(col("ts")).as("iv"))
+    val caps = docs.where(pmod(col("doc_id"), lit(3)) === 0 &&
+        col("doc_id") < maxProbeId)
+      .select(col("doc_id").as("caption_id"),
+        embed(slice(TextAnalysis.tokens(col("text")), 1, captionTokens)).as("cv"))
+    val dot = aggregate(zip_with(col("cv"), col("iv"), (a, b) => a * b),
+      lit(0L), (a, x) => a + x)
+    def norm2(v: Column): Column =
+      aggregate(transform(v, x => x * x), lit(0L), (a, x) => a + x)
+    val scored = caps.crossJoin(broadcast(imgs))
+      .select(col("caption_id"), col("image_id"),
+        round(dot.cast(DoubleType) /
+          sqrt(norm2(col("cv")).cast(DoubleType) *
+            norm2(col("iv")).cast(DoubleType)), 6).as("cosine"))
+    val w = Window.partitionBy(col("caption_id"))
+      .orderBy(col("cosine").desc, col("image_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("caption_id"), col("image_id"), col("cosine"),
+        (col("caption_id") === col("image_id")).as("is_match"))
+      .orderBy(col("caption_id"))
   }
 
   /** Near-duplicate image pairs at Hamming ≤ `maxHamming`, candidates

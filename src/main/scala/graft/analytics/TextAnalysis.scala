@@ -293,6 +293,43 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("n"), lit(0L)).as("n_bigrams"), col("lp2_avg"))
   }
 
+  /** PMI phrase mining (the word2phrase/collocation staple): pointwise
+    * mutual information of adjacent token pairs over the corpus bigram
+    * stream — PMI(a,b) = ln(c(a,b)·N / (c(a,·)·c(·,b))), all marginals
+    * derived from the SAME bigram frame so the probability space is
+    * self-consistent; a `minCount` gate removes the low-count pairs PMI
+    * notoriously over-scores, then top-k by (pmi desc, pair). Every
+    * count is an exact integer and the score is ONE log of a double
+    * ratio rounded at 9 dp — bit-identical cross-engine, total-ordered.
+    *
+    * Scale: one bigram fan-out scan, three term-keyed count
+    * aggregations, one broadcast scalar, one top-k — no pair term beyond
+    * the corpus's own bigram vocabulary.
+    */
+  def pmiBigrams(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5L,
+      k: Int = 20, textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val bg = Par.spreadForCpu(docs)
+      .select(tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("prev"),
+          element_at(col("ws"), i + 2).as("cur")))).as("b"))
+      .select(col("b").getField("prev").as("prev"),
+        col("b").getField("cur").as("cur"))
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val cp = bg.groupBy(col("prev")).agg(count(lit(1)).as("cp"))
+    val cc = bg.groupBy(col("cur")).agg(count(lit(1)).as("cc"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    c2.where(col("c2") >= minCount)
+      .join(cp, Seq("prev")).join(cc, Seq("cur"))
+      .crossJoin(broadcast(nb)) // 1-row scalar
+      .select(col("prev"), col("cur"), col("c2"),
+        round(log(col("c2").cast(DoubleType) * col("nb").cast(DoubleType) /
+          (col("cp").cast(DoubleType) * col("cc").cast(DoubleType))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("prev"), col("cur"))
+      .limit(k)
+  }
+
   /** Interpolated Kneser–Ney bigram scoring — the smoothing actually
     * used by production n-gram LMs (Chen & Goodman 1999), next to t10's
     * add-k baseline: absolute discount D on the bigram MLE, mass

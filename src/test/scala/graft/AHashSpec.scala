@@ -49,4 +49,31 @@ class AHashSpec extends SparkSpec {
     val docs = imageDocs((0L, a), (3L, b))
     assert(Multimodal.aHashNearDups(docs, maxHamming = 6).count() == 0L)
   }
+
+  test("m07 cross-modal: distinctive vocabularies retrieve their true pair at top-1") {
+    // each doc carries a unique vocabulary, so the caption (its prefix)
+    // must retrieve its own image for every probe — the stub encoders
+    // preserve enough signal when docs do not share tokens
+    val docs = (0L until 30L).map(i =>
+      (i, (1 to 12).map(w => s"tok${i}x$w").mkString(" "))).toDF("doc_id", "text")
+    val out = Multimodal.crossModalTop1(docs, dim = 32, captionTokens = 16,
+      maxProbeId = 30L).collect()
+    assert(out.length === 10, "10 image-modality probe captions under 30")
+    out.foreach { r =>
+      assert(r.getBoolean(3) && r.getLong(0) === r.getLong(1),
+        s"caption ${r.getLong(0)} retrieved ${r.getLong(1)}")
+    }
+  }
+
+  test("m07 decode seam: image tokens derive from the payload bytes losslessly") {
+    // the vision-encoder seam: stripping the PNG header and UTF-8
+    // decoding the body must reproduce the original text EXACTLY —
+    // the m07 oracle hash-match rides on this round-trip
+    val docs = imageDocs((0L, "round trip body with words"), (3L, "another body"))
+    val got = Multimodal.withPayload(docs)
+      .select(col("doc_id"),
+        substring(col("payload"), 34, Int.MaxValue).cast("string").as("body"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "round trip body with words", 3L -> "another body"))
+  }
 }

@@ -428,4 +428,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2).getLong(2) == 2L, "vowel-less tokens floor at 1 syllable each")
     assert(got(3).isNullAt(3), "token-less documents score NULL")
   }
+
+  test("t25 PMI: hand-computed collocation scores; exclusive pair tops the list") {
+    // corpus bigrams: (aa,bb) x4 exclusive; (cc,dd)/(cc,ee)/(ff,dd)/(ff,ee)
+    // x2 each (a 2x2 independence block). Nb = 12.
+    // PMI(aa,bb) = ln(4*12/(4*4)) = ln 3; PMI(cc,dd) = ln(2*12/(4*4)) = ln 1.5
+    val docs = (Seq.fill(4)("aa bb") ++ Seq.fill(2)("cc dd") ++
+      Seq.fill(2)("cc ee") ++ Seq.fill(2)("ff dd") ++ Seq.fill(2)("ff ee"))
+      .toDF("text")
+    val out = TextAnalysis.pmiBigrams(docs, minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._1 == "aa" && out.head._2 == "bb" && out.head._3 == 4L,
+      s"the exclusive pair must top the list: ${out.toSeq}")
+    val r9 = (x: Double) => BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._4 == r9(math.log(3.0)), s"${out.head._4} vs ln 3")
+    val cd = out.find(p => p._1 == "cc" && p._2 == "dd").get
+    assert(cd._4 == r9(math.log(1.5)), s"${cd._4} vs ln 1.5")
+    assert(out.forall(_._4 <= out.head._4), "total order by pmi desc")
+  }
 }
