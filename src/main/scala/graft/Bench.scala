@@ -148,8 +148,16 @@ object Bench {
       val total = ok.map(_._2).sum
       s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$fl,"calib":[${d(calib._1)},${d(calib._2)}],"calibmt":[${d(calibMt._1)},${d(calibMt._2)}],"sf":${j(sfDir)}}"""
     }
-    val line = build("%.3f")
-    if (line.length <= 1900) line else build("%.2f")
+    // precision ladder: ms → 10 ms → 100 ms → 1 s. Each step trades
+    // per-query precision for staying inside the driver's 2000-byte
+    // tail window — a slightly coarser timing beats an unparseable
+    // report. At 151 catalog queries the all-queries-in-two-digit-
+    // seconds worst case only fits at integer precision (by then the 2×
+    // perf gate failed long before the byte budget); the realistic
+    // profile stays on the first or second rung.
+    Seq("%.3f", "%.2f", "%.1f").map(build)
+      .find(_.length <= 1900)
+      .getOrElse(build("%.0f"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -301,6 +301,14 @@ object Multimodal {
   def crossModalTop1(docs: DataFrame, dim: Int = 8, captionTokens: Int = 8,
       maxProbeId: Long = 30L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the SIMPLE per-(dim, token) md5 fold is the measured fastest form:
+    // two "optimizations" both LOST — tf-weighted distinct tokens
+    // (array_distinct+filter outweigh saved hashes on wide vocabularies:
+    // 4.7 s → 7.4 s at sf0.1) and digest-slicing (materializing dim/4
+    // md5s per token as a nested array, then slicing per dim: 4.7 s →
+    // 18.8 s — interpreted-HOF element access costs more than the md5
+    // kernels it saves). In interpreted higher-order lambdas the hash IS
+    // the cheap part.
     def hashTerm(j: Column, t: Column): Column =
       pmod(conv(substring(md5(concat(j.cast(StringType), lit(":"), t)), 1, 8),
         16, 10).cast(LongType), lit(2001L)) - lit(1000L)
@@ -316,7 +324,8 @@ object Multimodal {
     val caps = docs.where(pmod(col("doc_id"), lit(3)) === 0 &&
         col("doc_id") < maxProbeId)
       .select(col("doc_id").as("caption_id"),
-        embed(slice(TextAnalysis.tokens(col("text")), 1, captionTokens)).as("cv"))
+        slice(TextAnalysis.tokens(col("text")), 1, captionTokens).as("ts"))
+      .select(col("caption_id"), embed(col("ts")).as("cv"))
     val dot = aggregate(zip_with(col("cv"), col("iv"), (a, b) => a * b),
       lit(0L), (a, x) => a + x)
     def norm2(v: Column): Column =
