@@ -80,4 +80,32 @@ class PolicySpec extends SparkSpec {
     val perf = byEvent("PERF_DATA").getAs[Map[String, Double]]("metrics")
     assert(!perf.contains("pdb_ms") && perf.contains("thrputDl_mbps"))
   }
+
+  test("q75 DP release: noise is nonzero, Laplace-bounded, and deterministic") {
+    val run1 = SparkEntry.queries("q75_dp_release")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(run1.nonEmpty)
+    run1.foreach { case (g, exact, noisy) =>
+      val noise = noisy - exact
+      assert(noise != 0.0, s"$g: a DP release must actually perturb")
+      // |Laplace(b=1)| from a 32-bit uniform is bounded by ln(2^33) ≈ 22.9
+      assert(math.abs(noise) < 23.0, s"$g: noise $noise outside the Laplace bound")
+    }
+    val run2 = SparkEntry.queries("q75_dp_release")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(run1.toSeq === run2.toSeq, "seeded noise must replay bit-identically")
+  }
+
+  test("q76 k-anonymity: every released group has >= k members; mass is conserved") {
+    val out = SparkEntry.queries("q76_k_anon")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val (sup, rel) = out.partition(_._4)
+    assert(rel.forall(_._3 >= 15L), s"released group under k: ${rel.filter(_._3 < 15L).toSeq}")
+    assert(sup.length <= 1, "at most one suppressed bucket")
+    sup.foreach { case (seg, nat, _, _) =>
+      assert(seg == "<suppressed>" && nat == -1L, "bucket must carry no identity") }
+    val total = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(out.map(_._3).sum === total,
+      "released + suppressed mass must equal the customer count")
+  }
 }
