@@ -506,6 +506,35 @@ private[graft] object QueriesPipeline {
         .orderBy(col("column"))
     }),
 
+    // OHLC bar resampling (the time-series feature staple): per
+    // (user, hour) — open/close via min_by/max_by on a TOTAL
+    // (ts, event_id) event order (partial-aggregable, no window pass),
+    // high/low/count, and an exact-decimal volume sum. Integer hour
+    // buckets (the q51 exact-multiple idiom); open/close/high/low are
+    // row passthroughs, so no rounding anywhere. One partial+final
+    // aggregation — the shape survives any scale.
+    "q77_ohlc_bars" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventTime.epochMicros(ev)
+      val hour = ((us - pmod(us, lit(3600000000L))) / lit(3600000000L)).cast("long")
+      // composite event order as ONE zero-padded string key: DuckDB's
+      // arg_min/arg_max won't order by a struct, and string comparison
+      // on fixed-width zero-padded digits IS the numeric (ts, event_id)
+      // order in both engines
+      val ord = concat(lpad(col("ts_us").cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      ev.select(col("user_id"), hour.as("h"), us.as("ts_us"), col("event_id"),
+          col("value"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(
+          min_by(col("value"), ord).as("open"),
+          max_by(col("value"), ord).as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n"),
+          sum(dec(col("value"), 18, 6)).cast("double").as("volume"))
+        .orderBy(col("user_id"), col("h"))
+    }),
+
     // Differentially-private aggregate release (Laplace mechanism,
     // Dwork et al. 2006) — the privacy-preserving statistics-release
     // step next to D2's hashing/redaction: per-group counts + Laplace
@@ -1010,6 +1039,20 @@ private[graft] object QueriesPipeline {
         |d AS (SELECT unnest(generate_series(1, 9)) AS i)
         |SELECT CAST(i AS BIGINT) AS decile, ex[i] AS exact_v, TRUE AS err_ok
         |FROM d CROSS JOIN q ORDER BY decile""".stripMargin,
+
+    // OHLC twin (q77): arg_min/arg_max on the same zero-padded
+    // (ts, event_id) string order, same exact-decimal volume.
+    "q77_ohlc_bars" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+        |    epoch_us(ts) // 3600000000 AS h FROM events)
+        |SELECT user_id, h,
+        |  arg_min(value, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+        |  arg_max(value, lpad(CAST(ts_us AS VARCHAR), 20, '0')
+        |    || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close,
+        |  max(value) AS high, min(value) AS low, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        |FROM e GROUP BY user_id, h ORDER BY user_id, h""".stripMargin,
 
     // DP-release twin (q75): same md5 uniform, same inverse-CDF Laplace
     // branch, same rounding.

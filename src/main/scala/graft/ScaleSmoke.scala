@@ -437,6 +437,51 @@ object ScaleSmoke {
         s"max=${if (lat.isEmpty) 0L else lat.max})")
     }
 
+    // Cross-modal retrieval (m07) at blowup: the image-side embed is a
+    // per-row projection (dim × tokens md5 folds), probes fixed — cost
+    // must track the image scan linearly; the top-1 join is
+    // probes × images over dim-int vectors, dominated by the embed.
+    run("crossmodal")(
+      graft.analytics.Multimodal.crossModalTop1(docs, dim = 32,
+        captionTokens = 16, maxProbeId = 30L))
+
+    // d27/d28's df-cap at blowup, BOTH sides timed: the capped chain's
+    // postings exclude ubiquitous terms, so candidate rows track real
+    // near-dup mass; the uncapped chain's common-term postings make the
+    // probe join quasi-all-pairs — the gap at mult IS the 100 TB
+    // justification for the declared cap, as a recorded number. The
+    // uncapped op only runs when explicitly selected (guard the full
+    // sweep from its blowup).
+    def tfidfPairs(capped: Boolean): DataFrame = {
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.analytics.TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val dfSel = {
+        val d0 = dfAll.crossJoin(broadcast(nDocs))
+        (if (capped) d0.where(col("df") * 5 <= col("n_docs") * 2) else d0)
+          .select(col("term"), col("df"))
+      }
+      val w = tf.join(dfSel, Seq("term")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf").cast("double") *
+            (log((lit(1.0) + col("n_docs").cast("double")) /
+              (lit(1.0) + col("df").cast("double"))) + 1.0), 9).as("w"))
+      w.where(col("doc_id") < 10)
+        .select(col("doc_id").as("a_id"), col("term"), col("w").as("wa"))
+        .join(w.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")),
+          Seq("term"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+    }
+    run("tfidf_capped")(tfidfPairs(capped = true))
+    if (opFilter("tfidf_uncapped"))
+      run("tfidf_uncapped")(tfidfPairs(capped = false))
+    else declaredOps += "tfidf_uncapped"
+
     // Count-min sketch (q74) at blowup: the counter matrix is d·w cells
     // REGARDLESS of corpus size — cost must track the d× fan-out scan
     // (linear in rows), and the probe join touches a constant-size

@@ -136,6 +136,25 @@ class PlanAuditSpec extends SparkSpec {
       "the exact multi-distinct profile is expected to plan through Expand")
   }
 
+  test("m07: retrieval joins via broadcast (probe-side NLJ), never a shuffled cartesian") {
+    val p = SparkEntry.queries("m07_crossmodal")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"cross-modal scoring must broadcast the image vectors, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would not survive a large image side, plan:\n$p")
+  }
+
+  test("q77: OHLC bars are ONE partial+final aggregation — no window pass") {
+    val p = SparkEntry.queries("q77_ohlc_bars")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // min_by/max_by are partial-aggregable: open/close need no
+    // row_number window and no second scan
+    assert(!p.contains("Window"), s"OHLC must not need a window pass, plan:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_min"),
+      s"expected partial aggregation of min_by, plan:\n$p")
+  }
+
   test("d04: the signature table is served from cache in every consuming branch") {
     // the round-2 1824s regression was exactly this persist missing: four
     // plan branches each re-running tokenize→shingle→minhash. The executed
