@@ -535,6 +535,21 @@ private[graft] object QueriesPipeline {
         .orderBy(col("user_id"), col("h"))
     }),
 
+    // Population Stability Index: value-distribution shift of the first
+    // vs second half-month (the graded complement of q60's KS yes/no and
+    // q69's categorical chi-square). 10 fixed-width bins of 10 with an
+    // overflow bin, Laplace-smoothed shares, conventional 0.2 threshold;
+    // same generator both halves, so the honest verdict is no shift with
+    // every bin contributing a real term.
+    "q78_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      analytics.Drift.psi(
+        ev.select(col("value"),
+          when(EventTime.epochMicros(ev) < 1705363200000000L, lit(1))
+            .otherwise(lit(2)).as("side")),
+        "value", "side", binWidth = 10.0, nBins = 10, threshold = 0.2)
+    }),
+
     // Differentially-private aggregate release (Laplace mechanism,
     // Dwork et al. 2006) — the privacy-preserving statistics-release
     // step next to D2's hashing/redaction: per-group counts + Laplace
@@ -1053,6 +1068,32 @@ private[graft] object QueriesPipeline {
         |  max(value) AS high, min(value) AS low, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
         |FROM e GROUP BY user_id, h ORDER BY user_id, h""".stripMargin,
+
+    // PSI twin (q78): same fixed bins, same Laplace-smoothed shares,
+    // same 9-dp term rounding and bin-ordered fold.
+    "q78_psi_drift" ->
+      """WITH e AS (SELECT least(floor(value / 10.0), 9.0) AS binf,
+        |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS side
+        |  FROM events),
+        |obs AS (SELECT CAST(binf AS BIGINT) AS bin,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |    CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+        |  FROM e GROUP BY 1),
+        |spine AS (SELECT range AS bin FROM range(0, 10)),
+        |cells AS (SELECT s.bin, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2
+        |  FROM spine s LEFT JOIN obs ON s.bin = obs.bin),
+        |tot AS (SELECT CAST(sum(o1) AS BIGINT) AS n1, CAST(sum(o2) AS BIGINT) AS n2 FROM cells),
+        |terms AS (SELECT bin, o1, o2,
+        |    round(((CAST(o1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0)
+        |         - (CAST(o2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0))
+        |      * ln(((CAST(o1 AS DOUBLE) + 0.5) / (CAST(n1 AS DOUBLE) + 5.0))
+        |          / ((CAST(o2 AS DOUBLE) + 0.5) / (CAST(n2 AS DOUBLE) + 5.0))), 9) AS term
+        |  FROM cells CROSS JOIN tot),
+        |tp AS (SELECT round(list_reduce(list_prepend(0.0, list_transform(
+        |    list(struct_pack(bin := bin, term := term) ORDER BY bin),
+        |    x -> x.term)), (a, b) -> a + b), 9) AS psi FROM terms)
+        |SELECT bin, o1 AS o_base, o2 AS o_cand, term, psi, psi > 0.2 AS is_shift
+        |FROM terms CROSS JOIN tp ORDER BY bin""".stripMargin,
 
     // DP-release twin (q75): same md5 uniform, same inverse-CDF Laplace
     // branch, same rounding.

@@ -8,8 +8,8 @@ import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
-/** Similarity search (s01-s11), graph signals (g01-g04) and
-  * multimodal-column operators (m01-m06).
+/** Similarity search (s01-s11), graph signals (g01-g05) and
+  * multimodal-column operators (m01-m07).
   *
   * Extracted from the original single-file SparkEntry catalog; the
   * driver contract is unchanged — [[SparkEntry.queries]] and
@@ -58,6 +58,30 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+
+    // k-core membership over a ring+chord graph with a dense hub mesh
+    // (doc_id < n/10 forms a 6-regular sub-ring): raw degree alone
+    // cannot tell hubs from leaves here — every vertex has 4–6 edges —
+    // but peeling at k=5 cascades the leaf tier away and keeps exactly
+    // the mesh, the spoof-resistance argument in the Scaladoc as data.
+    // Converges in 2 effective peels at every sf (bound 8 is slack);
+    // the twin unrolls the same 8 layers, identity past the fixed point.
+    "g05_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val m = n / 10
+      val ring = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") + 1, lit(n)).as("dst"))
+      val chord = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+      val mesh = (1 to 3).map(j => docs.where(col("doc_id") < m)
+        .select(col("doc_id").as("src"), pmod(col("doc_id") + j, lit(m)).as("dst")))
+      val edges = (Seq(ring, chord) ++ mesh).reduce(_.unionByName(_))
+      analytics.Graph.kCore(edges, k = 5, maxRounds = 8)
+        .select(col("v").as("doc_id"), col("core_deg"), col("rounds"),
+          col("converged"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Similarity: brute-force cosine top-k (exact baseline).
     "s01_cosine_topk" -> ((s, dir) => {
@@ -434,6 +458,8 @@ private[graft] object QueriesSimGraph {
     "g01_pagerank" -> pageRankOracleSql(iters = 10, damping = 0.85),
 
     "g02_hits" -> hitsOracleSql(iters = 5),
+
+    "g05_kcore" -> kCoreOracleSql(k = 5, maxRounds = 8),
 
     "s09_mmr" -> mmrOracleSql(kCand = 10, kSelect = 3, lambda = 0.7),
 

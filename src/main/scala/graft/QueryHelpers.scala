@@ -505,6 +505,55 @@ private[graft] object QueryHelpers {
        |ORDER BY ne.probe_id""".stripMargin
   }
 
+  /** Full SQL twin of g05: the k-core peel unrolled as `maxRounds` CTE
+    * layers over the same ring+chord+hub-mesh graph — each layer keeps
+    * edges with both endpoints in the previous layer, recounts degrees,
+    * drops vertices under k. Layers past the fixed point are identity,
+    * so the unroll equals the operator's early-stopping driver loop
+    * exactly; `rounds` counts strictly-shrinking layers and `converged`
+    * compares the last two layer counts (sound because peeling only
+    * shrinks). All integer arithmetic — no rounding discipline needed.
+    */
+  private[graft] def kCoreOracleSql(k: Int, maxRounds: Int): String = {
+    val layers = (1 to maxRounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT v FROM (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT ue.a AS v FROM ue
+         |      JOIN s${i - 1} sa ON ue.a = sa.v JOIN s${i - 1} sb ON ue.b = sb.v
+         |    UNION ALL
+         |    SELECT ue.b FROM ue
+         |      JOIN s${i - 1} sa ON ue.a = sa.v JOIN s${i - 1} sb ON ue.b = sb.v)
+         |  GROUP BY v) WHERE d >= $k)""".stripMargin
+    }.mkString(",\n")
+    val counts = (0 to maxRounds)
+      .map(i => s"SELECT $i AS i, (SELECT count(*) FROM s$i) AS c")
+      .mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |mm AS (SELECT n // 10 AS m FROM nn),
+       |de AS (SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+       |  UNION ALL SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn) FROM documents
+       |  UNION ALL SELECT doc_id, (doc_id + 1) % (SELECT m FROM mm) FROM documents WHERE doc_id < (SELECT m FROM mm)
+       |  UNION ALL SELECT doc_id, (doc_id + 2) % (SELECT m FROM mm) FROM documents WHERE doc_id < (SELECT m FROM mm)
+       |  UNION ALL SELECT doc_id, (doc_id + 3) % (SELECT m FROM mm) FROM documents WHERE doc_id < (SELECT m FROM mm)),
+       |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM de WHERE src <> dst),
+       |s0 AS MATERIALIZED (SELECT a AS v FROM ue UNION SELECT b FROM ue),
+       |$layers,
+       |cnt AS ($counts),
+       |meta AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cnt x JOIN cnt y ON y.i = x.i + 1 WHERE y.c < x.c) AS rounds,
+       |  (SELECT c FROM cnt WHERE i = $maxRounds) = (SELECT c FROM cnt WHERE i = ${maxRounds - 1}) AS converged),
+       |fin AS (SELECT v, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |    SELECT ue.a AS v FROM ue
+       |      JOIN s$maxRounds sa ON ue.a = sa.v JOIN s$maxRounds sb ON ue.b = sb.v
+       |    UNION ALL
+       |    SELECT ue.b FROM ue
+       |      JOIN s$maxRounds sa ON ue.a = sa.v JOIN s$maxRounds sb ON ue.b = sb.v)
+       |  GROUP BY v)
+       |SELECT v AS doc_id, core_deg, rounds, converged FROM fin CROSS JOIN meta
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Full SQL twin of g01: the 10 PageRank iterations as a CTE chain —
     * same synthesized edges, same src-ordered contribution folds. The
     * teleport base is interpolated from the SAME Scala double

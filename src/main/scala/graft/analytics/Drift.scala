@@ -117,6 +117,56 @@ object Drift {
       .withColumn("is_drift", col("chi2") > lit(critical))
   }
 
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the industry-standard feature-drift score next to
+    * [[ksDrift]] (KS answers "did the distribution shift at all?"; PSI
+    * grades HOW MUCH, with conventional action thresholds 0.1/0.2):
+    * PSI = Σ over bins of (p₁ − p₂)·ln(p₁/p₂). Bins are fixed-width
+    * with a single overflow bin (`least(floor(v/w), nBins−1)`), and
+    * shares are Laplace-smoothed ((o + ½)/(n + ½·B)) so an empty bin
+    * contributes a finite term instead of ±∞ — the smoothing is part
+    * of the declared semantics, shared by the oracle twin.
+    *
+    * Numeric portability: counts are exact integers; each bin's term
+    * is one double chain with the ln product rounded at 9 dp, and the
+    * total folds in bin order over the rounded terms (the q69
+    * convention that makes double addition order-free across engines).
+    *
+    * Scale: ONE shuffle to per-bin side counts; the bin spine is a
+    * `nBins`-row literal range, the totals a 1-row broadcast — nothing
+    * else moves. The per-bin rows ARE the output (the drill-down a
+    * monitoring dashboard shows), with the folded total and the flag
+    * broadcast back onto them.
+    */
+  def psi(df: DataFrame, valueCol: String, sideCol: String,
+      binWidth: Double, nBins: Int, threshold: Double): DataFrame = {
+    val halfB = 0.5 * nBins
+    val bin = least(floor(col(valueCol) / lit(binWidth)), lit((nBins - 1).toDouble))
+      .cast("long")
+    val obs = df.select(bin.as("bin"), col(sideCol).as("side"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("o2"))
+    val spine = df.sparkSession.range(0, nBins).select(col("id").as("bin"))
+    val cells = spine.join(obs, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("o1"), lit(0L)).as("o1"),
+        coalesce(col("o2"), lit(0L)).as("o2"))
+    val tot = cells.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    val p1 = (col("o1").cast(DoubleType) + 0.5) / (col("n1").cast(DoubleType) + halfB)
+    val p2 = (col("o2").cast(DoubleType) + 0.5) / (col("n2").cast(DoubleType) + halfB)
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("o1"), col("o2"),
+        round((p1 - p2) * log(p1 / p2), 9).as("term"))
+    val total = terms
+      .agg(collect_list(struct(col("bin"), col("term"))).as("ts"))
+      .select(round(aggregate(transform(array_sort(col("ts")),
+        x => x.getField("term")), lit(0.0), (a, x) => a + x), 9).as("psi"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("o1").as("o_base"), col("o2").as("o_cand"),
+        col("term"), col("psi"), (col("psi") > lit(threshold)).as("is_shift"))
+      .orderBy(col("bin"))
+  }
+
   /** `sideCol` must be 1 (baseline) or 2 (candidate); groups missing a
     * side entirely are dropped (no ECDF to compare). `d_at` is the
     * smallest value attaining D — deterministic under ties.

@@ -211,6 +211,73 @@ object Graph {
     out
   }
 
+  /** k-core decomposition (fixed k): iteratively peel vertices whose
+    * INDUCED degree falls below `k` until the set is stable — the
+    * dense-subgraph membership signal next to [[triangleCounts]]' local
+    * closure score (link farms and citation rings live in high cores;
+    * long-tail leaf pages never do, whatever their raw degree — raw
+    * degree is spoofable by pointing MANY leaves at a page, core
+    * membership is not, because the leaves themselves get peeled).
+    *
+    * Peeling is the textbook fixed-point (Seidman 1983; the Pregel/
+    * GraphX formulation): each round keeps edges whose BOTH endpoints
+    * are alive, recounts degrees, drops vertices under k. All integer
+    * arithmetic — nothing to round, the cross-engine twin replays the
+    * rounds as an unrolled CTE chain.
+    *
+    * Scale shape per round: two semi-join-shaped equi-joins of the
+    * (persisted, canonical) edge list with the alive set and ONE
+    * count aggregation — no all-pairs term; at 100 TB the edge list is
+    * the bucketed artifact, the alive vector the small side. The loop
+    * is driver-coordinated with control-sized state only (one count per
+    * round, the pageRank discipline); rounds are bounded by `maxRounds`
+    * (peeling depth, typically O(log n) on web-shaped graphs) with the
+    * honest `converged` flag in the output when the bound bites first.
+    * Monotone shrinkage makes count-equality a sound fixed-point test.
+    *
+    * Output: one row per core member `(v, core_deg)` (degree within the
+    * final core) plus the constant `rounds` (peels that removed at
+    * least one vertex) and `converged` columns.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def induced(alive: DataFrame): DataFrame = ue
+      .join(alive.withColumnRenamed("v", "a"), Seq("a"))
+      .join(alive.withColumnRenamed("v", "b"), Seq("b"))
+    def degrees(ind: DataFrame): DataFrame = ind
+      .select(col("a").as("v")).unionAll(ind.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    var alive = ue.select(col("a").as("v"))
+      .unionAll(ue.select(col("b").as("v"))).distinct()
+      .localCheckpoint(eager = false)
+    var prev = alive.count()
+    var rounds = 0
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      iter += 1
+      val next = degrees(induced(alive)).where(col("d") >= k)
+        .select(col("v")).localCheckpoint(eager = false)
+      val c = next.count()
+      if (c == prev) converged = true
+      else { rounds += 1; prev = c; alive = next }
+    }
+    // final induced degrees; inner join drops a (non-converged-only)
+    // edge-free survivor identically to the twin
+    val out = alive.join(degrees(induced(alive)), Seq("v"))
+      .select(col("v"), col("d").as("core_deg"),
+        lit(rounds.toLong).as("rounds"), lit(converged).as("converged"))
+      .localCheckpoint(eager = false)
+    out.count()
+    ue.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vertex triangle counts — the local clustering signal (link-farm
     * and spam-ring detection sit on it: organic link neighborhoods close
     * triangles, generated ones don't) next to [[pageRank]]/[[hits]]'s

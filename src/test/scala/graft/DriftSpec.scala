@@ -116,6 +116,40 @@ class DriftSpec extends SparkSpec {
     assert(r.getBoolean(2), "a vanished category IS the strongest drift signal")
   }
 
+  test("PSI: identical mixes score exactly zero; a full shift trips 0.2 hard") {
+    val same = (0 until 200).flatMap(i =>
+      Seq(((i % 10) * 10.0 + 5.0, 1), ((i % 10) * 10.0 + 5.0, 2)))
+      .toDF("v", "s")
+    val r0 = Drift.psi(same, "v", "s", binWidth = 10.0, nBins = 10,
+      threshold = 0.2).collect()
+    assert(r0.length == 10, "the literal spine must emit every bin")
+    assert(r0.forall(_.getDouble(3) == 0.0) && r0.forall(_.getDouble(4) == 0.0))
+    assert(r0.forall(!_.getBoolean(5)))
+    // all of side 1 in bin 0, all of side 2 in bin 9
+    val shifted = ((0 until 100).map(_ => (5.0, 1)) ++
+      (0 until 100).map(_ => (95.0, 2))).toDF("v", "s")
+    val r1 = Drift.psi(shifted, "v", "s", 10.0, 10, 0.2).collect()
+    // driver replay with the same smoothing and rounding
+    def term(o1: Long, o2: Long): Double = {
+      val p1 = (o1 + 0.5) / 105.0; val p2 = (o2 + 0.5) / 105.0
+      BigDecimal((p1 - p2) * math.log(p1 / p2))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = BigDecimal(term(100, 0) + term(0, 100) + 8 * term(0, 0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1.head.getDouble(4) == expected,
+      s"psi ${r1.head.getDouble(4)} vs replay $expected")
+    assert(r1.head.getBoolean(5), "a disjoint-bin shift must trip the gate")
+  }
+
+  test("PSI: values past the last edge clamp into the overflow bin") {
+    val df = Seq((490.0, 1), (490.0, 2), (5.0, 1), (5.0, 2)).toDF("v", "s")
+    val r = Drift.psi(df, "v", "s", 10.0, 10, 0.2).collect()
+    val byBin = r.map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(byBin(9L) == ((1L, 1L)), "490 must land in bin 9, not bin 49")
+    assert(byBin(0L) == ((1L, 1L)))
+  }
+
   test("q70 Benford: TPC-H prices fail the gate; true Benford data passes") {
     val out = SparkEntry.queries("q70_benford")(spark, "/root/testdata/sf0.001")
       .collect().head

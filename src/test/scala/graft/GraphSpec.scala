@@ -204,4 +204,58 @@ class GraphSpec extends SparkSpec {
     }
     assert(got === expected.toMap)
   }
+
+  test("kCore: a path graph peels one endpoint pair per round to empty") {
+    // path 0-1-…-9, k=2: only endpoints fall below k each round, so the
+    // cascade runs 5 full rounds — the multi-round loop, exercised
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Graph.kCore(path, k = 2, maxRounds = 16).collect()
+    assert(r.isEmpty, s"a path has no 2-core, got ${r.length} rows")
+    // the flags live on the (empty) output — re-run keeping one row via
+    // a triangle welded to the path end to observe them
+    val welded = path.unionByName(Seq((9L, 10L), (10L, 11L), (11L, 9L))
+      .toDF("src", "dst"))
+    val w = Graph.kCore(welded, k = 2, maxRounds = 16).collect()
+    assert(w.map(_.getLong(0)).sorted.toSeq == Seq(9L, 10L, 11L),
+      "the welded triangle is the whole 2-core")
+    assert(w.forall(_.getLong(1) == 2L), "each triangle corner has core degree 2")
+    // the triangle anchors vertex 9, so the tail has ONE loose end and
+    // peels a single vertex per round — the deepest possible cascade
+    assert(w.head.getLong(2) == 9L,
+      s"anchored tail 0-1…-8 peels one vertex per round (9), got ${w.head.getLong(2)}")
+    assert(w.head.getBoolean(3), "the peel must report convergence")
+  }
+
+  test("kCore: maxRounds bound bites honestly — converged=false, partial peel") {
+    // triangle 0-1-2 with tail 2-3-4, k=2: full peel takes 2 rounds
+    // (4 then 3); capped at 1 round the tail vertex 3 survives and the
+    // flag says so
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val full = Graph.kCore(g, k = 2, maxRounds = 8).collect()
+    assert(full.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(full.head.getLong(2) == 2L && full.head.getBoolean(3))
+    val capped = Graph.kCore(g, k = 2, maxRounds = 1).collect()
+    assert(capped.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      "one round only removes vertex 4")
+    assert(!capped.head.getBoolean(3), "a bitten bound must NOT claim convergence")
+    assert(capped.head.getLong(2) == 1L)
+  }
+
+  test("kCore: deterministic and degree-spoof-resistant") {
+    // a clique of 5 (the real dense subgraph) vs a spoofed hub: vertex
+    // 100 with TEN leaf in-links has raw degree 10 — twice the clique
+    // degree — but no 3-core membership, while every clique member is in
+    val clique = (for (i <- 0L until 5L; j <- i + 1 until 5L) yield (i, j))
+      .toDF("src", "dst")
+    val spoof = (0L until 10L).map(l => (200L + l, 100L)).toDF("src", "dst")
+    val g = clique.unionByName(spoof)
+    def run() = Graph.kCore(g, k = 3, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(got.keySet == (0L until 5L).toSet,
+      s"the 3-core is exactly the clique, not the raw-degree hub: $got")
+    assert(got.values.toSet == Set(4L))
+    assert(got === run(), "bit-deterministic across runs")
+  }
 }
