@@ -550,6 +550,51 @@ private[graft] object QueriesPipeline {
         "value", "side", binWidth = 10.0, nBins = 10, threshold = 0.2)
     }),
 
+    // Mergeable-sketch rollup (DataSketches HLL via Spark's native
+    // hll_sketch_agg/hll_union_agg): cumulative distinct event_ids per
+    // day computed by UNIONING per-day sketches — the incremental
+    // pattern that makes 100 TB distinct-counting tractable: each new
+    // day sketches ONLY its own rows (one pass), and any rollup window
+    // is a register-wise merge of stored kilobyte sketches, never a
+    // rescan of raw history. The exact cumulative count rides along as
+    // the verification exhibit (and IS the rescan the sketch path
+    // replaces — q48's delta-aggregation argument, applied to the one
+    // aggregate deltas can't update: COUNT DISTINCT isn't subtractable,
+    // but its sketch is mergeable). Oracle contract is the q30 sketch
+    // pattern: exact counts hash-matched, the ≤3% relative-error flag
+    // asserted TRUE. The margin is deliberately loose for lgK=14
+    // (~0.4% streaming RSE) because merging KILLS the HIP estimator:
+    // a unioned sketch answers with the composite estimator, whose
+    // error is several× HIP's — and since hll_sketch_agg's own partial
+    // aggregation merges across partitions, the estimate shifts with
+    // partition layout (measured: a 2%-bound flag flipped between
+    // local[4] and local[8] at lgK=12). The flag must hold under ANY
+    // partitioning; SketchesSpec pins that plus the error bound at
+    // 200k cardinality.
+    "q79_hll_rollup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventTime.epochMicros(ev)
+      val ed = ev.select(
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long").as("day"),
+        col("event_id"))
+      val daily = ed.groupBy(col("day"))
+        .agg(hll_sketch_agg(col("event_id"), lit(14)).as("sk"))
+      val cum = daily.select(col("day").as("d"), col("sk"))
+        .join(daily.select(col("day")), col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+      val exact = ed.select(col("day").as("d"), col("event_id"))
+        .join(daily.select(col("day")), col("d") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("event_id")).as("exact_n"))
+      exact.join(cum, Seq("day"))
+        .select(col("day"), col("exact_n"),
+          (abs(col("est").cast("double") - col("exact_n").cast("double")) <=
+            lit(0.03) * col("exact_n").cast("double")).as("err_ok"))
+        .orderBy(col("day"))
+    }),
+
     // Differentially-private aggregate release (Laplace mechanism,
     // Dwork et al. 2006) — the privacy-preserving statistics-release
     // step next to D2's hashing/redaction: per-group counts + Laplace
@@ -1068,6 +1113,17 @@ private[graft] object QueriesPipeline {
         |  max(value) AS high, min(value) AS low, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
         |FROM e GROUP BY user_id, h ORDER BY user_id, h""".stripMargin,
+
+    // Sketch-rollup twin (q79): the q30 sketch contract — DuckDB replays
+    // the exact cumulative distinct (the very rescan the sketch path
+    // replaces) and asserts the error flag TRUE.
+    "q79_hll_rollup" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS eday, event_id FROM events),
+        |days AS (SELECT DISTINCT eday AS day FROM e)
+        |SELECT d.day, CAST(count(DISTINCT e.event_id) AS BIGINT) AS exact_n,
+        |  TRUE AS err_ok
+        |FROM days d JOIN e ON e.eday <= d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
 
     // PSI twin (q78): same fixed bins, same Laplace-smoothed shares,
     // same 9-dp term rounding and bin-ordered fold.

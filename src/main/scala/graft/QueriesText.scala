@@ -339,6 +339,17 @@ private[graft] object QueriesText {
     "t25_pmi_phrases" -> ((s, dir) =>
       TextAnalysis.pmiBigrams(t(s, dir, "documents"), minCount = 5L, k = 20)),
 
+    // BLEU-style clipped bigram-precision contamination score against
+    // d13's benchmark slice (doc_id < 20): the GRADED decontamination
+    // signal — near-dups of benchmark docs score near 1, docs sharing
+    // only common word pairs score low. Per-reference clipping (max
+    // count within any single benchmark doc) stops credit-farming by
+    // repetition; threshold 0.5.
+    "t26_ngram_overlap" -> ((s, dir) =>
+      TextAnalysis.ngramContamination(t(s, dir, "documents"),
+          t(s, dir, "documents").where(col("doc_id") < 20), threshold = 0.5)
+        .orderBy(col("doc_id"))),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -489,6 +500,29 @@ private[graft] object QueriesText {
          |FROM c2 JOIN cp USING (prev) JOIN cc USING (cur) CROSS JOIN nb
          |WHERE c2 >= 5
          |ORDER BY pmi DESC, prev, cur LIMIT 20""".stripMargin),
+
+    // Contamination twin (t26): same bigram counts, same per-reference
+    // clip, same single rounded ratio.
+    "t26_ngram_overlap" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |bg AS (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS g
+         |  FROM tok, UNNEST(range(len(ws) - 1)) AS u(i) WHERE len(ws) >= 2),
+         |bc AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM bg GROUP BY doc_id, g),
+         |clip AS (SELECT g, max(c) AS clip FROM bc WHERE doc_id < 20 GROUP BY g),
+         |m AS (SELECT doc_id, CAST(sum(least(c, clip)) AS BIGINT) AS cm
+         |  FROM bc JOIN clip USING (g) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb FROM bc GROUP BY doc_id),
+         |f AS (SELECT d.doc_id, coalesce(tot.nb, 0) AS n_bigrams,
+         |    coalesce(m.cm, 0) AS clipped_matches,
+         |    CASE WHEN coalesce(tot.nb, 0) = 0 THEN NULL
+         |         ELSE round(CAST(coalesce(m.cm, 0) AS DOUBLE) / CAST(tot.nb AS DOUBLE), 9)
+         |    END AS overlap
+         |  FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |  LEFT JOIN m ON d.doc_id = m.doc_id)
+         |SELECT doc_id, n_bigrams, clipped_matches, overlap,
+         |  coalesce(overlap >= 0.5, FALSE) AS contaminated
+         |FROM f ORDER BY doc_id""".stripMargin),
 
     // Entropy twin (t24): same frequency-level collapse, same ordered
     // fold, same single divisions.

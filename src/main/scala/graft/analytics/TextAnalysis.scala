@@ -663,4 +663,51 @@ object TextAnalysis {
       aggregate(toks, lit(0L), (acc, w) => acc + syllables(w)))
   def fleschReadingEase(text: Column): Column =
     fleschReadingEaseFromTokens(text, tokens(text))
+
+  /** BLEU-style clipped bigram-precision contamination score against a
+    * benchmark set — the GRADED complement of d13's binary shingle-hit
+    * flag (the modified n-gram precision of Papineni et al. 2002,
+    * applied to eval-set decontamination): per candidate doc,
+    * overlap = Σ_g min(count_doc(g), clip(g)) / n_bigrams(doc), with
+    * clip(g) = the MAX count of bigram g within any single benchmark
+    * doc (BLEU's per-reference clipping — a doc can't farm credit by
+    * repeating one shared bigram). A doc quoting a benchmark passage
+    * scores near 1; one sharing only ubiquitous word pairs scores low,
+    * so a pipeline tunes a removal threshold instead of a hard gate.
+    *
+    * Scale: candidate bigram counts are ONE (doc, gram) shuffle; the
+    * clip table is benchmark-sized (eval sets are tiny by definition)
+    * and BROADCAST into the match join — no corpus×corpus term. All
+    * counts are exact integers; the only float is the final ratio
+    * (round 9), so the twin needs no fold discipline.
+    */
+  def ngramContamination(docs: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    def bigramCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Par.spreadForCpu(df)
+        .select(col(idCol), tokens(col(textCol)).as("ws"))
+        .where(size(col("ws")) >= 2)
+        .select(col(idCol),
+          explode(transform(sequence(lit(0), size(col("ws")) - 2),
+            i => concat(element_at(col("ws"), i + 1), lit(" "),
+              element_at(col("ws"), i + 2)))).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val docBg = bigramCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clip = bigramCounts(bench).groupBy(col("g")).agg(max(col("c")).as("clip"))
+    val matches = docBg.join(broadcast(clip), Seq("g"))
+      .groupBy(col(idCol)).agg(sum(least(col("c"), col("clip"))).as("cm"))
+    val totals = docBg.groupBy(col(idCol)).agg(sum(col("c")).as("nb"))
+    val overlap = when(coalesce(col("nb"), lit(0L)) === 0,
+        lit(null).cast(DoubleType))
+      .otherwise(round(coalesce(col("cm"), lit(0L)).cast(DoubleType) /
+        col("nb").cast(DoubleType), 9))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left").join(matches, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("cm"), lit(0L)).as("clipped_matches"),
+        overlap.as("overlap"),
+        coalesce(overlap >= threshold, lit(false)).as("contaminated"))
+  }
 }

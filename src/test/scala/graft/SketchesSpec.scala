@@ -133,4 +133,28 @@ class SketchesSpec extends SparkSpec {
       .map(c => c -> (s1.getOrElse(c, 0L) + s2.getOrElse(c, 0L))).toMap
     assert(merged === whole, "cell-wise shard sum must equal the one-pass sketch")
   }
+
+  test("HLL: q79's 3% bound holds at 200k cardinality under any partitioning") {
+    // the q79 contract: a unioned sketch answers with the COMPOSITE
+    // estimator (merging kills HIP), and hll_sketch_agg's partial
+    // aggregation already merges across partitions — so the estimate
+    // is partition-dependent and only the BOUND is assertable
+    val n = 200000L
+    for (parts <- Seq(2, 31)) {
+      val ids = spark.range(n).toDF("id").repartition(parts)
+      val direct = ids.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("id"), lit(14))).as("est"))
+        .collect().head.getLong(0)
+      assert(math.abs(direct - n).toDouble / n <= 0.03,
+        s"direct estimate $direct off by >3% of $n at $parts partitions")
+      // union-of-10-shards path (the rollup shape): same bound
+      val merged = ids.withColumn("shard", pmod(col("id"), lit(10)))
+        .groupBy(col("shard")).agg(hll_sketch_agg(col("id"), lit(14)).as("sk"))
+        .agg(hll_sketch_estimate(
+          hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+        .collect().head.getLong(0)
+      assert(math.abs(merged - n).toDouble / n <= 0.03,
+        s"merged estimate $merged off by >3% of $n at $parts partitions")
+    }
+  }
 }

@@ -446,4 +446,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cd._4 == r9(math.log(1.5)), s"${cd._4} vs ln 1.5")
     assert(out.forall(_._4 <= out.head._4), "total order by pmi desc")
   }
+
+  test("t26 ngramContamination: hand-computed clipped precision") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),       // the benchmark doc itself
+      (1L, "the cat sat on the mat"),       // verbatim copy → 1.0
+      (2L, "the cat the cat the cat"),      // repeats ONE shared bigram
+      (3L, "dogs bark loudly"),             // disjoint → 0.0
+      (4L, "hello")                         // <2 tokens → null score
+    ).toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") === 0)
+    val got = graft.analytics.TextAnalysis
+      .ngramContamination(docs, bench, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    assert(got(0) == ((0L, 5L, 5L, Some(1.0), true)))
+    assert(got(1) == ((1L, 5L, 5L, Some(1.0), true)))
+    // "the cat"×3 clips to the benchmark's single occurrence: 1/5, not 3/5
+    assert(got(2) == ((2L, 5L, 1L, Some(0.2), false)),
+      s"clipping must stop repetition credit-farming: ${got(2)}")
+    assert(got(3) == ((3L, 2L, 0L, Some(0.0), false)))
+    assert(got(4) == ((4L, 0L, 0L, None, false)))
+  }
 }
