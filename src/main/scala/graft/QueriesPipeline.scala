@@ -595,6 +595,42 @@ private[graft] object QueriesPipeline {
         .orderBy(col("day"))
     }),
 
+    // Seasonal-baseline anomaly detection: per (event_type, hour-of-day)
+    // mean/std baseline, then a 3σ flag pass — the calendar-aware
+    // monitor q50's EWMA and q66's CUSUM don't give (a 3am spike is
+    // anomalous against the 3am baseline, not the daily mean). Moments
+    // come from EXACT decimal Σv/Σv² (aggregation-order-free — the one
+    // way cross-engine stddev can hash-match; engine-native stddev_samp
+    // accumulates doubles in partition order), converted to double at a
+    // defined point, variance/std rounded at 9. Scale: one scan for the
+    // baseline (a ≤ types×24-row table), one flag pass with the
+    // baseline BROADCAST back — no window over raw rows, no second
+    // shuffle; the n/mean/std ride the group-by keys so the flag
+    // aggregation reuses the same partial-agg shape.
+    "q80_seasonal_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventTime.epochMicros(ev)
+      val hod = pmod(((us - pmod(us, lit(3600000000L))) / lit(3600000000L))
+        .cast("long"), lit(24L))
+      val base = ev.select(col("event_type"), hod.as("hod"), col("value"))
+      val stats = base.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"), 18, 6)).as("svd"),
+          sum(dec(col("value"), 18, 6) * dec(col("value"), 18, 6)).as("sv2d"))
+        .select(col("event_type"), col("hod"), col("n"),
+          col("svd").cast("double").as("sv"), col("sv2d").cast("double").as("sv2"))
+        .select(col("event_type"), col("hod"), col("n"),
+          round(col("sv") / col("n"), 9).as("mean"),
+          round(sqrt(greatest(
+            round((col("sv2") - col("sv") * col("sv") / col("n")) /
+              (col("n") - 1), 9), lit(0.0))), 9).as("std"))
+      base.join(broadcast(stats), Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"), col("n"), col("mean"), col("std"))
+        .agg(sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"),
+          1L).otherwise(0L)).as("n_anom"))
+        .orderBy(col("event_type"), col("hod"))
+    }),
+
     // Differentially-private aggregate release (Laplace mechanism,
     // Dwork et al. 2006) — the privacy-preserving statistics-release
     // step next to D2's hashing/redaction: per-group counts + Laplace
@@ -1113,6 +1149,24 @@ private[graft] object QueriesPipeline {
         |  max(value) AS high, min(value) AS low, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
         |FROM e GROUP BY user_id, h ORDER BY user_id, h""".stripMargin,
+
+    // Seasonal-anomaly twin (q80): same exact-decimal moments, same
+    // rounded variance chain, same 3σ compare.
+    "q80_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod, value FROM events),
+        |st AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv2
+        |  FROM e GROUP BY event_type, hod),
+        |b AS (SELECT event_type, hod, n, round(sv / n, 9) AS mean,
+        |    round(sqrt(greatest(round((sv2 - sv * sv / n) / (n - 1), 9), 0.0)), 9) AS std
+        |  FROM st)
+        |SELECT b.event_type, b.hod, b.n, b.mean, b.std,
+        |  CAST(sum(CASE WHEN abs(e.value - b.mean) > 3.0 * b.std THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM e JOIN b USING (event_type, hod)
+        |GROUP BY b.event_type, b.hod, b.n, b.mean, b.std
+        |ORDER BY b.event_type, b.hod""".stripMargin,
 
     // Sketch-rollup twin (q79): the q30 sketch contract — DuckDB replays
     // the exact cumulative distinct (the very rescan the sketch path

@@ -482,6 +482,69 @@ object ScaleSmoke {
       run("tfidf_uncapped")(tfidfPairs(capped = false))
     else declaredOps += "tfidf_uncapped"
 
+    // k-core (g05) at blowup: each peel round is two alive-semijoins +
+    // one degree count over the persisted canonical edge list; the graph
+    // (ring+chord+hub-mesh) scales with the doc count and the peel depth
+    // is shape-bound (2 effective rounds at every n) — total cost must
+    // track edges near-linearly.
+    run("kcore") {
+      val n = docs.count()
+      val m = n / 10
+      val ids = docs.select(col("doc_id"))
+      val ring = ids.select(col("doc_id").as("src"),
+        pmod(col("doc_id") + 1, lit(n)).as("dst"))
+      val chord = ids.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+      val mesh = (1 to 3).map(j => ids.where(col("doc_id") < m)
+        .select(col("doc_id").as("src"), pmod(col("doc_id") + j, lit(m)).as("dst")))
+      graft.analytics.Graph.kCore(
+        (Seq(ring, chord) ++ mesh).reduce(_.unionByName(_)), k = 5, maxRounds = 8)
+    }
+
+    // Sketch rollup (q79) vs the exact rescan it replaces, at blowup:
+    // the sketch path sketches each day ONCE (one linear scan) and then
+    // merges day×day/2 kilobyte sketches — corpus-size-independent
+    // merge cost; the exact path re-joins every raw row into every
+    // later day, a ~days/2× row fan-out that grows with the corpus.
+    // The recorded gap IS the mergeable-sketch argument as a number.
+    val events0 = spark.read.parquet(s"$sfDir/events.parquet")
+    lazy val eventsBlown = {
+      val evShift = events0.agg(max(col("event_id"))).head.getLong(0) + 1L
+      (0 until mult).map(i =>
+        events0.withColumn("event_id", col("event_id") + lit(i * evShift)))
+        .reduce(_ union _)
+    }
+    def hllRollup(sketch: Boolean): DataFrame = {
+      val ev = eventsBlown
+      val us = EventTime.epochMicros(ev)
+      val ed = ev.select(
+        ((us - pmod(us, lit(86400000000L))) / lit(86400000000L)).cast("long").as("day"),
+        col("event_id"))
+      if (sketch) {
+        val daily = ed.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("event_id"), lit(14)).as("sk"))
+        daily.select(col("day").as("d"), col("sk"))
+          .join(daily.select(col("day")), col("d") <= col("day"))
+          .groupBy(col("day"))
+          .agg(hll_sketch_estimate(
+            hll_union_agg(col("sk"), allowDifferentLgConfigK = false)).as("est"))
+      } else
+        ed.select(col("day").as("d"), col("event_id"))
+          .join(ed.select(col("day")).distinct(), col("d") <= col("day"))
+          .groupBy(col("day"))
+          .agg(count_distinct(col("event_id")).as("exact_n"))
+    }
+    run("hll_rollup_sketch")(hllRollup(sketch = true))
+    run("hll_rollup_exact")(hllRollup(sketch = false))
+
+    // Contamination score (t26) at blowup: candidate bigram counts are
+    // one (doc, gram) shuffle tracking the corpus; the clip table stays
+    // pinned to the 20 ORIGINAL benchmark docs and broadcasts — cost
+    // must stay linear in docs and immune to the benchmark side.
+    run("ngram_overlap")(
+      graft.analytics.TextAnalysis.ngramContamination(docs,
+        docs.where(col("doc_id") < 20), threshold = 0.5))
+
     // Count-min sketch (q74) at blowup: the counter matrix is d·w cells
     // REGARDLESS of corpus size — cost must track the d× fan-out scan
     // (linear in rows), and the probe join touches a constant-size

@@ -155,6 +155,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial aggregation of min_by, plan:\n$p")
   }
 
+  test("q80: the 3-sigma flag pass joins the baseline by BROADCAST — no row shuffle") {
+    val p = SparkEntry.queries("q80_seasonal_anomaly")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the types×24 baseline must broadcast back onto the scan, plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here would shuffle every raw row, plan:\n$p")
+  }
+
   test("d04: the signature table is served from cache in every consuming branch") {
     // the round-2 1824s regression was exactly this persist missing: four
     // plan branches each re-running tokenize→shingle→minhash. The executed
