@@ -952,6 +952,17 @@ private[graft] object QueriesPipeline {
         .orderBy(col("n_pairs").desc, col("p1"), col("p2"))),
 
 
+    // Directed association rules on top of q61's frequent pairs:
+    // confidence(A→B) = n_pairs/s(A) at min 0.5, both orientations of
+    // every pair considered — the market-basket recommendation step
+    // (confidence is directional where lift is symmetric). Mining cost
+    // is q61's; the rule step adds only a projection.
+    "q81_assoc_rules" -> ((s, dir) =>
+      analytics.Itemsets.associationRules(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minItemSupport = 8, minPairSupport = 2,
+          minConfidence = 0.5)
+        .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))),
+
     // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
     // the first and second half of the month (epoch-µs cut at 2024-01-16
     // UTC, dtype-robust via EventTime). Same generator both halves, so
@@ -1468,6 +1479,32 @@ private[graft] object QueriesPipeline {
         |FROM pairs CROSS JOIN ntx
         |ORDER BY n_pairs DESC, p1, p2""".stripMargin,
 
+
+    // Rules twin (q81): q61's pair CTE, both orientations, the same
+    // single confidence division.
+    "q81_assoc_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ntx AS (SELECT count(DISTINCT o) AS n_tx FROM items),
+        |sup AS (SELECT p, count(*) AS s FROM items GROUP BY p),
+        |pruned AS (SELECT o, items.p, s FROM items JOIN sup USING (p) WHERE s >= 8),
+        |pairs AS (SELECT a.p AS p1, b.p AS p2, a.s AS s1, b.s AS s2,
+        |    count(*) AS n_pairs
+        |  FROM pruned a JOIN pruned b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY p1, p2, s1, s2 HAVING count(*) >= 2),
+        |pl AS (SELECT p1, p2, n_pairs, s1, s2,
+        |    CAST(n_pairs * n_tx AS DOUBLE) / CAST(s1 * s2 AS DOUBLE) AS lift
+        |  FROM pairs CROSS JOIN ntx),
+        |rules AS (
+        |  SELECT p1 AS antecedent, p2 AS consequent, n_pairs,
+        |    s1 AS s_ante, s2 AS s_cons, lift FROM pl
+        |  UNION ALL
+        |  SELECT p2, p1, n_pairs, s2, s1, lift FROM pl)
+        |SELECT antecedent, consequent, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(s_ante AS BIGINT) AS s_ante, CAST(s_cons AS BIGINT) AS s_cons, lift,
+        |  CAST(n_pairs AS DOUBLE) / CAST(s_ante AS DOUBLE) AS confidence
+        |FROM rules
+        |WHERE CAST(n_pairs AS DOUBLE) / CAST(s_ante AS DOUBLE) >= 0.5
+        |ORDER BY confidence DESC, antecedent, consequent""".stripMargin,
 
     // KS twin (q60): the ECDF as one per-type window (types are small in
     // the oracle), identical integer counts and double divisions.

@@ -54,4 +54,30 @@ object Itemsets {
     pruned.unpersist(blocking = false)
     out
   }
+
+  /** Directed association rules from [[frequentPairs]]: every frequent
+    * pair yields both orientations, confidence(A→B) = n_pairs/s(A),
+    * gated at `minConfidence` — the recommendation/market-basket step on
+    * top of the symmetric co-occurrence counts (confidence is the
+    * DIRECTED signal lift can't give: bread→brand-X butter can be
+    * near-certain while the reverse is weak, same lift both ways).
+    *
+    * Scale: a projection + filter over the pair table — the mining cost
+    * IS [[frequentPairs]]; no new shuffle. Confidence and lift are
+    * single double divisions of exact integer counts (bit-identical
+    * cross-engine, no rounding discipline needed).
+    */
+  def associationRules(tx: DataFrame, txCol: String, itemCol: String,
+      minItemSupport: Long, minPairSupport: Long,
+      minConfidence: Double): DataFrame = {
+    val pairs = frequentPairs(tx, txCol, itemCol, minItemSupport, minPairSupport)
+    val fwd = pairs.select(col("p1").as("antecedent"), col("p2").as("consequent"),
+      col("n_pairs"), col("s1").as("s_ante"), col("s2").as("s_cons"), col("lift"))
+    val rev = pairs.select(col("p2").as("antecedent"), col("p1").as("consequent"),
+      col("n_pairs"), col("s2").as("s_ante"), col("s1").as("s_cons"), col("lift"))
+    fwd.unionByName(rev)
+      .withColumn("confidence",
+        col("n_pairs").cast("double") / col("s_ante").cast("double"))
+      .where(col("confidence") >= minConfidence)
+  }
 }

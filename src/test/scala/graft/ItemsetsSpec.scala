@@ -45,4 +45,23 @@ class ItemsetsSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1), "canonical pair order")
     }
   }
+
+  test("associationRules: confidence is directional where lift is not") {
+    // A in baskets {1,2,3,4}, B in {1,2} → conf(A→B)=0.5, conf(B→A)=1.0,
+    // lift = 2·4/(4·2) = 1.0 BOTH ways; a 0.6 gate keeps only B→A
+    val tx = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"),
+      (1L, "B"), (2L, "B")).toDF("o", "p")
+    val got = graft.analytics.Itemsets.associationRules(
+        tx, "o", "p", minItemSupport = 2, minPairSupport = 2,
+        minConfidence = 0.6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(("B", "A", 2L, 2L, 4L, 1.0, 1.0)),
+      s"only the certain direction survives the gate: ${got.toSeq}")
+    // ungated: both directions present with the same lift
+    val all = graft.analytics.Itemsets.associationRules(
+        tx, "o", "p", 2, 2, minConfidence = 0.0)
+      .collect().map(r => (r.getString(0), r.getDouble(6))).toMap
+    assert(all == Map("A" -> 0.5, "B" -> 1.0))
+  }
 }
