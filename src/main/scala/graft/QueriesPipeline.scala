@@ -963,6 +963,37 @@ private[graft] object QueriesPipeline {
           minConfidence = 0.5)
         .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))),
 
+    // Last-touch conversion attribution: each purchase credits the most
+    // recent click/view of the same user within a 3-day window, else
+    // 'organic' — the marketing-analytics staple built ON the as-of
+    // join operator (B3): attribution IS a point-in-time lookup, so the
+    // O(|L|+|R|) union+window shape does the work with ONE key shuffle
+    // and no range-join blowup. Same-timestamp touches pre-aggregate to
+    // the (event_id, type)-max row (leftAsOf's declared tie contract);
+    // revenue sums in exact decimal.
+    "q82_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val ee = e.select(col("user_id"), us.as("tsu"), col("event_type"),
+        col("event_id"), col("value"))
+      val conv = ee.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"), col("value"))
+      val touches = ee.where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("tsu"),
+          col("m").getField("event_type").as("ch"), col("tsu").as("tts"))
+      val j = operators.AsOfJoin.leftAsOf(conv, touches, Seq("user_id"), "tsu", "t_")
+      val channel = when(col("t_tts").isNotNull &&
+          col("tsu") - col("t_tts") <= lit(259200000000L), col("t_ch"))
+        .otherwise(lit("organic"))
+      j.select(channel.as("channel"), col("value"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(dec(col("value"), 18, 6)).cast("double").as("total_value"))
+        .orderBy(col("channel"))
+    }),
+
     // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
     // the first and second half of the month (epoch-µs cut at 2024-01-16
     // UTC, dtype-robust via EventTime). Same generator both halves, so
@@ -1479,6 +1510,22 @@ private[graft] object QueriesPipeline {
         |FROM pairs CROSS JOIN ntx
         |ORDER BY n_pairs DESC, p1, p2""".stripMargin,
 
+
+    // Attribution twin (q82): DuckDB's native ASOF LEFT JOIN (q26
+    // precedent — at-or-before includes exact matches on both engines),
+    // arg_max replaying the struct-max tie dedup.
+    "q82_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type, event_id, value FROM events),
+        |c AS (SELECT user_id, tsu, event_id, value FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, tsu, arg_max(event_type, event_id) AS ch, tsu AS tts
+        |  FROM e WHERE event_type IN ('click', 'view') GROUP BY user_id, tsu),
+        |j AS (SELECT c.user_id, c.tsu, c.value, t.ch, t.tts
+        |  FROM c ASOF LEFT JOIN t ON c.user_id = t.user_id AND c.tsu >= t.tsu),
+        |a AS (SELECT CASE WHEN tts IS NOT NULL AND tsu - tts <= 259200000000
+        |    THEN ch ELSE 'organic' END AS channel, value FROM j)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
 
     // Rules twin (q81): q61's pair CTE, both orientations, the same
     // single confidence division.
