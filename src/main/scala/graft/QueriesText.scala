@@ -350,6 +350,51 @@ private[graft] object QueriesText {
           t(s, dir, "documents").where(col("doc_id") < 20), threshold = 0.5)
         .orderBy(col("doc_id"))),
 
+    // Calibration curve + ECE for the langid scorer against the lang
+    // ground truth: confidence = best-marker share with a +2 pseudo-
+    // count (6 dp), 10 fixed bins, per-bin mean confidence vs
+    // accuracy, ECE = Σ (n/N)·|acc − conf| — the reliability diagram
+    // every model-based filter (t12's classifier, a real langid)
+    // should ship with. The non-en docs are the honest miscalibration
+    // source: the synthetic corpus is English-vocabulary throughout,
+    // so the scorer is confidently wrong on them. Determinism: conf is
+    // 6-dp-rounded then summed as EXACT decimal (order-free mean);
+    // per-bin terms round at 9 and fold in bin order (q69 recipe).
+    // One shuffle to bins; totals and ECE are 1-row broadcasts.
+    "t27_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = analytics.Par.spreadForCpu(docs)
+        .select(col("lang"),
+          TextAnalysis.langIdWithConfidence(
+            TextAnalysis.tokens(col("text"))).as("pc"))
+        .select(col("lang"), col("pc").getField("pred").as("pred"),
+          col("pc").getField("conf").as("conf"))
+        .where(col("conf").isNotNull)
+      val binned = scored.select(
+        least(floor(col("conf") * 10).cast("long"), lit(9L)).as("bin"),
+        dec(col("conf"), 18, 6).as("confd"),
+        when(col("pred") === col("lang"), 1L).otherwise(0L).as("ok"))
+      val bins = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"),
+          sum(col("confd")).as("sc"))
+        .select(col("bin"), col("n"), col("n_correct"),
+          round(col("sc").cast("double") / col("n"), 9).as("conf_mean"),
+          round(col("n_correct").cast("double") / col("n"), 9).as("acc"))
+      val nTot = bins.agg(sum(col("n")).as("nt"))
+      val terms = bins.crossJoin(broadcast(nTot))
+        .select(col("bin"), col("n"), col("n_correct"), col("conf_mean"), col("acc"),
+          round(col("n").cast("double") / col("nt") *
+            abs(col("acc") - col("conf_mean")), 9).as("term"))
+      val ece = terms
+        .agg(collect_list(struct(col("bin"), col("term"))).as("ts"))
+        .select(round(aggregate(transform(array_sort(col("ts")),
+          x => x.getField("term")), lit(0.0), (a, x) => a + x), 9).as("ece"))
+      terms.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("n_correct"), col("conf_mean"),
+          col("acc"), col("ece"))
+        .orderBy(col("bin"))
+    }),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -500,6 +545,43 @@ private[graft] object QueriesText {
          |FROM c2 JOIN cp USING (prev) JOIN cc USING (cur) CROSS JOIN nb
          |WHERE c2 >= 5
          |ORDER BY pmi DESC, prev, cur LIMIT 20""".stripMargin),
+
+    // Calibration twin (t27): t01's marker-hit CTE with confidence,
+    // identical binning, decimal mean, and bin-ordered ECE fold.
+    "t27_calibration" -> (
+      s"""WITH tok AS (SELECT doc_id, lang, $tokensSqlExpr AS ws FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         | len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en,
+         | len(list_filter(ws, x -> list_contains(['el','la','de','y','que','en','un'], x))) AS s_es,
+         | len(list_filter(ws, x -> list_contains(['der','die','das','und','zu','ein','ist'], x))) AS s_de,
+         | len(list_filter(ws, x -> list_contains(['le','la','de','et','que','un','est'], x))) AS s_fr
+         |FROM tok),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+         |   WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         |   WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         |   WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         |   ELSE 'fr' END AS pred,
+         |  round(CAST(greatest(s_en, s_es, s_de, s_fr) AS DOUBLE)
+         |    / (CAST(s_en + s_es + s_de + s_fr AS DOUBLE) + 2.0), 6) AS conf
+         |  FROM sc WHERE s_en + s_es + s_de + s_fr > 0),
+         |b AS (SELECT least(CAST(floor(conf * 10) AS BIGINT), 9) AS bin,
+         |    CAST(conf AS DECIMAL(18,6)) AS confd,
+         |    CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok FROM p),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ok) AS BIGINT) AS n_correct,
+         |    round(CAST(sum(confd) AS DOUBLE) / count(*), 9) AS conf_mean,
+         |    round(CAST(sum(ok) AS DOUBLE) / count(*), 9) AS acc
+         |  FROM b GROUP BY bin),
+         |nt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM bins),
+         |terms AS (SELECT bin, n, n_correct, conf_mean, acc,
+         |    round(CAST(n AS DOUBLE) / nt * abs(acc - conf_mean), 9) AS term
+         |  FROM bins CROSS JOIN nt),
+         |e AS (SELECT round(list_reduce(list_prepend(0.0, list_transform(
+         |    list(struct_pack(bin := bin, term := term) ORDER BY bin),
+         |    x -> x.term)), (a, b) -> a + b), 9) AS ece FROM terms)
+         |SELECT bin, n, n_correct, conf_mean, acc, ece
+         |FROM terms CROSS JOIN e ORDER BY bin""".stripMargin),
 
     // Contamination twin (t26): same bigram counts, same per-reference
     // clip, same single rounded ratio.

@@ -133,6 +133,29 @@ object TextAnalysis {
   }
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** [[langIdFromTokens]] plus a confidence: best-language marker hits
+    * over total marker hits PLUS a pseudo-count of 2 (Laplace-style —
+    * a 3-of-3 vote is weaker evidence than 30-of-30, and without the
+    * smoothing every single-language doc scores exactly 1.0 and the
+    * t27 reliability diagram collapses to one bin). Rounded at 6 dp so
+    * downstream sums can be exact decimal (the t27 discipline). Null
+    * confidence when no marker hits at all ('und' — no evidence, no
+    * calibration point). Struct fields: `pred`, `conf`.
+    */
+  def langIdWithConfidence(toks: Column): Column = {
+    val scores = Seq("en", "es", "de", "fr").map(l => l -> stopwordHits(toks, Stopwords(l)))
+    val best = greatest(scores.map(_._2): _*)
+    val total = scores.map(_._2).reduce(_ + _)
+    val pred = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+    struct(pred.as("pred"),
+      when(total === 0, lit(null).cast(DoubleType))
+        .otherwise(round(best.cast(DoubleType) /
+          (total.cast(DoubleType) + lit(2.0)), 6))
+        .as("conf"))
+  }
+
   /** Content fingerprint: md5 of normalized text (lowercased, whitespace
     * collapsed). Exact-dedup key that is portable across engines.
     */

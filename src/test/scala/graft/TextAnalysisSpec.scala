@@ -447,6 +447,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(_._4 <= out.head._4), "total order by pmi desc")
   }
 
+  test("t27 langIdWithConfidence: hand-computed smoothed confidence") {
+    val df = Seq((1L, "the the of"),    // 3 en markers → 3/(3+2)
+      (2L, "el la de"),                  // es 3, fr 2 (la, de shared) → 3/(5+2)
+      (3L, "zzz qqq")                    // no markers → und, null conf
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), graft.analytics.TextAnalysis
+        .langIdWithConfidence(graft.analytics.TextAnalysis.tokens(col("text"))).as("pc"))
+      .select(col("doc_id"), col("pc.pred"), col("pc.conf"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "en" && got(0).getDouble(2) == 0.6)
+    assert(got(1).getString(1) == "es" && got(1).getDouble(2) == 0.428571,
+      s"shared es/fr markers must dilute confidence: ${got(1)}")
+    assert(got(2).getString(1) == "und" && got(2).isNullAt(2),
+      "no evidence → no calibration point")
+  }
+
   test("t26 ngramContamination: hand-computed clipped precision") {
     val docs = Seq(
       (0L, "the cat sat on the mat"),       // the benchmark doc itself
