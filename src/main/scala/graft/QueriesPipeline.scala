@@ -994,6 +994,41 @@ private[graft] object QueriesPipeline {
         .orderBy(col("channel"))
     }),
 
+    // Funnel latency (time-to-convert): first 'view' → first subsequent
+    // 'purchase' per user, then the conversion-delay distribution — the
+    // product-analytics companion to q49's step funnel (WHETHER users
+    // convert) and q82's attribution (WHO gets credit): this is WHEN.
+    // Deltas stay exact integer microseconds; mean is one division of
+    // an exact long sum; p50/p90 are exact interpolated percentiles
+    // over the USER-grain table (the small side — at a truly huge user
+    // count swap in percentile_approx, the q35 pattern; q71's Scaladoc
+    // carries the argument). Two user-keyed shuffles, one 1-row summary.
+    "q83_time_to_convert" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val ee = e.select(col("user_id"), us.as("tsu"), col("event_type"))
+      val firstView = ee.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("vts"))
+      val conv = ee.where(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .where(col("tsu") >= col("vts"))
+        .groupBy(col("user_id"), col("vts")).agg(min(col("tsu")).as("pts"))
+        .select((col("pts") - col("vts")).as("delta_us"))
+      val nv = firstView.agg(count(lit(1)).as("n_viewers"))
+      conv.agg(count(lit(1)).as("n_converted"),
+          sum(col("delta_us")).as("sd"),
+          expr("percentile(delta_us, 0.5)").as("p50r"),
+          expr("percentile(delta_us, 0.9)").as("p90r"))
+        .crossJoin(broadcast(nv))
+        .select(col("n_viewers"), col("n_converted"),
+          round(col("n_converted").cast("double") /
+            col("n_viewers").cast("double"), 9).as("conv_rate"),
+          round(col("sd").cast("double") /
+            col("n_converted").cast("double"), 3).as("mean_us"),
+          round(col("p50r"), 6).as("p50_us"),
+          round(col("p90r"), 6).as("p90_us"))
+    }),
+
     // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
     // the first and second half of the month (epoch-µs cut at 2024-01-16
     // UTC, dtype-robust via EventTime). Same generator both halves, so
@@ -1510,6 +1545,25 @@ private[graft] object QueriesPipeline {
         |FROM pairs CROSS JOIN ntx
         |ORDER BY n_pairs DESC, p1, p2""".stripMargin,
 
+
+    // Time-to-convert twin (q83): same first-view/first-purchase
+    // derivation, exact integer deltas, quantile_cont ≡ percentile
+    // (the q27 precedent).
+    "q83_time_to_convert" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events),
+        |fv AS (SELECT user_id, min(tsu) AS vts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |cv AS (SELECT e.user_id, fv.vts, min(e.tsu) AS pts
+        |  FROM e JOIN fv ON e.user_id = fv.user_id AND e.tsu >= fv.vts
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id, fv.vts),
+        |d AS (SELECT pts - vts AS delta_us FROM cv)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM fv) AS n_viewers,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM fv), 9) AS conv_rate,
+        |  round(CAST(sum(delta_us) AS DOUBLE) / count(*), 3) AS mean_us,
+        |  round(quantile_cont(delta_us, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(delta_us, 0.9), 6) AS p90_us
+        |FROM d""".stripMargin,
 
     // Attribution twin (q82): DuckDB's native ASOF LEFT JOIN (q26
     // precedent — at-or-before includes exact matches on both engines),
