@@ -8,7 +8,7 @@ import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
-/** Similarity search (s01-s11), graph signals (g01-g05) and
+/** Similarity search (s01-s12), graph signals (g01-g05) and
   * multimodal-column operators (m01-m07).
   *
   * Extracted from the original single-file SparkEntry catalog; the
@@ -122,6 +122,25 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+
+    // Filtered (hybrid) ANN: top-k restricted to vectors passing a
+    // metadata predicate (label = 3) — the filtered-vector-search
+    // shape every retrieval stack needs. The predicate is pushed INTO
+    // the index: the IVF cells quantize ONLY eligible vectors, so each
+    // probe's k results are all eligible and never under-filled —
+    // POST-filtering an unfiltered top-k under-returns (SimilaritySpec
+    // proves most probes lose results that way; with ~1/10 eligible a
+    // post-filter needs ~10k candidates to fill k). At 100 TB the
+    // filtered index is a partition-pruned slice of a label-bucketed
+    // index artifact — the predicate never touches ineligible vectors.
+    "s12_filtered_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.where(col("label") === 3),
+          e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
 
     // Diversified retrieval: MMR greedy top-3 over the 10 nearest
     // candidates (λ=0.7) — near-duplicate neighbors can't crowd a result
@@ -460,6 +479,31 @@ private[graft] object QueriesSimGraph {
     "g02_hits" -> hitsOracleSql(iters = 5),
 
     "g05_kcore" -> kCoreOracleSql(k = 5, maxRounds = 8),
+
+    // Filtered-ANN twin (s12): s03's IVF chain with the corpus side
+    // (and hence centroids, cells, candidates) pre-filtered to the
+    // eligible label; probes stay unfiltered.
+    "s12_filtered_ann" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |vc AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE label = 3),
+         |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM vc ORDER BY vec_id LIMIT 16),
+         |asgnc AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM vc CROSS JOIN cents),
+         |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgnc) WHERE r <= 1),
+         |asgnp AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM v CROSS JOIN cents WHERE vec_id < 10),
+         |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgnp) WHERE r <= 8),
+         |cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${annRankSql(5)}""".stripMargin,
 
     "s09_mmr" -> mmrOracleSql(kCand = 10, kSelect = 3, lambda = 0.7),
 

@@ -336,4 +336,24 @@ class SimilaritySpec extends SparkSpec {
       .intersect(exact.map(t => (t._1, t._3))).size.toDouble / exact.size
     assert(recall >= 0.8, s"int8 SQ at 64 dims should recall most of exact top-5: $recall")
   }
+
+  test("s12: pre-filtered ANN fills k eligible results; post-filtering under-returns") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    val labels = e.select(col("vec_id").as("neighbor_id"), col("label"))
+    val pre = Similarity.ivfTopK(e.where(col("label") === 3), probes,
+      k = 5, nCells = 16, nProbe = 8)
+    val preCounts = pre.groupBy(col("probe_id")).count().collect()
+    assert(preCounts.length == 10 && preCounts.forall(_.getLong(1) == 5L),
+      "pre-filtering must fill k for every probe (eligible pool >= k)")
+    assert(pre.join(labels, Seq("neighbor_id")).where(col("label") =!= 3).isEmpty,
+      "every returned neighbor must satisfy the predicate")
+    // the classic bug: filter AFTER an unfiltered top-k — with ~1/10
+    // eligible, most of each probe's 5 exact neighbors are filtered away
+    val post = Similarity.bruteForceTopK(e, probes, k = 5)
+      .join(labels, Seq("neighbor_id")).where(col("label") === 3)
+    assert(post.count() < 25,
+      s"post-filtering must under-return (got ${post.count()} of 50 slots) — " +
+        "the exhibit for why the predicate belongs inside the index")
+  }
 }
