@@ -344,6 +344,35 @@ private[graft] object QueriesDedup {
     }),
 
 
+    // Quality-aware canonical selection: d07's dup clusters, but the
+    // survivor is the HIGHEST-QUALITY member (q37's scorer; min-id
+    // tie-break) instead of the arbitrary min-id — what a curation
+    // pipeline actually keeps from a duplicate family (the min-id
+    // convention keeps whichever copy was crawled first, including
+    // truncated or boilerplate-wrapped ones). Survivor selection is two
+    // CLUSTER-keyed aggregations over the membership table (max quality
+    // → min attaining id, together ≡ max(struct) lexicographic) —
+    // cluster-sized, never pair-sized; the cluster-resolution cost IS
+    // d07's. DedupSpec asserts the choice genuinely diverges from
+    // min-id on this corpus.
+    "d29_quality_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(docs, n = 3, threshold = 0.2,
+          maxDf = 1000L)
+        .select(col("doc_id"), col("cluster_id"))
+      val q = qualityScored(docs).select(col("doc_id"), col("quality"))
+      val cq = clusters.join(q, Seq("doc_id"))
+      val mq = cq.groupBy(col("cluster_id")).agg(max(col("quality")).as("mxq"))
+      val surv = cq.join(mq, Seq("cluster_id"))
+        .where(col("quality") === col("mxq"))
+        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("survivor_id"))
+      cq.join(surv, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+          (col("doc_id") === col("survivor_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     // Dedup: 64-bit SimHash with the PORTABLE md5-low64 token hash — the
     // oracle-checked representative of the simhash family (d05 is the fast
     // xxhash64 one; same vote/fold construction, hash-for-hash comparable
@@ -611,32 +640,32 @@ private[graft] object QueriesDedup {
     // oracle express the same algorithm on any corpus — at this one the cap
     // is inert (max DF 25).
     "d07_dedup_clusters" -> (
-      s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
-         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
-         |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
-         |  ELSE [] END AS sh FROM tok),
-         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
-         |df AS (SELECT shingle, count(*) AS dfreq FROM e GROUP BY shingle),
-         |ef AS (SELECT e.doc_id, e.sz, e.shingle FROM e JOIN df USING (shingle) WHERE dfreq <= 1000),
-         |inter AS (
-         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
-         | FROM e a JOIN ef b USING (shingle)
-         | WHERE a.doc_id < b.doc_id
-         | GROUP BY 1, 2, 3, 4),
-         |edges AS (
-         | SELECT a_id, b_id FROM inter
-         | WHERE CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) >= 0.2),
-         |bidir AS (SELECT a_id AS src, b_id AS dst FROM edges
-         |          UNION ALL SELECT b_id AS src, a_id AS dst FROM edges),
-         |reach(id, label) AS (
-         | SELECT doc_id, doc_id FROM documents
-         | UNION
-         | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
-         |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+      s"""${dedupClusterCtes(threshold = 0.2, maxDf = 1000L)}
          |SELECT doc_id, cluster_id,
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin),
+
+    // Quality-survivor twin (d29): d07's shared cluster chain + the q37
+    // quality formula, two-step argmax (max quality, then min id among
+    // attainers — exactly max(struct) lexicographic).
+    "d29_quality_survivors" -> (
+      s"""${dedupClusterCtes(threshold = 0.2, maxDf = 1000L)},
+         |qf AS (SELECT t.doc_id, d.text, t.ws FROM tok t JOIN documents d USING (doc_id)),
+         |qq AS (SELECT doc_id,
+         |  0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |  + 0.4 * (CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END)
+         |  + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END)) AS quality
+         |  FROM qf),
+         |cq AS (SELECT cc.doc_id, cc.cluster_id, qq.quality FROM cc JOIN qq USING (doc_id)),
+         |mq AS (SELECT cluster_id, max(quality) AS mxq FROM cq GROUP BY cluster_id),
+         |surv AS (SELECT cq.cluster_id, min(cq.doc_id) AS survivor_id
+         |  FROM cq JOIN mq ON cq.cluster_id = mq.cluster_id AND cq.quality = mq.mxq
+         |  GROUP BY cq.cluster_id)
+         |SELECT cq.doc_id, cq.cluster_id, surv.survivor_id,
+         |  cq.doc_id = surv.survivor_id AS keep
+         |FROM cq JOIN surv ON cq.cluster_id = surv.cluster_id
+         |ORDER BY cq.doc_id""".stripMargin),
 
 
     // MinHash core twin: signature values per (doc, position) from the

@@ -236,6 +236,36 @@ private[graft] object QueryHelpers {
        | 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) + 0.4 * stopword_ratio + 0.2 * (1.0 - punct_ratio) AS quality
        |FROM f)""".stripMargin
 
+  /** Shared CTE chain of the d07/d29 exact dedup-cluster twins: opens the
+    * WITH RECURSIVE list and emits `tok` and `cc(doc_id, cluster_id)` —
+    * the shingle-Jaccard edges (maxDf cap) resolved to min-label
+    * connected components. One source of truth so the cluster chain
+    * cannot drift between the membership query and its consumers.
+    */
+  private[graft] def dedupClusterCtes(threshold: Double, maxDf: Long): String =
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+       |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+       |  ELSE [] END AS sh FROM tok),
+       |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+       |df AS (SELECT shingle, count(*) AS dfreq FROM e GROUP BY shingle),
+       |ef AS (SELECT e.doc_id, e.sz, e.shingle FROM e JOIN df USING (shingle) WHERE dfreq <= $maxDf),
+       |inter AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
+       | FROM e a JOIN ef b USING (shingle)
+       | WHERE a.doc_id < b.doc_id
+       | GROUP BY 1, 2, 3, 4),
+       |edges AS (
+       | SELECT a_id, b_id FROM inter
+       | WHERE CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) >= $threshold),
+       |bidir AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |          UNION ALL SELECT b_id AS src, a_id AS dst FROM edges),
+       |reach(id, label) AS (
+       | SELECT doc_id, doc_id FROM documents
+       | UNION
+       | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
+       |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   private[graft] def qualityQuotaSql(sourceCtes: String, k: Int): String =
     s"""${qualityScoreCtes(sourceCtes)},
        |r AS (SELECT lang, doc_id, quality,

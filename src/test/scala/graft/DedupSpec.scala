@@ -634,4 +634,18 @@ class DedupSpec extends SparkSpec {
     assert((nT, nE, tp) ==
       (truth.size.toLong, est.size.toLong, (truth intersect est).size.toLong))
   }
+
+  test("d29: quality survivor is a cluster member, unanimous per cluster, and diverges from min-id") {
+    val out = SparkEntry.queries("d29_quality_survivors")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val members = out.groupBy(_._2)
+    members.foreach { case (cid, rows) =>
+      val survs = rows.map(_._3).distinct
+      assert(survs.length == 1, s"cluster $cid must agree on one survivor: $survs")
+      assert(rows.exists(_._1 == survs.head), s"survivor of $cid must be a member")
+      assert(rows.count(_._4) == 1, s"exactly one keep=true in cluster $cid")
+    }
+    assert(out.exists(r => r._3 != r._2),
+      "quality choice must genuinely diverge from the min-id convention somewhere")
+  }
 }
