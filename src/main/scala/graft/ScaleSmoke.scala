@@ -537,6 +537,33 @@ object ScaleSmoke {
     run("hll_rollup_sketch")(hllRollup(sketch = true))
     run("hll_rollup_exact")(hllRollup(sketch = false))
 
+    // Last-touch attribution (q82) at blowup: the as-of lookup is ONE
+    // user-keyed union+window — O(|L|+|R|) rows, no range-join blowup —
+    // so cost must track event rows linearly whatever the touch:conv
+    // ratio. Blown up by user-id shift (more users, same per-user
+    // history — the 100 TB axis).
+    run("attribution") {
+      val ev = eventsBlown
+      val us = EventTime.epochMicros(ev)
+      val shift = 1000000L
+      val ee = ev
+        .select(col("user_id"), us.as("tsu"), col("event_type"),
+          col("event_id"), col("value"))
+        .withColumn("user_id", col("user_id") + pmod(col("event_id"), lit(mult.toLong)) * shift)
+      val conv = ee.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"), col("value"))
+      val touches = ee.where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("tsu"),
+          col("m").getField("event_type").as("ch"), col("tsu").as("tts"))
+      val j = graft.operators.AsOfJoin.leftAsOf(conv, touches, Seq("user_id"), "tsu", "t_")
+      j.select(when(col("t_tts").isNotNull &&
+            col("tsu") - col("t_tts") <= lit(259200000000L), col("t_ch"))
+          .otherwise(lit("organic")).as("channel"), col("value"))
+        .groupBy(col("channel")).agg(count(lit(1)).as("n_conv"))
+    }
+
     // Contamination score (t26) at blowup: candidate bigram counts are
     // one (doc, gram) shuffle tracking the corpus; the clip table stays
     // pinned to the 20 ORIGINAL benchmark docs and broadcasts — cost

@@ -164,6 +164,17 @@ class PlanAuditSpec extends SparkSpec {
       s"a sort-merge join here would shuffle every raw row, plan:\n$p")
   }
 
+  test("q82: the as-of attribution lookup is union+window — NO join node at all") {
+    // leftAsOf's O(|L|+|R|) claim as an executed-plan property: a range
+    // join here would blow up to O(|matches|) intermediate rows
+    val p = SparkEntry.queries("q82_attribution")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct"))
+      assert(!p.contains(j), s"attribution must not plan a $j, plan:\n$p")
+    assert(p.contains("Window"), s"the running-last window IS the lookup, plan:\n$p")
+  }
+
   test("d04: the signature table is served from cache in every consuming branch") {
     // the round-2 1824s regression was exactly this persist missing: four
     // plan branches each re-running tokenize→shingle→minhash. The executed
