@@ -9,7 +9,7 @@ import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
 /** Similarity search (s01-s12), graph signals (g01-g05) and
-  * multimodal-column operators (m01-m07).
+  * multimodal-column operators (m01-m08).
   *
   * Extracted from the original single-file SparkEntry catalog; the
   * driver contract is unchanged — [[SparkEntry.queries]] and
@@ -361,6 +361,19 @@ private[graft] object QueriesSimGraph {
     }),
 
 
+    // Binary DLQ (q55's dead-letter split for multimodal payloads):
+    // triage every payload from its BYTES — magic sniff, header-fit
+    // length checks — under a deterministic corruption fixture
+    // (doc_id%7 mid-header truncation, doc_id%11 first-byte bit-rot).
+    // Containerless bodies (the video fixture) can't be magic-triaged
+    // and pass to the codec probe instead of quarantining. Pure per-row
+    // projection; the twin computes every verdict arithmetically from
+    // (modality, corruption class, length), so a parser off-by-one on
+    // the Spark side breaks the hash.
+    "m08_payload_triage" -> ((s, dir) =>
+      Multimodal.payloadTriage(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
     // 16), recall recovered by probing each bucket's Hamming-1
     // neighbors — probe-side-only expansion, equi-join preserved, the
@@ -479,6 +492,29 @@ private[graft] object QueriesSimGraph {
     "g02_hits" -> hitsOracleSql(iters = 5),
 
     "g05_kcore" -> kCoreOracleSql(k = 5, maxRounds = 8),
+
+    // Triage twin (m08): every verdict derived arithmetically from the
+    // modality, corruption class, and synthesized length — the Spark
+    // side must PARSE its way to the same answers.
+    "m08_payload_triage" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |  FROM documents),
+        |c AS (SELECT doc_id, modality,
+        |  CASE modality WHEN 'image' THEN 33 + n WHEN 'audio' THEN 44 + n ELSE n END AS full_len
+        |  FROM b),
+        |v AS (SELECT doc_id, modality,
+        |  CASE WHEN doc_id % 7 = 0 THEN least(full_len, 10) ELSE full_len END AS n_bytes,
+        |  CASE
+        |    WHEN modality = 'video' THEN 'no_container'
+        |    WHEN doc_id % 7 = 0 THEN 'truncated'
+        |    WHEN doc_id % 11 = 0 THEN 'no_container'
+        |    WHEN modality = 'image' THEN 'ok_image'
+        |    ELSE 'ok_audio' END AS verdict
+        |  FROM c)
+        |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes, verdict,
+        |  verdict IN ('truncated', 'bad_magic', 'no_container') AND modality <> 'video' AS quarantine
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     // Filtered-ANN twin (s12): s03's IVF chain with the corpus side
     // (and hence centroids, cells, candidates) pre-filtered to the

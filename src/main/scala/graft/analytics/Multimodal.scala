@@ -371,4 +371,67 @@ object Multimodal {
     hashes.unpersist(blocking = false)
     out
   }
+
+  /** Ingest-side payload triage — the binary DLQ (q55's dead-letter split
+    * for multimodal columns): classify every payload from its BYTES, not
+    * its claimed modality, and quarantine what a decoder would choke on.
+    * Verdicts, in magic-sniff order:
+    *  - PNG signature seen → `ok_image` if the full IHDR fits (≥ 33
+    *    bytes), else `truncated`;
+    *  - "RIFF" seen → `truncated` if cut before the WAVE marker (< 12
+    *    bytes), `bad_magic` if the marker isn't WAVE, `ok_audio` if the
+    *    44-byte header fits, else `truncated`;
+    *  - anything else → `no_container` (raw bodies — here the video
+    *    fixture — can't be triaged by magic; they pass to the codec
+    *    probe downstream, so only payloads CLAIMING a container
+    *    modality quarantine on it).
+    *
+    * The corruption fixture is deterministic ingest reality: doc_id % 7
+    * truncates to 10 bytes (mid-header cut), else doc_id % 11 flips the
+    * first byte (bit-rot / wrong file). All classification is codegen'd
+    * hex/substring arithmetic; the oracle twin computes every verdict
+    * arithmetically from (modality, corruption class, length), so a
+    * parser off-by-one on the Spark side breaks the hash match.
+    *
+    * Scale: pure per-row projection — one scan, no shuffle; the verdict
+    * column is the partition key a real pipeline would write the
+    * quarantine sink by.
+    */
+  def payloadTriage(docs: DataFrame): DataFrame = {
+    val base = withPayload(docs)
+    val flipped = concat(
+      unhex(lpad(hex(pmod(beUint(col("payload"), 1, 1) + 1, lit(256L))), 2, "0")),
+      substring(col("payload"), 2, Int.MaxValue))
+    val corrupted = base.withColumn("payload",
+      when(pmod(col("doc_id"), lit(7)) === 0, substring(col("payload"), 1, 10))
+        .when(pmod(col("doc_id"), lit(11)) === 0, flipped)
+        .otherwise(col("payload")))
+    triageVerdict(corrupted)
+  }
+
+  /** The classification half of [[payloadTriage]]: expects
+    * (doc_id, payload, modality) and emits the verdict/quarantine
+    * columns. Separate so hand-built payloads (e.g. the bad_magic
+    * branch, which the deterministic corruption fixture never produces)
+    * can be pushed through the SAME expressions the catalog query runs.
+    */
+  def triageVerdict(df: DataFrame): DataFrame = {
+    val len = length(col("payload"))
+    val isPngSig = hex(substring(col("payload"), 1, 8)) === PngSigHex
+    val isRiff = hex(substring(col("payload"), 1, 4)) === "52494646"
+    val hasWave = hex(substring(col("payload"), 9, 4)) === "57415645"
+    val verdict =
+      when(isPngSig,
+        when(len >= 33, lit("ok_image")).otherwise(lit("truncated")))
+      .when(isRiff,
+        when(len < 12, lit("truncated"))
+          .otherwise(when(!hasWave, lit("bad_magic"))
+            .otherwise(when(len >= 44, lit("ok_audio")).otherwise(lit("truncated")))))
+      .otherwise(lit("no_container"))
+    df.select(col("doc_id"), col("modality"), len.cast(LongType).as("n_bytes"),
+        verdict.as("verdict"))
+      .withColumn("quarantine",
+        col("verdict").isin("truncated", "bad_magic", "no_container") &&
+          col("modality") =!= "video")
+  }
 }

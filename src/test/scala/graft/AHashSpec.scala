@@ -76,4 +76,23 @@ class AHashSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(0L -> "round trip body with words", 3L -> "another body"))
   }
+
+  test("m08 triage: the bad_magic branch fires on a RIFF container that isn't WAVE") {
+    // the corruption fixture never produces this verdict (truncation and
+    // first-byte flips hit other branches), so exercise it by hand: a
+    // RIFF/AVI payload — valid RIFF magic, non-WAVE form type
+    import org.apache.spark.sql.functions.{concat, lit, unhex}
+    val avi = spark.range(1).select(lit(99L).as("doc_id"),
+      concat(unhex(lit("52494646" + "10000000" + "41564920")), // "RIFF" size "AVI "
+        lit("padding-to-clear-44-bytes-of-header-room").cast("binary")).as("payload"),
+      lit("audio").as("modality"))
+    // classify the hand-built payload through the same verdict expression
+    // by reusing payloadTriage on a doc whose synthesized payload we
+    // override — simplest faithful route: run the verdict columns directly
+    val out = Multimodal.triageVerdict(avi).collect().head
+    assert(out.getString(out.fieldIndex("verdict")) == "bad_magic",
+      s"RIFF-but-not-WAVE must be bad_magic: $out")
+    assert(out.getBoolean(out.fieldIndex("quarantine")),
+      "a claimed-audio payload with a foreign container must quarantine")
+  }
 }
