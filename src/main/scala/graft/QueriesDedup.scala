@@ -344,6 +344,44 @@ private[graft] object QueriesDedup {
     }),
 
 
+    // URL canonicalization + URL-level dedup: the same logical page
+    // arrives under noise variants (utm tracking params, fragments,
+    // explicit :443, trailing slash, host case) — canonicalize
+    // per-row, then d01's hash-groupBy on the canonical form. The
+    // fixture synthesizes the noise deterministically (doc_id mod
+    // classes) over a path space coarsened to doc_id%100 so variants
+    // GENUINELY collide; keep = min doc_id per canonical URL. One
+    // shuffle on the canonical key; the regex chain is scan-parallel.
+    "d30_url_canon" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host0 = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("www."))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(""))
+          .otherwise(lit("cdn.")),
+        col("source"), lit("."),
+        element_at(array(lit("example.com"), lit("co.uk"),
+          lit("github.io"), lit("net")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
+      val url = concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(8)) === 0, upper(host0)).otherwise(host0),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/"), pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("?utm_source=feed&x="), pmod(col("doc_id"), lit(7)).cast("string")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("#section2")).otherwise(lit("")))
+      val canon = docs.select(col("doc_id"), url.as("url"))
+        .withColumn("canon", analytics.Domains.canonicalizeUrl(col("url")))
+      val groups = canon.groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_dup"), min(col("doc_id")).as("rep"))
+      canon.join(groups, Seq("canon"))
+        .select(col("doc_id"), col("canon"), col("n_dup"),
+          (col("doc_id") === col("rep")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+
     // Quality-aware canonical selection: d07's dup clusters, but the
     // survivor is the HIGHEST-QUALITY member (q37's scorer; min-id
     // tie-break) instead of the arbitrary min-id — what a curation
@@ -645,6 +683,38 @@ private[graft] object QueriesDedup {
          | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin),
+
+    // URL-canon twin (d30): same noise fixture, same regex chain
+    // stepwise ('g' flags where Spark replaces all), same rep choice.
+    "d30_url_canon" ->
+      """WITH h0 AS (SELECT doc_id, lang,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN '' ELSE 'cdn.' END)
+        |  || source || '.' ||
+        |  (CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'co.uk'
+        |        WHEN 2 THEN 'github.io' ELSE 'net' END) AS h
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |  'https://' ||
+        |  (CASE WHEN doc_id % 8 = 0 THEN upper(h) ELSE h END) ||
+        |  (CASE WHEN doc_id % 9 = 0 THEN ':443' ELSE '' END) ||
+        |  '/' || lang || '/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&x=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
+        |  FROM h0),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS v FROM u),
+        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(v, 'utm_[^&#]*&', '', 'g'),
+        |  'utm_[^&#]*', '', 'g') AS v FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(v, '[?&]+$', '') AS v FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(v, ':443/', '/') AS v FROM s3),
+        |s5 AS (SELECT doc_id, 'https://'
+        |  || lower(regexp_extract(v, '^https://([^/]*)', 1))
+        |  || regexp_replace(v, '^https://[^/]*', '') AS v FROM s4),
+        |c AS (SELECT doc_id, regexp_replace(v, '/$', '') AS canon FROM s5),
+        |g AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_dup, min(doc_id) AS rep
+        |  FROM c GROUP BY canon)
+        |SELECT c.doc_id, c.canon, g.n_dup, c.doc_id = g.rep AS keep
+        |FROM c JOIN g USING (canon) ORDER BY c.doc_id""".stripMargin,
 
     // Quality-survivor twin (d29): d07's shared cluster chain + the q37
     // quality formula, two-step argmax (max quality, then min id among

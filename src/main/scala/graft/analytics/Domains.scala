@@ -56,6 +56,33 @@ object Domains {
       .otherwise(hostCol)
   }
 
+  /** URL canonicalization — the normalization every URL-level dedup runs
+    * BEFORE comparing (the same page arrives as `HTTP://Host/p/`,
+    * `https://host:443/p?utm_source=feed`, `https://host/p#frag`, …):
+    *  1. drop the fragment (`#…` — client-side only),
+    *  2. drop `utm_*` tracking params, keeping real ones, then any
+    *     dangling `?`/`&`,
+    *  3. collapse the default https port (`:443/` → `/`),
+    *  4. lowercase the authority (host names are case-insensitive;
+    *     paths are NOT and stay untouched),
+    *  5. strip one trailing slash.
+    * Pure per-row regex chain (no lookaround, no capture-group
+    * replacements — the twin runs the same patterns modulo engine
+    * replacement syntax); scan-parallel, no shuffle. Dedup on the
+    * canonical form is then d01's hash-groupBy.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(noFrag, "utm_[^&#]*&", ""), "utm_[^&#]*", "")
+    val clean = regexp_replace(noUtm, "[?&]+$", "")
+    val noPort = regexp_replace(clean, ":443/", "/")
+    val lowered = concat(lit("https://"),
+      lower(regexp_extract(noPort, "^https://([^/]*)", 1)),
+      regexp_replace(noPort, "^https://[^/]*", ""))
+    regexp_replace(lowered, "/$", "")
+  }
+
   /** Per-registered-domain quota: keep at most `k` documents per domain,
     * selected by the portable md5 permutation ([[Sampling]]'s
     * reproducibility contract). Emits the input columns plus `host`,
