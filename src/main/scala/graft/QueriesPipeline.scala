@@ -1029,6 +1029,46 @@ private[graft] object QueriesPipeline {
           round(col("p90r"), 6).as("p90_us"))
     }),
 
+    // Dataset card (the release manifest): per-language composition of
+    // the gates a pipeline publishes with every corpus release — doc
+    // and token mass, corpus share, mean quality (t27's order-free
+    // decimal-mean discipline), eval-set contamination count (d13's
+    // flags), and exact-duplicate membership (d01's text groups). One
+    // scan per signal, per-doc flags joined on the id key, one lang
+    // aggregation; the 1-row corpus total broadcasts. The capstone
+    // composition query: a regression in ANY constituent operator
+    // breaks this hash too.
+    "q84_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"), col("text"),
+        analytics.TextAnalysis.tokens(col("text")).as("ws"))
+      val perDoc = toks.select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        dec(round(analytics.TextAnalysis.qualityScoreFromTokens(
+          col("text"), col("ws")), 6), 18, 6).as("q6"))
+      val contaminated = analytics.Dedup
+        .contaminationFlags(docs, docs.where(col("doc_id") < 20), n = 3)
+        .select(col("id").as("doc_id"), col("contaminated"))
+      val dupFlag = docs
+        .join(docs.groupBy(col("text")).agg(count(lit(1)).as("c")), Seq("text"))
+        .select(col("doc_id"), (col("c") > 1).as("is_dup"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      perDoc.join(contaminated, Seq("doc_id")).join(dupFlag, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(sum(col("q6")).cast("double") / count(lit(1)), 9).as("mean_quality"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_total").cast("double"), 9)
+            .as("pct_corpus"),
+          col("total_tokens"), col("mean_quality"),
+          col("n_contaminated"), col("n_exact_dup"))
+        .orderBy(col("lang"))
+    }),
+
     // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
     // the first and second half of the month (epoch-µs cut at 2024-01-16
     // UTC, dtype-robust via EventTime). Same generator both halves, so
@@ -1564,6 +1604,39 @@ private[graft] object QueriesPipeline {
         |  round(quantile_cont(delta_us, 0.5), 6) AS p50_us,
         |  round(quantile_cont(delta_us, 0.9), 6) AS p90_us
         |FROM d""".stripMargin,
+
+    // Dataset-card twin (q84): every constituent re-derived — tokens,
+    // quality (6-dp decimal), d13's shingle contamination, text-group
+    // dups — then the same lang rollup.
+    "q84_dataset_card" -> (
+      s"""WITH tok AS (SELECT doc_id, lang, text, $tokensSqlExpr AS ws FROM documents),
+         |pd AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+         |  CAST(round(
+         |    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+         |    + 0.4 * (CASE WHEN len(ws) = 0 THEN 0.0 ELSE CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(ws) END)
+         |    + 0.2 * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(text) END)), 6)
+         |    AS DECIMAL(18,6)) AS q6
+         |  FROM tok),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+         |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+         |  FROM tok WHERE len(ws) >= 3),
+         |cs AS (SELECT DISTINCT unnest(sh) AS sh FROM g WHERE doc_id < 20),
+         |hit AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id, unnest(sh) AS sh FROM g) ds JOIN cs USING (sh)),
+         |dc AS (SELECT text, count(*) AS c FROM documents GROUP BY text),
+         |fl AS (SELECT d.doc_id, d.lang, pd.n_tokens, pd.q6,
+         |    (hit.doc_id IS NOT NULL) AS contaminated, (dc.c > 1) AS is_dup
+         |  FROM documents d JOIN pd USING (doc_id)
+         |  LEFT JOIN hit ON d.doc_id = hit.doc_id
+         |  JOIN dc ON d.text = dc.text),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE), 9) AS pct_corpus,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(q6) AS DOUBLE) / count(*), 9) AS mean_quality,
+         |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+         |FROM fl CROSS JOIN tot GROUP BY lang, n_total ORDER BY lang""".stripMargin),
 
     // Attribution twin (q82): DuckDB's native ASOF LEFT JOIN (q26
     // precedent — at-or-before includes exact matches on both engines),
