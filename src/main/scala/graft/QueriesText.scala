@@ -395,6 +395,34 @@ private[graft] object QueriesText {
         .orderBy(col("bin"))
     }),
 
+    // Fixed-size sliding-window chunking (chunk 32 tokens, stride 24 —
+    // 8-token overlap): the pretraining/RAG segmentation complement to
+    // d23's content-defined chunks (CDC cuts survive edits; fixed
+    // windows give uniform training-sequence lengths) and q39's packing
+    // (which JOINS short docs; this SPLITS long ones). Chunk starts are
+    // a per-row integer sequence, the slice a HOF — pure projection +
+    // explode, no shuffle until the final order. The tail chunk keeps
+    // its partial length (a real tokenizer pads it downstream); chunk
+    // fingerprint = md5 of the joined slice, so overlap regions are
+    // verifiable cross-engine.
+    "t28_chunking" -> ((s, dir) => {
+      val chunk = 32
+      val stride = 24
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      val n = size(col("ws"))
+      val nChunks = when(n <= chunk, lit(1))
+        .otherwise(ceil((n - chunk).cast("double") / stride).cast("int") + 1)
+      toks
+        .select(col("doc_id"), col("ws"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => slice(col("ws"), i * stride + 1, lit(chunk)))).as(Seq("chunk_idx", "cw")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("cw")).cast("long").as("n_tokens"),
+          md5(array_join(col("cw"), " ")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -545,6 +573,21 @@ private[graft] object QueriesText {
          |FROM c2 JOIN cp USING (prev) JOIN cc USING (cur) CROSS JOIN nb
          |WHERE c2 >= 5
          |ORDER BY pmi DESC, prev, cur LIMIT 20""".stripMargin),
+
+    // Chunking twin (t28): same start sequence, inclusive-end
+    // list_slice ≡ Spark's (start, length) slice, same joined-slice md5.
+    "t28_chunking" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |nc AS (SELECT doc_id, ws,
+         |  CASE WHEN len(ws) <= 32 THEN 1
+         |       ELSE CAST(ceil(CAST(len(ws) - 32 AS DOUBLE) / 24) AS INT) + 1 END AS n_chunks
+         |  FROM tok),
+         |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |    list_slice(ws, i * 24 + 1, i * 24 + 32) AS cw
+         |  FROM nc, UNNEST(range(n_chunks)) AS u(i))
+         |SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(cw, ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // Calibration twin (t27): t01's marker-hit CTE with confidence,
     // identical binning, decimal mean, and bin-ordered ECE fold.

@@ -142,6 +142,23 @@ class DriftSpec extends SparkSpec {
     assert(r1.head.getBoolean(5), "a disjoint-bin shift must trip the gate")
   }
 
+  test("PSI: non-negative and side-swap-invariant on generated samples") {
+    // every term (p1-p2)·ln(p1/p2) has matching signs → psi ≥ 0; the
+    // |…|-free form is still symmetric under side exchange
+    for (seed <- Seq(7, 23, 91)) {
+      val rows = (0 until 300).map { i =>
+        val v = ((i * seed) % 97).toDouble + (if (i % 3 == 0) 40.0 else 0.0)
+        (v, (i * 31 + seed) % 2 + 1)
+      }
+      val df = rows.toDF("v", "s")
+      val swapped = rows.map { case (v, s) => (v, 3 - s) }.toDF("v", "s")
+      val p = Drift.psi(df, "v", "s", 10.0, 10, 0.2).collect().head.getDouble(4)
+      val q = Drift.psi(swapped, "v", "s", 10.0, 10, 0.2).collect().head.getDouble(4)
+      assert(p >= 0.0, s"psi must be non-negative, got $p at seed $seed")
+      assert(p == q, s"psi must be side-symmetric: $p vs $q at seed $seed")
+    }
+  }
+
   test("PSI: values past the last edge clamp into the overflow bin") {
     val df = Seq((490.0, 1), (490.0, 2), (5.0, 1), (5.0, 2)).toDF("v", "s")
     val r = Drift.psi(df, "v", "s", 10.0, 10, 0.2).collect()
