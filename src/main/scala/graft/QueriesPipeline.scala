@@ -1069,6 +1069,53 @@ private[graft] object QueriesPipeline {
         .orderBy(col("lang"))
     }),
 
+    // Position-based (U-shaped) multi-touch attribution: q82's
+    // complement — every touch in the 3-day window shares the credit,
+    // first and last touch weighted 2, middles 1 (a lone touch gets 4).
+    // INTEGER weights are the portability choice: credit = decimal
+    // value × integer weight is exact, so channel sums are
+    // aggregation-order-free — no 1/n float split to discipline. Plan
+    // shape: this one IS a range join (user equi-key + time-band
+    // predicate), the bounded-fan alternative to q82's union+window —
+    // fan-out per conversion is its in-window touch count, bounded by
+    // the 3-day band, never the corpus. Convs with no touch credit
+    // 'organic' at the lone-touch weight.
+    "q85_position_attribution" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val ee = e.select(col("user_id"), us.as("tsu"), col("event_type"),
+        col("event_id"), col("value"))
+      val conv = ee.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("cts"),
+          col("event_id").as("conv_id"), col("value"))
+      val touches = ee.where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("tsu").as("tts"),
+          col("m").getField("event_type").as("ch"))
+      val inWindow = conv.join(touches, Seq("user_id"))
+        .where(col("tts") <= col("cts") &&
+          col("cts") - col("tts") <= lit(259200000000L))
+      val spans = inWindow.groupBy(col("conv_id"))
+        .agg(min(col("tts")).as("first_t"), max(col("tts")).as("last_t"))
+      val weighted = inWindow.join(spans, Seq("conv_id"))
+        .select(col("conv_id"), col("value"), col("ch"),
+          (when(col("tts") === col("first_t"), 2).otherwise(0) +
+           when(col("tts") === col("last_t"), 2).otherwise(0)).as("w0"))
+        .select(col("conv_id"), col("value"), col("ch"),
+          when(col("w0") === 0, 1).otherwise(col("w0")).as("w"))
+      val organic = conv.join(spans, Seq("conv_id"), "left_anti")
+        .select(col("conv_id"), col("value"), lit("organic").as("ch"),
+          lit(4).as("w"))
+      weighted.unionByName(organic)
+        .groupBy(col("ch").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conv"),
+          sum(col("w").cast("long")).as("weight_mass"),
+          sum(dec(col("value"), 18, 6) * col("w")).cast("double").as("credit"))
+        .orderBy(col("channel"))
+    }),
+
     // KS drift gate: per-event-type two-sample Kolmogorov–Smirnov between
     // the first and second half of the month (epoch-µs cut at 2024-01-16
     // UTC, dtype-robust via EventTime). Same generator both halves, so
@@ -1604,6 +1651,31 @@ private[graft] object QueriesPipeline {
         |  round(quantile_cont(delta_us, 0.5), 6) AS p50_us,
         |  round(quantile_cont(delta_us, 0.9), 6) AS p90_us
         |FROM d""".stripMargin,
+
+    // Position-attribution twin (q85): same range join, same integer
+    // U-weights, same exact-decimal credit.
+    "q85_position_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type, event_id, value FROM events),
+        |c AS (SELECT user_id, tsu AS cts, event_id AS conv_id, value FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, tsu AS tts, arg_max(event_type, event_id) AS ch
+        |  FROM e WHERE event_type IN ('click', 'view') GROUP BY user_id, tsu),
+        |iw AS (SELECT c.conv_id, c.value, t.ch, t.tts
+        |  FROM c JOIN t ON c.user_id = t.user_id AND t.tts <= c.cts
+        |    AND c.cts - t.tts <= 259200000000),
+        |sp AS (SELECT conv_id, min(tts) AS first_t, max(tts) AS last_t FROM iw GROUP BY conv_id),
+        |ww AS (SELECT iw.conv_id, iw.value, iw.ch,
+        |    (CASE WHEN iw.tts = sp.first_t THEN 2 ELSE 0 END
+        |   + CASE WHEN iw.tts = sp.last_t THEN 2 ELSE 0 END) AS w0
+        |  FROM iw JOIN sp USING (conv_id)),
+        |w AS (SELECT conv_id, value, ch, CASE WHEN w0 = 0 THEN 1 ELSE w0 END AS w FROM ww),
+        |og AS (SELECT c.conv_id, c.value, 'organic' AS ch, 4 AS w
+        |  FROM c LEFT JOIN sp ON c.conv_id = sp.conv_id WHERE sp.conv_id IS NULL),
+        |u AS (SELECT * FROM w UNION ALL SELECT * FROM og)
+        |SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conv,
+        |  CAST(sum(w) AS BIGINT) AS weight_mass,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)) * w) AS DOUBLE) AS credit
+        |FROM u GROUP BY ch ORDER BY channel""".stripMargin,
 
     // Dataset-card twin (q84): every constituent re-derived — tokens,
     // quality (6-dp decimal), d13's shingle contamination, text-group
