@@ -8,7 +8,7 @@ import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
-/** Similarity search (s01-s12), graph signals (g01-g05) and
+/** Similarity search (s01-s12), graph signals (g01-g06) and
   * multimodal-column operators (m01-m08).
   *
   * Extracted from the original single-file SparkEntry catalog; the
@@ -80,6 +80,29 @@ private[graft] object QueriesSimGraph {
       analytics.Graph.kCore(edges, k = 5, maxRounds = 8)
         .select(col("v").as("doc_id"), col("core_deg"), col("rounds"),
           col("converged"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Seed-distance gate: BFS hops from the 5 lowest-id docs over g01's
+    // link graph — the crawl-depth prior ("within d hops of trusted
+    // seeds" as an inclusion gate). Max distance 12 at sf0.1, cap 16;
+    // unreached docs surface as null (none here — the graph is fully
+    // reachable, and max_dist rides along as the proof). The twin
+    // enumerates ≤cap-length paths in one recursive CTE and mins.
+    "g06_seed_distance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      val dist = analytics.Graph.seedDistances(edges,
+        docs.where(col("doc_id") < 5), maxRounds = 16, idCol = "doc_id")
+      val mx = dist.agg(max(col("dist")).as("max_dist"))
+      docs.select(col("doc_id"))
+        .join(dist.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("dist"), col("max_dist"))
         .orderBy(col("doc_id"))
     }),
 
@@ -492,6 +515,23 @@ private[graft] object QueriesSimGraph {
     "g02_hits" -> hitsOracleSql(iters = 5),
 
     "g05_kcore" -> kCoreOracleSql(k = 5, maxRounds = 8),
+
+    // Seed-distance twin (g06): path enumeration capped at the same
+    // round bound, min per vertex.
+    "g06_seed_distance" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |reach(id, dist) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 5
+        |  UNION
+        |  SELECT e.dst, r.dist + 1 FROM reach r JOIN e ON r.id = e.src
+        |  WHERE r.dist < 16),
+        |md AS (SELECT id, min(dist) AS dist FROM reach GROUP BY id),
+        |mx AS (SELECT max(dist) AS max_dist FROM md)
+        |SELECT d.doc_id, md.dist, mx.max_dist
+        |FROM documents d LEFT JOIN md ON d.doc_id = md.id CROSS JOIN mx
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Triage twin (m08): every verdict derived arithmetically from the
     // modality, corruption class, and synthesized length — the Spark

@@ -278,6 +278,49 @@ object Graph {
     out
   }
 
+  /** BFS distance from a seed set (directed, unit weights) — the
+    * crawl-depth quality prior ([[pageRank]]'s cheap cousin): pages far
+    * from trusted seeds are late-crawl frontier sludge, and "distance
+    * from seeds ≤ d" is a standard corpus-inclusion gate. Synchronous
+    * min-plus propagation: each round extends the reached set by one
+    * hop; a vertex's distance is assigned at the round equal to its
+    * true BFS distance and never changes after, so reached-set COUNT
+    * equality is a sound fixed-point test (the [[kCore]] argument,
+    * mirrored for growth). Rounds are bounded by `maxRounds` (graph
+    * diameter, log-ish on web graphs); vertices unreached by then are
+    * simply absent (the caller left-joins and reads null as
+    * "beyond the horizon", which at a bitten bound is the honest
+    * answer).
+    *
+    * Scale shape per round: ONE join of the frontier-bearing distance
+    * vector with the (persisted) edge list on src and one min
+    * aggregation keyed by vertex — the distance vector is the small
+    * side; driver state is one count per round.
+    */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(idCol).as("v")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(eager = false)
+    var cnt = dist.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      iter += 1
+      val next = dist.withColumnRenamed("v", "src").join(e, Seq("src"))
+        .select(col("dst").as("v"), (col("dist") + 1L).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+      val c = next.count()
+      if (c == cnt) converged = true else { cnt = c; dist = next }
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
   /** Per-vertex triangle counts — the local clustering signal (link-farm
     * and spam-ring detection sit on it: organic link neighborhoods close
     * triangles, generated ones don't) next to [[pageRank]]/[[hits]]'s

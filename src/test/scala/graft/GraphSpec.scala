@@ -242,6 +242,23 @@ class GraphSpec extends SparkSpec {
     assert(capped.head.getLong(2) == 1L)
   }
 
+  test("seedDistances: exact BFS hops on a hand-built graph; cap leaves the tail unreached") {
+    // chain 0→1→…→9 with a shortcut 0→5: dist(5)=1, dist(6)=2, … dist(9)=5
+    val chain = (0L until 9L).map(i => (i, i + 1)) :+ (0L, 5L)
+    val g = chain.toDF("src", "dst")
+    val seeds = Seq(Tuple1(0L)).toDF("id")
+    val got = Graph.seedDistances(g, seeds, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 1L, 6L -> 2L, 7L -> 3L, 8L -> 4L, 9L -> 5L)
+    assert(got === expected, s"shortcut must win the min: $got")
+    // cap at 2 hops: only vertices within 2 hops appear
+    val capped = Graph.seedDistances(g, seeds, maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 5L -> 1L, 6L -> 2L),
+      s"a bitten bound leaves the horizon honest: $capped")
+  }
+
   test("kCore: deterministic and degree-spoof-resistant") {
     // a clique of 5 (the real dense subgraph) vs a spoofed hub: vertex
     // 100 with TEN leaf in-links has raw degree 10 — twice the clique
