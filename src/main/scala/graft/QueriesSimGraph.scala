@@ -8,7 +8,7 @@ import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
-/** Similarity search (s01-s12), graph signals (g01-g06) and
+/** Similarity search (s01-s13), graph signals (g01-g06) and
   * multimodal-column operators (m01-m08).
   *
   * Extracted from the original single-file SparkEntry catalog; the
@@ -160,6 +160,23 @@ private[graft] object QueriesSimGraph {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e.where(col("label") === 3),
           e.where(col("vec_id") < 10), k = 5, nCells = 16, nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // kNN-graph construction: every vector's top-3 neighbors via LSH
+    // buckets — the all-corpus sibling of s02's probe search and the
+    // input artifact of SemDeDup-style semantic clustering. Config is
+    // d14's CLUSTER trade (8 tables × 8 planes, ~0.4% per-table
+    // orthogonal-pair collision), NOT s02's 16×4 recall-first config —
+    // that one collides ~63% of ALL pairs and would degenerate the
+    // all-corpus candidate join to near-all-pairs (the d14 lesson,
+    // measured there at 71 s vs ~2 s). Vectors whose buckets yield
+    // < 3 candidates emit fewer rows — honest sparsity, not padding.
+    "s13_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e, k = 3, nTables = 8, planesPerTable = 8, dim = 64)
         .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy(col("probe_id"), col("rnk"))
@@ -555,6 +572,18 @@ private[graft] object QueriesSimGraph {
         |SELECT doc_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes, verdict,
         |  verdict IN ('truncated', 'bad_magic', 'no_container') AND modality <> 'video' AS quarantine
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // kNN-graph twin (s13): s02's bucket chain at the 8×8 cluster
+    // config, probes unrestricted, k=3.
+    "s13_knn_graph" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(8, 8, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+         |${annRankSql(3)}""".stripMargin,
 
     // Filtered-ANN twin (s12): s03's IVF chain with the corpus side
     // (and hence centroids, cells, candidates) pre-filtered to the
