@@ -1168,6 +1168,233 @@ private[graft] object QueriesPipeline {
           count(col("absent")).as("n_absent"))
         .orderBy(col("k_bucket"))
     }),
+
+
+    // Pearson correlation matrix over small-magnitude lineitem measures —
+    // the multi-column dependence profiler next to q44's per-column
+    // statistics. The melt (one row per (pair, x, y)) makes all four
+    // pairs ONE scan + one 4-key shuffle (the q74 fan-out precedent);
+    // sums are exact decimals (order-free), so the double formula runs
+    // on bit-identical inputs in both engines. extendedprice enters in
+    // exact THOUSANDS ((18,6) × 0.001 at scale 9) so every Σx² stays
+    // double-exact through sf0.1 and beyond — corr is scale-invariant,
+    // the cast safety is not. Scale: fan-out is 4×, the aggregate is
+    // partial+final, output is pair-cardinality-sized.
+    "q86_corr_matrix" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val q = dec(col("l_quantity"), 12, 9)
+      val epk = (dec(col("l_extendedprice"), 18, 6) * dec(lit(0.001), 4, 3))
+        .cast("decimal(12,9)")
+      val d = dec(col("l_discount"), 12, 9)
+      val tx = dec(col("l_tax"), 12, 9)
+      val melted = li.select(explode(array(
+          struct(lit("discount_tax").as("pair"), d.as("x"), tx.as("y")),
+          struct(lit("extprice_k_tax").as("pair"), epk.as("x"), tx.as("y")),
+          struct(lit("quantity_discount").as("pair"), q.as("x"), d.as("y")),
+          struct(lit("quantity_extprice_k").as("pair"), q.as("x"), epk.as("y"))))
+          .as("e"))
+        .select(col("e.pair").as("pair"), col("e.x").as("x"), col("e.y").as("y"))
+      melted.groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sxd"), sum(col("y")).as("syd"),
+          sum(col("x") * col("y")).as("sxyd"),
+          sum(col("x") * col("x")).as("sx2d"),
+          sum(col("y") * col("y")).as("sy2d"))
+        .select(col("pair"), col("n"), col("n").cast("double").as("nd"),
+          col("sxd").cast("double").as("sx"), col("syd").cast("double").as("sy"),
+          col("sxyd").cast("double").as("sxy"),
+          col("sx2d").cast("double").as("sx2"),
+          col("sy2d").cast("double").as("sy2"))
+        .select(col("pair"), col("n"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
+              (col("nd") * col("sy2") - col("sy") * col("sy"))), 9).as("corr"),
+          round((col("sxy") - col("sx") * col("sy") / col("nd")) /
+            (col("nd") - lit(1.0)), 9).as("cov"))
+        .orderBy(col("pair"))
+    }),
+
+
+    // Spearman rank correlation — q86's robust sibling for monotone
+    // (not just linear) dependence, over the LOW-CARDINALITY measures
+    // where tie handling is the whole problem. Average ranks come from
+    // the VALUE level (≤50 distinct quantities / ≤12 discounts), doubled
+    // so they stay integers: u = 2·rank_avg = 2·R + m + 1 with R the
+    // strictly-smaller mass, computed by a self-join on the tiny
+    // value-level count table (the Prefix-offset idiom — never a
+    // table-wide ordered window). Rank maps broadcast back, every sum is
+    // exact BIGINT, and rho is the Pearson double formula on those
+    // integer sums. Scale: two scans (counts + join-back), rank tables
+    // are value-cardinality-sized.
+    "q87_spearman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def uRank(c: String, as: String): DataFrame = {
+        val cnt = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("m"))
+        cnt.as("a").join(cnt.as("b"), col("b.v") < col("a.v"), "left")
+          .groupBy(col("a.v").as(c))
+          .agg((lit(2L) * coalesce(sum(col("b.m")), lit(0L)) +
+            first(col("a.m")) + lit(1L)).as(as))
+      }
+      val ranked = li
+        .join(broadcast(uRank("l_quantity", "uq")), Seq("l_quantity"))
+        .join(broadcast(uRank("l_discount", "ud")), Seq("l_discount"))
+        .join(broadcast(uRank("l_tax", "ut")), Seq("l_tax"))
+      val melted = ranked.select(explode(array(
+          struct(lit("discount_tax").as("pair"), col("ud").as("x"), col("ut").as("y")),
+          struct(lit("quantity_discount").as("pair"), col("uq").as("x"), col("ud").as("y")),
+          struct(lit("quantity_tax").as("pair"), col("uq").as("x"), col("ut").as("y"))))
+          .as("e"))
+        .select(col("e.pair").as("pair"), col("e.x").as("x"), col("e.y").as("y"))
+      melted.groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sxl"), sum(col("y")).as("syl"),
+          sum(col("x") * col("y")).as("sxyl"),
+          sum(col("x") * col("x")).as("sx2l"),
+          sum(col("y") * col("y")).as("sy2l"))
+        .select(col("pair"), col("n"), col("n").cast("double").as("nd"),
+          col("sxl").cast("double").as("sx"), col("syl").cast("double").as("sy"),
+          col("sxyl").cast("double").as("sxy"),
+          col("sx2l").cast("double").as("sx2"),
+          col("sy2l").cast("double").as("sy2"))
+        .select(col("pair"), col("n"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
+              (col("nd") * col("sy2") - col("sy") * col("sy"))), 9).as("rho"))
+        .orderBy(col("pair"))
+    }),
+
+
+    // Key-skew profiler — the "does this join need a salt" number,
+    // feeding OperatorsSpec's salted-skew machinery with data instead of
+    // guesswork: per (event_type, user_id) counts collapsed to the
+    // COUNT-VALUE level (the g04 trick), so the Gini rank sum Σ i·xᵢ
+    // folds per distinct count c with multiplicity m as c·(m·R + m(m+1)/2)
+    // — R (strictly-smaller key mass) from a self-join on the tiny
+    // value-level table, never a keys-wide ordered window. Gini, top-key
+    // share, and HHI are single double divisions of exact BIGINTs.
+    // Scale: one (type, key) shuffle + value-level arithmetic.
+    "q88_key_skew" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val keyed = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val lvl = keyed.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("m"))
+      val withR = lvl.as("a")
+        .join(lvl.as("b"),
+          col("a.event_type") === col("b.event_type") && col("b.c") < col("a.c"),
+          "left")
+        .groupBy(col("a.event_type").as("event_type"), col("a.c").as("c"))
+        .agg(first(col("a.m")).as("m"),
+          coalesce(sum(col("b.m")), lit(0L)).as("r"))
+      withR.groupBy(col("event_type"))
+        .agg(sum(col("m")).as("n_keys"),
+          sum(col("c") * col("m")).as("total"),
+          max(col("c")).as("max_c"),
+          sum(col("c") * (col("m") * col("r") +
+            col("m") * (col("m") + 1L) / 2L)).as("s1"),
+          sum(col("c") * col("c") * col("m")).as("sc2"))
+        .select(col("event_type"), col("n_keys"), col("total"),
+          round(lit(2.0) * col("s1").cast("double") /
+              (col("n_keys").cast("double") * col("total").cast("double")) -
+            (col("n_keys").cast("double") + lit(1.0)) /
+              col("n_keys").cast("double"), 9).as("gini"),
+          round(col("max_c").cast("double") / col("total").cast("double"), 9)
+            .as("top_share"),
+          round(col("sc2").cast("double") /
+            (col("total").cast("double") * col("total").cast("double")), 9)
+            .as("hhi"))
+        .orderBy(col("event_type"))
+    }),
+
+
+    // Mutual information between two categorical columns — the
+    // dependence profiler for DISCRETE pairs, next to q86's Pearson
+    // (linear) and q87's Spearman (monotone): MI(X;Y) = Σ p(x,y) ·
+    // ln(p(x,y)/(p(x)p(y))) over orders (status × priority), plus the
+    // marginal entropies and NMI = MI/√(H(X)·H(Y)). All counts are
+    // exact BIGINTs from ONE joint groupBy (marginals re-aggregate the
+    // joint — no second scan); each cell term is one double chain
+    // rounded at 9 dp and the totals fold in key order over collected
+    // arrays (the q69 convention that makes double addition order-free
+    // across engines — the arrays are category-cardinality-sized, which
+    // is what makes MI on categoricals meaningful at all). Scale: one
+    // (x, y) shuffle; marginals and totals are cell-sized broadcasts.
+    "q89_mutual_info" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val joint = o.groupBy(col("o_orderstatus").as("x"),
+          col("o_orderpriority").as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      val nn = joint.agg(sum(col("nxy")).as("n"))
+      def fold(c: Column): Column =
+        round(aggregate(transform(array_sort(c), e => e.getField("term")),
+          lit(0.0), (a, x) => a + x), 9)
+      val mi = joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+        .crossJoin(broadcast(nn))
+        .select(col("x"), col("y"),
+          round(col("nxy").cast("double") / col("n").cast("double") *
+            log(col("nxy").cast("double") * col("n").cast("double") /
+              (col("nx").cast("double") * col("ny").cast("double"))), 9)
+            .as("term"))
+        .agg(collect_list(struct(col("x"), col("y"), col("term"))).as("ts"),
+          count(lit(1)).as("n_cells"))
+        .select(col("n_cells"), fold(col("ts")).as("mi"))
+      val hx = mx.crossJoin(broadcast(nn))
+        .select(struct(col("x"),
+          round(-(col("nx").cast("double") / col("n").cast("double")) *
+            log(col("nx").cast("double") / col("n").cast("double")), 9)
+            .as("term")).as("e"))
+        .agg(collect_list(col("e")).as("ts"))
+        .select(fold(col("ts")).as("h_x"))
+      val hy = my.crossJoin(broadcast(nn))
+        .select(struct(col("y"),
+          round(-(col("ny").cast("double") / col("n").cast("double")) *
+            log(col("ny").cast("double") / col("n").cast("double")), 9)
+            .as("term")).as("e"))
+        .agg(collect_list(col("e")).as("ts"))
+        .select(fold(col("ts")).as("h_y"))
+      mi.crossJoin(hx).crossJoin(hy)
+        .select(col("n_cells"), col("mi"), col("h_x"), col("h_y"),
+          round(col("mi") / sqrt(col("h_x") * col("h_y")), 9).as("nmi"))
+    }),
+
+
+    // Interval max-concurrency (sweep line) — "how many sessions are open
+    // at once", the capacity-planning complement of q64's sliding
+    // distincts: deterministic half-open intervals [ts, ts + (1 +
+    // event_id % 240) minutes) per event, ±1 deltas NETTED per (type,
+    // tsu) — ends-first at equal timestamps means C(t) = Σ_{t'≤t}(s−e)
+    // is the within-t max, so the netted prefix IS the sweep — then
+    // running sums via Prefix.bucketedPrefixSums (never a type-wide
+    // ordered window; event_type has ~4 values, exactly the
+    // low-cardinality-partition trap). Output: peak concurrency + the
+    // earliest attaining instant. Scale: one (type, tsu) shuffle + the
+    // bucketed-prefix machinery.
+    "q90_max_concurrency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventTime.epochMicros(ev)
+      val iv = ev.select(col("event_type"), us.as("st"),
+        (us + (pmod(col("event_id"), lit(240L)) + 1L) * 60000000L).as("en"))
+      val deltas = iv.select(col("event_type"), col("st").as("tsu"), lit(1L).as("d"))
+        .unionByName(iv.select(col("event_type"), col("en").as("tsu"),
+          lit(-1L).as("d")))
+      val net = deltas.groupBy(col("event_type"), col("tsu"))
+        .agg(sum(col("d")).as("net"))
+      val cum = analytics.Prefix.bucketedPrefixSums(net,
+        Seq("event_type"), "tsu", Seq("net"))
+      val peak = cum.groupBy(col("event_type"))
+        .agg(max(col("net_cum")).as("max_concurrent"))
+      cum.join(broadcast(peak), Seq("event_type"))
+        .where(col("net_cum") === col("max_concurrent"))
+        .groupBy(col("event_type"), col("max_concurrent"))
+        .agg(min(col("tsu")).as("attained_at_us"))
+        .join(iv.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_intervals")), Seq("event_type"))
+        .select(col("event_type"), col("n_intervals"), col("max_concurrent"),
+          col("attained_at_us"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -1997,5 +2224,160 @@ private[graft] object QueriesPipeline {
          |    ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
          |SELECT lang, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quality
          |FROM c WHERE cum_tokens <= 2000 ORDER BY lang, cum_tokens, doc_id""".stripMargin),
+
+
+    // Correlation-matrix twin (q86): identical decimal casts (so the
+    // exact sums are bit-identical before the double formula), identical
+    // melt, identical Pearson/cov arithmetic order.
+    "q86_corr_matrix" ->
+      """WITH base AS (SELECT
+        |  CAST(l_quantity AS DECIMAL(12,9)) AS q,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(0.001 AS DECIMAL(4,3))
+        |    AS DECIMAL(12,9)) AS epk,
+        |  CAST(l_discount AS DECIMAL(12,9)) AS d,
+        |  CAST(l_tax AS DECIMAL(12,9)) AS tx
+        | FROM lineitem),
+        |m AS (
+        |  SELECT 'discount_tax' AS pair, d AS x, tx AS y FROM base
+        |  UNION ALL SELECT 'extprice_k_tax', epk, tx FROM base
+        |  UNION ALL SELECT 'quantity_discount', q, d FROM base
+        |  UNION ALL SELECT 'quantity_extprice_k', q, epk FROM base),
+        |a AS (SELECT pair, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |  CAST(sum(x * x) AS DOUBLE) AS sx2,
+        |  CAST(sum(y * y) AS DOUBLE) AS sy2
+        | FROM m GROUP BY pair)
+        |SELECT pair, n,
+        | round((nd * sxy - sx * sy) /
+        |   sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS corr,
+        | round((sxy - sx * sy / nd) / (nd - 1.0), 9) AS cov
+        |FROM a ORDER BY pair""".stripMargin,
+
+
+    // Spearman twin (q87): the same doubled average ranks from value-level
+    // counts (u = 2R + m + 1), exact integer sums, same double formula.
+    "q87_spearman" ->
+      """WITH cq AS (SELECT l_quantity AS v, count(*) AS m FROM lineitem GROUP BY 1),
+        |rq AS (SELECT a.v AS l_quantity,
+        |  2 * coalesce(sum(b.m), 0) + min(a.m) + 1 AS uq
+        | FROM cq a LEFT JOIN cq b ON b.v < a.v GROUP BY a.v),
+        |cd AS (SELECT l_discount AS v, count(*) AS m FROM lineitem GROUP BY 1),
+        |rd AS (SELECT a.v AS l_discount,
+        |  2 * coalesce(sum(b.m), 0) + min(a.m) + 1 AS ud
+        | FROM cd a LEFT JOIN cd b ON b.v < a.v GROUP BY a.v),
+        |ct AS (SELECT l_tax AS v, count(*) AS m FROM lineitem GROUP BY 1),
+        |rt AS (SELECT a.v AS l_tax,
+        |  2 * coalesce(sum(b.m), 0) + min(a.m) + 1 AS ut
+        | FROM ct a LEFT JOIN ct b ON b.v < a.v GROUP BY a.v),
+        |r AS (SELECT uq, ud, ut FROM lineitem
+        |  JOIN rq USING (l_quantity) JOIN rd USING (l_discount) JOIN rt USING (l_tax)),
+        |m AS (
+        |  SELECT 'discount_tax' AS pair, ud AS x, ut AS y FROM r
+        |  UNION ALL SELECT 'quantity_discount', uq, ud FROM r
+        |  UNION ALL SELECT 'quantity_tax', uq, ut FROM r),
+        |a AS (SELECT pair, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |  CAST(sum(x * x) AS DOUBLE) AS sx2,
+        |  CAST(sum(y * y) AS DOUBLE) AS sy2
+        | FROM m GROUP BY pair)
+        |SELECT pair, n,
+        | round((nd * sxy - sx * sy) /
+        |   sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS rho
+        |FROM a ORDER BY pair""".stripMargin,
+
+
+    // Key-skew twin (q88): same count-value-level collapse, same
+    // strictly-smaller-mass self-join, same exact integer folds into the
+    // Gini / top-share / HHI double divisions.
+    "q88_key_skew" ->
+      """WITH keyed AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lvl AS (SELECT event_type, c, count(*) AS m FROM keyed GROUP BY 1, 2),
+        |wr AS (SELECT a.event_type AS event_type, a.c AS c,
+        |  min(a.m) AS m, coalesce(sum(b.m), 0) AS r
+        | FROM lvl a LEFT JOIN lvl b
+        |   ON a.event_type = b.event_type AND b.c < a.c
+        | GROUP BY a.event_type, a.c),
+        |agg AS (SELECT event_type,
+        |  CAST(sum(m) AS BIGINT) AS n_keys,
+        |  CAST(sum(c * m) AS BIGINT) AS total,
+        |  max(c) AS max_c,
+        |  sum(c * (m * r + m * (m + 1) / 2)) AS s1,
+        |  CAST(sum(c * c * m) AS BIGINT) AS sc2
+        | FROM wr GROUP BY event_type)
+        |SELECT event_type, n_keys, total,
+        | round(2.0 * CAST(s1 AS DOUBLE) /
+        |     (CAST(n_keys AS DOUBLE) * CAST(total AS DOUBLE)) -
+        |   (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 9) AS gini,
+        | round(CAST(max_c AS DOUBLE) / CAST(total AS DOUBLE), 9) AS top_share,
+        | round(CAST(sc2 AS DOUBLE) /
+        |   (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 9) AS hhi
+        |FROM agg ORDER BY event_type""".stripMargin,
+
+
+    // Mutual-information twin (q89): same exact joint/marginal counts,
+    // same per-cell 9 dp double chains, same key-ordered list folds.
+    "q89_mutual_info" ->
+      """WITH joint AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+        |    CAST(count(*) AS BIGINT) AS nxy
+        |  FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+        |terms AS (SELECT x, y,
+        |    round(CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9) AS term
+        |  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn),
+        |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |    round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(x := x, y := y, term := term) ORDER BY x, y),
+        |      e -> e.term)), (a, b) -> a + b), 9) AS mi
+        |  FROM terms),
+        |hx AS (SELECT round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(x := x, term :=
+        |        round(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 9)) ORDER BY x),
+        |      e -> e.term)), (a, b) -> a + b), 9) AS h_x
+        |  FROM mx CROSS JOIN nn),
+        |hy AS (SELECT round(list_reduce(list_prepend(0.0, list_transform(
+        |      list(struct_pack(y := y, term :=
+        |        round(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |          ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)) ORDER BY y),
+        |      e -> e.term)), (a, b) -> a + b), 9) AS h_y
+        |  FROM my CROSS JOIN nn)
+        |SELECT n_cells, mi, h_x, h_y,
+        |  round(mi / sqrt(h_x * h_y), 9) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+
+
+    // Max-concurrency twin (q90): identical deterministic intervals,
+    // netted ±1 deltas per (type, instant), a plain ordered-window
+    // running sum (the oracle is allowed the single-task shape the
+    // engine avoids), peak + earliest attaining instant.
+    "q90_max_concurrency" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts) AS st,
+        |  epoch_us(ts) + ((event_id % 240) + 1) * 60000000 AS en FROM events),
+        |deltas AS (
+        |  SELECT event_type, st AS tsu, 1 AS d FROM iv
+        |  UNION ALL SELECT event_type, en AS tsu, -1 AS d FROM iv),
+        |net AS (SELECT event_type, tsu, CAST(sum(d) AS BIGINT) AS net
+        |  FROM deltas GROUP BY 1, 2),
+        |cum AS (SELECT event_type, tsu,
+        |  CAST(sum(net) OVER (PARTITION BY event_type ORDER BY tsu) AS BIGINT)
+        |    AS net_cum FROM net),
+        |peak AS (SELECT event_type, max(net_cum) AS max_concurrent
+        |  FROM cum GROUP BY 1),
+        |att AS (SELECT c.event_type AS event_type,
+        |  p.max_concurrent AS max_concurrent, min(c.tsu) AS attained_at_us
+        | FROM cum c JOIN peak p
+        |   ON c.event_type = p.event_type AND c.net_cum = p.max_concurrent
+        | GROUP BY 1, 2),
+        |ni AS (SELECT event_type, count(*) AS n_intervals FROM iv GROUP BY 1)
+        |SELECT att.event_type, ni.n_intervals, att.max_concurrent,
+        |  att.attained_at_us
+        |FROM att JOIN ni USING (event_type) ORDER BY att.event_type""".stripMargin,
   )
 }
