@@ -1395,6 +1395,72 @@ private[graft] object QueriesPipeline {
           col("attained_at_us"))
         .orderBy(col("event_type"))
     }),
+
+
+    // SCD2 point-in-time lookup — the CONSUMER side of q46's
+    // slowly-changing dimension: every purchase event joined to the
+    // signup-derived dimension version that was valid AT its timestamp
+    // (valid_from ≤ ts < valid_to, i.e. the latest version at-or-before
+    // ts). Runs on [[operators.AsOfJoin]] — union + ordered window, ONE
+    // user-keyed shuffle, O(|probe|+|dim|) always, never the range-join
+    // row blowup — with the dimension pre-aggregated to one row per
+    // (user, ts) (highest version wins, AsOfJoin's documented tie
+    // contract). The oracle is DuckDB's native ASOF LEFT JOIN — the
+    // engine's window shape replayed against a real interval-semantics
+    // implementation. Scale: dim and probe co-shuffle on user_id.
+    "q91_scd2_lookup" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val ee = e.select(col("user_id"), us.as("tsu"), col("event_type"),
+        col("event_id"), col("value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu"), col("event_id"))
+      val dim = ee.where(col("event_type") === "signup")
+        .withColumn("version", row_number().over(w).cast("long"))
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max(struct(col("version"), col("value"))).as("m"))
+        .select(col("user_id"), col("tsu"),
+          col("m").getField("version").as("version"),
+          col("m").getField("value").as("dim_value"))
+      val probe = ee.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu"), col("event_id"),
+          col("value").as("amount"))
+      operators.AsOfJoin.leftAsOf(probe, dim, Seq("user_id"), "tsu", "d_")
+        .select(col("event_id"), col("user_id"), col("tsu"), col("amount"),
+          col("d_version").as("version"), col("d_dim_value").as("dim_value"),
+          col("d_version").isNotNull.as("matched"))
+        .orderBy(col("event_id"))
+    }),
+
+
+    // Changelog apply (latest-wins upsert with tombstones) — the CDC
+    // materialization step: a keyed stream of upserts ('U') and deletes
+    // ('D', derived from error events) collapses to current state by
+    // taking the op with the highest (ts, event_id) per key and DROPPING
+    // keys whose last op is a delete. ONE partial+final aggregate — the
+    // arg-max rides a single `max(struct(ts, id, op, value))` (no window,
+    // no self-join), so map-side combine does most of the work and the
+    // shuffle carries one struct per (partition, key). The q46/q91 trio:
+    // q46 builds history, q91 reads it point-in-time, q92 compacts to
+    // NOW. Scale: one user-keyed shuffle, output ≤ one row per key.
+    "q92_changelog_apply" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val cl = e.select(col("user_id"), us.as("tsu"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("value"))
+      cl.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+          max(struct(col("tsu"), col("event_id"), col("op"), col("value")))
+            .as("last"))
+        .where(col("last").getField("op") === "U")
+        .select(col("user_id"), col("n_ops"), col("n_deletes"),
+          col("last").getField("tsu").as("last_tsu"),
+          col("last").getField("value").as("value"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2379,5 +2445,47 @@ private[graft] object QueriesPipeline {
         |SELECT att.event_type, ni.n_intervals, att.max_concurrent,
         |  att.attained_at_us
         |FROM att JOIN ni USING (event_type) ORDER BY att.event_type""".stripMargin,
+
+
+    // SCD2-lookup twin (q91): the same versioned dimension with the same
+    // (user, ts) tie pre-aggregation, replayed through DuckDB's NATIVE
+    // ASOF LEFT JOIN — real interval semantics checking the engine's
+    // union+window shape.
+    "q91_scd2_lookup" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type,
+        |    event_id, value FROM events),
+        |d0 AS (SELECT user_id, tsu, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id) AS BIGINT) AS version
+        |  FROM e WHERE event_type = 'signup'),
+        |d AS (SELECT user_id, tsu, max(version) AS version,
+        |    arg_max(value, version) AS dim_value
+        |  FROM d0 GROUP BY user_id, tsu),
+        |p AS (SELECT user_id, tsu, event_id, value AS amount
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.tsu, p.amount,
+        |  d.version, d.dim_value, d.version IS NOT NULL AS matched
+        |FROM p ASOF LEFT JOIN d
+        |  ON p.user_id = d.user_id AND p.tsu >= d.tsu
+        |ORDER BY p.event_id""".stripMargin,
+
+
+    // Changelog-apply twin (q92): same op derivation; the arg-max runs as
+    // an explicit last-row window (the oracle is allowed the window shape
+    // the engine replaces with one max(struct) aggregate).
+    "q92_changelog_apply" ->
+      """WITH cl AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tsu DESC, event_id DESC) AS rn FROM cl),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ops,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deletes
+        |  FROM cl GROUP BY user_id),
+        |l AS (SELECT user_id, op, tsu, value FROM r WHERE rn = 1)
+        |SELECT a.user_id, a.n_ops, a.n_deletes, l.tsu AS last_tsu, l.value
+        |FROM a JOIN l USING (user_id) WHERE l.op = 'U'
+        |ORDER BY a.user_id""".stripMargin,
   )
 }
