@@ -620,6 +620,93 @@ private[graft] object QueriesDedup {
         .withColumn("is_source", col("matched_id") === col("d_id"))
         .orderBy(col("d_id"))
     }),
+
+
+    // Winnowing (MOSS) fingerprint dedup — the sub-document overlap
+    // detector between d15's EXACT positional gram index (every gram
+    // indexed) and d04's MinHash (document-level sketch): per-row
+    // winnowed selection keeps ~2/(w+1) of the k-gram hashes while
+    // GUARANTEEING any shared token run of ≥ w+k−1 tokens still
+    // collides (k=5, w=4 → runs of ≥ 8 tokens, d15's n). Cross-doc
+    // pairs come from the winnowed inverted index with d04's df cap
+    // (2..10) so a boilerplate fingerprint never fans out n². fp_frac
+    // is the measured index-size reduction — the receipt that the
+    // index the 100 TB variant ships is ~40% of d15's. Scale: per-row
+    // HOF selection (no gram explode), ONE fingerprint-keyed shuffle.
+    "d31_winnowing" -> ((s, dir) => {
+      val fps = Dedup.winnowedFingerprints(t(s, dir, "documents"), k = 5, w = 4)
+      val stats = fps.groupBy(col("doc_id"))
+        .agg(first(col("n_grams")).as("g"), count(lit(1)).as("f"))
+        .agg(round(sum(col("f")).cast("double") /
+          sum(col("g")).cast("double"), 6).as("fp_frac"))
+      val fpd = fps.select(col("doc_id"), col("h")).distinct()
+      val dfc = fpd.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 10))
+      val idx = fpd.join(dfc.select(col("h")), Seq("h"))
+      idx.as("a")
+        .join(idx.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("fp_frac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+
+    // PPJoin-style prefix-filtered similarity join — the exact-Jaccard
+    // set-similarity join that does NOT sketch (d04 trades recall for
+    // speed; this keeps recall 1.0 and attacks the CANDIDATE COUNT
+    // instead): tokens ordered globally by (df, token) — rarest first —
+    // each doc indexes only its first |x| − ⌈t·|x|⌉ + 1 tokens (t=0.5,
+    // exact integer arithmetic), and the prefix-filtering theorem says
+    // any pair with Jaccard ≥ t still shares a prefix token. Candidates
+    // verify against exact Jaccard via the INTEGER gate 3·∩ ≥ |A|+|B|
+    // (⟺ J ≥ ½ — no float on the boundary). The per-doc ordering is a
+    // row-local array_sort of (df, token) — never a vocabulary-wide
+    // rank window. cand_full vs cand_prefix (Σ df·(df−1)/2 over full vs
+    // prefix index) is the receipt: the generation cost the prefix
+    // filter saved. Scale: two token-keyed shuffles + candidate-sized
+    // verification joins.
+    "d32_prefix_filter_join" -> ((s, dir) => {
+      val tokset = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(array_distinct(col("ws"))).as("tok"))
+      val dfT = tokset.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val sizes = tokset.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val prefix = tokset.join(dfT, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
+          count(lit(1)).as("sz"))
+        .select(col("doc_id"),
+          explode(slice(col("st"), lit(1),
+            expr("CAST(sz - (sz + 1) DIV 2 + 1 AS INT)"))).as("e"))
+        .select(col("doc_id"), col("e").getField("tok").as("tok"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val inter = cand
+        .join(tokset.as("ta"), col("doc_a") === col("ta.doc_id"))
+        .join(tokset.as("tb"),
+          col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      val rec = dfT.agg(expr("sum(df * (df - 1)) DIV 2").as("cand_full"))
+        .crossJoin(prefix.groupBy(col("tok")).agg(count(lit(1)).as("dfp"))
+          .agg(expr("sum(dfp * (dfp - 1)) DIV 2").as("cand_prefix")))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .where(lit(3L) * col("inter") >= col("sa.sz") + col("sb.sz"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sa.sz") + col("sb.sz") - col("inter")).as("un"),
+          round(col("inter").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 9)
+            .as("jaccard"))
+        .crossJoin(broadcast(rec))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -1279,5 +1366,75 @@ private[graft] object QueriesDedup {
         | SELECT a_id, b_id, round(list_cosine_similarity(av, bv), 6) AS sim
         | FROM p JOIN c ON a_id < b_id)
         |WHERE sim >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+
+    // Winnowing twin (d31): the same md5-low64 k-gram hashes; selection
+    // replayed RELATIONALLY (windows × grams range join, min hash then
+    // rightmost position — the oracle is allowed the O(G·w) join shape
+    // the engine's per-row fold avoids), then the same capped inverted
+    // index and pair counts.
+    "d31_winnowing" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tk AS (SELECT doc_id, ws FROM tok WHERE len(ws) >= 5),
+         |gr0 AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+5], ' ') AS s
+         |  FROM tk, UNNEST(range(len(ws) - 4)) AS u(i)),
+         |gr AS (SELECT doc_id, pos, CAST(($md5Low64SqlExpr) AS BIGINT) AS h FROM gr0),
+         |gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM gr GROUP BY doc_id),
+         |w0 AS (SELECT doc_id, j FROM gc,
+         |  UNNEST(range(greatest(g - 4, 0) + 1)) AS u(j)),
+         |cand AS (SELECT w0.doc_id, w0.j, gr.pos, gr.h FROM w0 JOIN gr
+         |  ON gr.doc_id = w0.doc_id AND gr.pos BETWEEN w0.j AND w0.j + 3),
+         |mn AS (SELECT doc_id, j, min(h) AS mh FROM cand GROUP BY 1, 2),
+         |sel AS (SELECT c.doc_id, c.j, max(c.pos) AS pos, min(c.h) AS h
+         |  FROM cand c JOIN mn ON c.doc_id = mn.doc_id AND c.j = mn.j
+         |    AND c.h = mn.mh
+         |  GROUP BY c.doc_id, c.j),
+         |fp AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+         |st AS (SELECT round(CAST((SELECT count(*) FROM fp) AS DOUBLE) /
+         |  CAST((SELECT sum(g) FROM gc) AS DOUBLE), 6) AS fp_frac),
+         |fpd AS (SELECT DISTINCT doc_id, h FROM fp),
+         |dfc AS (SELECT h FROM fpd GROUP BY h
+         |  HAVING count(*) BETWEEN 2 AND 10),
+         |idx AS (SELECT doc_id, h FROM fpd WHERE h IN (SELECT h FROM dfc)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, fp_frac FROM pairs CROSS JOIN st
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+
+    // Prefix-filter join twin (d32): same (df, token) ordering via an
+    // explicit per-doc rank window, same integer prefix size and
+    // 3·∩ ≥ |A|+|B| verification gate, same Σ df·(df−1)/2 receipts.
+    "d32_prefix_filter_join" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |ts AS (SELECT DISTINCT doc_id, tok FROM tok, UNNEST(ws) AS u(tok)),
+         |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ts GROUP BY tok),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ts GROUP BY doc_id),
+         |r AS (SELECT ts.doc_id, ts.tok, sz.sz,
+         |    row_number() OVER (PARTITION BY ts.doc_id
+         |      ORDER BY dfr.df, ts.tok) AS rn
+         |  FROM ts JOIN dfr USING (tok) JOIN sz USING (doc_id)),
+         |pfx AS (SELECT doc_id, tok FROM r WHERE rn <= sz - (sz + 1) // 2 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+         |i AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand c JOIN ts ta ON ta.doc_id = c.doc_a
+         |  JOIN ts tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |  GROUP BY 1, 2),
+         |rec AS (SELECT
+         |  (SELECT CAST(sum(df * (df - 1)) // 2 AS BIGINT) FROM dfr) AS cand_full,
+         |  (SELECT CAST(sum(dfp * (dfp - 1)) // 2 AS BIGINT) FROM
+         |    (SELECT CAST(count(*) AS BIGINT) AS dfp FROM pfx GROUP BY tok))
+         |    AS cand_prefix)
+         |SELECT i.doc_a, i.doc_b, i.inter, sa.sz + sb.sz - i.inter AS un,
+         |  round(CAST(i.inter AS DOUBLE) /
+         |    CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 9) AS jaccard,
+         |  rec.cand_full, rec.cand_prefix
+         |FROM i JOIN sz sa ON sa.doc_id = i.doc_a
+         |JOIN sz sb ON sb.doc_id = i.doc_b CROSS JOIN rec
+         |WHERE 3 * i.inter >= sa.sz + sb.sz
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
   )
 }

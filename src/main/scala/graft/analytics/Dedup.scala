@@ -1023,6 +1023,51 @@ object Dedup {
           .as("trimmed_text"))
   }
 
+  /** Winnowed (MOSS-style) k-gram fingerprints: per document, every
+    * k-token gram is hashed (portable md5-low64 of the space-joined
+    * gram, cf. reference receiver.py's content hashing at the DOCUMENT
+    * grain — this is the sub-document grain), then each sliding window
+    * of `w` consecutive gram hashes selects its minimum — RIGHTMOST
+    * minimum on ties, the MOSS rule — and the distinct selected
+    * (position, hash) pairs are the document's fingerprints.
+    *
+    * Guarantee (Schleimer et al. 2003): any token run of length
+    * ≥ w + k − 1 shared by two documents yields at least one shared
+    * fingerprint; the index is ~2/(w+1) the size of the full gram
+    * index.
+    *
+    * Scale: the whole selection is per-row higher-order-function work
+    * (O(tokens·w) per document, no shuffle, no gram explode) — only the
+    * SELECTED fingerprints ever leave the row, so the downstream
+    * inverted index is winnowed-size, not gram-size. Output:
+    * (idCol, pos, h, n_grams).
+    */
+  def winnowedFingerprints(docs: DataFrame, k: Int, w: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = spreadForCpu(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col(idCol),
+        transform(sequence(lit(0), size(col("ws")) - k),
+          i => md5Low64(array_join(slice(col("ws"), i + 1, lit(k)), " ")))
+          .as("gh"))
+    val zero = struct(lit(-1).as("p"), lit(Long.MaxValue).as("v"))
+    grams
+      .select(col(idCol), size(col("gh")).cast(LongType).as("n_grams"),
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
+          j => aggregate(
+            sequence(j, least(j + lit(w - 1), size(col("gh")) - 1)),
+            zero,
+            (acc, i) => when(
+              element_at(col("gh"), i + 1) <= acc.getField("v"),
+              struct(i.as("p"), element_at(col("gh"), i + 1).as("v")))
+              .otherwise(acc)))).as("fps"))
+      .select(col(idCol), col("n_grams"), explode(col("fps")).as("f"))
+      .select(col(idCol), col("f").getField("p").cast(LongType).as("pos"),
+        col("f").getField("v").as("h"), col("n_grams"))
+  }
+
   private[analytics] def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
     val cc = connectedComponents(pairs, docs.select(col(idCol)),
       idCol = idCol, srcCol = "a_id", dstCol = "b_id")
