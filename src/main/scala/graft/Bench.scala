@@ -132,7 +132,18 @@ object Bench {
     * report map).
     */
   private[graft] def reportKeys(names: Seq[String]): Map[String, String] = {
-    val short = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    // leading zeros in the numeric suffix carry no information and cost
+    // one byte per entry across half the catalog (q01→q1 is unambiguous:
+    // the numeric VALUE is injective, so q1/q10 never collide) — at 179
+    // queries those ~50 bytes are the difference between fitting the
+    // driver's tail window and not
+    val zeroless = "^([a-z]+)0+([1-9].*)$".r
+    val short = names.map { n =>
+      n -> (n.takeWhile(_ != '_') match {
+        case zeroless(alpha, num) => alpha + num
+        case s => s
+      })
+    }.toMap
     val counts = short.values.groupBy(identity).view.mapValues(_.size).toMap
     short.map { case (full, s) => full -> (if (counts(s) == 1) s else full) }
   }
@@ -141,23 +152,33 @@ object Bench {
       failed: Seq[(String, String)], calib: (Double, Double),
       calibMt: (Double, Double), sfDir: String): String = {
     val keys = reportKeys(ok.map(_._1) ++ failed.map(_._1))
-    def build(fmt: String): String = {
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def build(fmt: String, withQueries: Boolean): String = {
       def d(v: Double): String = fmt.formatLocal(java.util.Locale.ROOT, v)
-      val qs = ok.map { case (k, v) => s"${j(keys(k))}:${d(v)}" }.mkString("{", ",", "}")
-      val fl = failed.map { case (k, e) => s"${j(keys(k))}:${j(e)}" }.mkString("{", ",", "}")
+      val qs =
+        if (withQueries) ok.map { case (k, v) => s"${j(keys(k))}:${d(v)}" }.mkString("{", ",", "}")
+        else "{}"
+      // `failed` is omitted when empty — 12 bytes the common all-green
+      // case should not spend; calib/calibmt are ALWAYS ms precision
+      // regardless of the per-query rung (they are ~0.4 s by design, so
+      // any coarser rung rounds them to 0 and the machine-state
+      // normalizer README documents becomes unreadable — the r12 bug)
+      val fl = if (failed.isEmpty) ""
+        else failed.map { case (k, e) => s"${j(keys(k))}:${j(e)}" }
+          .mkString(""","failed":{""", ",", "}")
       val total = ok.map(_._2).sum
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total)},"unit":"sec","queries":$qs,"failed":$fl,"calib":[${d(calib._1)},${d(calib._2)}],"calibmt":[${d(calibMt._1)},${d(calibMt._2)}],"sf":${j(sfDir)}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$fl,"calib":[${ms(calib._1)},${ms(calib._2)}],"calibmt":[${ms(calibMt._1)},${ms(calibMt._2)}],"sf":${j(sfDir)}}"""
     }
-    // precision ladder: ms → 10 ms → 100 ms → 1 s. Each step trades
-    // per-query precision for staying inside the driver's 2000-byte
-    // tail window — a slightly coarser timing beats an unparseable
-    // report. At 151 catalog queries the all-queries-in-two-digit-
-    // seconds worst case only fits at integer precision (by then the 2×
-    // perf gate failed long before the byte budget); the realistic
-    // profile stays on the first or second rung.
-    Seq("%.3f", "%.2f", "%.1f").map(build)
-      .find(_.length <= 1900)
-      .getOrElse(build("%.0f"))
+    // precision ladder: ms → 10 ms → 100 ms → 1 s → no per-query map.
+    // Each step trades per-query precision for staying inside the
+    // driver's 2000-byte tail window — a slightly coarser timing beats
+    // an unparseable report, and the last rung guarantees a parseable
+    // line at ANY catalog size (full ms-precision per-query timings are
+    // persisted to BENCH_DETAIL.json by main regardless of the rung, so
+    // nothing is lost to the ladder).
+    Seq("%.3f", "%.2f", "%.1f", "%.0f").map(build(_, withQueries = true))
+      .find(_.length <= 1890)
+      .getOrElse(build("%.0f", withQueries = false))
   }
 
   def main(args: Array[String]): Unit = {
@@ -202,11 +223,11 @@ object Bench {
       // any failed iteration fails the query — a partially-failing query
       // must not report a healthy-looking median; the failure class goes
       // into the driver-visible report, not just stderr
-      if (timings.size < iters) (name, -1.0, Some(firstErr.getOrElse("failed")))
+      if (timings.size < iters) (name, -1.0, Some(firstErr.getOrElse("failed")), timings)
       else {
         val sorted = timings.sorted
         System.err.println(f"[bench] $name iters=${sorted.map(t => f"$t%.3f").mkString(",")}")
-        (name, sorted(iters / 2), None)
+        (name, sorted(iters / 2), None, timings)
       }
     }
     val calibPost = calibrate()
@@ -216,9 +237,30 @@ object Bench {
     // sbt's LoggedOutput prepended "[info] " — build.sbt sets
     // outputStrategy := StdoutOutput (byte budget handled in reportLine)
     val line = reportLine(
-      results.collect { case (k, v, None) => (k, v) },
-      results.collect { case (k, _, Some(e)) => (k, e) },
+      results.collect { case (k, v, None, _) => (k, v) },
+      results.collect { case (k, _, Some(e), _) => (k, e) },
       (calibPre, calibPost), (calibMtPre, calibMtPost), sfDir)
+    // full-precision sidecar: the stdout line lives inside the driver's
+    // 2000-byte tail window and degrades per-query precision to fit (at
+    // 179 queries the realistic rung is integer seconds) — so every run
+    // also persists the complete ms-precision record (median + all raw
+    // iterations per query, full names, calib) where the byte budget
+    // does not apply. Round-over-round per-query comparisons read this.
+    try {
+      val detail = {
+        def arr(ts: Seq[Double]) = ts.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString("[", ",", "]")
+        val qs = results.sortBy(_._1).map { case (k, v, err, ts) =>
+          val med = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+          s"""${j(k)}:{"median":$med,"iters":${arr(ts)}${err.map(e => s""","err":${j(e)}""").getOrElse("")}}"""
+        }.mkString("{", ",", "}")
+        val total = "%.3f".formatLocal(java.util.Locale.ROOT,
+          results.collect { case (_, v, None, _) => v }.sum)
+        s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":${j(cpus)},"queries":$qs,"calib":[${"%.3f".formatLocal(java.util.Locale.ROOT, calibPre)},${"%.3f".formatLocal(java.util.Locale.ROOT, calibPost)}],"calibmt":[${"%.3f".formatLocal(java.util.Locale.ROOT, calibMtPre)},${"%.3f".formatLocal(java.util.Locale.ROOT, calibMtPost)}],"sf":${j(sfDir)}}"""
+      }
+      val out = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case NonFatal(e) => System.err.println(s"[bench] detail sidecar write failed: $e") }
     spark.stop()
     // last line of program output: nothing (not even Spark shutdown chatter,
     // which is why stop() runs first) may land between it and process exit

@@ -242,14 +242,34 @@ class OperatorsSpec extends SparkSpec {
         "shorten query names")
     // and the line must actually be JSON a line-parser accepts
     assert(line.startsWith("{") && line.endsWith("}") && !line.contains("\n"))
-    // report keys are the q01/d15-style prefixes — they must stay unique
-    // across the catalog or the report silently falls back to long names
+    // calib must survive EVERY precision rung at ms precision — the r12
+    // regression zeroed it on the integer rung (calib:[0,0]) and the
+    // machine-state normalizer was unreadable for the whole round
+    assert(line.contains("\"calib\":[99.990,99.990]"),
+      s"calib must be fixed ms precision on every rung: $line")
+    // empty failed map is omitted (bytes the all-green case keeps)
+    assert(!line.contains("\"failed\""))
+    // the ladder's terminal rung must stay parseable at ANY catalog size:
+    // 400 synthetic queries cannot fit per-query values in the window, so
+    // the line degrades to an empty queries map (detail lives in
+    // BENCH_DETAIL.json), never to an unparseable line
+    val huge = (1 to 400).map(i => f"z$i%03d_synthetic" -> 99.99)
+    val hugeLine = Bench.reportLine(huge, Seq.empty, (99.99, 99.99),
+      (99.99, 99.99), "/root/testdata/sf0.1")
+    assert(hugeLine.length + 100 < 2000 && hugeLine.startsWith("{") &&
+      hugeLine.endsWith("}") && hugeLine.contains("\"queries\":{}"))
+    // report keys are the q01/d15-style prefixes (leading zeros in the
+    // numeric suffix stripped: q01→q1) — they must stay unique across
+    // the catalog or the report silently falls back to long names
     // (burning the byte budget the short keys exist to protect)
     val keys = Bench.reportKeys(SparkEntry.queries.keys.toSeq)
     assert(keys.values.toSeq.distinct.size === keys.size)
     assert(keys.values.forall(!_.contains('_')),
       s"catalog prefix collision forced long report keys: " +
         keys.collect { case (full, k) if k.contains('_') => full }.mkString(", "))
+    // zero-stripping is injective and does what it says
+    assert(Bench.reportKeys(Seq("q01_x", "q10_y", "q1_z")) ===
+      Map("q01_x" -> "q01_x", "q10_y" -> "q10", "q1_z" -> "q1_z"))
   }
 
   test("sequence packing: start-offset bins, boundary spans, empty docs, per-stratum isolation") {
