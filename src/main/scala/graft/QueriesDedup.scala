@@ -362,13 +362,27 @@ private[graft] object QueriesDedup {
         element_at(array(lit("example.com"), lit("co.uk"),
           lit("github.io"), lit("net")),
           (pmod(col("doc_id"), lit(4)) + 1).cast("int")))
-      val url = concat(lit("https://"),
+      // noise axes beyond the round-12 fixture (which only emitted
+      // lowercase https and thereby hid the anchoring defects): mixed-
+      // case scheme, plain http with its OWN default port (:80), a path
+      // segment containing ':443' (must survive the port collapse), and
+      // an 'xutm_keep' param (must survive the utm strip)
+      val scheme = when(pmod(col("doc_id"), lit(11)) === 0, lit("HTTPS://"))
+        .when(pmod(col("doc_id"), lit(7)) === 0, lit("http://"))
+        .otherwise(lit("https://"))
+      val port = when(pmod(col("doc_id"), lit(9)) === 0,
+        when(pmod(col("doc_id"), lit(11)) =!= 0 &&
+          pmod(col("doc_id"), lit(7)) === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit(""))
+      val url = concat(scheme,
         when(pmod(col("doc_id"), lit(8)) === 0, upper(host0)).otherwise(host0),
-        when(pmod(col("doc_id"), lit(9)) === 0, lit(":443")).otherwise(lit("")),
+        port,
         lit("/"), col("lang"), lit("/"), pmod(col("doc_id"), lit(100)).cast("string"),
+        when(pmod(col("doc_id"), lit(12)) === 0, lit("/c:443")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(2)) === 0, lit("/")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(lit("?utm_source=feed&x="), pmod(col("doc_id"), lit(7)).cast("string")))
+          concat(lit("?utm_source=feed&x="), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("&xutm_keep=1")))
           .otherwise(lit("")),
         when(pmod(col("doc_id"), lit(6)) === 0, lit("#section2")).otherwise(lit("")))
       val canon = docs.select(col("doc_id"), url.as("url"))
@@ -654,57 +668,45 @@ private[graft] object QueriesDedup {
     }),
 
 
-    // PPJoin-style prefix-filtered similarity join — the exact-Jaccard
-    // set-similarity join that does NOT sketch (d04 trades recall for
-    // speed; this keeps recall 1.0 and attacks the CANDIDATE COUNT
-    // instead): tokens ordered globally by (df, token) — rarest first —
-    // each doc indexes only its first |x| − ⌈t·|x|⌉ + 1 tokens (t=0.5,
-    // exact integer arithmetic), and the prefix-filtering theorem says
-    // any pair with Jaccard ≥ t still shares a prefix token. Candidates
-    // verify against exact Jaccard via the INTEGER gate 3·∩ ≥ |A|+|B|
-    // (⟺ J ≥ ½ — no float on the boundary). The per-doc ordering is a
-    // row-local array_sort of (df, token) — never a vocabulary-wide
-    // rank window. cand_full vs cand_prefix (Σ df·(df−1)/2 over full vs
-    // prefix index) is the receipt: the generation cost the prefix
-    // filter saved. Scale: two token-keyed shuffles + candidate-sized
-    // verification joins.
+    // Exact set-similarity join (Jaccard ≥ ½, recall 1.0 — d04 trades
+    // recall for speed; this keeps it) with the execution regime picked
+    // by the MEASURED vocabulary (Dedup.jaccardSelfJoin): this corpus
+    // has 31 distinct tokens with median df = 77% of the corpus, the
+    // regime where prefix filtering is provably counterproductive
+    // (round 12 measured its prefix index fanning out 112.6M candidate
+    // rows vs 12.5M all-pairs — 9× WORSE than brute force, 213 s). The
+    // dense path collapses documents to distinct token-set bitmasks
+    // first (5000 docs → 3935 masks), evaluates the integer gate
+    // 3·∩ ≥ |A|+|B| as bit_count arithmetic over broadcast masks — no
+    // token self-join in the plan — and expands winners back to doc
+    // pairs (output-sized: the answer itself is 8.9M pairs at sf0.1).
+    // Sparse vocabularies route to Dedup.ppjoinPairs: canonical PPJoin
+    // WITH the length + positional filters round 12 omitted (recall-1.0
+    // proven in DedupSpec). Receipt: cand_full = Σ df·(df−1)/2 (the
+    // inverted-index fan-out a token join would generate) vs cand_eval
+    // = M·(M−1)/2 over the M distinct token sets (the pairs actually
+    // evaluated) — honest numbers, replayed by the oracle.
     "d32_prefix_filter_join" -> ((s, dir) => {
-      val tokset = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+      val docs = t(s, dir, "documents")
+      // persisted before the total ORDER BY: the range partitioner's
+      // sampling pass would otherwise re-execute the whole pair
+      // pipeline a second time (measured 15 s vs 4 s at sf0.1). Output-
+      // sized and spill-safe (MEMORY_AND_DISK); lifecycle follows the
+      // d03/d04 convention — session-owned, dropped by clearCache()
+      val pairs = analytics.Dedup.jaccardSelfJoin(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tokset = analytics.Par.spreadForCpu(docs)
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
         .select(col("doc_id"), explode(array_distinct(col("ws"))).as("tok"))
-      val dfT = tokset.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val sizes = tokset.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val prefix = tokset.join(dfT, Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"),
-          count(lit(1)).as("sz"))
-        .select(col("doc_id"),
-          explode(slice(col("st"), lit(1),
-            expr("CAST(sz - (sz + 1) DIV 2 + 1 AS INT)"))).as("e"))
-        .select(col("doc_id"), col("e").getField("tok").as("tok"))
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val inter = cand
-        .join(tokset.as("ta"), col("doc_a") === col("ta.doc_id"))
-        .join(tokset.as("tb"),
-          col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      val rec = dfT.agg(expr("sum(df * (df - 1)) DIV 2").as("cand_full"))
-        .crossJoin(prefix.groupBy(col("tok")).agg(count(lit(1)).as("dfp"))
-          .agg(expr("sum(dfp * (dfp - 1)) DIV 2").as("cand_prefix")))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .where(lit(3L) * col("inter") >= col("sa.sz") + col("sb.sz"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("sa.sz") + col("sb.sz") - col("inter")).as("un"),
-          round(col("inter").cast("double") /
-            (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"), 9)
-            .as("jaccard"))
-        .crossJoin(broadcast(rec))
+      val rec = tokset.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .agg(expr("sum(df * (df - 1)) DIV 2").as("cand_full"))
+        .crossJoin(analytics.Par.spreadForCpu(docs)
+          .select(array_join(array_sort(array_distinct(
+            TextAnalysis.tokens(col("text")))), " ").as("key"))
+          .where(col("key") =!= "").distinct()
+          .agg(count(lit(1)).as("m"))
+          .select(expr("m * (m - 1) DIV 2").as("cand_eval")))
+      pairs.crossJoin(broadcast(rec))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
   )
@@ -771,8 +773,10 @@ private[graft] object QueriesDedup {
          | doc_id = cluster_id AS is_survivor
          |FROM cc ORDER BY doc_id""".stripMargin),
 
-    // URL-canon twin (d30): same noise fixture, same regex chain
-    // stepwise ('g' flags where Spark replaces all), same rep choice.
+    // URL-canon twin (d30): same noise fixture (mixed-case scheme, http
+    // with :80, ':443' path decoy, 'xutm_keep' param decoy), same
+    // separator-anchored regex chain stepwise ('g' flags where Spark
+    // replaces all), same rep choice.
     "d30_url_canon" ->
       """WITH h0 AS (SELECT doc_id, lang,
         |  (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN '' ELSE 'cdn.' END)
@@ -781,22 +785,36 @@ private[graft] object QueriesDedup {
         |        WHEN 2 THEN 'github.io' ELSE 'net' END) AS h
         |  FROM documents),
         |u AS (SELECT doc_id,
-        |  'https://' ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN 'HTTPS://'
+        |        WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||
         |  (CASE WHEN doc_id % 8 = 0 THEN upper(h) ELSE h END) ||
-        |  (CASE WHEN doc_id % 9 = 0 THEN ':443' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 9 = 0 THEN
+        |    (CASE WHEN doc_id % 11 <> 0 AND doc_id % 7 = 0 THEN ':80'
+        |          ELSE ':443' END) ELSE '' END) ||
         |  '/' || lang || '/' || CAST(doc_id % 100 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 12 = 0 THEN '/c:443' ELSE '' END) ||
         |  (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
-        |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&x=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&x=' || CAST(doc_id % 7 AS VARCHAR) || '&xutm_keep=1' ELSE '' END) ||
         |  (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
         |  FROM h0),
         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS v FROM u),
-        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(v, 'utm_[^&#]*&', '', 'g'),
-        |  'utm_[^&#]*', '', 'g') AS v FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(v, '[?&]+$', '') AS v FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(v, ':443/', '/') AS v FROM s3),
-        |s5 AS (SELECT doc_id, 'https://'
-        |  || lower(regexp_extract(v, '^https://([^/]*)', 1))
-        |  || regexp_replace(v, '^https://[^/]*', '') AS v FROM s4),
+        |sc AS (SELECT doc_id, v,
+        |  lower(regexp_extract(v, '^([A-Za-z]+)://', 1)) AS sch FROM s1),
+        |s1b AS (SELECT doc_id, sch, CASE WHEN sch = '' THEN v
+        |  ELSE sch || '://' || regexp_replace(v, '^[A-Za-z]+://', '') END AS v
+        |  FROM sc),
+        |s2 AS (SELECT doc_id, sch, regexp_replace(regexp_replace(regexp_replace(
+        |  v, '&utm_[^&#]*', '', 'g'), '\?utm_[^&#]*&', '?'),
+        |  '\?utm_[^&#]*', '') AS v FROM s1b),
+        |s3 AS (SELECT doc_id, sch, regexp_replace(v, '[?&]+$', '') AS v FROM s2),
+        |s4 AS (SELECT doc_id, sch, v,
+        |  regexp_extract(v, '^https?://([^/?]*)', 1) AS auth FROM s3),
+        |s5 AS (SELECT doc_id, CASE WHEN sch IN ('http', 'https')
+        |  THEN sch || '://' ||
+        |    (CASE WHEN sch = 'https' THEN regexp_replace(lower(auth), ':443$', '')
+        |          ELSE regexp_replace(lower(auth), ':80$', '') END) ||
+        |    regexp_replace(v, '^https?://[^/?]*', '')
+        |  ELSE v END AS v FROM s4),
         |c AS (SELECT doc_id, regexp_replace(v, '/$', '') AS canon FROM s5),
         |g AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_dup, min(doc_id) AS rep
         |  FROM c GROUP BY canon)
@@ -1404,34 +1422,33 @@ private[graft] object QueriesDedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
 
-    // Prefix-filter join twin (d32): same (df, token) ordering via an
-    // explicit per-doc rank window, same integer prefix size and
-    // 3·∩ ≥ |A|+|B| verification gate, same Σ df·(df−1)/2 receipts.
+    // Exact-Jaccard join twin (d32): the oracle computes the SEMANTICS
+    // directly — all pairs sharing a token, exact intersection, the
+    // same integer 3·∩ ≥ |A|+|B| gate — with no knowledge of the
+    // engine's bitmask/PPJoin regime split; any candidate the engine
+    // wrongly drops or invents hash-mismatches here. Receipts replayed
+    // independently: cand_full from the df table, cand_eval from the
+    // distinct-token-set count.
     "d32_prefix_filter_join" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
          |ts AS (SELECT DISTINCT doc_id, tok FROM tok, UNNEST(ws) AS u(tok)),
          |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ts GROUP BY tok),
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ts GROUP BY doc_id),
-         |r AS (SELECT ts.doc_id, ts.tok, sz.sz,
-         |    row_number() OVER (PARTITION BY ts.doc_id
-         |      ORDER BY dfr.df, ts.tok) AS rn
-         |  FROM ts JOIN dfr USING (tok) JOIN sz USING (doc_id)),
-         |pfx AS (SELECT doc_id, tok FROM r WHERE rn <= sz - (sz + 1) // 2 + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-         |i AS (SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
-         |  FROM cand c JOIN ts ta ON ta.doc_id = c.doc_a
-         |  JOIN ts tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM ts a JOIN ts b ON a.tok = b.tok AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
+         |sets AS (SELECT DISTINCT
+         |    array_to_string(list_sort(list_distinct(ws)), ' ') AS key
+         |  FROM tok WHERE len(ws) > 0),
          |rec AS (SELECT
          |  (SELECT CAST(sum(df * (df - 1)) // 2 AS BIGINT) FROM dfr) AS cand_full,
-         |  (SELECT CAST(sum(dfp * (dfp - 1)) // 2 AS BIGINT) FROM
-         |    (SELECT CAST(count(*) AS BIGINT) AS dfp FROM pfx GROUP BY tok))
-         |    AS cand_prefix)
+         |  (SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) FROM sets)
+         |    AS cand_eval)
          |SELECT i.doc_a, i.doc_b, i.inter, sa.sz + sb.sz - i.inter AS un,
          |  round(CAST(i.inter AS DOUBLE) /
          |    CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 9) AS jaccard,
-         |  rec.cand_full, rec.cand_prefix
+         |  rec.cand_full, rec.cand_eval
          |FROM i JOIN sz sa ON sa.doc_id = i.doc_a
          |JOIN sz sb ON sb.doc_id = i.doc_b CROSS JOIN rec
          |WHERE 3 * i.inter >= sa.sz + sb.sz

@@ -1639,7 +1639,7 @@ private[graft] object QueriesPipeline {
     // PSI twin (q78): same fixed bins, same Laplace-smoothed shares,
     // same 9-dp term rounding and bin-ordered fold.
     "q78_psi_drift" ->
-      """WITH e AS (SELECT least(floor(value / 10.0), 9.0) AS binf,
+      """WITH e AS (SELECT greatest(least(floor(value / 10.0), 9.0), 0.0) AS binf,
         |    CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 2 END AS side
         |  FROM events),
         |obs AS (SELECT CAST(binf AS BIGINT) AS bin,

@@ -596,6 +596,89 @@ object ScaleSmoke {
         .groupBy(col("k")).agg(min(col("c")).as("est_n"))
     }
 
+    // d31: winnowed fingerprint selection is per-row HOF work — must be
+    // ~linear in corpus size regardless of duplicate mass (no pair term
+    // exists until the downstream capped index, which d04's receipt
+    // already covers)
+    run("winnowing")(Dedup.winnowedFingerprints(docs, k = 5, w = 4))
+
+    // d32: exact Jaccard ≥ ½ self-join. The id-shifted blowup is
+    // ADVERSARIAL-QUADRATIC for this op by definition: every doc gains
+    // mult−1 exact copies, and each copy pair IS an output row (J = 1),
+    // so the ANSWER grows ~mult² — cost must track output size, while
+    // candidate evaluation stays flat (identical texts collapse to the
+    // same bitmask, so the distinct-mask count M — and the M²/2 pair
+    // evaluations — are INVARIANT under the blowup; that invariance is
+    // the 100 TB claim). Run this op against sf0.01 (500 base docs):
+    // at sf0.1 ×20 the output alone is ~3.5B rows.
+    run("jaccard_join")(Dedup.jaccardSelfJoin(docs))
+
+    // s13: all-corpus kNN graph at the cluster-trade LSH config. Bucket
+    // sizes grow ×mult, so per-bucket candidate pairs grow ×mult² — the
+    // documented pair-op cost model; the receipt records how the
+    // all-corpus probe side amplifies it.
+    run("knn_graph")(
+      Similarity.lshTopK(vecs, vecs, k = 3, nTables = 8, planesPerTable = 8,
+        dim = 64))
+
+    // g06: seed-distance BFS — driver-coordinated rounds over a
+    // bucketed edge join; rounds are bounded by maxRounds, per-round
+    // cost by |frontier ⋈ edges|. Same synthetic two-out-degree graph
+    // as the catalog entry, over the blown-up id space.
+    run("seed_bfs") {
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      graft.analytics.Graph.seedDistances(edges,
+        docs.where(col("doc_id") < 5), maxRounds = 16, idCol = "doc_id")
+    }
+
+    // q86: the 4-pair melt fan-out (explode → 4× rows → one partial+final
+    // aggregate). Linear with a 4× constant — the receipt pins that the
+    // Expand-style fan-out stays map-side and never shuffles pre-melt rows.
+    run("corr_matrix") {
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_quantity").cast("double").as("q"),
+          col("l_extendedprice").cast("double").as("ep"),
+          col("l_discount").cast("double").as("d"),
+          col("l_tax").cast("double").as("tx"))
+      val li = (0 until mult).map(_ => li0).reduce(_ unionAll _)
+      li.select(explode(array(
+          struct(lit("discount_tax").as("pair"), col("d").as("x"), col("tx").as("y")),
+          struct(lit("extprice_tax").as("pair"), col("ep").as("x"), col("tx").as("y")),
+          struct(lit("quantity_discount").as("pair"), col("q").as("x"), col("d").as("y")),
+          struct(lit("quantity_extprice").as("pair"), col("q").as("x"), col("ep").as("y"))))
+          .as("e"))
+        .select(col("e.pair").as("pair"), col("e.x").as("x"), col("e.y").as("y"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+    }
+
+    // q90: sweep-line max concurrency — ±1 deltas, one (type, ts)
+    // aggregate, then the bucketed prefix-sum machinery (Prefix.scala)
+    // whose whole point is surviving blowup WITHOUT a partition-wide
+    // ordered window; the receipt is the proof it does.
+    run("max_concurrency") {
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val evShift = ev0.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val ev = (0 until mult).map(i =>
+        ev0.withColumn("event_id", col("event_id") + lit(i * evShift))).reduce(_ union _)
+      val us = EventTime.epochMicros(ev)
+      val iv = ev.select(col("event_type"), us.as("st"),
+        (us + (pmod(col("event_id"), lit(240L)) + 1L) * 60000000L).as("en"))
+      val deltas = iv.select(col("event_type"), col("st").as("tsu"), lit(1L).as("d"))
+        .unionByName(iv.select(col("event_type"), col("en").as("tsu"), lit(-1L).as("d")))
+      val net = deltas.groupBy(col("event_type"), col("tsu"))
+        .agg(sum(col("d")).as("net"))
+      val cum = graft.analytics.Prefix.bucketedPrefixSums(net,
+        Seq("event_type"), "tsu", Seq("net"))
+      cum.groupBy(col("event_type")).agg(max(col("net_cum")).as("max_concurrent"))
+    }
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must

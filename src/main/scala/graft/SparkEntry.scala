@@ -57,7 +57,8 @@ object SparkEntry {
   }
 
 
-  // ── the operator catalog: family maps concatenated; 143 entries ──
+  // ── the operator catalog: family maps concatenated (count asserted
+  // in OperatorsSpec — don't record it here, it goes stale) ──
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.queries ++ QueriesPipeline.queries ++

@@ -1068,6 +1068,165 @@ object Dedup {
         col("f").getField("v").as("h"), col("n_grams"))
   }
 
+  /** Exact Jaccard ≥ ½ set-similarity SELF-JOIN over whitespace token
+    * sets, with the execution regime picked by the MEASURED vocabulary —
+    * the round-12 lesson: prefix filtering (PPJoin) assumes a sparse,
+    * high-entropy vocabulary where rare tokens exist; on a dense
+    * vocabulary (the `documents` corpus has 31 distinct tokens, median
+    * df = 77% of the corpus) every "rare" token is near-universal and
+    * the prefix index fans out ~9× MORE candidate rows than all-pairs
+    * (measured 112.6M at sf0.1). The two regimes:
+    *
+    *  - vocab ≤ `denseVocabMax` (≤ 64): [[bitsetJaccardPairs]] — each
+    *    token set is a 64-bit mask, identical sets collapse first
+    *    (exact dedup, the d01 move), and candidate evaluation is
+    *    `bit_count(a & b)` arithmetic over DISTINCT masks only. No
+    *    token self-join exists in the plan at all.
+    *  - otherwise: [[ppjoinPairs]] — canonical PPJoin with the length
+    *    AND positional filters round 12 omitted.
+    *
+    * The vocabulary probe is one bounded scan (`limit(max+1)` on the
+    * distinct tokens — never a full collect of a data-sized vocabulary).
+    * Threshold fixed at t = ½ so every gate is integer-exact:
+    * J ≥ ½ ⟺ 3·|A∩B| ≥ |A|+|B|. Output: (doc_a, doc_b, inter, un,
+    * jaccard) with doc_a < doc_b; docs with empty token sets excluded
+    * (J is undefined against the empty set).
+    */
+  def jaccardSelfJoin(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", denseVocabMax: Int = 64): DataFrame = {
+    require(denseVocabMax <= 64, s"dense path packs one 64-bit mask, got $denseVocabMax")
+    val probe = spreadForCpu(docs)
+      .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .distinct().limit(denseVocabMax + 1).collect().map(_.getString(0))
+    if (probe.length <= denseVocabMax)
+      bitsetJaccardPairsImpl(docs, idCol, textCol, probe.sorted)
+    else ppjoinPairs(docs, idCol, textCol)
+  }
+
+  /** Dense-vocabulary exact Jaccard ≥ ½ pairs: token sets as 64-bit
+    * masks. Plan shape: (1) per-row mask fold (no shuffle), (2) ONE
+    * mask-keyed aggregation to the M distinct sets, (3) M×M candidate
+    * evaluation by `bit_count(a & b)` over a broadcast of the distinct
+    * masks — 16 bytes/row, so M up to ~10⁷ broadcasts fine, and with a
+    * ≤ 64-token vocabulary M is bounded by the observed subset count,
+    * not the corpus size: 100× more documents adds ~0 new masks, which
+    * is exactly why the collapse must happen BEFORE pair generation —
+    * and (4) expansion of qualifying mask pairs back to document pairs,
+    * which is output-sized (the irreducible cost: at sf0.1 the answer
+    * itself is 8.9M pairs). Identical-set documents pair at J = 1
+    * without any candidate evaluation.
+    */
+  def bitsetJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vocab = spreadForCpu(docs)
+      .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .distinct().limit(65).collect().map(_.getString(0))
+    require(vocab.length <= 64, s"bitset path needs vocab <= 64, measured ${vocab.length}+")
+    bitsetJaccardPairsImpl(docs, idCol, textCol, vocab.sorted)
+  }
+
+  private def bitsetJaccardPairsImpl(docs: DataFrame, idCol: String,
+      textCol: String, vocab: Array[String]): DataFrame = {
+    // literal token→bit-value map: constant-folded, O(|vocab|) per-row
+    val bitVal = map(vocab.zipWithIndex.flatMap {
+      case (tk, i) => Seq(lit(tk), lit(1L << i)) }: _*)
+    val masks = spreadForCpu(docs)
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("id"),
+        aggregate(col("ts"), lit(0L), (acc, tk) => acc.bitwiseOR(element_at(bitVal, tk))).as("mask"))
+      .withColumn("sz", expr("bit_count(mask)").cast(LongType))
+    val dm = masks.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sz", expr("bit_count(mask)").cast(LongType))
+    // qualifying DISTINCT-mask pairs: broadcast nested-loop over the
+    // collapsed masks with the integer gate inline — M² cheap codegen
+    // predicate evaluations, zero shuffle
+    val mp = dm.as("x").join(broadcast(dm.as("y")),
+        col("x.mask") < col("y.mask") &&
+          lit(3L) * expr("CAST(bit_count(x.mask & y.mask) AS BIGINT)") >=
+            col("x.sz") + col("y.sz"))
+      .select(col("x.mask").as("ma"), col("y.mask").as("mb"),
+        expr("CAST(bit_count(x.mask & y.mask) AS BIGINT)").as("inter"),
+        (col("x.sz") + col("y.sz")).as("szsum"))
+    // expansion back to document pairs (output-sized), masks broadcast
+    val cross = mp
+      .join(broadcast(masks.select(col("id").as("id_a"), col("mask").as("m_a"))),
+        col("ma") === col("m_a"))
+      .join(broadcast(masks.select(col("id").as("id_b"), col("mask").as("m_b"))),
+        col("mb") === col("m_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("inter"), (col("szsum") - col("inter")).as("un"))
+    val same = masks.as("p").join(broadcast(masks.as("q")),
+        col("p.mask") === col("q.mask") && col("p.id") < col("q.id"))
+      .select(col("p.id").as("doc_a"), col("q.id").as("doc_b"),
+        col("p.sz").as("inter"), col("p.sz").as("un"))
+    cross.unionByName(same)
+      .withColumn("jaccard",
+        round(col("inter").cast(DoubleType) / col("un").cast(DoubleType), 9))
+  }
+
+  /** Sparse-vocabulary exact Jaccard ≥ ½ pairs: canonical PPJoin
+    * (Xiao et al. 2011). Tokens are globally ordered by (df, token) —
+    * rarest first — via a row-local `array_sort`, never a
+    * vocabulary-wide rank window; each document indexes only its first
+    * |x| − ⌈|x|/2⌉ + 1 tokens, and candidate generation applies BOTH
+    * exactness-preserving filters inline in the join condition (so they
+    * prune during the probe, before any candidate row materializes):
+    *
+    *  - length: J ≥ ½ requires |A| ≤ 2|B| and |B| ≤ 2|A|;
+    *  - positional: the FIRST common token in the global order at
+    *    1-based prefix positions (pa, pb) bounds the overlap by
+    *    1 + min(|A|−pa, |B|−pb), which must reach ⌈(|A|+|B|)/3⌉.
+    *
+    * Both are necessary conditions on the first common token of every
+    * true pair (which the prefix theorem guarantees sits in both
+    * prefixes), so recall stays exactly 1.0 — proven against the
+    * all-pairs ground truth in DedupSpec. Verification recomputes the
+    * exact intersection only for surviving candidates. Round 12's
+    * version had NEITHER filter and fanned out 112.6M candidates on a
+    * vocabulary this join should never be pointed at — the regime
+    * choice lives in [[jaccardSelfJoin]].
+    */
+  def ppjoinPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tokset = spreadForCpu(docs)
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("ws"))
+      .select(col("id"), explode(array_distinct(col("ws"))).as("tok"))
+    val dfT = tokset.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = tokset.join(dfT, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .withColumn("plen", expr("CAST(size(st) - (size(st) + 1) DIV 2 + 1 AS INT)"))
+    val prefix = ordered
+      .select(col("id"), size(col("st")).cast(LongType).as("sz"),
+        posexplode(slice(col("st"), lit(1), col("plen"))))
+      .select(col("id"), col("sz"), (col("pos") + 1).cast(LongType).as("p"),
+        col("col").getField("tok").as("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          lit(2L) * col("b.sz") >= col("a.sz") &&
+          lit(2L) * col("a.sz") >= col("b.sz") &&
+          lit(3L) * (lit(1L) + least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))) >=
+            col("a.sz") + col("b.sz"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b")).distinct()
+    val sizes = ordered.select(col("id"), size(col("st")).cast(LongType).as("sz"))
+    cand
+      .join(tokset.as("ta"), col("doc_a") === col("ta.id"))
+      .join(tokset.as("tb"),
+        col("doc_b") === col("tb.id") && col("ta.tok") === col("tb.tok"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.id"))
+      .where(lit(3L) * col("inter") >= col("sa.sz") + col("sb.sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.sz") + col("sb.sz") - col("inter")).as("un"),
+        round(col("inter").cast(DoubleType) /
+          (col("sa.sz") + col("sb.sz") - col("inter")).cast(DoubleType), 9)
+          .as("jaccard"))
+  }
+
   private[analytics] def clustersFromPairs(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
     val cc = connectedComponents(pairs, docs.select(col(idCol)),
       idCol = idCol, srcCol = "a_id", dstCol = "b_id")

@@ -57,30 +57,51 @@ object Domains {
   }
 
   /** URL canonicalization — the normalization every URL-level dedup runs
-    * BEFORE comparing (the same page arrives as `HTTP://Host/p/`,
-    * `https://host:443/p?utm_source=feed`, `https://host/p#frag`, …):
+    * BEFORE comparing (the same page arrives as `HTTPS://Host:443/p/`,
+    * `https://host/p?utm_source=feed`, `https://host/p#frag`, …):
     *  1. drop the fragment (`#…` — client-side only),
-    *  2. drop `utm_*` tracking params, keeping real ones, then any
-    *     dangling `?`/`&`,
-    *  3. collapse the default https port (`:443/` → `/`),
-    *  4. lowercase the authority (host names are case-insensitive;
-    *     paths are NOT and stay untouched),
-    *  5. strip one trailing slash.
-    * Pure per-row regex chain (no lookaround, no capture-group
-    * replacements — the twin runs the same patterns modulo engine
-    * replacement syntax); scan-parallel, no shuffle. Dedup on the
-    * canonical form is then d01's hash-groupBy.
+    *  2. lowercase the SCHEME first (schemes are case-insensitive), so
+    *     every later anchor can assume `^https?://` — non-http(s)
+    *     strings pass through steps 4–5 untouched instead of being
+    *     corrupted (the round-12 defect: every anchor assumed literal
+    *     lowercase `https://` and prepended a fresh one otherwise),
+    *  3. drop `utm_*` tracking params ANCHORED to a `?`/`&` separator
+    *     (`xutm_source=…` is a real param and survives), keeping real
+    *     ones, then any dangling `?`/`&`,
+    *  4. lowercase the authority and collapse the scheme's DEFAULT port
+    *     (`:443` for https, `:80` for http) anchored to the authority —
+    *     a path segment containing `:443/` is untouched,
+    *  5. strip one trailing slash (paths stay case-sensitive).
+    * http and https remain DISTINCT canonical forms — they are
+    * different origins; unifying them is a policy decision this
+    * normalizer does not take. Pure per-row regex chain (no lookaround,
+    * no capture-group replacements — the twin runs the same patterns
+    * modulo engine flag syntax); scan-parallel, no shuffle. Dedup on
+    * the canonical form is then d01's hash-groupBy.
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
-    val noUtm = regexp_replace(
-      regexp_replace(noFrag, "utm_[^&#]*&", ""), "utm_[^&#]*", "")
+    val sch = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val schemeNorm = when(sch === "", noFrag)
+      .otherwise(concat(sch, lit("://"),
+        regexp_replace(noFrag, "^[A-Za-z]+://", "")))
+    // utm params in three separator-anchored passes: every `&utm_…`,
+    // then a leading `?utm_…&` (promote the follower), then a lone
+    // `?utm_…` — covers any run of consecutive utm params without
+    // capture-group replacement
+    val noUtm = regexp_replace(regexp_replace(regexp_replace(
+      schemeNorm, "&utm_[^&#]*", ""), "\\?utm_[^&#]*&", "?"),
+      "\\?utm_[^&#]*", "")
     val clean = regexp_replace(noUtm, "[?&]+$", "")
-    val noPort = regexp_replace(clean, ":443/", "/")
-    val lowered = concat(lit("https://"),
-      lower(regexp_extract(noPort, "^https://([^/]*)", 1)),
-      regexp_replace(noPort, "^https://[^/]*", ""))
-    regexp_replace(lowered, "/$", "")
+    val auth = regexp_extract(clean, "^https?://([^/?]*)", 1)
+    val authNorm = when(sch === "https", regexp_replace(lower(auth), ":443$", ""))
+      .when(sch === "http", regexp_replace(lower(auth), ":80$", ""))
+      .otherwise(lower(auth))
+    val rebuilt = when(sch.isin("http", "https"),
+        concat(sch, lit("://"), authNorm,
+          regexp_replace(clean, "^https?://[^/?]*", "")))
+      .otherwise(clean)
+    regexp_replace(rebuilt, "/$", "")
   }
 
   /** Per-registered-domain quota: keep at most `k` documents per domain,

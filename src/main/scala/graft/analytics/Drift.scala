@@ -122,7 +122,10 @@ object Drift {
     * [[ksDrift]] (KS answers "did the distribution shift at all?"; PSI
     * grades HOW MUCH, with conventional action thresholds 0.1/0.2):
     * PSI = Σ over bins of (p₁ − p₂)·ln(p₁/p₂). Bins are fixed-width
-    * with a single overflow bin (`least(floor(v/w), nBins−1)`), and
+    * with an overflow bin at nBins−1 AND an underflow bin at 0
+    * (`greatest(least(floor(v/w), nBins−1), 0)` — negative values fold
+    * into bin 0 instead of silently vanishing from both the cells and
+    * the n₁/n₂ totals, the round-12 defect), and
     * shares are Laplace-smoothed ((o + ½)/(n + ½·B)) so an empty bin
     * contributes a finite term instead of ±∞ — the smoothing is part
     * of the declared semantics, shared by the oracle twin.
@@ -141,8 +144,9 @@ object Drift {
   def psi(df: DataFrame, valueCol: String, sideCol: String,
       binWidth: Double, nBins: Int, threshold: Double): DataFrame = {
     val halfB = 0.5 * nBins
-    val bin = least(floor(col(valueCol) / lit(binWidth)), lit((nBins - 1).toDouble))
-      .cast("long")
+    val bin = greatest(
+      least(floor(col(valueCol) / lit(binWidth)), lit((nBins - 1).toDouble)),
+      lit(0.0)).cast("long")
     val obs = df.select(bin.as("bin"), col(sideCol).as("side"))
       .groupBy(col("bin"))
       .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("o1"),

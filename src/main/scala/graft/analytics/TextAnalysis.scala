@@ -716,18 +716,25 @@ object TextAnalysis {
             i => concat(element_at(col("ws"), i + 1), lit(" "),
               element_at(col("ws"), i + 2)))).as("g"))
         .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-    val docBg = bigramCounts(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // totals and clipped matches in ONE pass over the bigram counts
+    // (left join against the broadcast clip table, both sums in the
+    // same aggregate) — the round-12 version persisted docBg for two
+    // separate consumers and leaked the cache into the session; one
+    // consumer needs no cache at all. The when-guard matters: Spark's
+    // least() SKIPS nulls, so an unmatched gram would otherwise
+    // contribute c instead of 0.
     val clip = bigramCounts(bench).groupBy(col("g")).agg(max(col("c")).as("clip"))
-    val matches = docBg.join(broadcast(clip), Seq("g"))
-      .groupBy(col(idCol)).agg(sum(least(col("c"), col("clip"))).as("cm"))
-    val totals = docBg.groupBy(col(idCol)).agg(sum(col("c")).as("nb"))
+    val agg = bigramCounts(docs).join(broadcast(clip), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("nb"),
+        sum(when(col("clip").isNotNull, least(col("c"), col("clip")))
+          .otherwise(lit(0L))).as("cm"))
     val overlap = when(coalesce(col("nb"), lit(0L)) === 0,
         lit(null).cast(DoubleType))
       .otherwise(round(coalesce(col("cm"), lit(0L)).cast(DoubleType) /
         col("nb").cast(DoubleType), 9))
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left").join(matches, Seq(idCol), "left")
+      .join(agg, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("nb"), lit(0L)).as("n_bigrams"),
         coalesce(col("cm"), lit(0L)).as("clipped_matches"),
         overlap.as("overlap"),

@@ -648,4 +648,100 @@ class DedupSpec extends SparkSpec {
     assert(out.exists(r => r._3 != r._2),
       "quality choice must genuinely diverge from the min-id convention somewhere")
   }
+
+  test("exact Jaccard self-join (d32): BOTH regimes equal the all-pairs ground " +
+    "truth — recall AND precision 1.0 (sf0.001 corpus)") {
+    // brute-force ground truth: every pair, exact intersection, the same
+    // integer gate 3·∩ ≥ |A|+|B| ⟺ J ≥ ½ — computed with array_intersect,
+    // a third independent mechanism (neither bitmasks nor a token join)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ts = docs.select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
+      .where(size(col("ts")) > 0)
+    val truth = ts.as("a").crossJoin(ts.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("inter"),
+        size(col("a.ts")).cast("long").as("sza"), size(col("b.ts")).cast("long").as("szb"))
+      .where(lit(3L) * col("inter") >= col("sza") + col("szb"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(truth.size > 100, s"ground truth suspiciously small: ${truth.size}")
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("inter"))).toMap
+    // dense regime (this corpus: 31-token vocabulary)
+    assert(got(Dedup.bitsetJaccardPairs(docs)) === truth)
+    // sparse regime forced onto the SAME dense corpus: the length and
+    // positional filters must be exactness-preserving even where they
+    // barely prune — the round-12 candidate-explosion regression would
+    // fail the RUNTIME here, this asserts it can never fail the ANSWER
+    assert(got(Dedup.ppjoinPairs(docs)) === truth)
+    // adaptive entry point picks a regime without changing the answer
+    assert(got(Dedup.jaccardSelfJoin(docs)) === truth)
+  }
+
+  test("jaccardSelfJoin routes a >64-token vocabulary to PPJoin and stays exact") {
+    import spark.implicits._
+    // sliding 10-token windows over a 79-token vocabulary: doc i pairs
+    // with i±1..3 (J = 9/11, 8/12, 7/13 ≥ ½) and NOT i±4 (6/14 < ½)
+    val docs = (0 until 70)
+      .map(i => (i.toLong, (i until i + 10).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardSelfJoin(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val want = (for {
+      i <- 0 until 70; d <- 1 to 3; if i + d < 70
+    } yield (i.toLong, (i + d).toLong)).toSet
+    assert(got === want)
+  }
+
+  test("winnowing (d31): Schleimer guarantee — any shared run of ≥ w+k−1 " +
+    "tokens yields ≥ 1 shared fingerprint (30 planted pairs)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val k = 5; val w = 4
+    // each pair: two docs of independent noise with the SAME planted run
+    // of exactly w+k−1 = 8 tokens at different offsets — the minimum
+    // length the guarantee covers, so it is tested at its boundary
+    val rows = (0 until 30).flatMap { p =>
+      val run = (0 until (k + w - 1)).map(i => s"r${p}x$i")
+      def noise(n: Int) = (0 until n).map(_ => s"n${rnd.nextInt(100000)}")
+      Seq((p * 2L, (noise(rnd.nextInt(20) + k) ++ run ++ noise(rnd.nextInt(20) + k)).mkString(" ")),
+        (p * 2 + 1L, (noise(rnd.nextInt(20) + k) ++ run ++ noise(rnd.nextInt(20) + k)).mkString(" ")))
+    }
+    val fps = Dedup.winnowedFingerprints(rows.toDF("doc_id", "text"), k = k, w = w)
+      .select(col("doc_id"), col("h")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0 until 30).foreach { p =>
+      assert((fps(p * 2L) intersect fps(p * 2 + 1L)).nonEmpty,
+        s"pair $p shares an 8-token run but no fingerprint — guarantee violated")
+    }
+  }
+
+  test("winnowing (d31): rightmost-min tie rule (MOSS) on an all-equal-hash doc") {
+    import spark.implicits._
+    // 12 copies of one token: all 8 gram hashes are EQUAL, so every
+    // window of w=4 grams is a pure tie — the MOSS rule selects the
+    // RIGHTMOST minimum, i.e. window j selects position j+3: {3..7}.
+    // A leftmost-tie implementation would emit {0..4} and fail.
+    val one = Seq((0L, Seq.fill(12)("x").mkString(" "))).toDF("doc_id", "text")
+    val pos = Dedup.winnowedFingerprints(one, k = 5, w = 4)
+      .select(col("pos")).collect().map(_.getLong(0)).toSet
+    assert(pos === Set(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("winnowing (d31): fingerprint density lands near the 2/(w+1) theory value") {
+    // Schleimer et al. §5: expected density of winnowing with window w on
+    // random hashes is 2/(w+1) — 0.4 at w=4. Short docs inflate it
+    // (boundary windows), so assert a generous band, not the asymptote.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fps = Dedup.winnowedFingerprints(docs, k = 5, w = 4)
+    val r = fps.groupBy(col("doc_id"))
+      .agg(first(col("n_grams")).as("g"), count(lit(1)).as("f"))
+      .agg(sum(col("f")).cast("double").as("f"), sum(col("g")).cast("double").as("g"))
+      .collect().head
+    val frac = r.getDouble(0) / r.getDouble(1)
+    assert(frac > 0.25 && frac < 0.7, s"fp density $frac out of band around 2/(w+1)=0.4")
+  }
 }

@@ -200,6 +200,23 @@ class DriftSpec extends SparkSpec {
       s"${r.getDouble(4)} vs $expected")
   }
 
+  test("PSI: negative values fold into the underflow bin instead of vanishing") {
+    // round-12 defect: bin = least(floor(v/w), B−1) could go negative and
+    // the spine's left join silently dropped those rows from the cells AND
+    // the n1/n2 totals — PSI over a truncated population with no warning.
+    // Identical mixes that include negatives must still (a) count every
+    // row and (b) score exactly zero.
+    val rows = (0 until 50).flatMap(_ => Seq((-25.0, 1), (5.0, 1), (-25.0, 2), (5.0, 2)))
+    val r = Drift.psi(rows.toDF("v", "s"), "v", "s",
+      binWidth = 10.0, nBins = 10, threshold = 0.2).collect()
+    val bin0 = r.find(_.getLong(0) == 0L).get
+    assert(bin0.getLong(1) == 100L && bin0.getLong(2) == 100L,
+      s"underflow rows must land in bin 0: ${bin0.getLong(1)}/${bin0.getLong(2)}")
+    assert(r.map(_.getLong(1)).sum == 100L && r.map(_.getLong(2)).sum == 100L,
+      "totals must cover the full population including negatives")
+    assert(r.forall(_.getDouble(4) == 0.0), "identical mixes must score 0")
+  }
+
   test("plan: ECDF windows are (group, bucket)-partitioned, never type-wide") {
     val p = SparkEntry.queries("q60_ks_drift")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -343,6 +343,37 @@ class OperatorsSpec extends SparkSpec {
     junk.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
   }
 
+  test("URL canonicalization (d30): scheme case, http vs https defaults, " +
+      "anchored utm strip, authority-anchored port collapse") {
+    import spark.implicits._
+    import graft.analytics.Domains
+    val cases = Seq(
+      // mixed-case scheme + default https port + trailing slash; path case preserved
+      (1L, "HTTPS://Host.Example.COM:443/Path/", "https://host.example.com/Path"),
+      // http strips ITS default port…
+      (2L, "http://Host:80/p", "http://host/p"),
+      // …but keeps a non-default one (443 is not http's default)
+      (3L, "http://host:443/p", "http://host:443/p"),
+      // leading utm param promotes the real follower
+      (4L, "https://host/p?utm_source=a&x=1", "https://host/p?x=1"),
+      // xutm_… is a REAL param: the strip is separator-anchored
+      (5L, "https://host/p?x=1&xutm_source=9", "https://host/p?x=1&xutm_source=9"),
+      // consecutive utm params all die, dangling ? dies with them
+      (6L, "https://host/p?utm_a=1&utm_b=2", "https://host/p"),
+      // ':443' inside a PATH segment is untouched (authority-anchored collapse)
+      (7L, "https://host/c:443/x", "https://host/c:443/x"),
+      // non-http(s) scheme: lowercased scheme, body passes through
+      (8L, "FTP://Host/P/", "ftp://Host/P"),
+      (9L, "https://host/p#frag", "https://host/p"),
+      (10L, "https://HOST/p?utm_only=1", "https://host/p"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .select(col("id"), Domains.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, in, want) =>
+      assert(got(id) === want, s"case $id: $in → ${got(id)}, want $want")
+    }
+  }
+
   test("domain extraction (d19): PSL longest-match, deep subdomains collapse, " +
       "unlisted TLDs fall back to two labels, quota is repartition-stable") {
     import graft.analytics.Domains
