@@ -1319,45 +1319,9 @@ private[graft] object QueriesPipeline {
     // across engines — the arrays are category-cardinality-sized, which
     // is what makes MI on categoricals meaningful at all). Scale: one
     // (x, y) shuffle; marginals and totals are cell-sized broadcasts.
-    "q89_mutual_info" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val joint = o.groupBy(col("o_orderstatus").as("x"),
-          col("o_orderpriority").as("y"))
-        .agg(count(lit(1)).as("nxy"))
-      val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
-      val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
-      val nn = joint.agg(sum(col("nxy")).as("n"))
-      def fold(c: Column): Column =
-        round(aggregate(transform(array_sort(c), e => e.getField("term")),
-          lit(0.0), (a, x) => a + x), 9)
-      val mi = joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
-        .crossJoin(broadcast(nn))
-        .select(col("x"), col("y"),
-          round(col("nxy").cast("double") / col("n").cast("double") *
-            log(col("nxy").cast("double") * col("n").cast("double") /
-              (col("nx").cast("double") * col("ny").cast("double"))), 9)
-            .as("term"))
-        .agg(collect_list(struct(col("x"), col("y"), col("term"))).as("ts"),
-          count(lit(1)).as("n_cells"))
-        .select(col("n_cells"), fold(col("ts")).as("mi"))
-      val hx = mx.crossJoin(broadcast(nn))
-        .select(struct(col("x"),
-          round(-(col("nx").cast("double") / col("n").cast("double")) *
-            log(col("nx").cast("double") / col("n").cast("double")), 9)
-            .as("term")).as("e"))
-        .agg(collect_list(col("e")).as("ts"))
-        .select(fold(col("ts")).as("h_x"))
-      val hy = my.crossJoin(broadcast(nn))
-        .select(struct(col("y"),
-          round(-(col("ny").cast("double") / col("n").cast("double")) *
-            log(col("ny").cast("double") / col("n").cast("double")), 9)
-            .as("term")).as("e"))
-        .agg(collect_list(col("e")).as("ts"))
-        .select(fold(col("ts")).as("h_y"))
-      mi.crossJoin(hx).crossJoin(hy)
-        .select(col("n_cells"), col("mi"), col("h_x"), col("h_y"),
-          round(col("mi") / sqrt(col("h_x") * col("h_y")), 9).as("nmi"))
-    }),
+    "q89_mutual_info" -> ((s, dir) =>
+      analytics.Profile.mutualInfo(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
 
 
     // Interval max-concurrency (sweep line) — "how many sessions are open
@@ -1376,23 +1340,8 @@ private[graft] object QueriesPipeline {
       val us = EventTime.epochMicros(ev)
       val iv = ev.select(col("event_type"), us.as("st"),
         (us + (pmod(col("event_id"), lit(240L)) + 1L) * 60000000L).as("en"))
-      val deltas = iv.select(col("event_type"), col("st").as("tsu"), lit(1L).as("d"))
-        .unionByName(iv.select(col("event_type"), col("en").as("tsu"),
-          lit(-1L).as("d")))
-      val net = deltas.groupBy(col("event_type"), col("tsu"))
-        .agg(sum(col("d")).as("net"))
-      val cum = analytics.Prefix.bucketedPrefixSums(net,
-        Seq("event_type"), "tsu", Seq("net"))
-      val peak = cum.groupBy(col("event_type"))
-        .agg(max(col("net_cum")).as("max_concurrent"))
-      cum.join(broadcast(peak), Seq("event_type"))
-        .where(col("net_cum") === col("max_concurrent"))
-        .groupBy(col("event_type"), col("max_concurrent"))
-        .agg(min(col("tsu")).as("attained_at_us"))
-        .join(iv.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_intervals")), Seq("event_type"))
-        .select(col("event_type"), col("n_intervals"), col("max_concurrent"),
-          col("attained_at_us"))
+      analytics.Profile.maxConcurrency(iv, "event_type", "st", "en")
+        .withColumnRenamed("attained_at", "attained_at_us")
         .orderBy(col("event_type"))
     }),
 
@@ -1450,15 +1399,9 @@ private[graft] object QueriesPipeline {
         when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
           .as("op"),
         col("value"))
-      cl.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_ops"),
-          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
-          max(struct(col("tsu"), col("event_id"), col("op"), col("value")))
-            .as("last"))
-        .where(col("last").getField("op") === "U")
-        .select(col("user_id"), col("n_ops"), col("n_deletes"),
-          col("last").getField("tsu").as("last_tsu"),
-          col("last").getField("value").as("value"))
+      analytics.Incremental.applyChangelog(cl, "user_id",
+          tsCol = "tsu", seqCol = "event_id", opCol = "op", valueCol = "value")
+        .withColumnRenamed("last_ts", "last_tsu")
         .orderBy(col("user_id"))
     }),
   )

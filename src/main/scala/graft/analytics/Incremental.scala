@@ -76,4 +76,28 @@ object Incremental {
       .unionByName(rDelta.join(sOld, keys))
       .unionByName(rOld.join(sDelta, keys))
       .unionByName(rDelta.join(sDelta, keys))
+
+  /** Changelog compaction (q92): collapse a CDC stream of upserts (`U`)
+    * and tombstones (`D`) to the final per-key state — the Debezium /
+    * Delta-CDF consumer's materialization step. ONE key-grouped
+    * aggregate: `max(struct(ts, seq, op, value))` picks the LAST
+    * operation under (tsCol, seqCol) lexicographic order (seqCol breaks
+    * timestamp ties, so an upsert and a tombstone in the same instant
+    * resolve deterministically by sequence), and a key whose last op is
+    * a tombstone is DROPPED from the output, not emitted with a null —
+    * the contract a spec holds. op/value ride inside the struct, so no
+    * second pass re-reads the winning row.
+    * Output: (keyCol, n_ops, n_deletes, last_ts, value).
+    */
+  def applyChangelog(cl: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, opCol: String, valueCol: String): DataFrame =
+    cl.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_ops"),
+        sum(when(col(opCol) === "D", 1L).otherwise(0L)).as("n_deletes"),
+        max(struct(col(tsCol).as("ts"), col(seqCol).as("seq"),
+          col(opCol).as("op"), col(valueCol).as("value"))).as("last"))
+      .where(col("last").getField("op") === "U")
+      .select(col(keyCol), col("n_ops"), col("n_deletes"),
+        col("last").getField("ts").as("last_ts"),
+        col("last").getField("value").as("value"))
 }

@@ -122,4 +122,83 @@ object Profile {
           lit(nBins - 1L))).cast("long").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
   }
+
+  /** Mutual information and normalized MI (NMI = MI/√(H(x)·H(y)))
+    * between two categorical columns — the dependence profiler q89
+    * ships. One joint-count aggregation; the marginals re-aggregate the
+    * CELL table (|x|·|y| rows, never the input) and broadcast back; MI
+    * and both entropies fold per-cell terms in sorted order with the
+    * q69 rounding convention, so the doubles are order-free
+    * cross-engine. Properties a spec can hold: MI ≥ 0, 0 ≤ NMI ≤ 1
+    * (up to the 9-dp rounding), and MI = 0 exactly when the columns
+    * are independent (every cell term's log argument is 1).
+    * Output: (n_cells, mi, h_x, h_y, nmi).
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = joint.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val my = joint.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val nn = joint.agg(sum(col("nxy")).as("n"))
+    def fold(c: Column): Column =
+      round(aggregate(transform(array_sort(c), e => e.getField("term")),
+        lit(0.0), (a, x) => a + x), 9)
+    val mi = joint.join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+      .crossJoin(broadcast(nn))
+      .select(col("x"), col("y"),
+        round(col("nxy").cast(DoubleType) / col("n").cast(DoubleType) *
+          log(col("nxy").cast(DoubleType) * col("n").cast(DoubleType) /
+            (col("nx").cast(DoubleType) * col("ny").cast(DoubleType))), 9)
+          .as("term"))
+      .agg(collect_list(struct(col("x"), col("y"), col("term"))).as("ts"),
+        count(lit(1)).as("n_cells"))
+      .select(col("n_cells"), fold(col("ts")).as("mi"))
+    val hx = mx.crossJoin(broadcast(nn))
+      .select(struct(col("x"),
+        round(-(col("nx").cast(DoubleType) / col("n").cast(DoubleType)) *
+          log(col("nx").cast(DoubleType) / col("n").cast(DoubleType)), 9)
+          .as("term")).as("e"))
+      .agg(collect_list(col("e")).as("ts"))
+      .select(fold(col("ts")).as("h_x"))
+    val hy = my.crossJoin(broadcast(nn))
+      .select(struct(col("y"),
+        round(-(col("ny").cast(DoubleType) / col("n").cast(DoubleType)) *
+          log(col("ny").cast(DoubleType) / col("n").cast(DoubleType)), 9)
+          .as("term")).as("e"))
+      .agg(collect_list(col("e")).as("ts"))
+      .select(fold(col("ts")).as("h_y"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("n_cells"), col("mi"), col("h_x"), col("h_y"),
+        round(col("mi") / sqrt(col("h_x") * col("h_y")), 9).as("nmi"))
+  }
+
+  /** Sweep-line maximum concurrency over half-open intervals
+    * [stCol, enCol) per group — q90's machinery: ±1 deltas keyed on the
+    * boundary timestamp, netted per (group, ts) BEFORE the prefix sum,
+    * so an interval ending exactly where another starts contributes
+    * +1−1 = 0 at that instant and the two are never counted as
+    * concurrent (the half-open "ends-first" tie rule — a spec holds it
+    * at the boundary). Running concurrency via
+    * [[Prefix.bucketedPrefixSums]] — never a group-wide ordered window.
+    * Output: (groupCol, n_intervals, max_concurrent, attained_at) with
+    * attained_at the smallest timestamp reaching the peak.
+    */
+  def maxConcurrency(iv: DataFrame, groupCol: String,
+      stCol: String, enCol: String): DataFrame = {
+    val deltas = iv.select(col(groupCol), col(stCol).as("tsu"), lit(1L).as("d"))
+      .unionByName(iv.select(col(groupCol), col(enCol).as("tsu"), lit(-1L).as("d")))
+    val net = deltas.groupBy(col(groupCol), col("tsu"))
+      .agg(sum(col("d")).as("net"))
+    val cum = Prefix.bucketedPrefixSums(net, Seq(groupCol), "tsu", Seq("net"))
+    val peak = cum.groupBy(col(groupCol))
+      .agg(max(col("net_cum")).as("max_concurrent"))
+    cum.join(broadcast(peak), Seq(groupCol))
+      .where(col("net_cum") === col("max_concurrent"))
+      .groupBy(col(groupCol), col("max_concurrent"))
+      .agg(min(col("tsu")).as("attained_at"))
+      .join(iv.groupBy(col(groupCol)).agg(count(lit(1)).as("n_intervals")),
+        Seq(groupCol))
+      .select(col(groupCol), col("n_intervals"), col("max_concurrent"),
+        col("attained_at"))
+  }
 }

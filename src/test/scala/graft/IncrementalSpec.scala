@@ -71,4 +71,27 @@ class IncrementalSpec extends SparkSpec {
     assert(out.values.sum == keys.length + keys.count(_ % 11 == 0),
       "classes must partition the union of both snapshots")
   }
+  test("q92 changelog apply: tombstone-last drops the key; sequence breaks " +
+      "timestamp ties; delete-then-upsert revives") {
+    val cl = Seq(
+      // key 1: upsert then tombstone → DROPPED (not emitted as null)
+      (1L, 1L, 1L, "U", 10.0), (1L, 2L, 1L, "D", 0.0),
+      // key 2: tombstone then upsert → revived with the upsert's value
+      (2L, 1L, 1L, "D", 0.0), (2L, 2L, 1L, "U", 20.0),
+      // key 3: SAME timestamp, higher sequence is the tombstone → dropped
+      (3L, 5L, 1L, "U", 1.0), (3L, 5L, 2L, "D", 0.0),
+      // key 4: same timestamp, higher sequence is the upsert → kept
+      (4L, 5L, 1L, "D", 0.0), (4L, 5L, 2L, "U", 7.0),
+      // key 5: lone upsert
+      (5L, 9L, 1L, "U", 3.0)
+    ).toDF("k", "ts", "seq", "op", "v")
+    val out = Incremental.applyChangelog(cl, "k", "ts", "seq", "op", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(!out.contains(1L), "tombstone-last key must be dropped")
+    assert(!out.contains(3L), "timestamp-tie tombstone (higher seq) must drop the key")
+    assert(out(2L) === ((2L, 1L, 2L, 20.0)), "revived key keeps the last upsert")
+    assert(out(4L) === ((2L, 1L, 5L, 7.0)), "timestamp-tie upsert (higher seq) survives")
+    assert(out(5L) === ((1L, 0L, 9L, 3.0)))
+  }
 }

@@ -89,6 +89,33 @@ class OperatorsSpec extends SparkSpec {
       ("A", 99L, Some(3.0)), ("B", 14L, None), ("C", 50L, None)))
   }
 
+  test("as-of join (q91 shape): same-instant dimension versions pre-aggregate " +
+      "to the highest version, and a probe AT a version's ts sees that version") {
+    import graft.operators.AsOfJoin
+    // AsOfJoin's documented tie contract: multiple right rows at the same
+    // (key, ts) are frame-order nondeterministic — the CALLER must
+    // pre-aggregate. q91 does max(struct(version, value)): highest
+    // version wins the instant. Replay that composition on a hand case.
+    val dimRaw = Seq( // (user, ts, version, value)
+      (1L, 10L, 1L, "v1"), (1L, 10L, 2L, "v2"), // same-instant correction
+      (1L, 30L, 3L, "v3")
+    ).toDF("u", "ts", "version", "dv")
+    val dim = dimRaw.groupBy(col("u"), col("ts"))
+      .agg(max(struct(col("version"), col("dv"))).as("m"))
+      .select(col("u"), col("ts"), col("m.version").as("version"),
+        col("m.dv").as("dv"))
+    val probe = Seq((1L, 10L, 100L), (1L, 29L, 200L), (1L, 30L, 300L))
+      .toDF("u", "ts", "pid")
+    val got = AsOfJoin.leftAsOf(probe, dim, Seq("u"), "ts", "d_")
+      .orderBy(col("pid"))
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("d_version"),
+        r.getAs[String]("d_dv")))
+    assert(got.toSeq === Seq(
+      (100L, 2L, "v2"), // probe AT the corrected instant: version 2, never 1
+      (200L, 2L, "v2"), // between versions: still the instant's winner
+      (300L, 3L, "v3"))) // exact ts of version 3 includes it (at-or-before)
+  }
+
   test("approx_count_distinct (HLL) lands within its declared error bound") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val r = li.agg(

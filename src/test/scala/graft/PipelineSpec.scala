@@ -232,4 +232,57 @@ class PipelineSpec extends SparkSpec {
     assert(m("n_no_metrics") === 2L)
     assert(m("n_event_types") === 3L) // unsupported event never normalizes
   }
+
+  test("q84 dataset card: per-language rows match an independent driver replay " +
+      "of every constituent (tokens, quality, contamination, exact-dup)") {
+    // q84 composes d01 (exact dup), d13 (contamination), and t02 (quality)
+    // — a silent regression in any constituent would only surface as an
+    // opaque hash mismatch. This replay recomputes ALL of them driver-side
+    // from first principles on the 50-doc corpus.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Array[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in", "is")
+    def q6(t: String): BigDecimal = {
+      val ws = toks(t)
+      val lenScore = math.min(t.length / 500.0, 1.0)
+      val stopR = if (ws.isEmpty) 0.0 else ws.count(stop).toDouble / ws.length
+      val punct = if (t.isEmpty) 0.0
+        else (t.length - t.replaceAll("[\\p{Punct}]", "").length).toDouble / t.length
+      BigDecimal(0.4 * lenScore + 0.4 * stopR + 0.2 * (1.0 - punct))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def shingles(t: String): Set[String] =
+      toks(t).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val benchUniverse = docs.filter(_._1 < 20).flatMap(d => shingles(d._3)).toSet
+    val textCounts = docs.groupBy(_._3).view.mapValues(_.length).toMap
+    val byLang = docs.groupBy(_._2)
+    val want = byLang.map { case (lang, ds) =>
+      val nDocs = ds.length.toLong
+      val totalTokens = ds.map(d => toks(d._3).length.toLong).sum
+      val meanQ = (ds.map(d => q6(d._3)).sum.toDouble / nDocs)
+      val nContam = ds.count(d => shingles(d._3).exists(benchUniverse)).toLong
+      val nDup = ds.count(d => textCounts(d._3) > 1).toLong
+      lang -> ((nDocs,
+        BigDecimal(nDocs.toDouble / docs.length)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        totalTokens,
+        BigDecimal(meanQ).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        nContam, nDup))
+    }
+    val got = SparkEntry.queries("q84_dataset_card")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (lang, w) =>
+      val g = got(lang)
+      assert(g._1 == w._1 && g._3 == w._3 && g._5 == w._5 && g._6 == w._6,
+        s"$lang counts: engine $g vs replay $w")
+      assert(math.abs(g._2 - w._2) <= 1e-9 && math.abs(g._4 - w._4) <= 1e-9,
+        s"$lang ratios: engine $g vs replay $w")
+    }
+  }
 }

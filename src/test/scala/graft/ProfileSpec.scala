@@ -92,6 +92,88 @@ class ProfileSpec extends SparkSpec {
     assert(out("id_pos") === ((0L, true)))
   }
 
+  test("q87 Spearman: tie-averaged ranks match a full driver replay (sf0.001)") {
+    // independent mechanism: collect the column triple, compute classic
+    // tie-averaged ranks by sorting driver-side, and replay the rho
+    // formula over exact integer 2×rank sums (the engine's uRank emits
+    // 2×avgRank, and Pearson on ranks is scale-invariant, so the factor
+    // of 2 cancels — replaying WITH the factor keeps every sum integral)
+    val rows = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity").cast("double"), col("l_discount").cast("double"),
+        col("l_tax").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def ranks2(vs: Array[Double]): Array[Long] = {
+      // 2×(average rank): R_smaller·2 + m + 1 per value group
+      val counts = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sortedVals = counts.keys.toArray.sorted
+      val smaller = sortedVals.scanLeft(0L)((acc, v) => acc + counts(v))
+      val r2 = sortedVals.zipWithIndex.map { case (v, i) =>
+        v -> (2L * smaller(i) + counts(v) + 1L) }.toMap
+      vs.map(r2)
+    }
+    def rho(xs: Array[Long], ys: Array[Long]): Double = {
+      val n = xs.length.toLong
+      var sx = 0L; var sy = 0L
+      var sxy = BigInt(0); var sx2 = BigInt(0); var sy2 = BigInt(0)
+      xs.indices.foreach { i =>
+        sx += xs(i); sy += ys(i)
+        sxy += BigInt(xs(i)) * ys(i); sx2 += BigInt(xs(i)) * xs(i)
+        sy2 += BigInt(ys(i)) * ys(i)
+      }
+      val nd = n.toDouble
+      val v = (nd * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((nd * sx2.toDouble - sx.toDouble * sx.toDouble) *
+          (nd * sy2.toDouble - sy.toDouble * sy.toDouble))
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rq = ranks2(rows.map(_._1)); val rd = ranks2(rows.map(_._2))
+    val rt = ranks2(rows.map(_._3))
+    val want = Map(
+      "discount_tax" -> rho(rd, rt),
+      "quantity_discount" -> rho(rq, rd),
+      "quantity_tax" -> rho(rq, rt))
+    val got = SparkEntry.queries("q87_spearman")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    want.foreach { case (pair, w) =>
+      assert(math.abs(got(pair) - w) <= 1e-9, s"$pair: engine ${got(pair)} vs replay $w")
+    }
+  }
+
+  test("q89 mutual information: MI = 0 exactly on independent columns; " +
+      "bounds hold on real data") {
+    // perfectly proportional joint counts → every cell's log argument is 1
+    val indep = (Seq.fill(10)(("a", "c")) ++ Seq.fill(20)(("a", "d")) ++
+      Seq.fill(20)(("b", "c")) ++ Seq.fill(40)(("b", "d"))).toDF("x", "y")
+    val r0 = Profile.mutualInfo(indep, "x", "y").collect().head
+    assert(r0.getLong(0) == 4L)
+    assert(r0.getDouble(1) == 0.0, s"independent columns must give MI 0, got ${r0.getDouble(1)}")
+    assert(r0.getDouble(4) == 0.0, "NMI must be 0 when MI is 0")
+    // bounds on a real dependence: 0 ≤ MI ≤ min(H) and 0 ≤ NMI ≤ 1
+    // (up to the 9-dp per-term rounding)
+    val r1 = Profile.mutualInfo(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      "o_orderstatus", "o_orderpriority").collect().head
+    val (mi, hx, hy, nmi) = (r1.getDouble(1), r1.getDouble(2), r1.getDouble(3), r1.getDouble(4))
+    assert(mi >= -1e-8 && mi <= math.min(hx, hy) + 1e-8, s"MI $mi outside [0, min($hx,$hy)]")
+    assert(nmi >= -1e-8 && nmi <= 1.0 + 1e-8, s"NMI $nmi outside [0,1]")
+  }
+
+  test("q90 max concurrency: an interval ending exactly when another starts " +
+      "is NOT concurrent with it (half-open ends-first tie)") {
+    // [0,10) then [10,20): netting +1−1 = 0 at t=10 → peak 1, attained at 0
+    val backToBack = Seq(("g", 0L, 10L), ("g", 10L, 20L)).toDF("grp", "st", "en")
+    val r0 = Profile.maxConcurrency(backToBack, "grp", "st", "en").collect().head
+    assert(r0.getLong(1) == 2L && r0.getLong(2) == 1L && r0.getLong(3) == 0L,
+      s"back-to-back intervals must peak at 1 attained at 0: $r0")
+    // genuine triple overlap at t=9 — and the boundary pair [0,10)/[10,20)
+    // in the same group must still not inflate the peak
+    val mixed = Seq(("h", 0L, 10L), ("h", 5L, 15L), ("h", 9L, 11L), ("h", 10L, 20L))
+      .toDF("grp", "st", "en")
+    val r1 = Profile.maxConcurrency(mixed, "grp", "st", "en").collect().head
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 3L && r1.getLong(3) == 9L,
+      s"expected peak 3 attained at 9: $r1")
+  }
+
   test("q71 decile bins: equi-depth within interpolation ties, ranges ordered") {
     import org.apache.spark.sql.functions.col
     val out = SparkEntry.queries("q71_decile_bins")(spark, "/root/testdata/sf0.001")
