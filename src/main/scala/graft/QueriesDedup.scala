@@ -709,6 +709,39 @@ private[graft] object QueriesDedup {
       pairs.crossJoin(broadcast(rec))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+
+
+    // Edit-distance join (Levenshtein ≤ 2) — the STRING-metric
+    // similarity join next to d32's set-metric one: typo families, OCR
+    // variants. Fixture: deterministic per-doc mutations of the 24-char
+    // lowercase text prefix (doc_id%3 picks delete / substitute-'z' /
+    // keep at a doc_id-derived position), so sibling mutations of the
+    // same prefix are genuine ed ≤ 2 neighbors that are NOT exact
+    // duplicates. Engine: EntityResolution.editDistancePairs — q-gram
+    // prefix filter (q=4, the measured candidate-minimizing gram size on
+    // this char space: 1.0M candidate rows vs 4.7M at q=2) with inline
+    // length filter and in-join threshold-levenshtein verification;
+    // identical
+    // strings collapse before pair generation (the d32 discipline).
+    // The oracle computes the SEMANTICS as brute-force all-pairs
+    // levenshtein — any pair the gram filter wrongly drops fails the
+    // hash (recall is also proven against ground truth in
+    // EntityResolutionSpec).
+    "d33_edit_distance_join" -> ((s, dir) => {
+      val strs = t(s, dir, "documents")
+        .withColumn("b", expr("substr(lower(text), 1, 24)"))
+        .withColumn("str", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN
+            |  substr(b, 1, CAST(doc_id % 10 AS INT) + 3) ||
+            |  substr(b, CAST(doc_id % 10 AS INT) + 5)
+            |WHEN doc_id % 3 = 1 THEN
+            |  substr(b, 1, CAST(doc_id % 10 AS INT) + 3) || 'z' ||
+            |  substr(b, CAST(doc_id % 10 AS INT) + 5)
+            |ELSE b END""".stripMargin))
+      analytics.EntityResolution.editDistancePairs(strs, "doc_id", "str",
+          k = 2, q = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -1453,5 +1486,26 @@ private[graft] object QueriesDedup {
          |JOIN sz sb ON sb.doc_id = i.doc_b CROSS JOIN rec
          |WHERE 3 * i.inter >= sa.sz + sb.sz
          |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+
+    // Edit-distance twin (d33): identical mutation fixture, then the
+    // semantics DIRECTLY — brute-force all-pairs levenshtein ≤ 2 over
+    // the same length gate. The oracle knows nothing about q-grams.
+    "d33_edit_distance_join" ->
+      """WITH s0 AS (SELECT doc_id, substr(lower(text), 1, 24) AS b
+        |  FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN
+        |    substr(b, 1, CAST(doc_id % 10 AS INT) + 3) ||
+        |    substr(b, CAST(doc_id % 10 AS INT) + 5)
+        |  WHEN doc_id % 3 = 1 THEN
+        |    substr(b, 1, CAST(doc_id % 10 AS INT) + 3) || 'z' ||
+        |    substr(b, CAST(doc_id % 10 AS INT) + 5)
+        |  ELSE b END AS s FROM s0),
+        |f AS (SELECT doc_id, s FROM s WHERE length(s) > 11)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

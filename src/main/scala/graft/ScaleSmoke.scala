@@ -613,6 +613,27 @@ object ScaleSmoke {
     // at sf0.1 ×20 the output alone is ~3.5B rows.
     run("jaccard_join")(Dedup.jaccardSelfJoin(docs))
 
+    // d33: edit-distance self-join. The id shift changes each copy's
+    // doc_id-derived mutation, so copies become ed-neighbors rather
+    // than exact dupes: DISTINCT strings grow ~mult (the HARDER case —
+    // no identical-string collapse to hide behind), the prefix index
+    // grows with them, and output grows as mutation families collide.
+    // Run against sf0.01.
+    run("edit_distance_join") {
+      val strs = docs
+        .withColumn("b", expr("substr(lower(text), 1, 24)"))
+        .withColumn("str", expr(
+          """CASE WHEN doc_id % 3 = 0 THEN
+            |  substr(b, 1, CAST(doc_id % 10 AS INT) + 3) ||
+            |  substr(b, CAST(doc_id % 10 AS INT) + 5)
+            |WHEN doc_id % 3 = 1 THEN
+            |  substr(b, 1, CAST(doc_id % 10 AS INT) + 3) || 'z' ||
+            |  substr(b, CAST(doc_id % 10 AS INT) + 5)
+            |ELSE b END""".stripMargin))
+      graft.analytics.EntityResolution.editDistancePairs(
+        strs, "doc_id", "str", k = 2, q = 4)
+    }
+
     // s13: all-corpus kNN graph at the cluster-trade LSH config. Bucket
     // sizes grow ×mult, so per-bucket candidate pairs grow ×mult² — the
     // documented pair-op cost model; the receipt records how the

@@ -61,4 +61,55 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out.count(_.getBoolean(4)) > out.length / 2,
       "the majority must link back to their source row")
   }
+
+  test("editDistancePairs (d33): equals the brute-force all-pairs ground truth " +
+      "(recall AND precision) on the sf0.001 mutation fixture") {
+    val strs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("b", expr("substr(lower(text), 1, 24)"))
+      .withColumn("str", expr(
+        """CASE WHEN doc_id % 3 = 0 THEN
+          |  substr(b, 1, CAST(doc_id % 10 AS INT) + 3) ||
+          |  substr(b, CAST(doc_id % 10 AS INT) + 5)
+          |WHEN doc_id % 3 = 1 THEN
+          |  substr(b, 1, CAST(doc_id % 10 AS INT) + 3) || 'z' ||
+          |  substr(b, CAST(doc_id % 10 AS INT) + 5)
+          |ELSE b END""".stripMargin))
+      .select(col("doc_id"), col("str"))
+    // third mechanism: cross join + unbounded levenshtein, no grams
+    val f = strs.where(length(col("str")) > 5)
+    val truth = f.as("a").crossJoin(f.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id") &&
+        levenshtein(col("a.str"), col("b.str")) <= 2)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.str"), col("b.str")).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(truth.nonEmpty, "fixture must plant at least one close pair")
+    // both gram sizes must be exact — q only moves the cost, never the answer
+    // (q=4 is the catalog config; strings here are 23-24 chars, above both gates)
+    for (q <- Seq(2, 4)) {
+      val got = EntityResolution.editDistancePairs(strs, "doc_id", "str", k = 2, q = q)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got === truth,
+        s"q=$q missing=${(truth.keySet -- got.keySet).take(5)} extra=${(got.keySet -- truth.keySet).take(5)}")
+    }
+  }
+
+  test("editDistancePairs: edit-type hand cases at the k boundary; short strings gated") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "abcdefghij"),  // base
+      (2L, "abcdefghij"),  // exact copy → dist 0 via the same-string branch
+      (3L, "abcdefghi"),   // one deletion → 1
+      (4L, "abXdefghiQ"),  // two substitutions → 2
+      (5L, "abXdefgYiQ"),  // three subs vs base → out (but 2 vs id 4)
+      (6L, "zzzzzzzzzz"),  // far from everything
+      (7L, "abcde")        // len 5 ≤ q−1+k·q: EXCLUDED by the length gate
+    ).toDF("doc_id", "str")
+    val got = EntityResolution.editDistancePairs(rows, "doc_id", "str", k = 2, q = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map(
+      (1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+      (1L, 4L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L,
+      (4L, 5L) -> 1L)) // (4) and (5) differ only at position 8
+  }
 }
