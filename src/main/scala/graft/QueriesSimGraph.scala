@@ -182,6 +182,40 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Random-projection (JL) ANN: candidates by 32-dim PROJECTED cosine
+    // (one seeded-Gaussian linear map per vector, computed once), exact
+    // 64-dim re-rank of the top-100 — the dimensionality-reduction ANN
+    // family next to s02's hashing one (signs-only buckets lose
+    // resolution near plane boundaries; real-valued projections keep a
+    // ranking). Candidate selection ranks round(projected cosine, 6)
+    // with id tie-break — the s03 determinism contract — so the twin
+    // replays projection, candidate choice, and re-rank end-to-end from
+    // the same plane doubles. Recall vs exact is floor-asserted in
+    // SimilaritySpec.
+    "s14_rp_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.rpTopK(e, e.where(col("vec_id") < 10), k = 5,
+          rDim = 32, nCand = 100, dim = 64)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Hard-negative mining for contrastive training: each probe's top-5
+    // most-similar DIFFERENT-label vectors — the near-miss examples an
+    // embedding model learns from (random negatives are mostly too
+    // easy). The label-inequality predicate is pushed INTO the scoring
+    // join (s12's lesson: post-filtering a label-blind top-k
+    // under-returns); exact brute force over the complement, (sim desc,
+    // id) ranked.
+    "s15_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e, e.where(col("vec_id") < 10), k = 5)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          col("neg_label"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Diversified retrieval: MMR greedy top-3 over the 10 nearest
     // candidates (λ=0.7) — near-duplicate neighbors can't crowd a result
     // set (diverse few-shot selection / dedup'd RAG contexts). Round-6
@@ -811,6 +845,41 @@ private[graft] object QueriesSimGraph {
          |  WHERE p.vec_id < 10),
          |${annRankSql(5)}""".stripMargin,
 
+
+    // Random-projection twin (s14): the operator's 32 seeded Gaussian
+    // directions as literal VALUES (one lshPlanesValues "table"),
+    // projected vector = list of plane dots in plane order, candidate
+    // top-100 per probe by round(projected cosine, 6) with id tie-break
+    // (the operator's declared contract), then s01's exact re-rank.
+    "s14_rp_topk" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(1, 32, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |proj AS (SELECT vec_id, list(list_dot_product(ev, w) ORDER BY pl) AS pv
+         |  FROM v CROSS JOIN planes GROUP BY vec_id),
+         |ps AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(p.pv, c.pv), 6) AS psim
+         |  FROM proj p JOIN proj c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10),
+         |cand AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY psim DESC NULLS LAST, neighbor_id) AS cr
+         |    FROM ps) WHERE cr <= 100),
+         |${annRankSql(5)}""".stripMargin,
+
+    // Hard-negative twin (s15): s01's exact chain with the label
+    // complement in the join predicate — the oracle never sees
+    // same-label pairs either, so an under-filled probe would mismatch.
+    "s15_hard_negatives" ->
+      """WITH p AS (SELECT vec_id AS probe_id, label AS probe_label,
+        |    embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, label AS neg_label,
+        |    embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT probe_id, neighbor_id, neg_label,
+        |    list_cosine_similarity(pv, cv) AS sim
+        |  FROM p JOIN c ON probe_label <> neg_label),
+        |r AS (SELECT probe_id, neighbor_id, neg_label, sim,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, rnk, neighbor_id, neg_label, round(sim, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
     // ANN twin of s03: centroids = 16 lowest-id vectors, assignment ranks
     // round(cosine, 6) with cent_id tie-break (the operator's documented

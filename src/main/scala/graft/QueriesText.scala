@@ -423,6 +423,20 @@ private[graft] object QueriesText {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Data selection via importance resampling (DSIR): per-token
+    // importance log-weights between the TARGET unigram model (the
+    // lang='en' slice — the "data I want more of" stand-in) and the raw
+    // corpus model, add-1 smoothed over the shared vocabulary; per-doc
+    // length-normalized sum; keep each language's top 1/5 by the exact
+    // integer gate rank·5 ≤ n_lang. Engine: TextAnalysis.dsirSelect —
+    // one frequency table carries BOTH models (target count is a
+    // conditional sum on the same groupBy), t09's Zipf-join scale shape
+    // and rounded-log (9 dp) + position-ordered-fold determinism recipe.
+    "t29_dsir" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(t(s, dir, "documents"),
+          targetPred = col("lang") === "en", keepNum = 1, keepDenom = 5)
+        .orderBy(col("doc_id"))),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -588,6 +602,37 @@ private[graft] object QueriesText {
          |SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(cw, ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // DSIR twin (t29): same one-table two-model counts, 9-dp-rounded
+    // lns subtracted per token, t09's position-ordered list_reduce fold,
+    // per-language rank windows and the integer keep gate — replayed
+    // end-to-end, so a drift in either unigram model moves a weight and
+    // fails the hash.
+    "t29_dsir" -> (
+      s"""WITH tok AS (SELECT doc_id, lang, (lang = 'en') AS is_tgt,
+         |    $tokensSqlExpr AS ws FROM documents),
+         |tu AS (SELECT doc_id, is_tgt, unnest(ws) AS token,
+         |    generate_subscripts(ws, 1) AS pos FROM tok),
+         |f AS (SELECT token, count(*) AS cr,
+         |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct FROM tu GROUP BY token),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM f),
+         |w AS (SELECT token,
+         |    round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 9) -
+         |    round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)), 9) AS w
+         |  FROM f CROSS JOIN tot),
+         |agg AS (SELECT doc_id, list_reduce(list(w ORDER BY pos), (a, b) -> a + b) AS s,
+         |    count(*) AS n FROM tu JOIN w USING (token) GROUP BY doc_id),
+         |base AS (SELECT d.doc_id, d.lang,
+         |    CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
+         |    round(agg.s / agg.n, 6) AS logw_avg
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |r AS (SELECT *, count(*) OVER (PARTITION BY lang) AS n_lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY logw_avg DESC NULLS LAST, doc_id) AS lang_rank FROM base)
+         |SELECT doc_id, lang, n_tokens, logw_avg,
+         |  CAST(n_lang AS BIGINT) AS n_lang, CAST(lang_rank AS BIGINT) AS lang_rank,
+         |  (logw_avg IS NOT NULL AND lang_rank * 5 <= n_lang * 1) AS selected
+         |FROM r ORDER BY doc_id""".stripMargin),
 
     // Calibration twin (t27): t01's marker-hit CTE with confidence,
     // identical binning, decimal mean, and bin-ordered ECE fold.

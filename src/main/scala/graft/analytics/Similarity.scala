@@ -840,4 +840,113 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc_d2"))
   }
+
+  /** Random-projection (Johnson–Lindenstrauss) ANN top-k: project every
+    * vector once onto `rDim` seeded Gaussian directions (the SAME
+    * generator as [[hyperplanes]] — one "table" of `rDim` planes), pick
+    * each probe's `nCand` nearest by PROJECTED cosine, then re-rank the
+    * candidates by exact full-dimension cosine. The dimensionality-
+    * reduction ANN family next to the hashing one (s02 keeps only the
+    * projections' SIGNS as bucket bits; this keeps their real values, so
+    * ranking survives where sign buckets lose resolution near plane
+    * boundaries). JL: pairwise angles are preserved within ~1/√rDim, so
+    * the true top-k is inside a modest projected-top-`nCand` with high
+    * probability — recall floor-asserted in SimilaritySpec.
+    *
+    * Candidate ranking is on round(projected cosine, 6) with neighbor-id
+    * tie-break — the s03 determinism convention, so the DuckDB twin
+    * reproduces candidate selection exactly (planes cross as literal
+    * doubles via lshPlanesValues).
+    *
+    * Scale shape: projection is one linear per-row pass (rDim·dim mults)
+    * — at 100 TB the projected corpus (rDim doubles vs dim floats, 4×
+    * smaller at 16/64) is a written-once columnar artifact; per probe the
+    * candidate scan does rDim-wide arithmetic instead of dim-wide, and
+    * the exact re-rank touches only nCand full vectors. The probe side
+    * broadcasts; the corpus never shuffles.
+    */
+  def rpTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      rDim: Int, nCand: Int, dim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nCand >= k, s"need nCand >= k, got nCand=$nCand k=$k")
+    val planes = hyperplanes(rDim, dim, seed)
+    def proj(vec: Column): Column = array(planes.map(p =>
+      aggregate(zip_with(vec, typedLit(p.toSeq), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, v) => acc + v)): _*)
+    def projNorm(pv: Column): Column =
+      sqrt(aggregate(transform(pv, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val c = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), proj(col(vecCol)).as("cp"))
+      .withColumn("cn", projNorm(col("cp")))
+    val p = broadcast(probes
+      .select(col(idCol).as("probe_id"), proj(col(vecCol)).as("pp"))
+      .withColumn("pn", projNorm(col("pp"))))
+    val psim = c.join(p, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(when(col("pn") > 0 && col("cn") > 0,
+          aggregate(zip_with(col("pp"), col("cp"), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v) / (col("pn") * col("cn"))), 6).as("ps"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("ps").desc_nulls_last, col("neighbor_id").asc)
+    val cand = psim.withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nCand)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val scored = cand
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        nf(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cf(col("probe_vec"), col("vec"), col("probe_norm"), col("vec_norm")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each probe, the
+    * `k` corpus vectors MOST similar to it among those with a DIFFERENT
+    * label — the near-miss examples a retrieval/embedding model learns
+    * the most from (in-batch random negatives are mostly too easy; the
+    * highest-similarity wrong-label neighbors are the informative ones).
+    * Exact brute force over the label complement, (sim desc, id) ranked —
+    * [[bruteForceTopK]]'s contract with the label-inequality predicate
+    * pushed into the scoring join, so a probe's own class never enters
+    * its candidate set (POST-filtering a label-blind top-k under-returns
+    * exactly like s12's predicate case).
+    *
+    * Scale shape: per-label complement search at 100 TB runs against a
+    * label-bucketed ANN index (the s12 pattern — probe every partition
+    * EXCEPT the probe's own), or this exact pass over a per-batch
+    * candidate pool; the probe side broadcasts, the corpus scans once.
+    * Output: (probe_id, rank, neighbor_id, neg_label, sim).
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      col(labelCol).as("probe_label"), col(vecCol).as("probe_vec"),
+      nf(col(vecCol)).as("probe_norm")))
+    val c = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("neg_label"),
+        col(vecCol).as("vec"), nf(col(vecCol)).as("vec_norm"))
+    val scored = c.join(p, col("probe_label") =!= col("neg_label"))
+      .select(col("probe_id"), col("neighbor_id"), col("neg_label"),
+        cf(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("neg_label"), col("sim"))
+  }
 }

@@ -740,4 +740,71 @@ object TextAnalysis {
         overlap.as("overlap"),
         coalesce(overlap >= threshold, lit(false)).as("contaminated"))
   }
+
+  /** Data selection via importance resampling (the DSIR recipe, Xie et
+    * al. 2023): score every document by how much more likely its tokens
+    * are under a TARGET distribution (the data you want more of —
+    * `targetPred` rows, e.g. a trusted-domain slice) than under the raw
+    * corpus distribution, then keep each language's top slice. Per-token
+    * importance log-weight with add-1 smoothing over the shared raw
+    * vocabulary `V`:
+    *   w(t) = ln((c_tgt(t)+1)/(N_tgt+V)) − ln((c_raw(t)+1)/(N_raw+V))
+    * and a document scores the length-normalized sum avg w(t). The two
+    * unigram models live in ONE frequency table (target count is a
+    * conditional sum on the same groupBy — one aggregation, one
+    * token-join, t09's exact scale shape: the join key distribution is
+    * Zipf, AQE skew-join splits the stopword keys). Selection is the
+    * q37 stratum discipline — per-language (score desc, id) rank with an
+    * integer-arithmetic keep gate `rank · denom ≤ n_lang` (exact, no
+    * float threshold), never a global sort.
+    *
+    * Cross-engine determinism: each ln() is rounded to 9 dp before the
+    * subtraction (the t09 libm convention), per-doc folds run in token-
+    * position order, the average display-rounds at 6. Token-less docs
+    * carry a null score and are never selected.
+    *
+    * Output: (doc_id, lang, n_tokens, logw_avg, n_lang, lang_rank,
+    * selected) — rank and stratum size ride along so a selection flip
+    * localizes to the document that moved.
+    */
+  def dsirSelect(docs: org.apache.spark.sql.DataFrame, targetPred: Column,
+      keepNum: Int, keepDenom: Int, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang"): org.apache.spark.sql.DataFrame = {
+    require(keepNum >= 1 && keepDenom >= keepNum,
+      s"keep fraction must be in (0,1]: $keepNum/$keepDenom")
+    val toks = Par.spreadForCpu(docs)
+      .select(col(idCol), targetPred.as("is_tgt"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+    val freqs = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = freqs.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"),
+      count(lit(1)).as("v"))
+    val weights = freqs.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (round(log((col("ct") + 1).cast(DoubleType) /
+            (col("nt") + col("v")).cast(DoubleType)), 9) -
+          round(log((col("cr") + 1).cast(DoubleType) /
+            (col("nr") + col("v")).cast(DoubleType)), 9)).as("w"))
+    val scored = toks.join(weights, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("pos"), col("w"))).as("ws"))
+      .select(col(idCol),
+        aggregate(transform(array_sort(col("ws")), x => x.getField("w")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        size(col("ws")).cast(LongType).as("n"))
+      .select(col(idCol), col("n"), round(col("s") / col("n"), 6).as("logw_avg"))
+    val base = docs.select(col(idCol), col(langCol).as("lang"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("lang"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"), col("logw_avg"))
+    val lw = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val rw = lw.orderBy(col("logw_avg").desc_nulls_last, col(idCol).asc)
+    base
+      .withColumn("n_lang", count(lit(1)).over(lw))
+      .withColumn("lang_rank", row_number().over(rw).cast(LongType))
+      .withColumn("selected",
+        col("logw_avg").isNotNull &&
+          col("lang_rank") * keepDenom <= col("n_lang") * keepNum)
+  }
 }

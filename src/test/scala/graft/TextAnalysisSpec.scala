@@ -485,4 +485,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == ((3L, 2L, 0L, Some(0.0), false)))
     assert(got(4) == ((4L, 0L, 0L, None, false)))
   }
+
+  test("t29 dsirSelect: hand-computed importance weights; target-like docs " +
+      "outrank raw-only docs; token-less docs never selected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha"),
+      (2L, "en", "alpha beta"),
+      (3L, "fr", "gamma delta"),   // raw-only tokens → most negative score
+      (4L, "fr", "alpha beta"),    // target-like tokens despite lang=fr
+      (5L, "fr", "")               // token-less → null score
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.dsirSelect(docs, col("lang") === "en",
+        keepNum = 1, keepDenom = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(6)))
+    // counts: alpha cr=4/ct=3, beta cr=3/ct=2, gamma cr=1/ct=0, delta
+    // cr=1/ct=0; Nr=9, Nt=5, V=4 — the formula by hand, same 9-dp rounds
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(ct: Long, cr: Long) =
+      r9(math.log((ct + 1.0) / (5 + 4))) - r9(math.log((cr + 1.0) / (9 + 4)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wAlpha = w(3, 4); val wBeta = w(2, 3); val wGamma = w(0, 1)
+    assert(got(0)._2 === Some(r6((wAlpha + wBeta + wAlpha) / 3)))
+    assert(got(2)._2 === Some(r6((wGamma + wGamma) / 2)))
+    assert(got(3)._2 === Some(r6((wAlpha + wBeta) / 2)))
+    assert(got(3)._2.get > got(2)._2.get,
+      "target-like tokens must outscore raw-only tokens")
+    // keep 1/2 per lang: en(2 docs) → rank 1; fr(3 docs) → rank 1 only
+    assert(got.map(g => g._1 -> g._3).toMap ===
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
+  }
 }
