@@ -1404,6 +1404,34 @@ private[graft] object QueriesPipeline {
         .withColumnRenamed("last_ts", "last_tsu")
         .orderBy(col("user_id"))
     }),
+
+    // CUPED variance-reduced A/B readout (Deng et al. 2013): units =
+    // users, variant = user_id parity, covariate X = the user's
+    // pre-period value sum (first half of the event-time range, integer
+    // midpoint), outcome Y = post-period sum. X/Y are exact DECIMAL
+    // sums (the q01 discipline) so the six pooled moments are
+    // order-free; θ = cov/var and the per-variant adjusted means are
+    // scalar double algebra on those moments — the affine identity
+    // mean(Y'|g) = mean(Y|g) − θ(mean(X|g) − mean(X)) means no per-unit
+    // float is ever summed. var_reduction = ρ²(X,Y) exactly.
+    "q93_cuped" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val e2 = e.select(col("user_id"), us.as("tsu"), col("value"))
+      val mid = broadcast(e2.agg(
+        expr("(min(tsu) + max(tsu)) div 2").as("mid")))
+      val z = lit(0).cast("decimal(18,2)")
+      val units = e2.crossJoin(mid)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("tsu") <= col("mid"), dec(col("value"), 18, 2))
+            .otherwise(z)).cast("decimal(18,2)").as("x"),
+          sum(when(col("tsu") > col("mid"), dec(col("value"), 18, 2))
+            .otherwise(z)).cast("decimal(18,2)").as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      analytics.Eval.cuped(units, "variant", "x", "y")
+        .orderBy(col("variant"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2430,5 +2458,41 @@ private[graft] object QueriesPipeline {
         |SELECT a.user_id, a.n_ops, a.n_deletes, l.tsu AS last_tsu, l.value
         |FROM a JOIN l USING (user_id) WHERE l.op = 'U'
         |ORDER BY a.user_id""".stripMargin,
+
+    // CUPED twin (q93): identical decimal-exact unit sums, the same six
+    // double-cast moments, and θ/means/ρ² replayed in the operator's
+    // exact expression shape (n·ΣXY − ΣX·ΣY over n·ΣX² − ΣX·ΣX, etc.).
+    "q93_cuped" ->
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN epoch_us(ts) <= b.mid THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+        |    CAST(sum(CASE WHEN epoch_us(ts) > b.mid THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y,
+        |    user_id % 2 AS variant
+        |  FROM events CROSS JOIN b GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sx2, CAST(sum(y*y) AS DOUBLE) AS sy2
+        |  FROM u),
+        |th AS (SELECT n, sx, sy,
+        |    (n*sxy - sx*sy) AS covn, (n*sx2 - sx*sx) AS varxn,
+        |    (n*sy2 - sy*sy) AS varyn,
+        |    CASE WHEN (n*sx2 - sx*sx) > 0
+        |      THEN (n*sxy - sx*sy) / (n*sx2 - sx*sx) END AS theta
+        |  FROM g),
+        |v AS (SELECT variant, count(*) AS n_units,
+        |    CAST(sum(x) AS DOUBLE) AS sxg, CAST(sum(y) AS DOUBLE) AS syg
+        |  FROM u GROUP BY variant)
+        |SELECT variant, n_units,
+        |  round(syg / n_units, 6) AS mean_y,
+        |  round(syg / n_units - th.theta * (sxg / n_units - th.sx / th.n), 6)
+        |    AS mean_y_cuped,
+        |  round(th.theta, 6) AS theta,
+        |  round(CASE WHEN th.varyn > 0 AND th.varxn > 0
+        |    THEN (th.covn * th.covn) / (th.varxn * th.varyn) END, 6)
+        |    AS var_reduction
+        |FROM v CROSS JOIN th ORDER BY variant""".stripMargin,
   )
 }

@@ -106,6 +106,32 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // Community detection: 4 synchronous label-propagation rounds over a
+    // block-community graph (8-id blocks wired as a ring (+1) plus a +2
+    // chord — odd AND even hop lengths, so the block graph is
+    // NON-bipartite; a ±1/±3 wiring is bipartite on Z8 and synchronous
+    // LPA oscillates on it forever, measured as 125 fragments before
+    // this chord was fixed — plus one bridge edge every 32 ids). Blocks
+    // converge to one label each by round 3 while the sparse bridges
+    // can't flip a mode majority; integer-only, every round unrolled in
+    // the twin. The community signal a curation pipeline uses to group
+    // near-identical site sections / link farms.
+    "g07_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val base = col("doc_id") - pmod(col("doc_id"), lit(8L))
+      val edges = docs.select(col("doc_id").as("src"),
+          (base + pmod(col("doc_id") + 1, lit(8L))).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (base + pmod(col("doc_id") + 2, lit(8L))).as("dst")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(32L)) === 0)
+          .select(col("doc_id").as("src"),
+            pmod(col("doc_id") + 8, lit(n)).as("dst")))
+      analytics.Graph.labelPropagation(edges, docs, rounds = 4, idCol = "doc_id")
+        .select(col("doc_id"), col("community"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Similarity: brute-force cosine top-k (exact baseline).
     "s01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -214,6 +240,38 @@ private[graft] object QueriesSimGraph {
         .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
           col("neg_label"), round(col("sim"), 6).as("sim"))
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // SemDeDup semantic near-dup removal: vectors compared ONLY inside
+    // their s03-assigned cell (Σ|cell|² pair term, never n²); within a
+    // cell a vector is dropped when a keep-priority-earlier cell-mate
+    // (centroid-cosine asc, id asc — the paper keeps the LEAST
+    // prototypical member of each duplicate ball) has round-6 cosine
+    // ≥ 0.3. τ=0.3 sits above this corpus' p99 pairwise cosine, so the
+    // verdict column is non-trivially mixed. Quantizer = 16 lowest-id
+    // vectors (the s03/s06 stand-in; production feeds kmeansCentroids).
+    "s16_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.semDeDup(e, cents, tau = 0.3)
+        .select(col("vec_id"), col("cent_id"), col("csim"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Prototype pruning: keep each cell's hardest 3/5 by centroid
+    // cosine (asc = least prototypical first), exact integer keep gate
+    // rank·5 ≤ n_cell·3 — the data-pruning rule of Sorscher et al.;
+    // per-cell ranking so tight clusters aren't emptied by a global
+    // threshold. One assignment pass + one cent_id shuffle, no pairs.
+    "s17_prototype_prune" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.prototypePrune(e, cents, keepNum = 3, keepDenom = 5)
+        .select(col("vec_id"), col("cent_id"), col("csim"),
+          col("cell_n"), col("cell_rank"), col("kept"))
+        .orderBy(col("vec_id"))
     }),
 
     // Diversified retrieval: MMR greedy top-3 over the 10 nearest
@@ -567,6 +625,8 @@ private[graft] object QueriesSimGraph {
 
     "g05_kcore" -> kCoreOracleSql(k = 5, maxRounds = 8),
 
+    "g07_label_prop" -> lpaOracleSql(rounds = 4),
+
     // Seed-distance twin (g06): path enumeration capped at the same
     // round bound, min per vertex.
     "g06_seed_distance" ->
@@ -880,6 +940,52 @@ private[graft] object QueriesSimGraph {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, rnk, neighbor_id, neg_label, round(sim, 6) AS sim
         |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // SemDeDup twin (s16): s06's assignment CTEs (csim carried), the
+    // keep-priority pair join ((csim, id) lexicographic on round-6
+    // values), round-6 pairwise cosine against τ, NOT-EXISTS keep — the
+    // drop rule replayed relation-for-relation.
+    "s16_semdedup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |ca AS (SELECT vec_id, cent_id, csim FROM (
+        |    SELECT vec_id, cent_id, csim,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn) WHERE r = 1),
+        |drp AS (SELECT DISTINCT a.vec_id FROM ca a
+        |  JOIN ca b ON a.cent_id = b.cent_id
+        |    AND (b.csim < a.csim OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+        |  JOIN v av ON av.vec_id = a.vec_id
+        |  JOIN v bv ON bv.vec_id = b.vec_id
+        |  WHERE round(list_cosine_similarity(av.ev, bv.ev), 6) >= 0.3)
+        |SELECT ca.vec_id, ca.cent_id, ca.csim,
+        |  (drp.vec_id IS NULL) AS kept
+        |FROM ca LEFT JOIN drp ON ca.vec_id = drp.vec_id
+        |ORDER BY ca.vec_id""".stripMargin,
+
+    // Prototype-pruning twin (s17): same assignment, per-cell hardness
+    // rank (csim ASC NULLS LAST, id), count(*) cell size, the exact
+    // integer keep gate rank·5 ≤ n·3.
+    "s17_prototype_prune" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |ca AS (SELECT vec_id, cent_id, csim FROM (
+        |    SELECT vec_id, cent_id, csim,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+        |    FROM asgn) WHERE r = 1),
+        |rk AS (SELECT vec_id, cent_id, csim,
+        |    count(*) OVER (PARTITION BY cent_id) AS cell_n,
+        |    row_number() OVER (PARTITION BY cent_id ORDER BY csim ASC NULLS LAST, vec_id) AS cell_rank
+        |  FROM ca)
+        |SELECT vec_id, cent_id, csim, cell_n, cell_rank,
+        |  (cell_rank * 5 <= cell_n * 3) AS kept
+        |FROM rk ORDER BY vec_id""".stripMargin,
 
     // ANN twin of s03: centroids = 16 lowest-id vectors, assignment ranks
     // round(cosine, 6) with cent_id tie-break (the operator's documented

@@ -437,6 +437,40 @@ private[graft] object QueriesText {
           targetPred = col("lang") === "en", keepNum = 1, keepDenom = 5)
         .orderBy(col("doc_id"))),
 
+    // Tokenizer fertility eval: per-language tokens-per-word (fertility)
+    // and bytes-per-token (compression) under the t11-trained 12-merge
+    // BPE vocab — THE go/no-go number for a tokenizer across a
+    // multilingual corpus (a language with fertility ≫ corpus mean pays
+    // proportionally more sequence length per word). All inputs are
+    // exact integer sums (word counts, BPE token counts, octet lengths);
+    // the two ratios are single guarded divisions, so the twin replays
+    // the whole thing through the shared BPE chain with zero float
+    // accumulation.
+    "t30_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, vocab) = analytics.Bpe.train(docs, nMerges = 12)
+      val enc = analytics.Bpe.encode(docs, vocab)
+        .select(col("doc_id"), col("n_bpe"))
+      val base = analytics.Par.spreadForCpu(docs)
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+      base.join(enc, Seq("doc_id"), "left")
+        .select(col("lang"), col("n_words"), col("n_bytes"),
+          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"), sum(col("n_bytes")).as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+          col("n_bytes"),
+          round(when(col("n_words") > 0,
+            col("n_bpe").cast("double") / col("n_words")), 6).as("fertility"),
+          round(when(col("n_bpe") > 0,
+            col("n_bytes").cast("double") / col("n_bpe")), 6)
+            .as("bytes_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -962,6 +996,10 @@ private[graft] object QueriesText {
     // matching the operator's early-stop. Ids, encoding, and est_ratio
     // then mirror Bpe.tokenIds/encode and the t03 estimator.
     "t11_bpe" -> bpeOracleSql(12),
+
+    // Fertility twin (t30): t11's full BPE replay (shared chain), then
+    // per-language integer sums + guarded ratio divisions.
+    "t30_fertility" -> bpeFertilityOracleSql(12),
 
 
     // Held-out BPE twin (t13): training replayed on the even half, the

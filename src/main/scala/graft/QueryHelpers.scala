@@ -347,7 +347,11 @@ private[graft] object QueryHelpers {
     * oracleSql entry's comment for the correspondence argument), then the
     * id assignment, per-doc encoding, and t03-estimator cross-check.
     */
-  private[graft] def bpeOracleSql(nMerges: Int): String = {
+  /** The shared CTE chain of the BPE twins (t11/t30): tokenize, train
+    * `nMerges` greedy rounds, assign token ids, segment + encode every
+    * doc — everything through the `enc(doc_id, n_bpe, ids_str)` CTE.
+    */
+  private def bpeEncChainSql(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (SELECT a, b, sum(freq) AS c FROM (
          |  SELECT freq, syms[j] AS a, syms[j+1] AS b
@@ -364,7 +368,7 @@ private[graft] object QueryHelpers {
          |  FROM (SELECT word, freq, symstr, string_split(symstr, ' ') AS syms FROM v${i - 1})
          |  LEFT JOIN m$i m ON TRUE)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+    s"""tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(ws) AS word FROM tok) GROUP BY word),
        |v0 AS MATERIALIZED (SELECT word, freq,
@@ -382,15 +386,42 @@ private[graft] object QueryHelpers {
        |    UNNEST(range(1, len(syms) + 1)) AS u(k)),
        |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
        |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos, spos) AS ids_str
-       |  FROM sub JOIN ids USING (tokstr) GROUP BY doc_id),
-       |tot AS (SELECT round(CAST(
+       |  FROM sub JOIN ids USING (tokstr) GROUP BY doc_id)""".stripMargin
+  }
+
+  // NOTE: the chain is concatenated OUTSIDE the stripMargin strings —
+  // running stripMargin over interpolated SQL that contains `||` at line
+  // starts would eat one bar of the concat operator (measured: Binder
+  // Error on ' </w>').
+  private[graft] def bpeOracleSql(nMerges: Int): String =
+    "WITH " + bpeEncChainSql(nMerges) + ",\n" +
+    s"""tot AS (SELECT round(CAST(
        |    (SELECT sum(list_sum(list_transform(ws, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) FROM tok)
        |    AS DOUBLE) / (SELECT sum(n_bpe) FROM enc), 3) AS est_ratio)
        |SELECT d.doc_id, COALESCE(e.n_bpe, 0) AS n_bpe, COALESCE(e.ids_str, '') AS ids_str,
        |  tot.est_ratio
        |FROM documents d LEFT JOIN enc e USING (doc_id) CROSS JOIN tot
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** Fertility twin (t30): the shared BPE chain, then per-language exact
+    * integer sums and the two guarded ratio divisions.
+    */
+  private[graft] def bpeFertilityOracleSql(nMerges: Int): String =
+    "WITH " + bpeEncChainSql(nMerges) + ",\n" +
+    s"""base AS (SELECT d.doc_id, d.lang,
+       |    CAST(len(tok.ws) AS BIGINT) AS n_words,
+       |    CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+       |    COALESCE(e.n_bpe, 0) AS n_bpe
+       |  FROM documents d JOIN tok USING (doc_id) LEFT JOIN enc e USING (doc_id))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+       |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       |  round(CASE WHEN sum(n_words) > 0
+       |    THEN CAST(sum(n_bpe) AS DOUBLE) / sum(n_words) END, 6) AS fertility,
+       |  round(CASE WHEN sum(n_bpe) > 0
+       |    THEN CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe) END, 6) AS bytes_per_token
+       |FROM base GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Full SQL twin of t13: BPE training replayed on the even-doc half
     * (the bpeOracleSql rounds, plus a parallel o$i chain applying each
@@ -590,6 +621,32 @@ private[graft] object QueryHelpers {
     * (`1.0 - damping` is 0.15000000000000002, not 0.15 — writing the
     * rounder literal would make the engines round different doubles).
     */
+  /** Label-propagation twin (g07): the block-community graph as literal
+    * arithmetic, symmetrized+dedup'd, then every synchronous round
+    * unrolled — neighbor votes + the self-vote, (count desc, label asc)
+    * winner — exactly [[graft.analytics.Graph.labelPropagation]]'s loop
+    * body. Integer-only computation: no float discipline needed.
+    */
+  private[graft] def lpaOracleSql(rounds: Int): String = {
+    val rs = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT v, nl, count(*) AS c FROM (
+         |    SELECT e.src AS v, l.lbl AS nl FROM e JOIN l${i - 1} l ON l.v = e.dst
+         |    UNION ALL SELECT v, lbl FROM l${i - 1}) GROUP BY v, nl),
+         |l$i AS MATERIALIZED (SELECT v, nl AS lbl FROM (
+         |    SELECT v, nl, row_number() OVER (PARTITION BY v ORDER BY c DESC, nl) AS r
+         |    FROM v$i) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (SELECT doc_id AS src, (doc_id - doc_id % 8) + (doc_id + 1) % 8 AS dst FROM documents
+       |  UNION ALL SELECT doc_id, (doc_id - doc_id % 8) + (doc_id + 2) % 8 FROM documents
+       |  UNION ALL SELECT doc_id, (doc_id + 8) % (SELECT n FROM nn) FROM documents WHERE doc_id % 32 = 0),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) WHERE src <> dst),
+       |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
+       |$rs
+       |SELECT v AS doc_id, lbl AS community FROM l$rounds ORDER BY doc_id""".stripMargin
+  }
+
   private[graft] def pageRankOracleSql(iters: Int, damping: Double): String = {
     val rounds = (1 to iters).map { i =>
       s"""pr$i AS (SELECT v.id,

@@ -700,6 +700,74 @@ object ScaleSmoke {
       cum.groupBy(col("event_type")).agg(max(col("net_cum")).as("max_concurrent"))
     }
 
+    // g07: synchronous label propagation — rounds × (edge join + vote
+    // count + per-vertex window), all keyed shuffles. The id-shifted
+    // blowup multiplies BLOCKS, not block size, so cost must track |E|
+    // linearly; no pair term exists.
+    run("label_prop") {
+      val n = docs.count()
+      val base = col("doc_id") - pmod(col("doc_id"), lit(8L))
+      val edges = docs.select(col("doc_id").as("src"),
+          (base + pmod(col("doc_id") + 1, lit(8L))).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          (base + pmod(col("doc_id") + 2, lit(8L))).as("dst")))
+        .unionByName(docs.where(pmod(col("doc_id"), lit(32L)) === 0)
+          .select(col("doc_id").as("src"),
+            pmod(col("doc_id") + 8, lit(n)).as("dst")))
+      graft.analytics.Graph.labelPropagation(edges, docs, rounds = 4,
+        idCol = "doc_id")
+    }
+
+    // s14: random-projection ANN — the projection is one per-row linear
+    // pass and the probe side is pinned (10 probes), so cost must track
+    // corpus rows ~linearly; no pair term exists anywhere in the plan.
+    run("rp_topk")(
+      Similarity.rpTopK(vecs, vecs0.where(col("vec_id") < 10), k = 5,
+        rDim = 32, nCand = 100, dim = 64))
+
+    // s15: hard-negative mining — exact scan over the label complement
+    // with a pinned probe side; linear in corpus rows like s01/s14.
+    run("hard_negatives")(
+      Similarity.hardNegatives(vecs, vecs0.where(col("vec_id") < 10), k = 5))
+
+    // s16 at FIXED nCells: the id-shifted blowup multiplies every cell's
+    // population by mult (copies land in their original's cell), so the
+    // Σ|cell|² pair term grows ×mult² — the documented cost model, same
+    // adversarial case as jaccard_join.
+    run("semdedup_fixed_cells") {
+      val cents = vecs0.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.semDeDup(vecs, cents, tau = 0.3)
+    }
+
+    // s16 at SCALED nCells (16·mult — the paper's production rule:
+    // nCells grows with the corpus, holding per-cell population flat).
+    // The pair term collapses back toward ×mult; the fixed/scaled gap IS
+    // the 100 TB argument for this operator.
+    run("semdedup_scaled_cells") {
+      val cents = vecs.orderBy(col("vec_id")).limit(16 * mult)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.semDeDup(vecs, cents, tau = 0.3)
+    }
+
+    // s17: prototype pruning — one broadcast assignment + one cent_id
+    // shuffle with a per-cell window; linear, no pair term. (The window
+    // partitions grow with blowup at fixed nCells; scaled nCells keeps
+    // them bounded, same knob as s16.)
+    run("prototype_prune") {
+      val cents = vecs0.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
+    }
+
+    // t29: DSIR importance weights — ONE (token)-keyed shuffle builds
+    // both unigram models; the per-doc weight sum is a second linear
+    // pass. Cost must track token volume ~linearly; the vocabulary (and
+    // the broadcastable weight table) grows sublinearly (Heaps' law).
+    run("dsir")(
+      graft.analytics.TextAnalysis.dsirSelect(docs,
+        targetPred = col("lang") === "en", keepNum = 1, keepDenom = 5))
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must

@@ -86,4 +86,60 @@ object Eval {
         (col("u2").cast("double") /
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
+
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker 2013, "Improving the sensitivity of online controlled
+    * experiments by utilizing pre-experiment data"): given one row per
+    * experimental unit with a pre-period covariate `x` and an outcome
+    * `y`, adjust Y' = Y − θ·(X − mean(X)) with θ = cov(X,Y)/var(X)
+    * pooled across ALL units, and report per-variant adjusted means.
+    * Because Y' is AFFINE in X, every output is computable from exact
+    * moment sums: mean(Y'|g) = mean(Y|g) − θ·(mean(X|g) − mean(X)),
+    * and the variance reduction 1 − var(Y')/var(Y) = ρ²(X,Y) — no
+    * per-unit float adjustment is ever materialized.
+    *
+    * Determinism: `x`/`y` must arrive DECIMAL-typed (the q01 exact-sum
+    * discipline) so the six moment sums (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) are
+    * order-free integers-in-disguise; θ and everything downstream is
+    * SCALAR double arithmetic on those sums in a fixed expression shape
+    * the SQL twin replays term for term. var(X)=0 → θ NULL (no
+    * covariate signal), adjusted mean NULL.
+    *
+    * Scale shape: one partial+final aggregate for the global moments
+    * (6 numbers), one per-variant aggregate, one broadcast cross-join —
+    * linear scans, constant state, no shuffle wider than the variant
+    * cardinality.
+    */
+  def cuped(units: DataFrame, variantCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol)
+    val y = col(yCol)
+    val g = units.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * y).cast("double").as("sxy"),
+      sum(x * x).cast("double").as("sx2"),
+      sum(y * y).cast("double").as("sy2"))
+    val th = g.select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
+        (col("n") * col("sx2") - col("sx") * col("sx")).as("varxn"),
+        (col("n") * col("sy2") - col("sy") * col("sy")).as("varyn"))
+      .withColumn("theta",
+        when(col("varxn") > 0, col("covn") / col("varxn")))
+    val v = units.groupBy(col(variantCol).as("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(x).cast("double").as("sxg"),
+        sum(y).cast("double").as("syg"))
+    v.crossJoin(broadcast(th))
+      .select(col("variant"), col("n_units"),
+        round(col("syg") / col("n_units"), 6).as("mean_y"),
+        round(col("syg") / col("n_units") -
+          col("theta") * (col("sxg") / col("n_units") - col("sx") / col("n")), 6)
+          .as("mean_y_cuped"),
+        round(col("theta"), 6).as("theta"),
+        round(when(col("varyn") > 0 && col("varxn") > 0,
+          (col("covn") * col("covn")) / (col("varxn") * col("varyn"))), 6)
+          .as("var_reduction"))
+  }
 }

@@ -343,6 +343,55 @@ object Graph {
     * attribution. No all-pairs term anywhere. Vertices in no triangle are
     * absent from the output (count 0).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
+    * time algorithm to detect community structures in large-scale
+    * networks") — community detection by iterated majority vote, made
+    * fully deterministic: the edge set is symmetrized and dedup'd
+    * (self-loops dropped), every vertex starts labeled with its own id,
+    * and each of the FIXED `rounds` recomputes every label
+    * simultaneously as the (count desc, label asc) winner among its
+    * neighbors' current labels plus ONE self-vote. The self-vote damps
+    * the classic 2-cycle oscillation of synchronous LPA; the fixed
+    * round count (no convergence test) is what lets the SQL twin unroll
+    * the exact computation. Communities resist single-edge bridges —
+    * a mode needs MORE cross-edges than intra-edges to flip a block —
+    * which is the property that makes LPA a useful domain/community
+    * signal for corpus curation.
+    *
+    * Scale shape: each round is one edge-keyed join (labels onto dst) +
+    * one (v, label) count + one per-vertex arg-max window — all keyed
+    * shuffles, no pair term, no driver state beyond the loop counter.
+    * The edge list persists across rounds; labels localCheckpoint so
+    * the plan does not grow with rounds. O(rounds · |E|) total work —
+    * the paper's near-linear claim, kept.
+    */
+  def labelPropagation(edges: DataFrame, vertices: DataFrame, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ue = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      val nbrVotes = ue
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nl")), Seq("dst"))
+        .select(col("src").as("v"), col("nl"))
+      val votes = nbrVotes
+        .unionByName(labels.select(col("v"), col("lbl").as("nl")))
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("c").desc, col("nl").asc)
+      labels = votes.withColumn("r", row_number().over(w)).where(col("r") === 1)
+        .select(col("v"), col("nl").as("lbl"))
+        .localCheckpoint(eager = false)
+    }
+    ue.unpersist(blocking = false)
+    labels.select(col("v").as(idCol), col("lbl").as("community"))
+  }
+
   def triangleCounts(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val ue = edges

@@ -949,4 +949,104 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         col("neg_label"), col("sim"))
   }
+
+  /** Shared 1-NN cell assignment for the embedding-curation operators
+    * (s16/s17): each corpus vector to its single nearest centroid by
+    * round-6 cosine with cent-id tie-break — s03's deterministic
+    * assignment contract. Keeps the vector and its norm on the row so
+    * downstream within-cell scoring needs no second corpus join.
+    */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val cents = broadcast(centroids.select(col("cent_id"), col("cent_vec"),
+      nf(col("cent_vec")).as("cent_norm")))
+    val scored = Par.spreadForCpu(corpus)
+      .select(col(idCol), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
+      .join(cents)
+      .select(col(idCol), col("v"), col("vn"), col("cent_id"),
+        round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6)
+          .as("csim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      .select(col(idCol), col("v"), col("vn"), col("cent_id"), col("csim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * removal that only ever compares vectors INSIDE the same k-means
+    * cell. Assignment is s03's deterministic 1-NN quantizer; within a
+    * cell, a vector is DROPPED when some cell-mate with round-6 cosine
+    * ≥ `tau` precedes it in keep-priority order (centroid-cosine ASC,
+    * id ASC — the paper keeps the member LEAST similar to the centroid,
+    * preserving the hard/diverse example of each duplicate ball). The
+    * existence test is one-shot against all priority-earlier cell-mates
+    * (the paper's one-pass semantics; in a mutual-duplicate clique
+    * exactly the priority-minimum survives — no iteration, no
+    * connected-components state).
+    *
+    * Scale shape — THE reason this operator exists at 100 TB: the pair
+    * term is Σ|cell|², not n². With balanced cells that is n²/nCells;
+    * nCells grows with the corpus (the paper runs 50k cells), holding
+    * per-cell work constant. The quadratic lives inside one
+    * cent_id-keyed shuffle partition — no all-pairs exchange exists in
+    * the plan; centroids broadcast. Output: every corpus row with its
+    * cell, centroid cosine, and the `kept` verdict (the keep-list is
+    * `where(kept)` — emitting the verdict keeps the operator auditable).
+    */
+  def semDeDup(corpus: DataFrame, centroids: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val asgn = assignCells(corpus, centroids, idCol, vecCol)
+    val a = asgn.select(col("cent_id"), col(idCol).as("x_id"),
+      col("v").as("xv"), col("vn").as("xn"), col("csim").as("xc"))
+    val b = asgn.select(col("cent_id"), col(idCol).as("y_id"),
+      col("v").as("yv"), col("vn").as("yn"), col("csim").as("yc"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .where(col("yc") < col("xc") ||
+        (col("yc") === col("xc") && col("y_id") < col("x_id")))
+      .where(round(cf(col("xv"), col("yv"), col("xn"), col("yn")), 6) >= tau)
+      .select(col("x_id")).distinct()
+    asgn.join(dropped, col(idCol) === col("x_id"), "left")
+      .select(col(idCol), col("cent_id"), col("csim"),
+        col("x_id").isNull.as("kept"))
+  }
+
+  /** Prototype-based pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): rank
+    * every vector by how PROTOTYPICAL it is of its own cluster (cosine
+    * to its 1-NN centroid) and keep only each cell's hardest
+    * `keepNum/keepDenom` fraction — easy, redundant examples near the
+    * centroid go first, which the paper shows beats random pruning when
+    * data is abundant. Per-cell ordering is (centroid-cosine ASC, id
+    * ASC) = hardest first; the keep gate is the exact integer test
+    * rank·keepDenom ≤ n_cell·keepNum (t29's discipline — no float
+    * quantile edge). Per-cell (not global) ranking is the point: a
+    * global threshold would empty the tight clusters and keep every
+    * outlier cell whole.
+    *
+    * Scale shape: one broadcast-assignment pass + ONE shuffle on
+    * cent_id with a per-cell window — no pair term at all, linear in
+    * the corpus. Output: every row with cell, centroid cosine, cell
+    * size, hardness rank, and the `kept` verdict.
+    */
+  def prototypePrune(corpus: DataFrame, centroids: DataFrame,
+      keepNum: Int, keepDenom: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(keepNum >= 0 && keepDenom > 0, "keep fraction must be valid")
+    val asgn = assignCells(corpus, centroids, idCol, vecCol)
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cent_id"))
+      .orderBy(col("csim").asc_nulls_last, col(idCol).asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cent_id"))
+    asgn.withColumn("cell_rank", row_number().over(wc).cast("bigint"))
+      .withColumn("cell_n", count(lit(1)).over(wn))
+      .select(col(idCol), col("cent_id"), col("csim"),
+        col("cell_n"), col("cell_rank"),
+        (col("cell_rank") * keepDenom <= col("cell_n") * keepNum).as("kept"))
+  }
 }

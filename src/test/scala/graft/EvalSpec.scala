@@ -79,4 +79,41 @@ class EvalSpec extends SparkSpec {
       assert(rows.map(_.getLong(2)).sum == rows.head.getLong(3))
     }
   }
+
+  test("cuped: y = 2x + 3 exactly → θ = 2, ρ² = 1, and the covariate " +
+      "imbalance between variants is removed completely (hand-computed)") {
+    import org.apache.spark.sql.functions.col
+    // variant 0 drew low-x units, variant 1 high-x: naive means differ by
+    // 4 purely through the covariate; CUPED must equalize them at the
+    // global mean y = 8 (θ = covn/varxn = 40/20 = 2; ρ² = 1600/1600 = 1)
+    val units = Seq((0L, "1.00", "5.00"), (0L, "2.00", "7.00"),
+      (1L, "3.00", "9.00"), (1L, "4.00", "11.00"))
+      .toDF("variant", "xs", "ys")
+      .select(col("variant"), col("xs").cast("decimal(18,2)").as("x"),
+        col("ys").cast("decimal(18,2)").as("y"))
+    val got = graft.analytics.Eval.cuped(units, "variant", "x", "y")
+      .orderBy(col("variant")).collect()
+    assert(got.map(_.getAs[Double]("theta")).toSeq === Seq(2.0, 2.0))
+    assert(got.map(_.getAs[Double]("var_reduction")).toSeq === Seq(1.0, 1.0))
+    assert(got.map(_.getAs[Double]("mean_y")).toSeq === Seq(6.0, 10.0),
+      "naive means carry the covariate imbalance")
+    assert(got.map(_.getAs[Double]("mean_y_cuped")).toSeq === Seq(8.0, 8.0),
+      "adjusted means must coincide when y is affine in x")
+  }
+
+  test("cuped: zero covariate variance → θ and adjusted mean NULL, naive " +
+      "mean and counts still emitted") {
+    import org.apache.spark.sql.functions.col
+    val units = Seq((0L, "5.00", "1.00"), (0L, "5.00", "3.00"),
+      (1L, "5.00", "2.00"))
+      .toDF("variant", "xs", "ys")
+      .select(col("variant"), col("xs").cast("decimal(18,2)").as("x"),
+        col("ys").cast("decimal(18,2)").as("y"))
+    val got = graft.analytics.Eval.cuped(units, "variant", "x", "y")
+      .orderBy(col("variant")).collect()
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("theta")) &&
+      r.isNullAt(r.fieldIndex("mean_y_cuped"))), "no signal → NULL, not 0/0")
+    assert(got.map(_.getAs[Double]("mean_y")).toSeq === Seq(2.0, 2.0))
+    assert(got.map(_.getAs[Long]("n_units")).toSeq === Seq(2L, 1L))
+  }
 }

@@ -275,4 +275,36 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet == Set(4L))
     assert(got === run(), "bit-deterministic across runs")
   }
+
+  test("labelPropagation: two triangles joined by one bridge keep separate " +
+      "communities; the transient tie-min wobble self-heals; deterministic") {
+    // triangle {0,1,2} — bridge 2–10 — triangle {10,11,12}. Round 1's
+    // all-tie min vote briefly pulls 10 to label 2 (its bridge
+    // neighbor's id); by round 3 the mode majority restores block
+    // consensus: a single bridge edge can never outvote a triangle.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    def run() = Graph.labelPropagation(edges, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run()
+    assert(Seq(0L, 1L, 2L).map(got) === Seq(0L, 0L, 0L),
+      s"left triangle converges to its min id: $got")
+    assert(Seq(10L, 11L, 12L).map(got) === Seq(10L, 10L, 10L),
+      s"right triangle resists the bridge AND heals the round-1 wobble: $got")
+    assert(got === run(), "deterministic across runs")
+  }
+
+  test("labelPropagation: self-loops and duplicate/reversed edges don't " +
+      "change the vote (symmetrize+dedup contract)") {
+    val clean = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val noisy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L), (2L, 2L))
+      .toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L).toDF("id")
+    val a = Graph.labelPropagation(clean, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(noisy, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, s"edge-noise invariance: $a vs $b")
+  }
 }

@@ -402,4 +402,80 @@ class SimilaritySpec extends SparkSpec {
       r.getAs[Long]("neighbor_id"))).toSet
     assert(gotSet === expect)
   }
+
+  test("s16 SemDeDup: clique keeps exactly its least-prototypical member; " +
+      "cross-cell near-dupes BOTH survive (the cell-blindness trade)") {
+    // two well-separated cells: centroid 0 ~ e1, centroid 1 ~ e2.
+    // ids 10,11,12: a mutual-duplicate clique in cell 0 (pairwise sim ≈ 1,
+    // distinct centroid sims); id 13 in cell 0 far from the clique;
+    // ids 20,21: near-identical but one leans to each cell.
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)), // centroids
+      (10L, Array(0.99f, 0.0100f, 0f)),
+      (11L, Array(0.99f, 0.0101f, 0f)),
+      (12L, Array(0.99f, 0.0102f, 0f)),
+      (13L, Array(0.80f, 0.20f, 0f)),
+      (20L, Array(0.7072f, 0.7070f, 0f)),
+      (21L, Array(0.7070f, 0.7072f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = rows.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val got = Similarity.semDeDup(rows, cents, tau = 0.99)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cent_id"), r.getAs[Boolean]("kept"))).toMap
+    // clique: 12 has the LARGEST y tilt → lowest centroid cosine → the
+    // LEAST prototypical member → keeps; 10, 11 have 12 earlier in
+    // priority with sim ≥ τ → dropped
+    assert(got(12L) === ((0L, true)), s"clique minimum must survive: $got")
+    assert(!got(10L)._2 && !got(11L)._2, s"clique non-minima must drop: $got")
+    // vector 0 IS the cell-0 axis (csim = 1.0 → priority LAST) and sits
+    // inside the clique's τ-ball → absorbed by it. The paper's rule,
+    // exhibited: the most prototypical member of a duplicate ball dies.
+    assert(!got(0L)._2, s"prototypical ball member must drop: $got")
+    // 13 shares cell 0 but sim(13, clique) < τ → kept
+    assert(got(13L)._2, s"non-duplicate cell-mate must survive: $got")
+    // 20/21: sim(20,21) ≈ 1 ≥ τ, but they land in DIFFERENT cells →
+    // both survive. This is SemDeDup's documented recall trade.
+    assert(got(20L)._1 === 0L && got(21L)._1 === 1L, s"split pair cells: $got")
+    assert(got(20L)._2 && got(21L)._2, s"cross-cell pair must both survive: $got")
+    // centroid row 1's only cell-mate (21) is far below τ → kept
+    assert(got(1L)._2)
+  }
+
+  test("s16 SemDeDup: τ beyond +1 keeps everything; τ = -1 keeps exactly " +
+      "one per cell (the priority minimum)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val all = Similarity.semDeDup(e, cents, tau = 1.01)
+    assert(all.where(!col("kept")).isEmpty, "τ>1: nothing can match, all kept")
+    val one = Similarity.semDeDup(e, cents, tau = -1.0)
+    val perCell = one.where(col("kept")).groupBy(col("cent_id")).count().collect()
+    assert(perCell.forall(_.getLong(1) == 1L),
+      "τ=-1: every pair 'matches', so only each cell's priority minimum survives")
+    assert(perCell.length == one.select(col("cent_id")).distinct().count().toInt)
+  }
+
+  test("s17 prototype pruning: per-cell kept = floor(3n/5), and the kept set " +
+      "is exactly the hardest (csim, id)-prefix — driver replay on sf0.001") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = e.orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val got = Similarity.prototypePrune(e, cents, keepNum = 3, keepDenom = 5)
+      .collect()
+    val byCell = got.groupBy(_.getAs[Long]("cent_id"))
+    byCell.foreach { case (cell, rows) =>
+      val n = rows.length
+      val kept = rows.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length === n * 3 / 5, s"cell $cell: ${kept.length} of $n kept")
+      // replay: hardest-first = ascending (csim, id); the kept set must be
+      // exactly the first floor(3n/5) of that order
+      val order = rows.sortBy(r => (r.getAs[Double]("csim"), r.getAs[Long]("vec_id")))
+      val expectIds = order.take(n * 3 / 5).map(_.getAs[Long]("vec_id")).toSet
+      assert(kept.map(_.getAs[Long]("vec_id")).toSet === expectIds, s"cell $cell")
+    }
+    // degenerate gates: keep-all and keep-none
+    assert(Similarity.prototypePrune(e, cents, 1, 1).where(!col("kept")).isEmpty)
+    assert(Similarity.prototypePrune(e, cents, 0, 1).where(col("kept")).isEmpty)
+  }
 }

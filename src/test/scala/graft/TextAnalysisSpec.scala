@@ -517,4 +517,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(g => g._1 -> g._3).toMap ===
       Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
   }
+
+  test("t30 fertility: ratios recompute from the emitted integer sums; " +
+      "n_bpe ≥ n_words (</w> guarantees ≥1 token per word); totals cover " +
+      "the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("t30_fertility")(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === nDocs, "partition of corpus")
+    got.foreach { r =>
+      val (w, b, by) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe"),
+        r.getAs[Long]("n_bytes"))
+      assert(b >= w, s"${r.getAs[String]("lang")}: BPE can't emit <1 token/word")
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("fertility") === r6(b.toDouble / w))
+      assert(r.getAs[Double]("bytes_per_token") === r6(by.toDouble / b))
+    }
+  }
 }
