@@ -1432,6 +1432,20 @@ private[graft] object QueriesPipeline {
       analytics.Eval.cuped(units, "variant", "x", "y")
         .orderBy(col("variant"))
     }),
+
+    // Merkle manifest of the sharded corpus (the q41/q84 release trio's
+    // integrity receipt): row md5 → id-range block hash → shard hash →
+    // one corpus root, every level folded in DATA-derived order (id,
+    // block, shard — never partition order) with the blocked-fold
+    // discipline so no reduce materializes a shard-sized string. A
+    // consumer verifies one re-downloaded shard without re-reading the
+    // corpus; any single-row change flips exactly block+shard+root
+    // (exhibited in PipelineSpec).
+    "q94_merkle_manifest" -> ((s, dir) =>
+      analytics.Sampling.merkleManifest(t(s, dir, "documents"),
+          nShards = 8, blockSize = 4096, idCol = "doc_id",
+          payloadCol = "text")
+        .orderBy(col("shard"))),
   )
 
   // ── DuckDB oracle twins ──
@@ -2494,5 +2508,24 @@ private[graft] object QueriesPipeline {
         |    THEN (th.covn * th.covn) / (th.varxn * th.varyn) END, 6)
         |    AS var_reduction
         |FROM v CROSS JOIN th ORDER BY variant""".stripMargin,
+
+    // Merkle-manifest twin (q94): identical row fingerprints, the q41
+    // shard hash, and the three ordered folds as string_agg(ORDER BY).
+    "q94_merkle_manifest" ->
+      """WITH r AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '|' || text) AS rh,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard,
+        |    doc_id // 4096 AS blk
+        |  FROM documents),
+        |b AS (SELECT shard, blk, CAST(count(*) AS BIGINT) AS n_docs,
+        |    md5(string_agg(rh, '' ORDER BY doc_id)) AS bh
+        |  FROM r GROUP BY shard, blk),
+        |s AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    md5(string_agg(bh, '' ORDER BY blk)) AS shard_hash
+        |  FROM b GROUP BY shard),
+        |rt AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash FROM s)
+        |SELECT shard, n_docs, n_blocks, shard_hash, root_hash
+        |FROM s CROSS JOIN rt ORDER BY shard""".stripMargin,
   )
 }

@@ -274,6 +274,18 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("vec_id"))
     }),
 
+    // Matryoshka truncation-recall eval: exact top-5 at prefix dims
+    // 8/16/32/64 vs the full-64 top-5 — the measurement deciding whether
+    // a short-prefix scan + full-width re-rank (8× less IO at 64→8) is
+    // affordable for this embedding. dim=64 is the identity self-check
+    // (recall 1.0 by construction). Integer hit counts, one division.
+    "s18_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(e, e.where(col("vec_id") < 10), k = 5,
+          dims = Seq(8, 16, 32, 64))
+        .orderBy(col("dim"))
+    }),
+
     // Diversified retrieval: MMR greedy top-3 over the 10 nearest
     // candidates (λ=0.7) — near-duplicate neighbors can't crowd a result
     // set (diverse few-shot selection / dedup'd RAG contexts). Round-6
@@ -986,6 +998,35 @@ private[graft] object QueriesSimGraph {
         |SELECT vec_id, cent_id, csim, cell_n, cell_rank,
         |  (cell_rank * 5 <= cell_n * 3) AS kept
         |FROM rk ORDER BY vec_id""".stripMargin,
+
+    // Matryoshka twin (s18): per-dim exact top-5 on ev[1:d] prefix
+    // slices (s01's ranking contract at each dim), marker-joined to the
+    // full-width top-5, integer hit counts, one rounded division.
+    "s18_matryoshka" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val perDim = dims.map { d =>
+        s"""t$d AS (SELECT $d AS dim, probe_id, neighbor_id FROM (
+           |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY list_cosine_similarity(p.ev[1:$d], c.ev[1:$d]) DESC, c.vec_id) AS rnk
+           |    FROM p JOIN v c ON p.vec_id <> c.vec_id) WHERE rnk <= 5)""".stripMargin
+      }.mkString(",\n")
+      val unioned = dims.map(d => s"SELECT * FROM t$d").mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |p AS (SELECT vec_id, ev FROM v WHERE vec_id < 10),
+         |full5 AS (SELECT probe_id, neighbor_id, 1 AS infull FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+         |    FROM p JOIN v c ON p.vec_id <> c.vec_id) WHERE rnk <= 5),
+         |$perDim,
+         |u AS ($unioned)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n_slots,
+         |  CAST(sum(COALESCE(infull, 0)) AS BIGINT) AS n_hits,
+         |  round(CAST(sum(COALESCE(infull, 0)) AS DOUBLE) / count(*), 6) AS recall
+         |FROM u LEFT JOIN full5 USING (probe_id, neighbor_id)
+         |GROUP BY dim ORDER BY dim""".stripMargin
+    },
 
     // ANN twin of s03: centroids = 16 lowest-id vectors, assignment ranks
     // round(cosine, 6) with cent_id tie-break (the operator's documented

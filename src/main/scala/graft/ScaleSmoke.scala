@@ -760,6 +760,20 @@ object ScaleSmoke {
       Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
     }
 
+    // s18: matryoshka recall — one corpus scan per truncation dim with a
+    // pinned probe side; linear × |dims|, no pair term.
+    run("matryoshka")(
+      Similarity.matryoshkaRecall(vecs, vecs0.where(col("vec_id") < 10),
+        k = 5, dims = Seq(8, 16, 32, 64)))
+
+    // q94: merkle manifest — three DATA-ordered hash folds under the
+    // blocked discipline (≤ blockSize row hashes per reduce). Cost must
+    // track rows linearly; the blowup multiplies blocks, never the
+    // per-reduce string size.
+    run("merkle_manifest")(
+      graft.analytics.Sampling.merkleManifest(docs, nShards = 8,
+        blockSize = 4096, idCol = "doc_id", payloadCol = "text"))
+
     // t29: DSIR importance weights — ONE (token)-keyed shuffle builds
     // both unigram models; the per-doc weight sum is a second linear
     // pass. Cost must track token volume ~linearly; the vocabulary (and

@@ -118,4 +118,49 @@ object Sampling {
     */
   def bernoulli(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Merkle manifest of a sharded corpus — the reproducibility receipt a
+    * training-data release ships next to its shards: row fingerprint →
+    * id-range block hash → shard hash → one corpus root. Any single-row
+    * change flips exactly its block, its shard, and the root, leaving
+    * every other shard's hash bit-identical — so a consumer can verify a
+    * 100 TB corpus shard-by-shard (or re-verify ONE re-downloaded shard)
+    * without ever re-reading the rest.
+    *
+    * Determinism and scale share one design: all three levels fold in a
+    * DATA-DERIVED order (doc id within block, block id within shard,
+    * shard id at the root — never partition order), and the two-level
+    * block/shard split is the q87/hits blocked-fold discipline: each
+    * aggregation concatenates at most `blockSize` row hashes (or one
+    * shard's block hashes), so no single reduce ever materializes a
+    * shard-sized string. Sharding is [[shardAssignment]]'s md5
+    * permutation; blocks are `id div blockSize` ranges. Output: one row
+    * per shard (shard, n_docs, n_blocks, shard_hash, root_hash).
+    */
+  def merkleManifest(df: DataFrame, nShards: Int, blockSize: Int,
+      idCol: String, payloadCol: String): DataFrame = {
+    val rows = df.select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit("|"), col(payloadCol)))
+          .as("rh"))
+      .withColumn("shard",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % nShards)
+      .withColumn("blk", expr(s"$idCol div $blockSize"))
+    def orderedFold(pairs: org.apache.spark.sql.Column) =
+      md5(array_join(transform(array_sort(pairs), x => x.getField("h")), ""))
+    val blocks = rows.groupBy(col("shard"), col("blk"))
+      .agg(count(lit(1)).as("n_docs"),
+        orderedFold(collect_list(struct(col(idCol).as("o"), col("rh").as("h"))))
+          .as("bh"))
+    val shards = blocks.groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_blocks"),
+        orderedFold(collect_list(struct(col("blk").as("o"), col("bh").as("h"))))
+          .as("shard_hash"))
+    val root = shards.agg(
+      orderedFold(collect_list(struct(col("shard").as("o"),
+        col("shard_hash").as("h")))).as("root_hash"))
+    shards.join(broadcast(root))
+      .select(col("shard"), col("n_docs"), col("n_blocks"),
+        col("shard_hash"), col("root_hash"))
+  }
 }

@@ -950,6 +950,45 @@ object Similarity {
         col("neg_label"), col("sim"))
   }
 
+  /** Matryoshka-truncation recall eval (Kusupati et al. 2022,
+    * "Matryoshka representation learning"): for each prefix dimension
+    * in `dims`, run the EXACT top-k search on prefix-truncated vectors
+    * and report how much of the full-dimension top-k it recovers —
+    * recall@k = |trunc-top-k ∩ full-top-k| / (|probes|·k). This is the
+    * measurement that decides whether the 100 TB scale path (store/scan
+    * a short prefix, re-rank survivors at full width — 8× less IO at
+    * 64→8) is affordable for a given embedding: MRL-trained embeddings
+    * hold recall at small prefixes, generic ones decay, and this op is
+    * how you find out which you have.
+    *
+    * Determinism: each per-dim search is [[bruteForceTopK]]'s exact
+    * contract ((sim desc, id asc) ranking); hit counting is integer;
+    * the single division is the only float output (round 6).
+    * Scale shape: one corpus scan per dim with a pinned broadcast probe
+    * side — linear, no pair term; at production scale the truncated
+    * pass reads an `dims.max`-wide prefix column, not the full vector.
+    */
+  def matryoshkaRecall(corpus: DataFrame, probes: DataFrame, k: Int,
+      dims: Seq[Int],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val full = bruteForceTopK(corpus, probes, k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("infull"))
+    val perDim = dims.map { d =>
+      val tc = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val tp = probes.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(tc, tp, k)
+        .select(lit(d).as("dim"), col("probe_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    perDim
+      .join(broadcast(full), Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(coalesce(col("infull"), lit(0L))).as("n_hits"))
+      .select(col("dim"), col("n_slots"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_slots"), 6).as("recall"))
+  }
+
   /** Shared 1-NN cell assignment for the embedding-curation operators
     * (s16/s17): each corpus vector to its single nearest centroid by
     * round-6 cosine with cent-id tie-break — s03's deterministic

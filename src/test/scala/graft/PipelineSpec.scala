@@ -285,4 +285,31 @@ class PipelineSpec extends SparkSpec {
         s"$lang ratios: engine $g vs replay $w")
     }
   }
+
+  test("q94 merkle manifest: a single-row edit flips exactly its own shard " +
+      "hash and the root; every other shard is bit-identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Sampling.merkleManifest(d, nShards = 8,
+          blockSize = 4096, idCol = "doc_id", payloadCol = "text")
+        .collect().map(r => r.getAs[Long]("shard") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_blocks"),
+            r.getAs[String]("shard_hash"), r.getAs[String]("root_hash")))
+        .toMap
+    val a = manifest(docs)
+    assert(a.values.map(_._4).toSet.size === 1, "one root for the corpus")
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit("!")))
+        .otherwise(col("text")))
+    val b = manifest(mutated)
+    val changed = a.keySet.filter(s => a(s)._3 != b(s)._3)
+    assert(changed.size === 1, s"exactly one shard hash flips: $changed")
+    assert(a.forall { case (s, v) => (v._1, v._2) == (b(s)._1, b(s)._2) },
+      "structure (doc/block counts) is edit-invariant")
+    assert(a.values.head._4 != b.values.head._4, "the root must flip")
+    // determinism: repartitioning cannot move a hash (data-derived folds)
+    val c = manifest(docs.repartition(7))
+    assert(a === c, "partition-order independence")
+  }
 }

@@ -478,4 +478,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.prototypePrune(e, cents, 1, 1).where(!col("kept")).isEmpty)
     assert(Similarity.prototypePrune(e, cents, 0, 1).where(col("kept")).isEmpty)
   }
+
+  test("s18 matryoshka: full-width row is the identity (recall 1.0); every " +
+      "dim fills all slots; hit counts match a driver set-intersection replay") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    val got = Similarity.matryoshkaRecall(e, probes, k = 5, dims = Seq(8, 64))
+      .collect().map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("n_slots"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(got(64) === ((50L, 50L, 1.0)), "truncation at full width is exact")
+    assert(got(8)._1 === 50L, "every probe fills k at every dim")
+    // replay dim-8 hits as an explicit set intersection
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val full = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
+    val t8 = pairs(Similarity.bruteForceTopK(
+      e.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")),
+      probes.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding")),
+      k = 5))
+    assert(got(8)._2 === (full intersect t8).size.toLong)
+    assert(got(8)._3 === BigDecimal((full intersect t8).size / 50.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
