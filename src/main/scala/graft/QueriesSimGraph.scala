@@ -274,6 +274,20 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF-PQ with residual encoding — FAISS's IVFPQ, the
+    // billion-vector production index: coarse cell routing (s03's
+    // assignment), PQ over RESIDUALS vector−centroid (they concentrate
+    // near 0, so the codebook budget goes much further than on raw
+    // vectors), per-visited-cell ADC tables from the probe's residual
+    // in THAT cell's frame. 8 bytes of codes replace 256 bytes of
+    // floats per corpus vector; raw vectors are touched only at build.
+    "s19_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 4, m = 8, ks = 16, dim = 64)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Matryoshka truncation-recall eval: exact top-5 at prefix dims
     // 8/16/32/64 vs the full-64 top-5 — the measurement deciding whether
     // a short-prefix scan + full-width re-rank (8× less IO at 64→8) is
@@ -998,6 +1012,57 @@ private[graft] object QueriesSimGraph {
         |SELECT vec_id, cent_id, csim, cell_n, cell_rank,
         |  (cell_rank * 5 <= cell_n * 3) AS kept
         |FROM rk ORDER BY vec_id""".stripMargin,
+
+    // IVF-PQ twin (s19): s03's assignment CTEs (rank carried so rr=1 is
+    // the corpus cell and rr≤4 the probe's visited cells), residuals as
+    // per-element list subtraction, s07's codebook/encode/ADC machinery
+    // run on residuals, the probe table keyed by (cent_id, j, code) so a
+    // code only meets tables from its own cell's frame.
+    "s19_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+        |asgn AS (SELECT vec_id, cent_id,
+        |    round(list_cosine_similarity(ev, cv), 6) AS csim
+        |  FROM v CROSS JOIN cents),
+        |car AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY csim DESC NULLS LAST, cent_id) AS rr FROM asgn),
+        |res AS (SELECT a.vec_id, a.cent_id,
+        |    list_transform(range(1, 65), i -> vv.ev[i] - c.cv[i]) AS rv
+        |  FROM car a JOIN v vv ON vv.vec_id = a.vec_id
+        |  JOIN cents c ON c.cent_id = a.cent_id WHERE a.rr = 1),
+        |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+        |  FROM (SELECT vec_id, rv FROM res ORDER BY vec_id LIMIT 16)),
+        |cbe AS (SELECT j, code, rv[j*8+1:j*8+8] AS cw FROM cbv CROSS JOIN range(8) r(j)),
+        |dist AS (SELECT res.vec_id, res.cent_id, c.j, c.code,
+        |    round(list_reduce(list_transform(range(1, 9),
+        |      i -> (rv[c.j*8+i] - cw[i]) * (rv[c.j*8+i] - cw[i])),
+        |      (a, b) -> a + b), 6) AS d2
+        |  FROM res CROSS JOIN cbe c),
+        |enc AS (SELECT vec_id AS neighbor_id, cent_id, j, code FROM (
+        |    SELECT vec_id, cent_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+        |    FROM dist) WHERE r = 1),
+        |pres AS (SELECT a.vec_id AS probe_id, a.cent_id,
+        |    list_transform(range(1, 65), i -> vv.ev[i] - c.cv[i]) AS prv
+        |  FROM car a JOIN v vv ON vv.vec_id = a.vec_id
+        |  JOIN cents c ON c.cent_id = a.cent_id
+        |  WHERE a.rr <= 4 AND a.vec_id < 10),
+        |pt AS (SELECT probe_id, cent_id, c.j, c.code,
+        |    round(list_reduce(list_transform(range(1, 9),
+        |      i -> (prv[c.j*8+i] - cw[i]) * (prv[c.j*8+i] - cw[i])),
+        |      (a, b) -> a + b), 6) AS pd
+        |  FROM pres CROSS JOIN cbe c),
+        |adc AS (SELECT probe_id, neighbor_id,
+        |    list_reduce(list(pd ORDER BY j), (a, b) -> a + b) AS adc
+        |  FROM enc JOIN pt USING (cent_id, j, code)
+        |  WHERE probe_id <> neighbor_id
+        |  GROUP BY probe_id, neighbor_id)
+        |SELECT probe_id, rank, neighbor_id, round(adc, 6) AS adc_dist FROM (
+        |  SELECT probe_id, neighbor_id, adc,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY adc, neighbor_id) AS BIGINT) AS rank
+        |  FROM adc) WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // Matryoshka twin (s18): per-dim exact top-5 on ev[1:d] prefix
     // slices (s01's ranking contract at each dim), marker-joined to the

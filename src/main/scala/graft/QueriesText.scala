@@ -658,7 +658,7 @@ private[graft] object QueriesText {
          |    count(*) AS n FROM tu JOIN w USING (token) GROUP BY doc_id),
          |base AS (SELECT d.doc_id, d.lang,
          |    CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens,
-         |    round(agg.s / agg.n, 6) AS logw_avg
+         |    round(agg.s / agg.n, 6) + 0.0 AS logw_avg
          |  FROM documents d LEFT JOIN agg USING (doc_id)),
          |r AS (SELECT *, count(*) OVER (PARTITION BY lang) AS n_lang,
          |    row_number() OVER (PARTITION BY lang

@@ -760,6 +760,15 @@ object ScaleSmoke {
       Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
     }
 
+    // s19: IVF-PQ residual index — encode is linear (one assignment +
+    // one codes pass over the corpus); the probe side is pinned, and
+    // candidate volume is corpus·nProbe/nCells. The blowup grows cells'
+    // POPULATIONS at fixed nCells, so probe-side candidates grow ~mult
+    // (scaled nCells keeps them flat — s16's knob, same argument).
+    run("ivfpq")(
+      Similarity.ivfPqTopK(vecs, vecs0.where(col("vec_id") < 10), k = 5,
+        nCells = 16, nProbe = 4, m = 8, ks = 16, dim = 64))
+
     // s18: matryoshka recall — one corpus scan per truncation dim with a
     // pinned probe side; linear × |dims|, no pair term.
     run("matryoshka")(

@@ -645,6 +645,95 @@ object Similarity {
         round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** IVF-PQ with residual encoding (Jégou et al. 2011 §V — the index
+    * FAISS calls IVFPQ, THE production composition for billion-vector
+    * corpora): a coarse quantizer routes each vector to a cell; PQ
+    * encodes the RESIDUAL vector − centroid (residuals concentrate near
+    * 0, so the same codebook budget quantizes them far better than raw
+    * vectors); a probe visits `nProbe` cells, and in each visited cell
+    * builds its ADC table from the probe's residual AGAINST THAT CELL'S
+    * centroid — a corpus code is only ever compared with a probe table
+    * from its own cell's frame of reference.
+    *
+    * Composition of the house pieces, every float pinned: s03's coarse
+    * assignment (round-6 cosine, cent-id tie-break), s07's stand-in
+    * codebook recipe (the `ks` lowest-id corpus vectors' RESIDUAL
+    * subvectors, collected driver-side — a model artifact), s07's
+    * round-6 sub-distances, first-strict-min encoding, and the rounded
+    * subspace-ordered ADC fold; final ranking (adc asc, id asc).
+    *
+    * Scale shape — why THIS is the 100 TB ANN default: the corpus
+    * stores one cell id + m codes per vector (8 bytes of codes vs 256
+    * bytes of floats at m=8/dim=64), the probe side broadcasts
+    * nProbe·m·ks table entries, and candidate volume is
+    * corpus·nProbe/nCells with the scan bucketed by cell (s03's
+    * bucketBy artifact path applies unchanged). Raw vectors are touched
+    * ONLY at index build.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCells: Int, nProbe: Int, m: Int, ks: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), pqDvec(col(vecCol)).as("cv"))
+      .select(col("cent_id"), col("cv"), nf(col("cv")).as("cent_norm")))
+    // assignment carries the residual out: rv = v − cv of the chosen cell
+    def assign(df: DataFrame, side: String, nNearest: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(s"${side}_id"), pqDvec(col(vecCol)).as("v"))
+        .withColumn("vn", nf(col("v")))
+        .join(cents)
+        .select(col(s"${side}_id"), col("cent_id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"),
+          round(cf(col("v"), col("cv"), col("vn"), col("cent_norm")), 6)
+            .as("csim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(s"${side}_id"))
+        .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w))
+        .where(col("r") <= nNearest)
+        .select(col(s"${side}_id"), col("cent_id"), col("rv"))
+    }
+    val cAssign = assign(Par.spreadForCpu(corpus), "neighbor", 1)
+    // residual codebook: the ks lowest-id corpus residuals (model artifact)
+    val cbRows = cAssign.orderBy(col("neighbor_id")).limit(ks)
+      .select(col("rv")).collect().map(_.getSeq[Double](0).toIndexedSeq)
+    require(cbRows.length == ks,
+      s"corpus has only ${cbRows.length} rows for a $ks-codeword codebook")
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => cbRows.toSeq.map(r => r.slice(j * sub, (j + 1) * sub): Seq[Double]))
+    val cbLit = typedlit(cb)
+    def codesOf(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)),
+        j => pqArgmin(slice(v, j * sub + 1, lit(sub)), j, cbLit, ks))
+    def flatTableOf(v: Column): Column =
+      flatten(transform(sequence(lit(0), lit(m - 1)), j => {
+        val sv = slice(v, j * sub + 1, lit(sub))
+        transform(sequence(lit(0), lit(ks - 1)),
+          c => pqD2(sv, element_at(element_at(cbLit, j + 1), c + 1)))
+      }))
+    val enc = cAssign.select(col("neighbor_id"), col("cent_id"),
+      codesOf(col("rv")).as("codes"))
+    val pt = broadcast(assign(probes, "probe", nProbe)
+      .select(col("probe_id"), col("cent_id"), flatTableOf(col("rv")).as("flat")))
+    val scored = enc.join(pt, Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (s2, j) =>
+          s2 + element_at(col("flat"),
+            j * ks + element_at(col("codes"), j + 1) + 1)).as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** Exact squared-L2 top-k by brute force — the reference ranking for
     * the PQ family ([[pqTopK]] approximates L2; [[bruteForceTopK]] is
     * the cosine family's). Distances round to 6 dp before ranking, ties

@@ -793,7 +793,11 @@ object TextAnalysis {
         aggregate(transform(array_sort(col("ws")), x => x.getField("w")),
           lit(0.0), (a, x) => a + x).as("s"),
         size(col("ws")).cast(LongType).as("n"))
-      .select(col(idCol), col("n"), round(col("s") / col("n"), 6).as("logw_avg"))
+      // + 0.0 normalizes IEEE negative zero: a doc whose weights cancel
+      // to a tiny negative sum rounds to -0.0 in one engine and 0.0 in
+      // the other (caught by the three-scale gate at sf0.1 row 1275)
+      .select(col(idCol), col("n"),
+        (round(col("s") / col("n"), 6) + lit(0.0)).as("logw_avg"))
     val base = docs.select(col(idCol), col(langCol).as("lang"))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), col("lang"),

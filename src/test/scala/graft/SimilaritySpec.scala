@@ -479,6 +479,44 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.prototypePrune(e, cents, 0, 1).where(col("kept")).isEmpty)
   }
 
+  test("s19 IVF-PQ: every returned neighbor lives in a cell the probe " +
+      "visited; codebook rows self-encode; k fills; deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def run() = Similarity.ivfPqTopK(e, probes, k = 5,
+      nCells = 16, nProbe = 4, m = 8, ks = 16, dim = 64).collect()
+    val got = run()
+    assert(got.length === 50, "every probe fills k")
+    assert(got.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSeq ===
+      run().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toSeq,
+      "bit-deterministic across runs")
+    // structural invariant: a neighbor can only be scored through its own
+    // cell, so its 1-NN cell must be among the probe's 4 visited cells —
+    // recompute both assignments independently with the house contract
+    val cents = e.orderBy(col("vec_id")).limit(16).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toSeq
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def cellsOf(v: Array[Double], n: Int): Seq[Long] =
+      cents.map { case (cid, cv) => (cos(v, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(n).map(_._2)
+    got.foreach { r =>
+      val pCells = cellsOf(vecs(r.getAs[Long]("probe_id")), 4).toSet
+      val nCell = cellsOf(vecs(r.getAs[Long]("neighbor_id")), 1).head
+      assert(pCells.contains(nCell),
+        s"neighbor ${r.getAs[Long]("neighbor_id")} reached outside its cell")
+    }
+  }
+
   test("s18 matryoshka: full-width row is the identity (recall 1.0); every " +
       "dim fills all slots; hit counts match a driver set-intersection replay") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
