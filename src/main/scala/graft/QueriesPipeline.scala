@@ -1446,6 +1446,22 @@ private[graft] object QueriesPipeline {
           nShards = 8, blockSize = 4096, idCol = "doc_id",
           payloadCol = "text")
         .orderBy(col("shard"))),
+
+    // KMV snapshot-overlap estimate: two overlapping corpus snapshots
+    // (doc_id%3≠0 vs doc_id%2≠0, keyed by content md5), their k=64
+    // minimum-hash sketches, union sketch MERGED FROM THE SKETCHES
+    // ALONE, and |A∩B| ≈ (matches/k)·|A∪B|̂ — the 2·k-hashes diff of
+    // two 100 TB snapshots. Deterministic md5 order means even the
+    // estimates hash-match the twin (unlike HLL's q30 contract).
+    "q95_kmv_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def elems(pred: Column) =
+        docs.where(pred).select(md5(col("text")).as("h"))
+      analytics.Sketches.kmvOverlap(
+        elems(pmod(col("doc_id"), lit(3L)) =!= 0),
+        elems(pmod(col("doc_id"), lit(2L)) =!= 0),
+        hashCol = "h", k = 64)
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2527,5 +2543,36 @@ private[graft] object QueriesPipeline {
         |rt AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash FROM s)
         |SELECT shard, n_docs, n_blocks, shard_hash, root_hash
         |FROM s CROSS JOIN rt ORDER BY shard""".stripMargin,
+
+    // KMV twin (q95): identical md5 element keys, k-smallest sketches,
+    // union sketch from the two sketches, the (n−1)/u_k estimator with
+    // the same 32-bit hash prefix mapping, and the matches/k scaling on
+    // the ROUNDED union estimate (the operator's exact expression).
+    "q95_kmv_overlap" ->
+      """WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 <> 0),
+        |ska AS (SELECT h FROM a ORDER BY h LIMIT 64),
+        |skb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+        |sku AS (SELECT h FROM (SELECT DISTINCT h FROM (
+        |    SELECT h FROM ska UNION ALL SELECT h FROM skb)) ORDER BY h LIMIT 64),
+        |ea AS (SELECT round(CAST(count(*) - 1 AS DOUBLE) /
+        |    (CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0), 4)
+        |  AS est_a FROM ska),
+        |eb AS (SELECT round(CAST(count(*) - 1 AS DOUBLE) /
+        |    (CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0), 4)
+        |  AS est_b FROM skb),
+        |eu AS (SELECT round(CAST(count(*) - 1 AS DOUBLE) /
+        |    (CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0), 4)
+        |  AS est_union FROM sku),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM sku
+        |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
+        |  FROM a FULL OUTER JOIN b ON a.h = b.h)
+        |SELECT 64 AS k, n_a, n_b, n_inter, est_a, est_b, est_union, matches,
+        |  round(CAST(matches AS DOUBLE) / 64 * est_union, 4) AS est_inter
+        |FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN mt""".stripMargin,
   )
 }

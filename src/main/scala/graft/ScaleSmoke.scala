@@ -760,6 +760,16 @@ object ScaleSmoke {
       Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
     }
 
+    // q95: KMV overlap — each sketch is a top-k-by-hash
+    // (TakeOrderedAndProject: partial per partition, k rows merged),
+    // the estimator touches only k-row frames. Cost must track the
+    // hashing scan linearly; sketch size is k whatever the corpus.
+    run("kmv_overlap") {
+      def elems(m: Long) = docs.where(pmod(col("doc_id"), lit(m)) =!= 0)
+        .select(md5(col("text")).as("h"))
+      graft.analytics.Sketches.kmvOverlap(elems(3), elems(2), "h", k = 64)
+    }
+
     // s19: IVF-PQ residual index — encode is linear (one assignment +
     // one codes pass over the corpus); the probe side is pinned, and
     // candidate volume is corpus·nProbe/nCells. The blowup grows cells'

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Mergeable frequency sketches — the E-family's bounded-memory answer to
@@ -72,5 +72,67 @@ object Sketches {
       Encoders.kryo[Map[String, Long]]
     override def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
+  /** K-Minimum-Values set sketch and the overlap estimator built on it
+    * (Beyer et al. 2007, "On synopses for distinct-value estimation
+    * under multiset operations"): a set's sketch is its k smallest
+    * md5(key) values; cardinality ≈ (k−1)/u_k where u_k is the k-th
+    * smallest hash mapped to (0,1]. The property that matters for a
+    * 100 TB release pipeline is MERGEABILITY UNDER SET OPS: the union's
+    * sketch is computable from the two sketches alone (k smallest of
+    * their union), and an element of the union sketch that appears in
+    * BOTH input sketches is certifiably in A∩B — so
+    * |A∩B| ≈ (matches/k)·|A∪B|̂ comes from 2·k hashes, never the data.
+    * Snapshot diffing across shards = ship k hashes per shard, not rows.
+    *
+    * Everything is deterministic (md5 order, exact integer counts, one
+    * fixed-shape double expression per estimate), so unlike HLL the
+    * estimates themselves hash-match the SQL twin. Returns one row:
+    * exact n_a/n_b/n_inter beside est_a/est_b/est_union/est_inter
+    * (round 4). Exact counts are computed here for the exhibit; the
+    * production path drops them and keeps only the sketches.
+    *
+    * Scale shape: each sketch is a TakeOrderedAndProject (top-k by
+    * hash, partial per partition, k rows to the driver-side merge —
+    * never a global sort); the estimator touches only 1-row aggregates
+    * and k-row joins.
+    */
+  def kmvOverlap(elemsA: DataFrame, elemsB: DataFrame, hashCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // no persist: each sketch is a k-row TakeOrderedAndProject — cheaper
+    // to recompute per consumer than to leak cache entries across the
+    // catalog (the t26 lesson)
+    def sk(e: DataFrame) = e.select(col(hashCol).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+    val skA = sk(elemsA)
+    val skB = sk(elemsB)
+    val skU = sk(skA.unionByName(skB)) // mergeability: sketches only
+    // (k−1)/u_k with u_k = first 32 hash bits mapped to (0,1]
+    def est(skdf: DataFrame, name: String) = skdf
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
+      .select(round((col("n") - 1).cast("double") /
+        (conv(substring(col("hk"), 1, 8), 16, 10).cast("double") /
+          lit(4294967296.0)), 4).as(name))
+    val matches = skU
+      .join(skA.withColumnRenamed("h", "h2"), col("h") === col("h2"), "left_semi")
+      .join(skB.withColumnRenamed("h", "h2"), col("h") === col("h2"), "left_semi")
+      .agg(count(lit(1)).as("matches"))
+    val exact = elemsA.select(col(hashCol).as("h")).distinct()
+      .withColumn("ina", lit(1L))
+      .join(elemsB.select(col(hashCol).as("h")).distinct()
+        .withColumn("inb", lit(1L)), Seq("h"), "full_outer")
+      .agg(sum(coalesce(col("ina"), lit(0L))).as("n_a"),
+        sum(coalesce(col("inb"), lit(0L))).as("n_b"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_inter"))
+    exact
+      .join(est(skA, "est_a")).join(est(skB, "est_b"))
+      .join(est(skU, "est_union")).join(matches)
+      .select(lit(k).as("k"), col("n_a"), col("n_b"), col("n_inter"),
+        col("est_a"), col("est_b"), col("est_union"), col("matches"),
+        round(col("matches").cast("double") / k * col("est_union"), 4)
+          .as("est_inter"))
   }
 }

@@ -428,4 +428,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"blocking must hash-join, plan:\n$p")
   }
+
+  test("s16: the duplicate-pair join equi-joins on cent_id — the quadratic " +
+      "term is cell-local, never an all-pairs plan") {
+    val p = plan("s16_semdedup")
+    // the only NLJ allowed is the broadcast of the 16-row centroid table
+    // into the assignment; the PAIR join itself must key on cent_id
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"pair join must be an equi-join on cent_id, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere, plan:\n$p")
+    assert("cent_id".r.findAllIn(p).size >= 2,
+      s"cell key must drive the join, plan:\n$p")
+  }
+
+  test("s15/s14: probe sides broadcast; the corpus is never shuffled " +
+      "for scoring") {
+    for (name <- Seq("s15_hard_negatives", "s14_rp_topk")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$name: pinned probe side must broadcast, plan:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: no cartesian, plan:\n$p")
+    }
+  }
+
+  test("s19: corpus codes equi-join the broadcast probe tables on cent_id " +
+      "— candidate volume is cell-bounded by construction") {
+    val p = plan("s19_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs join in an IVF index, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (probe, cell) ADC tables must broadcast into the cell join, plan:\n$p")
+  }
+
+  test("q94: the manifest is three aggregations — no window, no sort " +
+      "before the output ordering, no join but the 1-row root broadcast") {
+    val p = plan("q94_merkle_manifest")
+    assert(!p.contains("Window"),
+      s"data-ordered folds must ride aggregates, not windows, plan:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected aggregate levels, plan:\n$p")
+  }
+
+  test("q93: CUPED is two aggregates + a 1-row broadcast — no window, " +
+      "no per-unit shuffle beyond the user grouping") {
+    val p = plan("q93_cuped")
+    assert(!p.contains("Window"), s"moment algebra needs no window, plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row moment table must broadcast, plan:\n$p")
+  }
 }

@@ -157,4 +157,38 @@ class SketchesSpec extends SparkSpec {
         s"merged estimate $merged off by >3% of $n at $parts partitions")
     }
   }
+
+  test("KMV overlap: identical sets estimate as identical; accuracy within " +
+      "4·RSE on the corpus pair; the union sketch built from sketches " +
+      "equals the sketch of the raw union (mergeability)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def elems(m: Long) = docs
+      .where(pmod(col("doc_id"), lit(m)) =!= 0)
+      .select(md5(col("text")).as("h"))
+    // identical inputs: A∩B = A = B, matches = k, est_inter = est_union = est_a
+    val same = graft.analytics.Sketches
+      .kmvOverlap(elems(3), elems(3), "h", k = 64).collect().head
+    assert(same.getAs[Long]("matches") === 64L)
+    assert(same.getAs[Double]("est_inter") === same.getAs[Double]("est_union"))
+    assert(same.getAs[Double]("est_a") === same.getAs[Double]("est_union"))
+    // the real pair: every estimate within 4·RSE = 4/√(k−2) ≈ 51%
+    val r = graft.analytics.Sketches
+      .kmvOverlap(elems(3), elems(2), "h", k = 64).collect().head
+    val bound = 4.0 / math.sqrt(62.0)
+    for ((est, ex) <- Seq(
+        (r.getAs[Double]("est_a"), r.getAs[Long]("n_a")),
+        (r.getAs[Double]("est_b"), r.getAs[Long]("n_b")),
+        (r.getAs[Double]("est_inter"), r.getAs[Long]("n_inter"))))
+      assert(math.abs(est - ex) / ex <= bound, s"$est vs $ex exceeds 4·RSE")
+    // mergeability: k smallest of (skA ∪ skB) == k smallest of (A ∪ B)
+    def minK(df: org.apache.spark.sql.DataFrame) =
+      df.distinct().orderBy(col("h")).limit(64).collect()
+        .map(_.getString(0)).toSeq
+    val skA = minK(elems(3)); val skB = minK(elems(2))
+    val fromSketches = (skA ++ skB).distinct.sorted.take(64)
+    val fromRaw = minK(elems(3).unionByName(elems(2)))
+    assert(fromSketches === fromRaw,
+      "the union sketch must be computable from the two sketches alone")
+  }
 }
