@@ -522,6 +522,23 @@ private[graft] object QueriesText {
     }),
 
 
+    // Retrieval-quality eval over the t22 BM25 ranking: per-query
+    // nDCG@10 (graded), MRR and recall@10 (binary at rel ≥ 2), with a
+    // weakest-link min-tf relevance oracle independent of the scorer
+    // under eval (coverage saturates on this vocabulary — see the
+    // operator doc). The ranking-eval family member next to q62 AUC
+    // and t27 calibration — how a curation pipeline decides its
+    // retriever is good enough to mine hard negatives with.
+    "t31_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.where(col("doc_id").isin(0L, 7L, 14L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 1, 4), " ")
+            .as("qtext"))
+      TextAnalysis.retrievalMetrics(docs, queries, kEval = 10)
+        .orderBy(col("query_id"))
+    }),
+
     // Corpus rank–frequency diagnostics (Zipf): top-100 terms by
     // frequency (freq desc, term tie-break), closed-form OLS of
     // ln(freq) on ln(rank) — all four sums folded in rank order over
@@ -818,6 +835,74 @@ private[graft] object QueriesText {
          |  FROM pool)
          |ORDER BY query_id, fused_rank""".stripMargin),
 
+
+    // Retrieval-eval twin (t31): t22's BM25 CTE chain, the coverage
+    // relevance join, rank window, and every metric fold replayed —
+    // round-9 gains in rank order (ideal DCG by 1-based list_transform
+    // index = the operator's sequence positions), rounded divisions.
+    "t31_retrieval_eval" -> (
+      s"""WITH tok AS (SELECT doc_id, text, $tokensSqlExpr AS ws FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len FROM tok),
+         |tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(ws) AS t FROM tok) GROUP BY doc_id, t),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |qt AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:4])) AS term
+         |  FROM tok WHERE doc_id IN (0, 7, 14)),
+         |contrib AS (SELECT query_id, tf.doc_id, qt.term,
+         |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |        / (CAST(df AS DOUBLE) + 0.5)) *
+         |      (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         |      (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |        + 0.75 * CAST(len AS DOUBLE) / avgdl)),
+         |      9) AS c
+         |  FROM qt JOIN tf USING (term) JOIN dfr USING (term)
+         |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN st),
+         |bm AS (SELECT query_id, doc_id,
+         |    round(list_reduce(list_prepend(0.0,
+         |      list_transform(list(struct_pack(term := term, c := c) ORDER BY term, c),
+         |        e -> e.c)), (a, x) -> a + x), 6) AS bm25
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS nq
+         |  FROM qt GROUP BY query_id),
+         |rel AS (SELECT query_id, tf.doc_id,
+         |    CASE WHEN count(*) = max(nq.nq)
+         |      THEN CAST(least(min(tf), 3) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END AS rel
+         |  FROM qt JOIN tf USING (term) JOIN nq USING (query_id)
+         |  GROUP BY query_id, tf.doc_id),
+         |rk AS (SELECT bm.query_id, bm.doc_id, rel.rel,
+         |    CAST(row_number() OVER (PARTITION BY bm.query_id
+         |      ORDER BY bm25 DESC, bm.doc_id) AS BIGINT) AS rnk
+         |  FROM bm JOIN rel ON rel.query_id = bm.query_id AND rel.doc_id = bm.doc_id),
+         |rr AS (SELECT query_id,
+         |    list(struct_pack(rnk := rnk, rel := rel) ORDER BY rnk) AS rr
+         |  FROM rk GROUP BY query_id),
+         |m AS (SELECT query_id,
+         |    CAST(len(rr) AS BIGINT) AS n_cand,
+         |    CAST(len(list_filter(rr, e -> e.rel >= 2)) AS BIGINT) AS n_rel,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(list_filter(rr, e -> e.rnk <= 10),
+         |        e -> round((pow(2.0, CAST(e.rel AS DOUBLE)) - 1.0)
+         |          / (ln(CAST(e.rnk AS DOUBLE) + 1.0) / ln(2.0)), 9))),
+         |      (a, x) -> a + x) AS dcg,
+         |    list_reduce(list_prepend(0.0, list_transform(
+         |        (list_reverse(list_sort(list_transform(rr, e -> e.rel))))[1:10],
+         |        (r, i) -> round((pow(2.0, CAST(r AS DOUBLE)) - 1.0)
+         |          / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0)), 9))),
+         |      (a, x) -> a + x) AS idcg,
+         |    list_min(list_transform(list_filter(rr, e -> e.rel >= 2),
+         |      e -> e.rnk)) AS first_rel,
+         |    CAST(len(list_filter(rr, e -> e.rnk <= 10 AND e.rel >= 2))
+         |      AS BIGINT) AS hits
+         |  FROM rr)
+         |SELECT query_id, n_cand, n_rel,
+         |  round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+         |  round(dcg / idcg, 6) AS ndcg,
+         |  coalesce(round(1.0 / first_rel, 6), 0.0) AS mrr,
+         |  CASE WHEN n_rel > 0 THEN round(CAST(hits AS DOUBLE) / n_rel, 6) END AS recall
+         |FROM m ORDER BY query_id""".stripMargin),
 
     // Zipf twin (t21): same top-100, same rank-ordered folds, same
     // closed-form slope from the same folded doubles.

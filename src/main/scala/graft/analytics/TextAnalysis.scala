@@ -462,6 +462,83 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x), 6).as("bm25"))
   }
 
+  /** Retrieval-quality metrics over the [[bm25Scores]] ranking — the
+    * ranking-eval family member next to q62's AUC and t27's calibration:
+    * per query, nDCG@k (graded), MRR and recall@k (binary at rel ≥ 2).
+    * Relevance oracle = the WEAKEST-LINK term frequency: a document's
+    * grade is the minimum tf across ALL the query's distinct terms,
+    * capped at 3, and 0 when any term is absent — independent of the
+    * scorer under eval, and discriminative on a small-vocabulary corpus
+    * where mere term COVERAGE saturates (measured: a coverage oracle
+    * rated 452/491 candidates relevant and pinned nDCG = MRR = 1.0;
+    * min-tf splits the same pool ~260/160/55/15 across grades 0–3).
+    * Binary "relevant" = rel ≥ 2: every query term appears at least
+    * twice.
+    *
+    * Float discipline: each DCG gain rounds to 9 dp —
+    * (2^rel − 1)/(ln(pos+1)/ln 2) — and folds in rank order (ideal DCG
+    * folds the rel-descending prefix by position); nDCG/MRR/recall are
+    * single rounded divisions. MRR is 0.0 (not NULL) when no relevant
+    * doc exists — the query scored, nothing found.
+    *
+    * Scale shape: rides bm25Scores' inverted-index joins (only docs
+    * sharing a query term are touched); the per-query metric fold is
+    * over one collected candidate list — queries are the small side by
+    * construction, candidates bounded by posting-list unions.
+    */
+  def retrievalMetrics(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, kEval: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      qidCol: String = "query_id", qtextCol: String = "qtext"): org.apache.spark.sql.DataFrame = {
+    val bm25 = bm25Scores(docs, queries, idCol = idCol, textCol = textCol,
+      qidCol = qidCol, qtextCol = qtextCol)
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(tokens(col(qtextCol)))).as("term"))
+    val nq = qterms.groupBy(col(qidCol)).agg(count(lit(1)).as("nq"))
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val rel = qterms.join(tf, Seq("term")).join(nq, Seq(qidCol))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(when(count(lit(1)) === max(col("nq")),
+        least(min(col("tf")), lit(3L))).otherwise(lit(0L)).as("rel"))
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+    val ranked = bm25.join(rel, Seq(qidCol, idCol))
+      .withColumn("rnk", row_number().over(wQ).cast(LongType))
+    def gain(r: Column, pos: Column): Column =
+      round((pow(lit(2.0), r.cast(DoubleType)) - 1.0) /
+        (log(pos.cast(DoubleType) + 1.0) / log(lit(2.0))), 9)
+    ranked.groupBy(col(qidCol))
+      .agg(array_sort(collect_list(struct(col("rnk"), col("rel")))).as("rr"))
+      .select(col(qidCol),
+        size(col("rr")).cast(LongType).as("n_cand"),
+        size(filter(col("rr"), x => x.getField("rel") >= 2)).cast(LongType)
+          .as("n_rel"),
+        aggregate(filter(col("rr"), x => x.getField("rnk") <= kEval),
+          lit(0.0), (a, x) => a + gain(x.getField("rel"), x.getField("rnk")))
+          .as("dcg"),
+        aggregate(
+          zip_with(
+            slice(reverse(array_sort(transform(col("rr"),
+              x => x.getField("rel")))), 1, kEval),
+            sequence(lit(1L), least(size(col("rr")), lit(kEval)).cast("long")),
+            (r, pos) => gain(r, pos)),
+          lit(0.0), (a, x) => a + x).as("idcg"),
+        array_min(transform(filter(col("rr"), x => x.getField("rel") >= 2),
+          x => x.getField("rnk"))).as("first_rel"),
+        size(filter(col("rr"),
+          x => x.getField("rnk") <= kEval && x.getField("rel") >= 2))
+          .cast(LongType).as("hits"))
+      .select(col(qidCol), col("n_cand"), col("n_rel"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast(DoubleType) / col("n_rel"), 6)).as("recall"))
+  }
+
   /** Suffix-stripping stemmer — the Porter step-1 family of rules, kept
     * to the deterministic regexp-replace subset both engines replay
     * verbatim (full Porter needs measure counting; this is the

@@ -518,6 +518,44 @@ class TextAnalysisSpec extends SparkSpec {
       Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> false))
   }
 
+  test("t31 retrievalMetrics: hand fixture — metrics match a driver replay " +
+      "from the library BM25 ranking; weakest-link rel zeroes a missing term") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "alpha beta"),
+      (3L, "alpha alpha alpha"), // no 'beta' → rel 0 despite high tf
+      (4L, "alpha beta alpha beta alpha beta")).toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha beta")).toDF("query_id", "qtext")
+    val got = TextAnalysis.retrievalMetrics(docs, queries, kEval = 2)
+      .collect().head
+    // min-tf grades: d1 min(2,2)=2, d2 min(1,1)=1, d3 absent-term→0, d4 3
+    val rels = Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 3L)
+    val order = TextAnalysis.bm25Scores(docs, queries).collect()
+      .sortBy(r => (-r.getAs[Double]("bm25"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    def g(rel: Long, pos: Int): Double =
+      BigDecimal((math.pow(2.0, rel.toDouble) - 1.0) /
+          (math.log(pos + 1.0) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dcg = order.take(2).zipWithIndex.map { case (d, i) => g(rels(d), i + 1) }.sum
+    val idcg = rels.values.toSeq.sorted.reverse.take(2).zipWithIndex
+      .map { case (r, i) => g(r, i + 1) }.sum
+    assert(got.getAs[Long]("n_cand") === 4L, "all four docs share a term")
+    assert(got.getAs[Long]("n_rel") === 2L, "rel ≥ 2: exactly d1 and d4")
+    assert(got.getAs[Double]("dcg") === r6(dcg))
+    assert(got.getAs[Double]("idcg") === r6(idcg))
+    assert(got.getAs[Double]("ndcg") === r6(dcg / idcg))
+    val firstRel = order.indexWhere(d => rels(d) >= 2) + 1
+    assert(got.getAs[Double]("mrr") === r6(1.0 / firstRel))
+    val hits = order.take(2).count(d => rels(d) >= 2)
+    assert(got.getAs[Double]("recall") === r6(hits / 2.0))
+    // no cutoff → every relevant doc is found
+    val full = TextAnalysis.retrievalMetrics(docs, queries, kEval = 4)
+      .collect().head
+    assert(full.getAs[Double]("recall") === 1.0)
+  }
+
   test("t30 fertility: ratios recompute from the emitted integer sums; " +
       "n_bpe ≥ n_words (</w> guarantees ≥1 token per word); totals cover " +
       "the corpus") {
