@@ -132,6 +132,28 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // Neighborhood quality smoothing (GraphSAGE mean aggregator over
+    // g01's link graph, symmetrized): h1/h2 = the 1-hop / 2-hop mean of
+    // the t02 quality signal — the "is this page surrounded by junk"
+    // feature a link-farm classifier trains on; a good-looking page
+    // inside a bad neighborhood surfaces here, not in t02.
+    "g08_feature_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      val q = qualityScored(docs).select(col("doc_id"), col("quality"))
+      // raw doubles end-to-end: the fold order pins every bit, and any
+      // round() would reintroduce the decimal-half-boundary divergence
+      // (see featurePropagation's doc)
+      analytics.Graph.featurePropagation(edges, q, hops = 2,
+          idCol = "doc_id", featCol = "quality")
+        .select(col("doc_id"), col("quality"), col("h1"), col("h2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Similarity: brute-force cosine top-k (exact baseline).
     "s01_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -652,6 +674,30 @@ private[graft] object QueriesSimGraph {
     "g05_kcore" -> kCoreOracleSql(k = 5, maxRounds = 8),
 
     "g07_label_prop" -> lpaOracleSql(rounds = 4),
+
+    // Feature-propagation twin (g08): the t02 quality CTEs, the g01
+    // graph symmetrized, and each hop's neighbor-id-ordered fold / deg
+    // with round-9 — the operator's exact discipline.
+    "g08_feature_prop" ->
+      s"""${qualityScoreCtes("WITH d AS (SELECT doc_id, lang, text FROM documents)")},
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id*7+13) % (SELECT n FROM nn) AS dst FROM documents
+         |  UNION ALL SELECT doc_id, (doc_id*31+7) % (SELECT n FROM nn) FROM documents),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) WHERE src <> dst),
+         |h1 AS MATERIALIZED (SELECT e.src AS v,
+         |    list_reduce(list_prepend(0.0, list(q.quality ORDER BY e.dst)),
+         |      (a, b) -> a + b) / count(*) AS h1
+         |  FROM e JOIN q ON q.doc_id = e.dst GROUP BY e.src),
+         |h2 AS (SELECT e.src AS v,
+         |    list_reduce(list_prepend(0.0, list(h1.h1 ORDER BY e.dst)),
+         |      (a, b) -> a + b) / count(*) AS h2
+         |  FROM e JOIN h1 ON h1.v = e.dst GROUP BY e.src)
+         |SELECT d2.doc_id, q.quality, h1.h1, h2.h2
+         |FROM documents d2 JOIN q ON q.doc_id = d2.doc_id
+         |LEFT JOIN h1 ON h1.v = d2.doc_id
+         |LEFT JOIN h2 ON h2.v = d2.doc_id
+         |ORDER BY d2.doc_id""".stripMargin,
 
     // Seed-distance twin (g06): path enumeration capped at the same
     // round bound, min per vertex.

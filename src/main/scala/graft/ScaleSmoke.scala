@@ -760,6 +760,21 @@ object ScaleSmoke {
       Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
     }
 
+    // g08: feature propagation — one edge join + one grouped fold per
+    // hop; linear in |E|, no pair term (the g07 shape with a double
+    // payload instead of a label vote).
+    run("feature_prop") {
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      val q = docs.select(col("doc_id"),
+        graft.analytics.TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.analytics.Graph.featurePropagation(edges, q, hops = 2,
+        idCol = "doc_id", featCol = "quality")
+    }
+
     // q95: KMV overlap — each sketch is a top-k-by-hash
     // (TakeOrderedAndProject: partial per partition, k rows merged),
     // the estimator touches only k-row frames. Cost must track the

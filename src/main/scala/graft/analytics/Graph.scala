@@ -392,6 +392,58 @@ object Graph {
     labels.select(col("v").as(idCol), col("lbl").as("community"))
   }
 
+  /** GraphSAGE-style neighborhood feature propagation (Hamilton et al.
+    * 2017's mean aggregator, kept to the deterministic skeleton): `hops`
+    * rounds of h_{t+1}(v) = mean over v's neighbors of h_t — the
+    * "smooth a per-node signal over the link structure" primitive. For
+    * corpus curation the signal is quality: a page whose NEIGHBORHOOD
+    * is junk is suspect even when it scores well in isolation (link
+    * farms decay the smoothed score of everything they touch), and the
+    * h1/h2 columns are exactly the 1-hop / 2-hop neighborhood-quality
+    * features a spam classifier trains on.
+    *
+    * Determinism: edges symmetrized+dedup'd (self-loops dropped); each
+    * hop's neighbor sum folds in neighbor-id order (the pageRank
+    * discipline) and is NOT rounded — identical input bits through an
+    * identical fold yield identical doubles in both engines, whereas a
+    * round() at any precision REINTRODUCES divergence when a value
+    * lands on a decimal half-boundary (Spark rounds the shortest
+    * decimal repr, DuckDB the exact binary — measured: one sf0.01 h2
+    * value at ...8815 flipped the 9-dp round between engines).
+    * Scale: one edge-keyed join + one grouped fold per hop, O(hops·|E|)
+    * — no pair term, no driver state; isolated vertices surface as
+    * null (no neighborhood ⇒ no smoothed signal, not a fake 0).
+    * Output: (idCol, featCol, h1..h`hops`).
+    */
+  def featurePropagation(edges: DataFrame, feats: DataFrame, hops: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id", featCol: String = "f"): DataFrame = {
+    require(hops >= 1, s"hops=$hops")
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ue = dir
+      .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = feats.select(col(idCol).as("v"),
+      col(featCol).cast("double").as("h"))
+    val outs = (1 to hops).map { hop =>
+      cur = ue
+        .join(cur.select(col("v").as("dst"), col("h").as("nh")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(collect_list(struct(col("dst"), col("nh"))).as("ns"))
+        .select(col("src").as("v"),
+          (aggregate(transform(array_sort(col("ns")),
+              x => x.getField("nh")), lit(0.0), (a, x) => a + x) /
+            size(col("ns"))).as("h"))
+        .localCheckpoint(eager = false)
+      cur.select(col("v"), col("h").as(s"h$hop"))
+    }
+    ue.unpersist(blocking = false)
+    outs.foldLeft(feats.select(col(idCol), col(featCol))) { (acc, o) =>
+      acc.join(o.withColumnRenamed("v", idCol), Seq(idCol), "left")
+    }
+  }
+
   def triangleCounts(edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val ue = edges

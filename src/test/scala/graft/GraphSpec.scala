@@ -295,6 +295,25 @@ class GraphSpec extends SparkSpec {
     assert(got === run(), "deterministic across runs")
   }
 
+  test("featurePropagation: hand-computed path-graph means; isolated " +
+      "vertex surfaces null, not a fake zero") {
+    // path 1—2—3 (symmetrized): h1 = neighbor means, h2 = means of h1
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val feats = Seq((1L, 0.0), (2L, 6.0), (3L, 0.0), (9L, 5.0))
+      .toDF("id", "f")
+    val got = Graph.featurePropagation(edges, feats, hops = 2)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) === ((Some(6.0), Some(0.0))),
+      "end vertex: h1 = center's f, h2 = center's h1")
+    assert(got(2L) === ((Some(0.0), Some(6.0))),
+      "center: junk neighbors pull h1 to 0 even though its own f is 6 — " +
+        "the link-farm signal this operator exists for")
+    assert(got(3L) === ((Some(6.0), Some(0.0))))
+    assert(got(9L) === ((None, None)), "no neighborhood → null, not 0")
+  }
+
   test("labelPropagation: self-loops and duplicate/reversed edges don't " +
       "change the vote (symmetrize+dedup contract)") {
     val clean = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
