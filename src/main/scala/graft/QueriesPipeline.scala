@@ -1462,6 +1462,18 @@ private[graft] object QueriesPipeline {
         elems(pmod(col("doc_id"), lit(2L)) =!= 0),
         hashCol = "h", k = 64)
     }),
+
+    // Poisson bootstrap 95% CI for the mean event value (Chamandy et
+    // al. 2012 — THE distributed bootstrap): 40 replicates materialize
+    // in ONE scan via per-(row, replicate) Poisson(1) multiplicities
+    // from an md5 hash; replicate sums are exact decimals, the CI is an
+    // order statistic of the 40 replicate means (no float quantile
+    // interpolation). Classical with-replacement resampling cannot run
+    // in one distributed pass; this is how uncertainty is measured at
+    // 100 TB.
+    "q96_bootstrap" -> ((s, dir) =>
+      analytics.Eval.poissonBootstrap(t(s, dir, "events"),
+        idCol = "event_id", valueCol = "value", reps = 40)),
   )
 
   // ── DuckDB oracle twins ──
@@ -2574,5 +2586,37 @@ private[graft] object QueriesPipeline {
         |SELECT 64 AS k, n_a, n_b, n_inter, est_a, est_b, est_union, matches,
         |  round(CAST(matches AS DOUBLE) / 64 * est_union, 4) AS est_inter
         |FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN mt""".stripMargin,
+
+    // Poisson-bootstrap twin (q96): identical hash multiplicities
+    // (fixed Poisson(1) CDF literals), exact-decimal replicate sums,
+    // order-statistic CI ranks 1/39 of 40, replicate-ordered stderr
+    // fold — the operator's expression shapes term for term.
+    "q96_bootstrap" ->
+      """WITH x AS (SELECT event_id AS id, CAST(value AS DECIMAL(18,2)) AS x FROM events),
+        |rep AS (SELECT id, x, unnest(range(40)) AS r FROM x),
+        |wv AS (SELECT r, x,
+        |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+        |      WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+        |      WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
+        |      WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
+        |  FROM (SELECT r, x,
+        |      CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+        |        / 4294967296.0 AS u
+        |    FROM rep)),
+        |rm AS (SELECT r,
+        |    CAST(CAST(sum(w * x) AS DECIMAL(28,2)) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
+        |  FROM wv GROUP BY r),
+        |st AS (SELECT list_sort(list(m)) AS ms, list(m ORDER BY r) AS mr FROM rm),
+        |ci AS (SELECT ms[1] AS ci_lo, ms[39] AS ci_hi,
+        |    list_reduce(list_prepend(0.0, mr), (a, b) -> a + b) AS sm,
+        |    list_reduce(list_prepend(0.0, list_transform(mr, v -> v * v)),
+        |      (a, b) -> a + b) AS sm2
+        |  FROM st),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(x) AS DOUBLE) / count(*) AS mean_full FROM x)
+        |SELECT n_rows, 40 AS reps, round(mean_full, 6) AS mean_full,
+        |  round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi,
+        |  round(sqrt((sm2 - sm * sm / 40) / 39), 6) AS se_boot
+        |FROM f CROSS JOIN ci""".stripMargin,
   )
 }

@@ -760,6 +760,18 @@ object ScaleSmoke {
       Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
     }
 
+    // q96: Poisson bootstrap — ONE scan with a reps-way map-side
+    // fan-out into a reps-row aggregate; cost must track rows × reps
+    // linearly, state is reps rows whatever the corpus.
+    run("bootstrap") {
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val evShift = ev0.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val ev = (0 until mult).map(i =>
+        ev0.withColumn("event_id", col("event_id") + lit(i * evShift)))
+        .reduce(_ union _)
+      graft.analytics.Eval.poissonBootstrap(ev, "event_id", "value", reps = 40)
+    }
+
     // g08: feature propagation — one edge join + one grouped fold per
     // hop; linear in |E|, no pair term (the g07 shape with a double
     // payload instead of a label vote).

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-evaluation metrics over scored datasets — the measurement side
@@ -110,6 +110,78 @@ object Eval {
     * linear scans, constant state, no shuffle wider than the variant
     * cardinality.
     */
+  /** Poisson bootstrap confidence interval (Chamandy et al. 2012,
+    * "Estimating uncertainty for massive data streams" — Google's
+    * distributed bootstrap): classical resampling draws n rows WITH
+    * replacement per replicate, which cannot be done in one pass over a
+    * distributed table; the Poisson trick gives every row an
+    * independent Poisson(1) multiplicity per replicate instead, so ALL
+    * `reps` replicates materialize in a single scan with a `reps`-way
+    * fan-out, and the replicate means' spread estimates the sampling
+    * distribution of the mean.
+    *
+    * Determinism: the multiplicity is the Poisson(1) inverse CDF of a
+    * 32-bit md5 hash of (id, replicate) — fixed literal thresholds, no
+    * RNG state; per-replicate sums are EXACT decimals (weight ×
+    * DECIMAL(18,2) value — the q01/q93 discipline), each replicate mean
+    * is one double division, and the CI is an ORDER STATISTIC of the
+    * replicate means (exact rank ⌈α·reps⌉ / ⌈(1−α)·reps⌉ on the sorted
+    * list, folded in replicate order for the stderr) — no float
+    * quantile interpolation anywhere.
+    *
+    * Scale shape: one scan × `reps` map-side fan-out into a
+    * `reps`-row aggregate; the replicate table is driver-sized; no
+    * shuffle wider than `reps` rows. Output one row:
+    * (n_rows, reps, mean_full, ci_lo, ci_hi, se_boot).
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+      reps: Int, alphaNum: Int = 25, alphaDenom: Int = 1000): DataFrame = {
+    require(reps >= 4, s"reps=$reps")
+    // Poisson(1) CDF thresholds: P(X <= k) for k = 0..6; u >= cum(6) is
+    // w = 7 (probability 8e-8 — bounded, documented)
+    val cum = Seq(0.3678794412, 0.7357588823, 0.9196986029,
+      0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589)
+    val x = col(valueCol).cast("decimal(18,2)")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+      col("r").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val w = cum.zipWithIndex.foldRight(lit(7): Column) { case ((c, k), e) =>
+      when(u < c, lit(k)).otherwise(e)
+    }
+    val repMeans = df
+      .select(col(idCol), x.as("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(col("r"), w.as("w"), col("x"))
+      .groupBy(col("r"))
+      .agg((sum(col("w") * col("x")).cast("decimal(28,2)")).as("sx"),
+        sum(col("w")).as("sw"))
+      .select(col("r"),
+        (col("sx").cast("double") / col("sw").cast("double")).as("m"))
+    val full = df.agg(count(lit(1)).as("n_rows"),
+      (sum(x).cast("double") / count(lit(1))).as("mean_full"))
+    val loRank = math.max(1, math.ceil(alphaNum.toDouble * reps / alphaDenom).toInt)
+    val hiRank = math.min(reps,
+      math.ceil((alphaDenom - alphaNum).toDouble * reps / alphaDenom).toInt)
+    val stats = repMeans
+      .agg(array_sort(collect_list(struct(col("r"), col("m")))).as("rm"))
+      .select(
+        sort_array(transform(col("rm"), e => e.getField("m")))(loRank - 1)
+          .as("ci_lo"),
+        sort_array(transform(col("rm"), e => e.getField("m")))(hiRank - 1)
+          .as("ci_hi"),
+        aggregate(transform(col("rm"), e => e.getField("m")),
+          lit(0.0), (a, v) => a + v).as("sm"),
+        aggregate(transform(col("rm"), e => e.getField("m")),
+          lit(0.0), (a, v) => a + v * v).as("sm2"))
+    full.join(broadcast(stats))
+      .select(col("n_rows"), lit(reps).as("reps"),
+        round(col("mean_full"), 6).as("mean_full"),
+        round(col("ci_lo"), 6).as("ci_lo"),
+        round(col("ci_hi"), 6).as("ci_hi"),
+        round(sqrt((col("sm2") - col("sm") * col("sm") / reps) /
+          (reps - 1)), 6).as("se_boot"))
+  }
+
   def cuped(units: DataFrame, variantCol: String,
       xCol: String, yCol: String): DataFrame = {
     val x = col(xCol)

@@ -80,6 +80,41 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("poissonBootstrap: full driver replay — hash→Poisson weights→exact " +
+      "decimal replicate means→order-stat CI; deterministic across runs") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(1, 51).toDF("id")
+      .select(col("id"), (col("id") * 2).cast("double").as("value"))
+    def run() = graft.analytics.Eval
+      .poissonBootstrap(df, "id", "value", reps = 4).collect().head
+    val got = run()
+    val cum = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+      0.9963401532, 0.9994058152, 0.9999167589)
+    def w(id: Long, r: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+      cum.indexWhere(u < _) match { case -1 => 7; case k => k }
+    }
+    val means = (0 until 4).map { r =>
+      val ws = (1L to 50L).map(id => id -> w(id, r))
+      val sx = ws.map { case (id, k) => BigDecimal(id * 2).setScale(2) * k }.sum
+      sx.toDouble / ws.map(_._2).sum
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sorted = means.sorted
+    assert(got.getAs[Long]("n_rows") === 50L)
+    assert(got.getAs[Double]("mean_full") === r6((2.0 + 100.0) / 2))
+    assert(got.getAs[Double]("ci_lo") === r6(sorted.head),
+      s"rank-1 order stat of $sorted")
+    assert(got.getAs[Double]("ci_hi") === r6(sorted.last),
+      "rank-4 order stat at reps=4, α=2.5%")
+    val sm = means.sum; val sm2 = means.map(m => m * m).sum
+    assert(got.getAs[Double]("se_boot") === r6(math.sqrt((sm2 - sm * sm / 4) / 3)))
+    assert(got.toSeq === run().toSeq, "bit-deterministic")
+  }
+
   test("cuped: y = 2x + 3 exactly → θ = 2, ρ² = 1, and the covariate " +
       "imbalance between variants is removed completely (hand-computed)") {
     import org.apache.spark.sql.functions.col
