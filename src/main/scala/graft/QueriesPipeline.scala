@@ -2587,22 +2587,25 @@ private[graft] object QueriesPipeline {
         |  round(CAST(matches AS DOUBLE) / 64 * est_union, 4) AS est_inter
         |FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN mt""".stripMargin,
 
-    // Poisson-bootstrap twin (q96): identical hash multiplicities
-    // (fixed Poisson(1) CDF literals), exact-decimal replicate sums,
-    // order-statistic CI ranks 1/39 of 40, replicate-ordered stderr
-    // fold — the operator's expression shapes term for term.
+    // Poisson-bootstrap twin (q96): identical hash multiplicities —
+    // one md5 per replicate GROUP, four u32 lanes per digest (the
+    // operator's 4×-fewer-digests layout), fixed Poisson(1) CDF
+    // literals, exact-decimal replicate sums, order-statistic CI ranks
+    // 1/39 of 40, replicate-ordered stderr fold.
     "q96_bootstrap" ->
       """WITH x AS (SELECT event_id AS id, CAST(value AS DECIMAL(18,2)) AS x FROM events),
-        |rep AS (SELECT id, x, unnest(range(40)) AS r FROM x),
+        |hh AS (SELECT x, rg,
+        |    md5(CAST(id AS VARCHAR) || ':' || CAST(rg AS VARCHAR)) AS h
+        |  FROM (SELECT id, x, unnest(range(10)) AS rg FROM x)),
         |wv AS (SELECT r, x,
         |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
         |      WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
         |      WHEN u < 0.9963401532 THEN 4 WHEN u < 0.9994058152 THEN 5
         |      WHEN u < 0.9999167589 THEN 6 ELSE 7 END AS w
-        |  FROM (SELECT r, x,
-        |      CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+        |  FROM (SELECT rg * 4 + lane AS r, x,
+        |      CAST(CAST(('0x' || substr(h, CAST(1 + lane * 8 AS INT), 8)) AS UBIGINT) AS DOUBLE)
         |        / 4294967296.0 AS u
-        |    FROM rep)),
+        |    FROM hh CROSS JOIN (SELECT unnest(range(4)) AS lane) l)),
         |rm AS (SELECT r,
         |    CAST(CAST(sum(w * x) AS DECIMAL(28,2)) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS m
         |  FROM wv GROUP BY r),

@@ -121,8 +121,12 @@ object Eval {
     * distribution of the mean.
     *
     * Determinism: the multiplicity is the Poisson(1) inverse CDF of a
-    * 32-bit md5 hash of (id, replicate) — fixed literal thresholds, no
-    * RNG state; per-replicate sums are EXACT decimals (weight ×
+    * 32-bit hash of (id, replicate) — fixed literal thresholds, no RNG
+    * state. The digest is BATCHED: one md5 yields 128 bits = FOUR u32
+    * lanes, so replicate r reads lane r%4 of md5(id ":" r/4) — 4× fewer
+    * digests on the hot path (measured 11 s → the md5 was the whole
+    * cost of the 40× fan-out at sf0.1); per-replicate sums are EXACT
+    * decimals (weight ×
     * DECIMAL(18,2) value — the q01/q93 discipline), each replicate mean
     * is one double division, and the CI is an ORDER STATISTIC of the
     * replicate means (exact rank ⌈α·reps⌉ / ⌈(1−α)·reps⌉ on the sorted
@@ -136,22 +140,29 @@ object Eval {
     */
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
       reps: Int, alphaNum: Int = 25, alphaDenom: Int = 1000): DataFrame = {
-    require(reps >= 4, s"reps=$reps")
+    require(reps >= 4 && reps % 4 == 0, s"reps=$reps must be a multiple of 4")
     // Poisson(1) CDF thresholds: P(X <= k) for k = 0..6; u >= cum(6) is
     // w = 7 (probability 8e-8 — bounded, documented)
     val cum = Seq(0.3678794412, 0.7357588823, 0.9196986029,
       0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589)
     val x = col(valueCol).cast("decimal(18,2)")
-    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
-      col("r").cast("string"))), 1, 8), 16, 10).cast("double") /
-      lit(4294967296.0)
+    val u = conv(expr("substring(h, CAST(1 + lane * 8 AS INT), 8)"),
+      16, 10).cast("double") / lit(4294967296.0)
     val w = cum.zipWithIndex.foldRight(lit(7): Column) { case ((c, k), e) =>
       when(u < c, lit(k)).otherwise(e)
     }
     val repMeans = df
       .select(col(idCol), x.as("x"),
-        explode(sequence(lit(0), lit(reps - 1))).as("r"))
-      .select(col("r"), w.as("w"), col("x"))
+        explode(sequence(lit(0), lit(reps / 4 - 1))).as("rg"))
+      // ONE digest per replicate GROUP, materialized before the ×4 lane
+      // fan-out — this ordering is the 4× saving; hashing after the
+      // lane explode would recompute the same digest per lane
+      .select(col("x"),
+        md5(concat(col(idCol).cast("string"), lit(":"),
+          col("rg").cast("string"))).as("h"),
+        col("rg"),
+        explode(sequence(lit(0), lit(3))).as("lane"))
+      .select((col("rg") * 4 + col("lane")).as("r"), w.as("w"), col("x"))
       .groupBy(col("r"))
       .agg((sum(col("w") * col("x")).cast("decimal(28,2)")).as("sx"),
         sum(col("w")).as("sw"))

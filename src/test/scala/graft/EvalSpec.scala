@@ -91,10 +91,13 @@ class EvalSpec extends SparkSpec {
     val cum = Seq(0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
       0.9963401532, 0.9994058152, 0.9999167589)
     def w(id: Long, r: Int): Int = {
+      // lane-batched digest: replicate r reads u32 lane r%4 of
+      // md5(id ":" r/4) — the operator's 4×-fewer-digests layout
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$id:$r".getBytes("UTF-8"))
+      val hex = md.digest(s"$id:${r / 4}".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val u = java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+      val u = java.lang.Long.parseLong(
+        hex.slice((r % 4) * 8, (r % 4) * 8 + 8), 16).toDouble / 4294967296.0
       cum.indexWhere(u < _) match { case -1 => 7; case k => k }
     }
     val means = (0 until 4).map { r =>
