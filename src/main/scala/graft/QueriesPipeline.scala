@@ -1474,6 +1474,36 @@ private[graft] object QueriesPipeline {
     "q96_bootstrap" -> ((s, dir) =>
       analytics.Eval.poissonBootstrap(t(s, dir, "events"),
         idCol = "event_id", valueCol = "value", reps = 40)),
+
+    // Covariate balance (SMD) — the A/B health gate that must pass
+    // BEFORE q93's CUPED readout is trustworthy: per PRE-period
+    // covariate (value sum, event count, purchase count), the
+    // standardized mean difference between the parity variants with
+    // Austin's |SMD| ≤ 0.1 convention. A biased bucketing hash shows
+    // up here, where no treatment effect can explain it.
+    "q97_balance" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val us = EventTime.epochMicros(e)
+      val e2 = e.select(col("user_id"), us.as("tsu"), col("value"),
+        col("event_type"))
+      val mid = broadcast(e2.agg(
+        expr("(min(tsu) + max(tsu)) div 2").as("mid")))
+      val z = lit(0).cast("decimal(18,2)")
+      val units = e2.crossJoin(mid)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("tsu") <= col("mid"), dec(col("value"), 18, 2))
+            .otherwise(z)).cast("decimal(18,2)").as("pre_value"),
+          sum(when(col("tsu") <= col("mid"), 1L).otherwise(0L))
+            .as("pre_events"),
+          sum(when(col("tsu") <= col("mid") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pre_purchases"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      analytics.Eval.covariateBalance(units, "variant",
+          Seq("pre_value", "pre_events", "pre_purchases"))
+        .orderBy(col("covariate"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2621,5 +2651,41 @@ private[graft] object QueriesPipeline {
         |  round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi,
         |  round(sqrt((sm2 - sm * sm / 40) / 39), 6) AS se_boot
         |FROM f CROSS JOIN ci""".stripMargin,
+
+    // Balance twin (q97): the q93 unit CTE with the three pre-period
+    // covariates, UNION-melt, one conditional moment aggregate, and
+    // the SMD algebra in the operator's exact expression shapes.
+    "q97_balance" ->
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+        |u AS (SELECT user_id, user_id % 2 AS variant,
+        |    CAST(sum(CASE WHEN epoch_us(ts) <= b.mid THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS pre_value,
+        |    CAST(sum(CASE WHEN epoch_us(ts) <= b.mid THEN 1 ELSE 0 END) AS DECIMAL(18,2)) AS pre_events,
+        |    CAST(sum(CASE WHEN epoch_us(ts) <= b.mid AND event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) AS DECIMAL(18,2)) AS pre_purchases
+        |  FROM events CROSS JOIN b GROUP BY user_id),
+        |m AS (SELECT variant, 'pre_value' AS covariate, pre_value AS x FROM u
+        |  UNION ALL SELECT variant, 'pre_events', pre_events FROM u
+        |  UNION ALL SELECT variant, 'pre_purchases', pre_purchases FROM u),
+        |g AS (SELECT covariate,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN variant = 0 THEN x * x END) AS DOUBLE) AS sa2,
+        |    CAST(sum(CASE WHEN variant = 1 THEN x * x END) AS DOUBLE) AS sb2
+        |  FROM m GROUP BY covariate),
+        |g2 AS (SELECT covariate, n_a, n_b, sa, sb,
+        |    (n_a * sa2 - sa * sa) / (n_a * n_a) AS va,
+        |    (n_b * sb2 - sb * sb) / (n_b * n_b) AS vb
+        |  FROM g),
+        |g3 AS (SELECT covariate, n_a, n_b, sa, sb,
+        |    CASE WHEN va + vb > 0
+        |      THEN (sa / n_a - sb / n_b) / sqrt((va + vb) / 2) END AS smd
+        |  FROM g2)
+        |SELECT covariate, n_a, n_b,
+        |  round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
+        |  round(smd, 6) AS smd, (abs(smd) <= 0.1) AS balanced
+        |FROM g3 ORDER BY covariate""".stripMargin,
   )
 }

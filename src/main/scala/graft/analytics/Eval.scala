@@ -193,6 +193,61 @@ object Eval {
           (reps - 1)), 6).as("se_boot"))
   }
 
+  /** Covariate balance check via standardized mean differences (the
+    * A/B-test health gate run BEFORE trusting any adjusted readout —
+    * Austin 2009's |SMD| ≤ 0.1 convention): per covariate,
+    * SMD = (mean_A − mean_B) / √((var_A + var_B)/2). A randomization
+    * bug (biased bucketing hash, mid-experiment assignment change)
+    * shows up here as imbalance on PRE-period covariates, where no
+    * treatment effect can explain it; q93's CUPED trusts exactly these
+    * covariates, so this is its precondition.
+    *
+    * Determinism: the q93 discipline — per-(covariate, variant) moment
+    * sums are EXACT decimals accumulated in ONE conditional aggregate
+    * (no pivot, no second scan), and every output is scalar double
+    * algebra in a fixed expression shape (population variance
+    * (n·Σx² − (Σx)²)/n²). Output one row per covariate:
+    * (covariate, n_a, n_b, mean_a, mean_b, smd, balanced = |SMD| ≤ 0.1;
+    * smd NULL when both variances are 0 — a constant covariate has no
+    * scale to standardize by).
+    *
+    * Scale shape: the melt is a map-side |covariates|× fan-out
+    * (q86's shape); one partial+final aggregate keyed by covariate —
+    * state is 6 numbers per covariate, no shuffle wider than that.
+    */
+  def covariateBalance(units: DataFrame, variantCol: String,
+      covariates: Seq[String]): DataFrame = {
+    require(covariates.nonEmpty, "need at least one covariate")
+    val melted = units.select(col(variantCol).as("variant"),
+      explode(array(covariates.map(c =>
+        struct(lit(c).as("covariate"),
+          col(c).cast("decimal(18,2)").as("x"))): _*)).as("e"))
+      .select(col("variant"), col("e.covariate").as("covariate"),
+        col("e.x").as("x"))
+    def side(v: Int, agg: Column): Column =
+      sum(when(col("variant") === v, agg).otherwise(lit(null)))
+    val g = melted.groupBy(col("covariate"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        side(0, col("x")).cast("double").as("sa"),
+        side(1, col("x")).cast("double").as("sb"),
+        side(0, col("x") * col("x")).cast("double").as("sa2"),
+        side(1, col("x") * col("x")).cast("double").as("sb2"))
+    val va = (col("n_a") * col("sa2") - col("sa") * col("sa")) /
+      (col("n_a") * col("n_a"))
+    val vb = (col("n_b") * col("sb2") - col("sb") * col("sb")) /
+      (col("n_b") * col("n_b"))
+    val smd = when(va + vb > 0,
+      (col("sa") / col("n_a") - col("sb") / col("n_b")) /
+        sqrt((va + vb) / 2))
+    g.select(col("covariate"), col("n_a"), col("n_b"),
+      round(col("sa") / col("n_a"), 6).as("mean_a"),
+      round(col("sb") / col("n_b"), 6).as("mean_b"),
+      round(smd, 6).as("smd"),
+      (abs(smd) <= 0.1).as("balanced"))
+  }
+
   def cuped(units: DataFrame, variantCol: String,
       xCol: String, yCol: String): DataFrame = {
     val x = col(xCol)

@@ -80,6 +80,30 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("covariateBalance: hand-computed SMD; mirrored distributions are " +
+      "balanced at 0; a constant covariate yields NULL, not 0/0") {
+    import org.apache.spark.sql.functions.col
+    // shifted: A={1,3}, B={2,4} → means 2/3, both vars 1 → SMD = −1
+    // mirrored: both variants {1,3} → SMD = 0 (balanced)
+    // constant: all 5s → no scale to standardize by → NULL
+    val units = Seq(
+      (0L, "1.00", "1.00", "5.00"), (0L, "3.00", "3.00", "5.00"),
+      (1L, "2.00", "1.00", "5.00"), (1L, "4.00", "3.00", "5.00"))
+      .toDF("variant", "shifted", "mirrored", "constant")
+    val got = graft.analytics.Eval
+      .covariateBalance(units, "variant", Seq("shifted", "mirrored", "constant"))
+      .orderBy(col("covariate")).collect()
+      .map(r => r.getAs[String]("covariate") ->
+        (Option(r.get(r.fieldIndex("smd"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("balanced"))).map(_.asInstanceOf[Boolean])))
+      .toMap
+    assert(got("shifted") === ((Some(-1.0), Some(false))),
+      s"(2−3)/√((1+1)/2) = −1, |−1| > 0.1: $got")
+    assert(got("mirrored") === ((Some(0.0), Some(true))))
+    assert(got("constant") === ((None, None)),
+      "zero variance on both sides → NULL verdict, not a fake pass")
+  }
+
   test("poissonBootstrap: full driver replay — hash→Poisson weights→exact " +
       "decimal replicate means→order-stat CI; deterministic across runs") {
     import org.apache.spark.sql.functions.col
