@@ -760,6 +760,64 @@ object ScaleSmoke {
       Similarity.prototypePrune(vecs, cents, keepNum = 3, keepDenom = 5)
     }
 
+    // q93/q97: CUPED readout and the SMD balance gate — per-user
+    // conditional decimal sums (one user-keyed shuffle), then constant
+    // -state moment algebra. Cost must track event rows linearly.
+    run("cuped") {
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val evShift = ev0.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val ev = (0 until mult).map(i =>
+        ev0.withColumn("event_id", col("event_id") + lit(i * evShift))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        .reduce(_ union _)
+      val us = EventTime.epochMicros(ev)
+      val e2 = ev.select(col("user_id"), us.as("tsu"), col("value"))
+      val mid = org.apache.spark.sql.functions.broadcast(
+        e2.agg(expr("(min(tsu) + max(tsu)) div 2").as("mid")))
+      val z = lit(0).cast("decimal(18,2)")
+      val units = e2.crossJoin(mid)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("tsu") <= col("mid"),
+            col("value").cast("decimal(18,2)")).otherwise(z))
+            .cast("decimal(18,2)").as("x"),
+          sum(when(col("tsu") > col("mid"),
+            col("value").cast("decimal(18,2)")).otherwise(z))
+            .cast("decimal(18,2)").as("y"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      graft.analytics.Eval.cuped(units, "variant", "x", "y")
+    }
+
+    // t30: fertility — BPE training cost is FLAT under the id-shift
+    // blowup (the word-frequency table is identical — same words, mult×
+    // counts), and encode + the per-language sums are linear. The
+    // receipt pins that the trainer never scales with corpus copies.
+    run("fertility") {
+      val (_, vocab) = graft.analytics.Bpe.train(docs, nMerges = 12)
+      val enc = graft.analytics.Bpe.encode(docs, vocab)
+        .select(col("doc_id"), col("n_bpe"))
+      docs.select(col("doc_id"), col("lang"),
+          size(graft.analytics.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_words"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .join(enc, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(coalesce(col("n_bpe"), lit(0L))).as("n_bpe"),
+          sum(col("n_bytes")).as("n_bytes"))
+    }
+
+    // t31: retrieval eval — posting lists grow ×mult but the query side
+    // is pinned (3 queries), so the BM25 candidate join and the metric
+    // folds must track corpus rows ~linearly.
+    run("retrieval_eval") {
+      val queries = docs.where(col("doc_id").isin(0L, 7L, 14L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(graft.analytics.TextAnalysis.tokens(col("text")),
+            1, 4), " ").as("qtext"))
+      graft.analytics.TextAnalysis.retrievalMetrics(docs, queries, kEval = 10)
+    }
+
     // q96: Poisson bootstrap — ONE scan with a reps-way map-side
     // fan-out into a reps-row aggregate; cost must track rows × reps
     // linearly, state is reps rows whatever the corpus.
