@@ -296,6 +296,21 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("vec_id"))
     }),
 
+    // Binary sign-embedding ANN: 63 packed sign bits per vector (an
+    // 8-byte mask replacing 256 bytes of floats — the deepest
+    // compression point of the family), Hamming-distance candidates
+    // (one xor+popcount per pair, PURE INTEGER — the only ANN candidate
+    // stage in the catalog with no float discipline at all), exact
+    // top-100 re-rank. Charikar 2002: Hamming/63 estimates angle/π.
+    "s20_binary_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.binaryTopK(e, e.where(col("vec_id") < 10), k = 5,
+          nCand = 100, dim = 64)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // IVF-PQ with residual encoding — FAISS's IVFPQ, the
     // billion-vector production index: coarse cell routing (s03's
     // assignment), PQ over RESIDUALS vector−centroid (they concentrate
@@ -1058,6 +1073,27 @@ private[graft] object QueriesSimGraph {
         |SELECT vec_id, cent_id, csim, cell_n, cell_rank,
         |  (cell_rank * 5 <= cell_n * 3) AS kept
         |FROM rk ORDER BY vec_id""".stripMargin,
+
+    // Binary-ANN twin (s20): the s02 sign-bit sum over ONE 63-plane
+    // table (63 so `1 << pl` never touches the sign bit), xor +
+    // bit_count Hamming, integer (hd, id) candidate rank, s01's exact
+    // re-rank tail.
+    "s20_binary_topk" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(1, 63, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bits AS (SELECT vec_id,
+         |    SUM(CASE WHEN list_dot_product(ev, w) >= 0
+         |      THEN 1::BIGINT << pl ELSE 0::BIGINT END)::BIGINT AS b
+         |  FROM v CROSS JOIN planes GROUP BY vec_id),
+         |hd AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    bit_count(xor(p.b, c.b)) AS hd
+         |  FROM bits p JOIN bits c ON p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 10),
+         |cand AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY hd, neighbor_id) AS cr
+         |    FROM hd) WHERE cr <= 100),
+         |${annRankSql(5)}""".stripMargin,
 
     // IVF-PQ twin (s19): s03's assignment CTEs (rank carried so rr=1 is
     // the corpus cell and rr≤4 the probe's visited cells), residuals as

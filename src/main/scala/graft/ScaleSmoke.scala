@@ -718,6 +718,14 @@ object ScaleSmoke {
         idCol = "doc_id")
     }
 
+    // s20: binary sign ANN — one 63-plane projection per row builds an
+    // 8-byte mask; the candidate scan is one xor+popcount per
+    // (probe, corpus) pair with a pinned probe side — linear, and the
+    // cheapest per-pair scorer in the family.
+    run("binary_topk")(
+      Similarity.binaryTopK(vecs, vecs0.where(col("vec_id") < 10), k = 5,
+        nCand = 100, dim = 64))
+
     // s14: random-projection ANN — the projection is one per-row linear
     // pass and the probe side is pinned (10 probes), so cost must track
     // corpus rows ~linearly; no pair term exists anywhere in the plan.

@@ -1078,6 +1078,64 @@ object Similarity {
         round(col("n_hits").cast("double") / col("n_slots"), 6).as("recall"))
   }
 
+  /** Binary sign-embedding ANN (Charikar 2002 SimHash similarity
+    * estimation applied as a COMPRESSED SCORER, not a bucketer): every
+    * vector compresses to the 63 sign bits of seeded hyperplane
+    * projections packed in one BIGINT (63, not 64 — the top bit stays
+    * clear so the packed value never goes negative and the SQL twin's
+    * `1 << pl` sum can't overflow a signed 64-bit lane); candidates are
+    * each probe's `nCand` nearest by HAMMING distance (one xor +
+    * popcount per pair — pure integer, no float discipline needed
+    * anywhere in the candidate stage); exact cosine re-ranks the
+    * survivors. Charikar: P(bit differs) = θ/π, so Hamming/63 is an
+    * unbiased angle estimate with σ ≈ π/(2√63).
+    *
+    * The third compression point on the family's memory axis: 256-byte
+    * floats (s01) → 64-byte int8 (s10) → 8-byte codes (s19/s07) →
+    * 8-BYTE SIGN MASK here, with the cheapest possible scorer (xor +
+    * popcount — SIMD-friendly, no table lookups). Scale: the sign mask
+    * is a written-once artifact; probes broadcast; the corpus scan is
+    * one long-integer op per pair; ties break (hd asc, id asc) —
+    * integer-exact, so candidate selection is trivially cross-engine.
+    */
+  def binaryTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCand: Int, dim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nCand >= k, s"need nCand >= k, got nCand=$nCand k=$k")
+    val planes = hyperplanes(63, dim, seed)
+    val c = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"),
+        signBits(col(vecCol), planes).as("cb"))
+    val p = broadcast(probes
+      .select(col(idCol).as("probe_id"), signBits(col(vecCol), planes).as("pb")))
+    val ham = c.join(p, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        bit_count(col("cb").bitwiseXOR(col("pb"))).as("hd"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("hd").asc, col("neighbor_id").asc)
+    val cand = ham.withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nCand)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val scored = cand
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm"))),
+        Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        nf(col(vecCol)).as("vec_norm")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cf(col("probe_vec"), col("vec"), col("probe_norm"), col("vec_norm"))
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Shared 1-NN cell assignment for the embedding-curation operators
     * (s16/s17): each corpus vector to its single nearest centroid by
     * round-6 cosine with cent-id tie-break — s03's deterministic
