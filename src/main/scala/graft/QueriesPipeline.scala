@@ -2588,8 +2588,10 @@ private[graft] object QueriesPipeline {
 
     // KMV twin (q95): identical md5 element keys, k-smallest sketches,
     // union sketch from the two sketches, the (n−1)/u_k estimator with
-    // the same 32-bit hash prefix mapping, and the matches/k scaling on
-    // the ROUNDED union estimate (the operator's exact expression).
+    // the same 32-bit hash prefix mapping (exact n when a sketch holds
+    // its whole set; NULLIF guard on a zero hash prefix), and the
+    // matches/|sketch(U)| scaling on the ROUNDED union estimate (the
+    // operator's exact expression).
     "q95_kmv_overlap" ->
       """WITH a AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
         |b AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 <> 0),
@@ -2597,15 +2599,18 @@ private[graft] object QueriesPipeline {
         |skb AS (SELECT h FROM b ORDER BY h LIMIT 64),
         |sku AS (SELECT h FROM (SELECT DISTINCT h FROM (
         |    SELECT h FROM ska UNION ALL SELECT h FROM skb)) ORDER BY h LIMIT 64),
-        |ea AS (SELECT round(CAST(count(*) - 1 AS DOUBLE) /
-        |    (CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0), 4)
-        |  AS est_a FROM ska),
-        |eb AS (SELECT round(CAST(count(*) - 1 AS DOUBLE) /
-        |    (CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0), 4)
-        |  AS est_b FROM skb),
-        |eu AS (SELECT round(CAST(count(*) - 1 AS DOUBLE) /
-        |    (CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0), 4)
-        |  AS est_union FROM sku),
+        |ea AS (SELECT CASE WHEN count(*) < 64 THEN round(CAST(count(*) AS DOUBLE), 4)
+        |    ELSE round(CAST(count(*) - 1 AS DOUBLE) / NULLIF(
+        |      CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0, 0.0), 4)
+        |  END AS est_a FROM ska),
+        |eb AS (SELECT CASE WHEN count(*) < 64 THEN round(CAST(count(*) AS DOUBLE), 4)
+        |    ELSE round(CAST(count(*) - 1 AS DOUBLE) / NULLIF(
+        |      CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0, 0.0), 4)
+        |  END AS est_b FROM skb),
+        |eu AS (SELECT CASE WHEN count(*) < 64 THEN round(CAST(count(*) AS DOUBLE), 4)
+        |    ELSE round(CAST(count(*) - 1 AS DOUBLE) / NULLIF(
+        |      CAST(CAST(('0x' || substr(max(h), 1, 8)) AS UBIGINT) AS DOUBLE) / 4294967296.0, 0.0), 4)
+        |  END AS est_union, CAST(count(*) AS BIGINT) AS sku_n FROM sku),
         |mt AS (SELECT CAST(count(*) AS BIGINT) AS matches FROM sku
         |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
         |ex AS (SELECT
@@ -2614,7 +2619,7 @@ private[graft] object QueriesPipeline {
         |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inter
         |  FROM a FULL OUTER JOIN b ON a.h = b.h)
         |SELECT 64 AS k, n_a, n_b, n_inter, est_a, est_b, est_union, matches,
-        |  round(CAST(matches AS DOUBLE) / 64 * est_union, 4) AS est_inter
+        |  round(CAST(matches AS DOUBLE) / sku_n * est_union, 4) AS est_inter
         |FROM ex CROSS JOIN ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN mt""".stripMargin,
 
     // Poisson-bootstrap twin (q96): identical hash multiplicities —

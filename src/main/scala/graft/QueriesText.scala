@@ -899,7 +899,7 @@ private[graft] object QueriesText {
          |  FROM rr)
          |SELECT query_id, n_cand, n_rel,
          |  round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
-         |  round(dcg / idcg, 6) AS ndcg,
+         |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END AS ndcg,
          |  coalesce(round(1.0 / first_rel, 6), 0.0) AS mrr,
          |  CASE WHEN n_rel > 0 THEN round(CAST(hits AS DOUBLE) / n_rel, 6) END AS recall
          |FROM m ORDER BY query_id""".stripMargin),

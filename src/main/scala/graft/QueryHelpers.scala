@@ -622,10 +622,13 @@ private[graft] object QueryHelpers {
     * rounder literal would make the engines round different doubles).
     */
   /** Label-propagation twin (g07): the block-community graph as literal
-    * arithmetic, symmetrized+dedup'd, then every synchronous round
-    * unrolled — neighbor votes + the self-vote, (count desc, label asc)
-    * winner — exactly [[graft.analytics.Graph.labelPropagation]]'s loop
-    * body. Integer-only computation: no float discipline needed.
+    * arithmetic, symmetrized+dedup'd and RESTRICTED to endpoints in the
+    * vertex set (the operator's phantom-vertex guard — the fixture's
+    * partial last block wires ring/chord targets past max(doc_id)), then
+    * every synchronous round unrolled — neighbor votes + the self-vote,
+    * (count desc, label asc) winner — exactly
+    * [[graft.analytics.Graph.labelPropagation]]'s loop body.
+    * Integer-only computation: no float discipline needed.
     */
   private[graft] def lpaOracleSql(rounds: Int): String = {
     val rs = (1 to rounds).map { i =>
@@ -641,7 +644,10 @@ private[graft] object QueryHelpers {
        |  UNION ALL SELECT doc_id, (doc_id - doc_id % 8) + (doc_id + 2) % 8 FROM documents
        |  UNION ALL SELECT doc_id, (doc_id + 8) % (SELECT n FROM nn) FROM documents WHERE doc_id % 32 = 0),
        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0) WHERE src <> dst),
+       |    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+       |  WHERE src <> dst
+       |    AND src IN (SELECT doc_id FROM documents)
+       |    AND dst IN (SELECT doc_id FROM documents)),
        |l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),
        |$rs
        |SELECT v AS doc_id, lbl AS community FROM l$rounds ORDER BY doc_id""".stripMargin

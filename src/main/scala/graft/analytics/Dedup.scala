@@ -759,13 +759,16 @@ object Dedup {
     val corpusIdx = bandBuckets(cs, bands, rpb)
     val batchBands = bandBuckets(bs, bands, rpb)
     def estim(a: Column, b: Column): Column = estJaccard(a, b, k)
-    def best(cands: DataFrame): DataFrame = {
-      // winning match per batch doc: highest estimate, ties → lowest id
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-        .orderBy(col("est_jaccard").desc, col("match_id").asc)
-      cands.withColumn("r", row_number().over(w)).where(col("r") === 1)
-        .select(col("id"), col("match_id"), col("est_jaccard"))
-    }
+    def best(cands: DataFrame): DataFrame =
+      // winning match per batch doc: highest estimate, ties → lowest id.
+      // max_by (not a window): partial+final aggregate with map-side
+      // combine — est_jaccard is a never-null dyadic rational, and
+      // maximizing (est, -match_id) is exactly (est DESC, match_id ASC)
+      cands.groupBy(col("id"))
+        .agg(max_by(struct(col("match_id"), col("est_jaccard")),
+          struct(col("est_jaccard"), negate(col("match_id")))).as("win"))
+        .select(col("id"), col("win.match_id").as("match_id"),
+          col("win.est_jaccard").as("est_jaccard"))
     val corpusBest = best(batchBands
       .join(corpusIdx.withColumnRenamed("id", "match_id"), Seq("bucket"))
       .select(col("id"), col("match_id")).distinct()
@@ -1111,9 +1114,10 @@ object Dedup {
     * ≤ 64-token vocabulary M is bounded by the observed subset count,
     * not the corpus size: 100× more documents adds ~0 new masks, which
     * is exactly why the collapse must happen BEFORE pair generation —
-    * and (4) expansion of qualifying mask pairs back to document pairs,
-    * which is output-sized (the irreducible cost: at sf0.1 the answer
-    * itself is 8.9M pairs). Identical-set documents pair at J = 1
+    * and (4) expansion of qualifying mask pairs back to document pairs
+    * via mask-keyed SHUFFLE HASH joins (the corpus-sized doc→mask table
+    * never rides a broadcast), which is output-sized (the irreducible
+    * cost: at sf0.1 the answer itself is 8.9M pairs). Identical-set documents pair at J = 1
     * without any candidate evaluation.
     */
   def bitsetJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
@@ -1149,16 +1153,25 @@ object Dedup {
       .select(col("x.mask").as("ma"), col("y.mask").as("mb"),
         expr("CAST(bit_count(x.mask & y.mask) AS BIGINT)").as("inter"),
         (col("x.sz") + col("y.sz")).as("szsum"))
-    // expansion back to document pairs (output-sized), masks broadcast
-    val cross = mp
-      .join(broadcast(masks.select(col("id").as("id_a"), col("mask").as("m_a"))),
+    // expansion back to document pairs (output-sized). The per-DOCUMENT
+    // `masks` table is CORPUS-sized — the broadcast-size argument above
+    // covers only `dm`, the distinct masks — so the expansion must never
+    // put `masks` on a broadcast (the r13 finding: fine at 5k docs,
+    // driver OOM at 100×). Both expansion joins and the identical-set
+    // self-join are SHUFFLE HASH joins keyed on the mask: the map side
+    // carries 16 bytes/row, the join output is the answer itself (no
+    // plan can shrink it), and a skewed mask's fan-out is inherent to
+    // that answer. PlanAuditSpec pins this shape (no corpus broadcast).
+    val cross = mp.hint("shuffle_hash")
+      .join(masks.select(col("id").as("id_a"), col("mask").as("m_a")),
         col("ma") === col("m_a"))
-      .join(broadcast(masks.select(col("id").as("id_b"), col("mask").as("m_b"))),
+      .join(masks.select(col("id").as("id_b"), col("mask").as("m_b"))
+          .hint("shuffle_hash"),
         col("mb") === col("m_b"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
         col("inter"), (col("szsum") - col("inter")).as("un"))
-    val same = masks.as("p").join(broadcast(masks.as("q")),
+    val same = masks.as("p").join(masks.as("q").hint("shuffle_hash"),
         col("p.mask") === col("q.mask") && col("p.id") < col("q.id"))
       .select(col("p.id").as("doc_a"), col("q.id").as("doc_b"),
         col("p.sz").as("inter"), col("p.sz").as("un"))

@@ -209,31 +209,46 @@ object Eval {
     * (n·Σx² − (Σx)²)/n²). Output one row per covariate:
     * (covariate, n_a, n_b, mean_a, mean_b, smd, balanced = |SMD| ≤ 0.1;
     * smd NULL when both variances are 0 — a constant covariate has no
-    * scale to standardize by).
+    * scale to standardize by). The variant coding is an explicit
+    * two-value contract (`variantA`/`variantB`, default 0/1): any row
+    * carrying anything else — a third arm, a string coding, a NULL —
+    * raises at execution instead of silently zeroing a side.
     *
     * Scale shape: the melt is a map-side |covariates|× fan-out
     * (q86's shape); one partial+final aggregate keyed by covariate —
     * state is 6 numbers per covariate, no shuffle wider than that.
     */
   def covariateBalance(units: DataFrame, variantCol: String,
-      covariates: Seq[String]): DataFrame = {
+      covariates: Seq[String],
+      variantA: Int = 0, variantB: Int = 1): DataFrame = {
     require(covariates.nonEmpty, "need at least one covariate")
-    val melted = units.select(col(variantCol).as("variant"),
+    require(variantA != variantB, "the two variant codes must differ")
+    // fail FAST on any other coding (strings cast to null, 1/2, a third
+    // arm, NULLs): the r13 advice — a silently-empty side used to yield
+    // n=0 rows and NULL SMDs with no signal to the caller. The guard is
+    // a per-row raise_error branch inside the same scan, not a second
+    // validation pass.
+    val v = col(variantCol).cast("int")
+    val guarded = when(v === variantA || v === variantB, v)
+      .otherwise(raise_error(concat(
+        lit(s"covariateBalance: '$variantCol' must be $variantA or $variantB, got "),
+        coalesce(col(variantCol).cast("string"), lit("NULL")))))
+    val melted = units.select(guarded.as("variant"),
       explode(array(covariates.map(c =>
         struct(lit(c).as("covariate"),
           col(c).cast("decimal(18,2)").as("x"))): _*)).as("e"))
       .select(col("variant"), col("e.covariate").as("covariate"),
         col("e.x").as("x"))
-    def side(v: Int, agg: Column): Column =
-      sum(when(col("variant") === v, agg).otherwise(lit(null)))
+    def side(v0: Int, agg: Column): Column =
+      sum(when(col("variant") === v0, agg).otherwise(lit(null)))
     val g = melted.groupBy(col("covariate"))
       .agg(
-        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
-        side(0, col("x")).cast("double").as("sa"),
-        side(1, col("x")).cast("double").as("sb"),
-        side(0, col("x") * col("x")).cast("double").as("sa2"),
-        side(1, col("x") * col("x")).cast("double").as("sb2"))
+        sum(when(col("variant") === variantA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === variantB, 1L).otherwise(0L)).as("n_b"),
+        side(variantA, col("x")).cast("double").as("sa"),
+        side(variantB, col("x")).cast("double").as("sb"),
+        side(variantA, col("x") * col("x")).cast("double").as("sa2"),
+        side(variantB, col("x") * col("x")).cast("double").as("sb2"))
     val va = (col("n_a") * col("sa2") - col("sa") * col("sa")) /
       (col("n_a") * col("n_a"))
     val vb = (col("n_b") * col("sb2") - col("sb") * col("sb")) /

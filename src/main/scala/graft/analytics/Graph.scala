@@ -346,8 +346,10 @@ object Graph {
   /** Synchronous label propagation (Raghavan et al. 2007, "Near linear
     * time algorithm to detect community structures in large-scale
     * networks") — community detection by iterated majority vote, made
-    * fully deterministic: the edge set is symmetrized and dedup'd
-    * (self-loops dropped), every vertex starts labeled with its own id,
+    * fully deterministic: the edge set is symmetrized, dedup'd
+    * (self-loops dropped), and restricted to endpoints IN `vertices`
+    * (a dangling edge must neither vote nor mint a phantom vertex),
+    * every vertex starts labeled with its own id,
     * and each of the FIXED `rounds` recomputes every label
     * simultaneously as the (count desc, label asc) winner among its
     * neighbors' current labels plus ONE self-vote. The self-vote damps
@@ -368,13 +370,22 @@ object Graph {
   def labelPropagation(edges: DataFrame, vertices: DataFrame, rounds: Int,
       srcCol: String = "src", dstCol: String = "dst",
       idCol: String = "id"): DataFrame = {
+    val vset = vertices.select(col(idCol).as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the label universe is `vertices` and nothing else: an edge endpoint
+    // outside the vertex set must neither vote nor acquire a label (the
+    // r13 finding — a symmetrized dangling edge injected PHANTOM vertices
+    // into round-1 votes and the output, and their labels fed back into
+    // real vertices). Both endpoints are semi-joined against the vertex
+    // set before any round runs — two edge-keyed semi-joins, once.
     val ue = dir
       .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst")).distinct()
+      .join(vset.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(vset.select(col("v").as("dst")), Seq("dst"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("v")).distinct()
-      .withColumn("lbl", col("v"))
+    var labels = vset.withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
       val nbrVotes = ue
         .join(labels.select(col("v").as("dst"), col("lbl").as("nl")), Seq("dst"))
@@ -389,6 +400,7 @@ object Graph {
         .localCheckpoint(eager = false)
     }
     ue.unpersist(blocking = false)
+    vset.unpersist(blocking = false)
     labels.select(col("v").as(idCol), col("lbl").as("community"))
   }
 

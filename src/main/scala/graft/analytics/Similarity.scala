@@ -66,6 +66,24 @@ object Similarity {
       aVec: Column, bVec: Column, na: Column, nb: Column): Column =
     when(na > 0 && nb > 0, d(aVec, bVec) / (na * nb))
 
+  /** The 1-NN assignment ordering as a `max_by` SORT KEY: maximizing
+    * `struct(coalesce(csim, -2), -cent_id)` is exactly the window order
+    * `(csim DESC NULLS LAST, cent_id ASC)` the quantizer contract pins —
+    * cosine lives in [-1, 1] so -2 sorts a null-similarity row (zero-norm
+    * vector) below every real score, and struct comparison breaks exact
+    * ties to the LOWEST centroid id. Why this exists: the former
+    * `row_number().over(partitionBy(id))` argmax forced a full
+    * shuffle+sort of the n×k scored rows per assignment pass (the r13
+    * #2 bench line); `max_by` plans as a partial+final HashAggregate —
+    * map-side combine collapses each partition to one row per vector
+    * BEFORE the exchange and nothing is ever sorted. Requires a NUMERIC
+    * cent_id (negation is the tie-flip); every quantizer in this file
+    * derives cent_id from the corpus id column, which is integral in
+    * all catalog uses.
+    */
+  private def assignOrd(csim: Column, centId: Column): Column =
+    struct(coalesce(csim, lit(-2.0)), negate(centId))
+
   /** Exact cosine top-k: for each probe row, the k nearest corpus rows
     * (self-match excluded). The probe side is broadcast, so the corpus is
     * scanned once with no shuffle; the per-probe top-k is a
@@ -320,12 +338,21 @@ object Similarity {
         .join(cents)
         .select(col(s"${side}_id"), col("cent_id"),
           round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6).as("csim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(s"${side}_id"))
-        .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w))
-        .where(col("r") <= nNearest)
-        .select(col(s"${side}_id"), col("cent_id"))
+      if (nNearest == 1)
+        // corpus-sized side: partial+final max_by aggregate, never a
+        // window sort over n×nCells rows (see assignOrd)
+        scored.groupBy(col(s"${side}_id"))
+          .agg(max_by(col("cent_id"), assignOrd(col("csim"), col("cent_id"))).as("cent_id"))
+          .select(col(s"${side}_id"), col("cent_id"))
+      else {
+        // probe-sized side only (nProbe nearest cells): window is fine
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(s"${side}_id"))
+          .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+        scored.withColumn("r", row_number().over(w))
+          .where(col("r") <= nNearest)
+          .select(col(s"${side}_id"), col("cent_id"))
+      }
     }
     val cAssign = assign(Par.spreadForCpu(corpus), "neighbor", 1)
     val pAssign = broadcast(assign(probes, "probe", nProbe))
@@ -394,15 +421,14 @@ object Similarity {
     for (_ <- 1 to iters) {
       val cw = broadcast(cents.select(col("cent_id"), col("cent_vec"),
         nf(col("cent_vec")).as("cn")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+      // per-vector argmax as a partial+final max_by aggregate — the
+      // former per-iteration window forced a shuffle+SORT of n×nCells
+      // scored rows every Lloyd round (see assignOrd)
       val assigned = vecs.crossJoin(cw)
         .select(col("vec_id"), col("cent_id"),
           round(cf(col("v"), col("cent_vec"), col("vn"), col("cn")), 6).as("csim"))
-        .withColumn("r", row_number().over(w))
-        .where(col("r") === 1)
-        .select(col("vec_id"), col("cent_id"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cent_id"), assignOrd(col("csim"), col("cent_id"))).as("cent_id"))
       val members = assigned
         .join(vecs.select(col("vec_id"), col("v")), Seq("vec_id"))
         .select(col("cent_id"), col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
@@ -455,17 +481,15 @@ object Similarity {
     val cf = cosineFromNorms(dotFn(corpus)) _
     val cents = broadcast(centroids.select(col("cent_id"), col("cent_vec"),
       nf(col("cent_vec")).as("cent_norm")))
-    val scored = Par.spreadForCpu(corpus)
+    val assigned = Par.spreadForCpu(corpus)
       .select(col(idCol), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
       .join(cents)
       .select(col(idCol), col("cent_id"),
         round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6).as("csim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
-    val assigned = scored.withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
-      .select(col(idCol), col("cent_id"))
+      // argmax via max_by: map-side partial aggregation, no window sort
+      // of the n×nCells scored rows (see assignOrd)
+      .groupBy(col(idCol))
+      .agg(max_by(col("cent_id"), assignOrd(col("csim"), col("cent_id"))).as("cent_id"))
     Sampling.deterministicStratified(assigned, stratumCol = "cent_id",
       k = k, idCol = idCol)
   }
@@ -690,12 +714,23 @@ object Similarity {
           zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"),
           round(cf(col("v"), col("cv"), col("vn"), col("cent_norm")), 6)
             .as("csim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(s"${side}_id"))
-        .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w))
-        .where(col("r") <= nNearest)
-        .select(col(s"${side}_id"), col("cent_id"), col("rv"))
+      if (nNearest == 1)
+        // corpus-sized side: the winning (cent_id, residual) rides one
+        // max_by struct — partial+final aggregate, no window sort
+        // (see assignOrd)
+        scored.groupBy(col(s"${side}_id"))
+          .agg(max_by(struct(col("cent_id"), col("rv")),
+            assignOrd(col("csim"), col("cent_id"))).as("win"))
+          .select(col(s"${side}_id"), col("win.cent_id").as("cent_id"),
+            col("win.rv").as("rv"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(s"${side}_id"))
+          .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+        scored.withColumn("r", row_number().over(w))
+          .where(col("r") <= nNearest)
+          .select(col(s"${side}_id"), col("cent_id"), col("rv"))
+      }
     }
     val cAssign = assign(Par.spreadForCpu(corpus), "neighbor", 1)
     // residual codebook: the ks lowest-id corpus residuals (model artifact)
@@ -1148,17 +1183,20 @@ object Similarity {
     val cf = cosineFromNorms(dotFn(corpus)) _
     val cents = broadcast(centroids.select(col("cent_id"), col("cent_vec"),
       nf(col("cent_vec")).as("cent_norm")))
-    val scored = Par.spreadForCpu(corpus)
+    Par.spreadForCpu(corpus)
       .select(col(idCol), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
       .join(cents)
       .select(col(idCol), col("v"), col("vn"), col("cent_id"),
         round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6)
           .as("csim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
-    scored.withColumn("r", row_number().over(w)).where(col("r") === 1)
-      .select(col(idCol), col("v"), col("vn"), col("cent_id"), col("csim"))
+      // winning (cell, csim) and the row's own (v, vn) — constant within
+      // the group — ride ONE max_by struct: partial+final aggregate, no
+      // window sort of n×nCells scored rows (see assignOrd)
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("v"), col("vn"), col("cent_id"), col("csim")),
+        assignOrd(col("csim"), col("cent_id"))).as("win"))
+      .select(col(idCol), col("win.v").as("v"), col("win.vn").as("vn"),
+        col("win.cent_id").as("cent_id"), col("win.csim").as("csim"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

@@ -83,7 +83,10 @@ object Sketches {
     * sketch is computable from the two sketches alone (k smallest of
     * their union), and an element of the union sketch that appears in
     * BOTH input sketches is certifiably in A∩B — so
-    * |A∩B| ≈ (matches/k)·|A∪B|̂ comes from 2·k hashes, never the data.
+    * |A∩B| ≈ (matches/|sketch(U)|)·|A∪B|̂ comes from 2·k hashes, never
+    * the data (the denominator is the union sketch's actual size: k
+    * once the union overflows it, exact-count territory below). A
+    * sketch that holds its whole set (n < k) estimates EXACTLY n.
     * Snapshot diffing across shards = ship k hashes per shard, not rows.
     *
     * Everything is deterministic (md5 order, exact integer counts, one
@@ -109,12 +112,18 @@ object Sketches {
     val skA = sk(elemsA)
     val skB = sk(elemsB)
     val skU = sk(skA.unionByName(skB)) // mergeability: sketches only
-    // (k−1)/u_k with u_k = first 32 hash bits mapped to (0,1]
+    // (k−1)/u_k with u_k = first 32 hash bits mapped to (0,1] — except
+    // when the sketch holds the WHOLE set (n < k), where standard KMV
+    // returns the exact count (the (n−1)/u_k form biases small sets
+    // low); u_k = 0 (a hash starting "00000000") is guarded to NULL
+    // rather than dividing by zero
     def est(skdf: DataFrame, name: String) = skdf
       .agg(max(col("h")).as("hk"), count(lit(1)).as("n"))
-      .select(round((col("n") - 1).cast("double") /
-        (conv(substring(col("hk"), 1, 8), 16, 10).cast("double") /
-          lit(4294967296.0)), 4).as(name))
+      .select(when(col("n") < k, round(col("n").cast("double"), 4))
+        .otherwise(round((col("n") - 1).cast("double") /
+          nullif(conv(substring(col("hk"), 1, 8), 16, 10).cast("double") /
+            lit(4294967296.0), lit(0.0)), 4)).as(name),
+        col("n").as(s"${name}_sk_n"))
     val matches = skU
       .join(skA.withColumnRenamed("h", "h2"), col("h") === col("h2"), "left_semi")
       .join(skB.withColumnRenamed("h", "h2"), col("h") === col("h2"), "left_semi")
@@ -127,12 +136,15 @@ object Sketches {
         sum(coalesce(col("inb"), lit(0L))).as("n_b"),
         sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
           .otherwise(0L)).as("n_inter"))
+    // est_inter scales matches by the union sketch's ACTUAL size, not
+    // the constant k — with a fully-held union (|sketch(U)| < k) the
+    // k-denominator reads a complete containment as < 1.0 overlap
     exact
       .join(est(skA, "est_a")).join(est(skB, "est_b"))
       .join(est(skU, "est_union")).join(matches)
       .select(lit(k).as("k"), col("n_a"), col("n_b"), col("n_inter"),
         col("est_a"), col("est_b"), col("est_union"), col("matches"),
-        round(col("matches").cast("double") / k * col("est_union"), 4)
-          .as("est_inter"))
+        round(col("matches").cast("double") / col("est_union_sk_n") *
+          col("est_union"), 4).as("est_inter"))
   }
 }

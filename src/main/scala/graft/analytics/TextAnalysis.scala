@@ -478,8 +478,10 @@ object TextAnalysis {
     * Float discipline: each DCG gain rounds to 9 dp —
     * (2^rel − 1)/(ln(pos+1)/ln 2) — and folds in rank order (ideal DCG
     * folds the rel-descending prefix by position); nDCG/MRR/recall are
-    * single rounded divisions. MRR is 0.0 (not NULL) when no relevant
-    * doc exists — the query scored, nothing found.
+    * single rounded divisions. MRR AND nDCG are 0.0 (not NULL) when no
+    * relevant doc exists — the query scored, nothing found (one
+    * convention for both, the r13 advice); recall alone stays NULL at
+    * n_rel = 0 (a hit fraction of an empty set is undefined, not zero).
     *
     * Scale shape: rides bm25Scores' inverted-index joins (only docs
     * sharing a query term are touched); the per-query metric fold is
@@ -533,7 +535,10 @@ object TextAnalysis {
       .select(col(qidCol), col("n_cand"), col("n_rel"),
         round(col("dcg"), 6).as("dcg"),
         round(col("idcg"), 6).as("idcg"),
-        round(col("dcg") / col("idcg"), 6).as("ndcg"),
+        // idcg = 0 (scored candidates, none relevant) is 0.0 by the same
+        // convention as MRR below — never a NULL-by-0/0 (the r13 advice)
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
         coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr"),
         when(col("n_rel") > 0,
           round(col("hits").cast(DoubleType) / col("n_rel"), 6)).as("recall"))

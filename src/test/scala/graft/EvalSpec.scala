@@ -104,6 +104,32 @@ class EvalSpec extends SparkSpec {
       "zero variance on both sides → NULL verdict, not a fake pass")
   }
 
+  test("covariateBalance: any variant outside the declared two-code " +
+      "contract fails FAST instead of silently zeroing a side") {
+    import org.apache.spark.sql.functions.col
+    def run(df: org.apache.spark.sql.DataFrame) = graft.analytics.Eval
+      .covariateBalance(df, "variant", Seq("x")).collect()
+    // a third arm raises (r13 advice: it used to blend out of the counts)
+    val third = Seq((0L, "1.00"), (1L, "2.00"), (2L, "3.00"))
+      .toDF("variant", "x")
+    val e1 = intercept[Exception](run(third))
+    assert(e1.getMessage.contains("covariateBalance") ||
+      Option(e1.getCause).exists(_.getMessage.contains("covariateBalance")),
+      s"error must name the operator and the bad code: $e1")
+    // a string coding (casts to NULL int) raises too — it used to yield
+    // n_a = n_b = 0 with NULL SMDs and a NULL `balanced` verdict
+    val strings = Seq(("a", "1.00"), ("b", "2.00")).toDF("variant", "x")
+    intercept[Exception](run(strings))
+    // a custom coding is accepted when declared explicitly
+    val coded = Seq((1L, "1.00"), (1L, "3.00"), (2L, "2.00"), (2L, "4.00"))
+      .toDF("variant", "x")
+    val ok = graft.analytics.Eval
+      .covariateBalance(coded, "variant", Seq("x"), variantA = 1, variantB = 2)
+      .collect().head
+    assert(ok.getAs[Long]("n_a") === 2L && ok.getAs[Long]("n_b") === 2L)
+    assert(ok.getAs[Double]("smd") === -1.0)
+  }
+
   test("poissonBootstrap: full driver replay — hash→Poisson weights→exact " +
       "decimal replicate means→order-stat CI; deterministic across runs") {
     import org.apache.spark.sql.functions.col

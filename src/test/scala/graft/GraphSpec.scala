@@ -326,4 +326,22 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b, s"edge-noise invariance: $a vs $b")
   }
+
+  test("labelPropagation: a dangling edge neither mints a phantom vertex " +
+      "nor lets its endpoint vote (label universe = `vertices`)") {
+    // triangle {0,1,2} plus an edge to 99, which is NOT a vertex. The
+    // r13 defect: symmetrization turned 2→99 into 99→2, 99 entered the
+    // round-1 vote table with a borrowed label, appeared in the output,
+    // and voted back into real vertices. Output ids and the vote result
+    // must both be as if the dangling edge did not exist.
+    val verts = Seq(0L, 1L, 2L).toDF("id")
+    val clean = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val dangling = clean.unionByName(Seq((2L, 99L)).toDF("src", "dst"))
+    val a = Graph.labelPropagation(clean, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(dangling, verts, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b.keySet === Set(0L, 1L, 2L), s"no phantom vertex in output: $b")
+    assert(a === b, s"dangling-edge invariance: $a vs $b")
+  }
 }

@@ -478,4 +478,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"the 1-row moment table must broadcast, plan:\n$p")
   }
+
+  test("d32 dense path: the ONLY broadcast is the distinct-mask candidate " +
+      "table — the corpus-sized doc→mask expansion rides shuffle hash joins") {
+    // the r13 finding: broadcasting the per-document masks table is fine
+    // at 5k docs and a driver OOM at 100×. The distinct-mask table `dm`
+    // (bounded by the ≤2^64 mask space, not the corpus) is the one
+    // legitimate broadcast; every corpus-sized join must shuffle.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val p = analytics.Dedup.bitsetJaccardPairs(docs).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // count TREE nodes ("BroadcastExchange (15)"), not the formatted
+    // explain's per-node detail section repeating each name once more
+    val nBroadcast = """BroadcastExchange \(\d+\)""".r.findAllIn(p).size
+    assert(nBroadcast <= 1,
+      s"dense Jaccard must broadcast at most the distinct-mask table, " +
+        s"found $nBroadcast BroadcastExchange nodes, plan:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"doc-pair expansion must be mask-keyed shuffle hash joins, plan:\n$p")
+  }
 }

@@ -191,4 +191,26 @@ class SketchesSpec extends SparkSpec {
     assert(fromSketches === fromRaw,
       "the union sketch must be computable from the two sketches alone")
   }
+
+  test("KMV overlap: a sketch that holds its whole set estimates EXACTLY — " +
+      "small sets are not biased low, containment reads as full overlap") {
+    import spark.implicits._
+    // |A| = 10 < k = 64, B ⊂ A with 6 elements: every sketch is the set
+    // itself, so estimates must be exact counts and est_inter must read
+    // the containment as exactly |B| (the r13 advice: the (n−1)/u_k form
+    // and the matches/k scaling both bias fully-held sets low)
+    val a = (0 until 10).map(i => s"elem_$i").toDF("x")
+      .select(md5(col("x")).as("h"))
+    val b = (0 until 6).map(i => s"elem_$i").toDF("x")
+      .select(md5(col("x")).as("h"))
+    val r = graft.analytics.Sketches.kmvOverlap(a, b, "h", k = 64)
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("n_b") === 6L)
+    assert(r.getAs[Double]("est_a") === 10.0, "whole-set sketch is exact")
+    assert(r.getAs[Double]("est_b") === 6.0)
+    assert(r.getAs[Double]("est_union") === 10.0)
+    assert(r.getAs[Long]("matches") === 6L)
+    assert(r.getAs[Double]("est_inter") === 6.0,
+      "matches scale by the union sketch's actual size, not the constant k")
+  }
 }

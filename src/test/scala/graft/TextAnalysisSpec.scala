@@ -556,6 +556,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full.getAs[Double]("recall") === 1.0)
   }
 
+  test("t31 retrievalMetrics: a query whose candidates are all rel=0 reads " +
+      "ndcg = mrr = 0.0 (one convention, no NULL 0/0); recall stays NULL") {
+    // 'gamma delta': every doc shares 'gamma' (so it IS a candidate) but
+    // none carries 'delta' → weakest-link rel = 0 everywhere, idcg = 0
+    val docs = Seq(
+      (1L, "gamma gamma gamma"),
+      (2L, "gamma alpha")).toDF("doc_id", "text")
+    val queries = Seq((7L, "gamma delta")).toDF("query_id", "qtext")
+    val got = TextAnalysis.retrievalMetrics(docs, queries, kEval = 2)
+      .collect().head
+    assert(got.getAs[Long]("n_cand") === 2L, "both docs scored")
+    assert(got.getAs[Long]("n_rel") === 0L)
+    assert(got.getAs[Double]("ndcg") === 0.0,
+      "scored-but-nothing-relevant is 0.0 by the MRR convention, not NULL")
+    assert(got.getAs[Double]("mrr") === 0.0)
+    assert(Option(got.get(got.fieldIndex("recall"))).isEmpty,
+      "a hit fraction of an empty relevant set stays undefined (NULL)")
+  }
+
   test("t30 fertility: ratios recompute from the emitted integer sums; " +
       "n_bpe ≥ n_words (</w> guarantees ≥1 token per word); totals cover " +
       "the corpus") {
