@@ -116,9 +116,9 @@ object Eval {
     * replacement per replicate, which cannot be done in one pass over a
     * distributed table; the Poisson trick gives every row an
     * independent Poisson(1) multiplicity per replicate instead, so ALL
-    * `reps` replicates materialize in a single scan with a `reps`-way
-    * fan-out, and the replicate means' spread estimates the sampling
-    * distribution of the mean.
+    * `reps` replicates materialize in a single scan — as 2·reps fixed
+    * aggregate slots per row, never a row fan-out — and the replicate
+    * means' spread estimates the sampling distribution of the mean.
     *
     * Determinism: the multiplicity is the Poisson(1) inverse CDF of a
     * 32-bit hash of (id, replicate) — fixed literal thresholds, no RNG
@@ -133,9 +133,10 @@ object Eval {
     * list, folded in replicate order for the stderr) — no float
     * quantile interpolation anywhere.
     *
-    * Scale shape: one scan × `reps` map-side fan-out into a
-    * `reps`-row aggregate; the replicate table is driver-sized; no
-    * shuffle wider than `reps` rows. Output one row:
+    * Scale shape: ONE grouping-free aggregate over one scan — per-task
+    * state is 2·reps+2 sums, the exchange carries one partial row per
+    * partition, and the order-statistic/stderr algebra runs on the
+    * single result row. Output one row:
     * (n_rows, reps, mean_full, ci_lo, ci_hi, se_boot).
     */
   def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
@@ -146,50 +147,50 @@ object Eval {
     val cum = Seq(0.3678794412, 0.7357588823, 0.9196986029,
       0.9810118431, 0.9963401532, 0.9994058152, 0.9999167589)
     val x = col(valueCol).cast("decimal(18,2)")
-    val u = conv(expr("substring(h, CAST(1 + lane * 8 AS INT), 8)"),
-      16, 10).cast("double") / lit(4294967296.0)
-    val w = cum.zipWithIndex.foldRight(lit(7): Column) { case ((c, k), e) =>
-      when(u < c, lit(k)).otherwise(e)
+    // all `reps` replicates as FIXED AGGREGATE SLOTS on the single scan —
+    // no row fan-out at all (the r13 finding: the reps× explode was the
+    // whole cost at 8.9 s — n×reps rows each paying the aggregation hash
+    // path). Per row: reps/4 digests projected once, reps weight columns
+    // read their u32 lane, and ONE grouping-free partial aggregate folds
+    // 2·reps exact-decimal sums plus the full-mean moments — partition
+    // state is constant, the exchange carries 32 partial rows.
+    def wOf(h: Column, lane: Int): Column = {
+      val u = conv(substring(h, 1 + lane * 8, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      cum.zipWithIndex.foldRight(lit(7): Column) { case ((c, k), e) =>
+        when(u < c, lit(k)).otherwise(e)
+      }
     }
-    val repMeans = df
-      .select(col(idCol), x.as("x"),
-        explode(sequence(lit(0), lit(reps / 4 - 1))).as("rg"))
-      // ONE digest per replicate GROUP, materialized before the ×4 lane
-      // fan-out — this ordering is the 4× saving; hashing after the
-      // lane explode would recompute the same digest per lane
-      .select(col("x"),
+    // the digest pipeline is CPU-bound at ~reps/4 md5 + reps conv per
+    // row — spread a byte-small single-split scan across cores first
+    val withDigests = Par.spreadForCpu(df)
+      .select(Seq(x.as("x")) ++ (0 until reps / 4).map(g =>
         md5(concat(col(idCol).cast("string"), lit(":"),
-          col("rg").cast("string"))).as("h"),
-        col("rg"),
-        explode(sequence(lit(0), lit(3))).as("lane"))
-      .select((col("rg") * 4 + col("lane")).as("r"), w.as("w"), col("x"))
-      .groupBy(col("r"))
-      .agg((sum(col("w") * col("x")).cast("decimal(28,2)")).as("sx"),
-        sum(col("w")).as("sw"))
-      .select(col("r"),
-        (col("sx").cast("double") / col("sw").cast("double")).as("m"))
-    val full = df.agg(count(lit(1)).as("n_rows"),
-      (sum(x).cast("double") / count(lit(1))).as("mean_full"))
+          lit(g).cast("string"))).as(s"h$g")): _*)
+    val withWeights = withDigests.select(Seq(col("x")) ++ (0 until reps).map(r =>
+      wOf(col(s"h${r / 4}"), r % 4).as(s"w$r")): _*)
+    val aggCols =
+      count(lit(1)).as("n_rows") +:
+        (sum(col("x")).cast("double") / count(lit(1))).as("mean_full") +:
+        (0 until reps).flatMap(r => Seq(
+          sum(col(s"w$r") * col("x")).cast("decimal(28,2)").as(s"sx$r"),
+          sum(col(s"w$r")).as(s"sw$r")))
+    val sums = withWeights.agg(aggCols.head, aggCols.tail: _*)
     val loRank = math.max(1, math.ceil(alphaNum.toDouble * reps / alphaDenom).toInt)
     val hiRank = math.min(reps,
       math.ceil((alphaDenom - alphaNum).toDouble * reps / alphaDenom).toInt)
-    val stats = repMeans
-      .agg(array_sort(collect_list(struct(col("r"), col("m")))).as("rm"))
-      .select(
-        sort_array(transform(col("rm"), e => e.getField("m")))(loRank - 1)
-          .as("ci_lo"),
-        sort_array(transform(col("rm"), e => e.getField("m")))(hiRank - 1)
-          .as("ci_hi"),
-        aggregate(transform(col("rm"), e => e.getField("m")),
-          lit(0.0), (a, v) => a + v).as("sm"),
-        aggregate(transform(col("rm"), e => e.getField("m")),
-          lit(0.0), (a, v) => a + v * v).as("sm2"))
-    full.join(broadcast(stats))
+    // replicate means in replicate order (the stderr fold's pinned
+    // order), CI as exact order statistics of the sorted copy
+    sums
+      .withColumn("ms", array((0 until reps).map(r =>
+        col(s"sx$r").cast("double") / col(s"sw$r").cast("double")): _*))
       .select(col("n_rows"), lit(reps).as("reps"),
         round(col("mean_full"), 6).as("mean_full"),
-        round(col("ci_lo"), 6).as("ci_lo"),
-        round(col("ci_hi"), 6).as("ci_hi"),
-        round(sqrt((col("sm2") - col("sm") * col("sm") / reps) /
+        round(sort_array(col("ms"))(loRank - 1), 6).as("ci_lo"),
+        round(sort_array(col("ms"))(hiRank - 1), 6).as("ci_hi"),
+        round(sqrt((aggregate(col("ms"), lit(0.0), (a, v) => a + v * v) -
+          aggregate(col("ms"), lit(0.0), (a, v) => a + v) *
+            aggregate(col("ms"), lit(0.0), (a, v) => a + v) / reps) /
           (reps - 1)), 6).as("se_boot"))
   }
 
