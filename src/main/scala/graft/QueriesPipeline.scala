@@ -484,19 +484,25 @@ private[graft] object QueriesPipeline {
 
     // q44's declared no-Expand scale path as its own regression-guarded
     // catalog entry (the q30 precedent): every exact statistic
-    // hash-matches the oracle, and the HLL++ (rsd 0.01) distinct
-    // estimate is emitted as a ≤2%-relative-error flag the twin asserts
-    // TRUE. The exact multi-column distinct plans through Expand — a
+    // hash-matches the oracle, and the DataSketches-HLL (rsd 0.01)
+    // distinct estimate is emitted as a ≤2%-relative-error flag the
+    // twin asserts TRUE. The exact multi-column distinct plans through Expand — a
     // 5× row fan-out before the hash aggregate, q44's measured dominant
     // cost; the sketch path is one ordinary scan with fixed-size
     // mergeable partials per column, the profile you'd actually run at
     // 100 TB.
     "q73_profile_approx" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val exact = analytics.Profile.numericProfile(t(s, dir, "lineitem"), cols)
+      // ONE spread 4-column projection persisted for both profile passes
+      // (the d04 cache-reuse discipline, plan-audited): the exact and
+      // approx aggregates otherwise each re-scan and re-decode the
+      // parquet. Session-owned, dropped by clearCache().
+      val src = analytics.Par.spreadForCpu(
+          t(s, dir, "lineitem").select(cols.map(col): _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = analytics.Profile.numericProfile(src, cols)
       val approx = analytics.Profile
-        .numericProfile(t(s, dir, "lineitem"), cols,
-          approxDistinct = true, rsd = 0.01)
+        .numericProfile(src, cols, approxDistinct = true, rsd = 0.01)
         .select(col("column"), col("n_distinct").as("nd_approx"))
       exact.join(broadcast(approx), Seq("column"))
         .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
@@ -695,8 +701,9 @@ private[graft] object QueriesPipeline {
     // collision mass.
     "q74_count_min" -> ((s, dir) => {
       val (d, w) = (4, 4096)
-      val li = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_partkey").cast("string").as("k"))
+      // md5 per occurrence is CPU-bound — spread the byte-small scan
+      val li = analytics.Par.spreadForCpu(t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_partkey").cast("string").as("k")))
       // ONE md5 per occurrence: the 32-hex digest splits into d=4
       // independent 8-hex slices, one bucket per row — 4x fewer hash
       // kernels than hashing "r:key" per row (measured ~4.2 s -> ~1.5 s
@@ -1181,7 +1188,9 @@ private[graft] object QueriesPipeline {
     // the cast safety is not. Scale: fan-out is 4×, the aggregate is
     // partial+final, output is pair-cardinality-sized.
     "q86_corr_matrix" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // 4× melt + exact-decimal moment products per row on a byte-small
+      // single-split scan — spread before the CPU-bound fan-out
+      val li = analytics.Par.spreadForCpu(t(s, dir, "lineitem"))
       val q = dec(col("l_quantity"), 12, 9)
       val epk = (dec(col("l_extendedprice"), 18, 6) * dec(lit(0.001), 4, 3))
         .cast("decimal(12,9)")
@@ -1755,7 +1764,7 @@ private[graft] object QueriesPipeline {
         |  est_n - exact_n AS overcount
         |FROM ex JOIN est USING (l_partkey) ORDER BY l_partkey""".stripMargin,
 
-    // Approx-profile twin (q73): q44's exact rows plus the HLL++ bound
+    // Approx-profile twin (q73): q44's exact rows plus the sketch bound
     // as a literal TRUE (the q30 sketch contract).
     "q73_profile_approx" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

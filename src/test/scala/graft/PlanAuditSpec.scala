@@ -479,6 +479,19 @@ class PlanAuditSpec extends SparkSpec {
       s"the 1-row moment table must broadcast, plan:\n$p")
   }
 
+  test("q73: both profile passes read the ONE persisted projection — " +
+      "exact and approx aggregates must not each re-scan the parquet") {
+    try {
+      val p = SparkEntry.queries("q73_profile_approx")(spark, dir)
+        .queryExecution.executedPlan.toString
+      // both the exact and the approx branch must read the cache (the
+      // InMemoryRelation node prints its own cached child plan, so a
+      // bare "no Scan parquet" assertion would false-fail)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"BOTH profile passes must serve from the one cache, plan:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("d32 dense path: the ONLY broadcast is the distinct-mask candidate " +
       "table — the corpus-sized doc→mask expansion rides shuffle hash joins") {
     // the r13 finding: broadcasting the per-document masks table is fine
