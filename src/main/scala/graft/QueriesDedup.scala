@@ -742,6 +742,24 @@ private[graft] object QueriesDedup {
           k = 2, q = 4)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+
+
+    // Maximal EXACT repeated substrings (Lee et al. 2022's ExactSubstr
+    // semantics, d34) — the step past d15/d18's fixed-gram coverage:
+    // emits the maximal token runs repeated verbatim (across OR within
+    // documents), verified token-for-token, with 0-based offsets in both
+    // occurrences. Winnowing anchors (k=5, w=4 → every repeat of
+    // ≥ 8 tokens is anchored), adjacent-occurrence pairing (linear in
+    // occurrences — never Σ df² on boilerplate fingerprints), per-row
+    // slice-compare extension. minLen = w+k−1 = 8, the anchor guarantee
+    // threshold. The oracle replays anchor selection, adjacency, and
+    // extension relationally; DedupSpec proves the planted ground truth.
+    "d34_exact_repeats" -> ((s, dir) => {
+      Dedup.maximalExactRepeats(t(s, dir, "documents"), k = 5, w = 4,
+          minLen = 8)
+        .orderBy(col("doc_a"), col("a_start"), col("doc_b"), col("b_start"),
+          col("rep_len"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -1507,5 +1525,61 @@ private[graft] object QueriesDedup {
         |FROM f a JOIN f b ON a.doc_id < b.doc_id
         |WHERE levenshtein(a.s, b.s) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+
+    // Exact-repeats twin (d34): d31's winnowing selection replayed
+    // relationally (same md5-low64 k=5 gram hashes, w=4 windows,
+    // rightmost-min rule), the SAME adjacent-occurrence pairing
+    // (lead over the fingerprint key), and the extension as
+    // list-comprehension equality scans — first mismatch index ≡ the
+    // operator's zip_with/array_position fold.
+    "d34_exact_repeats" ->
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |tk AS (SELECT doc_id, ws FROM tok WHERE len(ws) >= 5),
+         |gr0 AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1:i+5], ' ') AS s
+         |  FROM tk, UNNEST(range(len(ws) - 4)) AS u(i)),
+         |gr AS (SELECT doc_id, pos, CAST(($md5Low64SqlExpr) AS BIGINT) AS h FROM gr0),
+         |gc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM gr GROUP BY doc_id),
+         |w0 AS (SELECT doc_id, j FROM gc,
+         |  UNNEST(range(greatest(g - 4, 0) + 1)) AS u(j)),
+         |cand AS (SELECT w0.doc_id, w0.j, gr.pos, gr.h FROM w0 JOIN gr
+         |  ON gr.doc_id = w0.doc_id AND gr.pos BETWEEN w0.j AND w0.j + 3),
+         |mn AS (SELECT doc_id, j, min(h) AS mh FROM cand GROUP BY 1, 2),
+         |sel AS (SELECT c.doc_id, c.j, max(c.pos) AS pos, min(c.h) AS h
+         |  FROM cand c JOIN mn ON c.doc_id = mn.doc_id AND c.j = mn.j
+         |    AND c.h = mn.mh
+         |  GROUP BY c.doc_id, c.j),
+         |fp AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+         |pr AS (SELECT doc_id AS id_a, pos AS pa,
+         |    lead(doc_id) OVER (PARTITION BY h ORDER BY doc_id, pos) AS id_b,
+         |    lead(pos) OVER (PARTITION BY h ORDER BY doc_id, pos) AS pb
+         |  FROM fp),
+         |pp AS (SELECT DISTINCT id_a, pa, id_b, pb FROM pr WHERE id_b IS NOT NULL),
+         |jn AS (SELECT pp.*, ta.ws AS wsa, len(ta.ws) AS na,
+         |    tb.ws AS wsb, len(tb.ws) AS nb
+         |  FROM pp JOIN tok ta ON ta.doc_id = pp.id_a
+         |    JOIN tok tb ON tb.doc_id = pp.id_b),
+         |e AS (SELECT id_a, pa, id_b, pb, wsa, wsb,
+         |    greatest(least(na - pa - 5, nb - pb - 5), 0) AS mr,
+         |    least(pa, pb) AS ml FROM jn),
+         |z AS (SELECT id_a, pa, id_b, pb, mr, ml,
+         |    list_transform(range(mr),
+         |      i -> list_extract(wsa, pa + 6 + i) = list_extract(wsb, pb + 6 + i)) AS zr,
+         |    list_transform(range(ml),
+         |      i -> list_extract(wsa, pa - i) = list_extract(wsb, pb - i)) AS zl
+         |  FROM e),
+         |-- list_position returns 0 (not NULL) when no mismatch exists:
+         |-- 0 means the whole slice matched, i.e. the full extension
+         |x AS (SELECT id_a, pa, id_b, pb,
+         |    CASE WHEN list_position(zr, false) = 0 THEN mr
+         |      ELSE list_position(zr, false) - 1 END AS extr,
+         |    CASE WHEN list_position(zl, false) = 0 THEN ml
+         |      ELSE list_position(zl, false) - 1 END AS extl
+         |  FROM z)
+         |SELECT DISTINCT id_a AS doc_a, CAST(pa - extl AS BIGINT) AS a_start,
+         |  id_b AS doc_b, CAST(pb - extl AS BIGINT) AS b_start,
+         |  CAST(extl + 5 + extr AS BIGINT) AS rep_len
+         |FROM x WHERE extl + 5 + extr >= 8
+         |ORDER BY doc_a, a_start, doc_b, b_start, rep_len""".stripMargin,
   )
 }

@@ -613,6 +613,16 @@ object ScaleSmoke {
     // at sf0.1 ×20 the output alone is ~3.5B rows.
     run("jaccard_join")(Dedup.jaccardSelfJoin(docs))
 
+    // d34: maximal exact repeats. The id-shifted blowup is adversarial
+    // like d32's: every doc gains mult−1 exact copies, each fingerprint's
+    // occurrence list grows ×mult — but the ADJACENT-occurrence pairing
+    // keeps the pair term LINEAR in occurrences (×mult, never ×mult²),
+    // and each pair's extension is per-row HOF work. Expected: wall
+    // tracks occurrence count (~mult), not pair space. Run against
+    // sf0.01.
+    run("exact_repeats")(Dedup.maximalExactRepeats(docs, k = 5, w = 4,
+      minLen = 8))
+
     // d33: edit-distance self-join. The id shift changes each copy's
     // doc_id-derived mutation, so copies become ed-neighbors rather
     // than exact dupes: DISTINCT strings grow ~mult (the HARDER case —

@@ -1071,6 +1071,83 @@ object Dedup {
         col("f").getField("v").as("h"), col("n_grams"))
   }
 
+  /** Maximal EXACT repeated substrings (token level) — the
+    * exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better") as a winnowing-anchored
+    * exact-extend pass, the d34 step past d15/d18's fixed-gram
+    * granularity: d15 marks positions covered by duplicated n-grams; this
+    * emits the maximal exactly-equal token runs themselves, verified
+    * token-for-token, with their positions in BOTH occurrences.
+    *
+    * Pipeline: (1) [[winnowedFingerprints]] anchors (Schleimer guarantee:
+    * any shared run of ≥ w+k−1 tokens shares a selected fingerprint
+    * INSIDE the run — so minLen = w+k−1 gives full coverage); (2) each
+    * fingerprint occurrence pairs with its ADJACENT occurrence in the
+    * (id, pos)-sorted occurrence list — lead() over the fingerprint key,
+    * the suffix-array adjacency idea: O(occurrences) pairs total where
+    * all-pairs would be Σ df², the boilerplate-key explosion; (3) each
+    * anchor pair extends left and right to the maximal equal run by
+    * zip-compared token slices (per-row HOF, no shuffle) and is dropped
+    * under `minLen`. Same-document repeats pair like cross-document ones.
+    *
+    * Coverage contract (documented trade): every occurrence of a
+    * duplicated run ≥ w+k−1 appears in at least one emitted maximal
+    * repeat, but an occurrence extends against its ADJACENT partner —
+    * with ≥3 occurrences, a farther partner sharing a longer context is
+    * not re-checked (linear pair budget instead; the planted-truth spec
+    * covers the exact 2-occurrence case, the common one).
+    *
+    * Scale shape: winnowed index (~2/(w+1) of grams), ONE
+    * fingerprint-keyed shuffle for the adjacency window, two id-keyed
+    * joins to fetch the token arrays, per-row extension. No pair term
+    * beyond occurrence count, no document×document join anywhere.
+    * Output: (doc_a, a_start, doc_b, b_start, rep_len), distinct,
+    * 0-based token offsets, (doc_a, a_start) ≤ (doc_b, b_start)
+    * lexicographically.
+    */
+  def maximalExactRepeats(docs: DataFrame, k: Int, w: Int, minLen: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen >= k, s"minLen=$minLen must cover the $k-token anchor")
+    val fps = winnowedFingerprints(docs, k, w, idCol, textCol)
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("id"), col("pos"))
+    val pairs = fps
+      .select(col(idCol).as("id"), col("pos"), col("h"))
+      .withColumn("id_b", lead(col("id"), 1).over(wFp))
+      .withColumn("pb", lead(col("pos"), 1).over(wFp))
+      .where(col("id_b").isNotNull)
+      .select(col("id").as("id_a"), col("pos").as("pa"),
+        col("id_b"), col("pb"))
+      .distinct() // several anchor grams inside one run → one pair row
+    val toks = tokenized(docs, idCol, textCol)
+      .select(col("id"), col("ws"), size(col("ws")).cast(LongType).as("n"))
+    // first mismatch position in a zipped equality array = the exact
+    // extension length (array_position is 1-based, 0 = no mismatch)
+    def ext(za: Column): Column = {
+      val p = array_position(za, lit(false))
+      when(p === 0, size(za).cast(LongType)).otherwise(p - 1)
+    }
+    pairs
+      .join(toks.select(col("id").as("id_a"), col("ws").as("wsa"), col("n").as("na")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("ws").as("wsb"), col("n").as("nb")), Seq("id_b"))
+      .withColumn("mr", greatest(least(col("na") - col("pa") - k,
+        col("nb") - col("pb") - k), lit(0L)))
+      .withColumn("ml", least(col("pa"), col("pb")))
+      .withColumn("extr", ext(zip_with(
+        slice(col("wsa"), (col("pa") + k + 1).cast("int"), col("mr").cast("int")),
+        slice(col("wsb"), (col("pb") + k + 1).cast("int"), col("mr").cast("int")),
+        (x, y) => x === y)))
+      .withColumn("extl", ext(zip_with(
+        reverse(slice(col("wsa"), (col("pa") - col("ml") + 1).cast("int"), col("ml").cast("int"))),
+        reverse(slice(col("wsb"), (col("pb") - col("ml") + 1).cast("int"), col("ml").cast("int"))),
+        (x, y) => x === y)))
+      .select(col("id_a").as("doc_a"), (col("pa") - col("extl")).as("a_start"),
+        col("id_b").as("doc_b"), (col("pb") - col("extl")).as("b_start"),
+        (col("extl") + k + col("extr")).as("rep_len"))
+      .where(col("rep_len") >= minLen)
+      .distinct()
+  }
+
   /** Exact Jaccard ≥ ½ set-similarity SELF-JOIN over whitespace token
     * sets, with the execution regime picked by the MEASURED vocabulary —
     * the round-12 lesson: prefix filtering (PPJoin) assumes a sparse,

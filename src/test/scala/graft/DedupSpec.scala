@@ -695,6 +695,37 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("exact repeats (d34): planted ground truth — maximal runs recovered " +
+    "with exact offsets/lengths, sub-threshold runs absent, within-doc " +
+    "repeats found, every occurrence of a 3-way repeat covered") {
+    import spark.implicits._
+    // all non-planted tokens are globally unique, so the ONLY repeats are
+    // the planted ones and extension can never leak past a run boundary
+    def toks(p: String, r: Range) = r.map(i => s"$p$i")
+    val run20 = toks("r", 1 to 20) // the 20-token planted run
+    val run7 = toks("s", 1 to 7)   // 7 < minLen=8 → must NOT be reported
+    val run10 = toks("t", 1 to 10) // within-doc repeat
+    val docs = Seq(
+      (1L, (toks("a", 1 to 10) ++ run20 ++ toks("a", 11 to 20)).mkString(" ")),
+      (2L, (toks("b", 1 to 10) ++ run20 ++ toks("b", 11 to 20)).mkString(" ")),
+      (3L, (toks("c", 1 to 8) ++ run7 ++ toks("c", 9 to 16)).mkString(" ")),
+      (4L, (toks("d", 1 to 5) ++ run10 ++ toks("d", 6 to 9) ++ run10).mkString(" ")),
+      (5L, (toks("e", 1 to 5) ++ run20 ++ toks("e", 6 to 10)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.maximalExactRepeats(docs, k = 5, w = 4, minLen = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("a_start"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("b_start"),
+        r.getAs[Long]("rep_len"))).toSet
+    // adjacent-occurrence pairing on the (id, pos)-sorted list: the
+    // 3-way run pairs 1–2 and 2–5 (not 1–5) — every occurrence covered
+    val want = Set(
+      (1L, 10L, 2L, 10L, 20L),
+      (2L, 10L, 5L, 5L, 20L),
+      (4L, 5L, 4L, 19L, 10L))
+    assert(got === want, s"got $got")
+  }
+
   test("winnowing (d31): Schleimer guarantee — any shared run of ≥ w+k−1 " +
     "tokens yields ≥ 1 shared fingerprint (30 planted pairs)") {
     import spark.implicits._
