@@ -327,6 +327,87 @@ object Stream {
     }
   }
 
+  /** One near-duplicate candidate surfaced by the streaming dedup. */
+  case class DupMatch(docId: Long, matchId: Long, bucket: Long,
+    estJaccard: Double)
+
+  /** d17/d21's batch-incremental MinHash probe as a transformWithState
+    * processor — the rolling-ingest dedup that never re-reads the
+    * corpus: the banded-LSH signature store IS the state. Keyed by band
+    * BUCKET; MapState holds doc_id → signature for every document ever
+    * routed to the bucket. An arriving document (in doc_id order within
+    * the batch, for determinism) compares its k-element signature
+    * against every stored signature — the same agreeing-position
+    * estimate as Dedup.estJaccard — emits matches ≥ threshold, then
+    * enters the store.
+    *
+    * Replay absorption (H5): a document already present in the bucket
+    * store is skipped entirely — no duplicate emission, no state
+    * rewrite — so an at-least-once replay of a committed micro-batch
+    * produces nothing. Restart durability: the store lives in the
+    * RocksDB state checkpoint, proven by StreamingSpec's restart-resume
+    * scenario (batch 2 matches against batch 1's signatures after a
+    * full query restart).
+    *
+    * Scale shape: state is partitioned by bucket key across executors
+    * (RocksDB, off-heap); per-batch work is O(batch bands × bucket
+    * occupancy) — the d21 candidate model — and nothing ever scans the
+    * historical corpus.
+    */
+  final class BucketSignatureProcessor(k: Int, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Seq[Long]), DupMatch] {
+    import implicits._
+    @transient private var sigs:
+      org.apache.spark.sql.streaming.MapState[Long, Seq[Long]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sigs = getHandle.getMapState[Long, Seq[Long]]("sigs",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(bucket: Long,
+        rows: Iterator[(Long, Long, Seq[Long])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DupMatch] = {
+      val incoming = rows.map { case (_, id, sig) => (id, sig) }
+        .toArray.sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
+      incoming.foreach { case (id, sig) =>
+        if (!sigs.containsKey(id)) { // replay of a committed batch: absorbed
+          sigs.iterator().foreach { case (mid, msig) =>
+            val est = sig.iterator.zip(msig.iterator)
+              .count { case (a, b) => a == b }.toDouble / k
+            if (est >= threshold) out += DupMatch(id, mid, bucket, est)
+          }
+          sigs.updateValue(id, sig)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** [[BucketSignatureProcessor]] over a streaming (doc_id, text) frame:
+    * portable MinHash signatures (pure per-row HOFs — streaming-safe),
+    * banded bucket keys (Dedup.bandBuckets' exact expression), then the
+    * stateful per-bucket probe. A pair colliding in several bands
+    * surfaces once per band — candidates, deduped by the consumer.
+    */
+  def incrementalDedupTws(docs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double): Dataset[DupMatch] = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    import docs.sparkSession.implicits._
+    val rpb = k / bands
+    graft.analytics.Dedup.minhashSignaturesPortable(docs, n, k)
+      .select(col("id"), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb))))).as("bucket"))
+      .select(col("bucket").cast("long"), col("id").cast("long"), col("sig"))
+      .as[(Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new BucketSignatureProcessor(k, threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[RecentEventsProcessor]] over a (k, ts, v) frame: per-key rolling
     * last-`keep` stats, checkpoint-durable (RocksDB state store).
     */

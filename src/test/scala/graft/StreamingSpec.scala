@@ -513,6 +513,74 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental dedup: the banded signature store " +
+      "survives a restart and absorbs at-least-once replays") {
+    val srcDir = tempDir("graft-twsdedup-src")
+    val ckptDir = tempDir("graft-twsdedup-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.DupMatch]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema("doc_id long, text string").json(srcDir)
+        val q = Stream.incrementalDedupTws(src, n = 3, k = 16, bands = 4,
+            threshold = 0.5)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.DupMatch], _: Long) =>
+            collected ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      def write(name: String, rows: (Long, String)*): Unit =
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+      def pairs = collected.map(m => (m.docId, m.matchId)).toSet
+      val base = "alpha beta gamma delta epsilon zeta eta theta"
+
+      // b0: 2 is a near-dup of 1; 3 shares nothing
+      write("b0.jsonl", (1L, base), (2L, base + " iota"),
+        (3L, "one two three four five six seven eight"))
+      run()
+      assert(pairs === Set((2L, 1L)), s"batch-internal match only: $collected")
+      assert(collected.forall(_.estJaccard >= 0.5))
+
+      // b1 (restarted query): 11 duplicates 1 exactly — it must match
+      // against the RESTORED signature store (both 1 and 2), proving the
+      // state survived the restart; 12 is fresh and matches nothing
+      collected.clear()
+      write("b1.jsonl", (11L, base),
+        (12L, "nine ten eleven twelve thirteen fourteen"))
+      run()
+      assert(pairs === Set((11L, 1L), (11L, 2L)),
+        s"restored store must serve the probe: $collected")
+      assert(collected.filter(m => m.matchId == 1L).forall(_.estJaccard == 1.0),
+        "an exact copy estimates J = 1.0 against its original")
+
+      // b2: an upstream at-least-once REPLAY of doc 11 (same id, same
+      // text, new file) — already in every bucket store, absorbed with
+      // zero emissions; 13 is fresh and silent
+      collected.clear()
+      write("b2.jsonl", (11L, base),
+        (13L, "fifteen sixteen seventeen eighteen nineteen twenty"))
+      run()
+      assert(collected.isEmpty, s"replay must be absorbed: $collected")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("typed envelope Dataset round-trips the closed output shape") {
     val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
     val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
