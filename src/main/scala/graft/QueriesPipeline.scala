@@ -446,7 +446,10 @@ private[graft] object QueriesPipeline {
     // sibling (percentile_approx / GK: fixed-size mergeable partials)
     // with its error bound regression-guarded.
     "q71_decile_bins" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // the binning pass runs a 9-element filter HOF per row — spread
+      // the byte-small single-split scan (the exact percentile's single
+      // final merge task is the documented bottleneck q72 exists for)
+      val li = analytics.Par.spreadForCpu(t(s, dir, "lineitem"))
       val bounds = li.agg(expr(
         "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
         .as("bs"))
@@ -468,7 +471,10 @@ private[graft] object QueriesPipeline {
     // oracle's quantile_cont; each sketch boundary sits within 1%
     // relative error of its exact twin, asserted TRUE by the oracle.
     "q72_decile_bounds_approx" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      // spread: parallelize the partial value collection (the exact
+      // twin's final merge stays single-task by nature — the flag
+      // needs it; the GK sketch side is fully partial-aggregable)
+      val li = analytics.Par.spreadForCpu(t(s, dir, "lineitem"))
       li.agg(
           expr("percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
             .as("ex"),

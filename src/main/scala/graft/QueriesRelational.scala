@@ -529,7 +529,8 @@ private[graft] object QueriesRelational {
     // n/10000 ≈ 2 rows per group at sf0.01, so the 1% value flag holds
     // with wide margin regardless of partial-merge order.
     "q35_approx_percentiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      // spread the single-split scan so percentile partials parallelize
+      analytics.Par.spreadForCpu(t(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"))
         .agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),

@@ -315,7 +315,10 @@ object Multimodal {
     def embed(toks: Column): Column =
       transform(sequence(lit(0), lit(dim - 1)),
         j => aggregate(toks, lit(0L), (a, t) => a + hashTerm(j, t)))
-    val imgs = withPayload(docs).where(col("modality") === "image")
+    // dim×tokens md5 folds per image row — CPU-bound, and the corpus
+    // file is byte-small (one split): spread before the encoder
+    val imgs = Par.spreadForCpu(withPayload(docs))
+      .where(col("modality") === "image")
       .select(col("doc_id").as("image_id"),
         // the vision-encoder seam: tokens from the DECODED BODY BYTES
         TextAnalysis.tokens(
