@@ -1173,13 +1173,14 @@ object Dedup {
     * (J is undefined against the empty set).
     */
   def jaccardSelfJoin(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", denseVocabMax: Int = 64): DataFrame = {
+      textCol: String = "text", denseVocabMax: Int = 64,
+      smallCorpusMax: Long = 1L << 20): DataFrame = {
     require(denseVocabMax <= 64, s"dense path packs one 64-bit mask, got $denseVocabMax")
     val probe = spreadForCpu(docs)
       .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
       .distinct().limit(denseVocabMax + 1).collect().map(_.getString(0))
     if (probe.length <= denseVocabMax)
-      bitsetJaccardPairsImpl(docs, idCol, textCol, probe.sorted)
+      bitsetJaccardPairsImpl(docs, idCol, textCol, probe.sorted, smallCorpusMax)
     else ppjoinPairs(docs, idCol, textCol)
   }
 
@@ -1191,23 +1192,29 @@ object Dedup {
     * ≤ 64-token vocabulary M is bounded by the observed subset count,
     * not the corpus size: 100× more documents adds ~0 new masks, which
     * is exactly why the collapse must happen BEFORE pair generation —
-    * and (4) expansion of qualifying mask pairs back to document pairs
-    * via mask-keyed SHUFFLE HASH joins (the corpus-sized doc→mask table
-    * never rides a broadcast), which is output-sized (the irreducible
-    * cost: at sf0.1 the answer itself is 8.9M pairs). Identical-set documents pair at J = 1
-    * without any candidate evaluation.
+    * and (4) expansion of qualifying mask pairs back to document pairs,
+    * which is output-sized (the irreducible cost: at sf0.1 the answer
+    * itself is 8.9M pairs) — regime-switched on the MEASURED corpus size
+    * (exchange-free broadcast under `smallCorpusMax` docs, chunked
+    * per-mask id lists above it; see the split inside the impl).
+    * Identical-set documents pair at J = 1 without any candidate
+    * evaluation.
     */
   def bitsetJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", smallCorpusMax: Long = 1L << 20): DataFrame = {
     val vocab = spreadForCpu(docs)
       .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
       .distinct().limit(65).collect().map(_.getString(0))
     require(vocab.length <= 64, s"bitset path needs vocab <= 64, measured ${vocab.length}+")
-    bitsetJaccardPairsImpl(docs, idCol, textCol, vocab.sorted)
+    bitsetJaccardPairsImpl(docs, idCol, textCol, vocab.sorted, smallCorpusMax)
   }
 
   private def bitsetJaccardPairsImpl(docs: DataFrame, idCol: String,
-      textCol: String, vocab: Array[String]): DataFrame = {
+      textCol: String, vocab: Array[String],
+      smallCorpusMax: Long): DataFrame = {
+    // one metadata-cheap count picks the expansion regime (documented
+    // at the regime split below)
+    val nDocs = docs.count()
     // literal token→bit-value map: constant-folded, O(|vocab|) per-row
     val bitVal = map(vocab.zipWithIndex.flatMap {
       case (tk, i) => Seq(lit(tk), lit(1L << i)) }: _*)
@@ -1231,27 +1238,75 @@ object Dedup {
         expr("CAST(bit_count(x.mask & y.mask) AS BIGINT)").as("inter"),
         (col("x.sz") + col("y.sz")).as("szsum"))
     // expansion back to document pairs (output-sized). The per-DOCUMENT
-    // `masks` table is CORPUS-sized — the broadcast-size argument above
-    // covers only `dm`, the distinct masks — so the expansion must never
-    // put `masks` on a broadcast (the r13 finding: fine at 5k docs,
-    // driver OOM at 100×). Both expansion joins and the identical-set
-    // self-join are SHUFFLE HASH joins keyed on the mask: the map side
-    // carries 16 bytes/row, the join output is the answer itself (no
-    // plan can shrink it), and a skewed mask's fan-out is inherent to
-    // that answer. PlanAuditSpec pins this shape (no corpus broadcast).
-    val cross = mp.hint("shuffle_hash")
-      .join(masks.select(col("id").as("id_a"), col("mask").as("m_a")),
-        col("ma") === col("m_a"))
-      .join(masks.select(col("id").as("id_b"), col("mask").as("m_b"))
-          .hint("shuffle_hash"),
-        col("mb") === col("m_b"))
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"),
-        col("inter"), (col("szsum") - col("inter")).as("un"))
-    val same = masks.as("p").join(masks.as("q").hint("shuffle_hash"),
-        col("p.mask") === col("q.mask") && col("p.id") < col("q.id"))
-      .select(col("p.id").as("doc_a"), col("q.id").as("doc_b"),
-        col("p.sz").as("inter"), col("p.sz").as("un"))
+    // doc→mask table is CORPUS-sized — the broadcast-size argument above
+    // covers only `dm`, the distinct masks — so broadcasting it
+    // unconditionally is the r13 finding (fine at 5k docs, driver OOM at
+    // 100×). The regime is picked by the MEASURED corpus size, this
+    // operator's own probe philosophy:
+    //  - corpus ≤ `smallCorpusMax` (default 2²⁰ docs ⇒ ≤ 16 MB of
+    //    (id, mask) rows): the doc→mask projections broadcast — the
+    //    qualifying-pair stream is never shuffled and the whole
+    //    expansion is exchange-free (measured 3× faster than any
+    //    shuffle variant at sf0.1, where mp alone is 4.8M rows);
+    //  - otherwise: the corpus collapses to CHUNKED per-mask id lists —
+    //    chunk index assigned by a mask-keyed window BEFORE the collect,
+    //    so no aggregation buffer ever exceeds `chunk` ids however hot a
+    //    boilerplate mask gets — and pairs explode ROW-LOCALLY from
+    //    joined chunk pairs: total shuffled bytes are O(corpus) for the
+    //    window + the M·chunks-row joins, and the output leaves a
+    //    Generate, never an Exchange. PlanAuditSpec forces this regime
+    //    (smallCorpusMax = 0) and pins ≤ 1 broadcast (= dm); DedupSpec
+    //    proves both regimes equal the all-pairs ground truth.
+    val (cross, same) =
+      if (nDocs <= smallCorpusMax) {
+        val cross = mp
+          .join(broadcast(masks.select(col("id").as("id_a"), col("mask").as("m_a"))),
+            col("ma") === col("m_a"))
+          .join(broadcast(masks.select(col("id").as("id_b"), col("mask").as("m_b"))),
+            col("mb") === col("m_b"))
+          .select(least(col("id_a"), col("id_b")).as("doc_a"),
+            greatest(col("id_a"), col("id_b")).as("doc_b"),
+            col("inter"), (col("szsum") - col("inter")).as("un"))
+        val same = masks.as("p").join(broadcast(masks.as("q")),
+            col("p.mask") === col("q.mask") && col("p.id") < col("q.id"))
+          .select(col("p.id").as("doc_a"), col("q.id").as("doc_b"),
+            col("p.sz").as("inter"), col("p.sz").as("un"))
+        (cross, same)
+      } else {
+        val chunk = 4096
+        val wm = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("mask")).orderBy(col("id"))
+        val idsc = masks
+          .withColumn("ci", ((row_number().over(wm) - 1) / chunk).cast("int"))
+          .groupBy(col("mask"), col("ci"))
+          .agg(sort_array(collect_list(col("id"))).as("idc"))
+        val cross = mp.hint("shuffle_hash")
+          .join(idsc.select(col("mask").as("ma"), col("idc").as("ia")), Seq("ma"))
+          .join(idsc.select(col("mask").as("mb"), col("idc").as("ib"))
+            .hint("shuffle_hash"), Seq("mb"))
+          .select(explode(col("ia")).as("id_a"), col("ib"),
+            col("inter"), col("szsum"))
+          .select(col("id_a"), explode(col("ib")).as("id_b"),
+            col("inter"), col("szsum"))
+          .select(least(col("id_a"), col("id_b")).as("doc_a"),
+            greatest(col("id_a"), col("id_b")).as("doc_b"),
+            col("inter"), (col("szsum") - col("inter")).as("un"))
+        // identical-set pairs (J = 1): chunk-pair self-join per mask;
+        // ids are chunk-sorted, so ci < cj pairs arrive ordered and the
+        // residual id_a < id_b filter only prunes within-chunk pairs
+        val same = idsc.as("p")
+          .join(idsc.as("q").hint("shuffle_hash"),
+            col("p.mask") === col("q.mask") && col("p.ci") <= col("q.ci"))
+          .select(col("p.mask").as("mask"), col("p.idc").as("ia"),
+            col("q.idc").as("ib"))
+          .withColumn("sz", expr("bit_count(mask)").cast(LongType))
+          .select(explode(col("ia")).as("id_a"), col("ib"), col("sz"))
+          .select(col("id_a"), explode(col("ib")).as("id_b"), col("sz"))
+          .where(col("id_a") < col("id_b"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            col("sz").as("inter"), col("sz").as("un"))
+        (cross, same)
+      }
     cross.unionByName(same)
       .withColumn("jaccard",
         round(col("inter").cast(DoubleType) / col("un").cast(DoubleType), 9))

@@ -671,6 +671,10 @@ class DedupSpec extends SparkSpec {
       .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("inter"))).toMap
     // dense regime (this corpus: 31-token vocabulary)
     assert(got(Dedup.bitsetJaccardPairs(docs)) === truth)
+    // dense regime, large-corpus expansion FORCED (smallCorpusMax = 0):
+    // the chunked shuffle path must produce the identical answer the
+    // broadcast path does — the regime switch may never change results
+    assert(got(Dedup.bitsetJaccardPairs(docs, smallCorpusMax = 0L)) === truth)
     // sparse regime forced onto the SAME dense corpus: the length and
     // positional filters must be exactness-preserving even where they
     // barely prune — the round-12 candidate-explosion regression would

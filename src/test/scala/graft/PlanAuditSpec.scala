@@ -492,16 +492,20 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
-  test("d32 dense path: the ONLY broadcast is the distinct-mask candidate " +
-      "table — the corpus-sized doc→mask expansion rides shuffle hash joins") {
+  test("d32 dense path AT SCALE (forced large-corpus regime): the ONLY " +
+      "broadcast is the distinct-mask candidate table — the corpus-sized " +
+      "doc→mask expansion rides chunked shuffle hash joins") {
     // the r13 finding: broadcasting the per-document masks table is fine
-    // at 5k docs and a driver OOM at 100×. The distinct-mask table `dm`
-    // (bounded by the ≤2^64 mask space, not the corpus) is the one
-    // legitimate broadcast; every corpus-sized join must shuffle.
+    // at 5k docs and a driver OOM at 100×. The expansion regime is picked
+    // by the measured corpus size; smallCorpusMax = 0 forces the scale
+    // regime here, where the distinct-mask table `dm` (bounded by the
+    // ≤2^64 mask space, not the corpus) is the one legitimate broadcast
+    // and every corpus-sized join must shuffle.
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
-    val p = analytics.Dedup.bitsetJaccardPairs(docs).queryExecution
+    val p = analytics.Dedup.bitsetJaccardPairs(docs, smallCorpusMax = 0L)
+      .queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     // count TREE nodes ("BroadcastExchange (15)"), not the formatted
     // explain's per-node detail section repeating each name once more
