@@ -1529,10 +1529,12 @@ private[graft] object QueriesDedup {
 
     // Exact-repeats twin (d34): d31's winnowing selection replayed
     // relationally (same md5-low64 k=5 gram hashes, w=4 windows,
-    // rightmost-min rule), the SAME adjacent-occurrence pairing
-    // (lead over the fingerprint key), and the extension as
+    // rightmost-min rule), the SAME context-key adjacency (lead over the
+    // fingerprint key ordered by anchor+24-token context, then doc/pos),
+    // the same anchor-token verification, and the extension as
     // list-comprehension equality scans — first mismatch index ≡ the
-    // operator's zip_with/array_position fold.
+    // operator's zip_with/array_position fold; same canonical
+    // orientation swap.
     "d34_exact_repeats" ->
       s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
          |tk AS (SELECT doc_id, ws FROM tok WHERE len(ws) >= 5),
@@ -1549,16 +1551,20 @@ private[graft] object QueriesDedup {
          |  FROM cand c JOIN mn ON c.doc_id = mn.doc_id AND c.j = mn.j
          |    AND c.h = mn.mh
          |  GROUP BY c.doc_id, c.j),
-         |fp AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+         |fp0 AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+         |fp AS (SELECT fp0.doc_id, fp0.pos, fp0.h,
+         |    array_to_string(t.ws[fp0.pos+1 : fp0.pos+29], ' ') AS ctx
+         |  FROM fp0 JOIN tok t ON t.doc_id = fp0.doc_id),
          |pr AS (SELECT doc_id AS id_a, pos AS pa,
-         |    lead(doc_id) OVER (PARTITION BY h ORDER BY doc_id, pos) AS id_b,
-         |    lead(pos) OVER (PARTITION BY h ORDER BY doc_id, pos) AS pb
+         |    lead(doc_id) OVER (PARTITION BY h ORDER BY ctx, doc_id, pos) AS id_b,
+         |    lead(pos) OVER (PARTITION BY h ORDER BY ctx, doc_id, pos) AS pb
          |  FROM fp),
          |pp AS (SELECT DISTINCT id_a, pa, id_b, pb FROM pr WHERE id_b IS NOT NULL),
          |jn AS (SELECT pp.*, ta.ws AS wsa, len(ta.ws) AS na,
          |    tb.ws AS wsb, len(tb.ws) AS nb
          |  FROM pp JOIN tok ta ON ta.doc_id = pp.id_a
-         |    JOIN tok tb ON tb.doc_id = pp.id_b),
+         |    JOIN tok tb ON tb.doc_id = pp.id_b
+         |  WHERE wsa[pa+1 : pa+5] = wsb[pb+1 : pb+5]),
          |e AS (SELECT id_a, pa, id_b, pb, wsa, wsb,
          |    greatest(least(na - pa - 5, nb - pb - 5), 0) AS mr,
          |    least(pa, pb) AS ml FROM jn),
@@ -1575,11 +1581,19 @@ private[graft] object QueriesDedup {
          |      ELSE list_position(zr, false) - 1 END AS extr,
          |    CASE WHEN list_position(zl, false) = 0 THEN ml
          |      ELSE list_position(zl, false) - 1 END AS extl
-         |  FROM z)
-         |SELECT DISTINCT id_a AS doc_a, CAST(pa - extl AS BIGINT) AS a_start,
-         |  id_b AS doc_b, CAST(pb - extl AS BIGINT) AS b_start,
-         |  CAST(extl + 5 + extr AS BIGINT) AS rep_len
-         |FROM x WHERE extl + 5 + extr >= 8
+         |  FROM z),
+         |y AS (SELECT id_a, id_b, pa - extl AS sa, pb - extl AS sb,
+         |    extl + 5 + extr AS rl FROM x WHERE extl + 5 + extr >= 8),
+         |c AS (SELECT
+         |    CASE WHEN id_b < id_a OR (id_b = id_a AND sb < sa) THEN id_b ELSE id_a END AS doc_a,
+         |    CASE WHEN id_b < id_a OR (id_b = id_a AND sb < sa) THEN sb ELSE sa END AS a_start,
+         |    CASE WHEN id_b < id_a OR (id_b = id_a AND sb < sa) THEN id_a ELSE id_b END AS doc_b,
+         |    CASE WHEN id_b < id_a OR (id_b = id_a AND sb < sa) THEN sa ELSE sb END AS b_start,
+         |    rl AS rep_len FROM y)
+         |SELECT DISTINCT doc_a, CAST(a_start AS BIGINT) AS a_start,
+         |  doc_b, CAST(b_start AS BIGINT) AS b_start,
+         |  CAST(rep_len AS BIGINT) AS rep_len
+         |FROM c
          |ORDER BY doc_a, a_start, doc_b, b_start, rep_len""".stripMargin,
   )
 }

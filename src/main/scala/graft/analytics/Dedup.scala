@@ -279,12 +279,21 @@ object Dedup {
     * bucket scheme cannot drift between the d04/d11 family and the d21
     * gate (their oracles all express banding as slice equality).
     */
+  /** The ONE banded-LSH bucket-key expression — every consumer (the
+    * batch candidate join here, d17/d21's incremental probes, and the
+    * streaming signature store) derives bucket keys from THIS
+    * definition, so batch and stream can never hash to different
+    * buckets.
+    */
+  private[graft] def bandBucketKeys(sig: Column, bands: Int,
+      rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
   private[graft] def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(
       col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as("bucket"))
+      explode(bandBucketKeys(col("sig"), bands, rowsPerBand)).as("bucket"))
 
   /** The ONE estimate formula: agreeing-position fraction over the full
     * k — shared for the same no-drift reason as [[bandBuckets]]. */
@@ -1083,19 +1092,27 @@ object Dedup {
     * any shared run of ≥ w+k−1 tokens shares a selected fingerprint
     * INSIDE the run — so minLen = w+k−1 gives full coverage); (2) each
     * fingerprint occurrence pairs with its ADJACENT occurrence in the
-    * (id, pos)-sorted occurrence list — lead() over the fingerprint key,
-    * the suffix-array adjacency idea: O(occurrences) pairs total where
-    * all-pairs would be Σ df², the boilerplate-key explosion; (3) each
-    * anchor pair extends left and right to the maximal equal run by
-    * zip-compared token slices (per-row HOF, no shuffle) and is dropped
-    * under `minLen`. Same-document repeats pair like cross-document ones.
+    * occurrence list sorted by CONTEXT KEY (the anchor plus the next
+    * `ctxTokens` tokens) — lead() over the fingerprint key, the genuine
+    * suffix-array adjacency: true partners of a run agree on the key
+    * through the run and sort adjacent, while a bare-k-gram occurrence
+    * diverges at token k+1 and cannot interleave them. O(occurrences)
+    * pairs total where all-pairs would be Σ df², the boilerplate-key
+    * explosion; (3) each anchor pair VERIFIES its k anchor tokens
+    * (64-bit fingerprints alone admit birthday collisions at 10¹²-gram
+    * scale) and extends left and right to the maximal equal run by
+    * zip-compared token slices (per-row HOF, no shuffle), dropped under
+    * `minLen`. Same-document repeats pair like cross-document ones.
     *
     * Coverage contract (documented trade): every occurrence of a
     * duplicated run ≥ w+k−1 appears in at least one emitted maximal
-    * repeat, but an occurrence extends against its ADJACENT partner —
-    * with ≥3 occurrences, a farther partner sharing a longer context is
-    * not re-checked (linear pair budget instead; the planted-truth spec
-    * covers the exact 2-occurrence case, the common one).
+    * repeat, PROVIDED no other occurrence shares its anchor's full
+    * context key without sharing the run — an interleaver under the
+    * context order must itself share ≥ k+ctxTokens tokens, making it a
+    * true partner whose chain pair still covers the occurrence; only
+    * for runs diverging beyond the context window does adjacency become
+    * approximate (linear pair budget instead of Σ df²; the planted
+    * spec covers 2-way, 3-way, and bare-gram-interleaver cases).
     *
     * Scale shape: winnowed index (~2/(w+1) of grams), ONE
     * fingerprint-keyed shuffle for the adjacency window, two id-keyed
@@ -1106,30 +1123,51 @@ object Dedup {
     * lexicographically.
     */
   def maximalExactRepeats(docs: DataFrame, k: Int, w: Int, minLen: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      ctxTokens: Int = 24): DataFrame = {
     require(minLen >= k, s"minLen=$minLen must cover the $k-token anchor")
+    val toks = tokenized(docs, idCol, textCol)
+      .select(col("id"), col("ws"), size(col("ws")).cast(LongType).as("n"))
+    // SUFFIX-ordered adjacency (the r14 review finding): occurrences of
+    // a fingerprint sort by their CONTEXT KEY — the anchor plus the next
+    // `ctxTokens` tokens — before (id, pos). True partners of a shared
+    // run agree on that key through the run, so they sort ADJACENT; an
+    // occurrence that interleaves under the old (id, pos) order while
+    // sharing only the bare k-gram diverges at token k+1 and sorts away.
+    // An occurrence that DOES share the full context key is a true
+    // ≥ k+ctxTokens partner itself, so chain pairing still covers every
+    // occurrence; only beyond the context window does adjacency become
+    // approximate again (documented in the contract above).
     val fps = winnowedFingerprints(docs, k, w, idCol, textCol)
-    val wFp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("id"), col("pos"))
-    val pairs = fps
+    val fpsCtx = fps
       .select(col(idCol).as("id"), col("pos"), col("h"))
+      .join(toks.select(col("id"), col("ws")), Seq("id"))
+      .withColumn("ctx", array_join(
+        slice(col("ws"), (col("pos") + 1).cast("int"), lit(k + ctxTokens)), " "))
+      .select(col("id"), col("pos"), col("h"), col("ctx"))
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("ctx"), col("id"), col("pos"))
+    val pairs = fpsCtx
       .withColumn("id_b", lead(col("id"), 1).over(wFp))
       .withColumn("pb", lead(col("pos"), 1).over(wFp))
       .where(col("id_b").isNotNull)
       .select(col("id").as("id_a"), col("pos").as("pa"),
         col("id_b"), col("pb"))
       .distinct() // several anchor grams inside one run → one pair row
-    val toks = tokenized(docs, idCol, textCol)
-      .select(col("id"), col("ws"), size(col("ws")).cast(LongType).as("n"))
     // first mismatch position in a zipped equality array = the exact
     // extension length (array_position is 1-based, 0 = no mismatch)
     def ext(za: Column): Column = {
       val p = array_position(za, lit(false))
       when(p === 0, size(za).cast(LongType)).otherwise(p - 1)
     }
-    pairs
+    val extended = pairs
       .join(toks.select(col("id").as("id_a"), col("ws").as("wsa"), col("n").as("na")), Seq("id_a"))
       .join(toks.select(col("id").as("id_b"), col("ws").as("wsb"), col("n").as("nb")), Seq("id_b"))
+      // the k anchor tokens are VERIFIED, not trusted from the 64-bit
+      // fingerprint: at ~10¹² grams birthday collisions are expected,
+      // and "exact" must mean token-for-token (the r14 review finding)
+      .where(slice(col("wsa"), (col("pa") + 1).cast("int"), lit(k)) ===
+        slice(col("wsb"), (col("pb") + 1).cast("int"), lit(k)))
       .withColumn("mr", greatest(least(col("na") - col("pa") - k,
         col("nb") - col("pb") - k), lit(0L)))
       .withColumn("ml", least(col("pa"), col("pb")))
@@ -1141,10 +1179,21 @@ object Dedup {
         reverse(slice(col("wsa"), (col("pa") - col("ml") + 1).cast("int"), col("ml").cast("int"))),
         reverse(slice(col("wsb"), (col("pb") - col("ml") + 1).cast("int"), col("ml").cast("int"))),
         (x, y) => x === y)))
-      .select(col("id_a").as("doc_a"), (col("pa") - col("extl")).as("a_start"),
-        col("id_b").as("doc_b"), (col("pb") - col("extl")).as("b_start"),
+      .select(col("id_a"), (col("pa") - col("extl")).as("sa"),
+        col("id_b"), (col("pb") - col("extl")).as("sb"),
         (col("extl") + k + col("extr")).as("rep_len"))
       .where(col("rep_len") >= minLen)
+    // canonical orientation: context order can deliver either occurrence
+    // first — normalize so (doc_a, a_start) ≤ (doc_b, b_start)
+    val sw = col("id_b") < col("id_a") ||
+      (col("id_b") === col("id_a") && col("sb") < col("sa"))
+    extended
+      .select(
+        when(sw, col("id_b")).otherwise(col("id_a")).as("doc_a"),
+        when(sw, col("sb")).otherwise(col("sa")).as("a_start"),
+        when(sw, col("id_a")).otherwise(col("id_b")).as("doc_b"),
+        when(sw, col("sa")).otherwise(col("sb")).as("b_start"),
+        col("rep_len"))
       .distinct()
   }
 
@@ -1212,9 +1261,14 @@ object Dedup {
   private def bitsetJaccardPairsImpl(docs: DataFrame, idCol: String,
       textCol: String, vocab: Array[String],
       smallCorpusMax: Long): DataFrame = {
-    // one metadata-cheap count picks the expansion regime (documented
-    // at the regime split below)
-    val nDocs = docs.count()
+    // BOUNDED probe picks the expansion regime (documented at the regime
+    // split below): limit(max+1) never scans past the threshold — the
+    // d32 vocabulary-probe discipline, not a full count of a corpus
+    // that may be derived (ScaleSmoke's 20-way union) rather than a scan
+    val probeCap = math.min(smallCorpusMax, Int.MaxValue - 1L).toInt
+    val nDocs =
+      if (smallCorpusMax <= 0L) 1L // forced scale regime: skip the probe
+      else docs.limit(probeCap + 1).count()
     // literal token→bit-value map: constant-folded, O(|vocab|) per-row
     val bitVal = map(vocab.zipWithIndex.flatMap {
       case (tk, i) => Seq(lit(tk), lit(1L << i)) }: _*)

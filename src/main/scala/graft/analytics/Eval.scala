@@ -229,11 +229,15 @@ object Eval {
     // n=0 rows and NULL SMDs with no signal to the caller. The guard is
     // a per-row raise_error branch inside the same scan, not a second
     // validation pass.
-    val v = col(variantCol).cast("int")
-    val guarded = when(v === variantA || v === variantB, v)
+    // equality is tested on the ORIGINAL column (numeric promotion, so
+    // DOUBLE 0.9 or LONG 2^32 can never truncate onto a declared code —
+    // the int-cast-first version silently misclassified them into arm A)
+    val raw = col(variantCol)
+    val guarded = when(raw === variantA, lit(variantA))
+      .when(raw === variantB, lit(variantB))
       .otherwise(raise_error(concat(
         lit(s"covariateBalance: '$variantCol' must be $variantA or $variantB, got "),
-        coalesce(col(variantCol).cast("string"), lit("NULL")))))
+        coalesce(raw.cast("string"), lit("NULL")))))
     val melted = units.select(guarded.as("variant"),
       explode(array(covariates.map(c =>
         struct(lit(c).as("covariate"),

@@ -19,10 +19,14 @@ object Profile {
 
   /** Register count for a target relative standard deviation:
     * rse(HLL) ≈ 1.04/√m ⇒ lgK = ⌈log₂((1.04/rsd)²)⌉, floored at the
-    * DataSketches default of 12.
+    * DataSketches default of 12 and CLAMPED to the library's lgK
+    * ceiling of 21 (an rsd below ~0.0007 would otherwise throw a
+    * runtime SketchesArgumentException mid-query — a tighter request
+    * degrades to the best the sketch offers instead).
     */
   private def rsdToLgK(rsd: Double): Int =
-    math.max(12, math.ceil(2.0 * math.log(1.04 / rsd) / math.log(2.0)).toInt)
+    math.min(21,
+      math.max(12, math.ceil(2.0 * math.log(1.04 / rsd) / math.log(2.0)).toInt))
 
   /** Numeric column profile in LONG form: one row per column with total
     * rows, null/distinct counts, min/max, and the mean. The mean is the

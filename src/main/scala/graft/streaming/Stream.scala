@@ -396,11 +396,10 @@ object Stream {
       threshold: Double): Dataset[DupMatch] = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     import docs.sparkSession.implicits._
-    val rpb = k / bands
     graft.analytics.Dedup.minhashSignaturesPortable(docs, n, k)
       .select(col("id"), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(b, slice(col("sig"), b * rpb + 1, lit(rpb))))).as("bucket"))
+        explode(graft.analytics.Dedup.bandBucketKeys(col("sig"), bands, k / bands))
+          .as("bucket"))
       .select(col("bucket").cast("long"), col("id").cast("long"), col("sig"))
       .as[(Long, Long, Seq[Long])]
       .groupByKey(_._1)

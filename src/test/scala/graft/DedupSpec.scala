@@ -730,6 +730,39 @@ class DedupSpec extends SparkSpec {
     assert(got === want, s"got $got")
   }
 
+  test("exact repeats (d34): a bare-k-gram interleaver cannot mask a " +
+    "qualifying repeat — context-ordered adjacency sorts it away") {
+    import spark.implicits._
+    // docs 6 and 8 share run8 = u1..u8 (exactly w+k-1 = the guarantee
+    // threshold) surrounded by unique tokens; they share EXACTLY ONE
+    // winnowed fingerprint (the u1..u5 gram — asserted as a fixture
+    // precondition). Doc 7 is that bare 5-token gram and nothing else:
+    // under (id, pos)-ordered adjacency it interleaved the occurrence
+    // list — pairs (6,7) and (7,8) both extend to rep_len 5 < 8 and the
+    // real (6,8) repeat was silently LOST (the r14 review finding).
+    // Context ordering sorts doc 7's short context first, keeping 6 and
+    // 8 adjacent.
+    def toks(p: String, r: Range) = r.map(i => s"$p$i")
+    val run8 = toks("u", 1 to 8)
+    val a = (toks("x1", 1 to 6) ++ run8 ++ toks("x1", 7 to 12)).mkString(" ")
+    val b = (toks("y1", 1 to 6) ++ run8 ++ toks("y1", 7 to 12)).mkString(" ")
+    val pair = Seq((6L, a), (8L, b)).toDF("doc_id", "text")
+    val fps = Dedup.winnowedFingerprints(pair, k = 5, w = 4)
+      .select(col("doc_id"), col("h")).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert(fps(6L).intersect(fps(8L)).size === 1,
+      "fixture precondition: exactly one shared fingerprint between 6 and 8")
+    val docs = pair.unionByName(
+      Seq((7L, run8.take(5).mkString(" "))).toDF("doc_id", "text"))
+    val got = Dedup.maximalExactRepeats(docs, k = 5, w = 4, minLen = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("a_start"),
+        r.getAs[Long]("doc_b"), r.getAs[Long]("b_start"),
+        r.getAs[Long]("rep_len"))).toSet
+    assert(got === Set((6L, 6L, 8L, 6L, 8L)),
+      s"the 8-token repeat must survive the interleaver: $got")
+  }
+
   test("winnowing (d31): Schleimer guarantee — any shared run of ≥ w+k−1 " +
     "tokens yields ≥ 1 shared fingerprint (30 planted pairs)") {
     import spark.implicits._

@@ -120,6 +120,11 @@ class EvalSpec extends SparkSpec {
     // n_a = n_b = 0 with NULL SMDs and a NULL `balanced` verdict
     val strings = Seq(("a", "1.00"), ("b", "2.00")).toDF("variant", "x")
     intercept[Exception](run(strings))
+    // a DOUBLE whose int TRUNCATION collides with a declared code must
+    // raise, not silently join arm A (equality tests the original value)
+    val truncating = Seq((0.0, "1.00"), (0.9, "2.00"), (1.0, "3.00"))
+      .toDF("variant", "x")
+    intercept[Exception](run(truncating))
     // a custom coding is accepted when declared explicitly
     val coded = Seq((1L, "1.00"), (1L, "3.00"), (2L, "2.00"), (2L, "4.00"))
       .toDF("variant", "x")
