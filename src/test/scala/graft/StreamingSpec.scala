@@ -581,6 +581,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental dedup: batch/stream PARITY — the " +
+      "streaming store emits exactly the candidate set the batch banded " +
+      "index derives from the SAME signatures and bucket keys") {
+    // the contract Dedup.bandBucketKeys exists to protect: batch and
+    // stream must route every signature to identical buckets. The
+    // expected set is derived DRIVER-SIDE from the batch operators'
+    // own outputs (signatures + bucket keys), simulating the
+    // processor's insert-in-doc_id-order semantics per bucket.
+    import spark.implicits._
+    val (n, k, bands, thr) = (3, 16, 4, 0.5)
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "one two three four five six seven eight nine ten eleven thirteen",
+      "completely different tokens here now indeed truly unlike anything else at all")
+    val docs = base.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sigs = graft.analytics.Dedup
+      .minhashSignaturesPortable(docs, n, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val buckets = {
+      val bk = graft.analytics.Dedup.bandBucketKeys(col("sig"), bands, k / bands)
+      graft.analytics.Dedup.minhashSignaturesPortable(docs, n, k)
+        .select(col("id"), explode(bk).as("bucket")).collect()
+        .map(r => (r.getLong(1), r.getLong(0)))
+    }
+    val expected = buckets.groupBy(_._1).toSeq.flatMap { case (bucket, occ) =>
+      val ids = occ.map(_._2).distinct.sorted.toSeq
+      for {
+        (id, i) <- ids.zipWithIndex
+        mid <- ids.take(i)
+        est = sigs(id).zip(sigs(mid)).count { case (a, b) => a == b }.toDouble / k
+        if est >= thr
+      } yield (id, mid, bucket, est)
+    }.toSet
+    assert(expected.map(p => (p._1, p._2)) === Set((1L, 0L), (3L, 2L)),
+      s"fixture sanity: the two near-dup pairs collide, the loner doesn't: $expected")
+
+    val srcDir = tempDir("graft-twsparity-src")
+    val ckptDir = tempDir("graft-twsparity-ckpt")
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (base.zipWithIndex.map { case (t, i) => s"""{"doc_id":$i,"text":"$t"}""" }
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.DupMatch]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema("doc_id long, text string").json(srcDir)
+      val q = Stream.incrementalDedupTws(src, n, k, bands, thr)
+        .writeStream
+        .option("checkpointLocation", ckptDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.DupMatch], _: Long) =>
+          collected ++= batch.collect()
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+      val got = collected
+        .map(m => (m.docId, m.matchId, m.bucket, m.estJaccard)).toSet
+      assert(got === expected, s"batch/stream bucket parity: $got vs $expected")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("typed envelope Dataset round-trips the closed output shape") {
     val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
     val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
