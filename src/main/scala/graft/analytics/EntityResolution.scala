@@ -119,12 +119,18 @@ object EntityResolution {
       .select(col("s"), col("len"), col("g"),
         explode(expr("sequence(1, CAST(c AS INT))")).as("o"))
     val dfG = gi.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // persisted: BOTH sides of the candidate self-join read this —
+    // without the lineage cut the whole gram-instance pipeline
+    // (explode → occurrence numbering → df join → per-string sort)
+    // executes twice (the d04 cache-reuse discipline; session-owned,
+    // dropped by clearCache())
     val prefix = gi.join(dfG, Seq("g"))
       .groupBy(col("s"), col("len"))
       .agg(array_sort(collect_list(struct(col("df"), col("g"), col("o")))).as("es"))
       .select(col("s"), col("len"),
         explode(slice(col("es"), 1, k * q + 1)).as("e"))
       .select(col("s"), col("len"), col("e.g").as("g"), col("e.o").as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // verification runs IN the join projection — candidate rows stream
     // through the O(k·len) threshold DP and die before any exchange;
     // the distinct() then dedups only true pairs (verify-then-distinct:
