@@ -119,12 +119,98 @@ object Bpe {
     * application order) and the final vocabulary state
     * `(word, freq, symstr)`. Stops early if the vocabulary is fully
     * merged (no adjacent pair remains); ranking ties break
-    * lexicographically on (a, b), so the sequence is reproducible on any
-    * engine with the same word set.
+    * lexicographically on (a, b) — UTF-8 byte order, Spark's string
+    * ordering — so the sequence is reproducible on any engine with the
+    * same word set.
+    *
+    * Execution regime, picked by the MEASURED word-table size (the d32
+    * probe philosophy): after the ONE distributed corpus pass builds the
+    * word-frequency table, a vocabulary under `maxDriverVocab` (default
+    * 2²⁰ words) trains DRIVER-SIDE — the standard BPE-trainer design
+    * (sentencepiece/HF hold exactly this table in memory), and the only
+    * correct one for a merge loop that is inherently sequential: the
+    * former per-round Spark jobs spent ~0.2 s of scheduling per merge on
+    * a vocabulary-row table (measured: the whole t11/t13/t30 family was
+    * merge-loop-bound). Results are bit-identical between regimes
+    * (BpeSpec asserts it); a larger vocabulary falls back to the
+    * distributed per-round loop.
     */
-  def train(docs: DataFrame, nMerges: Int,
-      textCol: String = "text"): (Seq[Merge], DataFrame) = {
-    var vocab = wordFreqs(docs, textCol)
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      maxDriverVocab: Long = 1L << 20): (Seq[Merge], DataFrame) = {
+    val wf = wordFreqs(docs, textCol)
+    val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
+    if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
+      trainDriver(wf, nMerges)
+    else trainDistributed(wf, nMerges)
+  }
+
+  /** Greedy left-to-right non-overlapping merge application on a symbol
+    * sequence — the driver twin of [[applyMerge]]'s string fold (the
+    * fold's fused symbol can never re-match `a` within the same pass, so
+    * the two are equivalent; BpeSpec pins it).
+    */
+  private def applyMergeLocal(syms: Vector[String], m: Merge): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == m.a && syms(i + 1) == m.b) {
+        out += m.a + m.b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Spark compares strings by UTF-8 bytes; the driver loop must break
+    * count ties identically.
+    */
+  private def utf8Lt(x: String, y: String): Boolean =
+    java.util.Arrays.compare(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  private def trainDriver(wf: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    val spark = wf.sparkSession
+    var vocab: Array[(String, Long, Vector[String])] = wf.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(0).map(_.toString).toVector :+ EndMark))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, f, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { kv =>
+          if (best == null || kv._2 > best._2 ||
+            (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+              (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+            best = kv
+        }
+        val m = Merge(best._1._1, best._1._2)
+        merges += m
+        vocab = vocab.map { case (w, f, syms) => (w, f, applyMergeLocal(syms, m)) }
+      }
+      round += 1
+    }
+    import spark.implicits._
+    val vdf = vocab.toSeq
+      .map { case (w, f, syms) => (w, f, syms.mkString(" ")) }
+      .toDF("word", "freq", "symstr")
+    (merges.toSeq, vdf)
+  }
+
+  private def trainDistributed(wf: DataFrame,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    var vocab = wf
       .select(col("word"), col("freq"), initialSymstr(col("word")).as("symstr"))
       .localCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]

@@ -111,6 +111,23 @@ class BpeSpec extends SparkSpec {
     assert(nUnk === expectedIds.count(_ == -1L) && nUnk > 0)
   }
 
+  test("train: driver and distributed regimes produce IDENTICAL merges " +
+      "and vocabulary state (the regime switch may never change results)") {
+    // real-word fixture with ties, repeats, multi-char growth, and a
+    // word that fully merges — exercises greedy application, UTF-8
+    // tie-breaks, and the early-stop edge in both regimes
+    val docs = Seq(
+      (1L, "low lower lowest low low newer new"),
+      (2L, "wider wide new newer lowest ab ab ab"),
+      (3L, "zz zz zz zz a")).toDF("doc_id", "text")
+    val (mD, vD) = Bpe.train(docs, nMerges = 10) // driver regime (small vocab)
+    val (mS, vS) = Bpe.train(docs, nMerges = 10, maxDriverVocab = 0L) // forced Spark loop
+    assert(mD === mS, s"merge sequences must match: $mD vs $mS")
+    def state(v: org.apache.spark.sql.DataFrame) = v.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(state(vD) === state(vS), "final vocabulary state must match")
+  }
+
   test("train stops early on a fully-merged vocabulary") {
     val docs = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
     // "aa </w>" needs 2 merges to a single symbol; further rounds no-op
