@@ -137,11 +137,21 @@ object Bpe {
     */
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text",
       maxDriverVocab: Long = 1L << 20): (Seq[Merge], DataFrame) = {
+    // Persist wf across probe + training: `limit(cap+1).count()` runs
+    // the full word-frequency aggregation underneath (limit above an
+    // aggregate does not short-circuit it), so without the cache the
+    // regime probe plus trainDriver's collect (or the distributed
+    // loop's first round) would scan the corpus TWICE where the
+    // contract promises ONE pass. The cached table is the Zipf-bounded
+    // vocabulary, not the corpus.
     val wf = wordFreqs(docs, textCol)
-    val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
-    if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
-      trainDriver(wf, nMerges)
-    else trainDistributed(wf, nMerges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
+      if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
+        trainDriver(wf, nMerges)
+      else trainDistributed(wf, nMerges)
+    } finally wf.unpersist(blocking = false)
   }
 
   /** Greedy left-to-right non-overlapping merge application on a symbol
@@ -160,19 +170,43 @@ object Bpe {
     out.result()
   }
 
-  /** Spark compares strings by UTF-8 bytes; the driver loop must break
-    * count ties identically.
+  /** Spark compares strings by UNSIGNED UTF-8 bytes (UTF8String's
+    * binary order); the driver loop must break count ties identically.
+    * `Arrays.compare` on byte[] is SIGNED — it would sort any non-ASCII
+    * symbol (lead byte ≥ 0x80 → negative) BEFORE ascii, inverting
+    * Spark's order for every non-ASCII tie — so this must be the
+    * unsigned variant (BpeSpec's non-BMP parity fixture pins it).
     */
   private def utf8Lt(x: String, y: String): Boolean =
-    java.util.Arrays.compare(
+    java.util.Arrays.compareUnsigned(
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** word → initial symbols by UNICODE CODE POINT — the driver twin of
+    * [[initialSymstr]]. Spark's `length`/`substr` count code points, so
+    * a `String.map(_.toString)` split (UTF-16 code units) would cut a
+    * non-BMP character (emoji, supplementary CJK) into two lone
+    * surrogates — divergent initial symbols, divergent merges, and a
+    * broken bit-identical regime contract (worse, `utf8Lt`'s
+    * getBytes(UTF_8) maps lone surrogates to '?', colliding tie-breaks).
+    * BpeSpec's regime-parity fixture includes a non-BMP word to pin this.
+    */
+  private def codePointSyms(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   private def trainDriver(wf: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     val spark = wf.sparkSession
     var vocab: Array[(String, Long, Vector[String])] = wf.collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getString(0).map(_.toString).toVector :+ EndMark))
+        codePointSyms(r.getString(0)) :+ EndMark))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 0
     var exhausted = false

@@ -1206,11 +1206,13 @@ object Dedup {
     * the prefix index fans out ~9× MORE candidate rows than all-pairs
     * (measured 112.6M at sf0.1). The two regimes:
     *
-    *  - vocab ≤ `denseVocabMax` (≤ 64): [[bitsetJaccardPairs]] — each
-    *    token set is a 64-bit mask, identical sets collapse first
-    *    (exact dedup, the d01 move), and candidate evaluation is
-    *    `bit_count(a & b)` arithmetic over DISTINCT masks only. No
-    *    token self-join exists in the plan at all.
+    *  - vocab ≤ `denseVocabMax` (≤ 64) AND measured distinct-mask count
+    *    M ≤ `denseMaskMax`: [[bitsetJaccardPairs]] — each token set is a
+    *    64-bit mask, identical sets collapse first (exact dedup, the d01
+    *    move), and candidate evaluation is `bit_count(a & b)` arithmetic
+    *    over DISTINCT masks only. No token self-join exists in the plan
+    *    at all. The M gate exists because the candidate stage is M×M —
+    *    see the probe comment at the regime split.
     *  - otherwise: [[ppjoinPairs]] — canonical PPJoin with the length
     *    AND positional filters round 12 omitted.
     *
@@ -1223,14 +1225,32 @@ object Dedup {
     */
   def jaccardSelfJoin(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", denseVocabMax: Int = 64,
-      smallCorpusMax: Long = 1L << 20): DataFrame = {
+      smallCorpusMax: Long = 1L << 20, denseMaskMax: Long = 1L << 16): DataFrame = {
     require(denseVocabMax <= 64, s"dense path packs one 64-bit mask, got $denseVocabMax")
     val probe = spreadForCpu(docs)
       .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
       .distinct().limit(denseVocabMax + 1).collect().map(_.getString(0))
-    if (probe.length <= denseVocabMax)
-      bitsetJaccardPairsImpl(docs, idCol, textCol, probe.sorted, smallCorpusMax)
-    else ppjoinPairs(docs, idCol, textCol)
+    if (probe.length <= denseVocabMax) {
+      // Second gate — the r14 finding: a ≤64-token vocabulary bounds the
+      // mask SPACE at 2^64, not the observed mask count M, and the dense
+      // path's candidate stage is an M×M broadcast-nested-loop. A corpus
+      // whose mask space is rich (M ~ 10⁵⁺) would sit in a near-quadratic
+      // BNLJ however small its vocabulary, so M is MEASURED with the same
+      // bounded limit-count discipline as the vocabulary and corpus
+      // probes (the distinct-mask table is tiny; only a scalar reaches
+      // the driver). The probe costs one extra mask-fold scan of the
+      // corpus — linear, and cheap insurance against an unbounded
+      // quadratic stage. Above the bound, route to the sparse regime
+      // (ppjoinPairs, proven exact against all-pairs truth), whose cost
+      // tracks the prefix-index fan-out rather than M².
+      val vocab = probe.sorted
+      val mCap = math.min(denseMaskMax, Int.MaxValue - 2L).toInt
+      val m = tokenMasks(docs, idCol, textCol, vocab)
+        .select(col("mask")).distinct().limit(mCap + 1).count()
+      if (m <= denseMaskMax)
+        bitsetJaccardPairsImpl(docs, idCol, textCol, vocab, smallCorpusMax)
+      else ppjoinPairs(docs, idCol, textCol)
+    } else ppjoinPairs(docs, idCol, textCol)
   }
 
   /** Dense-vocabulary exact Jaccard ≥ ½ pairs: token sets as 64-bit
@@ -1258,6 +1278,26 @@ object Dedup {
     bitsetJaccardPairsImpl(docs, idCol, textCol, vocab.sorted, smallCorpusMax)
   }
 
+  /** Per-document 64-bit token-set mask (id, mask, sz): one fold per
+    * row via a constant-folded literal token→bit map, no shuffle.
+    * Shared by the dense regime's candidate machinery and by
+    * [[jaccardSelfJoin]]'s mask-count probe so both see ONE definition
+    * of the mask. Empty token sets are excluded (J undefined vs ∅).
+    */
+  private def tokenMasks(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Array[String]): DataFrame = {
+    // literal token→bit-value map: constant-folded, O(|vocab|) per-row
+    val bitVal = map(vocab.zipWithIndex.flatMap {
+      case (tk, i) => Seq(lit(tk), lit(1L << i)) }: _*)
+    spreadForCpu(docs)
+      .select(col(idCol).as("id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col("id"),
+        aggregate(col("ts"), lit(0L), (acc, tk) => acc.bitwiseOR(element_at(bitVal, tk))).as("mask"))
+      .withColumn("sz", expr("bit_count(mask)").cast(LongType))
+  }
+
   private def bitsetJaccardPairsImpl(docs: DataFrame, idCol: String,
       textCol: String, vocab: Array[String],
       smallCorpusMax: Long): DataFrame = {
@@ -1269,16 +1309,7 @@ object Dedup {
     val nDocs =
       if (smallCorpusMax <= 0L) 1L // forced scale regime: skip the probe
       else docs.limit(probeCap + 1).count()
-    // literal token→bit-value map: constant-folded, O(|vocab|) per-row
-    val bitVal = map(vocab.zipWithIndex.flatMap {
-      case (tk, i) => Seq(lit(tk), lit(1L << i)) }: _*)
-    val masks = spreadForCpu(docs)
-      .select(col(idCol).as("id"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("ts"))
-      .where(size(col("ts")) > 0)
-      .select(col("id"),
-        aggregate(col("ts"), lit(0L), (acc, tk) => acc.bitwiseOR(element_at(bitVal, tk))).as("mask"))
-      .withColumn("sz", expr("bit_count(mask)").cast(LongType))
+    val masks = tokenMasks(docs, idCol, textCol, vocab)
     val dm = masks.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
       .withColumn("sz", expr("bit_count(mask)").cast(LongType))
     // qualifying DISTINCT-mask pairs: broadcast nested-loop over the

@@ -300,7 +300,6 @@ object Multimodal {
     */
   def crossModalTop1(docs: DataFrame, dim: Int = 8, captionTokens: Int = 8,
       maxProbeId: Long = 30L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the SIMPLE per-(dim, token) md5 fold is the measured fastest form:
     // two "optimizations" both LOST — tf-weighted distinct tokens
     // (array_distinct+filter outweigh saved hashes on wide vocabularies:
@@ -333,18 +332,33 @@ object Multimodal {
       lit(0L), (a, x) => a + x)
     def norm2(v: Column): Column =
       aggregate(transform(v, x => x * x), lit(0L), (a, x) => a + x)
-    val scored = caps.crossJoin(broadcast(imgs))
+    // Broadcast the BOUNDED probe set and stream the corpus: the former
+    // shape (`caps.crossJoin(broadcast(imgs))`) shipped the corpus-sized
+    // image-embedding table to the driver — fine at sf0.1, fatal at
+    // 100×. With caps broadcast, imgs is scanned once in place and the
+    // per-caption top-1 is a partial+final max_by HashAggregate
+    // (Similarity.assignOrd's idiom): map-side combine collapses each
+    // corpus partition to ≤|caps| rows BEFORE the exchange, so the
+    // shuffle is probe-bounded regardless of corpus size — strictly
+    // better than the former row_number window, which sorted all
+    // |caps|×|imgs| scored rows.
+    val scored = imgs.crossJoin(broadcast(caps))
       .select(col("caption_id"), col("image_id"),
         round(dot.cast(DoubleType) /
           sqrt(norm2(col("cv")).cast(DoubleType) *
             norm2(col("iv")).cast(DoubleType)), 6).as("cosine"))
-    val w = Window.partitionBy(col("caption_id"))
-      .orderBy(col("cosine").desc, col("image_id"))
     scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("caption_id"), col("image_id"), col("cosine"),
-        (col("caption_id") === col("image_id")).as("is_match"))
+      .groupBy(col("caption_id"))
+      // ordering key = (cosine DESC NULLS LAST, image_id ASC): cosine is
+      // in [-1,1] so -2 sinks a null (zero-norm) score; -image_id flips
+      // the exact-tie break to the LOWEST image id — identical to the
+      // former window order (cosine desc, image_id).
+      .agg(max_by(struct(col("image_id"), col("cosine")),
+        struct(coalesce(col("cosine"), lit(-2.0)), negate(col("image_id"))))
+        .as("win"))
+      .select(col("caption_id"), col("win.image_id").as("image_id"),
+        col("win.cosine").as("cosine"),
+        (col("caption_id") === col("win.image_id")).as("is_match"))
       .orderBy(col("caption_id"))
   }
 

@@ -341,10 +341,15 @@ object Stream {
     * estimate as Dedup.estJaccard — emits matches ≥ threshold, then
     * enters the store.
     *
-    * Replay absorption (H5): a document already present in the bucket
-    * store is skipped entirely — no duplicate emission, no state
-    * rewrite — so an at-least-once replay of a committed micro-batch
-    * produces nothing. Restart durability: the store lives in the
+    * Replay absorption (H5) is SIGNATURE-keyed, not id-keyed: a
+    * document whose stored signature EQUALS the incoming one is skipped
+    * entirely — no duplicate emission, no state rewrite — so an
+    * at-least-once replay of a committed micro-batch produces nothing.
+    * A known id arriving with a DIFFERENT signature is an upstream
+    * correction (the text changed), not a replay: it re-probes the
+    * bucket (self excluded) and overwrites the stored signature —
+    * keying on id alone would silently drop corrections, leaving the
+    * store stale forever. Restart durability: the store lives in the
     * RocksDB state checkpoint, proven by StreamingSpec's restart-resume
     * scenario (batch 2 matches against batch 1's signatures after a
     * full query restart).
@@ -373,11 +378,17 @@ object Stream {
         .toArray.sortBy(_._1)
       val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
       incoming.foreach { case (id, sig) =>
-        if (!sigs.containsKey(id)) { // replay of a committed batch: absorbed
+        val stored = if (sigs.containsKey(id)) sigs.getValue(id) else null
+        // equal signature → at-least-once replay: absorbed. Different
+        // signature under a known id → upstream CORRECTION: re-probe
+        // (self excluded) and overwrite the stored signature.
+        if (stored == null || stored != sig) {
           sigs.iterator().foreach { case (mid, msig) =>
-            val est = sig.iterator.zip(msig.iterator)
-              .count { case (a, b) => a == b }.toDouble / k
-            if (est >= threshold) out += DupMatch(id, mid, bucket, est)
+            if (mid != id) {
+              val est = sig.iterator.zip(msig.iterator)
+                .count { case (a, b) => a == b }.toDouble / k
+              if (est >= threshold) out += DupMatch(id, mid, bucket, est)
+            }
           }
           sigs.updateValue(id, sig)
         }

@@ -113,13 +113,18 @@ class BpeSpec extends SparkSpec {
 
   test("train: driver and distributed regimes produce IDENTICAL merges " +
       "and vocabulary state (the regime switch may never change results)") {
-    // real-word fixture with ties, repeats, multi-char growth, and a
-    // word that fully merges — exercises greedy application, UTF-8
-    // tie-breaks, and the early-stop edge in both regimes
+    // real-word fixture with ties, repeats, multi-char growth, a word
+    // that fully merges, AND non-BMP words (🦀 = U+1F980, 𠀀 = U+20000:
+    // two UTF-16 code units each) — exercises greedy application, UTF-8
+    // tie-breaks, the early-stop edge, and the code-point initial-symbol
+    // contract in both regimes: Spark's substr splits by code point, so
+    // a driver split by code UNIT would cut the emoji into lone
+    // surrogates and diverge
     val docs = Seq(
       (1L, "low lower lowest low low newer new"),
       (2L, "wider wide new newer lowest ab ab ab"),
-      (3L, "zz zz zz zz a")).toDF("doc_id", "text")
+      (3L, "zz zz zz zz a"),
+      (4L, "🦀x 🦀x 🦀x 🦀y a𠀀b a𠀀b 𠀀𠀀")).toDF("doc_id", "text")
     val (mD, vD) = Bpe.train(docs, nMerges = 10) // driver regime (small vocab)
     val (mS, vS) = Bpe.train(docs, nMerges = 10, maxDriverVocab = 0L) // forced Spark loop
     assert(mD === mS, s"merge sequences must match: $mD vs $mS")

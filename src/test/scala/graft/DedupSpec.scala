@@ -684,6 +684,23 @@ class DedupSpec extends SparkSpec {
     assert(got(Dedup.jaccardSelfJoin(docs)) === truth)
   }
 
+  test("jaccardSelfJoin routes a rich MASK space to PPJoin (denseMaskMax " +
+    "gate) and stays exact") {
+    // the r14 finding: a ≤64-token vocabulary does NOT bound the distinct
+    // mask count M, and the dense candidate stage is M×M. A forced tiny
+    // denseMaskMax must route this dense-vocabulary corpus (well under 64
+    // tokens, but >4 distinct masks) to the sparse regime with the answer
+    // unchanged — the regime switch may never change results.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dense = Dedup.jaccardSelfJoin(docs).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("inter"))).toMap
+    val routed = Dedup.jaccardSelfJoin(docs, denseMaskMax = 4L).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("inter"))).toMap
+    assert(dense.size > 100, s"fixture suspiciously small: ${dense.size}")
+    assert(routed === dense)
+  }
+
   test("jaccardSelfJoin routes a >64-token vocabulary to PPJoin and stays exact") {
     import spark.implicits._
     // sliding 10-token windows over a 79-token vocabulary: doc i pairs

@@ -136,13 +136,30 @@ class PlanAuditSpec extends SparkSpec {
       "the exact multi-distinct profile is expected to plan through Expand")
   }
 
-  test("m07: retrieval joins via broadcast (probe-side NLJ), never a shuffled cartesian") {
+  test("m07: the BOUNDED caption probe set broadcasts and the image corpus " +
+      "streams — top-1 is a partial+final max_by, no window sort") {
     val p = SparkEntry.queries("m07_crossmodal")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"),
-      s"cross-modal scoring must broadcast the image vectors, plan:\n$p")
+      s"cross-modal scoring must be a broadcast NLJ, plan:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"a shuffled cartesian would not survive a large image side, plan:\n$p")
+    // the r14 finding: broadcasting the image CORPUS lands a data-sized
+    // table on the driver at 100×. The broadcast subtree (the last child
+    // printed under the BNLJ) must be the caption/probe side.
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"expected a BroadcastExchange node, plan:\n$p")
+    val sub = p.substring(bx)
+    assert(sub.contains("caption_id") && !sub.contains("image_id"),
+      s"the broadcast side must be the bounded caption probe set, never " +
+        s"the image corpus, broadcast subtree:\n$sub")
+    // and the per-caption top-1 is an aggregate (map-side combine bounds
+    // the shuffle at |captions| rows/partition), not a window sort of
+    // the |captions|×|corpus| scored rows
+    assert(!p.contains("Window"),
+      s"per-caption top-1 must not window-sort the scored rows, plan:\n$p")
+    assert(p.contains("max_by"),
+      s"expected the max_by argmax aggregate, plan:\n$p")
   }
 
   test("q77: OHLC bars are ONE partial+final aggregation — no window pass") {

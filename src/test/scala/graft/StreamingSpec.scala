@@ -573,6 +573,25 @@ class StreamingSpec extends SparkSpec {
         (13L, "fifteen sixteen seventeen eighteen nineteen twenty"))
       run()
       assert(collected.isEmpty, s"replay must be absorbed: $collected")
+
+      // b3: an upstream CORRECTION — doc 13 re-arrives under its id with
+      // DIFFERENT text (now an exact copy of base). Absorption keyed on
+      // id alone would drop it silently (indistinguishable from a
+      // replay); signature-keyed absorption re-probes the store and
+      // updates 13's signature, so the correction matches 1, 2 and 11
+      collected.clear()
+      write("b3.jsonl", (13L, base))
+      run()
+      assert(pairs === Set((13L, 1L), (13L, 2L), (13L, 11L)),
+        s"a corrected document must re-probe the store: $collected")
+
+      // b4: an at-least-once replay of the CORRECTED doc (same id, same
+      // NEW text) — stored and incoming signatures now equal, absorbed
+      collected.clear()
+      write("b4.jsonl", (13L, base))
+      run()
+      assert(collected.isEmpty,
+        s"replay of the corrected doc must be absorbed: $collected")
     } finally {
       prior match {
         case Some(v) => spark.conf.set(providerKey, v)
