@@ -196,6 +196,18 @@ object Bench {
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val calibPre = calibrate()
     val calibMtPre = calibrateMt()
+    // one shuffle tally for the whole run: reset + read per timed
+    // iteration, both behind a bus drain (OUTSIDE the timed section —
+    // the drain waits on listener delivery, not query work). The
+    // receipt is the LAST iteration's bytes: shuffle volume is a plan
+    // property, identical across cache-cold iterations, so one value
+    // per query suffices and round-over-round diffs of BENCH_DETAIL
+    // catch a d32-style fan-out even when wall time hides it.
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def drain(): Unit =
+      try org.apache.spark.graftaccess.SparkAccess.drainListenerBus(spark.sparkContext)
+      catch { case NonFatal(_) => () } // a drain timeout must not fail the bench
     val results = selected.map { case (name, fn) =>
       // every timed iteration starts cache-cold and memory-neutral: drop
       // operator-internal persists (d03 shingle sets, d04 signatures) and
@@ -206,13 +218,20 @@ object Bench {
       // (System.gc() also lets ContextCleaner reap unreferenced
       // localCheckpoint RDD blocks, which clearCache does not cover)
       var firstErr: Option[String] = None
+      var shufBytes = -1L
+      var shufRecords = -1L
       val timings = (1 to iters).flatMap { _ =>
         spark.catalog.clearCache()
         System.gc()
+        drain(); tally.reset()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          drain()
+          shufBytes = tally.shuffleBytes
+          shufRecords = tally.shuffleRecords
+          Some(dt)
         } catch {
           case NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -223,11 +242,13 @@ object Bench {
       // any failed iteration fails the query — a partially-failing query
       // must not report a healthy-looking median; the failure class goes
       // into the driver-visible report, not just stderr
-      if (timings.size < iters) (name, -1.0, Some(firstErr.getOrElse("failed")), timings)
+      if (timings.size < iters)
+        (name, -1.0, Some(firstErr.getOrElse("failed")), timings, shufBytes, shufRecords)
       else {
         val sorted = timings.sorted
-        System.err.println(f"[bench] $name iters=${sorted.map(t => f"$t%.3f").mkString(",")}")
-        (name, sorted(iters / 2), None, timings)
+        System.err.println(f"[bench] $name iters=${sorted.map(t => f"$t%.3f").mkString(",")} " +
+          f"shuffle=${shufBytes / 1e6}%.1fMB/${shufRecords} rows")
+        (name, sorted(iters / 2), None, timings, shufBytes, shufRecords)
       }
     }
     val calibPost = calibrate()
@@ -237,8 +258,8 @@ object Bench {
     // sbt's LoggedOutput prepended "[info] " — build.sbt sets
     // outputStrategy := StdoutOutput (byte budget handled in reportLine)
     val line = reportLine(
-      results.collect { case (k, v, None, _) => (k, v) },
-      results.collect { case (k, _, Some(e), _) => (k, e) },
+      results.collect { case (k, v, None, _, _, _) => (k, v) },
+      results.collect { case (k, _, Some(e), _, _, _) => (k, e) },
       (calibPre, calibPost), (calibMtPre, calibMtPost), sfDir)
     // full-precision sidecar: the stdout line lives inside the driver's
     // 2000-byte tail window and degrades per-query precision to fit (at
@@ -249,12 +270,14 @@ object Bench {
     try {
       val detail = {
         def arr(ts: Seq[Double]) = ts.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString("[", ",", "]")
-        val qs = results.sortBy(_._1).map { case (k, v, err, ts) =>
+        val qs = results.sortBy(_._1).map { case (k, v, err, ts, sb, sr) =>
           val med = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-          s"""${j(k)}:{"median":$med,"iters":${arr(ts)}${err.map(e => s""","err":${j(e)}""").getOrElse("")}}"""
+          // -1 = no successful iteration measured a receipt; omitted
+          val shuf = if (sb >= 0L) s""","shufBytes":$sb,"shufRecords":$sr""" else ""
+          s"""${j(k)}:{"median":$med,"iters":${arr(ts)}$shuf${err.map(e => s""","err":${j(e)}""").getOrElse("")}}"""
         }.mkString("{", ",", "}")
         val total = "%.3f".formatLocal(java.util.Locale.ROOT,
-          results.collect { case (_, v, None, _) => v }.sum)
+          results.collect { case (_, v, None, _, _, _) => v }.sum)
         s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":${j(cpus)},"queries":$qs,"calib":[${"%.3f".formatLocal(java.util.Locale.ROOT, calibPre)},${"%.3f".formatLocal(java.util.Locale.ROOT, calibPost)}],"calibmt":[${"%.3f".formatLocal(java.util.Locale.ROOT, calibMtPre)},${"%.3f".formatLocal(java.util.Locale.ROOT, calibMtPost)}],"sf":${j(sfDir)}}"""
       }
       val out = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
