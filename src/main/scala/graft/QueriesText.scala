@@ -438,37 +438,64 @@ private[graft] object QueriesText {
         .orderBy(col("doc_id"))),
 
     // Tokenizer fertility eval: per-language tokens-per-word (fertility)
-    // and bytes-per-token (compression) under the t11-trained 12-merge
-    // BPE vocab — THE go/no-go number for a tokenizer across a
-    // multilingual corpus (a language with fertility ≫ corpus mean pays
-    // proportionally more sequence length per word). All inputs are
-    // exact integer sums (word counts, BPE token counts, octet lengths);
-    // the two ratios are single guarded divisions, so the twin replays
-    // the whole thing through the shared BPE chain with zero float
-    // accumulation.
+    // and bytes-per-token (compression) under BOTH trained tokenizers —
+    // the t11 12-merge BPE vocab and the t32 unigram-LM model — THE
+    // go/no-go comparison for a tokenizer across a multilingual corpus
+    // (a language with fertility ≫ corpus mean pays proportionally more
+    // sequence length per word, and the BPE-vs-unigram delta is the
+    // model-choice signal). All inputs are exact integer sums (word
+    // counts, token counts, octet lengths); the ratios are single guarded
+    // divisions, so the twin replays the whole thing through the shared
+    // BPE + unigram chains with zero float accumulation.
     "t30_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val (_, vocab) = analytics.Bpe.train(docs, nMerges = 12)
-      val enc = analytics.Bpe.encode(docs, vocab)
+      val encB = analytics.Bpe.encode(docs, vocab)
         .select(col("doc_id"), col("n_bpe"))
+      val (pieces, segs) = analytics.Unigram.train(docs)
+      val encU = analytics.Unigram.encode(docs, pieces, segs)
+        .select(col("doc_id"), col("n_uni"))
       val base = analytics.Par.spreadForCpu(docs)
         .select(col("doc_id"), col("lang"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
           octet_length(col("text")).cast("long").as("n_bytes"))
-      base.join(enc, Seq("doc_id"), "left")
+      base.join(encB, Seq("doc_id"), "left").join(encU, Seq("doc_id"), "left")
         .select(col("lang"), col("n_words"), col("n_bytes"),
-          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+          coalesce(col("n_bpe"), lit(0L)).as("n_bpe"),
+          coalesce(col("n_uni"), lit(0L)).as("n_uni"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
-          sum(col("n_bpe")).as("n_bpe"), sum(col("n_bytes")).as("n_bytes"))
+          sum(col("n_bpe")).as("n_bpe"), sum(col("n_uni")).as("n_uni"),
+          sum(col("n_bytes")).as("n_bytes"))
         .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
-          col("n_bytes"),
+          col("n_uni"), col("n_bytes"),
           round(when(col("n_words") > 0,
             col("n_bpe").cast("double") / col("n_words")), 6).as("fertility"),
           round(when(col("n_bpe") > 0,
             col("n_bytes").cast("double") / col("n_bpe")), 6)
-            .as("bytes_per_token"))
+            .as("bytes_per_token"),
+          round(when(col("n_words") > 0,
+            col("n_uni").cast("double") / col("n_words")), 6).as("fertility_uni"),
+          round(when(col("n_uni") > 0,
+            col("n_bytes").cast("double") / col("n_uni")), 6)
+            .as("bytes_per_token_uni"))
         .orderBy(col("lang"))
+    }),
+
+    // Unigram-LM (SentencePiece-family) tokenizer, trained AND applied —
+    // the EM/prune sibling of t11's BPE: substring-frequency seed
+    // (chars + top 200 multi-char pieces), 2 Viterbi-EM rounds, prune to
+    // chars + top 100, 1 more EM round, then Viterbi-encode every doc
+    // under the final smoothed log-probs. The DuckDB twin replays the
+    // whole chain — seed counts, every EM round's Viterbi DP (a
+    // list_reduce with a LIST(STRUCT) best-score accumulator), the prune,
+    // and the encode — so piece selection, scores, segmentations, id
+    // assignment, and every per-doc id sequence hash-match end-to-end.
+    "t32_unigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (pieces, segs) = analytics.Unigram.train(docs)
+      analytics.Unigram.encode(docs, pieces, segs)
+        .orderBy(col("doc_id"))
     }),
 
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
@@ -1082,9 +1109,14 @@ private[graft] object QueriesText {
     // then mirror Bpe.tokenIds/encode and the t03 estimator.
     "t11_bpe" -> bpeOracleSql(12),
 
-    // Fertility twin (t30): t11's full BPE replay (shared chain), then
-    // per-language integer sums + guarded ratio divisions.
-    "t30_fertility" -> bpeFertilityOracleSql(12),
+    // Fertility twin (t30): t11's full BPE replay plus t32's full unigram
+    // replay (shared chains), then per-language integer sums + guarded
+    // ratio divisions for both models.
+    "t30_fertility" -> bpeFertilityOracleSql(12, 200, 100, 2, 1),
+
+    // Unigram tokenizer twin (t32): the full seed→EM→prune→EM→encode
+    // replay — see unigramChainSql for the DP-fold correspondence.
+    "t32_unigram" -> unigramOracleSql(200, 100, 2, 1),
 
 
     // Held-out BPE twin (t13): training replayed on the even half, the

@@ -403,25 +403,141 @@ private[graft] object QueryHelpers {
        |FROM documents d LEFT JOIN enc e USING (doc_id) CROSS JOIN tot
        |ORDER BY d.doc_id""".stripMargin
 
-  /** Fertility twin (t30): the shared BPE chain, then per-language exact
-    * integer sums and the two guarded ratio divisions.
+  /** Fertility twin (t30): the shared BPE chain AND the unigram chain
+    * (both tokenizers trained on the same corpus — the go/no-go
+    * comparison the operator ships), then per-language exact integer sums
+    * and the guarded ratio divisions for both models.
     */
-  private[graft] def bpeFertilityOracleSql(nMerges: Int): String =
+  private[graft] def bpeFertilityOracleSql(nMerges: Int, seedMulti: Int,
+      keepMulti: Int, emPre: Int, emPost: Int): String =
     "WITH " + bpeEncChainSql(nMerges) + ",\n" +
+    unigramChainSql(seedMulti, keepMulti, emPre, emPost, defineTok = false) + ",\n" +
     s"""base AS (SELECT d.doc_id, d.lang,
        |    CAST(len(tok.ws) AS BIGINT) AS n_words,
        |    CAST(strlen(d.text) AS BIGINT) AS n_bytes,
-       |    COALESCE(e.n_bpe, 0) AS n_bpe
-       |  FROM documents d JOIN tok USING (doc_id) LEFT JOIN enc e USING (doc_id))
+       |    COALESCE(e.n_bpe, 0) AS n_bpe,
+       |    COALESCE(u.n_uni, 0) AS n_uni
+       |  FROM documents d JOIN tok USING (doc_id)
+       |  LEFT JOIN enc e USING (doc_id) LEFT JOIN uenc u USING (doc_id))
        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(n_words) AS BIGINT) AS n_words,
        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+       |  CAST(sum(n_uni) AS BIGINT) AS n_uni,
        |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
        |  round(CASE WHEN sum(n_words) > 0
        |    THEN CAST(sum(n_bpe) AS DOUBLE) / sum(n_words) END, 6) AS fertility,
        |  round(CASE WHEN sum(n_bpe) > 0
-       |    THEN CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe) END, 6) AS bytes_per_token
+       |    THEN CAST(sum(n_bytes) AS DOUBLE) / sum(n_bpe) END, 6) AS bytes_per_token,
+       |  round(CASE WHEN sum(n_words) > 0
+       |    THEN CAST(sum(n_uni) AS DOUBLE) / sum(n_words) END, 6) AS fertility_uni,
+       |  round(CASE WHEN sum(n_uni) > 0
+       |    THEN CAST(sum(n_bytes) AS DOUBLE) / sum(n_uni) END, 6) AS bytes_per_token_uni
        |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Shared CTE chain of the unigram-LM tokenizer twins (t32/t30): the
+    * seed→EM→prune→EM→encode pipeline of [[graft.analytics.Unigram]]
+    * replayed verbatim — substring-frequency seed (all single chars + top
+    * `seedMulti` multi-char), `emPre` Viterbi-EM rounds, the prune to
+    * chars + top `keepMulti`, `emPost` more rounds, then the final Viterbi
+    * pass and per-doc encoding. The Viterbi DP is a list_reduce whose
+    * accumulator is the LIST(STRUCT(s, g)) best-score/segmentation table
+    * (first element seeds position 0; the dummy fold elements exist only
+    * to drive one step per position — i = len(acc)); candidate lookbacks
+    * fold l-ascending with `>=` replacement, exactly the operator's
+    * tie-break. Scores are round-9 smoothed logs, so every DP sum is a
+    * fixed-order fold of identical doubles in both engines. Emits
+    * `uenc(doc_id, n_uni, ids_str)`; `defineTok` controls whether the
+    * shared `tok` CTE opens the chain (false when composed after
+    * [[bpeEncChainSql]], which already defines it).
+    */
+  private[graft] def unigramChainSql(seedMulti: Int, keepMulti: Int,
+      emPre: Int, emPost: Int, defineTok: Boolean): String = {
+    val L = graft.analytics.Unigram.MaxLen
+    def segCte(tag: String, prev: String): String =
+      s"""uent$tag AS (SELECT word, list({'pc': pc, 'lp': lp}) AS es
+         |  FROM uwpc JOIN $prev USING (pc) GROUP BY word),
+         |useg$tag AS MATERIALIZED (SELECT word, freq, ltrim(dp[n+1].g) AS seg FROM (
+         |  SELECT w.word AS word, w.freq AS freq, length(w.word) AS n,
+         |    list_reduce(
+         |      list_prepend([{'s': CAST(0.0 AS DOUBLE), 'g': ''}],
+         |        list_transform(range(1, length(w.word)+1), q -> [{'s': CAST(0.0 AS DOUBLE), 'g': ''}])),
+         |      (acc, el) -> list_append(acc,
+         |        list_reduce(
+         |          list_prepend({'s': -1e18, 'g': ''},
+         |            list_transform(range(1, least($L, len(acc))+1), l ->
+         |              {'s': acc[len(acc)-l+1].s + list_filter(e.es, x -> x.pc = substr(w.word, len(acc)-l+1, l))[1].lp,
+         |               'g': acc[len(acc)-l+1].g || ' ' || substr(w.word, len(acc)-l+1, l)})),
+         |          (b, c) -> CASE WHEN c.s IS NOT NULL AND c.s >= b.s THEN c ELSE b END)))
+         |    AS dp
+         |  FROM uwf w JOIN uent$tag e USING (word)))""".stripMargin
+    def scoreCte(vName: String, vcName: String): String =
+      s"""$vName AS MATERIALIZED (SELECT pc, round(ln((CAST(c AS DOUBLE) + 0.5) /
+         |  (CAST((SELECT sum(c) FROM $vcName) AS DOUBLE) + 0.5 * CAST((SELECT count(*) FROM $vcName) AS DOUBLE))), 9) AS lp
+         |  FROM $vcName)""".stripMargin
+    def countCte(vcName: String, segName: String, prevV: String): String =
+      s"""$vcName AS MATERIALIZED (SELECT p.pc, COALESCE(c.c, 0) AS c
+         |  FROM $prevV p LEFT JOIN (SELECT pc, CAST(sum(freq) AS BIGINT) AS c
+         |    FROM (SELECT freq, unnest(string_split(seg, ' ')) AS pc FROM $segName)
+         |    GROUP BY pc) c USING (pc))""".stripMargin
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (defineTok)
+      parts += s"tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents)"
+    parts +=
+      s"""uwf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(ws) AS word FROM tok) GROUP BY word),
+         |uocc AS MATERIALIZED (SELECT word, freq, substr(word, i, l) AS pc
+         |  FROM uwf, UNNEST(range(1, length(word)+1)) AS t(i),
+         |    UNNEST(range(1, least($L, length(word)-i+1)+1)) AS u(l)),
+         |upf AS (SELECT pc, CAST(sum(freq) AS BIGINT) AS c FROM uocc GROUP BY pc),
+         |uvc0 AS MATERIALIZED (SELECT pc, c FROM upf WHERE length(pc) = 1
+         |  UNION ALL SELECT pc, c FROM (SELECT pc, c FROM upf
+         |    WHERE length(pc) >= 2 ORDER BY c DESC, pc LIMIT $seedMulti)),
+         |uwpc AS MATERIALIZED (SELECT DISTINCT word, pc FROM uocc)""".stripMargin
+    parts += scoreCte("uv0", "uvc0")
+    var prev = "uv0"
+    for (r <- 1 to emPre) {
+      parts += segCte(r.toString, prev)
+      parts += countCte(s"uvc$r", s"useg$r", prev)
+      parts += scoreCte(s"uv$r", s"uvc$r")
+      prev = s"uv$r"
+    }
+    parts +=
+      s"""upv AS MATERIALIZED (SELECT pc, c FROM uvc$emPre WHERE length(pc) = 1
+         |  UNION ALL SELECT pc, c FROM (SELECT pc, c FROM uvc$emPre
+         |    WHERE length(pc) >= 2 ORDER BY c DESC, pc LIMIT $keepMulti))""".stripMargin
+    parts += scoreCte("uvP", "upv")
+    prev = "uvP"
+    for (r <- emPre + 1 to emPre + emPost) {
+      parts += segCte(r.toString, prev)
+      parts += countCte(s"uvc$r", s"useg$r", prev)
+      parts += scoreCte(s"uv$r", s"uvc$r")
+      prev = s"uv$r"
+    }
+    parts += segCte("E", prev)
+    parts +=
+      s"""uids AS MATERIALIZED (SELECT pc,
+         |  CAST(row_number() OVER (ORDER BY pc) - 1 AS BIGINT) AS tok_id FROM $prev),
+         |udw AS (SELECT doc_id, j - 1 AS pos, ws[j] AS word
+         |  FROM tok, UNNEST(range(1, len(ws) + 1)) AS t(j)),
+         |usub AS (SELECT doc_id, pos, k - 1 AS spos, syms[k] AS pc
+         |  FROM (SELECT doc_id, pos, string_split(s.seg, ' ') AS syms
+         |        FROM udw JOIN usegE s USING (word)),
+         |    UNNEST(range(1, len(syms) + 1)) AS u(k)),
+         |uenc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_uni,
+         |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY pos, spos) AS ids_str
+         |  FROM usub JOIN uids USING (pc) GROUP BY doc_id)""".stripMargin
+    parts.mkString(",\n")
+  }
+
+  /** Full SQL twin of t32: the unigram chain, then the per-doc encode rows
+    * (empty docs encode to (0, '')).
+    */
+  private[graft] def unigramOracleSql(seedMulti: Int, keepMulti: Int,
+      emPre: Int, emPost: Int): String =
+    "WITH " + unigramChainSql(seedMulti, keepMulti, emPre, emPost, defineTok = true) + "\n" +
+    """SELECT d.doc_id, COALESCE(e.n_uni, 0) AS n_uni, COALESCE(e.ids_str, '') AS ids_str
+      |FROM documents d LEFT JOIN uenc e USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Full SQL twin of t13: BPE training replayed on the even-doc half
     * (the bpeOracleSql rounds, plus a parallel o$i chain applying each
@@ -710,6 +826,62 @@ private[graft] object QueryHelpers {
        |SELECT v.id AS doc_id, a$iters.v AS auth, h$iters.v AS hub
        |FROM verts v JOIN a$iters ON v.id = a$iters.id JOIN h$iters ON v.id = h$iters.id
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Beam-search ANN twin (s21): s13's LSH kNN-graph chain (same planes,
+    * same raw-sim (DESC, id) rank to `graphK` edges), symmetrized, then
+    * the walk replayed round by round — beam = per-probe top-`beamWidth`
+    * of everything scored so far by (round-6 cosine DESC, id), candidates
+    * = the beam's out-edges never seen before, scored exactly; after
+    * `rounds` expansions the per-probe top-`k` of the scored set.
+    */
+  private[graft] def beamSearchOracleSql(k: Int, beamWidth: Int, rounds: Int,
+      graphK: Int, nProbes: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""b$r AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
+         |    FROM s${r - 1}) WHERE rn <= $beamWidth),
+         |c$r AS (SELECT DISTINCT b.probe_id, e.dst AS neighbor_id
+         |  FROM b$r b JOIN edges e ON e.src = b.neighbor_id
+         |  WHERE e.dst <> b.probe_id
+         |    AND NOT EXISTS (SELECT 1 FROM s${r - 1} s
+         |      WHERE s.probe_id = b.probe_id AND s.neighbor_id = e.dst)),
+         |s$r AS MATERIALIZED (SELECT * FROM s${r - 1}
+         |  UNION ALL
+         |  SELECT c.probe_id, c.neighbor_id,
+         |    round(list_cosine_similarity(pr.pv, v.ev), 6) AS sim
+         |  FROM c$r c JOIN pr ON pr.probe_id = c.probe_id
+         |    JOIN v ON v.vec_id = c.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(8, 8, 64, 42L)}),
+       |v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |bk AS MATERIALIZED (SELECT vec_id, tbl,
+       |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+       |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+       |gcand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+       |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+       |gs AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv.ev, cv.ev) AS sim
+       |  FROM gcand JOIN v pv ON pv.vec_id = gcand.probe_id
+       |    JOIN v cv ON cv.vec_id = gcand.neighbor_id),
+       |ge AS (SELECT probe_id AS src, neighbor_id AS dst FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |    FROM gs) WHERE rnk <= $graphK),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)),
+       |pr AS MATERIALIZED (SELECT vec_id AS probe_id, ev AS pv FROM v WHERE vec_id < $nProbes),
+       |ent AS (SELECT vec_id AS neighbor_id FROM v ORDER BY vec_id LIMIT $beamWidth),
+       |s0 AS MATERIALIZED (SELECT pr.probe_id, ent.neighbor_id,
+       |    round(list_cosine_similarity(pr.pv, cv.ev), 6) AS sim
+       |  FROM pr CROSS JOIN ent JOIN v cv ON cv.vec_id = ent.neighbor_id
+       |  WHERE ent.neighbor_id <> pr.probe_id),
+       |$roundCtes
+       |SELECT probe_id, rnk, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM s$rounds)
+       |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
   }
 
   /** MMR twin (s09): candidate pool + candidate-pair sims as round-6

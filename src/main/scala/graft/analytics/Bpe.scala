@@ -177,7 +177,7 @@ object Bpe {
     * Spark's order for every non-ASCII tie — so this must be the
     * unsigned variant (BpeSpec's non-BMP parity fixture pins it).
     */
-  private def utf8Lt(x: String, y: String): Boolean =
+  private[analytics] def utf8Lt(x: String, y: String): Boolean =
     java.util.Arrays.compareUnsigned(
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
@@ -292,9 +292,21 @@ object Bpe {
     * boundaries fall: local rank + preceding-partition population IS the
     * global rank for any contiguous ordered partitioning.
     */
-  def tokenIds(vocab: DataFrame): DataFrame = {
-    val parts = vocab.select(explode(split(col("symstr"), " ")).as("tokstr")).distinct()
-      .repartitionByRange(col("tokstr"))
+  def tokenIds(vocab: DataFrame): DataFrame =
+    lexRankIds(
+      vocab.select(explode(split(col("symstr"), " ")).as("tokstr")).distinct(),
+      "tokstr", "tok_id")
+
+  /** Global lexicographic rank ids over a DISTINCT string column, WITHOUT
+    * a global single-partition window (the recipe [[tokenIds]] documents):
+    * range-repartition → partition-local rank → driver prefix-sum of the
+    * numPartitions-row population table → broadcast offsets. Shared with
+    * [[Unigram.pieceIds]].
+    */
+  private[analytics] def lexRankIds(distinctDf: DataFrame, in: String,
+      out: String): DataFrame = {
+    val parts = distinctDf
+      .repartitionByRange(col(in))
       .withColumn("pid", spark_partition_id())
       // materialize once: the count job and the rank pass must see the
       // SAME sampled range boundaries (a recompute may re-sample)
@@ -303,14 +315,14 @@ object Bpe {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, cnt) => val o = acc; acc += cnt; (pid, o) }
-    val offsetsDf = vocab.sparkSession.createDataFrame(offsets.toSeq)
+    val offsetsDf = distinctDf.sparkSession.createDataFrame(offsets.toSeq)
       .toDF("pid", "offset")
     parts
       .withColumn("lrank",
-        row_number().over(Window.partitionBy(col("pid")).orderBy(col("tokstr"))))
+        row_number().over(Window.partitionBy(col("pid")).orderBy(col(in))))
       .join(broadcast(offsetsDf), Seq("pid"))
-      .select(col("tokstr"),
-        (col("offset") + col("lrank") - 1).cast(LongType).as("tok_id"))
+      .select(col(in),
+        (col("offset") + col("lrank") - 1).cast(LongType).as(out))
   }
 
   /** Encode documents against a trained vocabulary: per document, the
