@@ -230,6 +230,26 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("probe_id"), col("rnk"))
     }),
 
+    // Graph-traversal ANN (the HNSW-family shape, one layer): beam search
+    // over the symmetrized kNN graph s13's machinery builds (k=8 edges —
+    // measured: the k=3 graph walks at recall 0.24, k=8 at 0.72; sparse
+    // graphs on random high-dim data aren't navigable), fixed entry
+    // points (16 lowest ids), 4 expansion rounds, beam 16, every ranking
+    // on (round-6 cosine desc, id asc) so the twin replays the walk move
+    // for move. The query-time member of the family whose INDEX s13
+    // builds: candidates are graph-local (frontier-bound per round),
+    // never bucket-global. Recall vs brute force is floor-asserted in
+    // SimilaritySpec.
+    "s21_beam_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.beamSearchTopK(e, e.where(col("vec_id") < 10), k = 5,
+          beamWidth = 16, rounds = 4, nTables = 8, planesPerTable = 8,
+          dim = 64, graphK = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          col("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Random-projection (JL) ANN: candidates by 32-dim PROJECTED cosine
     // (one seeded-Gaussian linear map per vector, computed once), exact
     // 64-dim re-rank of the top-100 — the dimensionality-reduction ANN
@@ -569,6 +589,17 @@ private[graft] object QueriesSimGraph {
       Multimodal.payloadTriage(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // Mixed-container sniff + decode (JPEG/MP3 alongside PNG/WAV): every
+    // other image is JPEG (SOI → APP0-hop → SOF0 segment WALK for dims),
+    // every other audio payload an MPEG-1 Layer III frame header (sync +
+    // bitrate/sample-rate index tables + the ISO frame-length formula),
+    // through m08's corruption fixture. The twin computes every decoded
+    // field arithmetically from the fixture, so an off-by-one in any of
+    // the four parsers breaks the hash.
+    "m09_container_meta" -> ((s, dir) =>
+      Multimodal.containerMeta(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
     // 16), recall recovered by probing each bucket's Hamming-1
     // neighbors — probe-side-only expansion, equi-join preserved, the
@@ -754,6 +785,63 @@ private[graft] object QueriesSimGraph {
         |  verdict IN ('truncated', 'bad_magic', 'no_container') AND modality <> 'video' AS quarantine
         |FROM v ORDER BY doc_id""".stripMargin,
 
+    // Mixed-container twin (m09): every decoded field computed
+    // arithmetically from the fixture — container/length algebra, the
+    // PNG/JPEG dimension formulas, WAV sample geometry, the MP3
+    // bitrate/sample-rate tables and ISO frame-length formula — so all
+    // four Spark parsers must byte-walk their way to these exact values.
+    "m09_container_meta" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, modality,
+        |  CASE WHEN modality = 'image' AND doc_id % 6 = 0 THEN 'jpeg'
+        |       WHEN modality = 'image' THEN 'png'
+        |       WHEN modality = 'audio' AND doc_id % 6 = 1 THEN 'mp3'
+        |       WHEN modality = 'audio' THEN 'wav'
+        |       ELSE 'raw' END AS fmt,
+        |  CASE WHEN modality = 'image' AND doc_id % 6 = 0 THEN 39 + n
+        |       WHEN modality = 'image' THEN 33 + n
+        |       WHEN modality = 'audio' AND doc_id % 6 = 1 THEN 4 + n
+        |       WHEN modality = 'audio' THEN 44 + n
+        |       ELSE n END AS full_len
+        |  FROM b),
+        |k AS (SELECT doc_id, n, modality, fmt, full_len,
+        |  CASE WHEN doc_id % 7 = 0 THEN least(full_len, 10) ELSE full_len END AS n_bytes,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'trunc' WHEN doc_id % 11 = 0 THEN 'flip' ELSE 'ok' END AS corr
+        |  FROM c),
+        |m AS (SELECT *,
+        |  CASE WHEN fmt = 'mp3' AND corr <> 'flip'
+        |    THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(1 + doc_id % 14 AS INT)] END AS br,
+        |  CASE WHEN fmt = 'mp3' AND corr <> 'flip'
+        |    THEN [44100,48000,32000][CAST((doc_id // 3) % 3 + 1 AS INT)] END AS sr,
+        |  CASE WHEN fmt = 'mp3' AND corr <> 'flip' THEN doc_id % 2 END AS pad
+        |  FROM k),
+        |f AS (SELECT *, CASE WHEN br IS NOT NULL THEN (144000 * br) // sr + pad END AS fb FROM m),
+        |v AS (SELECT *,
+        |  CASE
+        |    WHEN corr = 'flip' THEN 'no_container'
+        |    WHEN fmt = 'raw' THEN 'no_container'
+        |    WHEN fmt = 'mp3' THEN 'ok_audio'
+        |    WHEN corr = 'trunc' THEN 'truncated'
+        |    WHEN fmt IN ('png', 'jpeg') THEN 'ok_image'
+        |    ELSE 'ok_audio' END AS verdict
+        |  FROM f)
+        |SELECT doc_id, modality,
+        |  CASE WHEN corr = 'flip' THEN 'raw' ELSE fmt END AS container,
+        |  CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN fmt IN ('png', 'jpeg') AND corr = 'ok' THEN 16 + n % 64 END AS INT) AS width,
+        |  CAST(CASE WHEN fmt IN ('png', 'jpeg') AND corr = 'ok' THEN 16 + (n * 7) % 64 END AS INT) AS height,
+        |  CAST(CASE WHEN fmt IN ('png', 'jpeg') AND corr = 'ok' THEN 3 END AS INT) AS channels,
+        |  CAST(CASE WHEN fmt = 'wav' AND corr = 'ok' THEN 16000
+        |            WHEN fmt = 'mp3' AND corr <> 'flip' THEN sr END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN fmt = 'wav' AND corr = 'ok' THEN n * 100 END AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN fmt = 'mp3' AND corr <> 'flip' THEN br END AS INT) AS bitrate_kbps,
+        |  CAST(CASE WHEN fmt = 'mp3' AND corr <> 'flip' THEN n_bytes // fb END AS BIGINT) AS n_frames,
+        |  verdict,
+        |  verdict IN ('truncated', 'bad_magic', 'no_container') AND modality <> 'video' AS quarantine
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     // kNN-graph twin (s13): s02's bucket chain at the 8×8 cluster
     // config, probes unrestricted, k=3.
     "s13_knn_graph" ->
@@ -792,6 +880,11 @@ private[graft] object QueriesSimGraph {
          |${annRankSql(5)}""".stripMargin,
 
     "s09_mmr" -> mmrOracleSql(kCand = 10, kSelect = 3, lambda = 0.7),
+
+    // Beam-search twin (s21): s13's graph chain symmetrized (at k=8),
+    // the walk unrolled round by round on round-6 ranks.
+    "s21_beam_search" -> beamSearchOracleSql(k = 5, beamWidth = 16,
+      rounds = 4, graphK = 8, nProbes = 10),
 
 
     // Multi-probe twin (s11): same 4-table planes, candidates = exact

@@ -99,6 +99,38 @@ object Multimodal {
       lit("64617461"), leHex(dataSize, 4)))           // "data" dataSize
   }
 
+  /** Valid JPEG/JFIF prefix: SOI, an 18-byte APP0 (JFIF 1.1, no
+    * thumbnail), then a baseline SOF0 for an 8-bit 3-component (YCbCr
+    * 4:2:0) image of the given dimensions — 39 bytes total, the minimal
+    * segment chain a dimension probe must WALK (the SOF is not at a fixed
+    * offset in real files; [[decodeJpeg]] skips APP0 via its length field
+    * exactly like a real parser).
+    *
+    * Layout reference (public specs — ITU T.81 §B.2, JFIF 1.02): segments
+    * are marker(2) len(2,BE incl. itself) payload; SOF0 payload =
+    * precision(1) height(2,BE) width(2,BE) nComponents(1) + 3 bytes per
+    * component.
+    */
+  def jpegHeader(width: Column, height: Column): Column =
+    unhex(concat(
+      lit("FFD8"),                     // SOI
+      lit("FFE000104A46494600010100000100010000"), // APP0 len=16 JFIF 1.1
+      lit("FFC0001108"),               // SOF0 len=17 precision=8
+      beHex(height, 2), beHex(width, 2),
+      lit("03012200021101031101")))    // 3 components, 4:2:0 sampling
+
+  /** MPEG-1 Layer III frame header (4 bytes): sync 0xFFE + version 11 +
+    * layer 01 + no-CRC = 0xFFFB, then bitrateIdx(4 bits) srIdx(2)
+    * padding(1) private(1), then an all-zero mode byte. The body that
+    * follows stands in for the frame payload (codec work is the
+    * documented stub; the header arithmetic is the real thing).
+    */
+  def mp3Header(bitrateIdx: Column, srIdx: Column, padding: Column): Column =
+    unhex(concat(lit("FFFB"),
+      beHex(bitrateIdx.cast(LongType) * 16 + srIdx.cast(LongType) * 4 +
+        padding.cast(LongType) * 2, 1),
+      lit("00")))
+
   /** Attach a binary payload column with a REAL container header per
     * modality (PNG for images, WAV for audio; video rides header-less as a
     * raw stream stand-in), body = the UTF-8 text bytes. Metadata encoded in
@@ -122,6 +154,39 @@ object Multimodal {
         .otherwise(body))
   }
 
+  /** The mixed-container sibling of [[withPayload]] (m09's fixture):
+    * every other image is JPEG instead of PNG and every other audio
+    * payload is MP3 instead of WAV — same deterministic metadata
+    * derivations, so the oracle twin computes every decoded field
+    * arithmetically while the Spark side must PARSE its way there.
+    * Generator choices avoid constants-on-a-residue-class: modality is
+    * doc_id mod 3, so any `doc_id mod 3k` split varies within a modality
+    * while `pmod(doc_id, 3)` would not — the MP3 sample-rate index uses
+    * doc_id DIV 3 for exactly that reason.
+    */
+  def withPayloadMixed(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val body = col(textCol).cast(BinaryType)
+    val n = length(body)
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
+    docs
+      .withColumn("modality", modality)
+      .withColumn("payload",
+        when(modality === "image" && pmod(col("doc_id"), lit(6)) === 0,
+          concat(jpegHeader(lit(16) + pmod(n, lit(64)),
+                            lit(16) + pmod(n * 7, lit(64))), body))
+        .when(modality === "image",
+          concat(pngHeader(lit(16) + pmod(n, lit(64)),
+                           lit(16) + pmod(n * 7, lit(64))), body))
+        .when(modality === "audio" && pmod(col("doc_id"), lit(6)) === 1,
+          concat(mp3Header(lit(1) + pmod(col("doc_id"), lit(14)),
+            pmod(floor(col("doc_id") / lit(3)).cast(LongType), lit(3)),
+            pmod(col("doc_id"), lit(2))), body))
+        .when(modality === "audio",
+          concat(wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
+        .otherwise(body))
+  }
+
   /** Image decode: verify the PNG signature + IHDR chunk type, then parse
     * width/height (big-endian) and map the spec's colorType byte to a
     * channel count. Null struct on a non-PNG payload — real parser
@@ -138,6 +203,86 @@ object Multimodal {
       when(colorType === 0, 1).when(colorType === 2, 3)
         .when(colorType === 4, 2).when(colorType === 6, 4)
         .cast(IntegerType).as("channels")))
+  }
+
+  /** JPEG dimension decode — a REAL segment walk, not a fixed-offset
+    * peek: verify SOI, then hop marker→marker via each segment's
+    * big-endian length field (the JFIF APP0, and any other APPn/COM a
+    * writer inserts, sit between SOI and the frame header at arbitrary
+    * offsets) until an SOF0–SOF3 baseline/progressive frame marker;
+    * parse height/width (big-endian) and the component count from its
+    * payload. The walk is a bounded `aggregate` fold (`maxSegs` hops —
+    * real dimension probes bound this too); a truncated chain, a
+    * non-marker byte, or no SOF within the bound yields a null struct.
+    * All codegen'd hex/substring arithmetic, per the family contract.
+    */
+  def decodeJpeg(payload: Column, maxSegs: Int = 6): Column = {
+    val isJpeg = hex(substring(payload, 1, 2)) === "FFD8"
+    def st(off: Column, w: Column, h: Column, c: Column): Column =
+      struct(off.as("off"), w.as("w"), h.as("h"), c.as("c"))
+    val walked = aggregate(
+      sequence(lit(1), lit(maxSegs)),
+      st(lit(3L), lit(-1L), lit(-1L), lit(-1L)),
+      (acc, _) => {
+        val off = acc.getField("off")
+        val marker = hex(payload.substr(off, lit(2)))
+        val segLen = conv(hex(payload.substr(off + 2, lit(2))), 16, 10)
+          .cast(LongType)
+        val stop = st(lit(-1L), acc.getField("w"), acc.getField("h"),
+          acc.getField("c"))
+        when(off < 0, acc)
+          .when(length(marker) < 4 || substring(marker, 1, 2) =!= "FF", stop)
+          .when(marker.isin("FFC0", "FFC1", "FFC2", "FFC3"),
+            st(lit(-1L),
+              conv(hex(payload.substr(off + 7, lit(2))), 16, 10).cast(LongType),
+              conv(hex(payload.substr(off + 5, lit(2))), 16, 10).cast(LongType),
+              conv(hex(payload.substr(off + 9, lit(1))), 16, 10).cast(LongType)))
+          .otherwise(st(off + 2 + segLen, acc.getField("w"),
+            acc.getField("h"), acc.getField("c")))
+      })
+    when(isJpeg && walked.getField("w") >= 0, struct(
+      walked.getField("w").cast(IntegerType).as("width"),
+      walked.getField("h").cast(IntegerType).as("height"),
+      walked.getField("c").cast(IntegerType).as("channels")))
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14 (0 = free, 15 =
+    * invalid — both rejected).
+    */
+  private val Mp3Bitrates =
+    Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MP3 frame-header decode: verify the 11-bit frame sync, require
+    * MPEG-1 Layer III, then map the bitrate/sample-rate index fields
+    * through the spec tables and derive the frame byte length
+    * (⌊144·bitrate/sampleRate⌋ + padding — the ISO 11172-3 formula) and
+    * the whole-frame count the payload can hold. Null struct when the
+    * sync is absent, the version/layer differ, or an index is reserved —
+    * real parser behavior.
+    */
+  def decodeMp3(payload: Column): Column = {
+    val b12 = beUint(payload, 1, 2)
+    val b3 = beUint(payload, 3, 1)
+    val hasSync = length(payload) >= 4 &&
+      b12.bitwiseAND(lit(0xFFE0L)) === lit(0xFFE0L)
+    // version bits 4-3 of byte 2 must be 11 (MPEG-1), layer bits 2-1
+    // must be 01 (Layer III)
+    val isV1L3 = b12.bitwiseAND(lit(0x1EL)) === lit(0x1AL)
+    val brIdx = shiftright(b3, 4).bitwiseAND(lit(0xFL))
+    val srIdx = shiftright(b3, 2).bitwiseAND(lit(0x3L))
+    val pad = shiftright(b3, 1).bitwiseAND(lit(0x1L))
+    val bitrate = element_at(
+      typedLit(Mp3Bitrates.map(_.toLong)), brIdx.cast(IntegerType))
+    val sampleRate = element_at(
+      typedLit(Seq(44100L, 48000L, 32000L)), (srIdx + 1).cast(IntegerType))
+    val frameBytes = floor(lit(144000L) * bitrate / sampleRate)
+      .cast(LongType) + pad
+    when(hasSync && isV1L3 && brIdx.between(1, 14) && srIdx <= 2, struct(
+      bitrate.cast(IntegerType).as("bitrate_kbps"), // brIdx 1..14 is 1-based into the table
+      sampleRate.cast(IntegerType).as("sample_rate"),
+      frameBytes.as("frame_bytes"),
+      floor(length(payload).cast(LongType) / frameBytes)
+        .cast(LongType).as("n_frames")))
   }
 
   /** Audio decode: verify RIFF/WAVE/fmt magics, then parse the
@@ -414,16 +559,60 @@ object Multimodal {
     * column is the partition key a real pipeline would write the
     * quarantine sink by.
     */
-  def payloadTriage(docs: DataFrame): DataFrame = {
-    val base = withPayload(docs)
+  def payloadTriage(docs: DataFrame): DataFrame =
+    triageVerdict(corruptPayloads(withPayload(docs)))
+
+  /** The deterministic ingest-corruption fixture shared by m08 and m09:
+    * doc_id % 7 truncates the payload to 10 bytes (mid-header cut), else
+    * doc_id % 11 increments the first byte (bit-rot / wrong file).
+    */
+  private[graft] def corruptPayloads(base: DataFrame): DataFrame = {
     val flipped = concat(
       unhex(lpad(hex(pmod(beUint(col("payload"), 1, 1) + 1, lit(256L))), 2, "0")),
       substring(col("payload"), 2, Int.MaxValue))
-    val corrupted = base.withColumn("payload",
+    base.withColumn("payload",
       when(pmod(col("doc_id"), lit(7)) === 0, substring(col("payload"), 1, 10))
         .when(pmod(col("doc_id"), lit(11)) === 0, flipped)
         .otherwise(col("payload")))
-    triageVerdict(corrupted)
+  }
+
+  /** Container-sniffed metadata over the MIXED fixture (m09): classify
+    * every payload by magic (png/wav/jpeg/mp3/raw), decode the matching
+    * header fields — the PNG/JPEG image dims through their respective
+    * parsers into ONE set of columns, WAV sample geometry, MP3 frame
+    * parameters — and attach the triage verdict, all from the BYTES
+    * through the same corruption fixture as m08. Pure per-row projection;
+    * the oracle twin computes every field arithmetically from the fixture,
+    * so any parser off-by-one on any of the four container paths breaks
+    * the hash match.
+    */
+  def containerMeta(docs: DataFrame): DataFrame = {
+    val c = corruptPayloads(withPayloadMixed(docs))
+    val p = col("payload")
+    val container =
+      when(hex(substring(p, 1, 8)) === PngSigHex, lit("png"))
+        .when(hex(substring(p, 1, 4)) === "52494646", lit("wav"))
+        .when(hex(substring(p, 1, 2)) === "FFD8", lit("jpeg"))
+        .when(length(p) >= 2 &&
+          beUint(p, 1, 2).bitwiseAND(lit(0xFFE0L)) === lit(0xFFE0L), lit("mp3"))
+        .otherwise(lit("raw"))
+    val img = coalesce(decodeImage(p), decodeJpeg(p))
+    val wav = decodeAudio(p)
+    val mp3 = decodeMp3(p)
+    c.select(col("doc_id"), col("modality"), container.as("container"),
+        length(p).cast(LongType).as("n_bytes"),
+        img.getField("width").as("width"),
+        img.getField("height").as("height"),
+        img.getField("channels").as("channels"),
+        coalesce(wav.getField("sample_rate"), mp3.getField("sample_rate"))
+          .as("sample_rate"),
+        wav.getField("n_samples").as("n_samples"),
+        mp3.getField("bitrate_kbps").as("bitrate_kbps"),
+        mp3.getField("n_frames").as("n_frames"),
+        verdictCol(p).as("verdict"))
+      .withColumn("quarantine",
+        col("verdict").isin("truncated", "bad_magic", "no_container") &&
+          col("modality") =!= "video")
   }
 
   /** The classification half of [[payloadTriage]]: expects
@@ -432,23 +621,43 @@ object Multimodal {
     * branch, which the deterministic corruption fixture never produces)
     * can be pushed through the SAME expressions the catalog query runs.
     */
-  def triageVerdict(df: DataFrame): DataFrame = {
-    val len = length(col("payload"))
-    val isPngSig = hex(substring(col("payload"), 1, 8)) === PngSigHex
-    val isRiff = hex(substring(col("payload"), 1, 4)) === "52494646"
-    val hasWave = hex(substring(col("payload"), 9, 4)) === "57415645"
-    val verdict =
-      when(isPngSig,
-        when(len >= 33, lit("ok_image")).otherwise(lit("truncated")))
+  def triageVerdict(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("modality"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        verdictCol(col("payload")).as("verdict"))
+      .withColumn("quarantine",
+        col("verdict").isin("truncated", "bad_magic", "no_container") &&
+          col("modality") =!= "video")
+
+  /** The triage classification as one expression over a payload column. */
+  private def verdictCol(p: Column): Column = {
+    val len = length(p)
+    val isPngSig = hex(substring(p, 1, 8)) === PngSigHex
+    val isRiff = hex(substring(p, 1, 4)) === "52494646"
+    val hasWave = hex(substring(p, 9, 4)) === "57415645"
+    // the m09 magics, sniffed AFTER png/riff (no byte-level overlap:
+    // jpeg starts FFD8, mp3 sync needs the top 11 bits set — 0xFFD8
+    // & 0xFFE0 = 0xFFC0 ≠ 0xFFE0, so SOI never reads as a frame sync)
+    val isJpegSig = hex(substring(p, 1, 2)) === "FFD8"
+    val hasMp3Sync = len >= 2 &&
+      beUint(p, 1, 2).bitwiseAND(lit(0xFFE0L)) === lit(0xFFE0L)
+    when(isPngSig,
+      when(len >= 33, lit("ok_image")).otherwise(lit("truncated")))
       .when(isRiff,
         when(len < 12, lit("truncated"))
           .otherwise(when(!hasWave, lit("bad_magic"))
             .otherwise(when(len >= 44, lit("ok_audio")).otherwise(lit("truncated")))))
+      .when(isJpegSig,
+        // ok iff the segment walk reaches a parseable SOF — a chain cut
+        // mid-walk is exactly what a decoder dies on
+        when(decodeJpeg(p).isNotNull, lit("ok_image"))
+          .otherwise(lit("truncated")))
+      .when(hasMp3Sync,
+        when(len < 4, lit("truncated"))
+          // sync present, full header present, but version/layer/index
+          // reserved → a sync-mimicking non-MP3 — bad_magic, not a cut
+          .otherwise(when(decodeMp3(p).isNotNull, lit("ok_audio"))
+            .otherwise(lit("bad_magic"))))
       .otherwise(lit("no_container"))
-    df.select(col("doc_id"), col("modality"), len.cast(LongType).as("n_bytes"),
-        verdict.as("verdict"))
-      .withColumn("quarantine",
-        col("verdict").isin("truncated", "bad_magic", "no_container") &&
-          col("modality") =!= "video")
   }
 }

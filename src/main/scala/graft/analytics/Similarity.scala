@@ -210,6 +210,88 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Graph-traversal ANN (the HNSW/NSG family shape, flattened to one
+    * layer): beam search over the s13 kNN graph. The index artifact is the
+    * SYMMETRIZED LSH-built kNN graph (an edge list a 100 TB deployment
+    * writes once, bucketed by src); each query walks it — score the fixed
+    * entry points (the `beamWidth` lowest-id corpus vectors), then for a
+    * fixed number of rounds expand the current beam's out-edges, score
+    * only the NEVER-SEEN candidates exactly, and keep the best `beamWidth`
+    * by (round-6 cosine DESC, id ASC). After `rounds` expansions the
+    * per-probe top-k of everything scored is the answer.
+    *
+    * Determinism contract (so the DuckDB twin replays the walk move for
+    * move): every beam/output ranking compares the 6-dp-ROUNDED cosine
+    * with id tie-break — the s03 assignment convention — so beam
+    * membership never hinges on sub-round float noise.
+    *
+    * Scale shape — the driver-coordinated round loop of Graph.seedDistances:
+    * per round ONE broadcast-filtered pass over the edge list (frontier is
+    * probes×beamWidth rows, broadcast; at scale the graph is bucketed by
+    * src so the pass is a pruned lookup) and ONE broadcast-filtered pass
+    * over the corpus scoring only the new candidates (at scale an id-keyed
+    * point lookup against the bucketed/z-ordered embedding table; in Spark
+    * the equivalent column-pruned scan + broadcast semi-filter). Driver
+    * state per round is the probes×beam scored set — frontier-bound, never
+    * corpus-bound (ScaleSmoke receipts wall tracking corpus LINEARLY, the
+    * per-round scans, not candidate fan-out). The scored set is eagerly
+    * checkpointed per round, so the graph cache can be released before the
+    * result is consumed.
+    */
+  def beamSearchTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      beamWidth: Int, rounds: Int, nTables: Int, planesPerTable: Int,
+      dim: Int, seed: Long = 42L, graphK: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val edges0 = lshTopK(corpus, corpus, graphK, nTables, planesPerTable,
+        dim, seed, idCol, vecCol)
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+    // symmetrize: kNN edges are asymmetric (b in a's top-3 ≠ a in b's),
+    // and greedy traversal needs to walk BACK out of a local pocket
+    val edges = edges0
+      .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nf = normFn(corpus)
+      val cf = cosineFromNorms(dotFn(corpus)) _
+      val p = broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm")))
+      val cSel = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"), nf(col(vecCol)).as("vec_norm"))
+      def score(cand: DataFrame): DataFrame =
+        cSel.join(broadcast(cand), Seq("neighbor_id"))
+          .join(p, Seq("probe_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            round(cf(col("probe_vec"), col("vec"),
+              col("probe_norm"), col("vec_norm")), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("neighbor_id").asc)
+      val entries = corpus.select(col(idCol).as("neighbor_id"))
+        .orderBy(col("neighbor_id")).limit(beamWidth)
+      var scored = score(
+        probes.select(col(idCol).as("probe_id")).crossJoin(entries)
+          .where(col("probe_id") =!= col("neighbor_id")))
+        .localCheckpoint(eager = true)
+      for (_ <- 1 to rounds) {
+        val beam = scored.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= beamWidth)
+          .select(col("probe_id"), col("neighbor_id"))
+        val cand = edges.join(broadcast(beam.withColumnRenamed("neighbor_id", "src")),
+            Seq("src"))
+          .select(col("probe_id"), col("dst").as("neighbor_id"))
+          .where(col("neighbor_id") =!= col("probe_id"))
+          .distinct()
+          .join(scored.select(col("probe_id"), col("neighbor_id")),
+            Seq("probe_id", "neighbor_id"), "left_anti")
+        scored = scored.unionByName(score(cand)).localCheckpoint(eager = true)
+      }
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .where(col("rank") <= k)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Semantic dedup clusters — the embedding-space sibling of the lexical
     * cluster paths (d07 exact / d12 LSH): sign-LSH bucket candidates over
     * the FULL corpus (pair = any shared (table, bucket) hit, a_id < b_id,

@@ -418,6 +418,72 @@ object Stream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** One document surviving the streaming exact-dedup gate. */
+  case class KeptDoc(docId: Long, lang: String, text: String)
+
+  /** q38's exact-dedup survivor election as a transformWithState
+    * processor — the streaming front half of the curation flagship:
+    * keyed by the md5 CONTENT FINGERPRINT ([[graft.analytics.TextAnalysis
+    * .contentFingerprint]] — the same expression Dedup.byFingerprint
+    * groups on, so batch and stream agree on what "identical" means),
+    * ValueState holds the keeper's doc id. The first document a
+    * fingerprint ever presents (lowest doc_id within its batch) is
+    * emitted and recorded; every later arrival is dropped — under
+    * id-ascending ingest this IS batch q38's min-id survivor election,
+    * the contract the parity spec pins. An at-least-once replay of the
+    * keeper itself re-arrives under an occupied fingerprint and absorbs
+    * silently (H5).
+    *
+    * Scale shape: state is one long per DISTINCT fingerprint, hash-
+    * partitioned across executors (RocksDB, off-heap); per-batch work is
+    * O(batch) — nothing ever rescans the corpus. Downstream (scoring,
+    * quota) is stateless projection + the batch window over the
+    * accumulated survivor sink.
+    */
+  final class FingerprintGateProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, String, String), KeptDoc] {
+    import implicits._
+    @transient private var keep:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      keep = getHandle.getValueState[Long]("keep",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(fp: String,
+        rows: Iterator[(String, Long, String, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KeptDoc] = {
+      val incoming = rows.map { case (_, id, lang, text) => (id, lang, text) }
+        .toArray.sortBy(_._1)
+      if (incoming.isEmpty || keep.exists()) Iterator.empty
+      else {
+        val (id, lang, text) = incoming.head
+        keep.update(id)
+        Iterator.single(KeptDoc(id, lang, text))
+      }
+    }
+  }
+
+  /** [[FingerprintGateProcessor]] over a streaming (doc_id, lang, text)
+    * frame — the q38 streaming twin's stateful gate. Compose downstream
+    * as `curationGateTws(src)` → quality scoring (stateless) → the
+    * per-language quota window over the accumulated survivors
+    * (StreamingSpec's parity test does exactly that against batch q38).
+    */
+  def curationGateTws(docs: DataFrame): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        graft.analytics.TextAnalysis.contentFingerprint(col("text")).as("fp"),
+        col("doc_id").cast("long"), col("lang").cast("string"),
+        col("text").cast("string"))
+      .as[(String, Long, String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FingerprintGateProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[RecentEventsProcessor]] over a (k, ts, v) frame: per-key rolling
     * last-`keep` stats, checkpoint-durable (RocksDB state store).
     */

@@ -95,4 +95,64 @@ class AHashSpec extends SparkSpec {
     assert(out.getBoolean(out.fieldIndex("quarantine")),
       "a claimed-audio payload with a foreign container must quarantine")
   }
+
+  test("m09 decodeJpeg: the segment walk parses SOF dims and hops an " +
+      "unknown inserted segment") {
+    val base = spark.range(1).select(
+      concat(Multimodal.jpegHeader(lit(640), lit(480)),
+        lit("body bytes").cast("binary")).as("payload"))
+    val parsed = base.select(Multimodal.decodeJpeg(col("payload")).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.channels"))
+      .as[(Int, Int, Int)].collect().head
+    assert(parsed === ((640, 480, 3)))
+    // splice a 4-byte COM segment right after SOI: a fixed-offset peek
+    // would now read garbage; the walk must hop it via its length field
+    val spliced = base.select(concat(
+        substring(col("payload"), 1, 2),
+        unhex(lit("FFFE0004ABCD")),
+        substring(col("payload"), 3, Int.MaxValue)).as("payload"))
+    val parsed2 = spliced.select(Multimodal.decodeJpeg(col("payload")).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.channels"))
+      .as[(Int, Int, Int)].collect().head
+    assert(parsed2 === ((640, 480, 3)), "walk must skip the COM segment")
+    // cut mid-chain (before the SOF): null struct, not a crash
+    val cut = base.select(substring(col("payload"), 1, 10).as("payload"))
+    assert(cut.select(Multimodal.decodeJpeg(col("payload"))).collect().head.isNullAt(0))
+  }
+
+  test("m09 decodeMp3: header fields, the ISO frame-length formula, and padding") {
+    // brIdx 9 → 128 kbps, srIdx 0 → 44100 Hz, padding 1:
+    // frame = ⌊144000·128/44100⌋ + 1 = 417 + 1 = 418 bytes
+    val df = spark.range(1).select(
+      concat(Multimodal.mp3Header(lit(9), lit(0), lit(1)),
+        lit("x" * 1000).cast("binary")).as("payload"))
+    val m = df.select(Multimodal.decodeMp3(col("payload")).as("m"))
+      .select(col("m.bitrate_kbps"), col("m.sample_rate"),
+        col("m.frame_bytes"), col("m.n_frames"))
+      .as[(Int, Int, Long, Long)].collect().head
+    assert(m === ((128, 44100, 418L, 2L))) // ⌊1004/418⌋ = 2 whole frames
+    // reserved bitrate index 15: sync present, full header, but no valid
+    // parse — decode nulls out
+    val bad = spark.range(1).select(unhex(lit("FFFBF000")).as("payload"))
+    assert(bad.select(Multimodal.decodeMp3(col("payload"))).collect().head.isNullAt(0))
+  }
+
+  test("m09 triage: new-magic verdicts — jpeg cut mid-walk is truncated, " +
+      "a reserved MP3 index is bad_magic, a bare sync is truncated") {
+    val rows = spark.range(1).select(
+      substring(concat(Multimodal.jpegHeader(lit(64), lit(64)),
+        lit("b").cast("binary")), 1, 10).as("payload"),
+      lit(1L).as("doc_id"), lit("image").as("modality"))
+      .unionByName(spark.range(1).select(
+        unhex(lit("FFFBF000")).as("payload"), lit(2L).as("doc_id"),
+        lit("audio").as("modality")))
+      .unionByName(spark.range(1).select(
+        unhex(lit("FFFB")).as("payload"), lit(3L).as("doc_id"),
+        lit("audio").as("modality")))
+    val out = Multimodal.triageVerdict(rows).orderBy(col("doc_id"))
+      .select(col("verdict"), col("quarantine"))
+      .as[(String, Boolean)].collect().toSeq
+    assert(out === Seq(("truncated", true), ("bad_magic", true),
+      ("truncated", true)), s"got $out")
+  }
 }

@@ -50,6 +50,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall below floor; |approx|=${approx.size}")
   }
 
+  test("s21 beam search: recall ≥ 0.6 vs brute force on sf0.001; more rounds " +
+      "never lose scored ground, and all output ranks on (sim desc, id)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
+    val beam = Similarity.beamSearchTopK(e, probes, k = 5,
+      beamWidth = 16, rounds = 4, nTables = 8, planesPerTable = 8, dim = 64,
+      graphK = 8)
+    val got = pairs(beam)
+    assert(exact.size === 50)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall below floor; |got|=${got.size}")
+    // every probe fills k (graph + entries always reachable)
+    val counts = beam.groupBy("probe_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 5L))
+    // monotonicity: an extra expansion round can only grow the scored
+    // set, so round-5 top-5 similarity sums dominate round-4's per probe
+    val beam4 = Similarity.beamSearchTopK(e, probes, k = 5,
+      beamWidth = 16, rounds = 5, nTables = 8, planesPerTable = 8, dim = 64,
+      graphK = 8)
+    def simSum(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.groupBy("probe_id").agg(sum("sim").as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s3 = simSum(beam)
+    simSum(beam4).foreach { case (p, s4) =>
+      assert(s4 >= s3(p) - 1e-9, s"probe $p lost scored ground: $s4 < ${s3(p)}")
+    }
+  }
+
   test("native vec_dot ≡ declarative zip_with/aggregate dot (incl. null semantics)") {
     assert(spark.catalog.functionExists("vec_dot"))
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

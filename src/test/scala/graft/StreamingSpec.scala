@@ -673,6 +673,82 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q38 streaming twin: dedup gate → scoring → quota reproduces the " +
+      "batch curation pipeline across a checkpointed restart, absorbing a replay") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batchOut = SparkEntry.queries("q38_curation_pipeline")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val srcDir = tempDir("graft-q38-src")
+    val ckptDir = tempDir("graft-q38-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Long)]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // id-ascending batches: ingest order IS the keep priority, so the
+      // gate's first-seen keeper equals batch q38's min-id survivor
+      def writeBatch(name: String, lo: Long, hi: Long): Unit =
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+            .select(col("doc_id"), col("lang"), col("text"))
+            .toJSON.collect().mkString("\n") + "\n").getBytes("UTF-8"))
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema("doc_id long, lang string, text string").json(srcDir)
+        // the one-pipeline composition: stateful gate → stateless scoring
+        // inside foreachBatch → survivors accumulate in the sink
+        val q = Stream.curationGateTws(src)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Stream.KeptDoc], _: Long) =>
+            collected ++= QueryHelpers.qualityScored(
+                b.toDF().withColumnRenamed("docId", "doc_id"))
+              .as[(Long, String, Double, Long)].collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      writeBatch("b0.jsonl", 0L, 167L)
+      run()
+      writeBatch("b1.jsonl", 167L, 334L)
+      run() // full restart: the fingerprint store must resume from RocksDB
+      val afterB1 = collected.size
+      writeBatch("b1-replay.jsonl", 167L, 334L)
+      run() // at-least-once replay of a committed batch: absorbed entirely
+      assert(collected.size === afterB1,
+        "a replayed batch must add no survivors (every fingerprint occupied)")
+      writeBatch("b2.jsonl", 334L, Long.MaxValue)
+      run()
+
+      // quota over the accumulated survivors — the batch tail of
+      // qualityQuota, verbatim ordering
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      val streamOut = collected.toSeq
+        .toDF("doc_id", "lang", "quality", "n_tokens")
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 20)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("quality"))
+        .orderBy(col("lang"), col("rnk"))
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(streamOut === batchOut,
+        "streaming survivors + quota must equal the batch curation pipeline")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("typed envelope Dataset round-trips the closed output shape") {
     val notifs = Fixtures.notifications(spark, Seq(Fixtures.perfDataPayload))
     val ds = Ingest.envelopeDataset(notifs, Fixtures.subscriptions(spark),
