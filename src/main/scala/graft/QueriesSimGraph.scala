@@ -243,7 +243,7 @@ private[graft] object QueriesSimGraph {
     "s21_beam_search" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.beamSearchTopK(e, e.where(col("vec_id") < 10), k = 5,
-          beamWidth = 16, rounds = 4, nTables = 8, planesPerTable = 8,
+          beamWidth = 16, rounds = 3, nTables = 8, planesPerTable = 8,
           dim = 64, graphK = 8)
         .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
           col("sim"))
@@ -884,7 +884,7 @@ private[graft] object QueriesSimGraph {
     // Beam-search twin (s21): s13's graph chain symmetrized (at k=8),
     // the walk unrolled round by round on round-6 ranks.
     "s21_beam_search" -> beamSearchOracleSql(k = 5, beamWidth = 16,
-      rounds = 4, graphK = 8, nProbes = 10),
+      rounds = 3, graphK = 8, nProbes = 10),
 
 
     // Multi-probe twin (s11): same 4-table planes, candidates = exact

@@ -153,6 +153,24 @@ object ScaleSmoke {
     run("lsh_topk")(
       Similarity.lshTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nTables = 16, planesPerTable = 4, dim = 64))
+    // s21 at blowup: the kNN-graph build is the corpus-bound term (the
+    // s13 bucket-join shape); the WALK itself is frontier-bound — per
+    // round one broadcast-filtered pass over edges + one over the corpus
+    // scoring only never-seen candidates, driver state probes×beam. Wall
+    // must track the graph build ~linearly in mult, never candidate
+    // fan-out (the receipt that beam cost is frontier-bound).
+    run("beam_search")(
+      Similarity.beamSearchTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
+        beamWidth = 16, rounds = 4, nTables = 8, planesPerTable = 8,
+        dim = 64, graphK = 8))
+    // t32's trainer at blowup: the corpus grows mult× but the EM loop's
+    // working set is the DISTINCT-WORD table (Zipf-bounded — id-shifted
+    // copies add zero new words), so wall must track the two corpus
+    // passes (word-frequency + encode), never mult× the EM rounds.
+    run("unigram") {
+      val (pieces, segs) = graft.analytics.Unigram.train(docs)
+      graft.analytics.Unigram.encode(docs, pieces, segs)
+    }
     // s05's quantizer training at blowup, PRODUCTION mean path: the
     // centroid mean is a partial-aggregable avg keyed by (cell, dim) with
     // constant per-group state — cost must track the assignment scan

@@ -242,54 +242,111 @@ object Similarity {
       beamWidth: Int, rounds: Int, nTables: Int, planesPerTable: Int,
       dim: Int, seed: Long = 42L, graphK: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val edges0 = lshTopK(corpus, corpus, graphK, nTables, planesPerTable,
         dim, seed, idCol, vecCol)
       .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
-    // symmetrize: kNN edges are asymmetric (b in a's top-3 ≠ a in b's),
-    // and greedy traversal needs to walk BACK out of a local pocket
+    // symmetrize: kNN edges are asymmetric (b in a's top-k ≠ a in b's),
+    // and greedy traversal needs to walk BACK out of a local pocket.
+    // Persisted: every round's expansion reads it.
     val edges = edges0
       .unionByName(edges0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cSelCache: DataFrame = null
     try {
       val nf = normFn(corpus)
       val cf = cosineFromNorms(dotFn(corpus)) _
       val p = broadcast(probes.select(col(idCol).as("probe_id"),
         col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm")))
+      // every round's scoring job reads this projection — persist it so
+      // the parquet scan + per-row norm run once, not once per round
+      // (the serving-layer (id, vec, norm) table an ANN deployment holds
+      // hot; released before return)
       val cSel = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("vec"), nf(col(vecCol)).as("vec_norm"))
-      def score(cand: DataFrame): DataFrame =
-        cSel.join(broadcast(cand), Seq("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cSelCache = cSel
+      // The walk state is probes × beam — CONTROL data (the BPE-argmax /
+      // kmeans-centroid size class), so the loop is driver-coordinated:
+      // per round ONE job expands the frontier through the distributed
+      // edge list and ONE job scores the never-seen candidates against
+      // the distributed corpus (both broadcast-filtered scans; at 100 TB
+      // the edge list is bucketed by src and the corpus id-indexed, so
+      // both passes are pruned lookups). The first, window-per-round
+      // DataFrame formulation measured 10–25 s on a 500-vector corpus —
+      // all scheduling overhead, growing with accumulated checkpoint
+      // state; this form is ~20 Spark jobs total and holds nothing
+      // distributed between rounds beyond the persisted graph.
+      def scoreNew(cand: Seq[(Long, Long)]): Array[(Long, Long, Double)] =
+        cSel.join(broadcast(cand.toDF("probe_id", "neighbor_id")),
+            Seq("neighbor_id"))
           .join(p, Seq("probe_id"))
           .select(col("probe_id"), col("neighbor_id"),
             round(cf(col("probe_vec"), col("vec"),
               col("probe_norm"), col("vec_norm")), 6).as("sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("neighbor_id").asc)
-      val entries = corpus.select(col(idCol).as("neighbor_id"))
-        .orderBy(col("neighbor_id")).limit(beamWidth)
-      var scored = score(
-        probes.select(col(idCol).as("probe_id")).crossJoin(entries)
-          .where(col("probe_id") =!= col("neighbor_id")))
-        .localCheckpoint(eager = true)
-      for (_ <- 1 to rounds) {
-        val beam = scored.withColumn("rn", row_number().over(w))
-          .where(col("rn") <= beamWidth)
-          .select(col("probe_id"), col("neighbor_id"))
-        val cand = edges.join(broadcast(beam.withColumnRenamed("neighbor_id", "src")),
-            Seq("src"))
-          .select(col("probe_id"), col("dst").as("neighbor_id"))
-          .where(col("neighbor_id") =!= col("probe_id"))
-          .distinct()
-          .join(scored.select(col("probe_id"), col("neighbor_id")),
-            Seq("probe_id", "neighbor_id"), "left_anti")
-        scored = scored.unionByName(score(cand)).localCheckpoint(eager = true)
+          .as[(Long, Long, Double)].collect()
+      val entryIds = corpus.select(col(idCol).cast("long"))
+        .orderBy(col(idCol)).limit(beamWidth).as[Long].collect()
+      val probeIds = probes.select(col(idCol).cast("long")).as[Long]
+        .collect().sorted
+      val scored = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      val seen = scala.collection.mutable.Map.empty[Long,
+        scala.collection.mutable.HashSet[Long]]
+      probeIds.foreach { pid =>
+        scored(pid) = scala.collection.mutable.ArrayBuffer.empty
+        seen(pid) = scala.collection.mutable.HashSet.empty
       }
-      scored.withColumn("rank", row_number().over(w).cast("bigint"))
-        .where(col("rank") <= k)
-        .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
-    } finally edges.unpersist(blocking = false)
+      // idempotent: a candidate reached from two frontier nodes (or
+      // re-scored in a later round) enters the scored set exactly once
+      def absorb(rows: Array[(Long, Long, Double)]): Unit =
+        rows.foreach { case (pid, nid, sim) =>
+          if (!seen(pid)(nid)) { scored(pid) += ((nid, sim)); seen(pid) += nid }
+        }
+      // beam = per-probe top-B of everything scored, (sim DESC, id ASC) —
+      // sims are round-6 doubles, so this order is the oracle's order
+      def top(n: Int): Seq[(Long, Long, Double)] =
+        probeIds.toSeq.flatMap { pid =>
+          scored(pid).toSeq.sortBy { case (nid, sim) => (-sim, nid) }
+            .take(n).map { case (nid, sim) => (pid, nid, sim) }
+        }
+      absorb(scoreNew(for {
+        pid <- probeIds.toSeq; c <- entryIds.toSeq; if c != pid
+      } yield (pid, c)))
+      // per round ONE fused job: frontier out-edges scored in place (the
+      // handful of already-seen candidates re-scored and dropped on the
+      // driver cost less than a second expand-only job round-trip —
+      // frontier×degree rows either way)
+      var exhausted = false
+      for (_ <- 1 to rounds if !exhausted) {
+        val frontier = top(beamWidth).map { case (pid, nid, _) => (pid, nid) }
+        // no distinct: a neighbor reached from two frontier nodes scores
+        // twice (bounded by frontier×degree) and absorb drops the dupe —
+        // cheaper than an exchange + AQE stage inside every round job
+        val cand = edges
+          .join(broadcast(frontier.toDF("probe_id", "src")), Seq("src"))
+          .select(col("probe_id"), col("dst").as("neighbor_id"))
+        val scoredRows = cSel.join(broadcast(cand), Seq("neighbor_id"))
+          .join(p, Seq("probe_id"))
+          .select(col("probe_id"), col("neighbor_id"),
+            round(cf(col("probe_vec"), col("vec"),
+              col("probe_norm"), col("vec_norm")), 6).as("sim"))
+          .as[(Long, Long, Double)].collect()
+        val fresh = scoredRows.filter { case (pid, nid, _) =>
+          nid != pid && !seen(pid)(nid)
+        }
+        if (fresh.isEmpty) exhausted = true else absorb(fresh)
+      }
+      probeIds.toSeq.flatMap { pid =>
+        scored(pid).toSeq.sortBy { case (nid, sim) => (-sim, nid) }.take(k)
+          .zipWithIndex.map { case ((nid, sim), i) => (pid, (i + 1).toLong, nid, sim) }
+      }.toDF("probe_id", "rank", "neighbor_id", "sim")
+    } finally {
+      edges.unpersist(blocking = false)
+      if (cSelCache != null) cSelCache.unpersist(blocking = false)
+    }
   }
 
   /** Semantic dedup clusters — the embedding-space sibling of the lexical

@@ -104,6 +104,40 @@ class FormatsSpec extends SparkSpec {
       s"binaryFile decode mismatch: $decoded")
   }
 
+  test("stats manifest: a range predicate reads a strict FILE subset " +
+      "(executed input_file_name receipt), zero row loss; empty range reads nothing") {
+    import graft.sources.StatsManifest
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-statsmanifest").toString + "/data"
+    // range layout gives files DISJOINT id intervals — what makes the
+    // manifest subset strict rather than merely correct
+    val data = spark.range(0, 10000)
+      .select(col("id"), (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("id"))
+    val written = StatsManifest.write(data, dir, "id")
+    assert(written.size >= 4, s"fixture needs several files, got ${written.size}")
+    assert(written.map(_.rows).sum === 10000L)
+
+    val (pruned, keep, total) = StatsManifest.readRange(spark, dir, 2500L, 2600L)
+    assert(keep.nonEmpty && keep.size < total,
+      s"manifest must prune to a STRICT subset: ${keep.size} of $total")
+    // executed receipt: the files the pruned frame actually READS are
+    // exactly the manifest's survivors, not a re-listing of the directory
+    val readFiles = pruned.select(input_file_name()).distinct()
+      .as[String].collect().toSet
+    assert(readFiles.subsetOf(keep.toSet),
+      s"scan escaped the manifest subset: ${readFiles.diff(keep.toSet)}")
+    // zero row loss: the predicate over the pruned read equals the full scan
+    val got = pruned.where(col("id").between(2500, 2600))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = spark.read.parquet(dir).where(col("id").between(2500, 2600))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === full && got.size === 101)
+    // a range beyond every file's interval reads NO files and no rows
+    val (none, keep0, _) = StatsManifest.readRange(spark, dir, 1000000L, 2000000L)
+    assert(keep0.isEmpty && none.count() === 0L)
+  }
+
   test("z-order layout: a 2-D box prunes partitions (executed plan), results exact") {
     import graft.functions.ZOrder
     val dir = Files.createTempDirectory("graft-zorder").toString

@@ -58,7 +58,7 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
     val exact = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
     val beam = Similarity.beamSearchTopK(e, probes, k = 5,
-      beamWidth = 16, rounds = 4, nTables = 8, planesPerTable = 8, dim = 64,
+      beamWidth = 16, rounds = 3, nTables = 8, planesPerTable = 8, dim = 64,
       graphK = 8)
     val got = pairs(beam)
     assert(exact.size === 50)
