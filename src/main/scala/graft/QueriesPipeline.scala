@@ -1519,6 +1519,20 @@ private[graft] object QueriesPipeline {
           Seq("pre_value", "pre_events", "pre_purchases"))
         .orderBy(col("covariate"))
     }),
+
+    // Temperature-scaled domain mixture (the Llama/XLM-R data-mixing
+    // rule): per-source sampling weight ∝ √share of total characters,
+    // upsample factor, and epochs-per-domain at a 1M-token budget. One
+    // domain-keyed partial+final aggregate; all arithmetic on the
+    // control-plane-sized domain table (√ is cross-engine IEEE-exact
+    // where a general pow is not; the normalizer folds round-9 terms as
+    // an exact DECIMAL so weights are addition-order-free).
+    "q98_temperature_mix" -> ((s, dir) =>
+      analytics.Sampling.temperatureMix(
+          t(s, dir, "documents").select(col("source"), col("n_chars")),
+          domainCol = "source", sizeCol = "n_chars",
+          tokenBudget = 1000000L)
+        .orderBy(col("source"))),
   )
 
   // ── DuckDB oracle twins ──
@@ -2707,5 +2721,22 @@ private[graft] object QueriesPipeline {
         |  round(sa / n_a, 6) AS mean_a, round(sb / n_b, 6) AS mean_b,
         |  round(smd, 6) AS smd, (abs(smd) <= 0.1) AS balanced
         |FROM g3 ORDER BY covariate""".stripMargin,
+
+    // Temperature-mix twin (q98): same √-share weights, DECIMAL(28,9)
+    // normalizer, left-associative epoch arithmetic.
+    "q98_temperature_mix" ->
+      """WITH d AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS chars_all FROM documents),
+        |w AS (SELECT *, n_chars::DOUBLE / chars_all::DOUBLE AS p,
+        |    round(sqrt(n_chars::DOUBLE / chars_all::DOUBLE), 9) AS w_raw
+        |  FROM d CROSS JOIN tot),
+        |z AS (SELECT sum(w_raw::DECIMAL(28,9)) AS z FROM w)
+        |SELECT source, n_docs, n_chars,
+        |  round(p, 9) AS share,
+        |  round(w_raw / z::DOUBLE, 9) AS weight,
+        |  round(w_raw / z::DOUBLE / p, 6) AS upsample,
+        |  round(1000000.0 * (w_raw / z::DOUBLE) / (n_chars::DOUBLE / 4), 6) AS epochs
+        |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
   )
 }

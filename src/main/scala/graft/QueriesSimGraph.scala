@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis, Warc}
 import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
@@ -248,6 +248,22 @@ private[graft] object QueriesSimGraph {
         .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
           col("sim"))
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+    // Late-interaction (ColBERT MaxSim) retrieval: 8 consecutive vectors
+    // form one document's token bag; score(q, d) sums each query token's
+    // best cosine inside d. Probe token set (2 docs × 8 tokens) is
+    // broadcast; the corpus streams once into two partial+final
+    // aggregates — round-6 per-pair cosine before the max and an exact
+    // DECIMAL(18,6) fold for the sum make the score addition-order-free,
+    // so the twin hash-matches bit-for-bit.
+    "s22_maxsim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.maxSimTopK(e, probeDocs = Seq(0L, 1L), k = 5,
+          tokensPerDoc = 8)
+        .select(col("probe_doc"), col("rank").as("rnk"),
+          col("neighbor_doc"), col("score"))
+        .orderBy(col("probe_doc"), col("rnk"))
     }),
 
     // Random-projection (JL) ANN: candidates by 32-dim PROJECTED cosine
@@ -600,6 +616,19 @@ private[graft] object QueriesSimGraph {
       Multimodal.containerMeta(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // WARC ingest (ISO 28500 — the Common Crawl record format): the
+    // generator wraps each document as a WARC/1.0 response record (WARC
+    // headers + HTTP response + HTML), the parser recovers every field
+    // from the record TEXT alone — header/payload split, Content-Length
+    // validation (doc_id%11==5 declares 7 bytes long), HTTP status
+    // (doc_id%7==3 is a 404), tag-stripped extraction. The twin computes
+    // all expectations arithmetically from the fixture, so any parser
+    // off-by-one (boundary, regex, length) breaks the hash. Pure per-row
+    // projection — a map-only pass that rides the scan at any scale.
+    "m10_warc_extract" -> ((s, dir) =>
+      Warc.parseWarc(Warc.withWarc(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
     // 16), recall recovered by probing each bucket's Hamming-1
     // neighbors — probe-side-only expansion, equi-join preserved, the
@@ -842,6 +871,42 @@ private[graft] object QueriesSimGraph {
         |  verdict IN ('truncated', 'bad_magic', 'no_container') AND modality <> 'video' AS quarantine
         |FROM v ORDER BY doc_id""".stripMargin,
 
+    // WARC twin (m10): every parsed field computed arithmetically from
+    // the fixture — the HTTP block and extraction are RECONSTRUCTED (the
+    // record is a deterministic string), never parsed, so Spark's header
+    // walk is checked against an independent derivation.
+    "m10_warc_extract" ->
+      """WITH b AS (SELECT doc_id, text, lang, source,
+        |    CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS st,
+        |    'doc ' || doc_id || ' [' || lang || ']' AS title
+        |  FROM documents),
+        |h AS (SELECT *,
+        |    '<html><head><title>' || title || '</title></head><body><p>' ||
+        |      text || '</p></body></html>' AS html,
+        |    title || ' ' || text AS extracted
+        |  FROM b),
+        |p AS (SELECT *,
+        |    'HTTP/1.1 ' || (CASE WHEN st = 404 THEN '404 Not Found' ELSE '200 OK' END)
+        |      || chr(13) || chr(10) || 'Content-Type: text/html; charset=utf-8'
+        |      || chr(13) || chr(10) || chr(13) || chr(10) || html AS http
+        |  FROM h)
+        |SELECT doc_id,
+        |  TRUE AS version_ok,
+        |  'response' AS warc_type,
+        |  lpad(lower(hex(doc_id)), 12, '0') AS record_id,
+        |  source || '.example.com' AS host,
+        |  lang AS lang_path,
+        |  CAST(st AS INT) AS http_status,
+        |  CAST(length(http) + CASE WHEN doc_id % 11 = 5 THEN 7 ELSE 0 END AS BIGINT) AS declared_len,
+        |  CAST(length(http) AS BIGINT) AS actual_len,
+        |  doc_id % 11 <> 5 AS length_ok,
+        |  title,
+        |  CAST(length(extracted) AS BIGINT) AS n_extract_chars,
+        |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_extract_words,
+        |  substring(sha256(extracted), 1, 16) AS extract_sha,
+        |  st = 200 AND doc_id % 11 <> 5 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     // kNN-graph twin (s13): s02's bucket chain at the 8×8 cluster
     // config, probes unrestricted, k=3.
     "s13_knn_graph" ->
@@ -885,6 +950,24 @@ private[graft] object QueriesSimGraph {
     // the walk unrolled round by round on round-6 ranks.
     "s21_beam_search" -> beamSearchOracleSql(k = 5, beamWidth = 16,
       rounds = 3, graphK = 8, nProbes = 10),
+
+    // MaxSim twin (s22): same doc bagging (vec_id // 8), round-6 cosine
+    // before the max, DECIMAL(18,6) sum — the addition-order-free score
+    // replays exactly.
+    "s22_maxsim" ->
+      """WITH toks AS (SELECT vec_id // 8 AS doc, vec_id AS tok,
+        |    embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT doc AS probe_doc, tok AS qtok, v AS qv
+        |      FROM toks WHERE doc IN (0, 1)),
+        |mx AS (SELECT probe_doc, qtok, c.doc AS cdoc,
+        |    max(round(list_cosine_similarity(qv, c.v), 6)) AS m
+        |  FROM q JOIN toks c ON probe_doc <> c.doc GROUP BY 1, 2, 3),
+        |sc AS (SELECT probe_doc, cdoc,
+        |    (sum(m::DECIMAL(18,6)))::DOUBLE AS score FROM mx GROUP BY 1, 2),
+        |r AS (SELECT probe_doc, cdoc, score, row_number() OVER
+        |    (PARTITION BY probe_doc ORDER BY score DESC, cdoc) AS rnk FROM sc)
+        |SELECT probe_doc, rnk, cdoc AS neighbor_doc, score FROM r
+        |WHERE rnk <= 5 ORDER BY probe_doc, rnk""".stripMargin,
 
 
     // Multi-probe twin (s11): same 4-table planes, candidates = exact

@@ -163,6 +163,13 @@ object ScaleSmoke {
       Similarity.beamSearchTopK(vecs, vecs.where(col("vec_id") < 10), k = 5,
         beamWidth = 16, rounds = 4, nTables = 8, planesPerTable = 8,
         dim = 64, graphK = 8))
+    // s22 at blowup: the probe token set is CONSTANT (2 docs × 8 tokens),
+    // so the BNLJ scoring pass and both aggregates must scale linearly
+    // with the streamed corpus — wall tracks mult, never a pair blowup
+    // (probe×corpus fan-out is the linear-in-corpus term by design).
+    run("maxsim")(
+      Similarity.maxSimTopK(vecs, probeDocs = Seq(0L, 1L), k = 5,
+        tokensPerDoc = 8))
     // t32's trainer at blowup: the corpus grows mult× but the EM loop's
     // working set is the DISTINCT-WORD table (Zipf-bounded — id-shifted
     // copies add zero new words), so wall must track the two corpus

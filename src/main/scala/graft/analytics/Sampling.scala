@@ -39,6 +39,44 @@ object Sampling {
     * flip ceil by one between engines). Same scale shape as the stratified
     * sample: one shuffle on the stratum key, per-stratum window sort.
     */
+  /** Temperature-scaled domain mixture (the Llama/XLM-R data-mixing
+    * rule): given per-domain sizes, sampling weight
+    * w_i ∝ p_i^α with α = 1/2 (the square-root temperature — exact as
+    * `sqrt`, so both engines compute the identical IEEE value; a general
+    * `pow` is not cross-engine bit-stable), where p_i is the domain's
+    * share of total characters. Upsampling factor w_i/p_i > 1 boosts
+    * tail domains; `epochs` says how many passes over domain i a
+    * `tokenBudget`-token run makes (tokens ≈ chars/4). Determinism: the
+    * normalizing Σ√p folds round-9 terms as an exact DECIMAL so the
+    * weights are addition-order-free.
+    *
+    * Scale shape: one partial+final aggregate keyed by domain, then
+    * arithmetic on the DOMAIN table (control-plane sized — at 100 TB a
+    * corpus has thousands of domains, not billions), broadcast back if a
+    * per-row sampling decision needs it. Nothing corpus-sized shuffles.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String, sizeCol: String,
+      tokenBudget: Long, charsPerToken: Int = 4): DataFrame = {
+    val perDom = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("n_chars"))
+    val chars = df.agg(sum(col(sizeCol)).cast("long").as("chars_all"))
+    val withP = perDom.crossJoin(broadcast(chars))
+      .withColumn("p", col("n_chars").cast("double") /
+        col("chars_all").cast("double"))
+      .withColumn("w_raw", round(sqrt(col("p")), 9))
+    val z = withP.agg(sum(col("w_raw").cast("decimal(28,9)")).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col(domainCol), col("n_docs"), col("n_chars"),
+        round(col("p"), 9).as("share"),
+        round(col("w_raw") / col("z").cast("double"), 9).as("weight"),
+        round(col("w_raw") / col("z").cast("double") / col("p"), 6)
+          .as("upsample"),
+        round(lit(tokenBudget.toDouble) *
+          (col("w_raw") / col("z").cast("double")) /
+          (col("n_chars").cast("double") / charsPerToken), 6).as("epochs"))
+  }
+
   def sqrtMixture(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

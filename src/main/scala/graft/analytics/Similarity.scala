@@ -1412,4 +1412,57 @@ object Similarity {
         col("cell_n"), col("cell_rank"),
         (col("cell_rank") * keepDenom <= col("cell_n") * keepNum).as("kept"))
   }
+
+  /** Late-interaction (ColBERT-style MaxSim) retrieval: a document is a
+    * BAG of token embeddings — here `tokensPerDoc` consecutive corpus
+    * rows form one document (doc = vec_id div tokensPerDoc, the `div`
+    * keeping the id exact at any magnitude where a double quotient would
+    * drift past 2⁵³) — and
+    * score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cosine(t, u):
+    * each query token votes for its best-matching document token
+    * (Khattab & Zaharia, SIGIR 2020), which preserves term-level
+    * matching that a single pooled vector averages away.
+    *
+    * Spark shape: the probe documents' token set is BOUNDED
+    * (|probeDocs| × tokensPerDoc rows), so it broadcasts and the corpus
+    * token table streams ONCE — no corpus-sized shuffle or broadcast
+    * anywhere (the m07 lesson applied at design time). The per-
+    * (query-token, doc) max is a partial+final HashAggregate whose
+    * map-side combine collapses each scan partition to one row per
+    * (qtok, doc) before the exchange — token rows of one document are
+    * adjacent in vec_id order, so the combine is near-total and the
+    * exchange carries O(|Q_tokens| × nDocs) rows, never the token-pair
+    * fan-out. Determinism: the per-pair cosine is rounded to 6 BEFORE
+    * the max and the final Σ folds as an exact DECIMAL(18,6), so the
+    * score is addition-order-free — bit-identical across engines and
+    * partitionings.
+    */
+  def maxSimTopK(corpus: DataFrame, probeDocs: Seq[Long], k: Int,
+      tokensPerDoc: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tokensPerDoc > 0 && k > 0, "tokensPerDoc and k must be positive")
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val toks = Par.spreadForCpu(corpus).select(
+      expr(s"cast($idCol as bigint) div $tokensPerDoc").as("doc"),
+      col(vecCol).as("vec"), nf(col(vecCol)).as("nrm"),
+      col(idCol).cast("long").as("tok"))
+    val q = broadcast(toks
+      .where(col("doc").isin(probeDocs: _*))
+      .select(col("doc").as("probe_doc"), col("tok").as("qtok"),
+        col("vec").as("qvec"), col("nrm").as("qnrm")))
+    val mx = toks.join(q, col("probe_doc") =!= col("doc"))
+      .groupBy(col("probe_doc"), col("qtok"), col("doc"))
+      .agg(max(round(cf(col("qvec"), col("vec"),
+        col("qnrm"), col("nrm")), 6)).as("m"))
+    val sc = mx.groupBy(col("probe_doc"), col("doc"))
+      .agg(sum(col("m").cast("decimal(18,6)")).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_doc"))
+      .orderBy(col("score").desc, col("doc").asc)
+    sc.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_doc"), col("rank"),
+        col("doc").as("neighbor_doc"), col("score"))
+  }
 }

@@ -155,4 +155,40 @@ class AHashSpec extends SparkSpec {
     assert(out === Seq(("truncated", true), ("bad_magic", true),
       ("truncated", true)), s"got $out")
   }
+
+  test("m10 WARC: hand record round-trips; the truncation and 404 fixtures " +
+      "flag without dropping; a hand-authored record parses field-exact") {
+    import graft.analytics.Warc
+    // generator → parser round-trip on the two fixture residues
+    val docs = Seq(
+      (3L, "alpha beta", "en", "srcA"),   // 3 % 7 == 3 → HTTP 404
+      (5L, "gamma delta", "fr", "srcB"),  // 5 % 11 == 5 → length lies by 7
+      (9L, "epsilon", "de", "srcC")       // clean keep
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Warc.parseWarc(Warc.withWarc(docs)).orderBy("doc_id")
+      .select("doc_id", "version_ok", "warc_type", "host", "http_status",
+        "length_ok", "title", "keep")
+      .as[(Long, Boolean, String, String, Int, Boolean, String, Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      (3L, true, "response", "srcA.example.com", 404, true, "doc 3 [en]", false),
+      (5L, true, "response", "srcB.example.com", 200, false, "doc 5 [fr]", false),
+      (9L, true, "response", "srcC.example.com", 200, true, "doc 9 [de]", true)),
+      s"got $out")
+    // hand-authored record (not from the generator): every field from text
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:00000000002a>\r\n" +
+      "WARC-Target-URI: https://h.example.com/en/42\r\n" +
+      "WARC-Date: 2024-03-15T10:00:00Z\r\nContent-Length: 101\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+      "<html><head><title>T</title></head><body><p>hello world</p></body></html>"
+    val one = Warc.parseWarc(Seq(rec).toDF("warc")).collect().head
+    assert(one.getAs[Long]("doc_id") === 42L)
+    assert(one.getAs[String]("record_id") === "00000000002a")
+    assert(one.getAs[String]("title") === "T")
+    assert(one.getAs[Long]("actual_len") === 132L) // 17 + 42 + 73
+    assert(!one.getAs[Boolean]("length_ok"))       // declared 101 ≠ 132
+    assert(one.getAs[Long]("n_extract_words") === 3L) // "T hello world"
+    assert(one.getAs[String]("lang_path") === "en")
+  }
 }

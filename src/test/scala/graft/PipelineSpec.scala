@@ -312,4 +312,35 @@ class PipelineSpec extends SparkSpec {
     val c = manifest(docs.repartition(7))
     assert(a === c, "partition-order independence")
   }
+
+  test("q98 temperature mix: hand fixture has analytic weights; weights sum " +
+      "to 1; upsample boosts exactly the tail domain") {
+    import spark.implicits._
+    // A holds 90 of 100 chars, B 10 — √0.9 = 3·√0.1, so the α=1/2 weights
+    // are EXACTLY 3/4 and 1/4 and every downstream field is analytic
+    val docs = Seq(("A", 50L), ("A", 40L), ("B", 10L))
+      .toDF("source", "n_chars")
+    val got = graft.analytics.Sampling.temperatureMix(docs, "source",
+        "n_chars", tokenBudget = 1000L).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_chars"), r.getAs[Double]("share"),
+        r.getAs[Double]("weight"), r.getAs[Double]("upsample"),
+        r.getAs[Double]("epochs")))
+    assert(got.toSeq === Seq(
+      ("A", 2L, 90L, 0.9, 0.75, 0.833333, 33.333333),
+      ("B", 1L, 10L, 0.1, 0.25, 2.5, 100.0)), s"got ${got.toSeq}")
+    // on the real corpus: weights sum to 1 (decimal-fold normalizer) and
+    // upsample > 1 exactly for below-uniform-share domains
+    val real = graft.analytics.Sampling.temperatureMix(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("n_chars")),
+      "source", "n_chars", tokenBudget = 1000000L).collect()
+    val wsum = real.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-7, s"weights sum to $wsum")
+    // √-temperature flattens: upsample ordering inverts share ordering
+    val byShare = real.map(r =>
+      (r.getAs[Double]("share"), r.getAs[Double]("upsample"))).sortBy(_._1)
+    assert(byShare.map(_._2).toSeq === byShare.map(_._2).sortBy(-_).toSeq,
+      "upsample must be monotone-decreasing in share")
+  }
 }

@@ -162,6 +162,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the max_by argmax aggregate, plan:\n$p")
   }
 
+  test("s22: MaxSim broadcasts the BOUNDED probe token set and streams the " +
+      "corpus; the per-(qtok, doc) max is a partial+final aggregate") {
+    val p = SparkEntry.queries("s22_maxsim")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"token scoring must be a broadcast NLJ, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffled cartesian would not survive a large corpus side, plan:\n$p")
+    // the broadcast subtree must be the probe token projection (qtok is
+    // its alias; the streamed corpus side has no such column)
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0, s"expected a BroadcastExchange node, plan:\n$p")
+    assert(p.substring(bx).contains("qtok"),
+      s"the broadcast side must be the bounded probe token set, never the " +
+        s"corpus, broadcast subtree:\n${p.substring(bx)}")
+    // per-(query-token, doc) max collapses map-side before any exchange
+    assert(p.contains("partial_max") ||
+      p.split("HashAggregate").length - 1 >= 4,
+      s"expected partial+final aggregates for the MaxSim fold, plan:\n$p")
+  }
+
   test("q77: OHLC bars are ONE partial+final aggregation — no window pass") {
     val p = SparkEntry.queries("q77_ohlc_bars")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -81,6 +81,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s22 MaxSim: driver replay on sf0.001 is bit-exact; self-doc excluded; " +
+      "every probe fills k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.maxSimTopK(e, probeDocs = Seq(0L, 1L), k = 5,
+      tokensPerDoc = 8).orderBy("probe_doc", "rank").collect()
+      .map(r => (r.getAs[Long]("probe_doc"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_doc"), r.getAs[Double]("score")))
+    // driver replay: same bagging, round-6 cosine before the max, exact
+    // decimal fold for the sum — independent arithmetic path, same answer
+    val vecs = e.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val byDoc = vecs.groupBy(_._1 / 8).view.mapValues(_.map(_._2)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = Seq(0L, 1L).flatMap { qd =>
+      val scoresFor = byDoc.keys.filter(_ != qd).map { cd =>
+        val s = byDoc(qd).map { qt =>
+          byDoc(cd).map(ct =>
+            BigDecimal(cos(qt, ct)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          ).max
+        }.sum
+        (cd, s.toDouble)
+      }.toSeq
+      scoresFor.sortBy { case (cd, s) => (-s, cd) }.take(5).zipWithIndex
+        .map { case ((cd, s), i) => (qd, (i + 1).toLong, cd, s) }
+    }
+    assert(got.length === 10 && got.toSeq === want)
+    // the self-document never appears as its own neighbor
+    assert(got.forall { case (qd, _, nd, _) => qd != nd })
+  }
+
   test("native vec_dot ≡ declarative zip_with/aggregate dot (incl. null semantics)") {
     assert(spark.catalog.functionExists("vec_dot"))
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
