@@ -1245,11 +1245,23 @@ object Dedup {
       // tracks the prefix-index fan-out rather than M².
       val vocab = probe.sorted
       val mCap = math.min(denseMaskMax, Int.MaxValue - 2L).toInt
-      val m = tokenMasks(docs, idCol, textCol, vocab)
-        .select(col("mask")).distinct().limit(mCap + 1).count()
+      // persisted (session-owned, the d33 discipline): the probe's count
+      // MATERIALIZES the mask fold, and the pair stage then reads the
+      // cache in every consuming branch (dm aggregation, both expansion
+      // broadcasts, the identical-set self-join) instead of re-running
+      // the tokenize+fold corpus pass per branch — measured 6.4 → 3.4 s
+      // at sf0.1 once the probe landed; without it the probe's "one
+      // extra linear pass" was really tokenize×2
+      val masks = tokenMasks(docs, idCol, textCol, vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m = masks.select(col("mask")).distinct().limit(mCap + 1).count()
       if (m <= denseMaskMax)
-        bitsetJaccardPairsImpl(docs, idCol, textCol, vocab, smallCorpusMax)
-      else ppjoinPairs(docs, idCol, textCol)
+        bitsetJaccardPairsImpl(docs, idCol, textCol, vocab, smallCorpusMax,
+          preMasks = Some(masks))
+      else {
+        masks.unpersist(blocking = false) // sparse route never reads it
+        ppjoinPairs(docs, idCol, textCol)
+      }
     } else ppjoinPairs(docs, idCol, textCol)
   }
 
@@ -1300,7 +1312,7 @@ object Dedup {
 
   private def bitsetJaccardPairsImpl(docs: DataFrame, idCol: String,
       textCol: String, vocab: Array[String],
-      smallCorpusMax: Long): DataFrame = {
+      smallCorpusMax: Long, preMasks: Option[DataFrame] = None): DataFrame = {
     // BOUNDED probe picks the expansion regime (documented at the regime
     // split below): limit(max+1) never scans past the threshold — the
     // d32 vocabulary-probe discipline, not a full count of a corpus
@@ -1309,7 +1321,7 @@ object Dedup {
     val nDocs =
       if (smallCorpusMax <= 0L) 1L // forced scale regime: skip the probe
       else docs.limit(probeCap + 1).count()
-    val masks = tokenMasks(docs, idCol, textCol, vocab)
+    val masks = preMasks.getOrElse(tokenMasks(docs, idCol, textCol, vocab))
     val dm = masks.groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
       .withColumn("sz", expr("bit_count(mask)").cast(LongType))
     // qualifying DISTINCT-mask pairs: broadcast nested-loop over the
