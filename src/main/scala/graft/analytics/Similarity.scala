@@ -237,16 +237,42 @@ object Similarity {
     * per-round scans, not candidate fan-out). The scored set is eagerly
     * checkpointed per round, so the graph cache can be released before the
     * result is consumed.
+    *
+    * COST SPLIT at scale: the graph BUILD (the all-corpus lshTopK) is the
+    * index-construction term, and its bucket self-join is quadratic in
+    * bucket OCCUPANCY — with a fixed `planesPerTable` the occupancy grows
+    * linearly in corpus and the build goes quadratic (the s13 pair-op
+    * cost model, measured ×27 wall for ×4 corpus at 8 planes). The
+    * production sizing bounds occupancy by scaling planes with corpus:
+    * planesPerTable ≈ log₂(n / targetOccupancy), which keeps per-bucket
+    * pairs — and so the whole build — linear in n (ScaleSmoke's
+    * beam_graph_build receipt uses exactly that sizing). The build runs
+    * ONCE per index generation; queries pay only the walk, so the two are
+    * separate entry points: [[beamSearchOnGraph]] walks a prebuilt edge
+    * list, and this convenience overload builds-then-walks.
     */
   def beamSearchTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       beamWidth: Int, rounds: Int, nTables: Int, planesPerTable: Int,
       dim: Int, seed: Long = 42L, graphK: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val edges0 = lshTopK(corpus, corpus, graphK, nTables, planesPerTable,
         dim, seed, idCol, vecCol)
       .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+    beamSearchOnGraph(corpus, probes, edges0, k, beamWidth, rounds,
+      idCol, vecCol)
+  }
+
+  /** The walk half of [[beamSearchTopK]]: beam search over a PREBUILT
+    * raw kNN edge list `edges0` (src, dst) — the index artifact a
+    * deployment writes once and queries many times. Symmetrization
+    * happens here so a stored one-directional kNN list stays the
+    * canonical artifact.
+    */
+  def beamSearchOnGraph(corpus: DataFrame, probes: DataFrame,
+      edges0: DataFrame, k: Int, beamWidth: Int, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     // symmetrize: kNN edges are asymmetric (b in a's top-k ≠ a in b's),
     // and greedy traversal needs to walk BACK out of a local pocket.
     // Persisted: every round's expansion reads it.
