@@ -60,7 +60,9 @@ object Sampling {
     val perDom = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(sizeCol)).cast("long").as("n_chars"))
-    val chars = df.agg(sum(col(sizeCol)).cast("long").as("chars_all"))
+    // the corpus total folds from the DOMAIN table, not a second corpus
+    // scan — exact (longs), and the corpus is read once
+    val chars = perDom.agg(sum(col("n_chars")).cast("long").as("chars_all"))
     val withP = perDom.crossJoin(broadcast(chars))
       .withColumn("p", col("n_chars").cast("double") /
         col("chars_all").cast("double"))

@@ -1462,6 +1462,13 @@ object Similarity {
     * the max and the final Σ folds as an exact DECIMAL(18,6), so the
     * score is addition-order-free — bit-identical across engines and
     * partitionings.
+    *
+    * The final per-probe top-k is a rank window whose partitions are
+    * nDocs rows each — the [[bruteForceTopK]] trade, documented there
+    * too: exact top-k over an unbounded candidate set needs the
+    * per-probe sort, and the candidate-BOUNDING path at scale is the
+    * ANN family (s02–s21) feeding a bounded candidate set into this
+    * same scoring, not a bigger window.
     */
   def maxSimTopK(corpus: DataFrame, probeDocs: Seq[Long], k: Int,
       tokensPerDoc: Int, idCol: String = "vec_id",

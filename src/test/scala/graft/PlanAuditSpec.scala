@@ -183,6 +183,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial+final aggregates for the MaxSim fold, plan:\n$p")
   }
 
+  test("q98: the corpus total folds from the domain table — ONE corpus scan, " +
+      "shared via exchange reuse") {
+    val df = SparkEntry.queries("q98_temperature_mix")(spark, dir)
+    df.collect() // AQE finalizes the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans <= 1 || p.contains("ReusedExchange"),
+      s"expected the documents scan to run once (ReusedExchange over the " +
+        s"domain aggregate), got $scans scans and no reuse, plan:\n$p")
+  }
+
   test("q77: OHLC bars are ONE partial+final aggregation — no window pass") {
     val p = SparkEntry.queries("q77_ohlc_bars")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
