@@ -138,6 +138,52 @@ class FormatsSpec extends SparkSpec {
     assert(keep0.isEmpty && none.count() === 0L)
   }
 
+  test("stats manifest × z-order: a 2-D box prunes FILES on conjunctive " +
+      "per-column stats (executed receipt), zero row loss") {
+    import graft.sources.StatsManifest
+    import graft.functions.ZOrder
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zmanifest").toString + "/data"
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("y"))
+    // OPTIMIZE-ZORDER layout without hive partitioning: range-partition
+    // on the interleave so every FILE owns a 2-D-local z-range and its
+    // per-column min/max intervals become tight in BOTH dimensions
+    val laid = li
+      .withColumn("zv", ZOrder.zInterleave(col("x"), col("y"), bits = 8))
+      .repartitionByRange(16, col("zv")).drop("zv")
+    val written = StatsManifest.write(laid, dir, "x", "y")
+    assert(written.map(_.col).toSet === Set("x", "y"))
+    val box = Map("x" -> (10L, 20L), "y" -> (20L, 40L))
+    val (pruned, keep, total) = StatsManifest.readBox(spark, dir, box)
+    assert(keep.nonEmpty && keep.size < total,
+      s"the box must prune to a STRICT file subset: ${keep.size} of $total")
+    // conjunction semantics: the box subset never exceeds either
+    // single-range subset, and each dimension prunes on its own
+    val (_, keepX, _) = StatsManifest.readBox(spark, dir, Map("x" -> box("x")))
+    val (_, keepY, _) = StatsManifest.readBox(spark, dir, Map("y" -> box("y")))
+    assert(keep.size <= math.min(keepX.size, keepY.size))
+    // executed receipt: the files actually read are the manifest survivors
+    val readFiles = pruned.select(input_file_name()).distinct()
+      .as[String].collect().toSet
+    assert(readFiles.subsetOf(keep.toSet),
+      s"scan escaped the manifest subset: ${readFiles.diff(keep.toSet)}")
+    // zero row loss vs the full scan under the same predicate
+    def boxRows(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("x").between(10, 20) && col("y").between(20, 40))
+        .select("l_orderkey", "l_linenumber")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = boxRows(pruned)
+    assert(got === boxRows(spark.read.parquet(dir)) && got.nonEmpty)
+    // a queried column with no stats fails loudly, never a silent full read
+    val err = intercept[IllegalArgumentException] {
+      StatsManifest.readBox(spark, dir, Map("l_orderkey" -> (0L, 1L)))
+    }
+    assert(err.getMessage.contains("no stats"))
+  }
+
   test("z-order layout: a 2-D box prunes partitions (executed plan), results exact") {
     import graft.functions.ZOrder
     val dir = Files.createTempDirectory("graft-zorder").toString
