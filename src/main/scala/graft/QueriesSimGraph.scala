@@ -629,6 +629,30 @@ private[graft] object QueriesSimGraph {
       Warc.parseWarc(Warc.withWarc(t(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    // Shot-boundary detection (hard-cut detector) over the video payloads:
+    // 8 evenly spaced frame samples per stream, 4-class character
+    // histogram per frame (the luminance-histogram stand-in), boundary
+    // where consecutive frames' L1 histogram delta ≥ 14 (picked from the
+    // measured delta distribution: median 8, p90 18 — a real boundary
+    // mix, not all-true/all-false). The m04 frame schedule with actual
+    // per-frame CONTENT work; per-doc lag window, no global sort.
+    "m11_shot_boundaries" -> ((s, dir) =>
+      Multimodal.shotBoundaries(t(s, dir, "documents"), frames = 8,
+          window = 64, threshold = 14)
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // k-center greedy coreset selection (Gonzalez 1985 farthest-point;
+    // Sener & Savarese 2018's data-selection use): 8 maximally-spread
+    // representatives of the embedding corpus, each round's pick the
+    // argmin of 6-dp max-cosine-to-selected with id tie-break. Driver-
+    // coordinated (selected set = control data): one partial+final
+    // min_by aggregate per round over the persisted (id, vec, norm)
+    // projection — the corpus never shuffles. The oracle replays all 8
+    // rounds move for move (unrolled MATERIALIZED CTEs).
+    "s23_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 8)
+        .orderBy(col("sel_order"))),
+
     // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
     // 16), recall recovered by probing each bucket's Hamming-1
     // neighbors — probe-side-only expansion, equi-join preserved, the
@@ -907,6 +931,32 @@ private[graft] object QueriesSimGraph {
         |  st = 200 AND doc_id % 11 <> 5 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // Shot-boundary twin (m11): the video payload body IS the text
+    // bytes, so the twin replays the frame schedule, histogram classes,
+    // and L1-delta cut test character for character on the text column —
+    // any off-by-one in the Spark side's offset arithmetic, window
+    // clipping, class regexes, or lag framing breaks the hash.
+    "m11_shot_boundaries" ->
+      """WITH v AS (SELECT doc_id, s, length(s) AS len FROM (
+        |    SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id % 3 = 2)),
+        |fr AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |    substr(s, CAST((i * len) // 8 + 1 AS BIGINT), 64) AS w
+        |  FROM v CROSS JOIN range(8) r(i)),
+        |h AS (SELECT doc_id, frame_idx,
+        |  CAST(length(w) - length(regexp_replace(w, '[a-m]', '', 'g')) AS BIGINT) AS c_am,
+        |  CAST(length(w) - length(regexp_replace(w, '[n-z]', '', 'g')) AS BIGINT) AS c_nz,
+        |  CAST(length(w) - length(regexp_replace(w, '[0-9]', '', 'g')) AS BIGINT) AS c_dg,
+        |  CAST(length(w) AS BIGINT) AS wl FROM fr),
+        |h2 AS (SELECT doc_id, frame_idx, c_am, c_nz, c_dg,
+        |  wl - c_am - c_nz - c_dg AS c_ot FROM h),
+        |d AS (SELECT doc_id, frame_idx, c_am, c_nz, c_dg, c_ot,
+        |  abs(c_am - lag(c_am) OVER fw) + abs(c_nz - lag(c_nz) OVER fw) +
+        |  abs(c_dg - lag(c_dg) OVER fw) + abs(c_ot - lag(c_ot) OVER fw) AS delta
+        |  FROM h2 WINDOW fw AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |SELECT doc_id, frame_idx, c_am, c_nz, c_dg, c_ot, delta,
+        |  CASE WHEN delta IS NOT NULL THEN delta >= 14 END AS is_boundary
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
+
     // kNN-graph twin (s13): s02's bucket chain at the 8×8 cluster
     // config, probes unrestricted, k=3.
     "s13_knn_graph" ->
@@ -945,6 +995,9 @@ private[graft] object QueriesSimGraph {
          |${annRankSql(5)}""".stripMargin,
 
     "s09_mmr" -> mmrOracleSql(kCand = 10, kSelect = 3, lambda = 0.7),
+
+    // k-center greedy twin (s23): the full 8-round farthest-point replay.
+    "s23_kcenter" -> kCenterOracleSql(8),
 
     // Beam-search twin (s21): s13's graph chain symmetrized (at k=8),
     // the walk unrolled round by round on round-6 ranks.

@@ -449,10 +449,17 @@ private[graft] object QueriesText {
     // BPE + unigram chains with zero float accumulation.
     "t30_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val (_, vocab) = analytics.Bpe.train(docs, nMerges = 12)
+      // ONE corpus tokenize+aggregate feeds BOTH trainers (the
+      // trainFromWordFreqs seam) — training is eager (regime probe +
+      // driver EM/merge loops run inside the call), so the shared table
+      // is released before the lazy encode/report plan ever executes
+      val wf = analytics.Bpe.wordFreqs(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (_, vocab) = analytics.Bpe.trainFromWordFreqs(wf, nMerges = 12)
+      val (pieces, segs) = analytics.Unigram.trainFromWordFreqs(wf)
+      wf.unpersist(blocking = false)
       val encB = analytics.Bpe.encode(docs, vocab)
         .select(col("doc_id"), col("n_bpe"))
-      val (pieces, segs) = analytics.Unigram.train(docs)
       val encU = analytics.Unigram.encode(docs, pieces, segs)
         .select(col("doc_id"), col("n_uni"))
       val base = analytics.Par.spreadForCpu(docs)
@@ -497,6 +504,15 @@ private[graft] object QueriesText {
       analytics.Unigram.encode(docs, pieces, segs)
         .orderBy(col("doc_id"))
     }),
+
+    // Per-document n-gram NOVELTY: the share of a doc's distinct 3-gram
+    // shingles whose FIRST corpus occurrence (min doc_id — ingestion
+    // order) is this document (d01/d03 tell you two docs overlap; this
+    // tells you how much of EACH doc is new at all). See
+    // TextAnalysis.noveltyScores for the collapse-before-join scale shape.
+    "t33_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(t(s, dir, "documents"), n = 3)
+        .orderBy(col("doc_id"))),
 
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
@@ -1117,6 +1133,25 @@ private[graft] object QueriesText {
     // Unigram tokenizer twin (t32): the full seed→EM→prune→EM→encode
     // replay — see unigramChainSql for the DP-fold correspondence.
     "t32_unigram" -> unigramOracleSql(200, 100, 2, 1),
+
+
+    // Novelty twin (t33): identical 3-gram shingle construction (the
+    // d03 CTE), gram → min(doc_id), then per-first-doc counts; the
+    // ratio is one double division of exact integers.
+    "t33_novelty" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |  ELSE [] END AS sh FROM tok),
+         |base AS (SELECT doc_id, len(sh)::BIGINT AS n_grams FROM g),
+         |e AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+         |nov AS (SELECT first_id, CAST(count(*) AS BIGINT) AS n_novel FROM
+         |  (SELECT gram, min(doc_id) AS first_id FROM e GROUP BY gram) GROUP BY first_id)
+         |SELECT b.doc_id, b.n_grams, coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+         |  CASE WHEN b.n_grams > 0
+         |    THEN round(coalesce(n.n_novel, 0)::DOUBLE / b.n_grams, 9) END AS novelty
+         |FROM base b LEFT JOIN nov n ON b.doc_id = n.first_id
+         |ORDER BY b.doc_id""".stripMargin),
 
 
     // Held-out BPE twin (t13): training replayed on the even half, the

@@ -930,4 +930,35 @@ private[graft] object QueryHelpers {
        |$rounds
        |SELECT * FROM ($finalUnion) ORDER BY probe_id, mmr_rank""".stripMargin
   }
+
+  /** Unrolled k-center greedy replay (s23): round r's `c_r` CTE selects
+    * the argmin of max-cosine-to-selected (6 dp, vec_id tie-break) from
+    * the running `m_{r-1}` table, and `m_r` folds the new center's
+    * similarity in via greatest(). Every round table is MATERIALIZED —
+    * each is referenced twice (the next argmin and the next fold), and
+    * CTE inlining would re-evaluate the whole chain per reference.
+    */
+  private[graft] def kCenterOracleSql(k: Int): String = {
+    require(k >= 2, s"oracle unroll needs k >= 2, got $k")
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+      "c1 AS MATERIALIZED (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 1)",
+      """m1 AS MATERIALIZED (SELECT v.vec_id, v.ev,
+        |  round(coalesce(list_cosine_similarity(v.ev, c1.ev), -2.0), 6) AS ms
+        |  FROM v CROSS JOIN c1)""".stripMargin)
+    for (r <- 2 to k) {
+      ctes += s"c$r AS MATERIALIZED (SELECT vec_id, ms FROM m${r - 1} ORDER BY ms ASC, vec_id ASC LIMIT 1)"
+      if (r < k)
+        ctes += s"""m$r AS MATERIALIZED (SELECT m.vec_id, m.ev,
+          |  greatest(m.ms, round(coalesce(list_cosine_similarity(m.ev, s.ev), -2.0), 6)) AS ms
+          |  FROM m${r - 1} m CROSS JOIN
+          |    (SELECT v.ev FROM v JOIN c$r USING (vec_id)) s)""".stripMargin
+    }
+    val sel = (1 to k).map { r =>
+      if (r == 1)
+        "SELECT CAST(1 AS BIGINT) AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS max_sim_prev FROM c1"
+      else s"SELECT CAST($r AS BIGINT), vec_id, ms FROM c$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$sel\nORDER BY sel_order"
+  }
 }

@@ -947,6 +947,27 @@ object ScaleSmoke {
       graft.analytics.TextAnalysis.dsirSelect(docs,
         targetPred = col("lang") === "en", keepNum = 1, keepDenom = 5))
 
+    // t33: n-gram novelty — gram-keyed partial+final aggregates, then a
+    // doc-sized join; cost must track gram volume ~linearly. The blown-up
+    // corpus is adversarial in the USEFUL direction: every copy's grams
+    // already exist in copy 0, so the (gram, first_id) table stays
+    // constant-sized while the exploded input grows mult× — wall should
+    // track the input term, never duplicate mass.
+    run("novelty")(
+      graft.analytics.TextAnalysis.noveltyScores(docs, n = 3))
+
+    // m11: shot-boundary detection — map-only fan-out (8 frames/video) +
+    // a per-doc lag window (bounded partitions); strictly linear.
+    run("shot_boundaries")(
+      graft.analytics.Multimodal.shotBoundaries(docs, frames = 8,
+        window = 64, threshold = 14))
+
+    // s23: k-center greedy — k-1 driver-coordinated rounds, each ONE
+    // partial+final min_by pass over the persisted corpus projection;
+    // cost is k × linear scan, independent of duplicate mass (the
+    // selected set is k rows of driver state).
+    run("kcenter")(Similarity.kCenterGreedy(vecs, k = 8))
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must

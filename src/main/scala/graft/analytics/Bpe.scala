@@ -146,12 +146,23 @@ object Bpe {
     // vocabulary, not the corpus.
     val wf = wordFreqs(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
-      if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
-        trainDriver(wf, nMerges)
-      else trainDistributed(wf, nMerges)
-    } finally wf.unpersist(blocking = false)
+    try trainFromWordFreqs(wf, nMerges, maxDriverVocab)
+    finally wf.unpersist(blocking = false)
+  }
+
+  /** [[train]] over a CALLER-OWNED word-frequency table — the seam that
+    * lets a pipeline training several tokenizers on the same corpus
+    * (t30's BPE-vs-unigram comparison) pay the corpus pass ONCE and feed
+    * both trainers the shared table. The caller is responsible for
+    * persisting `wf` (the regime probe and the training loop both read
+    * it; unpersisted, each read re-runs the corpus aggregation).
+    */
+  def trainFromWordFreqs(wf: DataFrame, nMerges: Int,
+      maxDriverVocab: Long = 1L << 20): (Seq[Merge], DataFrame) = {
+    val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
+    if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
+      trainDriver(wf, nMerges)
+    else trainDistributed(wf, nMerges)
   }
 
   /** Greedy left-to-right non-overlapping merge application on a symbol

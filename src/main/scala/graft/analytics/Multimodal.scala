@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DoubleType, IntegerType, LongType, StringType}
 
@@ -326,6 +327,62 @@ object Multimodal {
   def frameSampleOffsets(payload: Column, n: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => ((i.cast(LongType) * length(payload).cast(LongType)) / lit(n.toLong)).cast(LongType))
+
+  /** Shot-boundary detection over the video stream stand-in — m04's frame
+    * schedule taken to the CONTENT level. At each of `frames` evenly
+    * spaced character offsets of the decoded payload, a fixed
+    * `window`-char sample reduces to a 4-class character histogram
+    * ([a-m] / [n-z] / digit / other — the luminance-histogram analog a
+    * real cut detector bins per frame), and consecutive frames mark a
+    * boundary when their L1 histogram distance crosses `threshold` (the
+    * pairwise histogram-difference family of Zhang/Kankanhalli/Smoliar
+    * 1993 — the classic hard-cut detector). Frame PIXEL decode is the
+    * documented container stub; the sampling schedule, histogram
+    * arithmetic, and the delta test are the real Spark-side work, all
+    * codegen'd string/integer expressions. Scale shape: one map-only
+    * pass fans each video row to `frames` rows, and the lag window is
+    * partitioned per doc_id (bounded `frames`-row partitions) — no
+    * global sort, no shuffle beyond the per-doc window and final order.
+    */
+  def shotBoundaries(docs: DataFrame, frames: Int = 8, window: Int = 64,
+      threshold: Int = 14): DataFrame = {
+    // decode step: the video payload IS the raw byte stream (no
+    // container), so the stand-in "frame read" is a UTF-8 decode + char
+    // slice of the payload bytes — honest plumbing the twin replays from
+    // the text column it was synthesized from
+    // lowercase the WHOLE stream before slicing (not per window): Unicode
+    // lowercasing can change string length, so lower∘substr ≠ substr∘lower
+    // in general — the twin slices the pre-lowered stream, so must we
+    val vids = withPayload(docs).where(col("modality") === "video")
+      .select(col("doc_id"), lower(col("payload").cast(StringType)).as("s"))
+    val fr = vids
+      .select(col("doc_id"), length(col("s")).cast(LongType).as("len"), col("s"),
+        explode(sequence(lit(0L), lit(frames - 1L))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        // INTEGRAL division (the twin's `//`): Column./ is double division,
+        // which is only truncation-safe when `frames` is a power of two —
+        // `div` (IntegralDivide) is exact for any frame count
+        col("s").substr(
+          (call_function("div", col("frame_idx") * col("len"), lit(frames.toLong))
+            + lit(1L)).cast(IntegerType),
+          lit(window)).as("w"))
+    def cls(re: String): Column =
+      (length(col("w")) - length(regexp_replace(col("w"), re, ""))).cast(LongType)
+    val h = fr
+      .select(col("doc_id"), col("frame_idx"),
+        cls("[a-m]").as("c_am"), cls("[n-z]").as("c_nz"), cls("[0-9]").as("c_dg"),
+        length(col("w")).cast(LongType).as("wl"))
+      .select(col("doc_id"), col("frame_idx"), col("c_am"), col("c_nz"), col("c_dg"),
+        (col("wl") - col("c_am") - col("c_nz") - col("c_dg")).as("c_ot"))
+    val byFrame = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    def lagAbs(c: String): Column = abs(col(c) - lag(col(c), 1).over(byFrame))
+    h.select(col("doc_id"), col("frame_idx"),
+        col("c_am"), col("c_nz"), col("c_dg"), col("c_ot"),
+        (lagAbs("c_am") + lagAbs("c_nz") + lagAbs("c_dg") + lagAbs("c_ot")).as("delta"))
+      // first frame has no predecessor: delta and the verdict stay null
+      .withColumn("is_boundary",
+        when(col("delta").isNotNull, col("delta") >= threshold))
+  }
 
   /** Resize planning: recompute metadata for a target box, preserving the
     * parsed aspect ratio via integer arithmetic (deterministic).

@@ -375,6 +375,88 @@ object Similarity {
     }
   }
 
+  /** k-center greedy coreset selection (farthest-point traversal —
+    * Gonzalez 1985's 2-approximation; Sener & Savarese ICLR 2018 is the
+    * data-selection use): seed with the lowest-id vector, then repeatedly
+    * add the point FARTHEST from the selected set — the argmin of
+    * max-cosine-to-selected, 6-dp-rounded with id-ascending tie-break, so
+    * every selection decision is deterministic and oracle-replayable.
+    * Returns the k selected rows in selection order, each carrying the
+    * max-cosine to the previously-selected set at the moment it was
+    * chosen (null for the seed) — the non-decreasing radius schedule a
+    * pruning pipeline thresholds on.
+    *
+    * Scale shape: the selected set is CONTROL data (k vectors on the
+    * driver — the kmeans-centroid size class), so the loop is
+    * driver-coordinated (the s21 walk discipline): per round ONE
+    * partial+final `min_by` aggregate over the persisted (id, vec, norm)
+    * projection — map-side combine collapses each partition to one row
+    * before the exchange, the corpus itself never shuffles — with the
+    * per-row work a greatest() over ≤ k literal-vector cosines. Each
+    * round is a fresh plan over the cache (no lineage growth, no
+    * checkpoint chain). k linear passes over 100 TB is the algorithm's
+    * irreducible cost; the standard mitigation (coarse-cluster first,
+    * k-center per cell) composes from s05/s06.
+    */
+  /** The (id, vec, norm) projection every k-center round scans — split
+    * out (with [[kCenterRound]]) so PlanAuditSpec can pin the per-round
+    * plan shape on exactly the operator's own building blocks. */
+  private[graft] def kCenterBase(corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Par.spreadForCpu(corpus)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        normFn(corpus)(col(vecCol)).as("nv"))
+
+  /** One greedy round: the argmin of max-cosine-to-`centers` (each term
+    * 6-dp-rounded, zero-norm rows pinned to -2 — below any real cosine;
+    * the greatest() of per-center rounds is exactly the oracle's
+    * greatest-chain, since greatest is associative) as a partial+final
+    * `min_by` aggregate — map-side combine collapses each partition to
+    * one candidate row before the single-row exchange, so the corpus
+    * never hash-shuffles. `centers` carries (vector-as-doubles, norm).
+    */
+  private[graft] def kCenterRound(base: DataFrame,
+      centers: Seq[(Array[Double], Double)]): DataFrame = {
+    val sims = centers.map { case (cv, cn) =>
+      round(coalesce(
+        when(col("nv") > 0 && lit(cn) > 0,
+          dot(col("vec"), typedLit(cv.toSeq)) / (col("nv") * lit(cn))),
+        lit(-2.0)), 6)
+    }
+    val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+    base.select(col("id"), col("vec"), col("nv"), ms.as("ms"))
+      .select(min_by(struct(col("id"), col("vec"), col("nv"), col("ms")),
+        struct(col("ms"), col("id"))).as("r"))
+      .select(col("r.id"), col("r.vec"), col("r.nv"), col("r.ms"))
+  }
+
+  def kCenterGreedy(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = kCenterBase(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def vecOf(r: org.apache.spark.sql.Row): Array[Double] =
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toArray
+      val seed = base
+        .select(min_by(struct(col("id"), col("vec"), col("nv")), col("id")).as("r"))
+        .select(col("r.id"), col("r.vec"), col("r.nv")).head()
+      // (id, vec-as-doubles, norm, max-sim-to-selected at selection time)
+      var selected = Vector(
+        (seed.getLong(0), vecOf(seed), seed.getDouble(2), Option.empty[Double]))
+      for (_ <- 2 to k) {
+        val r = kCenterRound(base,
+          selected.map { case (_, cv, cn, _) => (cv, cn) }).head()
+        selected :+= ((r.getLong(0), vecOf(r), r.getDouble(2), Some(r.getDouble(3))))
+      }
+      selected.zipWithIndex.map { case ((id, _, _, ms), i) =>
+        ((i + 1).toLong, id, ms)
+      }.toDF("sel_order", "vec_id", "max_sim_prev")
+    } finally base.unpersist(blocking = false)
+  }
+
   /** Semantic dedup clusters — the embedding-space sibling of the lexical
     * cluster paths (d07 exact / d12 LSH): sign-LSH bucket candidates over
     * the FULL corpus (pair = any shared (table, bucket) hit, a_id < b_id,

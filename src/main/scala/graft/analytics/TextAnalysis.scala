@@ -244,6 +244,31 @@ object TextAnalysis {
     * splits them, and the d03-style salting is the manual fallback. The
     * grand total broadcasts as a 1-row scalar.
     */
+  /** Per-document n-gram NOVELTY (t33): the share of a doc's distinct
+    * n-gram shingles whose FIRST corpus occurrence (min id — ingestion
+    * order) is this document. The corpus-growth diagnostic behind
+    * dedup-budget decisions: a crawl snapshot whose marginal docs score
+    * near 0 is re-crawling what the corpus already holds. Scale shape:
+    * the per-gram table collapses to (gram, first_id) and then to a
+    * doc-sized (first_id, n_novel) BEFORE anything joins — two gram-keyed
+    * partial+final aggregates plus one doc-sized join; no pair space,
+    * and the exploded gram table is never join-probed.
+    */
+  def noveltyScores(docs: org.apache.spark.sql.DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.shingleSets(docs, n, idCol, textCol)
+    val novel = sh.select(col("id"), explode(col("sh")).as("g"))
+      .groupBy(col("g")).agg(min(col("id")).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("n_novel"))
+    sh.select(col("id").as(idCol), size(col("sh")).cast(LongType).as("n_grams"))
+      .join(novel, col(idCol) === col("first_id"), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_novel"), lit(0L)).cast(DoubleType) / col("n_grams"), 9))
+          .as("novelty"))
+  }
+
   def unigramLogProbScores(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val toks = Par.spreadForCpu(docs)

@@ -146,12 +146,22 @@ object Unigram {
       maxDriverVocab: Long = 1L << 20): (DataFrame, DataFrame) = {
     val wf = Bpe.wordFreqs(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
-      if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
-        trainDriver(wf, seedMulti, keepMulti, emPre, emPost)
-      else trainDistributed(wf, seedMulti, keepMulti, emPre, emPost)
-    } finally wf.unpersist(blocking = false)
+    try trainFromWordFreqs(wf, seedMulti, keepMulti, emPre, emPost, maxDriverVocab)
+    finally wf.unpersist(blocking = false)
+  }
+
+  /** [[train]] over a CALLER-OWNED word-frequency table (the Bpe
+    * `trainFromWordFreqs` seam — see there): t30 trains BPE and unigram
+    * on the SAME persisted table, paying the corpus pass once. The
+    * caller persists `wf`.
+    */
+  def trainFromWordFreqs(wf: DataFrame, seedMulti: Int = 200, keepMulti: Int = 100,
+      emPre: Int = 2, emPost: Int = 1,
+      maxDriverVocab: Long = 1L << 20): (DataFrame, DataFrame) = {
+    val cap = math.min(maxDriverVocab, Int.MaxValue - 1L).toInt
+    if (maxDriverVocab > 0L && wf.limit(cap + 1).count() <= maxDriverVocab)
+      trainDriver(wf, seedMulti, keepMulti, emPre, emPost)
+    else trainDistributed(wf, seedMulti, keepMulti, emPre, emPost)
   }
 
   private def trainDistributed(wf: DataFrame, seedMulti: Int, keepMulti: Int,

@@ -418,6 +418,70 @@ object Stream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** One n-gram first seen in the stream, credited to a document. */
+  case class NovelGram(docId: Long, gram: String)
+
+  /** t33's batch≡stream twin: per-gram FIRST-SEEN election as
+    * transformWithState ValueState — the incremental form of
+    * [[graft.analytics.TextAnalysis.noveltyScores]]'s `min(doc_id)` per
+    * gram. The first document a gram ever presents (lowest doc_id within
+    * its batch) is emitted as that gram's novelty credit and recorded;
+    * every later arrival — including an at-least-once REPLAY of the
+    * crediting batch itself — finds the state occupied and absorbs
+    * silently, so summing emissions per doc across batches is exactly
+    * the batch operator's `n_novel` under id-ascending ingest (the same
+    * first-seen ≡ min-id contract the dedup gate and the q38 curation
+    * gate pin in StreamingSpec).
+    *
+    * Scale shape: state is one long per DISTINCT gram — the biggest key
+    * space in the streaming layer, which is precisely what the RocksDB
+    * provider's off-heap, changelog-checkpointed store is for; per-batch
+    * work is O(batch grams), nothing rescans history.
+    */
+  final class GramFirstSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), NovelGram] {
+    import implicits._
+    @transient private var first:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(gram: String, rows: Iterator[(String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[NovelGram] = {
+      if (first.exists()) Iterator.empty
+      else {
+        var mn = Long.MaxValue
+        rows.foreach { case (_, id) => if (id < mn) mn = id }
+        if (mn == Long.MaxValue) Iterator.empty
+        else { first.update(mn); Iterator.single(NovelGram(mn, gram)) }
+      }
+    }
+  }
+
+  /** [[GramFirstSeenProcessor]] over a streaming (doc_id, text) frame:
+    * the same tokenize → distinct-shingle expressions the batch operator
+    * uses (per-row HOFs — streaming-safe), exploded to (gram, id) and
+    * keyed by gram. Consumers sum emissions per docId for `n_novel`;
+    * `n_grams` is stateless per doc (size of its distinct shingle set).
+    */
+  def incrementalNoveltyTws(docs: DataFrame, n: Int): Dataset[NovelGram] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id").cast("long").as("id"),
+        graft.analytics.TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("id"),
+        explode(graft.analytics.Dedup.shinglesFromTokens(col("ws"), n)).as("g"))
+      .select(col("g"), col("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new GramFirstSeenProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** One document surviving the streaming exact-dedup gate. */
   case class KeptDoc(docId: Long, lang: String, text: String)
 

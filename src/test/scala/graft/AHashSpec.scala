@@ -50,6 +50,32 @@ class AHashSpec extends SparkSpec {
     assert(Multimodal.aHashNearDups(docs, maxHamming = 6).count() == 0L)
   }
 
+  test("m11 shotBoundaries: hand-computed histograms — vocabulary cut fires, " +
+      "uniform stream doesn't, tail window clips, first frame reads null") {
+    // doc_id % 3 == 2 → video modality; frames=2/window=4 keeps the
+    // histograms hand-checkable
+    val docs = Seq(
+      (2L, "AAAAZZZZ"),   // UPPERCASE on purpose: lowering happens pre-slice
+      (5L, "bbbbbbbb"),   // uniform stream — no cut
+      (8L, "mmmm99")      // len 6: frame 1 starts at char 4, clips to "m99"
+    ).toDF("doc_id", "text")
+    val got = Multimodal.shotBoundaries(docs, frames = 2, window = 4, threshold = 8)
+      .orderBy("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getBoolean(7))))
+    assert(got.length === 6)
+    // doc 2: "aaaa" → "zzzz": L1 delta 8 ≥ 8 → hard cut
+    assert(got(0) == ((2L, 0L, 4L, 0L, 0L, 0L, None, None)))
+    assert(got(1) == ((2L, 1L, 0L, 4L, 0L, 0L, Some(8L), Some(true))))
+    // doc 5: identical "bbbb" windows ('b' ∈ [a-m]) → delta 0, no cut
+    assert(got(3) == ((5L, 1L, 4L, 0L, 0L, 0L, Some(0L), Some(false))))
+    // doc 8: "mmmm" → clipped "m99" (3 chars): |1−4| + |2−0| = 5 < 8
+    assert(got(4) == ((8L, 0L, 4L, 0L, 0L, 0L, None, None)))
+    assert(got(5) == ((8L, 1L, 1L, 0L, 2L, 0L, Some(5L), Some(false))))
+  }
+
   test("m07 cross-modal: distinctive vocabularies retrieve their true pair at top-1") {
     // each doc carries a unique vocabulary, so the caption (its prefix)
     // must retrieve its own image for every probe — the stub encoders

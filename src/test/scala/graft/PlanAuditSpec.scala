@@ -162,6 +162,61 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the max_by argmax aggregate, plan:\n$p")
   }
 
+  test("s23: each k-center round is a partial+final min_by aggregate over " +
+      "the corpus projection — no hash shuffle, no window, no join") {
+    import graft.analytics.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = Similarity.kCenterBase(e)
+    val p = Similarity.kCenterRound(base,
+        Seq((Array.fill(64)(0.1), 1.0), (Array.fill(64)(0.2), 1.0)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("min_by"), s"expected the min_by argmin aggregate, plan:\n$p")
+    assert(p.contains("partial_min_by") ||
+      p.split("Aggregate").length - 1 >= 2,
+      s"expected map-side partial aggregation, plan:\n$p")
+    // the corpus is scanned, combined per partition, and only the 1-row
+    // candidates move — a hash shuffle or window sort of corpus rows
+    // would not survive 100×
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a k-center round must never hash-shuffle the corpus, plan:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"a k-center round is one aggregate, plan:\n$p")
+  }
+
+  test("m11: the frame-delta window is partitioned per doc (no global sort), " +
+      "and the fan-out stays map-only until the window") {
+    val df = SparkEntry.queries("m11_shot_boundaries")(spark, dir)
+    df.collect() // AQE finalizes the executed plan
+    // audit the FINAL plan only — AQE's toString appends the initial
+    // plan, which would double-count exchanges
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val wline = p.linesIterator.find(_.contains("Window ")).getOrElse(
+      fail(s"expected a Window node, plan:\n$p"))
+    assert(wline.contains("windowspecdefinition(doc_id"),
+      s"the lag window must partition by doc_id (a partition-less window " +
+        s"is a single-task global sort), window line:\n$wline\nplan:\n$p")
+    // exactly one hash exchange — the window's doc_id partitioning; the
+    // final ORDER BY is range partitioning and the explode fan-out rides
+    // the scan
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange (the per-doc window), plan:\n$p")
+  }
+
+  test("t33: the gram table collapses to doc-sized aggregates BEFORE any " +
+      "join — no gram-keyed join, no pair space") {
+    val df = SparkEntry.queries("t33_novelty")(spark, dir)
+    df.collect() // AQE finalizes join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"novelty must never form a pair space, plan:\n$p")
+    // the one join keys on doc ids (first_id = the min-doc aggregate's
+    // output), never on the exploded gram column
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(l =>
+      l.contains("first_id") && !l.contains("g#")),
+      s"the join must key on doc ids, not grams, joins:\n${joinLines.mkString("\n")}")
+  }
+
   test("s22: MaxSim broadcasts the BOUNDED probe token set and streams the " +
       "corpus; the per-(qtok, doc) max is a partial+final aggregate") {
     val p = SparkEntry.queries("s22_maxsim")(spark, "/root/testdata/sf0.001")

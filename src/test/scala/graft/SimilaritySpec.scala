@@ -116,6 +116,41 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (qd, _, nd, _) => qd != nd })
   }
 
+  test("s23 k-center greedy: driver replay on sf0.001 matches move for move; " +
+      "selection radius is monotone; ids distinct") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.kCenterGreedy(e, k = 6).orderBy("sel_order").collect()
+      .map(r => (r.getAs[Long]("sel_order"), r.getAs[Long]("vec_id"),
+        Option(r.getAs[Any]("max_sim_prev")).map(_.asInstanceOf[Double])))
+    // independent arithmetic replay: same seed (min id), same per-round
+    // argmin of HALF_UP-round-6 max-cosine with id tie-break
+    val vecs = e.orderBy("vec_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var sel = Vector((vecs.minBy(_._1)._1, Option.empty[Double]))
+    def vecAt(id: Long): Array[Double] = vecs.find(_._1 == id).get._2
+    for (_ <- 2 to 6) {
+      val scored = vecs.map { case (id, v) =>
+        (id, sel.map { case (sid, _) => cos6(v, vecAt(sid)) }.max)
+      }
+      val (nid, ms) = scored.minBy { case (id, ms) => (ms, id) }
+      sel :+= ((nid, Some(ms)))
+    }
+    val want = sel.zipWithIndex.map { case ((id, ms), i) => ((i + 1).toLong, id, ms) }
+    assert(got.toSeq === want)
+    // farthest-point invariants: the chosen point's similarity to the
+    // selected set can only rise as the set grows, and picks never repeat
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a <= b })
+    assert(got.map(_._2).distinct.length === got.length)
+  }
+
   test("native vec_dot ≡ declarative zip_with/aggregate dot (incl. null semantics)") {
     assert(spark.catalog.functionExists("vec_dot"))
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

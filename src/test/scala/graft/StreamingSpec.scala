@@ -600,6 +600,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState incremental novelty: gram store survives restart, " +
+      "absorbs replays, and per-doc credits equal batch t33 under " +
+      "id-ascending ingest") {
+    val srcDir = tempDir("graft-twsnovel-src")
+    val ckptDir = tempDir("graft-twsnovel-ckpt")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.NovelGram]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val src = spark.readStream
+          .schema("doc_id long, text string").json(srcDir)
+        val q = Stream.incrementalNoveltyTws(src, n = 3)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.NovelGram], _: Long) =>
+            collected ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+      }
+      def write(name: String, rows: (Long, String)*): Unit =
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+      def credits = collected.groupBy(_.docId).view.mapValues(_.size.toLong).toMap
+
+      // b0 (id order): doc 0 introduces both its grams; doc 1 shares
+      // "b c d" and introduces "c d e"; doc 2 is a verbatim copy of 0
+      val b0 = Seq((0L, "a b c d"), (1L, "b c d e"), (2L, "a b c d"))
+      write("b0.jsonl", b0: _*)
+      run()
+      assert(credits === Map(0L -> 2L, 1L -> 1L),
+        s"b0 credits wrong: $collected")
+
+      // b1 (restarted query): doc 3 overlaps the RESTORED store ("c d e"
+      // is doc 1's), doc 4 is all-new — restart must not re-credit
+      val b1 = Seq((3L, "c d e f"), (4L, "x y z w"))
+      write("b1.jsonl", b1: _*)
+      run()
+      assert(credits === Map(0L -> 2L, 1L -> 1L, 3L -> 1L, 4L -> 2L),
+        s"restored gram store must gate b1: $collected")
+
+      // b2: an at-least-once replay of doc 3 — every gram occupied,
+      // absorbed with zero emissions
+      val before = collected.size
+      write("b2.jsonl", (3L, "c d e f"))
+      run()
+      assert(collected.size === before, s"replay must be absorbed: $collected")
+
+      // PARITY: summed stream credits per doc == batch t33's n_novel on
+      // the union corpus (ids arrived ascending, so first-seen ≡ min-id)
+      import spark.implicits._
+      val union = (b0 ++ b1).toDF("doc_id", "text")
+      val batch = graft.analytics.TextAnalysis.noveltyScores(union, n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(batch === credits ++ Map(2L -> 0L),
+        s"stream credits $credits must replay batch n_novel $batch")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState incremental dedup: batch/stream PARITY — the " +
       "streaming store emits exactly the candidate set the batch banded " +
       "index derives from the SAME signatures and bucket keys") {

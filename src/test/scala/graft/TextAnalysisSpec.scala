@@ -486,6 +486,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4) == ((4L, 0L, 0L, None, false)))
   }
 
+  test("t33 noveltyScores: hand fixture — verbatim copy scores 0, half-overlap " +
+      "0.5, within-doc repeats dedup, short docs read null") {
+    val docs = Seq(
+      (0L, "a b c d"),      // grams {"a b c","b c d"} — both first here
+      (1L, "a b c d"),      // verbatim copy → nothing novel
+      (2L, "b c d e"),      // shares "b c d" with doc0, "c d e" is new
+      (3L, "x y"),          // < 3 tokens → no grams, null novelty
+      (4L, "a b a b a")     // grams {"a b a","b a b"} DISTINCT (3 raw positions)
+    ).toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis.noveltyScores(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got(0) == ((0L, 2L, 2L, Some(1.0))))
+    assert(got(1) == ((1L, 2L, 0L, Some(0.0))),
+      s"a verbatim copy must have zero novel grams: ${got(1)}")
+    assert(got(2) == ((2L, 2L, 1L, Some(0.5))))
+    assert(got(3) == ((3L, 0L, 0L, None)))
+    assert(got(4) == ((4L, 2L, 2L, Some(1.0))),
+      s"within-doc repeat must not inflate the gram count: ${got(4)}")
+  }
+
   test("t29 dsirSelect: hand-computed importance weights; target-like docs " +
       "outrank raw-only docs; token-less docs never selected") {
     import spark.implicits._
