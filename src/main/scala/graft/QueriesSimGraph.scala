@@ -58,6 +58,26 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // Personalized PageRank (random walk with restart) over g01's exact
+    // graph, teleport concentrated on seeds {0,1,2,3}: mass measures
+    // graph proximity to the seeds — the trusted-set expansion signal
+    // (g06's seed BFS gives hop distance; PPR weights ALL paths). The
+    // walk is scaled-integer fixed point (rank·10¹², damping 85/100,
+    // plain integer sums) — exact under any execution order, so the twin
+    // replays all 10 rounds with zero float anywhere in the chain.
+    "g09_ppr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      analytics.Graph.personalizedPageRank(edges, docs,
+          seeds = Seq(0L, 1L, 2L, 3L), iters = 10, idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("ppr_e12"), col("ppr"))
+        .orderBy(col("doc_id"))
+    }),
+
 
     // k-core membership over a ring+chord graph with a dense hub mesh
     // (doc_id < n/10 forms a 6-regular sub-ring): raw degree alone
@@ -767,6 +787,10 @@ private[graft] object QueriesSimGraph {
   val oracle: Map[String, String] = Map(
 
     "g01_pagerank" -> pageRankOracleSql(iters = 10, damping = 0.85),
+
+    // Personalized-PageRank twin (g09): the scaled-integer replay with a
+    // seed-conditional teleport vector.
+    "g09_ppr" -> pprOracleSql(iters = 10, seeds = Seq(0L, 1L, 2L, 3L)),
 
     "g02_hits" -> hitsOracleSql(iters = 5),
 

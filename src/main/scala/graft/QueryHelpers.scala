@@ -789,6 +789,43 @@ private[graft] object QueryHelpers {
        |SELECT id AS doc_id, pr FROM pr$iters ORDER BY doc_id""".stripMargin
   }
 
+  /** Personalized-PageRank twin (g09): the scaled-integer fixed-point
+    * replay — rank at 10¹², contributions at 10¹⁵ via the floor((2a+b)/2b)
+    * half-up identity, damping as the exact rational 85/100, plain
+    * integer SUMs. No float exists anywhere in the chain until the final
+    * p/10¹² double view, so there is no rounding-parity surface at all
+    * (the double-round recipe hit Spark-BigDecimal-vs-DuckDB-binary
+    * half-boundary disagreements twice). Every intermediate is re-cast
+    * to BIGINT — DuckDB SUM(BIGINT) is HUGEINT and would otherwise leak
+    * into the output dtype.
+    */
+  private[graft] def pprOracleSql(iters: Int, seeds: Seq[Long]): String = {
+    val seedList = seeds.mkString(", ")
+    val k = seeds.size.toLong
+    require(15000000000000000L % k == 0L, s"teleport must be exact for k=$k")
+    val base17 = 15000000000000000L / k
+    val init12 = (2L * 1000000000000L + k) / (2L * k)
+    val rounds = (1 to iters).map { i =>
+      s"""pr$i AS (SELECT v.id,
+         |  CAST((2 * (CASE WHEN v.id IN ($seedList) THEN ${base17} ELSE 0 END
+         |    + 85 * COALESCE(s.s, 0)) + 100000) // 200000 AS BIGINT) AS p
+         |  FROM verts v LEFT JOIN (
+         |    SELECT dst AS id, CAST(SUM(c) AS BIGINT) AS s
+         |    FROM (SELECT e.dst, CAST((p.p * 2000 + d.deg) // (d.deg * 2) AS BIGINT) AS c
+         |          FROM e JOIN pr${i - 1} p ON e.src = p.id JOIN deg d ON e.src = d.src)
+         |    GROUP BY dst) s ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |verts AS (SELECT doc_id AS id FROM documents),
+       |e AS (SELECT doc_id AS src, (doc_id*7+13) % (SELECT n FROM nn) AS dst FROM documents
+       |      UNION ALL SELECT doc_id, (doc_id*31+7) % (SELECT n FROM nn) FROM documents),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |pr0 AS (SELECT id, CAST(CASE WHEN id IN ($seedList) THEN ${init12} ELSE 0 END AS BIGINT) AS p FROM verts),
+       |$rounds
+       |SELECT id AS doc_id, p AS ppr_e12, CAST(p AS DOUBLE) / 1e12 AS ppr
+       |FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** HITS twin (g02): replays every half-step — src-ordered in-edge folds
     * for authority, dst-ordered out-edge folds for hub, the two-level
     * BLOCKED L1 totals (id-ordered folds per id//4096 block, then a

@@ -236,6 +236,14 @@ object ScaleSmoke {
           pmod(col("doc_id") * 31 + 7, lit(nDocs)).as("dst")))
       run("pagerank")(
         graft.analytics.Graph.pageRank(edges, docs, iters = 5, idCol = "doc_id"))
+
+      // g09 on the same graph: per iteration ONE src-keyed join + ONE
+      // plain partial+final integer SUM keyed by dst — no ordered-fold
+      // collect_list buffers at all, so it must track edges×iterations
+      // with a SMALLER constant than pagerank's replayable fold.
+      run("ppr")(
+        graft.analytics.Graph.personalizedPageRank(edges, docs,
+          seeds = Seq(0L, 1L, 2L, 3L), iters = 5, idCol = "doc_id"))
     }
 
     // HITS (g02) at blowup: same graph, TWO joins + TWO aggregations per

@@ -45,12 +45,107 @@ object Graph {
       foldBlock: Long = 0L): DataFrame = {
     val n = vertices.count() // scalar control decision, not a data collect
     require(n > 0, "pageRank needs a non-empty vertex set")
+    prLoop(edges, vertices, iters, damping, srcCol, dstCol, idCol,
+      replayable, foldBlock,
+      init = round(lit(1.0) / lit(n), 12),
+      base = lit(1.0 - damping) / lit(n))
+  }
+
+  /** Personalized PageRank (random walk with restart — Page et al. 1999
+    * §6's personalized teleport; Jeh & Widom 2003): [[pageRank]]'s walk
+    * with the teleport vector CONCENTRATED on a seed set — restart(v) =
+    * 1/|seeds| on seeds, 0 elsewhere — so mass measures proximity to the
+    * seeds, the graph-locality expansion signal a curation pipeline uses
+    * to grow a trusted-domain set (g06's seed BFS gives hop DISTANCE;
+    * PPR weights all paths).
+    *
+    * Determinism is SCALED-INTEGER FIXED POINT, one step past g01's
+    * round-and-fold discipline: rank lives as `p = pr·10¹²` (BIGINT),
+    * per-edge contribution is the half-up integer rounding of p·10³/deg
+    * (rank at 15 decimals), damping is the exact rational 85/100, and
+    * the per-vertex reduce is a PLAIN integer SUM — exact under ANY
+    * execution order, so it needs neither g01's src-ordered fold (no
+    * collect_list buffers, no viral-key blocks) nor round-parity luck:
+    * Spark's BigDecimal HALF_UP and DuckDB's binary double rounding
+    * disagree on values within one ulp of a decimal half-boundary (hit
+    * twice while this operator was built), and integer arithmetic
+    * removes the class. `1.5·10¹⁶ % |seeds| == 0` is required so the
+    * seed teleport `0.15/|seeds|` is exact at scale 17 (k ∈ 1,2,3,4,5,6,
+    * 8,10,… — a divisibility require, not a silent rounding).
+    *
+    * Overflow audit (BIGINT, |·| < 9.2·10¹⁸): p ≤ 10¹² (total mass 1),
+    * 2·p·10³ + deg ≤ ~2·10¹⁵; Σ contribs per vertex ≤ 10¹⁵ (total scale-
+    * 15 mass), ×85 ≤ 8.5·10¹⁶, ×2 ≤ 1.7·10¹⁷ — three orders of headroom.
+    * Scale shape per iteration: one src-keyed join of the rank vector
+    * with the edge list + ONE partial+final sum keyed by dst — strictly
+    * cheaper than g01's replayable fold at identical exactness.
+    *
+    * Output: (id, ppr_e12 BIGINT, ppr DOUBLE) — the scaled-integer rank
+    * and its exact double view p/10¹² (p < 2⁵³, one IEEE division: both
+    * engines produce the identical double).
+    */
+  def personalizedPageRank(edges: DataFrame, vertices: DataFrame,
+      seeds: Seq[Long], iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    val k = seeds.size.toLong
+    require(15000000000000000L % k == 0L,
+      s"seed count $k must divide 1.5e16 so the teleport term is exact at scale 17")
+    val base17 = 15000000000000000L / k // (1-0.85)/k at scale 17, exact
+    val init12 = (2L * 1000000000000L + k) / (2L * k) // round_half_up(1e12/k)
+    val onSeed = col("id").isInCollection(seeds)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val verts = vertices.select(col(idCol).as("id"))
-    val base: Column = lit(1.0 - damping) / lit(n)
-    var pr = verts.select(col("id"), round(lit(1.0) / lit(n), 12).as("pr"))
+    var pr = verts.select(col("id"),
+        when(onSeed, lit(init12)).otherwise(lit(0L)).as("p"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      // round_half_up(p·10³/deg): positive operands, so the classic
+      // floor((2a + b) / 2b) half-up identity holds — via `div`
+      // (IntegralDivide; Column./ on integers plans DOUBLE division,
+      // the m11 lesson)
+      val sums = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"),
+          call_function("div",
+            col("p") * lit(2000L) + col("deg"), col("deg") * lit(2L)).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      pr = verts
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          call_function("div",
+            lit(2L) * (when(onSeed, lit(base17)).otherwise(lit(0L)) +
+              lit(85L) * coalesce(col("s"), lit(0L))) + lit(100000L),
+            lit(200000L)).as("p"))
+        .localCheckpoint(eager = false)
+    }
+    pr.count() // materialize the checkpoint chain before releasing the cache
+    e.unpersist(blocking = false)
+    pr.select(col("id"), col("p").as("ppr_e12"),
+      (col("p").cast("double") / lit(1.0e12)).as("ppr"))
+  }
+
+  /** The shared power-iteration core of [[pageRank]] and
+    * [[personalizedPageRank]]: `init` is the starting rank and `base`
+    * the per-vertex teleport term, both expressions over the vertex
+    * column `id` — everything else (per-edge contribution rounding, the
+    * src-ordered replayable fold, the optional two-level block fold,
+    * lazy checkpoints) is identical between the uniform and the
+    * personalized walk by construction.
+    */
+  private def prLoop(edges: DataFrame, vertices: DataFrame, iters: Int,
+      damping: Double, srcCol: String, dstCol: String, idCol: String,
+      replayable: Boolean, foldBlock: Long,
+      init: Column, base: Column): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val verts = vertices.select(col(idCol).as("id"))
+    var pr = verts.select(col("id"), init.as("pr"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val contrib = e

@@ -40,6 +40,43 @@ class GraphSpec extends SparkSpec {
     assert(pr === run(), "bit-deterministic across runs")
   }
 
+  test("personalizedPageRank: uniform seeds on a ring equal pageRank's " +
+      "fixpoint; a disconnected component gets exactly zero mass") {
+    val n = 10L
+    val verts = spark.range(n).toDF("id")
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    // uniform restart on the symmetric ring = the classic uniform
+    // fixpoint 1/n — the integer chain must land on exactly 0.1 = 10^11
+    // scaled, same as the double walk
+    val uni = Graph.pageRank(ring, verts, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val allSeeds = Graph.personalizedPageRank(ring, verts,
+        seeds = 0L until n, iters = 5)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("ppr_e12"),
+        r.getAs[Double]("ppr")))
+    assert(allSeeds.forall(_._2 === 100000000000L),
+      s"uniform ring fixpoint must be exactly 0.1 scaled: ${allSeeds.toSeq}")
+    assert(allSeeds.map(v => v._1 -> v._3).toMap === uni,
+      "the double view must equal pageRank's uniform fixpoint")
+
+    // two 2-cycles: {0,1} and {2,3}; seeding {0} must give the other
+    // component exactly 0 — mass measures reachability-weighted
+    // proximity, never global authority
+    val verts2 = spark.range(4).toDF("id")
+    val edges2 = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val ppr = Graph.personalizedPageRank(edges2, verts2,
+        seeds = Seq(0L), iters = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("ppr_e12")).toMap
+    assert(ppr(2L) === 0L && ppr(3L) === 0L,
+      s"unreachable component must hold zero mass: $ppr")
+    assert(ppr(0L) > 0L && ppr(1L) > 0L)
+    // no dangling vertices → mass conserved up to per-round half-up
+    // rounding (≤ 1 scaled unit per vertex per round)
+    assert(math.abs(ppr(0L) + ppr(1L) - 1000000000000L) <= 16L,
+      s"mass leak: $ppr")
+  }
+
   test("production paths (replayable=false): same invariants on plain sums") {
     val n = 10L
     val verts = spark.range(n).toDF("id")
