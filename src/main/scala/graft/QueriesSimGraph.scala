@@ -673,6 +673,19 @@ private[graft] object QueriesSimGraph {
       Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 8)
         .orderBy(col("sel_order"))),
 
+    // Semantic chunking over token-embedding streams (docs = bags of 8
+    // consecutive vectors, s22's convention): a chunk boundary opens
+    // where the adjacent-token cosine (round 6) drops below -0.1 (picked
+    // from the measured distribution: median ~0.01, p25 -0.08 — a real
+    // boundary mix), each position carrying its running chunk index —
+    // the RAG segmentation complement to t28's fixed windows and d23's
+    // CDC cuts. One map-only pass + per-doc lag/cumsum windows sharing
+    // one bounded partitioning.
+    "s24_semantic_chunks" -> ((s, dir) =>
+      Similarity.semanticChunks(t(s, dir, "embeddings"),
+          tokensPerDoc = 8, minCos = -0.1)
+        .orderBy(col("doc"), col("pos"))),
+
     // Multi-probe LSH (Lv et al. 2007): a QUARTER of s02's tables (4 vs
     // 16), recall recovered by probing each bucket's Hamming-1
     // neighbors — probe-side-only expansion, equi-join preserved, the
@@ -1022,6 +1035,23 @@ private[graft] object QueriesSimGraph {
 
     // k-center greedy twin (s23): the full 8-round farthest-point replay.
     "s23_kcenter" -> kCenterOracleSql(8),
+
+    // Semantic-chunking twin (s24): same bagging, adjacent lag, round-6
+    // cosine, threshold on the ROUNDED value, running break count.
+    "s24_semantic_chunks" ->
+      """WITH v AS (SELECT vec_id // 8 AS doc, vec_id % 8 AS pos,
+        |    embedding::DOUBLE[] AS ev FROM embeddings),
+        |a AS (SELECT doc, pos, ev, lag(ev) OVER pw AS pv FROM v
+        |  WINDOW pw AS (PARTITION BY doc ORDER BY pos)),
+        |c AS (SELECT doc, pos,
+        |  CASE WHEN pv IS NOT NULL THEN round(list_cosine_similarity(pv, ev), 6) END AS adj_cos
+        |  FROM a),
+        |b AS (SELECT doc, pos, adj_cos,
+        |  CASE WHEN adj_cos IS NOT NULL THEN adj_cos < -0.1 END AS is_break FROM c)
+        |SELECT doc, pos, adj_cos, is_break,
+        |  CAST(sum(CASE WHEN is_break THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_idx
+        |FROM b ORDER BY doc, pos""".stripMargin,
 
     // Beam-search twin (s21): s13's graph chain symmetrized (at k=8),
     // the walk unrolled round by round on round-6 ranks.

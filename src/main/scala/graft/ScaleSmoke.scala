@@ -976,6 +976,11 @@ object ScaleSmoke {
     // selected set is k rows of driver state).
     run("kcenter")(Similarity.kCenterGreedy(vecs, k = 8))
 
+    // s24: semantic chunking — map-only projection + two per-doc windows
+    // on ONE bounded (8-row) partitioning; strictly linear in vectors.
+    run("semantic_chunks")(
+      Similarity.semanticChunks(vecs, tokensPerDoc = 8, minCos = -0.1))
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must

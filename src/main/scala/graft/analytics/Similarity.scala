@@ -1580,4 +1580,46 @@ object Similarity {
       .select(col("probe_doc"), col("rank"),
         col("doc").as("neighbor_doc"), col("score"))
   }
+
+  /** Semantic chunking over token-embedding streams (the RAG segmentation
+    * complement to t28's fixed windows and d23's content-defined chunks:
+    * fixed windows give uniform lengths, CDC survives edits, SEMANTIC
+    * splits follow topic drift — Kamradt-style embedding-drift chunking):
+    * documents are bags of `tokensPerDoc` consecutive vectors (s22's
+    * convention), a chunk boundary opens wherever the adjacent-token
+    * cosine (round 6, the d06 threshold-on-rounded convention) drops
+    * below `minCos`, and each position carries its running chunk index.
+    *
+    * Scale shape: one map-only projection, then a per-doc lag + running
+    * sum — BOTH windows share the same bounded `tokensPerDoc`-row
+    * partitioning (one exchange, no global sort), the m11 discipline in
+    * embedding space.
+    */
+  def semanticChunks(corpus: DataFrame, tokensPerDoc: Int, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val d = dotFn(corpus)
+    val nf = normFn(corpus)
+    val v = Par.spreadForCpu(corpus).select(
+      call_function("div", col(idCol).cast("long"), lit(tokensPerDoc.toLong)).as("doc"),
+      pmod(col(idCol).cast("long"), lit(tokensPerDoc.toLong)).as("pos"),
+      col(vecCol).as("vec"))
+      .withColumn("nv", nf(col("vec")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val adj = v
+      .select(col("doc"), col("pos"), col("vec"), col("nv"),
+        lag(col("vec"), 1).over(byDoc).as("pv"),
+        lag(col("nv"), 1).over(byDoc).as("pn"))
+      .select(col("doc"), col("pos"),
+        round(when(col("pn") > 0 && col("nv") > 0,
+          d(col("pv"), col("vec")) / (col("pn") * col("nv"))), 6).as("adj_cos"))
+    adj
+      .withColumn("is_break",
+        when(col("adj_cos").isNotNull, col("adj_cos") < minCos))
+      .withColumn("chunk_idx",
+        sum(when(col("is_break"), lit(1L)).otherwise(lit(0L)))
+          .over(byDoc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+  }
 }

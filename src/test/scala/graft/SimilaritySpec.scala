@@ -151,6 +151,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.length === got.length)
   }
 
+  test("s24 semanticChunks: hand-computed breaks — drift opens a chunk, " +
+      "coherence doesn't, zero-norm reads null and never breaks") {
+    import spark.implicits._
+    // doc 0 (ids 0-2): steady, steady, REVERSED → break at pos 2
+    // doc 1 (ids 3-5): all aligned → one chunk
+    // doc 2 (ids 6-8): zero vector in the middle → null cosines, no break
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0f, 2f)), (5L, Array(0f, 0.5f)),
+      (6L, Array(1f, 1f)), (7L, Array(0f, 0f)), (8L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.analytics.Similarity
+      .semanticChunks(vecs, tokensPerDoc = 3, minCos = -0.1)
+      .orderBy("doc", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
+        r.getLong(4)))
+    assert(got.length === 9)
+    // doc 0: pos 0 headless; pos 1 coherent (cos ≈ .993); pos 2 reversed
+    assert(got(0) == ((0L, 0L, None, None, 0L)))
+    assert(got(1)._4 == Some(false) && got(1)._5 === 0L)
+    // cos((0.9,0.1), (-1,0)) = -0.9/√0.82 → round-6 −0.993884
+    assert(got(2)._3 == Some(-0.993884) && got(2)._4 == Some(true) && got(2)._5 === 1L,
+      s"a reversed vector must open a chunk: ${got(2)}")
+    // doc 1: scaling never breaks (cosine is scale-invariant)
+    assert(got.slice(3, 6).forall(_._5 === 0L), s"aligned doc split: ${got.toSeq}")
+    // doc 2: zero-norm neighbor → null cosine on BOTH sides of it, no break
+    assert(got(7)._3 === None && got(8)._3 === None)
+    assert(got.slice(6, 9).forall(_._5 === 0L),
+      s"null cosines must never open chunks: ${got.toSeq}")
+  }
+
   test("native vec_dot ≡ declarative zip_with/aggregate dot (incl. null semantics)") {
     assert(spark.catalog.functionExists("vec_dot"))
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
