@@ -1044,7 +1044,9 @@ private[graft] object QueriesSimGraph {
         |a AS (SELECT doc, pos, ev, lag(ev) OVER pw AS pv FROM v
         |  WINDOW pw AS (PARTITION BY doc ORDER BY pos)),
         |c AS (SELECT doc, pos,
-        |  CASE WHEN pv IS NOT NULL THEN round(list_cosine_similarity(pv, ev), 6) END AS adj_cos
+        |  CASE WHEN pv IS NOT NULL
+        |    AND list_dot_product(pv, pv) > 0 AND list_dot_product(ev, ev) > 0
+        |    THEN round(list_cosine_similarity(pv, ev), 6) END AS adj_cos
         |  FROM a),
         |b AS (SELECT doc, pos, adj_cos,
         |  CASE WHEN adj_cos IS NOT NULL THEN adj_cos < -0.1 END AS is_break FROM c)

@@ -977,17 +977,24 @@ private[graft] object QueryHelpers {
     */
   private[graft] def kCenterOracleSql(k: Int): String = {
     require(k >= 2, s"oracle unroll needs k >= 2, got $k")
+    // zero-norm pin: DuckDB's list_cosine_similarity yields NaN (never
+    // NULL) on a zero vector, so a coalesce default would be dead code —
+    // the guard must test the norms explicitly, exactly like the Spark
+    // side's `nv > 0` (review finding; latent until a zero vector lands)
+    def sim(a: String, b: String): String =
+      s"CASE WHEN list_dot_product($a, $a) > 0 AND list_dot_product($b, $b) > 0" +
+        s" THEN round(list_cosine_similarity($a, $b), 6) ELSE -2.0 END"
     val ctes = scala.collection.mutable.ArrayBuffer(
       "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
       "c1 AS MATERIALIZED (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 1)",
-      """m1 AS MATERIALIZED (SELECT v.vec_id, v.ev,
-        |  round(coalesce(list_cosine_similarity(v.ev, c1.ev), -2.0), 6) AS ms
+      s"""m1 AS MATERIALIZED (SELECT v.vec_id, v.ev,
+        |  ${sim("v.ev", "c1.ev")} AS ms
         |  FROM v CROSS JOIN c1)""".stripMargin)
     for (r <- 2 to k) {
       ctes += s"c$r AS MATERIALIZED (SELECT vec_id, ms FROM m${r - 1} ORDER BY ms ASC, vec_id ASC LIMIT 1)"
       if (r < k)
         ctes += s"""m$r AS MATERIALIZED (SELECT m.vec_id, m.ev,
-          |  greatest(m.ms, round(coalesce(list_cosine_similarity(m.ev, s.ev), -2.0), 6)) AS ms
+          |  greatest(m.ms, ${sim("m.ev", "s.ev")}) AS ms
           |  FROM m${r - 1} m CROSS JOIN
           |    (SELECT v.ev FROM v JOIN c$r USING (vec_id)) s)""".stripMargin
     }

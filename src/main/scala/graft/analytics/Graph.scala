@@ -45,10 +45,56 @@ object Graph {
       foldBlock: Long = 0L): DataFrame = {
     val n = vertices.count() // scalar control decision, not a data collect
     require(n > 0, "pageRank needs a non-empty vertex set")
-    prLoop(edges, vertices, iters, damping, srcCol, dstCol, idCol,
-      replayable, foldBlock,
-      init = round(lit(1.0) / lit(n), 12),
-      base = lit(1.0 - damping) / lit(n))
+    val init: Column = round(lit(1.0) / lit(n), 12)
+    val base: Column = lit(1.0 - damping) / lit(n)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val verts = vertices.select(col(idCol).as("id"))
+    var pr = verts.select(col("id"), init.as("pr"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("id"), col("src"),
+          round(col("pr") / col("deg"), 15).as("c"))
+      // replayable=false is the documented production swap: a plain
+      // partial-aggregated sum — map-side combine, no per-key buffers,
+      // no bit-replayability (ScaleSmoke records the delta)
+      val sums =
+        if (replayable && foldBlock > 0L)
+          // viral-key cap: two-level fold keyed by src VALUE blocks —
+          // per-(dst, block) partials bound every buffer at foldBlock,
+          // the block fold at in-degree/foldBlock; partition-independent
+          contrib
+            .groupBy(col("id"),
+              (col("src") - pmod(col("src"), lit(foldBlock))).as("blk"))
+            .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
+            .select(col("id"), col("blk"),
+              aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
+                lit(0.0), (a, b) => a + b).as("bs"))
+            .groupBy(col("id"))
+            .agg(collect_list(struct(col("blk"), col("bs"))).as("bss"))
+            .select(col("id"),
+              aggregate(transform(array_sort(col("bss")), x => x.getField("bs")),
+                lit(0.0), (a, b) => a + b).as("s"))
+        else if (replayable) contrib
+          .groupBy(col("id"))
+          .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
+          .select(col("id"),
+            aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
+              lit(0.0), (a, b) => a + b).as("s"))
+        else contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
+      pr = verts
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          round(base + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("pr"))
+        .localCheckpoint(eager = false)
+    }
+    pr.count() // materialize the checkpoint chain before releasing the cache
+    e.unpersist(blocking = false)
+    pr
   }
 
   /** Personalized PageRank (random walk with restart — Page et al. 1999
@@ -129,67 +175,6 @@ object Graph {
       (col("p").cast("double") / lit(1.0e12)).as("ppr"))
   }
 
-  /** The shared power-iteration core of [[pageRank]] and
-    * [[personalizedPageRank]]: `init` is the starting rank and `base`
-    * the per-vertex teleport term, both expressions over the vertex
-    * column `id` — everything else (per-edge contribution rounding, the
-    * src-ordered replayable fold, the optional two-level block fold,
-    * lazy checkpoints) is identical between the uniform and the
-    * personalized walk by construction.
-    */
-  private def prLoop(edges: DataFrame, vertices: DataFrame, iters: Int,
-      damping: Double, srcCol: String, dstCol: String, idCol: String,
-      replayable: Boolean, foldBlock: Long,
-      init: Column, base: Column): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val verts = vertices.select(col(idCol).as("id"))
-    var pr = verts.select(col("id"), init.as("pr"))
-      .localCheckpoint(eager = false)
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
-        .select(col("dst").as("id"), col("src"),
-          round(col("pr") / col("deg"), 15).as("c"))
-      // replayable=false is the documented production swap: a plain
-      // partial-aggregated sum — map-side combine, no per-key buffers,
-      // no bit-replayability (ScaleSmoke records the delta)
-      val sums =
-        if (replayable && foldBlock > 0L)
-          // viral-key cap: two-level fold keyed by src VALUE blocks —
-          // per-(dst, block) partials bound every buffer at foldBlock,
-          // the block fold at in-degree/foldBlock; partition-independent
-          contrib
-            .groupBy(col("id"),
-              (col("src") - pmod(col("src"), lit(foldBlock))).as("blk"))
-            .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
-            .select(col("id"), col("blk"),
-              aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
-                lit(0.0), (a, b) => a + b).as("bs"))
-            .groupBy(col("id"))
-            .agg(collect_list(struct(col("blk"), col("bs"))).as("bss"))
-            .select(col("id"),
-              aggregate(transform(array_sort(col("bss")), x => x.getField("bs")),
-                lit(0.0), (a, b) => a + b).as("s"))
-        else if (replayable) contrib
-          .groupBy(col("id"))
-          .agg(collect_list(struct(col("src"), col("c"))).as("cs"))
-          .select(col("id"),
-            aggregate(transform(array_sort(col("cs")), x => x.getField("c")),
-              lit(0.0), (a, b) => a + b).as("s"))
-        else contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
-      pr = verts
-        .join(sums, Seq("id"), "left")
-        .select(col("id"),
-          round(base + lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("pr"))
-        .localCheckpoint(eager = false)
-    }
-    pr.count() // materialize the checkpoint chain before releasing the cache
-    e.unpersist(blocking = false)
-    pr
-  }
 
   /** Deterministic fixed-iteration HITS (Kleinberg 1999): authority and
     * hub scores over the same edge list PageRank consumes — authorities

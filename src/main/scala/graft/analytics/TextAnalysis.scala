@@ -256,7 +256,12 @@ object TextAnalysis {
     */
   def noveltyScores(docs: org.apache.spark.sql.DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    // the shingle projection feeds two plan branches (the gram aggregate
+    // and the n_grams base side) — persist the compact (id, shingles)
+    // form so the tokenize→shingle pass runs once (the Dedup
+    // intersectionCounts idiom)
     val sh = Dedup.shingleSets(docs, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val novel = sh.select(col("id"), explode(col("sh")).as("g"))
       .groupBy(col("g")).agg(min(col("id")).as("first_id"))
       .groupBy(col("first_id")).agg(count(lit(1)).as("n_novel"))

@@ -426,12 +426,17 @@ object Stream {
     * [[graft.analytics.TextAnalysis.noveltyScores]]'s `min(doc_id)` per
     * gram. The first document a gram ever presents (lowest doc_id within
     * its batch) is emitted as that gram's novelty credit and recorded;
-    * every later arrival — including an at-least-once REPLAY of the
-    * crediting batch itself — finds the state occupied and absorbs
+    * any arrival in a LATER batch — including an at-least-once replay of
+    * already-processed data — finds the state occupied and absorbs
     * silently, so summing emissions per doc across batches is exactly
     * the batch operator's `n_novel` under id-ascending ingest (the same
     * first-seen ≡ min-id contract the dedup gate and the q38 curation
-    * gate pin in StreamingSpec).
+    * gate pin in StreamingSpec). One H5 caveat absorption cannot cover:
+    * a mid-batch engine RETRY re-runs the crediting batch against the
+    * rolled-back state version and re-emits its credits — standard
+    * Structured Streaming semantics, so a consumer folding credits into
+    * an external store must be idempotent per (batchId, gram) like any
+    * foreachBatch sink.
     *
     * Scale shape: state is one long per DISTINCT gram — the biggest key
     * space in the streaming layer, which is precisely what the RocksDB
