@@ -1533,6 +1533,20 @@ private[graft] object QueriesPipeline {
           domainCol = "source", sizeCol = "n_chars",
           tokenBudget = 1000000L)
         .orderBy(col("source"))),
+
+
+    // Shard-rebalance planner (q41's fleet, one expansion later): the
+    // measured movement cost of growing 8 shards to 9 under naive
+    // mod-hash (~8/9 of ALL keys remap) vs consistent hashing (Karger
+    // 1997; 16 vnodes/shard — only the new node's arcs move, ~1/9, and
+    // every moved key lands ON the new shard: the locality guarantee is
+    // a measured column, not a claim). Pure per-row ring lookup over
+    // sorted vnode literal arrays — zero shuffle before the 2-row
+    // summary.
+    "q99_rebalance" -> ((s, dir) =>
+      analytics.Sampling.shardRebalance(
+          t(s, dir, "documents").select(col("doc_id")), n = 8, vnodes = 16)
+        .orderBy(col("strategy"))),
   )
 
   // ── DuckDB oracle twins ──
@@ -2738,5 +2752,10 @@ private[graft] object QueriesPipeline {
         |  round(w_raw / z::DOUBLE / p, 6) AS upsample,
         |  round(1000000.0 * (w_raw / z::DOUBLE) / (n_chars::DOUBLE / 4), 6) AS epochs
         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // Shard-rebalance twin (q99): identical md5-low-60 positions and
+    // Scala-generated vnode VALUES; ring lookup as an at-or-after scalar
+    // subquery with wrap.
+    "q99_rebalance" -> rebalanceOracleSql(n = 8, vnodes = 16),
   )
 }

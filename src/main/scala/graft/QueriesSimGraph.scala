@@ -673,6 +673,19 @@ private[graft] object QueriesSimGraph {
       Similarity.kCenterGreedy(t(s, dir, "embeddings"), k = 8)
         .orderBy(col("sel_order"))),
 
+    // IVF recall OPERATING CURVE: recall@5 at nProbe ∈ {1,2,4,8,16} from
+    // ONE shared assignment + scoring pass (candidates tagged by probe-
+    // side cell rank; level p = the rank-≤p slice re-ranked) — THE
+    // artifact an ANN deployment picks its nProbe from. Probing all 16
+    // cells covers every corpus vector's home cell, so the top row is
+    // exactly brute force: recall 1.0 by construction (s04's invariant).
+    "s25_ivf_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfRecallSweep(e, e.where(col("vec_id") < 10), k = 5,
+          nCells = 16, probeCounts = Seq(1, 2, 4, 8, 16))
+        .orderBy(col("n_probe"))
+    }),
+
     // Semantic chunking over token-embedding streams (docs = bags of 8
     // consecutive vectors, s22's convention): a chunk boundary opens
     // where the adjacent-token cosine (round 6) drops below -0.1 (picked
@@ -1035,6 +1048,10 @@ private[graft] object QueriesSimGraph {
 
     // k-center greedy twin (s23): the full 8-round farthest-point replay.
     "s23_kcenter" -> kCenterOracleSql(8),
+
+    // IVF-sweep twin (s25): one shared scored table, per-level re-ranks.
+    "s25_ivf_sweep" -> ivfSweepOracleSql(k = 5, nCells = 16,
+      probes = Seq(1, 2, 4, 8, 16)),
 
     // Semantic-chunking twin (s24): same bagging, adjacent lag, round-6
     // cosine, threshold on the ROUNDED value, running break count.

@@ -968,6 +968,114 @@ private[graft] object QueryHelpers {
        |SELECT * FROM ($finalUnion) ORDER BY probe_id, mmr_rank""".stripMargin
   }
 
+  /** Consistent-hash ring vnodes for q99: `vnodes` virtual nodes per
+    * shard, position = md5-low-60 of the literal "s<shard>:r<replica>",
+    * sorted by (position, shard) — the SAME Scala-computed longs are the
+    * Spark plan's literal arrays AND the oracle's VALUES rows, so the
+    * two engines walk an identical ring (the lshPlanesValues
+    * discipline).
+    */
+  private[graft] def ringVnodes(nShards: Int, vnodes: Int): Seq[(Long, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Low60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(17, 32), 16)
+    }
+    (for (i <- 0 until nShards; j <- 0 until vnodes)
+      yield (md5Low60(s"s$i:r$j"), i)).sortBy { case (p, s) => (p, s) }
+  }
+
+  /** Shard-rebalance twin (q99): identical md5-low-60 key positions, the
+    * identical sorted vnode VALUES for the n- and (n+1)-shard rings, the
+    * ring lookup as an at-or-after scalar subquery with wrap, and the
+    * one-aggregate summary reshaped to two strategy rows.
+    */
+  private[graft] def rebalanceOracleSql(n: Int, vnodes: Int): String = {
+    def values(t: Seq[(Long, Int)]) =
+      t.map { case (p, s) => s"($p, $s)" }.mkString(", ")
+    val vnOld = values(ringVnodes(n, vnodes))
+    val vnNew = values(ringVnodes(n + 1, vnodes))
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) AS pos
+       |  FROM documents),
+       |vno(vpos, shard) AS (VALUES $vnOld),
+       |vnn(vpos, shard) AS (VALUES $vnNew),
+       |a AS (SELECT doc_id, pos,
+       |  pos % $n AS m_old, pos % ${n + 1} AS m_new,
+       |  COALESCE((SELECT shard FROM vno WHERE vpos >= d.pos ORDER BY vpos, shard LIMIT 1),
+       |           (SELECT shard FROM vno ORDER BY vpos, shard LIMIT 1)) AS r_old,
+       |  COALESCE((SELECT shard FROM vnn WHERE vpos >= d.pos ORDER BY vpos, shard LIMIT 1),
+       |           (SELECT shard FROM vnn ORDER BY vpos, shard LIMIT 1)) AS r_new
+       |  FROM d),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN m_old <> m_new THEN 1 ELSE 0 END) AS BIGINT) AS mm,
+       |  CAST(sum(CASE WHEN m_old <> m_new AND m_new = $n THEN 1 ELSE 0 END) AS BIGINT) AS mmn,
+       |  CAST(sum(CASE WHEN r_old <> r_new THEN 1 ELSE 0 END) AS BIGINT) AS rm,
+       |  CAST(sum(CASE WHEN r_old <> r_new AND r_new = $n THEN 1 ELSE 0 END) AS BIGINT) AS rmn
+       |  FROM a)
+       |SELECT strategy, n_docs, n_moved, n_moved_to_new,
+       |  round(CAST(n_moved AS DOUBLE) / n_docs, 6) AS moved_frac
+       |FROM (
+       |  SELECT 'mod' AS strategy, n_docs, mm AS n_moved, mmn AS n_moved_to_new FROM g
+       |  UNION ALL
+       |  SELECT 'ring', n_docs, rm, rmn FROM g)
+       |ORDER BY strategy""".stripMargin
+  }
+
+  /** IVF-sweep twin (s25): s04's exact/assignment CTEs with the probe
+    * side ranked to max(probes) cells, candidates tagged by cell rank,
+    * ONE shared scored table, and per-level rank-≤p re-ranks unioned
+    * into the operating-curve rows.
+    */
+  private[graft] def ivfSweepOracleSql(k: Int, nCells: Int,
+      probes: Seq[Int]): String = {
+    val sorted = probes.sorted
+    val maxP = sorted.max
+    val ivCtes = sorted.map { p =>
+      s"""iv$p AS (SELECT probe_id, neighbor_id FROM (
+         |   SELECT probe_id, neighbor_id,
+         |     row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |   FROM scored WHERE cell_rank <= $p)
+         | WHERE rnk <= $k)""".stripMargin
+    }.mkString(",\n")
+    val levels = sorted.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS n_probe,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex JOIN iv$p USING (probe_id, neighbor_id)) AS n_hit,
+         |  round((SELECT count(*) FROM ex JOIN iv$p USING (probe_id, neighbor_id))::DOUBLE /
+         |        (SELECT count(*) FROM ex), 6) AS recall""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |ex AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+       |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10)
+       | WHERE rnk <= $k),
+       |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT $nCells),
+       |asgn AS (SELECT vec_id, cent_id,
+       |    round(list_cosine_similarity(ev, cv), 6) AS csim
+       |  FROM v CROSS JOIN cents),
+       |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+       |    FROM asgn) WHERE r <= 1),
+       |pa AS (SELECT vec_id AS probe_id, cent_id, CAST(r AS BIGINT) AS cell_rank FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+       |    FROM asgn WHERE vec_id < 10) WHERE r <= $maxP),
+       |cand AS (SELECT pa.probe_id, ca.neighbor_id, pa.cell_rank
+       |  FROM pa JOIN ca USING (cent_id) WHERE pa.probe_id <> ca.neighbor_id),
+       |scored AS MATERIALIZED (SELECT c.probe_id, c.neighbor_id, c.cell_rank,
+       |    list_cosine_similarity(pv.ev, nv.ev) AS sim
+       |  FROM cand c JOIN v pv ON pv.vec_id = c.probe_id
+       |    JOIN v nv ON nv.vec_id = c.neighbor_id),
+       |$ivCtes
+       |$levels
+       |ORDER BY n_probe""".stripMargin
+  }
+
   /** Unrolled k-center greedy replay (s23): round r's `c_r` CTE selects
     * the argmin of max-cosine-to-selected (6 dp, vec_id tie-break) from
     * the running `m_{r-1}` table, and `m_r` folds the new center's

@@ -106,6 +106,62 @@ object Sampling {
     hashed.withColumn("pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Shard-rebalance planner: the data movement of growing a shard fleet
+    * from n to n+1, measured under TWO placement strategies — naive
+    * mod-hash (shard = pos mod n: growing the fleet remaps ~n/(n+1) of
+    * ALL keys) and CONSISTENT HASHING (Karger et al. 1997) with `vnodes`
+    * virtual nodes per shard on a 2⁶⁰ ring, where only keys inside the
+    * new node's arcs move (~1/(n+1)) — the migration-cost number a
+    * storage/serving fleet plans expansion with. The consistent-hashing
+    * LOCALITY guarantee (every ring-moved key lands ON the new shard)
+    * travels as a measured column (`n_moved_to_new`), not a claim.
+    *
+    * Determinism/portability: key position = md5-low-60 (15 hex chars —
+    * positive, exact in a BIGINT on both engines); vnode positions are
+    * Scala-computed md5 literals embedded in BOTH the plan and the twin
+    * (the lshPlanesValues discipline). Scale shape: the ring lookup is a
+    * HOF count over a sorted (n+1)·vnodes literal array — pure per-row
+    * projection, ZERO shuffle before the 2-row summary aggregate.
+    */
+  def shardRebalance(docs: DataFrame, n: Int, vnodes: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val pos = conv(substring(md5(col(idCol).cast("string")), 18, 15), 16, 10)
+      .cast("bigint")
+    def owner(table: Seq[(Long, Int)]) = {
+      val ps = typedLit(table.map(_._1))
+      val ss = typedLit(table.map(_._2.toLong))
+      // first vnode at-or-after pos; off the end wraps to the first
+      val idx = size(filter(ps, x => x < col("pos")))
+      element_at(ss, pmod(idx, lit(table.size)) + 1)
+    }
+    val a = docs
+      .select(col(idCol), pos.as("pos"))
+      .select(col(idCol),
+        pmod(col("pos"), lit(n.toLong)).as("m_old"),
+        pmod(col("pos"), lit(n.toLong + 1L)).as("m_new"),
+        owner(graft.QueryHelpers.ringVnodes(n, vnodes)).as("r_old"),
+        owner(graft.QueryHelpers.ringVnodes(n + 1, vnodes)).as("r_new"))
+    // ONE aggregate carries both strategies' counters (a union of two
+    // aggregates would scan the projection twice); the 1-row result
+    // reshapes to the 2-row summary
+    def moved(oldC: String, newC: String) =
+      sum(when(col(oldC) =!= col(newC), 1L).otherwise(0L))
+    def movedToNew(oldC: String, newC: String) =
+      sum(when(col(oldC) =!= col(newC) && col(newC) === n.toLong, 1L)
+        .otherwise(0L))
+    a.agg(count(lit(1)).as("n_docs"),
+        moved("m_old", "m_new").as("mm"), movedToNew("m_old", "m_new").as("mmn"),
+        moved("r_old", "r_new").as("rm"), movedToNew("r_old", "r_new").as("rmn"))
+      .select(explode(array(
+        struct(lit("mod").as("strategy"), col("n_docs"),
+          col("mm").as("n_moved"), col("mmn").as("n_moved_to_new")),
+        struct(lit("ring").as("strategy"), col("n_docs"),
+          col("rm").as("n_moved"), col("rmn").as("n_moved_to_new")))).as("s"))
+      .select(col("s.strategy"), col("s.n_docs"), col("s.n_moved"),
+        col("s.n_moved_to_new"),
+        round(col("s.n_moved").cast("double") / col("s.n_docs"), 6).as("moved_frac"))
+  }
+
   /** Leakage-free (group-aware) train/validation split: every row of a
     * group lands in the SAME split, so correlated rows — near-duplicate
     * cluster members, same-domain pages — can never straddle train and

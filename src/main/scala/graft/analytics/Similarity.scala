@@ -1581,6 +1581,79 @@ object Similarity {
         col("doc").as("neighbor_doc"), col("score"))
   }
 
+  /** IVF recall OPERATING CURVE (s25): recall@k of [[ivfTopK]]'s stand-in
+    * quantizer at every probe count in `probeCounts`, computed from ONE
+    * shared pass — the assignment, candidate generation, and exact
+    * scoring run once with each candidate tagged by its probe-side cell
+    * RANK, and nProbe=p's result is simply the rank-≤p slice re-ranked.
+    * The curve is THE artifact an ANN deployment picks its nProbe from
+    * (recall vs candidate volume); probing ALL cells degenerates to
+    * exact brute force (recall 1.0 — the s04 invariant, asserted in
+    * SimilaritySpec at probeCounts.max = nCells).
+    *
+    * Scale shape: identical to [[ivfTopK]] at nProbe = max(probeCounts) —
+    * one corpus assignment (partial+final max_by), candidates bucketed by
+    * cell — plus per-level windows over the SHARED persisted scored-
+    * candidate table (probe-partitioned, bounded by candidate volume).
+    * The two operator-internal persists (scored candidates, exact top-k)
+    * follow the d03 cache convention (session-owned; Bench clearCache).
+    */
+  def ivfRecallSweep(corpus: DataFrame, probes: DataFrame, k: Int,
+      nCells: Int, probeCounts: Seq[Int],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeCounts.nonEmpty, "need at least one probe count")
+    val maxProbe = probeCounts.max
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val cents = broadcast(corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    val cAssign = Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
+      .join(cents)
+      .select(col("neighbor_id"), col("cent_id"),
+        round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6).as("csim"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cent_id"), assignOrd(col("csim"), col("cent_id"))).as("cent_id"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+    val pAssign = broadcast(probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("v"), nf(col(vecCol)).as("vn"))
+      .join(cents)
+      .select(col("probe_id"), col("cent_id"),
+        round(cf(col("v"), col("cent_vec"), col("vn"), col("cent_norm")), 6).as("csim"))
+      .withColumn("cell_rank", row_number().over(wCell).cast("long"))
+      .where(col("cell_rank") <= maxProbe)
+      .select(col("probe_id"), col("cent_id"), col("cell_rank")))
+    val scored = cAssign.join(pAssign, Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm"))), Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("nvec"), nf(col(vecCol)).as("nnorm")), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), col("cell_rank"),
+        cf(col("probe_vec"), col("nvec"), col("probe_norm"), col("nnorm")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = bruteForceTopK(corpus, probes, k, idCol, vecCol)
+      .select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc_nulls_last, col("neighbor_id").asc)
+    probeCounts.sorted.map { p =>
+      val approx = scored.where(col("cell_rank") <= p)
+        .withColumn("rnk", row_number().over(wRank))
+        .where(col("rnk") <= k)
+        .select(col("probe_id"), col("neighbor_id"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(p.toLong).as("n_probe"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Semantic chunking over token-embedding streams (the RAG segmentation
     * complement to t28's fixed windows and d23's content-defined chunks:
     * fixed windows give uniform lengths, CDC survives edits, SEMANTIC

@@ -343,4 +343,29 @@ class PipelineSpec extends SparkSpec {
     assert(byShare.map(_._2).toSeq === byShare.map(_._2).sortBy(-_).toSeq,
       "upsample must be monotone-decreasing in share")
   }
+
+  test("q99 shard rebalance: consistent hashing moves a small fraction and " +
+      "ONLY onto the new shard; mod-hash remaps most keys everywhere") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").select(col("doc_id"))
+    val got = graft.analytics.Sampling.shardRebalance(docs, n = 8, vnodes = 16)
+      .orderBy("strategy").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_moved"), r.getAs[Long]("n_moved_to_new"),
+        r.getAs[Double]("moved_frac")))
+    val Array(m, ring) = got
+    assert(m._1 === "mod" && ring._1 === "ring" && m._2 === ring._2)
+    // the consistent-hashing LOCALITY guarantee: a key moves only when
+    // the new shard's vnode claims its arc — so every mover lands there
+    assert(ring._3 === ring._4,
+      s"ring movers must ALL land on the new shard: $ring")
+    // mod-hash scatters: movers land on whichever residue class shifts
+    // under the new modulus — only ~1/(n+1) of them hit the new shard
+    assert(m._4 < m._3, s"mod movers must scatter beyond the new shard: $m")
+    // magnitudes: mod remaps ~n/(n+1) ≈ 0.889 of ALL keys; the ring only
+    // the new node's arc share ≈ 1/9 (wide bounds — 100 docs at sf0.001)
+    assert(m._5 > 0.7 && m._5 <= 1.0, s"mod moved_frac out of band: $m")
+    assert(ring._5 < 0.35 && ring._5 < m._5 / 2,
+      s"ring moved_frac must undercut mod by far: ring=$ring mod=$m")
+  }
 }

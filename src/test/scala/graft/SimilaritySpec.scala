@@ -151,6 +151,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.length === got.length)
   }
 
+  test("s25 ivfRecallSweep: recall is monotone in nProbe, and probing all " +
+      "cells degenerates to exact brute force (recall exactly 1.0)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = graft.analytics.Similarity
+      .ivfRecallSweep(e, e.where(col("vec_id") < 10), k = 5, nCells = 16,
+        probeCounts = Seq(1, 2, 4, 8, 16))
+      .orderBy("n_probe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 5 && got.forall(_._2 === 50L),
+      s"10 probes × k=5 exact baselines: ${got.toSeq}")
+    // a larger probe count only ADDS candidates, and any candidate able
+    // to displace a true top-k member is itself a true top-k member —
+    // hits are monotone non-decreasing
+    val hits = got.map(_._3)
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nProbe: ${got.toSeq}")
+    // nProbe = nCells reaches every vector's home cell: exact recall
+    assert(got.last._4 === 1.0,
+      s"probing all cells must BE brute force: ${got.toSeq}")
+    assert(got.head._4 < 1.0,
+      s"one cell must lose neighbors on this corpus: ${got.toSeq}")
+  }
+
   test("s24 semanticChunks: hand-computed breaks — drift opens a chunk, " +
       "coherence doesn't, zero-norm reads null and never breaks") {
     import spark.implicits._
