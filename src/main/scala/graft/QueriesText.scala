@@ -514,6 +514,19 @@ private[graft] object QueriesText {
       TextAnalysis.noveltyScores(t(s, dir, "documents"), n = 3)
         .orderBy(col("doc_id"))),
 
+    // Greedy bigram rollout — SYNTHETIC-TEXT generation from the
+    // corpus-trained bigram LM (t10's model argmax-decoded, 12 steps
+    // from the 3 most frequent seed words), with greedy decoding's
+    // degenerate-repetition hazard measured on the generator's own
+    // output (distinct-word ratio — t08's lesson applied to generated
+    // text, the quality gate a synthetic-data pipeline needs). The
+    // transition table is the one corpus-pass aggregate; the rollout is
+    // control-plane-sized.
+    "t34_generate" -> ((s, dir) =>
+      TextAnalysis.greedyBigramRollout(t(s, dir, "documents"),
+          nSeeds = 3, steps = 12)
+        .orderBy(col("seed"))),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -1134,6 +1147,9 @@ private[graft] object QueriesText {
     // replay — see unigramChainSql for the DP-fold correspondence.
     "t32_unigram" -> unigramOracleSql(200, 100, 2, 1),
 
+
+    // Greedy-rollout twin (t34): t10's bigram CTEs + unrolled argmax walk.
+    "t34_generate" -> rolloutOracleSql(nSeeds = 3, steps = 12),
 
     // Novelty twin (t33): identical 3-gram shingle construction (the
     // d03 CTE), gram → min(doc_id), then per-first-doc counts; the

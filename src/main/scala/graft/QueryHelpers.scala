@@ -1023,6 +1023,35 @@ private[graft] object QueryHelpers {
        |ORDER BY strategy""".stripMargin
   }
 
+  /** Greedy-rollout twin (t34): t10's bigram CTEs, the argmax transition
+    * as a (count DESC, word ASC) row_number pick, and the `steps`
+    * rollout rounds unrolled — each MATERIALIZED (each feeds the next).
+    */
+  private[graft] def rolloutOracleSql(nSeeds: Int, steps: Int): String = {
+    val rounds = (1 to steps).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT seed,
+         |  CASE WHEN n.next IS NOT NULL THEN list_append(gen, n.next) ELSE gen END AS gen,
+         |  COALESCE(n.next, last) AS last
+         |  FROM r${i - 1} LEFT JOIN nxt n ON r${i - 1}.last = n.prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |seeds AS (SELECT w AS seed FROM (
+       |  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY w
+       |  ORDER BY c DESC, w LIMIT $nSeeds)),
+       |bg AS (SELECT ws[i+1] AS prev, ws[i+2] AS cur
+       |  FROM tok, UNNEST(range(len(ws) - 1)) AS u(i) WHERE len(ws) >= 2),
+       |nxt AS MATERIALIZED (SELECT prev, cur AS next FROM (
+       |  SELECT prev, cur, row_number() OVER (PARTITION BY prev ORDER BY c DESC, cur) AS rn
+       |  FROM (SELECT prev, cur, count(*) AS c FROM bg GROUP BY prev, cur)) WHERE rn = 1),
+       |r0 AS (SELECT seed, [seed] AS gen, seed AS last FROM seeds),
+       |$rounds
+       |SELECT seed, array_to_string(gen, ' ') AS gen_text,
+       |  CAST(len(gen) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(gen)) AS BIGINT) AS n_distinct,
+       |  round(CAST(len(list_distinct(gen)) AS DOUBLE) / len(gen), 6) AS distinct_ratio
+       |FROM r$steps ORDER BY seed""".stripMargin
+  }
+
   /** IVF-sweep twin (s25): s04's exact/assignment CTEs with the probe
     * side ranked to max(probes) cells, candidates tagged by cell rank,
     * ONE shared scored table, and per-level rank-≤p re-ranks unioned

@@ -981,6 +981,27 @@ object ScaleSmoke {
     run("semantic_chunks")(
       Similarity.semanticChunks(vecs, tokensPerDoc = 8, minCos = -0.1))
 
+    // q99: shard rebalance — a pure per-row HOF ring lookup over a
+    // 144/160-element literal array + one aggregate; strictly linear.
+    run("rebalance")(
+      graft.analytics.Sampling.shardRebalance(docs.select(col("doc_id")),
+        n = 8, vnodes = 16))
+
+    // s25: IVF sweep — fixed 10 probes; the corpus assignment is the
+    // linear term and candidate volume is corpus × maxProbe / nCells, so
+    // the whole curve must track the corpus, never a pair space.
+    run("ivf_sweep")(
+      Similarity.ivfRecallSweep(vecs, vecs.where(col("vec_id") < 10), k = 5,
+        nCells = 16, probeCounts = Seq(1, 2, 4, 8, 16)))
+
+    // t34: greedy rollout — ONE corpus bigram pass builds the transition
+    // table; the 12-step walk is nSeeds-row control data. Cost must
+    // track the corpus pass; the blowup adds zero NEW transitions (every
+    // copy's bigrams exist in copy 0), so the argmax table is constant.
+    run("generate")(
+      graft.analytics.TextAnalysis.greedyBigramRollout(docs,
+        nSeeds = 3, steps = 12))
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must

@@ -274,6 +274,58 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** Greedy bigram rollout (t34) — deterministic synthetic-text
+    * generation from the corpus-trained bigram LM (t10's model,
+    * argmax-decoded): from each of the `nSeeds` most frequent corpus
+    * words, follow next(w) = argmax c(w, ·) (count DESC, next-word ASC —
+    * the portable tie) for `steps` transitions, freezing at a dead end
+    * (a word never seen in prev position). The output carries the
+    * distinct-word ratio of each rollout — greedy decoding enters short
+    * CYCLES, and this is that degenerate-repetition hazard (t08's
+    * lesson) measured on the generator's own output, the quality gate a
+    * synthetic-data pipeline watches before admitting generations.
+    *
+    * Scale shape: the transition function is ONE vocabulary-keyed
+    * partial+final min_by over the bigram table (a Heaps-bounded model
+    * artifact, persisted — every rollout step joins it) and the state
+    * is nSeeds rows; after the one corpus pass, all work is
+    * control-plane-sized.
+    */
+  def greedyBigramRollout(docs: org.apache.spark.sql.DataFrame,
+      nSeeds: Int, steps: Int,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val toks = Par.spreadForCpu(docs).select(tokens(col(textCol)).as("ws"))
+    val seeds = toks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(nSeeds)
+      .select(col("w").as("seed"))
+    val bg = toks.where(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("prev"),
+          element_at(col("ws"), i + 2).as("cur")))).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    // argmax next word: minimize (-count, word) — max count, lex-min tie
+    val nxt = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+      .groupBy(col("prev"))
+      .agg(min_by(col("cur"), struct(negate(col("c")), col("cur"))).as("next"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var st = seeds.select(col("seed"), array(col("seed")).as("gen"),
+      col("seed").as("last"))
+    for (_ <- 1 to steps) {
+      // a dead-end `last` keeps finding no transition: gen freezes
+      st = st.join(nxt.withColumnRenamed("prev", "last"), Seq("last"), "left")
+        .select(col("seed"),
+          when(col("next").isNotNull, concat(col("gen"), array(col("next"))))
+            .otherwise(col("gen")).as("gen"),
+          coalesce(col("next"), col("last")).as("last"))
+    }
+    st.select(col("seed"), concat_ws(" ", col("gen")).as("gen_text"),
+        size(col("gen")).cast(LongType).as("n_words"),
+        size(array_distinct(col("gen"))).cast(LongType).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast(DoubleType) / col("n_words"), 6))
+  }
+
   def unigramLogProbScores(docs: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     val toks = Par.spreadForCpu(docs)

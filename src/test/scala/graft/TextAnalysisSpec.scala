@@ -508,6 +508,39 @@ class TextAnalysisSpec extends SparkSpec {
       s"within-doc repeat must not inflate the gram count: ${got(4)}")
   }
 
+  test("t34 greedyBigramRollout: argmax walk on a hand LM — count beats tie, " +
+      "ties break lexicographically, cycles freeze the distinct ratio, " +
+      "dead ends stop the rollout") {
+    val docs = Seq(
+      // "a b" twice, "a c" once → next(a) = b on count; next(b): "b a"
+      // once and "b c" once → lexicographic tie → a; so from seed 'a'
+      // the walk cycles a→b→a→b…; 'z' is a dead end (never a prev)
+      (0L, "a b a b"),
+      (1L, "a c"),
+      (2L, "b c"),
+      (3L, "q z")
+    ).toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis
+      .greedyBigramRollout(docs, nSeeds = 2, steps = 4)
+      .orderBy("seed").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // seeds = the 2 most frequent words: a (×4), b (×3)
+    assert(got.map(_._1).toSeq === Seq("a", "b"), s"seed election: ${got.toSeq}")
+    assert(got(0)._2 === "a b a b a", s"a→b on count, b→a on tie: ${got(0)}")
+    assert(got(1)._2 === "b a b a b")
+    assert(got(0)._5 === 0.4, s"a 2-cycle over 5 words reads 2/5: ${got(0)}")
+
+    // a dead-end continuation freezes: seed 'z' never extends
+    val dead = Seq((0L, "z q")).toDF("doc_id", "text")
+    val dg = graft.analytics.TextAnalysis
+      .greedyBigramRollout(dead, nSeeds = 2, steps = 4)
+      .orderBy("seed").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(dg.toSeq === Seq(("q", "q", 1L), ("z", "z q", 2L)),
+      s"q is a dead seed; z takes one step then freezes: ${dg.toSeq}")
+  }
+
   test("t29 dsirSelect: hand-computed importance weights; target-like docs " +
       "outrank raw-only docs; token-less docs never selected") {
     import spark.implicits._
