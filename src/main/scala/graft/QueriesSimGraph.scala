@@ -649,6 +649,22 @@ private[graft] object QueriesSimGraph {
       Warc.parseWarc(Warc.withWarc(t(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    // Metadata scrub (the EXIF-strip privacy op): PNG payloads carry an
+    // ancillary tEXt("Author\0...") chunk between IHDR and IDAT; the
+    // strip WALKS the chunk length fields, removes it byte-exactly, and
+    // re-parses the stripped stream (first chunk must be the critical
+    // IDAT). The twin computes every field arithmetically from the
+    // fixture — lengths, the null-split key, the varying value length —
+    // so a walk off-by-one anywhere breaks the hash.
+    "m12_meta_strip" -> ((s, dir) =>
+      Multimodal.withPayloadTagged(t(s, dir, "documents"))
+        .where(col("modality") === "image")
+        .select(col("doc_id"), Multimodal.stripAncillaryMeta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.orig_len"), col("m.stripped_len"),
+          col("m.meta_key"), col("m.meta_vlen"), col("m.first_chunk_after"),
+          col("m.clean"))
+        .orderBy(col("doc_id"))),
+
     // Shot-boundary detection (hard-cut detector) over the video payloads:
     // 8 evenly spaced frame samples per stream, 4-class character
     // histogram per frame (the luminance-histogram stand-in), boundary
@@ -980,6 +996,23 @@ private[graft] object QueriesSimGraph {
         |  substring(sha256(extracted), 1, 16) AS extract_sha,
         |  st = 200 AND doc_id % 11 <> 5 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Metadata-scrub twin (m12): every field arithmetic from the fixture
+    // — chunk-layout lengths (33 sig+IHDR, 12/chunk overhead, 7 =
+    // "Author\0"), the doc-derived value length 5 + (doc_id div 3 mod 3).
+    "m12_meta_strip" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |m AS (SELECT doc_id, n,
+        |  CAST(5 + ((doc_id // 3) % 3) AS BIGINT) AS vlen FROM b)
+        |SELECT doc_id,
+        |  CAST(33 + 12 + 7 + vlen + 12 + n + 12 AS BIGINT) AS orig_len,
+        |  CAST(33 + 12 + n + 12 AS BIGINT) AS stripped_len,
+        |  'Author' AS meta_key,
+        |  vlen AS meta_vlen,
+        |  'IDAT' AS first_chunk_after,
+        |  TRUE AS clean
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Shot-boundary twin (m11): the video payload body IS the text
     // bytes, so the twin replays the frame schedule, histogram classes,

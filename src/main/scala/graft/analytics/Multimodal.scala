@@ -84,6 +84,88 @@ object Multimodal {
       lit("0802000000"),     // bitDepth=8 colorType=2 compress/filter/interlace=0
       lit("00000000")))      // CRC (zeroed fixture; parsers read past it)
 
+  /** Chunk-structured PNG with an ANCILLARY tEXt metadata chunk between
+    * IHDR and the image data — the EXIF-analog a privacy scrub must
+    * remove: sig + IHDR + tEXt("Author\0" + value) + IDAT(body) + IEND,
+    * every chunk in the spec's len(4,BE) type(4) data crc(4, zeroed)
+    * layout so a parser must WALK length fields (nothing ancillary sits
+    * at a fixed offset in real files once chunk counts vary).
+    */
+  def taggedPng(width: Column, height: Column, metaValue: Column,
+      body: Column): Column = {
+    val meta = concat(lit("Author").cast(BinaryType), unhex(lit("00")),
+      metaValue.cast(BinaryType))
+    concat(
+      pngHeader(width, height),
+      unhex(beHex(length(meta).cast(LongType), 4)), lit("tEXt").cast(BinaryType),
+      meta, unhex(lit("00000000")),
+      unhex(beHex(length(body).cast(LongType), 4)), lit("IDAT").cast(BinaryType),
+      body, unhex(lit("00000000")),
+      unhex(lit("0000000049454E4400000000"))) // IEND
+  }
+
+  /** m12's fixture: image-modality docs carry [[taggedPng]] payloads with
+    * a doc-derived Author value (length varies with doc_id so no field
+    * is a constant-on-a-class); other modalities ride as in
+    * [[withPayload]].
+    */
+  def withPayloadTagged(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val body = col(textCol).cast(BinaryType)
+    val n = length(body)
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
+    docs
+      .withColumn("modality", modality)
+      .withColumn("payload",
+        when(modality === "image",
+          taggedPng(lit(16) + pmod(n, lit(64)), lit(16) + pmod(n * 7, lit(64)),
+            // doc_id DIV 3 varies WITHIN the image class (doc_id%3 == 0
+            // would be a constant-on-a-residue-class — the m09 trap)
+            concat(lit("user"), pmod(col("doc_id"), lit(7)).cast(StringType),
+              repeat(lit("x"),
+                pmod(call_function("div", col("doc_id"), lit(3L)), lit(3L))
+                  .cast(IntegerType))),
+            body))
+        .when(modality === "audio",
+          concat(wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
+        .otherwise(body))
+  }
+
+  /** Metadata scrub (m12): WALK the chunk list after the 33-byte
+    * signature+IHDR prefix and drop the ancillary tEXt chunk — the
+    * privacy strip a real pipeline runs before payloads enter a training
+    * corpus (location/author EXIF is the classic leak). Returns the
+    * parsed evidence alongside the strip: original/stripped lengths, the
+    * metadata KEY and value length recovered from the bytes (the
+    * null-separator split the spec defines), the first chunk type of the
+    * STRIPPED stream (a round-trip re-parse — must be the critical IDAT)
+    * and the clean verdict. Pure per-row codegen'd byte arithmetic —
+    * zero UDFs, no shuffle.
+    */
+  def stripAncillaryMeta(payload: Column): Column = {
+    val c1len = beUint(payload, 34, 4)
+    val c1type = substring(payload, 38, 4).cast(StringType)
+    val isMeta = c1type === "tEXt"
+    // chunk extent = 4 len + 4 type + data + 4 crc
+    val stripped = when(isMeta,
+      concat(substring(payload, 1, 33),
+        payload.substr((lit(34L) + lit(12L) + c1len).cast(IntegerType),
+          lit(Int.MaxValue))))
+      .otherwise(payload)
+    val data = payload.substr(lit(42), c1len.cast(IntegerType))
+    val key = when(isMeta,
+      element_at(split(data.cast(StringType), "\u0000", 2), 1))
+    val after = substring(stripped, 38, 4).cast(StringType)
+    struct(
+      length(payload).cast(LongType).as("orig_len"),
+      length(stripped).cast(LongType).as("stripped_len"),
+      key.as("meta_key"),
+      when(isMeta, c1len - lit(7L)).as("meta_vlen"), // minus "Author\0"
+      after.as("first_chunk_after"),
+      (when(isMeta, length(stripped) === length(payload) - lit(12L) - c1len)
+        .otherwise(lit(true)) && after === "IDAT").as("clean"))
+  }
+
   /** Canonical 44-byte WAV/RIFF PCM header. `nSamples` is per channel;
     * dataSize = nSamples * channels * bits/8.
     */

@@ -76,6 +76,45 @@ class AHashSpec extends SparkSpec {
     assert(got(5) == ((8L, 1L, 1L, 0L, 2L, 0L, Some(5L), Some(false))))
   }
 
+  test("m12 stripAncillaryMeta: hand chunk walk — lengths, the null-split " +
+      "key, IDAT after strip, dims survive; an unchunked stream is not " +
+      "certified clean") {
+    val docs = Seq((0L, "hello"), (3L, "worlds!")).toDF("doc_id", "text")
+    val got = Multimodal.withPayloadTagged(docs)
+      .select(col("doc_id"), col("payload"),
+        Multimodal.stripAncillaryMeta(col("payload")).as("m"))
+      .orderBy("doc_id").collect()
+    val m0 = got(0).getStruct(2)
+    // doc 0: body 5, value "user0" (5) → meta data 12; 33 sig+IHDR +
+    // (12+12) tEXt + (12+5) IDAT + 12 IEND = 86; stripped drops 24
+    assert(m0.getLong(0) === 86L && m0.getLong(1) === 62L, s"lengths: $m0")
+    assert(m0.getString(2) === "Author" && m0.getLong(3) === 5L)
+    assert(m0.getString(4) === "IDAT" && m0.getBoolean(5))
+    // doc 3: value "user3x" (6 — doc_id div 3 = 1 adds one pad char)
+    val m3 = got(1).getStruct(2)
+    assert(m3.getLong(3) === 6L && m3.getBoolean(5), s"doc 3: $m3")
+    // the strip must not disturb the IHDR: re-derive the stripped bytes
+    // (same walk arithmetic) and parse dims from them
+    val strippedParsed = Multimodal.withPayloadTagged(docs)
+      .select(
+        Multimodal.decodeImage(col("payload")).getField("width").as("w_orig"),
+        Multimodal.decodeImage(concat(substring(col("payload"), 1, 33),
+          col("payload").substr(
+            (lit(46L) + conv(hex(substring(col("payload"), 34, 4)), 16, 10).cast("long")).cast("int"),
+            lit(Int.MaxValue)))).getField("width").as("w_stripped"))
+      .collect()
+    assert(strippedParsed.forall(r => r.getInt(0) === r.getInt(1)),
+      "IHDR dims must survive the strip byte-exactly")
+    // an UNCHUNKED stream (the m01 fixture: raw body after the header)
+    // cannot be certified clean — the walk finds no IDAT where a chunk
+    // type should be
+    val legacy = Multimodal.withPayload(docs)
+      .select(Multimodal.stripAncillaryMeta(col("payload")).getField("clean"))
+      .collect()
+    assert(legacy.forall(!_.getBoolean(0)),
+      "no IDAT after the header ⇒ not certified clean")
+  }
+
   test("m07 cross-modal: distinctive vocabularies retrieve their true pair at top-1") {
     // each doc carries a unique vocabulary, so the caption (its prefix)
     // must retrieve its own image for every probe — the stub encoders
