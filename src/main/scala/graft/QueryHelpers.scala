@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analytics.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.NetFunctions
 
 /** Shared machinery of the query catalog: parquet table readers,
@@ -968,24 +968,6 @@ private[graft] object QueryHelpers {
        |SELECT * FROM ($finalUnion) ORDER BY probe_id, mmr_rank""".stripMargin
   }
 
-  /** Consistent-hash ring vnodes for q99: `vnodes` virtual nodes per
-    * shard, position = md5-low-60 of the literal "s<shard>:r<replica>",
-    * sorted by (position, shard) — the SAME Scala-computed longs are the
-    * Spark plan's literal arrays AND the oracle's VALUES rows, so the
-    * two engines walk an identical ring (the lshPlanesValues
-    * discipline).
-    */
-  private[graft] def ringVnodes(nShards: Int, vnodes: Int): Seq[(Long, Int)] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5Low60(s: String): Long = {
-      val hex = md.digest(s.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex.substring(17, 32), 16)
-    }
-    (for (i <- 0 until nShards; j <- 0 until vnodes)
-      yield (md5Low60(s"s$i:r$j"), i)).sortBy { case (p, s) => (p, s) }
-  }
-
   /** Shard-rebalance twin (q99): identical md5-low-60 key positions, the
     * identical sorted vnode VALUES for the n- and (n+1)-shard rings, the
     * ring lookup as an at-or-after scalar subquery with wrap, and the
@@ -994,8 +976,8 @@ private[graft] object QueryHelpers {
   private[graft] def rebalanceOracleSql(n: Int, vnodes: Int): String = {
     def values(t: Seq[(Long, Int)]) =
       t.map { case (p, s) => s"($p, $s)" }.mkString(", ")
-    val vnOld = values(ringVnodes(n, vnodes))
-    val vnNew = values(ringVnodes(n + 1, vnodes))
+    val vnOld = values(Sampling.ringVnodes(n, vnodes))
+    val vnNew = values(Sampling.ringVnodes(n + 1, vnodes))
     s"""WITH d AS (SELECT doc_id,
        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) AS pos
        |  FROM documents),
@@ -1059,6 +1041,8 @@ private[graft] object QueryHelpers {
     */
   private[graft] def ivfSweepOracleSql(k: Int, nCells: Int,
       probes: Seq[Int]): String = {
+    require(probes.distinct.size == probes.size,
+      s"duplicate probe counts would define duplicate CTE names: $probes")
     val sorted = probes.sorted
     val maxP = sorted.max
     val ivCtes = sorted.map { p =>

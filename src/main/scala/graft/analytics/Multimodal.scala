@@ -109,38 +109,37 @@ object Multimodal {
     * is a constant-on-a-class); other modalities ride as in
     * [[withPayload]].
     */
-  def withPayloadTagged(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val body = col(textCol).cast(BinaryType)
-    val n = length(body)
-    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
-    docs
-      .withColumn("modality", modality)
-      .withColumn("payload",
-        when(modality === "image",
-          taggedPng(lit(16) + pmod(n, lit(64)), lit(16) + pmod(n * 7, lit(64)),
-            // doc_id DIV 3 varies WITHIN the image class (doc_id%3 == 0
-            // would be a constant-on-a-residue-class — the m09 trap)
-            concat(lit("user"), pmod(col("doc_id"), lit(7)).cast(StringType),
-              repeat(lit("x"),
-                pmod(call_function("div", col("doc_id"), lit(3L)), lit(3L))
-                  .cast(IntegerType))),
-            body))
-        .when(modality === "audio",
-          concat(wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
-        .otherwise(body))
-  }
+  def withPayloadTagged(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withModalPayload(docs, textCol)(
+      (body, n) =>
+        taggedPng(lit(16) + pmod(n, lit(64)), lit(16) + pmod(n * 7, lit(64)),
+          // doc_id DIV 3 varies WITHIN the image class (doc_id%3 == 0
+          // would be a constant-on-a-residue-class — the m09 trap)
+          concat(lit("user"), pmod(col("doc_id"), lit(7)).cast(StringType),
+            repeat(lit("x"),
+              pmod(call_function("div", col("doc_id"), lit(3L)), lit(3L))
+                .cast(IntegerType))),
+          body),
+      (body, n) => concat(
+        wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
 
-  /** Metadata scrub (m12): WALK the chunk list after the 33-byte
-    * signature+IHDR prefix and drop the ancillary tEXt chunk — the
-    * privacy strip a real pipeline runs before payloads enter a training
-    * corpus (location/author EXIF is the classic leak). Returns the
-    * parsed evidence alongside the strip: original/stripped lengths, the
+  /** Metadata scrub (m12): drop the LEADING ancillary tEXt chunk after
+    * the 33-byte signature+IHDR prefix — the privacy strip a real
+    * pipeline runs before payloads enter a training corpus
+    * (location/author EXIF is the classic leak). Returns the parsed
+    * evidence alongside the strip: original/stripped lengths, the
     * metadata KEY and value length recovered from the bytes (the
-    * null-separator split the spec defines), the first chunk type of the
-    * STRIPPED stream (a round-trip re-parse — must be the critical IDAT)
-    * and the clean verdict. Pure per-row codegen'd byte arithmetic —
-    * zero UDFs, no shuffle.
+    * null-separator split the spec defines; the value length DERIVES
+    * from the parsed key, so any keyword works), the first chunk type of
+    * the STRIPPED stream, and the `clean` verdict. `clean` is
+    * deliberately CONSERVATIVE: it certifies only a stream whose
+    * post-strip structure is fully accounted for — first chunk the
+    * critical IDAT and the chunk after it IEND (a two-chunk re-walk of
+    * the stripped bytes). Residual metadata parked AFTER the image data,
+    * a multi-IDAT stream, or an unchunked legacy body all read
+    * clean=false — an honest refusal to certify what the bounded walk
+    * did not cover, never a false pass. Pure per-row codegen'd byte
+    * arithmetic — zero UDFs, no shuffle.
     */
   def stripAncillaryMeta(payload: Column): Column = {
     val c1len = beUint(payload, 34, 4)
@@ -155,15 +154,21 @@ object Multimodal {
     val data = payload.substr(lit(42), c1len.cast(IntegerType))
     val key = when(isMeta,
       element_at(split(data.cast(StringType), "\u0000", 2), 1))
+    // re-walk the STRIPPED stream: its first chunk, and the chunk after
+    val afterLen = beUint(stripped, 34, 4)
     val after = substring(stripped, 38, 4).cast(StringType)
+    val after2 = stripped.substr(
+      (lit(34L) + lit(12L) + afterLen + lit(4L)).cast(IntegerType), lit(4))
+      .cast(StringType)
     struct(
       length(payload).cast(LongType).as("orig_len"),
       length(stripped).cast(LongType).as("stripped_len"),
       key.as("meta_key"),
-      when(isMeta, c1len - lit(7L)).as("meta_vlen"), // minus "Author\0"
+      when(isMeta, c1len - (length(key) + lit(1L))).as("meta_vlen"),
       after.as("first_chunk_after"),
       (when(isMeta, length(stripped) === length(payload) - lit(12L) - c1len)
-        .otherwise(lit(true)) && after === "IDAT").as("clean"))
+        .otherwise(lit(true)) &&
+        after === "IDAT" && after2 === "IEND").as("clean"))
   }
 
   /** Canonical 44-byte WAV/RIFF PCM header. `nSamples` is per channel;
@@ -221,7 +226,21 @@ object Multimodal {
     * are reproducible and oracle-checkable; decode below recovers it from
     * the BYTES alone.
     */
-  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def withPayload(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withModalPayload(docs, textCol)(
+      (body, n) => concat(pngHeader(lit(16) + pmod(n, lit(64)),
+        lit(16) + pmod(n * 7, lit(64))), body),
+      (body, n) => concat(
+        wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
+
+  /** Shared fixture scaffolding of the three payload generators: the
+    * modality class and the video fallthrough are defined ONCE; each
+    * fixture injects only its image/audio payload builders (body, n) —
+    * a modality-derivation change now has one home, not three.
+    */
+  private def withModalPayload(docs: DataFrame, textCol: String)(
+      image: (Column, Column) => Column,
+      audio: (Column, Column) => Column): DataFrame = {
     val body = col(textCol).cast(BinaryType)
     val n = length(body)
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -229,11 +248,8 @@ object Multimodal {
     docs
       .withColumn("modality", modality)
       .withColumn("payload",
-        when(modality === "image",
-          concat(pngHeader(lit(16) + pmod(n, lit(64)),
-                           lit(16) + pmod(n * 7, lit(64))), body))
-        .when(modality === "audio",
-          concat(wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
+        when(modality === "image", image(body, n))
+        .when(modality === "audio", audio(body, n))
         .otherwise(body))
   }
 
@@ -247,28 +263,19 @@ object Multimodal {
     * while `pmod(doc_id, 3)` would not — the MP3 sample-rate index uses
     * doc_id DIV 3 for exactly that reason.
     */
-  def withPayloadMixed(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val body = col(textCol).cast(BinaryType)
-    val n = length(body)
-    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType))
-    docs
-      .withColumn("modality", modality)
-      .withColumn("payload",
-        when(modality === "image" && pmod(col("doc_id"), lit(6)) === 0,
+  def withPayloadMixed(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withModalPayload(docs, textCol)(
+      (body, n) => when(pmod(col("doc_id"), lit(6)) === 0,
           concat(jpegHeader(lit(16) + pmod(n, lit(64)),
-                            lit(16) + pmod(n * 7, lit(64))), body))
-        .when(modality === "image",
-          concat(pngHeader(lit(16) + pmod(n, lit(64)),
-                           lit(16) + pmod(n * 7, lit(64))), body))
-        .when(modality === "audio" && pmod(col("doc_id"), lit(6)) === 1,
+            lit(16) + pmod(n * 7, lit(64))), body))
+        .otherwise(concat(pngHeader(lit(16) + pmod(n, lit(64)),
+          lit(16) + pmod(n * 7, lit(64))), body)),
+      (body, n) => when(pmod(col("doc_id"), lit(6)) === 1,
           concat(mp3Header(lit(1) + pmod(col("doc_id"), lit(14)),
             pmod(floor(col("doc_id") / lit(3)).cast(LongType), lit(3)),
             pmod(col("doc_id"), lit(2))), body))
-        .when(modality === "audio",
-          concat(wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body))
-        .otherwise(body))
-  }
+        .otherwise(concat(
+          wavHeader(lit(16000), lit(1), lit(16), n.cast(LongType) * lit(100L)), body)))
 
   /** Image decode: verify the PNG signature + IHDR chunk type, then parse
     * width/height (big-endian) and map the spec's colorType byte to a

@@ -106,6 +106,26 @@ object Sampling {
     hashed.withColumn("pos", row_number().over(w).cast("bigint"))
   }
 
+  /** Consistent-hash ring vnodes (the [[shardRebalance]] model artifact):
+    * `vnodes` virtual nodes per shard, position = md5-low-60 of the
+    * literal "s<shard>:r<replica>", sorted by (position, shard) — the
+    * SAME Scala-computed longs are the operator's literal arrays AND the
+    * oracle twin's VALUES rows, so the two engines walk an identical
+    * ring (the lshPlanesValues discipline). Lives with the operator, not
+    * the twin: the oracle layer consumes analytics helpers, never the
+    * reverse.
+    */
+  private[graft] def ringVnodes(nShards: Int, vnodes: Int): Seq[(Long, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Low60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(17, 32), 16)
+    }
+    (for (i <- 0 until nShards; j <- 0 until vnodes)
+      yield (md5Low60(s"s$i:r$j"), i)).sortBy { case (p, s) => (p, s) }
+  }
+
   /** Shard-rebalance planner: the data movement of growing a shard fleet
     * from n to n+1, measured under TWO placement strategies — naive
     * mod-hash (shard = pos mod n: growing the fleet remaps ~n/(n+1) of
@@ -139,8 +159,8 @@ object Sampling {
       .select(col(idCol),
         pmod(col("pos"), lit(n.toLong)).as("m_old"),
         pmod(col("pos"), lit(n.toLong + 1L)).as("m_new"),
-        owner(graft.QueryHelpers.ringVnodes(n, vnodes)).as("r_old"),
-        owner(graft.QueryHelpers.ringVnodes(n + 1, vnodes)).as("r_new"))
+        owner(ringVnodes(n, vnodes)).as("r_old"),
+        owner(ringVnodes(n + 1, vnodes)).as("r_new"))
     // ONE aggregate carries both strategies' counters (a union of two
     // aggregates would scan the projection twice); the 1-row result
     // reshapes to the 2-row summary

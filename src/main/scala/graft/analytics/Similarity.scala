@@ -1602,6 +1602,8 @@ object Similarity {
       nCells: Int, probeCounts: Seq[Int],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(probeCounts.nonEmpty, "need at least one probe count")
+    require(probeCounts.distinct.size == probeCounts.size,
+      s"duplicate probe counts produce duplicate curve rows: $probeCounts")
     val maxProbe = probeCounts.max
     val nf = normFn(corpus)
     val cf = cosineFromNorms(dotFn(corpus)) _

@@ -525,7 +525,9 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("seed").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getDouble(4)))
-    // seeds = the 2 most frequent words: a (×4), b (×3)
+    // seeds = the 2 most frequent words: a and b tie at ×3 (beating c at
+    // ×2, q/z at ×1) and the tie breaks lexicographically — the election
+    // exercises BOTH the count cut and the tie rule
     assert(got.map(_._1).toSeq === Seq("a", "b"), s"seed election: ${got.toSeq}")
     assert(got(0)._2 === "a b a b a", s"a→b on count, b→a on tie: ${got(0)}")
     assert(got(1)._2 === "b a b a b")
