@@ -141,7 +141,11 @@ object Sampling {
     * Scala-computed md5 literals embedded in BOTH the plan and the twin
     * (the lshPlanesValues discipline). Scale shape: the ring lookup is a
     * HOF count over a sorted (n+1)·vnodes literal array — pure per-row
-    * projection, ZERO shuffle before the 2-row summary aggregate.
+    * projection, ZERO shuffle before the 2-row summary aggregate. The
+    * per-row cost is O(shards·vnodes); fleets are control-plane-sized
+    * (hundreds of shards × tens of vnodes scans fine in codegen), and a
+    * genuinely huge ring would swap the linear HOF for a binary-search
+    * Catalyst expression — the arc table, not the corpus, is what grows.
     */
   def shardRebalance(docs: DataFrame, n: Int, vnodes: Int,
       idCol: String = "doc_id"): DataFrame = {

@@ -113,6 +113,24 @@ class AHashSpec extends SparkSpec {
       .collect()
     assert(legacy.forall(!_.getBoolean(0)),
       "no IDAT after the header ⇒ not certified clean")
+    // metadata parked AFTER the image data: the leading-chunk strip is a
+    // no-op and the two-chunk re-walk sees tEXt where IEND must be —
+    // refused, never falsely certified (the second-review finding)
+    val trailing = Seq((0L, "hi")).toDF("doc_id", "text")
+      .select(concat(
+        Multimodal.pngHeader(lit(4), lit(4)),
+        unhex(lit("00000002")), lit("IDAT").cast("binary"),
+        col("text").cast("binary"), unhex(lit("00000000")),
+        unhex(lit("00000003")), lit("tEXt").cast("binary"),
+        lit("a").cast("binary"), unhex(lit("00")), lit("b").cast("binary"),
+        unhex(lit("00000000")),
+        unhex(lit("0000000049454E4400000000"))).as("payload"))
+      .select(Multimodal.stripAncillaryMeta(col("payload")).as("m"))
+      .collect().head.getStruct(0)
+    assert(!trailing.getBoolean(5),
+      s"residual trailing metadata must never read clean: $trailing")
+    assert(trailing.getLong(0) === trailing.getLong(1),
+      "a critical-first stream is not modified by the leading-chunk strip")
   }
 
   test("m07 cross-modal: distinctive vocabularies retrieve their true pair at top-1") {
