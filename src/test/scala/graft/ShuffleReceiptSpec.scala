@@ -50,4 +50,29 @@ class ShuffleReceiptSpec extends SparkSpec {
     assert(s08b > 0L && s08b < (4L << 20),
       s"s08 wrote $s08b shuffle bytes (budget 4 MB)")
   }
+
+  test("round-15 new-op byte budgets hold: g09 / s25 / t33 at sf0.001") {
+    // g09's whole point is the plain-integer-SUM reduce: its exchanges
+    // carry (id, long) rows, never g01's fold structs — a budget blowout
+    // means the partial aggregation stopped combining map-side
+    val (g09b, g09r) = receipt("g09_ppr")
+    info(s"g09 receipt: $g09b bytes / $g09r rows")
+    assert(g09b > 0L && g09b < (2L << 20),
+      s"g09 wrote $g09b shuffle bytes (budget 2 MB)")
+    // s25's candidate volume is corpus × maxProbe / nCells with 10
+    // probes — bounded by design; an accidental per-level re-shuffle of
+    // the scored table would multiply it by the level count
+    val (s25b, _) = receipt("s25_ivf_sweep")
+    info(s"s25 receipt: $s25b bytes")
+    assert(s25b > 0L && s25b < (2L << 20),
+      s"s25 wrote $s25b shuffle bytes (budget 2 MB)")
+    // t33 collapses the gram table BEFORE any join: its exchanges are
+    // the two gram-keyed aggregates plus a doc-sized join — a gram-keyed
+    // JOIN regression (the pair-space shape) blows this by the corpus
+    // duplication factor
+    val (t33b, _) = receipt("t33_novelty")
+    info(s"t33 receipt: $t33b bytes")
+    assert(t33b > 0L && t33b < (2L << 20),
+      s"t33 wrote $t33b shuffle bytes (budget 2 MB)")
+  }
 }
