@@ -126,6 +126,30 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // Harmonic centrality from g06's seed sample over g01's graph —
+    // Boldi & Vigna 2014's closeness variant (Σ 1/d, unreachable = 0:
+    // no disconnected-graph pathology), the third centrality next to
+    // degree (g04) and PageRank (g01). The g09 integer discipline:
+    // each term is the exact half-up 10⁹/d, the sum plain BIGINT —
+    // zero float in the chain, the twin replays per-seed BFS exactly.
+    "g10_harmonic" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(n)).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("dst")))
+      val h = analytics.Graph.harmonicCentrality(edges,
+        docs.where(col("doc_id") < 5), maxRounds = 16, idCol = "doc_id")
+      docs.select(col("doc_id"))
+        .join(h.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("harmonic_e9"), lit(0L)).as("harmonic_e9"),
+          coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Community detection: 4 synchronous label-propagation rounds over a
     // block-community graph (8-id blocks wired as a ring (+1) plus a +2
     // chord — odd AND even hop lengths, so the block graph is
@@ -879,6 +903,28 @@ private[graft] object QueriesSimGraph {
         |mx AS (SELECT max(dist) AS max_dist FROM md)
         |SELECT d.doc_id, md.dist, mx.max_dist
         |FROM documents d LEFT JOIN md ON d.doc_id = md.id CROSS JOIN mx
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Harmonic-centrality twin (g10): g06's recursive reach carried per
+    // (id, seed), then the exact half-up 10⁹/d integer terms summed as
+    // BIGINT — zero float until the final single division.
+    "g10_harmonic" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % (SELECT n FROM nn) AS dst FROM documents
+        |  UNION ALL SELECT doc_id, (doc_id * 31 + 7) % (SELECT n FROM nn) FROM documents),
+        |reach(id, seed, dist) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 5
+        |  UNION
+        |  SELECT e.dst, r.seed, r.dist + 1 FROM reach r JOIN e ON r.id = e.src
+        |  WHERE r.dist < 16),
+        |md AS (SELECT id, seed, min(dist) AS dist FROM reach GROUP BY id, seed),
+        |h AS (SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum((2000000000 + dist) // (dist * 2)) AS BIGINT) AS harmonic_e9
+        |  FROM md WHERE dist >= 1 GROUP BY id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+        |  CAST(COALESCE(h.harmonic_e9, 0) AS BIGINT) AS harmonic_e9,
+        |  COALESCE(CAST(h.harmonic_e9 AS DOUBLE) / 1e9, 0.0) AS harmonic
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.id
         |ORDER BY d.doc_id""".stripMargin,
 
     // Triage twin (m08): every verdict derived arithmetically from the

@@ -994,6 +994,21 @@ object ScaleSmoke {
       Similarity.ivfRecallSweep(vecs, vecs.where(col("vec_id") < 10), k = 5,
         nCells = 16, probeCounts = Seq(1, 2, 4, 8, 16)))
 
+    // g10: harmonic centrality — g06's BFS loop with per-(vertex, seed)
+    // state (5× the distance rows) and an exact-integer term sum; cost
+    // must track edges × diameter like the seed BFS.
+    if (shouldRun("harmonic")) {
+      val nDocs = docs.count()
+      val verts = docs.select(col("doc_id"))
+      val edges = verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7 + 13, lit(nDocs)).as("dst"))
+        .unionByName(verts.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31 + 7, lit(nDocs)).as("dst")))
+      run("harmonic")(
+        graft.analytics.Graph.harmonicCentrality(edges,
+          verts.where(col("doc_id") < 5), maxRounds = 16, idCol = "doc_id"))
+    }
+
     // t34: greedy rollout — ONE corpus bigram pass builds the transition
     // table; the 12-step walk is nSeeds-row control data. Cost must
     // track the corpus pass; the blowup adds zero NEW transitions (every

@@ -401,6 +401,64 @@ object Graph {
     dist
   }
 
+  /** Harmonic centrality over a seed SAMPLE (Boldi & Vigna 2014's
+    * axiomatically-preferred closeness variant): H(v) = Σ_s 1/d(s, v)
+    * over sampled seeds, unreachable pairs contributing 0 — the
+    * disconnected-graph pathology classic closeness has (1/∞ sums) is
+    * designed out, which is exactly why it's the centrality a crawl
+    * authority prior can actually use. Sampling seeds is the standard
+    * estimator at scale (exact all-pairs BFS is O(n·m)); distances
+    * follow edge direction, so this is harmonic IN-centrality from the
+    * sample.
+    *
+    * Determinism is the g09 discipline — NO float anywhere: each term is
+    * the exact half-up integer 10⁹/d (the floor((2a+b)/2b) identity) and
+    * H_e9 is a plain integer SUM, order-free by arithmetic; the double
+    * view divides once (exact: H_e9 < 2⁵³). The BFS is [[seedDistances]]
+    * carried per (vertex, seed) pair — state is |reached|·|seeds| rows,
+    * the per-seed version of g06's frontier loop (one edge join + one
+    * min aggregation per round, count-stability = convergence by the BFS
+    * layer property).
+    *
+    * Output per vertex: (v, n_reached, harmonic_e9, harmonic) — seeds
+    * exclude their own d=0 row.
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(idCol).as("v")).distinct()
+      .select(col("v"), col("v").as("seed"), lit(0L).as("dist"))
+      .localCheckpoint(eager = false)
+    var cnt = dist.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxRounds) {
+      iter += 1
+      val next = dist.withColumnRenamed("v", "src").join(e, Seq("src"))
+        .select(col("dst").as("v"), col("seed"), (col("dist") + 1L).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("v"), col("seed")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+      val c = next.count()
+      if (c == cnt) converged = true else { cnt = c; dist = next }
+    }
+    val out = dist.where(col("dist") >= 1L)
+      .select(col("v"),
+        // exact half-up 10⁹/d — integer, order-free under any sum order
+        call_function("div",
+          lit(2000000000L) + col("dist"), col("dist") * lit(2L)).as("term"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("term")).as("harmonic_e9"))
+      .select(col("v"), col("n_reached"), col("harmonic_e9"),
+        (col("harmonic_e9").cast("double") / lit(1.0e9)).as("harmonic"))
+      .localCheckpoint(eager = false)
+    out.count()
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Per-vertex triangle counts — the local clustering signal (link-farm
     * and spam-ring detection sit on it: organic link neighborhoods close
     * triangles, generated ones don't) next to [[pageRank]]/[[hits]]'s

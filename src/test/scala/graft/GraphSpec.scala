@@ -77,6 +77,24 @@ class GraphSpec extends SparkSpec {
       s"mass leak: $ppr")
   }
 
+  test("harmonicCentrality: hand path graph — exact scaled terms, seeds " +
+      "exclude their own d=0, direction respected, unreachable reads absent") {
+    // directed path 0→1→2→3 plus an isolated pair 4→5
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(0L, 1L).toDF("id")
+    val got = Graph.harmonicCentrality(edges, seeds, maxRounds = 8)
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // v=1: d(0,1)=1 → 1e9 (seed 1's own d=0 excluded)
+    // v=2: d(0,2)=2, d(1,2)=1 → 5e8 + 1e9
+    // v=3: d(0,3)=3, d(1,3)=2 → round_half_up(1e9/3)=333333333 + 5e8
+    // 0, 4, 5 unreachable FROM the seeds (direction matters) → absent
+    assert(got.toSeq === Seq(
+      (1L, 1L, 1000000000L, 1.0),
+      (2L, 2L, 1500000000L, 1.5),
+      (3L, 2L, 833333333L, 0.833333333)), s"got ${got.toSeq}")
+  }
+
   test("production paths (replayable=false): same invariants on plain sums") {
     val n = 10L
     val verts = spark.range(n).toDF("id")
