@@ -48,6 +48,32 @@ private[graft] object QueriesDedup {
     }),
 
 
+    // Dedup THRESHOLD operating curve (s25's tuning-artifact pattern for
+    // the dedup family): pair count and affected-doc count at Jaccard
+    // thresholds {0.05, 0.5, 0.9} from ONE shared pair table (built once
+    // at the lowest level; each level is a filter + two bounded
+    // aggregates) — THE curve a dedup deployment picks its threshold
+    // from: how many documents does each setting actually touch. The
+    // corpus's pair mass is BIMODAL (near-1.0 duplicates + ~0.05 weak
+    // overlaps), so the levels bracket both modes; both measures are
+    // monotone non-increasing in the threshold (asserted in DedupSpec).
+    "d35_dedup_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 50), docs,
+          n = 3, threshold = 0.05, maxDf = 1000L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(0.05, 0.5, 0.9).map { th =>
+        val lvl = pairs.where(col("jaccard") >= th)
+        lvl.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(
+            lvl.select(explode(array(col("a_id"), col("b_id"))).as("d"))
+              .agg(countDistinct(col("d")).as("n_docs_affected"))))
+          .select(lit(th).as("threshold"), col("n_pairs"), col("n_docs_affected"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("threshold"))
+    }),
+
+
     // Dedup: ASYMMETRIC containment |A∩B|/|A| — sub-document duplication
     // (a doc contained in a larger one scores ~1.0 while its symmetric
     // Jaccard can be near 0). Same inverted-index candidate generation.
@@ -791,6 +817,33 @@ private[graft] object QueriesDedup {
          |SELECT a_id, b_id, jaccard FROM (
          | SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS jaccard FROM inter)
          |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin),
+
+
+    // Dedup-sweep twin (d35): d03's pair chain at the lowest level, then
+    // per-threshold conditional aggregates unioned into the curve.
+    "d35_dedup_sweep" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_distinct(list_transform(range(len(ws) - 2), i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |  ELSE [] END AS sh FROM tok),
+         |e AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+         |inter AS (
+         | SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
+         | FROM e a JOIN e b USING (shingle)
+         | WHERE a.doc_id < 50 AND a.doc_id <> b.doc_id
+         | GROUP BY 1, 2, 3, 4),
+         |p AS MATERIALIZED (SELECT a_id, b_id, jaccard FROM (
+         | SELECT a_id, b_id, CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS jaccard FROM inter)
+         |WHERE jaccard >= 0.05),
+         |lv(threshold) AS (VALUES (0.05), (0.5), (0.9))
+         |SELECT lv.threshold,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p
+         |     WHERE p.jaccard >= lv.threshold) AS n_pairs,
+         |  (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+         |     SELECT a_id AS d FROM p WHERE jaccard >= lv.threshold
+         |     UNION ALL SELECT b_id FROM p WHERE jaccard >= lv.threshold))
+         |    AS n_docs_affected
+         |FROM lv ORDER BY lv.threshold""".stripMargin),
 
 
     "d09_containment" -> (

@@ -829,4 +829,23 @@ class DedupSpec extends SparkSpec {
     val frac = r.getDouble(0) / r.getDouble(1)
     assert(frac > 0.25 && frac < 0.7, s"fp density $frac out of band around 2/(w+1)=0.4")
   }
+
+  test("d35 dedup sweep: both measures monotone non-increasing in the " +
+      "threshold; the lowest level ties back to the raw pair table") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d35_dedup_sweep")(spark, dir)
+      .orderBy("threshold").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq(0.05, 0.5, 0.9))
+    // raising the threshold can only drop pairs, and dropping pairs can
+    // only shrink the affected-doc set
+    assert(got.map(_._2).sliding(2).forall(w => w(0) >= w(1)), s"${got.toSeq}")
+    assert(got.map(_._3).sliding(2).forall(w => w(0) >= w(1)), s"${got.toSeq}")
+    // level 0.05 IS the unfiltered pair table
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val raw = graft.analytics.Dedup.ngramJaccardPairs(
+      docs.where(col("doc_id") < 50), docs, n = 3, threshold = 0.05,
+      maxDf = 1000L).count()
+    assert(got.head._2 === raw, s"base level ${got.head._2} != raw pairs $raw")
+  }
 }
