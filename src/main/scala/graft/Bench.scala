@@ -150,7 +150,8 @@ object Bench {
 
   private[graft] def reportLine(ok: Seq[(String, Double)],
       failed: Seq[(String, String)], calib: (Double, Double),
-      calibMt: (Double, Double), sfDir: String): String = {
+      calibMt: (Double, Double), sfDir: String,
+      minTotal: Double = -1.0): String = {
     val keys = reportKeys(ok.map(_._1) ++ failed.map(_._1))
     def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def build(fmt: String, withQueries: Boolean): String = {
@@ -167,7 +168,14 @@ object Bench {
         else failed.map { case (k, e) => s"${j(keys(k))}:${j(e)}" }
           .mkString(""","failed":{""", ",", "}")
       val total = ok.map(_._2).sum
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$fl,"calib":[${ms(calib._1)},${ms(calib._2)}],"calibmt":[${ms(calibMt._1)},${ms(calibMt._2)}],"sf":${j(sfDir)}}"""
+      // mintotal = sum of per-query MIN iterations: the contention-
+      // resistant headline (a noisy-neighbor burst inflates medians but
+      // rarely all iterations of a query; r15 postmortem — shared-catalog
+      // medians read 1.15× while min-of-iters read 1.02×). Always ms
+      // precision, same rationale as calib; per-query mins live in
+      // BENCH_DETAIL.json where the byte budget does not apply.
+      val mt = if (minTotal >= 0) s""","mintotal":${ms(minTotal)}""" else ""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec"$mt,"queries":$qs$fl,"calib":[${ms(calib._1)},${ms(calib._2)}],"calibmt":[${ms(calibMt._1)},${ms(calibMt._2)}],"sf":${j(sfDir)}}"""
     }
     // precision ladder: ms → 10 ms → 100 ms → 1 s → no per-query map.
     // Each step trades per-query precision for staying inside the
@@ -179,6 +187,49 @@ object Bench {
     Seq("%.3f", "%.2f", "%.1f", "%.0f").map(build(_, withQueries = true))
       .find(_.length <= 1890)
       .getOrElse(build("%.0f", withQueries = false))
+  }
+
+  /** One query's measured record — the unit BENCH_DETAIL.json serializes
+    * (kept as a case class so [[detailLine]] is pure and BenchSpec can pin
+    * the sidecar format without running Spark). `iters` holds EVERY
+    * successful timed iteration including contention retries; `median`
+    * and min are derived over all of them.
+    */
+  private[graft] final case class QRes(name: String, median: Double,
+      err: Option[String], iters: Seq[Double], shufBytes: Long,
+      shufRecords: Long, retries: Int) {
+    def min: Double = if (iters.isEmpty) -1.0 else iters.min
+    // max/min iteration ratio: >~3 flags a contention-struck query (the
+    // r15 noisy-neighbor signature: one iteration 3-10x its siblings with
+    // identical shuffle bytes)
+    def spread: Double = if (iters.isEmpty || iters.min <= 0) -1.0
+      else iters.max / iters.min
+  }
+
+  /** The BENCH_DETAIL.json sidecar, built pure. Adds the r16 contention
+    * columns: per-query `min`, `spread` (max/min over iterations) and
+    * `retries` (extra calib-gated iterations taken), plus the run-level
+    * `mintotal` — so round-over-round comparisons can read the
+    * contention-resistant number directly instead of recomputing it from
+    * raw iterations (the r15 exculpation lived in prose).
+    */
+  private[graft] def detailLine(results: Seq[QRes], iters: Int, cpus: String,
+      calib: (Double, Double), calibMt: (Double, Double),
+      sfDir: String): String = {
+    def ms(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def arr(ts: Seq[Double]) = ts.map(ms).mkString("[", ",", "]")
+    val qs = results.sortBy(_.name).map { r =>
+      // -1 shuffle = no successful iteration measured a receipt; omitted
+      val shuf = if (r.shufBytes >= 0L)
+        s""","shufBytes":${r.shufBytes},"shufRecords":${r.shufRecords}""" else ""
+      val contention = if (r.iters.isEmpty) ""
+        else s""","min":${ms(r.min)},"spread":${"%.2f".formatLocal(java.util.Locale.ROOT, r.spread)},"retries":${r.retries}"""
+      s"""${j(r.name)}:{"median":${ms(r.median)},"iters":${arr(r.iters)}$contention$shuf${r.err.map(e => s""","err":${j(e)}""").getOrElse("")}}"""
+    }.mkString("{", ",", "}")
+    val okRes = results.filter(_.err.isEmpty)
+    val total = ms(okRes.map(_.median).sum)
+    val minTotal = ms(okRes.map(_.min).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","mintotal":$minTotal,"iters":$iters,"cpus":${j(cpus)},"queries":$qs,"calib":[${ms(calib._1)},${ms(calib._2)}],"calibmt":[${ms(calibMt._1)},${ms(calibMt._2)}],"sf":${j(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -208,6 +259,22 @@ object Bench {
     def drain(): Unit =
       try org.apache.spark.graftaccess.SparkAccess.drainListenerBus(spark.sparkContext)
       catch { case NonFatal(_) => () } // a drain timeout must not fail the bench
+    // contention-retry policy (r15 verdict task 1): a query whose
+    // iteration spread (max/min) exceeds spreadMax took a noisy-neighbor
+    // hit on >=1 iteration; give it up to maxRetries EXTRA iterations so
+    // the median is computed over enough quiet samples to reject the
+    // noisy ones. Retries are CALIB-GATED: each one first re-runs the
+    // fixed single-thread workload, and only proceeds if the host is
+    // currently within calibQuietFactor of the quietest calib seen this
+    // run — retrying while the neighbor is still busy would just add
+    // another noisy sample and burn the bounded budget. A global cap
+    // bounds total added wall time even if every query is struck.
+    val spreadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD", "3.0").toDouble
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val globalRetryCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_CAP", "40").toInt
+    val calibQuietFactor = 1.5
+    var quietCalib = calibPre
+    var retriesUsed = 0
     val results = selected.map { case (name, fn) =>
       // every timed iteration starts cache-cold and memory-neutral: drop
       // operator-internal persists (d03 shingle sets, d04 signatures) and
@@ -220,7 +287,7 @@ object Bench {
       var firstErr: Option[String] = None
       var shufBytes = -1L
       var shufRecords = -1L
-      val timings = (1 to iters).flatMap { _ =>
+      def runOnce(): Option[Double] = {
         spark.catalog.clearCache()
         System.gc()
         drain(); tally.reset()
@@ -239,16 +306,40 @@ object Bench {
             None
         }
       }
-      // any failed iteration fails the query — a partially-failing query
-      // must not report a healthy-looking median; the failure class goes
-      // into the driver-visible report, not just stderr
-      if (timings.size < iters)
-        (name, -1.0, Some(firstErr.getOrElse("failed")), timings, shufBytes, shufRecords)
+      var timings = (1 to iters).flatMap(_ => runOnce())
+      val cleanRun = timings.size == iters
+      var retries = 0
+      def spreadOf(ts: Seq[Double]): Double =
+        if (ts.isEmpty || ts.min <= 0) -1.0 else ts.max / ts.min
+      var gateOpen = true
+      while (cleanRun && gateOpen && spreadOf(timings) > spreadMax &&
+          retries < maxRetries && retriesUsed < globalRetryCap) {
+        val c = calibrate()
+        if (c < quietCalib) quietCalib = c
+        if (c <= calibQuietFactor * quietCalib) {
+          runOnce() match {
+            case Some(dt) => timings :+= dt; retries += 1; retriesUsed += 1
+            case None => gateOpen = false // retry failure: keep the clean median, stop
+          }
+        } else {
+          System.err.println(f"[bench] $name spread=${spreadOf(timings)}%.2f " +
+            f"but host busy (calib $c%.3f vs quiet $quietCalib%.3f) — not retrying")
+          gateOpen = false
+        }
+      }
+      // any failed ORIGINAL iteration fails the query — a partially-
+      // failing query must not report a healthy-looking median; the
+      // failure class goes into the driver-visible report, not stderr only
+      if (!cleanRun)
+        QRes(name, -1.0, Some(firstErr.getOrElse("failed")), timings,
+          shufBytes, shufRecords, retries)
       else {
         val sorted = timings.sorted
         System.err.println(f"[bench] $name iters=${sorted.map(t => f"$t%.3f").mkString(",")} " +
-          f"shuffle=${shufBytes / 1e6}%.1fMB/${shufRecords} rows")
-        (name, sorted(iters / 2), None, timings, shufBytes, shufRecords)
+          f"shuffle=${shufBytes / 1e6}%.1fMB/${shufRecords} rows" +
+          (if (retries > 0) s" retries=$retries" else ""))
+        QRes(name, sorted(sorted.size / 2), None, timings,
+          shufBytes, shufRecords, retries)
       }
     }
     val calibPost = calibrate()
@@ -257,29 +348,22 @@ object Bench {
     // "parsed": null with the line fully inside the tail window because
     // sbt's LoggedOutput prepended "[info] " — build.sbt sets
     // outputStrategy := StdoutOutput (byte budget handled in reportLine)
+    val okRes = results.filter(_.err.isEmpty)
     val line = reportLine(
-      results.collect { case (k, v, None, _, _, _) => (k, v) },
-      results.collect { case (k, _, Some(e), _, _, _) => (k, e) },
-      (calibPre, calibPost), (calibMtPre, calibMtPost), sfDir)
+      okRes.map(r => (r.name, r.median)),
+      results.collect { case r if r.err.isDefined => (r.name, r.err.get) },
+      (calibPre, calibPost), (calibMtPre, calibMtPost), sfDir,
+      minTotal = okRes.map(_.min).sum)
     // full-precision sidecar: the stdout line lives inside the driver's
     // 2000-byte tail window and degrades per-query precision to fit (at
     // 179 queries the realistic rung is integer seconds) — so every run
-    // also persists the complete ms-precision record (median + all raw
-    // iterations per query, full names, calib) where the byte budget
-    // does not apply. Round-over-round per-query comparisons read this.
+    // also persists the complete ms-precision record (median + min +
+    // spread + retries + all raw iterations per query, full names, calib)
+    // where the byte budget does not apply. Round-over-round per-query
+    // comparisons read this.
     try {
-      val detail = {
-        def arr(ts: Seq[Double]) = ts.map(t => "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString("[", ",", "]")
-        val qs = results.sortBy(_._1).map { case (k, v, err, ts, sb, sr) =>
-          val med = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-          // -1 = no successful iteration measured a receipt; omitted
-          val shuf = if (sb >= 0L) s""","shufBytes":$sb,"shufRecords":$sr""" else ""
-          s"""${j(k)}:{"median":$med,"iters":${arr(ts)}$shuf${err.map(e => s""","err":${j(e)}""").getOrElse("")}}"""
-        }.mkString("{", ",", "}")
-        val total = "%.3f".formatLocal(java.util.Locale.ROOT,
-          results.collect { case (_, v, None, _, _, _) => v }.sum)
-        s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"cpus":${j(cpus)},"queries":$qs,"calib":[${"%.3f".formatLocal(java.util.Locale.ROOT, calibPre)},${"%.3f".formatLocal(java.util.Locale.ROOT, calibPost)}],"calibmt":[${"%.3f".formatLocal(java.util.Locale.ROOT, calibMtPre)},${"%.3f".formatLocal(java.util.Locale.ROOT, calibMtPost)}],"sf":${j(sfDir)}}"""
-      }
+      val detail = detailLine(results, iters, cpus,
+        (calibPre, calibPost), (calibMtPre, calibMtPost), sfDir)
       val out = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1059,11 +1059,14 @@ private[graft] object QueryHelpers {
          |  round((SELECT count(*) FROM ex JOIN iv$p USING (probe_id, neighbor_id))::DOUBLE /
          |        (SELECT count(*) FROM ex), 6) AS recall""".stripMargin
     }.mkString("\nUNION ALL\n")
+    // ex and scored both rank on round(sim, 6) — the operator's
+    // round-6-before-order convention (r15 ADVICE): rank-k membership is
+    // decided on a value both engines compute bit-identically
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
        |ex AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
        |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
        |     row_number() OVER (PARTITION BY p.vec_id
-       |       ORDER BY list_cosine_similarity(p.ev, c.ev) DESC, c.vec_id) AS rnk
+       |       ORDER BY round(list_cosine_similarity(p.ev, c.ev), 6) DESC, c.vec_id) AS rnk
        |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < 10)
        | WHERE rnk <= $k),
        |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT $nCells),
@@ -1081,7 +1084,7 @@ private[graft] object QueryHelpers {
        |cand AS (SELECT pa.probe_id, ca.neighbor_id, pa.cell_rank
        |  FROM pa JOIN ca USING (cent_id) WHERE pa.probe_id <> ca.neighbor_id),
        |scored AS MATERIALIZED (SELECT c.probe_id, c.neighbor_id, c.cell_rank,
-       |    list_cosine_similarity(pv.ev, nv.ev) AS sim
+       |    round(list_cosine_similarity(pv.ev, nv.ev), 6) AS sim
        |  FROM cand c JOIN v pv ON pv.vec_id = c.probe_id
        |    JOIN v nv ON nv.vec_id = c.neighbor_id),
        |$ivCtes
@@ -1108,16 +1111,20 @@ private[graft] object QueryHelpers {
     val ctes = scala.collection.mutable.ArrayBuffer(
       "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
       "c1 AS MATERIALIZED (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT 1)",
+      // each m_r drops the just-selected center from the running pool —
+      // the operator's excludeIds anti-filter (selected centers must never
+      // be re-selectable, even on an all-duplicate corpus)
       s"""m1 AS MATERIALIZED (SELECT v.vec_id, v.ev,
         |  ${sim("v.ev", "c1.ev")} AS ms
-        |  FROM v CROSS JOIN c1)""".stripMargin)
+        |  FROM v CROSS JOIN c1 WHERE v.vec_id <> c1.vec_id)""".stripMargin)
     for (r <- 2 to k) {
       ctes += s"c$r AS MATERIALIZED (SELECT vec_id, ms FROM m${r - 1} ORDER BY ms ASC, vec_id ASC LIMIT 1)"
       if (r < k)
         ctes += s"""m$r AS MATERIALIZED (SELECT m.vec_id, m.ev,
           |  greatest(m.ms, ${sim("m.ev", "s.ev")}) AS ms
           |  FROM m${r - 1} m CROSS JOIN
-          |    (SELECT v.ev FROM v JOIN c$r USING (vec_id)) s)""".stripMargin
+          |    (SELECT v.ev FROM v JOIN c$r USING (vec_id)) s
+          |  WHERE m.vec_id NOT IN (SELECT vec_id FROM c$r))""".stripMargin
     }
     val sel = (1 to k).map { r =>
       if (r == 1)

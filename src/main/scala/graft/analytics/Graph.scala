@@ -425,7 +425,7 @@ object Graph {
     */
   def harmonicCentrality(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
       srcCol: String = "src", dstCol: String = "dst",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", requireConverged: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var dist = seeds.select(col(idCol).as("v")).distinct()
@@ -443,6 +443,18 @@ object Graph {
         .localCheckpoint(eager = false)
       val c = next.count()
       if (c == cnt) converged = true else { cnt = c; dist = next }
+    }
+    // a BFS cut short by maxRounds silently underestimates n_reached and
+    // harmonic on a graph whose seed-eccentricity exceeds the cap — make
+    // truncation observable (r15 ADVICE): always log it, and let callers
+    // that need the exact fixed point demand convergence outright (the
+    // catalog twin instead mirrors the SAME dist < maxRounds cap in its
+    // recursive-CTE oracle, so truncated and exact regimes both verify)
+    if (!converged) {
+      require(!requireConverged,
+        s"harmonicCentrality: BFS not converged after maxRounds=$maxRounds")
+      System.err.println(s"[graft] harmonicCentrality: maxRounds=$maxRounds" +
+        " hit before convergence — distances (and harmonic terms) truncated")
     }
     val out = dist.where(col("dist") >= 1L)
       .select(col("v"),

@@ -92,7 +92,8 @@ object Similarity {
     * is spread to one task per core (byte-small inputs arrive single-split).
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      round6: Boolean = false): DataFrame = {
     val nf = normFn(corpus)
     val cf = cosineFromNorms(dotFn(corpus)) _
     val p = broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
@@ -100,10 +101,17 @@ object Similarity {
     val c = Par.spreadForCpu(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
         nf(col(vecCol)).as("vec_norm"))
+    // round6=true applies the repo's round-6-before-order convention to
+    // the ranking score: two candidates whose true cosines differ only in
+    // the last few ulps could otherwise order differently between Spark's
+    // vec_dot and DuckDB's list_cosine_similarity (r15 ADVICE). s04 keeps
+    // the historical unrounded ranking (its oracle shares it verbatim);
+    // rank-set consumers (the s25 recall sweep) opt in.
+    val rank = if (round6) round(cf(col("probe_vec"), col("vec"),
+        col("probe_norm"), col("vec_norm")), 6)
+      else cf(col("probe_vec"), col("vec"), col("probe_norm"), col("vec_norm"))
     val scored = c.join(p, col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        cf(col("probe_vec"), col("vec"),
-          col("probe_norm"), col("vec_norm")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"), rank.as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
@@ -416,7 +424,8 @@ object Similarity {
     * never hash-shuffles. `centers` carries (vector-as-doubles, norm).
     */
   private[graft] def kCenterRound(base: DataFrame,
-      centers: Seq[(Array[Double], Double)]): DataFrame = {
+      centers: Seq[(Array[Double], Double)],
+      excludeIds: Seq[Long] = Nil): DataFrame = {
     val sims = centers.map { case (cv, cn) =>
       round(coalesce(
         when(col("nv") > 0 && lit(cn) > 0,
@@ -424,7 +433,14 @@ object Similarity {
         lit(-2.0)), 6)
     }
     val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
-    base.select(col("id"), col("vec"), col("nv"), ms.as("ms"))
+    // already-selected centers leave the candidate pool (a k-sized isin
+    // filter): on an all-duplicate corpus every max-cosine rounds to 1.0
+    // and the (ms, id) min_by would otherwise re-select the lowest-id
+    // center forever — the coreset's ids-distinct invariant must hold by
+    // construction, not by fixture luck (r15 ADVICE)
+    val pool = if (excludeIds.isEmpty) base
+      else base.where(!col("id").isin(excludeIds: _*))
+    pool.select(col("id"), col("vec"), col("nv"), ms.as("ms"))
       .select(min_by(struct(col("id"), col("vec"), col("nv"), col("ms")),
         struct(col("ms"), col("id"))).as("r"))
       .select(col("r.id"), col("r.vec"), col("r.nv"), col("r.ms"))
@@ -443,12 +459,21 @@ object Similarity {
       val seed = base
         .select(min_by(struct(col("id"), col("vec"), col("nv")), col("id")).as("r"))
         .select(col("r.id"), col("r.vec"), col("r.nv")).head()
+      // min_by over an empty input yields one all-null row, not an empty
+      // result — surface it as a clear contract violation instead of the
+      // NPE the getters would throw (r15 ADVICE)
+      require(!seed.isNullAt(0), "kCenterGreedy: corpus is empty")
       // (id, vec-as-doubles, norm, max-sim-to-selected at selection time)
       var selected = Vector(
         (seed.getLong(0), vecOf(seed), seed.getDouble(2), Option.empty[Double]))
       for (_ <- 2 to k) {
         val r = kCenterRound(base,
-          selected.map { case (_, cv, cn, _) => (cv, cn) }).head()
+          selected.map { case (_, cv, cn, _) => (cv, cn) },
+          selected.map(_._1)).head()
+        // an exhausted pool (k > corpus row count) also surfaces as the
+        // all-null min_by row — fail with the actual bound, not an NPE
+        require(!r.isNullAt(0),
+          s"kCenterGreedy: k=$k exceeds corpus row count ${selected.size}")
         selected :+= ((r.getLong(0), vecOf(r), r.getDouble(2), Some(r.getDouble(3))))
       }
       selected.zipWithIndex.map { case ((id, _, _, ms), i) =>
@@ -1635,9 +1660,14 @@ object Similarity {
       .join(corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("nvec"), nf(col(vecCol)).as("nnorm")), Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), col("cell_rank"),
-        cf(col("probe_vec"), col("nvec"), col("probe_norm"), col("nnorm")).as("sim"))
+        // round-6-before-order on the candidate ranking AND the exact
+        // baseline (round6 = true below): rank-k membership must not
+        // hinge on cross-engine ulp noise (r15 ADVICE; the cell
+        // assignment above already followed the convention)
+        round(cf(col("probe_vec"), col("nvec"),
+          col("probe_norm"), col("nnorm")), 6).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exact = bruteForceTopK(corpus, probes, k, idCol, vecCol)
+    val exact = bruteForceTopK(corpus, probes, k, idCol, vecCol, round6 = true)
       .select(col("probe_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wRank = org.apache.spark.sql.expressions.Window

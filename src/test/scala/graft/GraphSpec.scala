@@ -95,6 +95,23 @@ class GraphSpec extends SparkSpec {
       (3L, 2L, 833333333L, 0.833333333)), s"got ${got.toSeq}")
   }
 
+  test("harmonicCentrality truncation is observable (r15 ADVICE): " +
+      "requireConverged=true throws when maxRounds cuts the BFS short, " +
+      "and the default truncated result underestimates exactly d<=cap") {
+    // path 0→1→2→3 has eccentricity 3 from seed 0; maxRounds=2 truncates
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Graph.harmonicCentrality(edges, seeds, maxRounds = 2,
+        requireConverged = true)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // default path still returns, with exactly the d<=2 frontier reached
+    val trunc = Graph.harmonicCentrality(edges, seeds, maxRounds = 2)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(trunc.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("production paths (replayable=false): same invariants on plain sums") {
     val n = 10L
     val verts = spark.range(n).toDF("id")

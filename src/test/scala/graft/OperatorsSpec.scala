@@ -262,7 +262,8 @@ class OperatorsSpec extends SparkSpec {
     // that the 2× perf gate has failed long before the byte budget.
     val worstCase = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 99.99)
     val line = Bench.reportLine(worstCase, Seq.empty, (99.99, 99.99),
-      (99.99, 99.99), "/root/testdata/sf0.1")
+      (99.99, 99.99), "/root/testdata/sf0.1",
+      minTotal = worstCase.size * 99.99)
     assert(line.length + 100 < 2000,
       s"worst-case bench line is ${line.length} bytes for ${worstCase.size} " +
         "queries — over the tail-window budget with the sbt epilogue; " +
@@ -282,7 +283,7 @@ class OperatorsSpec extends SparkSpec {
     // BENCH_DETAIL.json), never to an unparseable line
     val huge = (1 to 400).map(i => f"z$i%03d_synthetic" -> 99.99)
     val hugeLine = Bench.reportLine(huge, Seq.empty, (99.99, 99.99),
-      (99.99, 99.99), "/root/testdata/sf0.1")
+      (99.99, 99.99), "/root/testdata/sf0.1", minTotal = 400 * 99.99)
     assert(hugeLine.length + 100 < 2000 && hugeLine.startsWith("{") &&
       hugeLine.endsWith("}") && hugeLine.contains("\"queries\":{}"))
     // report keys are the q01/d15-style prefixes (leading zeros in the

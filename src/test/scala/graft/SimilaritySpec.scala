@@ -151,6 +151,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._2).distinct.length === got.length)
   }
 
+  test("s23 k-center greedy guards (r15 ADVICE): distinct ids even on an " +
+      "all-duplicate corpus; empty corpus and k > corpus size fail loudly") {
+    // every vector identical → every round's max-cosine rounds to 1.0;
+    // the selected-id anti-filter (not fixture luck) must keep picks
+    // distinct
+    val dup = Seq.tabulate(4)(i => (i.toLong, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val ids = Similarity.kCenterGreedy(dup, k = 4).orderBy("sel_order")
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L))
+    val empty = dup.where(col("vec_id") < 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(empty, k = 2)
+    }
+    assert(e1.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(dup, k = 5)
+    }
+    assert(e2.getMessage.contains("exceeds corpus row count"))
+  }
+
   test("s25 ivfRecallSweep: recall is monotone in nProbe, and probing all " +
       "cells degenerates to exact brute force (recall exactly 1.0)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
