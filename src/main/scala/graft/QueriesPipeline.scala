@@ -1547,6 +1547,51 @@ private[graft] object QueriesPipeline {
       analytics.Sampling.shardRebalance(
           t(s, dir, "documents").select(col("doc_id")), n = 8, vnodes = 16)
         .orderBy(col("strategy"))),
+
+    // Manifest-pruned z-order scan (q100): the OPTIMIZE-ZORDER +
+    // data-skipping loop as ONE oracle-checked query (r15 verdict task 2 —
+    // FormatsSpec proves the strict-subset receipt; this entry proves the
+    // pruned read END-TO-END against a full-scan DuckDB twin). The
+    // lineitem projection is z-interleaved on (quantity, price-bucket),
+    // range-partitioned on the z-value so every file owns a 2-D-local
+    // box, written with a per-file min/max manifest, then read back
+    // through [[graft.sources.StatsManifest.readBox]]: only files whose
+    // intervals intersect the query box reach the scan. The residual
+    // in-file filter reapplies the box (skipping is file-granular), so
+    // the aggregate equals the full scan BY CONSTRUCTION — layout decides
+    // cost, never answers. `pruned_strict` is the TRUE-asserted flag
+    // (q30/q35 convention): hash-fails if the manifest ever stops
+    // pruning to a strict subset at the tested scale.
+    //
+    // Scale shape: the write+stats pass is the maintenance job (rides the
+    // z-order rewrite, reads only indexed columns); the manifest is
+    // numFiles×2 driver-side control rows (Delta-log size class); the
+    // pruned read opens keep.size of total files. All-BIGINT aggregates —
+    // no cross-engine rounding surface.
+    "q100_manifest_scan" -> ((s, dir) => {
+      import graft.sources.StatsManifest
+      import graft.functions.ZOrder
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-q100").toString + "/data"
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") / 1000).cast("long").as("y"))
+      val laid = li
+        .withColumn("zv", ZOrder.zInterleave(col("x"), col("y"), bits = 8))
+        .repartitionByRange(16, col("zv")).drop("zv")
+      StatsManifest.write(laid, scratch, "x", "y")
+      val (pruned, keep, total) = StatsManifest.readBox(s, scratch,
+        Map("x" -> (10L, 20L), "y" -> (20L, 40L)))
+      pruned
+        .where(col("x").between(10, 20) && col("y").between(20, 40))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+        .withColumn("pruned_strict", lit(keep.nonEmpty && keep.size < total))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2757,5 +2802,23 @@ private[graft] object QueriesPipeline {
     // Scala-generated vnode VALUES; ring lookup as an at-or-after scalar
     // subquery with wrap.
     "q99_rebalance" -> rebalanceOracleSql(n = 8, vnodes = 16),
+
+    // Manifest-scan twin (q100): DuckDB scans lineitem IN FULL with the
+    // same box predicate — equality proves the manifest-pruned read lost
+    // no rows and invented none. pruned_strict is the TRUE-asserted
+    // pruning receipt. l_quantity is integral-valued (1..50), so the
+    // truncate-vs-round cast divergence on DOUBLE→BIGINT cannot bite;
+    // floor() makes the y bucket exact on both engines.
+    "q100_manifest_scan" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  TRUE AS pruned_strict
+        |FROM (SELECT l_orderkey,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice / 1000) AS BIGINT) AS y
+        |  FROM lineitem)
+        |WHERE x BETWEEN 10 AND 20 AND y BETWEEN 20 AND 40""".stripMargin,
   )
 }
