@@ -74,6 +74,33 @@ private[graft] object QueriesDedup {
     }),
 
 
+    // LSH band/row operating curve (r15 verdict task 3): d26 evaluates
+    // ONE (bands, rowsPerBand) config; this is the tuning artifact a
+    // dedup deployment actually reads — precision/recall at every
+    // (bands, k/bands) point of a power-of-two grid over the SAME k=64
+    // signatures, against the SAME exact-Jaccard ground truth, from ONE
+    // shared signature pass (the s25/d35 shared-pass pattern). Coarser
+    // bands are concatenations of finer ones on this grid, so candidate
+    // sets nest and recall/n_est are non-decreasing in bands BY
+    // CONSTRUCTION (the DedupSpec monotonicity pin); precision decays as
+    // narrower bands admit weaker collisions.
+    // Threshold 0.05 (d35's lowest bracket), NOT d26's 0.4: the corpus
+    // pair mass is bimodal and at 0.4 every level finds exactly the
+    // near-1.0 duplicates (a flat all-1.0 curve measures nothing). At
+    // 0.05 the ~0.05-Jaccard weak-overlap mode is in scope, where band
+    // width decides collision probability — the curve actually moves.
+    "d36_lsh_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, docs, n = 3, threshold = 0.05,
+          maxDf = 1000L)
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+      Dedup.lshBandSweep(docs, truth, n = 3, k = 64,
+          bandsGrid = Seq(4, 8, 16, 32), threshold = 0.05, portableHash = true)
+        .orderBy(col("bands"))
+    }),
+
+
     // Dedup: ASYMMETRIC containment |A∩B|/|A| — sub-document duplication
     // (a doc contained in a larger one scores ~1.0 while its symmetric
     // Jaccard can be near 0). Same inverted-index candidate generation.
@@ -1142,20 +1169,18 @@ private[graft] object QueriesDedup {
          |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
          |FROM agg""".stripMargin),
 
+    // LSH band-sweep twin (d36): one shared sig CTE, per-level
+    // band/candidate/estimate chains vs the SHARED exact truth.
+    "d36_lsh_sweep" -> lshSweepOracleSql(k = 64,
+      bandsGrid = Seq(4, 8, 16, 32), threshold = 0.05),
+
+
     // LSH-eval twin (d26): the d11 pair chain and the exact-Jaccard
     // chain REUSE the same shingle CTE `g`, then the set compare.
     "d26_lsh_eval" -> (
       s"""WITH ${portableMinhashCtes(64)},
          |${portableLshPairCtes(64, 16, 0.4)},
-         |ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
-         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
-         |  FROM ex a JOIN ex b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
-         |truth AS (SELECT a_id, b_id FROM (
-         |    SELECT a_id, b_id,
-         |      CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS j
-         |    FROM inter) WHERE j >= 0.4),
+         |${exactTruthPairCtes(0.4)},
          |u AS (SELECT
          |    CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS e,
          |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t

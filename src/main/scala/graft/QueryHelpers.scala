@@ -148,6 +148,73 @@ private[graft] object QueryHelpers {
        |  WHERE est_jaccard >= $threshold)""".stripMargin
   }
 
+  /** Exact n-gram-Jaccard ground-truth CTEs on top of
+    * [[portableMinhashCtes]]'s shingle CTE `g`: `ex` explodes the
+    * shingle sets, `inter` counts pairwise intersections, `truth` keeps
+    * pairs at Jaccard >= threshold. ONE definition shared by the d26
+    * point evaluation and the d36 sweep so the ground truth cannot
+    * drift between them.
+    */
+  private[graft] def exactTruthPairCtes(threshold: Double): String =
+    s"""ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM g),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sz AS a_size, b.sz AS b_size, count(*) AS n_inter
+       |  FROM ex a JOIN ex b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+       |truth AS (SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(n_inter AS DOUBLE) / (a_size + b_size - n_inter) AS j
+       |    FROM inter) WHERE j >= $threshold)""".stripMargin
+
+  /** LSH band-sweep twin (d36): ONE `sig` CTE (the shared signature pass
+    * [[Dedup.lshBandSweep]] persists), then per grid level its own
+    * banding/candidate/estimate/compare chain against the shared exact
+    * `truth` ([[exactTruthPairCtes]]), unioned into operating-curve rows.
+    */
+  private[graft] def lshSweepOracleSql(k: Int, bandsGrid: Seq[Int],
+      threshold: Double): String = {
+    require(bandsGrid.distinct.size == bandsGrid.size,
+      s"duplicate band counts would define duplicate CTE names: $bandsGrid")
+    val sorted = bandsGrid.sorted
+    val per = sorted.map { bands =>
+      val rpb = k / bands
+      s"""bnd$bands AS (SELECT doc_id, b, list_slice(sg, b*$rpb + 1, b*$rpb + $rpb) AS slc
+         |  FROM sig CROSS JOIN range($bands) r(b)),
+         |cand$bands AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bnd$bands x JOIN bnd$bands y
+         |  ON x.b = y.b AND x.slc = y.slc AND x.doc_id < y.doc_id),
+         |p$bands AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    CAST(len(list_filter(range(1, ${k + 1}), i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / $k AS ej
+         |  FROM cand$bands c JOIN sig sa ON sa.doc_id = c.a_id
+         |    JOIN sig sb ON sb.doc_id = c.b_id)
+         |  WHERE ej >= $threshold),
+         |u$bands AS (SELECT
+         |    CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t
+         |  FROM p$bands p FULL OUTER JOIN truth t
+         |  ON p.a_id = t.a_id AND p.b_id = t.b_id),
+         |a$bands AS (SELECT CAST(sum(t) AS BIGINT) AS n_true,
+         |    CAST(sum(e) AS BIGINT) AS n_est,
+         |    CAST(sum(e * t) AS BIGINT) AS tp FROM u$bands)""".stripMargin
+    }.mkString(",\n")
+    val rows = sorted.map { bands =>
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+         |  CAST(${k / bands} AS BIGINT) AS rows_per_band, n_true, n_est, tp,
+         |  CAST(tp AS DOUBLE) / CAST(n_est AS DOUBLE) AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM a$bands""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${portableMinhashCtes(k)},
+       |sig AS (SELECT doc_id,
+       |  list(CAST(list_min(list_transform(hl, h -> $minhashSwExpr)) AS BIGINT) ORDER BY pos) AS sg
+       |  FROM hs CROSS JOIN consts GROUP BY doc_id),
+       |${exactTruthPairCtes(threshold)},
+       |$per
+       |$rows
+       |ORDER BY bands""".stripMargin
+  }
+
   /** SimHash fold CTEs over the portable md5-low64 token hash, mirroring
     * [[Dedup.simhashedPortable]]'s vote/fold construction: tokenize →
     * per-token signed-64 hash → 64 per-bit votes → fold to one BIGINT

@@ -330,6 +330,70 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** LSH (bands, rowsPerBand) operating curve — the tuning artifact d26
+    * measures one point of (r15 verdict task 3): precision/recall of the
+    * banded-candidate + full-k-estimate chain against an exact-Jaccard
+    * ground truth, swept across a grid of band counts from ONE shared
+    * signature pass (the s25/d35 shared-pass pattern — the expensive
+    * tokenize→shingle→minhash pipeline runs once, persisted; each grid
+    * level adds only its own banding projection and bucket self-join).
+    *
+    * For a power-of-two grid over a fixed k, each coarser band is the
+    * concatenation of finer ones, so candidate sets are NESTED along the
+    * grid (a width-2r slice match implies both width-r halves match) —
+    * recall and n_est are non-decreasing in `bands` by construction, the
+    * monotonicity DedupSpec pins. `truthPairs` is caller-supplied
+    * (a_id, b_id) ground truth (d26's exact n-gram-Jaccard chain), so
+    * the sweep never recomputes it per level either.
+    *
+    * Scale shape: identical to [[minhashCandidates]] per level — compact
+    * 16-byte pair keys through every bucket self-join, signatures
+    * attached post-distinct — times a constant grid size; the persisted
+    * signature table is the only shared state (session-owned cache, the
+    * d03 convention).
+    */
+  def lshBandSweep(docs: DataFrame, truthPairs: DataFrame, n: Int, k: Int,
+      bandsGrid: Seq[Int], threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      portableHash: Boolean = false): DataFrame = {
+    require(bandsGrid.nonEmpty, "need at least one band count")
+    require(bandsGrid.distinct.size == bandsGrid.size,
+      s"duplicate band counts produce duplicate curve rows: $bandsGrid")
+    bandsGrid.foreach(b =>
+      require(b >= 1 && k % b == 0, s"k=$k must be divisible by bands=$b"))
+    val sigs = (if (portableHash) minhashSignaturesPortable(docs, n, k, idCol, textCol)
+                else minhashSignatures(docs, n, k, idCol, textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = truthPairs
+      .select(col("a_id"), col("b_id"), lit(1L).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandsGrid.sorted.map { bands =>
+      val rpb = k / bands
+      val buckets = bandBuckets(sigs, bands, rpb)
+      val cand = buckets.select(col("bucket"), col("id").as("a_id"))
+        .join(buckets.select(col("bucket"), col("id").as("b_id")), Seq("bucket"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+      val est = cand
+        .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+        .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          estJaccard(col("a_sig"), col("b_sig"), k).as("ej"))
+        .where(col("ej") >= threshold)
+        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      est.join(truth, Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("e"), lit(0L)).as("e"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .agg(sum(col("t")).as("n_true"), sum(col("e")).as("n_est"),
+          sum(col("e") * col("t")).as("tp"))
+        .select(lit(bands.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
+          col("n_true"), col("n_est"), col("tp"),
+          (col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
+          (col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** 64-bit SimHash per document. When the `simhash64` native expression is
     * registered (graft.plans.GraftExtensions via `spark.sql.extensions`),
     * the whole hash runs as one fused codegen'd loop; otherwise the

@@ -848,4 +848,24 @@ class DedupSpec extends SparkSpec {
       maxDf = 1000L).count()
     assert(got.head._2 === raw, s"base level ${got.head._2} != raw pairs $raw")
   }
+
+  test("d36 LSH band sweep: on the power-of-two grid candidate sets nest, " +
+      "so recall and n_est are non-decreasing in bands; n_true is the " +
+      "shared ground truth at every level") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d36_lsh_sweep")(spark, dir)
+      .orderBy("bands").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(6)))
+    assert(got.map(_._1).toSeq === Seq(4L, 8L, 16L, 32L))
+    assert(got.map(t => t._1 * t._2).forall(_ === 64L), "grid must tile k")
+    // one shared truth: every level compares against the same pair set
+    assert(got.map(_._3).distinct.length === 1, s"${got.toSeq}")
+    // a width-2r band match implies both width-r halves match, so each
+    // finer level's candidate set CONTAINS the coarser one's — after the
+    // common est filter, n_est and tp (hence recall) cannot decrease
+    assert(got.map(_._4).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
+    assert(got.map(_._5).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
+    assert(got.map(_._6).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
+  }
 }
