@@ -726,6 +726,26 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("n_probe"))
     }),
 
+    // Hierarchical-entry beam search (the HNSW upper level s21 lacks):
+    // a ~√n coarse sample with its own brute-force kNN graph, 4-start
+    // greedy per-probe descent (strict round-6 improvement,
+    // deterministic), the top-beamWidth of the descent's visited pool as
+    // the probe-LOCAL entry set, then s21's exact base-layer walk (same
+    // graph, same beam, same rounds). The twin replays both levels move
+    // for move; recall >= s21 at equal beam is asserted in
+    // SimilaritySpec (measured 0.72/0.72, 0.62/0.56, 0.40/0.40 at
+    // sf0.001/0.01/0.1 — single-start measured BELOW flat, 0.64, which
+    // is why the descent is multi-chain).
+    "s26_hier_beam" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hierarchicalBeamTopK(e, e.where(col("vec_id") < 10), k = 5,
+          beamWidth = 16, rounds = 3, descentRounds = 4, coarseGraphK = 4,
+          nTables = 8, planesPerTable = 8, dim = 64, graphK = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          col("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
     // Semantic chunking over token-embedding streams (docs = bags of 8
     // consecutive vectors, s22's convention): a chunk boundary opens
     // where the adjacent-token cosine (round 6) drops below -0.1 (picked
@@ -1155,6 +1175,12 @@ private[graft] object QueriesSimGraph {
     // the walk unrolled round by round on round-6 ranks.
     "s21_beam_search" -> beamSearchOracleSql(k = 5, beamWidth = 16,
       rounds = 3, graphK = 8, nProbes = 10),
+
+    // Hierarchical-beam twin (s26): the coarse stride sample, descent
+    // rounds, entry set, then the SHARED s21 walk CTEs.
+    "s26_hier_beam" -> hierarchicalBeamOracleSql(k = 5, beamWidth = 16,
+      rounds = 3, graphK = 8, nProbes = 10, descentRounds = 4,
+      coarseGraphK = 4, nStarts = 4),
 
     // MaxSim twin (s22): same doc bagging (vec_id // 8), round-6 cosine
     // before the max, DECIMAL(18,6) sum — the addition-order-free score

@@ -939,9 +939,33 @@ private[graft] object QueryHelpers {
     * = the beam's out-edges never seen before, scored exactly; after
     * `rounds` expansions the per-probe top-`k` of the scored set.
     */
-  private[graft] def beamSearchOracleSql(k: Int, beamWidth: Int, rounds: Int,
-      graphK: Int, nProbes: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
+  /** Shared beam-search CTE builders (s21/s26): base-graph construction
+    * (LSH-bucketed kNN, symmetrized) + probe table, the per-round
+    * expand/score chain, and the final top-k select. ONE definition so
+    * the flat and hierarchical twins walk the SAME base graph the same
+    * way — only the entry CTE differs.
+    */
+  private def beamGraphCtes(graphK: Int, nProbes: Int): String =
+    s"""planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(8, 8, 64, 42L)}),
+       |v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |bk AS MATERIALIZED (SELECT vec_id, tbl,
+       |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+       |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+       |gcand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+       |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
+       |gs AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv.ev, cv.ev) AS sim
+       |  FROM gcand JOIN v pv ON pv.vec_id = gcand.probe_id
+       |    JOIN v cv ON cv.vec_id = gcand.neighbor_id),
+       |ge AS (SELECT probe_id AS src, neighbor_id AS dst FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |    FROM gs) WHERE rnk <= $graphK),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)),
+       |pr AS MATERIALIZED (SELECT vec_id AS probe_id, ev AS pv FROM v WHERE vec_id < $nProbes)""".stripMargin
+
+  private def beamRoundCtes(rounds: Int, beamWidth: Int): String =
+    (1 to rounds).map { r =>
       s"""b$r AS (SELECT probe_id, neighbor_id FROM (
          |    SELECT probe_id, neighbor_id,
          |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rn
@@ -958,34 +982,98 @@ private[graft] object QueryHelpers {
          |  FROM c$r c JOIN pr ON pr.probe_id = c.probe_id
          |    JOIN v ON v.vec_id = c.neighbor_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(8, 8, 64, 42L)}),
-       |v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-       |bk AS MATERIALIZED (SELECT vec_id, tbl,
-       |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
-       |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
-       |gcand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
-       |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id),
-       |gs AS (SELECT probe_id, neighbor_id, list_cosine_similarity(pv.ev, cv.ev) AS sim
-       |  FROM gcand JOIN v pv ON pv.vec_id = gcand.probe_id
-       |    JOIN v cv ON cv.vec_id = gcand.neighbor_id),
-       |ge AS (SELECT probe_id AS src, neighbor_id AS dst FROM (
-       |    SELECT probe_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |    FROM gs) WHERE rnk <= $graphK),
-       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM ge UNION ALL SELECT dst AS src, src AS dst FROM ge)),
-       |pr AS MATERIALIZED (SELECT vec_id AS probe_id, ev AS pv FROM v WHERE vec_id < $nProbes),
+
+  private def beamFinalSelect(k: Int, rounds: Int): String =
+    s"""SELECT probe_id, rnk, neighbor_id, sim FROM (
+       |  SELECT probe_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM s$rounds)
+       |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
+
+  private[graft] def beamSearchOracleSql(k: Int, beamWidth: Int, rounds: Int,
+      graphK: Int, nProbes: Int): String =
+    s"""WITH ${beamGraphCtes(graphK, nProbes)},
        |ent AS (SELECT vec_id AS neighbor_id FROM v ORDER BY vec_id LIMIT $beamWidth),
        |s0 AS MATERIALIZED (SELECT pr.probe_id, ent.neighbor_id,
        |    round(list_cosine_similarity(pr.pv, cv.ev), 6) AS sim
        |  FROM pr CROSS JOIN ent JOIN v cv ON cv.vec_id = ent.neighbor_id
        |  WHERE ent.neighbor_id <> pr.probe_id),
-       |$roundCtes
-       |SELECT probe_id, rnk, neighbor_id, sim FROM (
-       |  SELECT probe_id, neighbor_id, sim,
-       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
-       |  FROM s$rounds)
-       |WHERE rnk <= $k ORDER BY probe_id, rnk""".stripMargin
+       |${beamRoundCtes(rounds, beamWidth)}
+       |${beamFinalSelect(k, rounds)}""".stripMargin
+
+  /** Hierarchical-entry twin (s26): replays the coarse level move for
+    * move — the ~√n stride sample, its brute-force symmetrized kNN
+    * graph, `descentRounds` greedy rounds (best neighbor by round-6
+    * cosine DESC / id ASC; move only on STRICT improvement), the
+    * descended vertex + coarse neighborhood as the per-probe entry set —
+    * then the SAME base-layer walk as s21 via the shared CTE builders.
+    */
+  private[graft] def hierarchicalBeamOracleSql(k: Int, beamWidth: Int,
+      rounds: Int, graphK: Int, nProbes: Int, descentRounds: Int,
+      coarseGraphK: Int, nStarts: Int): String = {
+    // zero-norm pin: list_cosine_similarity yields NaN (never NULL) on a
+    // zero vector — the guard mirrors the Spark side's coalesce(cf, -2)
+    def gsim(a: String, b: String): String =
+      s"CASE WHEN list_dot_product($a, $a) > 0 AND list_dot_product($b, $b) > 0" +
+        s" THEN round(list_cosine_similarity($a, $b), 6) ELSE -2.0 END"
+    val descent = (1 to descentRounds).map { r =>
+      // gsc = the round's scored (probe, cand) pool, shared across
+      // chains (DISTINCT: csim is deterministic per pair); gb = each
+      // CHAIN's best neighbor; g = per-chain move-or-stay
+      s"""gsc$r AS MATERIALIZED (SELECT DISTINCT g.probe_id, e.dst AS cand,
+         |    ${gsim("pr.pv", "cv.ev")} AS csim
+         |  FROM g${r - 1} g JOIN cedges e ON e.src = g.cur
+         |    JOIN pr ON pr.probe_id = g.probe_id
+         |    JOIN v cv ON cv.vec_id = e.dst),
+         |gb$r AS (SELECT probe_id, start_id, cand, csim FROM (
+         |    SELECT g.probe_id, g.start_id, e.dst AS cand, sc.csim,
+         |      row_number() OVER (PARTITION BY g.probe_id, g.start_id
+         |        ORDER BY sc.csim DESC, e.dst ASC) AS rn
+         |    FROM g${r - 1} g JOIN cedges e ON e.src = g.cur
+         |      JOIN gsc$r sc ON sc.probe_id = g.probe_id AND sc.cand = e.dst)
+         |  WHERE rn = 1),
+         |g$r AS MATERIALIZED (SELECT g.probe_id, g.start_id,
+         |    CASE WHEN b.csim > g.sim THEN b.cand ELSE g.cur END AS cur,
+         |    CASE WHEN b.csim > g.sim THEN b.csim ELSE g.sim END AS sim
+         |  FROM g${r - 1} g LEFT JOIN gb$r b
+         |  ON b.probe_id = g.probe_id AND b.start_id = g.start_id)""".stripMargin
+    }.mkString(",\n")
+    // visited pool = starts + every round's scored neighborhoods (UNION
+    // dedups; a converged chain re-visits only its unchanged
+    // neighborhood, so re-evaluated rounds add nothing — the Spark
+    // side's live-set early exit is invisible here)
+    val visUnion = ("SELECT probe_id, cur AS cand, sim AS csim FROM g0" +:
+      (1 to descentRounds).map(r => s"SELECT probe_id, cand, csim FROM gsc$r"))
+      .mkString("\n  UNION\n  ")
+    s"""WITH ${beamGraphCtes(graphK, nProbes)},
+       |st AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS stride FROM v),
+       |co AS MATERIALIZED (SELECT vec_id, ev FROM v CROSS JOIN st
+       |  WHERE vec_id % stride = 0),
+       |cge AS (SELECT src, dst FROM (
+       |    SELECT a.vec_id AS src, b.vec_id AS dst,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_cosine_similarity(a.ev, b.ev), 6) DESC, b.vec_id) AS rn
+       |    FROM co a JOIN co b ON a.vec_id <> b.vec_id) WHERE rn <= $coarseGraphK),
+       |cedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM cge UNION ALL SELECT dst AS src, src AS dst FROM cge)),
+       |sts AS (SELECT vec_id AS start_id, ev FROM co ORDER BY vec_id LIMIT $nStarts),
+       |g0 AS MATERIALIZED (SELECT pr.probe_id, s.start_id,
+       |    s.start_id AS cur, ${gsim("pr.pv", "s.ev")} AS sim
+       |  FROM pr CROSS JOIN sts s),
+       |$descent,
+       |vis AS ($visUnion),
+       |ent AS (SELECT probe_id, cand AS neighbor_id FROM (
+       |    SELECT probe_id, cand,
+       |      row_number() OVER (PARTITION BY probe_id
+       |        ORDER BY csim DESC, cand ASC) AS rn
+       |    FROM vis) WHERE rn <= $beamWidth),
+       |s0 AS MATERIALIZED (SELECT pr.probe_id, ent.neighbor_id,
+       |    round(list_cosine_similarity(pr.pv, cv.ev), 6) AS sim
+       |  FROM pr JOIN ent USING (probe_id)
+       |    JOIN v cv ON cv.vec_id = ent.neighbor_id
+       |  WHERE ent.neighbor_id <> pr.probe_id),
+       |${beamRoundCtes(rounds, beamWidth)}
+       |${beamFinalSelect(k, rounds)}""".stripMargin
   }
 
   /** MMR twin (s09): candidate pool + candidate-pair sims as round-6

@@ -180,6 +180,16 @@ object ScaleSmoke {
       run("beam_walk")(
         Similarity.beamSearchOnGraph(vecs, vecs.where(col("vec_id") < 10),
           edges, k = 5, beamWidth = 16, rounds = 4))
+      // s26's two-level walk on the SAME prebuilt graph: adds the coarse
+      // level (a √(mult·n)-vertex brute kNN — (√n)² = n candidate pairs,
+      // LINEAR in corpus — plus nStarts·descentRounds driver-coordinated
+      // scoring jobs on control-sized candidate sets). Wall must track
+      // beam_walk plus a ~linear coarse-build term — the entry layer must
+      // never introduce a pair-space term the flat walk lacks.
+      run("hier_entry_walk")(
+        Similarity.hierarchicalBeamOnGraph(vecs, vecs.where(col("vec_id") < 10),
+          edges, k = 5, beamWidth = 16, rounds = 4, descentRounds = 4,
+          coarseGraphK = 4))
     }
     // s22 at blowup: the probe token set is CONSTANT (2 docs × 8 tokens),
     // so the BNLJ scoring pass and both aggregates must scale linearly

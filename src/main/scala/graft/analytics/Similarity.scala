@@ -278,7 +278,8 @@ object Similarity {
     */
   def beamSearchOnGraph(corpus: DataFrame, probes: DataFrame,
       edges0: DataFrame, k: Int, beamWidth: Int, rounds: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      entries: Seq[(Long, Long)] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // symmetrize: kNN edges are asymmetric (b in a's top-k ≠ a in b's),
@@ -321,7 +322,8 @@ object Similarity {
             round(cf(col("probe_vec"), col("vec"),
               col("probe_norm"), col("vec_norm")), 6).as("sim"))
           .as[(Long, Long, Double)].collect()
-      val entryIds = corpus.select(col(idCol).cast("long"))
+      // lazy: the per-probe-entries path (s26) never runs this job
+      lazy val entryIds = corpus.select(col(idCol).cast("long"))
         .orderBy(col(idCol)).limit(beamWidth).as[Long].collect()
       val probeIds = probes.select(col(idCol).cast("long")).as[Long]
         .collect().sorted
@@ -346,9 +348,15 @@ object Similarity {
           scored(pid).toSeq.sortBy { case (nid, sim) => (-sim, nid) }
             .take(n).map { case (nid, sim) => (pid, nid, sim) }
         }
-      absorb(scoreNew(for {
-        pid <- probeIds.toSeq; c <- entryIds.toSeq; if c != pid
-      } yield (pid, c)))
+      // per-probe entry override (the s26 hierarchical layer hands each
+      // probe its own descended entry set); default = the flat fixed
+      // lowest-id entry points (s21)
+      val entryPairs =
+        if (entries.nonEmpty) entries.filter { case (pid, c) => c != pid }
+        else for {
+          pid <- probeIds.toSeq; c <- entryIds.toSeq; if c != pid
+        } yield (pid, c)
+      absorb(scoreNew(entryPairs))
       // per round ONE fused job: frontier out-edges scored in place (the
       // handful of already-seen candidates re-scored and dropped on the
       // driver cost less than a second expand-only job round-trip —
@@ -381,6 +389,161 @@ object Similarity {
       edges.unpersist(blocking = false)
       if (cSelCache != null) cSelCache.unpersist(blocking = false)
     }
+  }
+
+  /** Hierarchical-entry beam search (s26) — the HNSW-style upper level
+    * over [[beamSearchOnGraph]]'s flat walk (r15 verdict task 4): s21
+    * enters the base graph at a FIXED lowest-id entry set, which at
+    * corpus scale means every probe pays beamWidth entry scores against
+    * vectors chosen with no regard to the probe. Here a COARSE level —
+    * the deterministic ~√n sample `id % ceil(√n) == 0` — carries its own
+    * brute-force kNN graph (√n vertices ⇒ n candidate pairs, the same
+    * budget as ONE flat entry scan), and each probe GREEDY-DESCENDS it
+    * along `nStarts` independent chains (seeded at the nStarts lowest
+    * coarse ids): each chain moves to the round-6-cosine-best neighbor
+    * while STRICTLY improving (ties stay, so the walk is deterministic
+    * and the oracle replays it move for move). The entry
+    * beam is the top-beamWidth of EVERY coarse vertex scored during the
+    * descent (the ef-style visited pool, ~descentRounds·2·coarseGraphK
+    * vertices) — probe-LOCAL entries at the same budget as s21's
+    * beamWidth arbitrary lowest-id ones.
+    *
+    * Scale shape: the coarse graph is √n·2k control rows (collected —
+    * the kmeans-centroid size class; at 10⁹ vectors ≈ 31k·16 edges);
+    * descent state is probes×1 rows on the driver; per descent round ONE
+    * broadcast-filtered scoring job (the s21 walk discipline) whose
+    * candidate set is ≤ probes·coarseGraphK·2 pairs. The base walk is
+    * unchanged [[beamSearchOnGraph]] machinery with per-probe entries.
+    */
+  def hierarchicalBeamTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      beamWidth: Int, rounds: Int, descentRounds: Int, coarseGraphK: Int,
+      nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
+      graphK: Int = 8, nStarts: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val edges0 = lshTopK(corpus, corpus, graphK, nTables, planesPerTable,
+        dim, seed, idCol, vecCol)
+      .select(col("probe_id").as("src"), col("neighbor_id").as("dst"))
+    hierarchicalBeamOnGraph(corpus, probes, edges0, k, beamWidth, rounds,
+      descentRounds, coarseGraphK, nStarts, idCol, vecCol)
+  }
+
+  /** The query-time half of [[hierarchicalBeamTopK]] on a PREBUILT base
+    * kNN edge list (the s21 beamSearchOnGraph split, one level up) —
+    * ScaleSmoke times this against the flat walk on the SAME prebuilt
+    * graph so the entry layer's cost is its own receipt.
+    */
+  def hierarchicalBeamOnGraph(corpus: DataFrame, probes: DataFrame,
+      edges0: DataFrame, k: Int, beamWidth: Int, rounds: Int,
+      descentRounds: Int, coarseGraphK: Int, nStarts: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val n = corpus.count()
+    require(n > 0, "hierarchicalBeamTopK: empty corpus")
+    val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val coarse = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"),
+        nf(col(vecCol)).as("nv"))
+      .where(pmod(col("id"), lit(stride)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // coarse kNN graph, brute force (√n vertices — n pairs, one job),
+      // round-6 cosine with id tie-break, SYMMETRIZED (the base-layer
+      // rationale: greedy descent must be able to walk back out of a
+      // pocket); √n·2k edges = driver-held control data
+      val wCoarse = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("sim").desc_nulls_last, col("dst").asc)
+      val ge = coarse.select(col("id").as("src"), col("vec").as("sv"), col("nv").as("sn"))
+        .join(coarse.select(col("id").as("dst"), col("vec").as("dv"), col("nv").as("dn")),
+          col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(cf(col("sv"), col("dv"), col("sn"), col("dn")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wCoarse))
+        .where(col("rn") <= coarseGraphK)
+        .select(col("src"), col("dst"))
+        .as[(Long, Long)].collect()
+      val cNbrs: Map[Long, Seq[Long]] =
+        (ge ++ ge.map { case (s, d) => (d, s) }).distinct
+          .groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2).toSeq.sorted }
+      // multi-start: the nStarts LOWEST coarse ids each seed an
+      // independent greedy chain per probe — single-start descent
+      // measured recall 0.64 vs the flat walk's 0.72 on sf0.001 (one
+      // chain's visited pool concentrates around one coarse region);
+      // independent chains recover the coverage a full coarse scan has
+      // (0.74) while scoring ~nStarts·descentRounds·2·coarseGraphK
+      // vertices instead of √n
+      val starts = coarse.select(col("id")).orderBy(col("id"))
+        .limit(nStarts).as[Long].collect().toSeq
+      val probeIds = probes.select(col(idCol).cast("long")).as[Long]
+        .collect().sorted
+      val p = broadcast(probes.select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm")))
+      // one broadcast-filtered scoring job per descent round (candidates
+      // are probes×nStarts×(2·coarseGraphK) pairs — control data)
+      def score(cand: Seq[(Long, Long)]): Map[(Long, Long), Double] =
+        coarse.join(broadcast(cand.toDF("probe_id", "id")), Seq("id"))
+          .join(p, Seq("probe_id"))
+          .select(col("probe_id"), col("id"),
+            round(coalesce(cf(col("probe_vec"), col("vec"),
+              col("probe_norm"), col("nv")), lit(-2.0)), 6).as("sim"))
+          .as[(Long, Long, Double)].collect()
+          .map { case (pid, id, s) => (pid, id) -> s }.toMap
+      val s0 = score(for { pid <- probeIds.toSeq; st <- starts }
+        yield (pid, st))
+      // chain state keyed by (probe, startIndex); chains share one
+      // visited pool (and one scoring job per round)
+      val chains = for { pid <- probeIds.toSeq; st <- starts } yield (pid, st)
+      var cur: Map[(Long, Long), (Long, Double)] =
+        chains.map { case (pid, st) => (pid, st) -> (st, s0((pid, st))) }.toMap
+      // every coarse vertex SCORED during the descent (starts + each
+      // round's neighborhoods) — the ef-style candidate pool the entry
+      // beam is drawn from. A converged chain re-visits only its
+      // unchanged neighborhood, so the pool is stable after convergence
+      // on both engines.
+      val visited = scala.collection.mutable.Map.empty[(Long, Long), Double]
+      s0.foreach { case (k2, v) => visited(k2) = v }
+      var live = chains.toSet
+      for (_ <- 1 to descentRounds if live.nonEmpty) {
+        val cand = live.toSeq.flatMap { case (pid, st) =>
+          cNbrs.getOrElse(cur((pid, st))._1, Nil).map(nb => (pid, nb))
+        }.distinct
+        if (cand.isEmpty) live = Set.empty
+        else {
+          val sc = score(cand)
+          sc.foreach { case (k2, v) => visited(k2) = v }
+          val moved = scala.collection.mutable.Set.empty[(Long, Long)]
+          cur = cur.map { case (key @ (pid, _), (c, cs)) =>
+            if (!live(key)) key -> (c, cs)
+            else {
+              // best neighbor by (sim DESC, id ASC); move only on STRICT
+              // improvement — ties stay, making the walk replayable
+              val nbs = cNbrs.getOrElse(c, Nil).map(nb => (nb, sc((pid, nb))))
+              if (nbs.isEmpty) key -> (c, cs)
+              else {
+                val (bid, bs) = nbs.minBy { case (id, s) => (-s, id) }
+                if (bs > cs) { moved += key; key -> (bid, bs) }
+                else key -> (c, cs)
+              }
+            }
+          }
+          live = live.intersect(moved.toSet)
+        }
+      }
+      // entry set per probe: the top-beamWidth of the visited pool by
+      // (sim DESC, id ASC) — probe-LOCAL entries of the same budget as
+      // s21's beamWidth arbitrary lowest-id ones, drawn from
+      // ~descentRounds·2·coarseGraphK scored vertices instead of a √n
+      // coarse scan
+      val entries = probeIds.flatMap { pid =>
+        visited.collect { case ((p, id), s) if p == pid => (id, s) }.toSeq
+          .sortBy { case (id, s) => (-s, id) }.take(beamWidth)
+          .map { case (id, _) => (pid, id) }
+      }.toSeq
+      beamSearchOnGraph(corpus, probes, edges0, k, beamWidth, rounds,
+        idCol, vecCol, entries)
+    } finally coarse.unpersist(blocking = false)
   }
 
   /** k-center greedy coreset selection (farthest-point traversal —

@@ -81,6 +81,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s26 hierarchical beam: recall >= s21's flat walk at equal beam/" +
+      "rounds/graph, every probe fills k, output ranked on (sim desc, id)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, probes, k = 5))
+    val flat = pairs(Similarity.beamSearchTopK(e, probes, k = 5,
+      beamWidth = 16, rounds = 3, nTables = 8, planesPerTable = 8, dim = 64,
+      graphK = 8))
+    val hier = Similarity.hierarchicalBeamTopK(e, probes, k = 5,
+      beamWidth = 16, rounds = 3, descentRounds = 4, coarseGraphK = 4,
+      nTables = 8, planesPerTable = 8, dim = 64, graphK = 8)
+    val got = pairs(hier)
+    val rFlat = (exact intersect flat).size.toDouble / exact.size
+    val rHier = (exact intersect got).size.toDouble / exact.size
+    // the r15-verdict acceptance bar: a probe-local descended entry set
+    // must not walk worse than beamWidth arbitrary lowest-id entries
+    assert(rHier >= rFlat, s"hier recall $rHier < flat recall $rFlat")
+    val counts = hier.groupBy("probe_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 5L))
+    // ranks are (sim desc, id asc) within each probe
+    hier.collect().groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Double]("sim"), r.getAs[Long]("neighbor_id")))
+      assert(byRank.zip(byRank.tail).forall { case ((s1, i1), (s2, i2)) =>
+        s1 > s2 || (s1 == s2 && i1 < i2)
+      })
+    }
+  }
+
   test("s22 MaxSim: driver replay on sf0.001 is bit-exact; self-doc excluded; " +
       "every probe fills k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
