@@ -39,6 +39,30 @@ object Sketches {
     * hitters are hash-matched, and membership in the sketch is an
     * asserted-TRUE flag backed by the proof above.
     */
+  /** The ONE Misra-Gries summary merge — shared by the batch
+    * [[MisraGries]] Aggregator and the streaming
+    * [[graft.streaming.Stream.HeavyHittersProcessor]] so the two can
+    * never apply different decrement rules (the bandBucketKeys no-drift
+    * convention). Sums the two summaries, then (if over k counters)
+    * subtracts the (k+1)-th largest value uniformly and drops
+    * non-positive counters — the Agarwal et al. (PODS'12) mergeable-
+    * summaries rule; works for ANY input maps (an exact per-batch count
+    * map included), preserving undercount ≤ n/(k+1).
+    */
+  private[graft] def mgMerge(k: Int)(a: Map[String, Long],
+      b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      // (k+1)-th largest counter value is the uniform subtrahend
+      val cut = sum.valuesIterator.toIndexedSeq
+        .sorted(Ordering[Long].reverse).apply(k)
+      sum.collect { case (t, c) if c > cut => t -> (c - cut) }
+    }
+  }
+
   final class MisraGries(k: Int)
       extends Aggregator[String, Map[String, Long], Seq[String]] {
     require(k >= 1, s"need at least one counter, got $k")
@@ -53,18 +77,8 @@ object Sketches {
           b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
       }
 
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      val sum = b.foldLeft(a) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
-        // (k+1)-th largest counter value is the uniform subtrahend
-        val cut = sum.valuesIterator.toIndexedSeq
-          .sorted(Ordering[Long].reverse).apply(k)
-        sum.collect { case (t, c) if c > cut => t -> (c - cut) }
-      }
-    }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      mgMerge(k)(a, b)
 
     override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
 

@@ -487,6 +487,87 @@ object Stream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** One counter row of a group's streaming Misra-Gries summary. */
+  case class HeavyHitter(group: String, term: String, weight: Long)
+
+  /** q47's Misra-Gries heavy-hitters summary as a transformWithState
+    * processor (r15 verdict task 5 — the last batch-has-it/stream-doesn't
+    * gap): per key-group, a ValueState holds the k-counter summary; each
+    * micro-batch's EXACT term counts are folded in through THE SAME
+    * [[graft.analytics.Sketches.mgMerge]] the batch Aggregator uses (one
+    * merge rule, zero drift — the bandBucketKeys convention), so the MG
+    * guarantee (undercount ≤ n/(k+1); every true heavy hitter keeps a
+    * positive counter) holds over the whole stream prefix after every
+    * batch, across restarts, under ANY batch partitioning.
+    *
+    * At-least-once absorption rides the repo's id-ascending ingest
+    * contract (the d17/t33 streaming discipline): a per-group high-water
+    * mark drops rows whose item id is ≤ the stored maximum, so a
+    * replayed batch cannot double-count. Emission per batch = the
+    * group's FULL updated summary (a consumer overwrites the group's
+    * rows per batch — idempotent by construction, H6's deterministic
+    * ordering via the term-sorted iterator).
+    *
+    * Scale shape: state per group is ≤ k counters + one long — control
+    * data regardless of stream volume; per-batch work is O(batch rows)
+    * for the count fold plus O(k log k) for the merge.
+    */
+  final class HeavyHittersProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, String), HeavyHitter] {
+    import implicits._
+    @transient private var summary:
+      org.apache.spark.sql.streaming.ValueState[Map[String, Long]] = _
+    @transient private var maxId:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      summary = getHandle.getValueState[Map[String, Long]]("mg",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      maxId = getHandle.getValueState[Long]("maxId",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(group: String,
+        rows: Iterator[(String, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[HeavyHitter] = {
+      val hwm = if (maxId.exists()) maxId.get() else Long.MinValue
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      var mx = hwm
+      rows.foreach { case (_, id, term) =>
+        if (id > hwm) {
+          counts(term) = counts.getOrElse(term, 0L) + 1L
+          if (id > mx) mx = id
+        }
+      }
+      if (counts.isEmpty) Iterator.empty // fully-replayed batch: absorbed
+      else {
+        val cur = if (summary.exists()) summary.get() else Map.empty[String, Long]
+        val merged = graft.analytics.Sketches.mgMerge(k)(cur, counts.toMap)
+        summary.update(merged)
+        maxId.update(mx)
+        merged.toSeq.sortBy(_._1).iterator
+          .map { case (t, c) => HeavyHitter(group, t, c) }
+      }
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] over a streaming (group, item_id, term)
+    * frame. Consumers keep each group's LAST emitted row set (the
+    * summary is re-emitted whole per contributing batch).
+    */
+  def heavyHittersTws(items: DataFrame, k: Int): Dataset[HeavyHitter] = {
+    import items.sparkSession.implicits._
+    items
+      .select(col("group").cast("string"), col("item_id").cast("long"),
+        col("term").cast("string"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** One document surviving the streaming exact-dedup gate. */
   case class KeptDoc(docId: Long, lang: String, text: String)
 

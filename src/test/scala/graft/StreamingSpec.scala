@@ -1135,4 +1135,89 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(60000)
     assert(collected.isEmpty) // rejected notification → no message rows
   }
+
+  test("transformWithState heavy hitters: MG summary survives restart, " +
+      "absorbs replays, equals the driver mgMerge replay batch for batch, " +
+      "and keeps every true heavy hitter of the union") {
+    val srcDir = tempDir("graft-twsmg-src")
+    val ckptDir = tempDir("graft-twsmg-ckpt")
+    val k = 4
+    // last full summary emitted per group (the documented consumer
+    // contract: each contributing batch re-emits the whole summary)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Stream.HeavyHitter]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      var runs = 0
+      val perRun = scala.collection.mutable.ArrayBuffer.empty[Seq[Stream.HeavyHitter]]
+      def run(): Unit = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Stream.HeavyHitter]
+        val src = spark.readStream
+          .schema("group string, item_id long, term string").json(srcDir)
+        val q = Stream.heavyHittersTws(src, k)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.HeavyHitter], _: Long) =>
+            buf ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+        runs += 1
+        perRun += buf.toSeq
+        collected ++= buf
+      }
+      var nextId = 0L
+      def write(name: String, terms: Seq[String]): Seq[(Long, String)] = {
+        val rows = terms.map { t => val id = nextId; nextId += 1; (id, t) }
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (rows.map { case (id, t) => s"""{"group":"g","item_id":$id,"term":"$t"}""" }
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+        rows
+      }
+      // b0: "A" dominates; tail terms churn the k=4 summary
+      val b0 = write("b0.jsonl",
+        Seq("A", "A", "A", "B", "C", "D", "E", "A", "B", "F"))
+      run()
+      // b1 (restarted query, RESTORED summary + high-water mark)
+      val b1 = write("b1.jsonl", Seq("A", "G", "G", "G", "B", "H", "A"))
+      run()
+      val afterB1 = perRun.last
+      assert(afterB1.nonEmpty && afterB1.forall(_.group == "g"))
+      // b2: an at-least-once REPLAY of b1's exact rows (same ids) — the
+      // high-water mark must absorb it with zero emissions
+      Files.write(java.nio.file.Paths.get(srcDir, "b2.jsonl"),
+        (b1.map { case (id, t) => s"""{"group":"g","item_id":$id,"term":"$t"}""" }
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+      run()
+      assert(perRun.last.isEmpty, s"replay must be absorbed: ${perRun.last}")
+      // PARITY: the stream's final summary equals a driver fold of the
+      // SAME per-batch exact counts through the SAME Sketches.mgMerge
+      def exactCounts(rows: Seq[(Long, String)]): Map[String, Long] =
+        rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val replay = Seq(b0, b1).map(exactCounts)
+        .foldLeft(Map.empty[String, Long])(graft.analytics.Sketches.mgMerge(k))
+      val streamed = afterB1.map(h => h.term -> h.weight).toMap
+      assert(streamed === replay,
+        s"stream summary $streamed != driver mgMerge replay $replay")
+      assert(streamed.size <= k)
+      // MG guarantee on the union: any term with true freq > n/(k+1)
+      // holds a positive counter in the final summary
+      val union = b0 ++ b1
+      val heavy = exactCounts(union).collect {
+        case (t, c) if c * (k + 1) > union.size => t
+      }.toSet
+      assert(heavy.nonEmpty && heavy.subsetOf(streamed.keySet),
+        s"heavy hitters $heavy escaped the summary ${streamed.keySet}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
