@@ -1592,6 +1592,35 @@ private[graft] object QueriesPipeline {
           max(col("l_orderkey")).as("max_okey"))
         .withColumn("pruned_strict", lit(keep.nonEmpty && keep.size < total))
     }),
+
+    // Release capstone (r15 verdict task 6): the artifact a data release
+    // actually ships, composed from the proven stages on ONE corpus scan
+    // family — q38's fingerprint-dedup survivors + per-language quality
+    // quota (the shared qualityScored chain), q39's packing arithmetic
+    // over the ALREADY-COMPUTED n_tokens (Packing.packFromCounts — no
+    // re-tokenize), q41's md5 shard permutation and q94's ordered Merkle
+    // fold (both inside Sampling.merkleManifest), hashing each released
+    // row's integer/string METADATA payload (no doubles on the hash — the
+    // cross-engine float-rendering minefield stays untouched). Each stage
+    // consumes the previous frame; PlanAuditSpec pins that stages 2-4
+    // add ZERO parquet scans over q38's own plan.
+    "q101_release_manifest" -> ((s, dir) => {
+      val docs = analytics.Par.spreadForCpu(t(s, dir, "documents"))
+      val survivors = Dedup.byFingerprint(docs).select(col("keep_id").as("doc_id"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val curated = qualityScored(docs.join(survivors, Seq("doc_id"), "left_semi"))
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .where(col("rnk") <= 20)
+        .select(col("lang"), col("doc_id"), col("n_tokens"))
+      val packed = analytics.Packing.packFromCounts(curated, budget = 512)
+      val released = packed.select(col("doc_id"),
+        concat_ws("|", col("lang"), col("n_tokens"),
+          col("seq_id"), col("off")).as("payload"))
+      analytics.Sampling.merkleManifest(released, nShards = 8,
+          blockSize = 4096, idCol = "doc_id", payloadCol = "payload")
+        .orderBy(col("shard"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2401,11 +2430,7 @@ private[graft] object QueriesPipeline {
         |FROM s ORDER BY shard, pos""".stripMargin,
 
 
-    "q38_curation_pipeline" -> qualityQuotaSql(
-      """WITH fp AS (SELECT min(doc_id) AS doc_id
-        |  FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
-        |d AS (SELECT doc_id, lang, text FROM documents
-        |  WHERE doc_id IN (SELECT doc_id FROM fp))""".stripMargin, 20),
+    "q38_curation_pipeline" -> qualityQuotaSql(survivorSourceCtes, 20),
 
 
     "q37_quality_topk" -> qualityQuotaSql(
@@ -2820,5 +2845,38 @@ private[graft] object QueriesPipeline {
         |    CAST(floor(l_extendedprice / 1000) AS BIGINT) AS y
         |  FROM lineitem)
         |WHERE x BETWEEN 10 AND 20 AND y BETWEEN 20 AND 40""".stripMargin,
+
+    // Release-capstone twin (q101): q38's survivor + quality CTEs (shared
+    // builders), the q39 packing window, the q41/q94 shard + Merkle tail
+    // — all over the metadata payload string.
+    "q101_release_manifest" -> (
+      s"""${qualityScoreCtes(survivorSourceCtes)},
+         |quota AS (SELECT lang, doc_id, n_tokens FROM (
+         |    SELECT lang, doc_id, n_tokens,
+         |      row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk
+         |    FROM q) WHERE rnk <= 20),
+         |packed AS (SELECT lang, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+         |  FROM quota),
+         |pay AS (SELECT doc_id,
+         |    lang || '|' || CAST(n_tokens AS VARCHAR) || '|' ||
+         |    CAST(start // 512 AS VARCHAR) || '|' || CAST(start % 512 AS VARCHAR) AS payload
+         |  FROM packed),
+         |r AS (SELECT doc_id,
+         |    md5(CAST(doc_id AS VARCHAR) || '|' || payload) AS rh,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard,
+         |    doc_id // 4096 AS blk
+         |  FROM pay),
+         |b AS (SELECT shard, blk, CAST(count(*) AS BIGINT) AS n_docs,
+         |    md5(string_agg(rh, '' ORDER BY doc_id)) AS bh
+         |  FROM r GROUP BY shard, blk),
+         |s AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_blocks,
+         |    md5(string_agg(bh, '' ORDER BY blk)) AS shard_hash
+         |  FROM b GROUP BY shard),
+         |rt AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash FROM s)
+         |SELECT shard, n_docs, n_blocks, shard_hash, root_hash
+         |FROM s CROSS JOIN rt ORDER BY shard""".stripMargin),
   )
 }

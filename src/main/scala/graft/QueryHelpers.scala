@@ -333,6 +333,17 @@ private[graft] object QueryHelpers {
        | SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src WHERE r.label < b.dst),
        |cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
+  /** q38's survivor source: fingerprint-dedup election (min doc_id per
+    * normalized-text md5) feeding the quality CTEs. ONE definition shared
+    * by the q38 twin and the q101 release capstone so the survivor
+    * election cannot drift between them.
+    */
+  private[graft] val survivorSourceCtes: String =
+    """WITH fp AS (SELECT min(doc_id) AS doc_id
+      |  FROM documents GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+      |d AS (SELECT doc_id, lang, text FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM fp))""".stripMargin
+
   private[graft] def qualityQuotaSql(sourceCtes: String, k: Int): String =
     s"""${qualityScoreCtes(sourceCtes)},
        |r AS (SELECT lang, doc_id, quality,

@@ -31,21 +31,34 @@ object Packing {
     * the arithmetic is unchanged.
     */
   def packSequences(docs: DataFrame, budget: Int, partCol: String = "lang",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    packFromCounts(
+      docs.select(col(partCol), col(idCol),
+        TextAnalysis.tokenCountFromTokens(TextAnalysis.tokens(col(textCol))).as("n_tokens")),
+      budget, partCol, idCol)
+      .select(col(partCol), col(idCol), col("n_tokens"),
+        col("seq_id"), col("off"))
+
+  /** The packing arithmetic alone, over ALREADY-COMPUTED token counts —
+    * split out so a pipeline that has scored its documents once (q101's
+    * release capstone rides q38's n_tokens) packs WITHOUT re-tokenizing;
+    * [[packSequences]] is the tokenize-then-pack composition. Appends
+    * `start`, `seq_id`, `off` to the input frame.
+    */
+  def packFromCounts(scored: DataFrame, budget: Int, partCol: String = "lang",
+      idCol: String = "doc_id", countCol: String = "n_tokens"): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(partCol), col(idCol),
-        TextAnalysis.tokenCountFromTokens(TextAnalysis.tokens(col(textCol))).as("n_tokens"))
-      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col(partCol), col(idCol), col("n_tokens"),
-        // pure INTEGER division (SQL `div`), matching the oracle's `//`:
-        // a double-rounded `/` quotient can cross the integer boundary for
-        // start within ~2/budget of a multiple of budget near 2^53 and
-        // mis-bin the document — start is a token count, but 100 TB-scale
-        // strata make 2^53 tokens merely improbable, not impossible
-        expr(s"start div CAST($budget AS BIGINT)").cast(LongType).as("seq_id"),
-        pmod(col("start"), lit(budget.toLong)).cast(LongType).as("off"))
+    scored
+      .withColumn("start", sum(col(countCol)).over(w) - col(countCol))
+      // pure INTEGER division (SQL `div`), matching the oracle's `//`:
+      // a double-rounded `/` quotient can cross the integer boundary for
+      // start within ~2/budget of a multiple of budget near 2^53 and
+      // mis-bin the document — start is a token count, but 100 TB-scale
+      // strata make 2^53 tokens merely improbable, not impossible
+      .withColumn("seq_id",
+        expr(s"start div CAST($budget AS BIGINT)").cast(LongType))
+      .withColumn("off", pmod(col("start"), lit(budget.toLong)).cast(LongType))
   }
 }

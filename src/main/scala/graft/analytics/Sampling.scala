@@ -268,10 +268,17 @@ object Sampling {
       .withColumn("blk", expr(s"$idCol div $blockSize"))
     def orderedFold(pairs: org.apache.spark.sql.Column) =
       md5(array_join(transform(array_sort(pairs), x => x.getField("h")), ""))
+    // persisted: the block table is control-sized (shards×blocks rows)
+    // and feeds BOTH the shard fold and (via shards) the root fold +
+    // final join — without the lineage cut the whole row-hash chain
+    // (and its corpus scan) re-executes per consumer, which the q101
+    // capstone's zero-extra-scans plan audit pins. Session-owned cache,
+    // the d03 convention (Bench clearCache).
     val blocks = rows.groupBy(col("shard"), col("blk"))
       .agg(count(lit(1)).as("n_docs"),
         orderedFold(collect_list(struct(col(idCol).as("o"), col("rh").as("h"))))
           .as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shards = blocks.groupBy(col("shard"))
       .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_blocks"),
         orderedFold(collect_list(struct(col("blk").as("o"), col("bh").as("h"))))

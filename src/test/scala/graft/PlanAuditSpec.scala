@@ -298,6 +298,26 @@ class PlanAuditSpec extends SparkSpec {
       s"no all-pairs joins in the curation chain, plan:\n$p")
   }
 
+  test("q101: release capstone reuses q38's scan family — packing, shard " +
+      "and Merkle stages add ZERO parquet scans; no cartesian") {
+    // formatted explain prints one Location line per scan node, carrying
+    // the full table path
+    def docScans(p: String): Int =
+      p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet"))
+    val p38 = plan("q38_curation_pipeline")
+    val p101 = plan("q101_release_manifest")
+    assert(docScans(p101) > 0, s"expected documents scans in:\n$p101")
+    // the capstone appends three whole stages to q38's chain — its scan
+    // count must not grow (each stage consumes the prior FRAME, the
+    // shared-CTE discipline)
+    assert(docScans(p101) === docScans(p38),
+      s"capstone re-scans the corpus: ${docScans(p101)} vs q38's ${docScans(p38)}")
+    assert(p101.contains("LeftSemi"), s"survivor election must stay a semi join:\n$p101")
+    assert(!p101.contains("CartesianProduct"),
+      s"no all-pairs joins in the release chain:\n$p101")
+  }
+
   test("d07: pair generation is index-join shaped — no cartesian/loop join") {
     val p = plan("d07_dedup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
