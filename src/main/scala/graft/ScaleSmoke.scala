@@ -206,6 +206,22 @@ object ScaleSmoke {
       val (pieces, segs) = graft.analytics.Unigram.train(docs)
       graft.analytics.Unigram.encode(docs, pieces, segs)
     }
+    // the distributed EM loop ALONE at a FORCED regime (r15 verdict task
+    // 7): word-frequency table prebuilt OUTSIDE the timed region
+    // (localCheckpoint), maxDriverVocab=0 disables the driver regime —
+    // so this times exactly the substring-table build + EM/Viterbi rounds
+    // + final segmentation pass, no corpus scan and no encode. The
+    // working set is the DISTINCT-WORD table (Zipf-bounded; id-shifted
+    // copies add zero new words), so wall must flatten as mult grows.
+    if (shouldRun("unigram_em_dist")) {
+      val wf = graft.analytics.Bpe.wordFreqs(docs, "text")
+        .localCheckpoint(eager = true)
+      run("unigram_em_dist") {
+        val (pieces, _) = graft.analytics.Unigram.trainFromWordFreqs(wf,
+          maxDriverVocab = 0L)
+        pieces
+      }
+    }
     // s05's quantizer training at blowup, PRODUCTION mean path: the
     // centroid mean is a partial-aggregable avg keyed by (cell, dim) with
     // constant per-group state — cost must track the assignment scan

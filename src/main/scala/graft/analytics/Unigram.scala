@@ -166,11 +166,21 @@ object Unigram {
 
   private def trainDistributed(wf: DataFrame, seedMulti: Int, keepMulti: Int,
       emPre: Int, emPost: Int): (DataFrame, DataFrame) = {
-    val occ = substrOcc(wf)
-    val wpc = occ.select(col("word"), col("pc")).distinct()
+    // ONE substring-explosion pass (r15 verdict task 7): the former shape
+    // exploded substrOcc twice — once for the seed counts, once for the
+    // distinct (word, pc) table — so the widest frame in the trainer was
+    // built and shuffled twice. The shared persisted table now carries
+    // (word, freq, pc, occ_n); the EM-loop join reads its projection and
+    // the seed counts fold occ_n × freq (exact integer sums — identical
+    // values, bit-identical scores).
+    val wpcCnt = substrOcc(wf)
+      .groupBy(col("word"), col("freq"), col("pc"))
+      .agg(count(lit(1)).as("occ_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wpc = wpcCnt.select(col("word"), col("pc"))
     try {
-      val pf = occ.groupBy(col("pc")).agg(sum(col("freq")).as("c"))
+      val pf = wpcCnt.groupBy(col("pc"))
+        .agg(sum(col("freq") * col("occ_n")).as("c"))
       val seed = pf.where(length(col("pc")) === 1).unionByName(
         pf.where(length(col("pc")) >= 2)
           .orderBy(col("c").desc, col("pc")).limit(seedMulti))
@@ -189,9 +199,9 @@ object Unigram {
       }
       val segs = segmentAll(wf, wpc, vocab).select(col("word"), col("seg"))
       // final segmentations feed encode's broadcast join (and tests) more
-      // than once — pin them before wpc is released
+      // than once — pin them before the substring table is released
       (vocab, segs.localCheckpoint(eager = true))
-    } finally wpc.unpersist(blocking = false)
+    } finally wpcCnt.unpersist(blocking = false)
   }
 
   // ── driver regime (the sequential EM loop in memory; bit-identical) ──
