@@ -101,6 +101,26 @@ private[graft] object QueriesDedup {
     }),
 
 
+    // SimHash Hamming-radius operating curve — the fingerprint family's
+    // tuning artifact next to d36's band/row grid: precision/recall of
+    // "near-dup = hd <= r" for r in 0..3 against the exact Jaccard >=
+    // 0.4 truth, from ONE fingerprint pass. Candidates by the
+    // Manku-style 4x16-bit block pigeonhole (hd <= 3 forces >= 1 equal
+    // block), so every level's pair set is EXACT and never an all-pairs
+    // scan; radii nest, so recall/n_est are non-decreasing (DedupSpec
+    // pin). n_cand is the measured block-collision volume — the cost
+    // column the curve is read against.
+    "d37_simhash_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, docs, n = 3, threshold = 0.4,
+          maxDf = 1000L)
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+      Dedup.simhashRadiusSweep(docs, truth, radii = Seq(0, 1, 2, 3))
+        .orderBy(col("radius"))
+    }),
+
+
     // Dedup: ASYMMETRIC containment |A∩B|/|A| — sub-document duplication
     // (a doc contained in a larger one scores ~1.0 while its symmetric
     // Jaccard can be near 0). Same inverted-index candidate generation.
@@ -1173,6 +1193,11 @@ private[graft] object QueriesDedup {
     // band/candidate/estimate chains vs the SHARED exact truth.
     "d36_lsh_sweep" -> lshSweepOracleSql(k = 64,
       bandsGrid = Seq(4, 8, 16, 32), threshold = 0.05),
+
+    // SimHash radius-sweep twin (d37): shared shingle/truth CTEs + the
+    // d08 vote/fold chain + block pigeonhole + per-radius compares.
+    "d37_simhash_sweep" -> simhashSweepOracleSql(radii = Seq(0, 1, 2, 3),
+      threshold = 0.4),
 
 
     // LSH-eval twin (d26): the d11 pair chain and the exact-Jaccard

@@ -112,15 +112,22 @@ private[graft] object QueryHelpers {
     * hash. Emits `consts(pos, a, b)`, `tok`, `g`, `hs`; callers append
     * consumers of `hs CROSS JOIN consts`.
     */
+  /** The ONE tokenize→distinct-3-shingle CTE pair (`tok`, `g`) — shared
+    * by the minhash chain, the exact-truth chain, and the d37 simhash
+    * sweep so the shingle definition cannot drift between consumers.
+    */
+  private[graft] def shingleCtes(src: String = "documents"): String =
+    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM $src),
+       |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
+       |  FROM tok WHERE len(ws) >= 3)""".stripMargin
+
   private[graft] def portableMinhashCtes(k: Int, src: String = "documents"): String = {
     val consts = Dedup.minhashConstants(k).zipWithIndex.map { case ((a, b), p) =>
       s"($p, CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
     }.mkString(", ")
     s"""consts(pos, a, b) AS (VALUES $consts),
-       |tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM $src),
-       |g AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-       |  i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS sh
-       |  FROM tok WHERE len(ws) >= 3),
+       |${shingleCtes(src)},
        |hs AS (SELECT doc_id, list_transform(sh, s -> $md5Low64SqlExpr) AS hl FROM g)""".stripMargin
   }
 
@@ -223,15 +230,69 @@ private[graft] object QueryHelpers {
     * `fps(doc_id, simhash)`; shared by the d08 value twin and the d05
     * cardinality contract so the construction cannot drift.
     */
-  private[graft] def portableSimhashCtes: String = {
+  private[graft] def portableSimhashCtes: String =
+    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |$portableSimhashCoreCtes""".stripMargin
+
+  /** SimHash radius-sweep twin (d37): shared `tok`/`g` shingles
+    * ([[shingleCtes]]) feed BOTH the exact-Jaccard truth and (via the
+    * token unnest) the simhash chain; 4-block pigeonhole candidates, one
+    * shared (pair, hamming) table, per-radius compare-and-aggregate
+    * chains unioned into curve rows — the d36 layout on the fingerprint
+    * family.
+    */
+  private[graft] def simhashSweepOracleSql(radii: Seq[Int],
+      threshold: Double): String = {
+    require(radii.distinct.size == radii.size,
+      s"duplicate radii would define duplicate CTE names: $radii")
+    val sorted = radii.sorted
+    val levels = sorted.map { r =>
+      s"""u$r AS (SELECT
+         |    CASE WHEN p.a_id IS NOT NULL THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END AS t
+         |  FROM (SELECT a_id, b_id FROM hdp WHERE hd <= $r) p
+         |  FULL OUTER JOIN truth t ON p.a_id = t.a_id AND p.b_id = t.b_id),
+         |a$r AS (SELECT CAST(sum(t) AS BIGINT) AS n_true,
+         |    CAST(sum(e) AS BIGINT) AS n_est,
+         |    CAST(sum(e * t) AS BIGINT) AS tp FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    val rows = sorted.map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS radius,
+         |  (SELECT n_cand FROM nc) AS n_cand, n_true, n_est, tp,
+         |  CASE WHEN n_est > 0 THEN CAST(tp AS DOUBLE) / CAST(n_est AS DOUBLE) END AS precision,
+         |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |FROM a$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${shingleCtes()},
+       |${exactTruthPairCtes(threshold)},
+       |$portableSimhashCoreCtes,
+       |blk AS (SELECT doc_id, b, (simhash >> (16 * b)) & 65535 AS v
+       |  FROM fps CROSS JOIN range(4) r(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM blk x JOIN blk y
+       |  ON x.b = y.b AND x.v = y.v AND x.doc_id < y.doc_id),
+       |hdp AS MATERIALIZED (SELECT a_id, b_id,
+       |    CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hd
+       |  FROM cand JOIN fps fa ON fa.doc_id = cand.a_id
+       |    JOIN fps fb ON fb.doc_id = cand.b_id),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM hdp),
+       |$levels
+       |$rows
+       |ORDER BY radius""".stripMargin
+  }
+
+  /** The simhash vote/fold chain WITHOUT its `tok` CTE — for twins that
+    * already define `tok` (the d37 sweep shares it with the shingle
+    * truth chain via [[shingleCtes]]).
+    */
+  private[graft] def portableSimhashCoreCtes: String = {
     val votes = (0 until 64).map(i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i").mkString(",\n ")
     val fold = (0 until 64).map { i =>
       val bit = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
       s"(CASE WHEN v$i > 0 THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" | ")
-    s"""tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
-       |tu AS (SELECT doc_id, unnest(ws) AS t FROM tok),
+    s"""tu AS (SELECT doc_id, unnest(ws) AS t FROM tok),
        |th AS (SELECT doc_id,
        |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS h
        |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(t), 17, 16)) AS UBIGINT)::HUGEINT AS u FROM tu)),

@@ -394,6 +394,75 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** SimHash Hamming-radius operating curve (d37) — the fingerprint
+    * family's member of the operating-curve series (d35 threshold, d36
+    * band/row, s25 nProbe): precision/recall of "near-dup = Hamming
+    * distance ≤ r" against the exact n-gram-Jaccard ground truth, for a
+    * grid of radii, from ONE fingerprint pass.
+    *
+    * Candidate generation is the Manku/Jain/Sarma (WWW'07) block
+    * pigeonhole: the 64-bit fingerprint splits into FOUR 16-bit blocks,
+    * and any pair within Hamming distance ≤ 3 must agree EXACTLY on at
+    * least one block — so the block equi-self-join yields a candidate
+    * set that provably contains every pair of every radius level, and
+    * each level's pair set is EXACT (n_est is not an estimate), never an
+    * all-pairs scan. One shared (candidate, hamming) table feeds all
+    * levels; radii nest (hd ≤ r is monotone in r), so recall and n_est
+    * are non-decreasing in the radius BY CONSTRUCTION (DedupSpec pin).
+    *
+    * Scale shape: fingerprints are one per-row projection; the block
+    * index is 4 narrow rows per doc; candidates are a bucketed
+    * self-join on 18-byte (block, value) keys; hamming is one codegen'd
+    * bit_count(xor) per candidate. `radii` must stay ≤ 3 — the 4-block
+    * pigeonhole guarantee does not reach radius 4.
+    */
+  def simhashRadiusSweep(docs: DataFrame, truthPairs: DataFrame,
+      radii: Seq[Int], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(radii.nonEmpty, "need at least one radius")
+    require(radii.distinct.size == radii.size,
+      s"duplicate radii produce duplicate curve rows: $radii")
+    radii.foreach(r => require(r >= 0 && r <= 3,
+      s"4-block pigeonhole covers radius <= 3 only, got $r"))
+    val fps = simhashedPortable(docs, idCol, textCol)
+      .select(col(idCol).cast("long").as("id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = fps.select(col("id"), posexplode(array((0 to 3).map(b =>
+      shiftright(col("simhash"), 16 * b).bitwiseAND(lit(65535L))): _*))
+      .as(Seq("b", "v")))
+    val candHd = blocks.select(col("b"), col("v"), col("id").as("a_id"))
+      .join(blocks.select(col("b"), col("v"), col("id").as("b_id")), Seq("b", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .join(fps.select(col("id").as("a_id"), col("simhash").as("fa")), Seq("a_id"))
+      .join(fps.select(col("id").as("b_id"), col("simhash").as("fb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = truthPairs
+      .select(col("a_id"), col("b_id"), lit(1L).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = candHd.select(count(lit(1)).as("n_cand"))
+    radii.sorted.map { r =>
+      val est = candHd.where(col("hd") <= r)
+        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
+      est.join(truth, Seq("a_id", "b_id"), "full_outer")
+        .select(coalesce(col("e"), lit(0L)).as("e"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .agg(sum(col("t")).as("n_true"), sum(col("e")).as("n_est"),
+          sum(col("e") * col("t")).as("tp"))
+        .crossJoin(broadcast(nCand)) // 1-row scalar
+        .select(lit(r.toLong).as("radius"), col("n_cand"),
+          col("n_true"), col("n_est"), col("tp"),
+          // NULL, not NaN, when a radius admits zero pairs (0/0 is IEEE
+          // NaN on both engines but NaN survives the hash compare badly)
+          when(col("n_est") > 0,
+            col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
+          (col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** 64-bit SimHash per document. When the `simhash64` native expression is
     * registered (graft.plans.GraftExtensions via `spark.sql.extensions`),
     * the whole hash runs as one fused codegen'd loop; otherwise the

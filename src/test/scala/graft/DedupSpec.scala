@@ -868,4 +868,31 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._5).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
     assert(got.map(_._6).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
   }
+
+  test("d37 simhash radius sweep: radii nest so n_est/tp/recall are " +
+      "non-decreasing; every level's pairs sit inside the block-collision " +
+      "candidate volume; radius 0 equals exact fingerprint collisions") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d37_simhash_sweep")(spark, dir)
+      .orderBy("radius").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    // one shared truth and one shared candidate volume across levels
+    assert(got.map(_._3).distinct.length === 1, s"${got.toSeq}")
+    assert(got.map(_._2).distinct.length === 1, s"${got.toSeq}")
+    // hd <= r is monotone in r; the pigeonhole candidate set bounds all
+    assert(got.map(_._4).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
+    assert(got.map(_._5).sliding(2).forall(w => w(0) <= w(1)), s"${got.toSeq}")
+    assert(got.forall(t => t._4 <= t._2), s"${got.toSeq}")
+    // radius 0 = pairs sharing the EXACT fingerprint — independently
+    // recomputed from the portable simhash table
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val exact0 = graft.analytics.Dedup.simhashedPortable(docs)
+      .groupBy(col("simhash")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(sum(col("n") * (col("n") - 1) / 2).cast("long")).collect()(0).getLong(0)
+    assert(got.head._4 === exact0,
+      s"radius-0 pairs ${got.head._4} != fingerprint collision pairs $exact0")
+  }
 }
