@@ -1621,6 +1621,52 @@ private[graft] object QueriesPipeline {
           blockSize = 4096, idCol = "doc_id", payloadCol = "payload")
         .orderBy(col("shard"))
     }),
+
+    // Incremental Merkle maintenance (q94, one release later): an
+    // append-only delta batch (the top 10% of the id range — how
+    // arrivals actually land) must NOT rehash the corpus. The row table
+    // is classified once; blocks the delta touches are recomputed from
+    // their full membership, every other block's hash is REUSED from the
+    // pre-delta manifest, and the shard/root folds run over the merged
+    // block table. `incr_matches_full` (TRUE-asserted, the q30/q35
+    // convention) proves the incremental manifest is bit-identical to a
+    // full recompute; `n_blocks_touched` is the measured win — at 100 TB
+    // the delta rehashes its own blocks and the (shards×blocks)-row
+    // control tables, never the historical corpus payloads.
+    "q102_manifest_delta" -> ((s, dir) => {
+      import analytics.Sampling
+      val docs = t(s, dir, "documents")
+      val allRows = Sampling.merkleRows(docs, nShards = 8, blockSize = 64,
+          idCol = "doc_id", payloadCol = "text")
+        .crossJoin(broadcast(
+          docs.agg((max(col("doc_id")) -
+            expr("max(doc_id) div 10")).as("cut"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b0 = Sampling.merkleBlocks(allRows.where(col("id") < col("cut")))
+      val touched = allRows.where(col("id") >= col("cut"))
+        .select(col("shard"), col("blk")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val recomputed = Sampling.merkleBlocks(
+        allRows.join(broadcast(touched), Seq("shard", "blk"), "left_semi"))
+      val incrBlocks = b0
+        .join(broadcast(touched), Seq("shard", "blk"), "left_anti")
+        .unionByName(recomputed)
+      val incr = Sampling.manifestFromBlocks(incrBlocks)
+      val full = Sampling.merkleManifest(docs, nShards = 8, blockSize = 64,
+        idCol = "doc_id", payloadCol = "text")
+      val perShardTouched = touched.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_blocks_touched"))
+      incr
+        .join(full.select(col("shard"), col("shard_hash").as("fsh"),
+          col("root_hash").as("frh")), Seq("shard"))
+        .join(broadcast(perShardTouched), Seq("shard"), "left")
+        .select(col("shard"), col("n_docs"), col("n_blocks"),
+          coalesce(col("n_blocks_touched"), lit(0L)).as("n_blocks_touched"),
+          col("shard_hash"), col("root_hash"),
+          (col("shard_hash") === col("fsh") &&
+            col("root_hash") === col("frh")).as("incr_matches_full"))
+        .orderBy(col("shard"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2878,5 +2924,32 @@ private[graft] object QueriesPipeline {
          |rt AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash FROM s)
          |SELECT shard, n_docs, n_blocks, shard_hash, root_hash
          |FROM s CROSS JOIN rt ORDER BY shard""".stripMargin),
+
+    // Manifest-delta twin (q102): the q94 fold at blockSize 64 computed
+    // IN FULL (equality proves the incremental path reconstructed it
+    // bit-exactly), plus the per-shard touched-block counts from the
+    // same append cut, plus the TRUE-asserted match flag.
+    "q102_manifest_delta" ->
+      """WITH mx AS (SELECT max(doc_id) - max(doc_id) // 10 AS cut FROM documents),
+        |r AS (SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '|' || text) AS rh,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 8 AS BIGINT) AS shard,
+        |    doc_id // 64 AS blk
+        |  FROM documents),
+        |b AS (SELECT shard, blk, CAST(count(*) AS BIGINT) AS n_docs,
+        |    md5(string_agg(rh, '' ORDER BY doc_id)) AS bh
+        |  FROM r GROUP BY shard, blk),
+        |s AS (SELECT shard, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_blocks,
+        |    md5(string_agg(bh, '' ORDER BY blk)) AS shard_hash
+        |  FROM b GROUP BY shard),
+        |rt AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash FROM s),
+        |tch AS (SELECT shard, CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks_touched
+        |  FROM r CROSS JOIN mx WHERE doc_id >= cut GROUP BY shard)
+        |SELECT s.shard, n_docs, n_blocks,
+        |  coalesce(n_blocks_touched, 0) AS n_blocks_touched,
+        |  shard_hash, root_hash, TRUE AS incr_matches_full
+        |FROM s CROSS JOIN rt LEFT JOIN tch USING (shard)
+        |ORDER BY s.shard""".stripMargin,
   )
 }

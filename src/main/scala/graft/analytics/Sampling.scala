@@ -258,26 +258,46 @@ object Sampling {
     * per shard (shard, n_docs, n_blocks, shard_hash, root_hash).
     */
   def merkleManifest(df: DataFrame, nShards: Int, blockSize: Int,
-      idCol: String, payloadCol: String): DataFrame = {
-    val rows = df.select(col(idCol),
+      idCol: String, payloadCol: String): DataFrame =
+    manifestFromBlocks(
+      merkleBlocks(merkleRows(df, nShards, blockSize, idCol, payloadCol)))
+
+  private def orderedFold(pairs: org.apache.spark.sql.Column) =
+    md5(array_join(transform(array_sort(pairs), x => x.getField("h")), ""))
+
+  /** The manifest's row layer: (id, rh, shard, blk) — split out (with
+    * [[merkleBlocks]] / [[manifestFromBlocks]]) so q102's INCREMENTAL
+    * maintenance path can classify a delta batch's rows into touched
+    * (shard, blk) blocks with exactly the operator's own derivations.
+    */
+  def merkleRows(df: DataFrame, nShards: Int, blockSize: Int,
+      idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         md5(concat(col(idCol).cast("string"), lit("|"), col(payloadCol)))
           .as("rh"))
       .withColumn("shard",
-        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
           .cast("bigint") % nShards)
-      .withColumn("blk", expr(s"$idCol div $blockSize"))
-    def orderedFold(pairs: org.apache.spark.sql.Column) =
-      md5(array_join(transform(array_sort(pairs), x => x.getField("h")), ""))
-    // persisted: the block table is control-sized (shards×blocks rows)
-    // and feeds BOTH the shard fold and (via shards) the root fold +
-    // final join — without the lineage cut the whole row-hash chain
-    // (and its corpus scan) re-executes per consumer, which the q101
-    // capstone's zero-extra-scans plan audit pins. Session-owned cache,
-    // the d03 convention (Bench clearCache).
-    val blocks = rows.groupBy(col("shard"), col("blk"))
+      .withColumn("blk", expr(s"id div $blockSize"))
+
+  /** Block layer: per (shard, blk), the doc count and the id-ordered
+    * row-hash fold. */
+  def merkleBlocks(rows: DataFrame): DataFrame =
+    rows.groupBy(col("shard"), col("blk"))
       .agg(count(lit(1)).as("n_docs"),
-        orderedFold(collect_list(struct(col(idCol).as("o"), col("rh").as("h"))))
+        orderedFold(collect_list(struct(col("id").as("o"), col("rh").as("h"))))
           .as("bh"))
+
+  /** Shard + root layers over a block table. The input is persisted:
+    * the block table is control-sized (shards×blocks rows) and feeds
+    * BOTH the shard fold and (via shards) the root fold + final join —
+    * without the lineage cut the whole upstream chain (and its corpus
+    * scan) re-executes per consumer, which the q101 capstone's
+    * zero-extra-scans plan audit pins. Session-owned cache, the d03
+    * convention (Bench clearCache).
+    */
+  def manifestFromBlocks(blocks0: DataFrame): DataFrame = {
+    val blocks = blocks0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shards = blocks.groupBy(col("shard"))
       .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_blocks"),

@@ -313,6 +313,52 @@ class PipelineSpec extends SparkSpec {
     assert(a === c, "partition-order independence")
   }
 
+  test("q102 incremental merkle: block reuse wins strictly on the append " +
+      "cut, and a STALE pre-delta block table is detected — the match " +
+      "flag compares content, not structure") {
+    import graft.analytics.Sampling
+    val dir = "/root/testdata/sf0.001"
+    // the catalog composition on honest inputs: all-TRUE flags and a
+    // strict reuse win (touched < total blocks on every shard)
+    val out = SparkEntry.queries("q102_manifest_delta")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_blocks_touched"), r.getAs[Boolean]("incr_matches_full")))
+    assert(out.forall(_._4), s"honest incremental must match full: ${out.toSeq}")
+    assert(out.forall(t => t._3 < t._2), s"append cut must reuse blocks: ${out.toSeq}")
+    // stale-b0 composition: one BASE row's payload corrupted only in the
+    // pre-delta block table — its reused block hash is stale, so its
+    // shard hash mismatches and (through the root) every row's flag
+    // trips. A flag that only checked structure would stay TRUE.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val cut = docs.agg((max(col("doc_id")) -
+      expr("max(doc_id) div 10")).as("cut"))
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      Sampling.merkleRows(d, nShards = 8, blockSize = 64,
+          idCol = "doc_id", payloadCol = "text")
+        .crossJoin(broadcast(cut))
+    val honest = rowsOf(docs)
+    val corrupted = rowsOf(docs.withColumn("text",
+      when(col("doc_id") === 7L, concat(col("text"), lit("!")))
+        .otherwise(col("text"))))
+    val b0stale = Sampling.merkleBlocks(corrupted.where(col("id") < col("cut")))
+    val touched = honest.where(col("id") >= col("cut"))
+      .select(col("shard"), col("blk")).distinct()
+    val incr = Sampling.manifestFromBlocks(
+      b0stale.join(broadcast(touched), Seq("shard", "blk"), "left_anti")
+        .unionByName(Sampling.merkleBlocks(
+          honest.join(broadcast(touched), Seq("shard", "blk"), "left_semi"))))
+    val full = Sampling.merkleManifest(docs, nShards = 8, blockSize = 64,
+      idCol = "doc_id", payloadCol = "text")
+    val cmp = incr.select(col("shard"), col("shard_hash"), col("root_hash"))
+      .join(full.select(col("shard"), col("shard_hash").as("fsh"),
+        col("root_hash").as("frh")), Seq("shard"))
+      .collect().map(r => (r.getString(1) == r.getString(3),
+        r.getString(2) == r.getString(4)))
+    assert(cmp.count(!_._1) === 1, "exactly doc 7's shard hash goes stale")
+    assert(cmp.forall(!_._2), "the stale block must flip the root everywhere")
+  }
+
   test("q98 temperature mix: hand fixture has analytic weights; weights sum " +
       "to 1; upsample boosts exactly the tail domain") {
     import spark.implicits._
