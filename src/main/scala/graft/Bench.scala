@@ -232,6 +232,21 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","mintotal":$minTotal,"iters":$iters,"cpus":${j(cpus)},"queries":$qs,"calib":[${ms(calib._1)},${ms(calib._2)}],"calibmt":[${ms(calibMt._1)},${ms(calibMt._2)}],"sf":${j(sfDir)}}"""
   }
 
+  /** The retry decision alone, pure (BenchSpec pins it): retry iff the
+    * query is clean-but-spready, budgets remain, AND the host is
+    * currently quiet (calibNow within quietFactor of the quietest calib
+    * seen) — retrying under active contention just adds another noisy
+    * sample and burns the bounded budget.
+    */
+  private[graft] def shouldRetry(timings: Seq[Double], spreadMax: Double,
+      retries: Int, maxRetries: Int, retriesUsed: Int, globalCap: Int,
+      calibNow: Double, quietCalib: Double, quietFactor: Double): Boolean = {
+    val spread = if (timings.isEmpty || timings.min <= 0) -1.0
+      else timings.max / timings.min
+    spread > spreadMax && retries < maxRetries && retriesUsed < globalCap &&
+      calibNow <= quietFactor * math.min(quietCalib, calibNow)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -315,8 +330,10 @@ object Bench {
       while (cleanRun && gateOpen && spreadOf(timings) > spreadMax &&
           retries < maxRetries && retriesUsed < globalRetryCap) {
         val c = calibrate()
+        val go = shouldRetry(timings, spreadMax, retries, maxRetries,
+          retriesUsed, globalRetryCap, c, quietCalib, calibQuietFactor)
         if (c < quietCalib) quietCalib = c
-        if (c <= calibQuietFactor * quietCalib) {
+        if (go) {
           runOnce() match {
             case Some(dt) => timings :+= dt; retries += 1; retriesUsed += 1
             case None => gateOpen = false // retry failure: keep the clean median, stop

@@ -52,6 +52,25 @@ class BenchSpec extends AnyFunSuite {
     assert(!legacy.contains("mintotal"))
   }
 
+  test("shouldRetry: fires only on clean-but-spready timings, within both " +
+      "budgets, while the host is currently quiet") {
+    def go(timings: Seq[Double] = Seq(1.0, 3.5, 1.1), retries: Int = 0,
+        used: Int = 0, calibNow: Double = 0.40, quiet: Double = 0.40) =
+      Bench.shouldRetry(timings, spreadMax = 3.0, retries = retries,
+        maxRetries = 2, retriesUsed = used, globalCap = 40,
+        calibNow = calibNow, quietCalib = quiet, quietFactor = 1.5)
+    assert(go()) // spread 3.5 > 3, budgets open, host quiet
+    assert(!go(timings = Seq(1.0, 2.9, 1.1))) // spread under threshold
+    assert(!go(retries = 2))                  // per-query budget spent
+    assert(!go(used = 40))                    // global budget spent
+    assert(!go(calibNow = 0.61))              // host busy: 0.61 > 1.5*0.40
+    // a calibNow QUIETER than the recorded quiet floor lowers the floor
+    // and passes trivially — the main loop's min-update semantics
+    assert(go(calibNow = 0.20, quiet = 0.40))
+    // degenerate timings never retry
+    assert(!go(timings = Seq.empty) && !go(timings = Seq(0.0, 1.0)))
+  }
+
   test("detailLine: valid JSON with per-query min/spread/retries, " +
       "run-level mintotal = sum of per-query mins, err queries flagged") {
     val rs = Seq(
