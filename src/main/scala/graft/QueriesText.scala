@@ -527,6 +527,36 @@ private[graft] object QueriesText {
           nSeeds = 3, steps = 12)
         .orderBy(col("seed"))),
 
+    // Tokenizer round-trip (losslessness) contract — the QA gate t11/t32
+    // train and t30 scores still lack: every corpus word's unigram
+    // segmentation must CONCATENATE BACK to the word exactly (Viterbi's
+    // single-char coverage guarantee makes this provable, and
+    // `all_roundtrip` asserts it as a measured TRUE over the whole
+    // corpus, the q30/q35 flag convention), with the occurrence-weighted
+    // piece counts and the worst-case per-word piece count as the
+    // audit's size columns. One wf join against the trained
+    // segmentations — no corpus re-tokenize.
+    "t35_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (_, segs) = analytics.Unigram.train(docs)
+      analytics.Bpe.wordFreqs(docs).join(segs, Seq("word"))
+        .select(col("word"), col("freq"),
+          size(split(col("seg"), " ")).cast("long").as("np"),
+          (translate(col("seg"), " ", "") === col("word")).as("rt"))
+        .agg(count(lit(1)).as("n_distinct_words"),
+          sum(col("freq")).as("n_word_occurrences"),
+          sum(col("np") * col("freq")).as("n_piece_occurrences"),
+          max(col("np")).as("max_pieces_per_word"),
+          (sum(when(col("rt"), lit(0L)).otherwise(lit(1L))) === 0)
+            .as("all_roundtrip"))
+        .select(col("n_distinct_words"), col("n_word_occurrences"),
+          col("n_piece_occurrences"), col("max_pieces_per_word"),
+          round(col("n_piece_occurrences").cast("double") /
+            col("n_word_occurrences").cast("double"), 6)
+            .as("pieces_per_occurrence"),
+          col("all_roundtrip"))
+    }),
+
     // Stemming + conflation statistics: the weak (Porter-step-1-family)
     // stemmer applied per token, then per-stem families — token mass,
     // distinct raw variants, the alphabetically-first variant as the
@@ -1146,6 +1176,10 @@ private[graft] object QueriesText {
     // Unigram tokenizer twin (t32): the full seed→EM→prune→EM→encode
     // replay — see unigramChainSql for the DP-fold correspondence.
     "t32_unigram" -> unigramOracleSql(200, 100, 2, 1),
+
+    // Round-trip twin (t35): t32's full chain, then the concat-back
+    // check and occurrence-weighted piece aggregates over usegE.
+    "t35_roundtrip" -> unigramRoundtripOracleSql(200, 100, 2, 1),
 
 
     // Greedy-rollout twin (t34): t10's bigram CTEs + unrolled argmax walk.

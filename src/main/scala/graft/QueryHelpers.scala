@@ -678,6 +678,24 @@ private[graft] object QueryHelpers {
       |FROM documents d LEFT JOIN uenc e USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Round-trip twin (t35): the t32 chain's final segmentations
+    * (`usegE`, which carries word AND freq) concat-checked and
+    * occurrence-weighted — the losslessness contract as corpus-level
+    * aggregates.
+    */
+  private[graft] def unigramRoundtripOracleSql(seedMulti: Int, keepMulti: Int,
+      emPre: Int, emPost: Int): String =
+    "WITH " + unigramChainSql(seedMulti, keepMulti, emPre, emPost, defineTok = true) + "\n" +
+    """SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+      |  CAST(sum(freq) AS BIGINT) AS n_word_occurrences,
+      |  CAST(sum(freq * len(string_split(seg, ' '))) AS BIGINT) AS n_piece_occurrences,
+      |  CAST(max(len(string_split(seg, ' '))) AS BIGINT) AS max_pieces_per_word,
+      |  round(CAST(sum(freq * len(string_split(seg, ' '))) AS DOUBLE) /
+      |    CAST(sum(freq) AS DOUBLE), 6) AS pieces_per_occurrence,
+      |  (CAST(sum(CASE WHEN replace(seg, ' ', '') = word THEN 0 ELSE 1 END) AS BIGINT) = 0)
+      |    AS all_roundtrip
+      |FROM usegE""".stripMargin
+
   /** Full SQL twin of t13: BPE training replayed on the even-doc half
     * (the bpeOracleSql rounds, plus a parallel o$i chain applying each
     * round's merge to the held-out OOV words — the same greedy fold, so
