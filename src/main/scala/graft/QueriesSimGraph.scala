@@ -58,6 +58,34 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // Weakly-connected components as a FIRST-CLASS graph operator (the
+    // machinery d07/d12/d14 use internally, surfaced on its own graph):
+    // a deterministic sparse graph with many components (one out-edge
+    // per vertex, confined to its 16-id block), resolved by min-label
+    // propagation AND independently by the large-star/small-star
+    // contraction — `contracted_agrees` (TRUE-asserted) is the
+    // algorithm-equivalence receipt: the O(diameter) and the O(log n)
+    // path must produce identical labelings. Output = per-component
+    // (min-id label, size).
+    "g11_wcc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") - pmod(col("doc_id"), lit(16L))) +
+            pmod(col("doc_id") * 7 + 3, lit(16L))).as("dst"))
+        .where(col("dst") < n)
+      val verts = docs.select(col("doc_id").as("id"))
+      val cc = analytics.Dedup.connectedComponents(edges, verts)
+      val cc2 = analytics.Dedup.connectedComponentsContracted(edges, verts)
+        .withColumnRenamed("cluster_id", "c2")
+      val agree = cc.join(cc2, Seq("id"))
+        .agg((sum(when(col("cluster_id") =!= col("c2"), 1L).otherwise(0L)) === 0)
+          .as("contracted_agrees"))
+      cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+        .crossJoin(broadcast(agree)) // 1-row scalar
+        .orderBy(col("cluster_id"))
+    }),
+
     // Personalized PageRank (random walk with restart) over g01's exact
     // graph, teleport concentrated on seeds {0,1,2,3}: mass measures
     // graph proximity to the seeds — the trusted-set expansion signal
@@ -924,6 +952,29 @@ private[graft] object QueriesSimGraph {
         |SELECT d.doc_id, md.dist, mx.max_dist
         |FROM documents d LEFT JOIN md ON d.doc_id = md.id CROSS JOIN mx
         |ORDER BY d.doc_id""".stripMargin,
+
+    // WCC twin (g11): the dedup-family recursive min-label closure on
+    // the block-confined synthetic graph; the contraction-agreement flag
+    // is TRUE-asserted (the two Spark algorithms must agree with each
+    // other AND with this closure).
+    "g11_wcc" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src,
+        |    (doc_id - doc_id % 16) + ((doc_id * 7 + 3) % 16) AS dst
+        |  FROM documents),
+        |e AS (SELECT src, dst FROM e0 CROSS JOIN nn
+        |  WHERE dst < n AND src <> dst),
+        |bidir AS (SELECT src, dst FROM e
+        |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT b.dst, r.label FROM reach r JOIN bidir b ON r.id = b.src
+        |  WHERE r.label < b.dst),
+        |cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS size,
+        |  TRUE AS contracted_agrees
+        |FROM cc GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     // Harmonic-centrality twin (g10): g06's recursive reach carried per
     // (id, seed), then the exact half-up 10⁹/d integer terms summed as
