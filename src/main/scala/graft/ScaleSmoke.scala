@@ -820,6 +820,33 @@ object ScaleSmoke {
       Similarity.rpTopK(vecs, vecs0.where(col("vec_id") < 10), k = 5,
         rDim = 32, nCand = 100, dim = 64))
 
+    // B2's skew story, measured: the blown-up docs are joined to a
+    // 64-row dimension on an ADVERSARIALLY hot key (90% of fact rows
+    // collapse onto key 0 — the mult× union multiplies the hot key's
+    // mass, the single-key-too-big-for-one-task regime AQE cannot split
+    // when the straggler is one key). salted spreads it over factor=32
+    // sub-keys; both variants count the same joined rows, so the wall
+    // delta IS the straggler term. The plain variant re-measures the
+    // baseline, not a claim — on local[32] the gap is bounded by one
+    // task's runtime, at 1000 executors it is the whole stage.
+    if (shouldRun("skew_join_salted") || shouldRun("skew_join_plain")) {
+      import spark.implicits._
+      val dim = (0L until 64L).map(k => (k, s"grp$k")).toSeq
+        .toDF("k", "grp")
+      val fact = docs.select(
+        when(pmod(col("doc_id"), lit(10L)) < 9, lit(0L))
+          .otherwise(pmod(col("doc_id"), lit(64L))).as("k"),
+        col("doc_id"))
+      run("skew_join_plain")(
+        fact.join(dim, Seq("k")).groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s")))
+      run("skew_join_salted")(
+        graft.operators.SkewJoin.saltedInnerJoin(fact, dim, Seq("k"),
+            factor = 32)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s")))
+    }
+
     // s15: hard-negative mining — exact scan over the label complement
     // with a pinned probe side; linear in corpus rows like s01/s14.
     run("hard_negatives")(
