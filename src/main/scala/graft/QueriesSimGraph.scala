@@ -754,6 +754,19 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("n_probe"))
     }),
 
+    // PQ subspace-count operating curve: recall@5 at m in {4, 8, 16}
+    // (sub_dim 16/8/4, code 4/8/16 bytes) — the recall-per-code-byte
+    // trade a 100 TB PQ index picks its m from, against ONE shared
+    // round-6 exact baseline. Each level re-encodes by necessity
+    // (different slicing re-buckets every subvector) — the honest
+    // tuning cost. SimilaritySpec pins the shared baseline and bounds.
+    "s27_pq_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqMSweep(e, e.where(col("vec_id") < 10), k = 5,
+          mGrid = Seq(4, 8, 16), ks = 16, dim = 64)
+        .orderBy(col("m"))
+    }),
+
     // Hierarchical-entry beam search (the HNSW upper level s21 lacks):
     // a ~√n coarse sample with its own brute-force kNN graph, 4-start
     // greedy per-probe descent (strict round-6 improvement,
@@ -1226,6 +1239,11 @@ private[graft] object QueriesSimGraph {
     // the walk unrolled round by round on round-6 ranks.
     "s21_beam_search" -> beamSearchOracleSql(k = 5, beamWidth = 16,
       rounds = 3, graphK = 8, nProbes = 10),
+
+    // PQ m-sweep twin (s27): shared codebook vectors + shared round-6
+    // exact baseline, the s07 chain per m level.
+    "s27_pq_sweep" -> pqSweepOracleSql(mGrid = Seq(4, 8, 16), ks = 16,
+      dim = 64, k = 5, nProbes = 10),
 
     // Hierarchical-beam twin (s26): the coarse stride sample, descent
     // rounds, entry set, then the SHARED s21 walk CTEs.

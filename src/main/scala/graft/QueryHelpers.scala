@@ -1337,6 +1337,65 @@ private[graft] object QueryHelpers {
        |ORDER BY n_probe""".stripMargin
   }
 
+  /** PQ m-sweep twin (s27): ONE shared codebook-vector CTE and ONE
+    * shared round-6 exact baseline (the s25 `ex` convention); per m
+    * level the s07 chain — subvector codewords, round-6 squared-L2
+    * sub-distances, first-strict-min encode, subspace-ordered ADC fold,
+    * (adc asc, id asc) rank — then recall rows unioned into the curve.
+    */
+  private[graft] def pqSweepOracleSql(mGrid: Seq[Int], ks: Int, dim: Int,
+      k: Int, nProbes: Int): String = {
+    require(mGrid.distinct.size == mGrid.size,
+      s"duplicate subspace counts would define duplicate CTE names: $mGrid")
+    val sorted = mGrid.sorted
+    val per = sorted.map { m =>
+      val sub = dim / m
+      s"""cbe$m AS (SELECT j, code, ev[j*$sub+1:j*$sub+$sub] AS cw
+         |  FROM cbv CROSS JOIN range($m) r(j)),
+         |dist$m AS MATERIALIZED (SELECT v.vec_id, c.j, c.code,
+         |    round(list_reduce(list_transform(range(1, ${sub + 1}),
+         |      i -> (ev[c.j*$sub+i] - cw[i]) * (ev[c.j*$sub+i] - cw[i])),
+         |      (a, b) -> a + b), 6) AS d2
+         |  FROM v CROSS JOIN cbe$m c),
+         |enc$m AS (SELECT vec_id AS neighbor_id, j, code FROM (
+         |    SELECT vec_id, j, code,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS r
+         |    FROM dist$m) WHERE r = 1),
+         |pt$m AS (SELECT vec_id AS probe_id, j, code, d2 AS pd
+         |  FROM dist$m WHERE vec_id < $nProbes),
+         |adc$m AS (SELECT probe_id, neighbor_id,
+         |    list_reduce(list(pd ORDER BY j), (a, b) -> a + b) AS adc
+         |  FROM enc$m JOIN pt$m USING (j, code) WHERE probe_id <> neighbor_id
+         |  GROUP BY probe_id, neighbor_id),
+         |iv$m AS (SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY adc, neighbor_id) AS rank
+         |  FROM adc$m) WHERE rank <= $k),
+         |a$m AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM ex JOIN iv$m USING (probe_id, neighbor_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = sorted.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m, CAST(${dim / m} AS BIGINT) AS sub_dim,
+         |  CAST($m AS BIGINT) AS code_bytes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ex) AS n_exact, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM ex), 6) AS recall
+         |FROM a$m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |cbv AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ev
+       |  FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT $ks)),
+       |ex AS MATERIALIZED (SELECT probe_id, neighbor_id FROM (
+       |   SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY p.vec_id
+       |       ORDER BY round(list_cosine_similarity(p.ev, c.ev), 6) DESC, c.vec_id) AS rnk
+       |   FROM v p JOIN v c ON p.vec_id <> c.vec_id WHERE p.vec_id < $nProbes)
+       | WHERE rnk <= $k),
+       |$per
+       |$rows
+       |ORDER BY m""".stripMargin
+  }
+
   /** Unrolled k-center greedy replay (s23): round r's `c_r` CTE selects
     * the argmin of max-cosine-to-selected (6 dp, vec_id tie-break) from
     * the running `m_{r-1}` table, and `m_r` folds the new center's

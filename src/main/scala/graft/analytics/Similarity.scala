@@ -1104,6 +1104,39 @@ object Similarity {
         round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** PQ subspace-count operating curve (s27) — the quantization-budget
+    * tuning artifact next to s25's nProbe curve and d36's band grid:
+    * recall@k of ADC-ranked PQ against the exact baseline for a grid of
+    * m (subspace counts) at fixed ks, i.e. the recall-per-code-byte
+    * trade (a PQ code is m bytes at ks ≤ 256; the curve is what picks m
+    * for a 100 TB index). The exact baseline is computed ONCE (shared,
+    * round-6-before-order — the s25 convention); each m level is its
+    * own encode+ADC pass by necessity (different slicing re-buckets
+    * every subvector), which is exactly the real tuning cost a
+    * deployment pays. Config legality (dim % m == 0) is [[pqTopK]]'s
+    * require.
+    */
+  def pqMSweep(corpus: DataFrame, probes: DataFrame, k: Int,
+      mGrid: Seq[Int], ks: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(mGrid.nonEmpty, "need at least one subspace count")
+    require(mGrid.distinct.size == mGrid.size,
+      s"duplicate subspace counts produce duplicate curve rows: $mGrid")
+    val exact = bruteForceTopK(corpus, probes, k, idCol, vecCol, round6 = true)
+      .select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mGrid.sorted.map { m =>
+      val approx = pqTopK(corpus, probes, k, m, ks, dim, idCol, vecCol)
+        .select(col("probe_id"), col("neighbor_id"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(m.toLong).as("m"), lit((dim / m).toLong).as("sub_dim"),
+          lit(m.toLong).as("code_bytes"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** IVF-PQ with residual encoding (Jégou et al. 2011 §V — the index
     * FAISS calls IVFPQ, THE production composition for billion-vector
     * corpora): a coarse quantizer routes each vector to a cell; PQ

@@ -81,6 +81,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s27 PQ m-sweep: grid tiles dim, one shared exact baseline, " +
+      "recall in bounds, and the m=8 level equals s07's standalone top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    val got = Similarity.pqMSweep(e, probes, k = 5, mGrid = Seq(4, 8, 16),
+        ks = 16, dim = 64)
+      .orderBy("m").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq === Seq(4L, 8L, 16L))
+    assert(got.forall(t => t._1 * t._2 === 64L), "grid must tile dim")
+    assert(got.forall(t => t._1 === t._3), "one code byte per subspace")
+    assert(got.map(_._4).distinct.toSeq === Seq(50L), "shared exact baseline")
+    assert(got.forall(t => t._5 >= 0 && t._5 <= t._4 &&
+      t._6 >= 0.0 && t._6 <= 1.0))
+    // the m=8 level's hits are exactly what s07's standalone operator
+    // would score (same codebook recipe, same ADC) — cross-checked
+    val s07 = Similarity.pqTopK(e, probes, k = 5, m = 8, ks = 16, dim = 64)
+      .select(col("probe_id"), col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(e, probes, k = 5, round6 = true)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits8 = exact.join(s07, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    assert(got.find(_._1 == 8L).get._5 === hits8)
+  }
+
   test("s26 hierarchical beam: recall >= s21's flat walk at equal beam/" +
       "rounds/graph, every probe fills k, output ranked on (sim desc, id)") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
