@@ -527,6 +527,17 @@ private[graft] object QueriesText {
           nSeeds = 3, steps = 12)
         .orderBy(col("seed"))),
 
+    // Span-corruption mask planner — the T5-style denoising plan between
+    // q39's packing and the trainer: one 3-token span per 20-token
+    // segment (≈15% mask ratio), start drawn per segment via the
+    // portable md5-u32 of (doc_id | span index), so spans never overlap
+    // and both engines (and any partitioning) derive the identical plan.
+    // One map-only projection; the "start:len" plan string is the
+    // hash-compared artifact.
+    "t36_span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruptionPlan(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Tokenizer round-trip (losslessness) contract — the QA gate t11/t32
     // train and t30 scores still lack: every corpus word's unigram
     // segmentation must CONCATENATE BACK to the word exactly (Viterbi's
@@ -1180,6 +1191,30 @@ private[graft] object QueriesText {
     // Round-trip twin (t35): t32's full chain, then the concat-back
     // check and occurrence-weighted piece aggregates over usegE.
     "t35_roundtrip" -> unigramRoundtripOracleSql(200, 100, 2, 1),
+
+    // Span-corruption twin (t36): same segment arithmetic, the d24
+    // md5-u32 recipe per (doc_id | i), the same "start:3" plan string.
+    "t36_span_corruption" -> (
+      s"""WITH tok AS (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+         |p AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+         |    CAST(len(ws) // 20 AS BIGINT) AS n_spans,
+         |    CASE WHEN len(ws) // 20 > 0
+         |      THEN CAST(len(ws) // (len(ws) // 20) AS BIGINT) END AS seg
+         |  FROM tok),
+         |sp AS (SELECT doc_id, i,
+         |    i * seg + CAST(
+         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT)
+         |      % CAST(seg - 2 AS UBIGINT) AS BIGINT) AS st
+         |  FROM p, UNNEST(range(n_spans)) t(i) WHERE n_spans > 0),
+         |agg AS (SELECT doc_id,
+         |    string_agg(CAST(st AS VARCHAR) || ':3', ',' ORDER BY i) AS spans_str
+         |  FROM sp GROUP BY doc_id)
+         |SELECT p.doc_id, n AS n_tokens, n_spans,
+         |  CAST(n_spans * 3 AS BIGINT) AS n_masked,
+         |  CASE WHEN n > 0 THEN round(CAST(n_spans AS DOUBLE) * 3 / n, 6)
+         |    ELSE 0.0 END AS mask_ratio,
+         |  coalesce(spans_str, '') AS spans_str
+         |FROM p LEFT JOIN agg USING (doc_id) ORDER BY p.doc_id""".stripMargin),
 
 
     // Greedy-rollout twin (t34): t10's bigram CTEs + unrolled argmax walk.

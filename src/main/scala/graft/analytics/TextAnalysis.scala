@@ -975,4 +975,50 @@ object TextAnalysis {
         col("logw_avg").isNotNull &&
           col("lang_rank") * keepDenom <= col("n_lang") * keepNum)
   }
+
+  /** Span-corruption mask plan (t36) — the denoising-objective planner a
+    * T5-style training pipeline runs between q39's packing and the
+    * trainer: per document, which token spans get masked. The canonical
+    * recipe samples; this is the DETERMINISTIC, oracle-replayable
+    * variant: one `spanLen`-token span per `everyN`-token segment
+    * (n_spans = n div everyN ⇒ mask ratio ≈ spanLen/everyN), each span's
+    * start drawn inside its own segment via the portable md5-u32 of
+    * (doc_id | span index) — the d24 conv recipe — so spans are
+    * NON-OVERLAPPING BY CONSTRUCTION (one per disjoint segment, start ≤
+    * segLen − spanLen), identical across engines, and stable under any
+    * partitioning. Output per doc: token count, span count, masked-token
+    * count, mask ratio, and the ordered "start:len" plan string.
+    *
+    * Scale shape: one map-only projection — tokenize, integer plan
+    * arithmetic, a bounded per-row transform over n_spans elements; no
+    * shuffle anywhere before the caller's ordering.
+    */
+  def spanCorruptionPlan(docs: org.apache.spark.sql.DataFrame,
+      spanLen: Int = 3, everyN: Int = 20, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(spanLen >= 1 && everyN >= spanLen,
+      s"need everyN >= spanLen >= 1, got spanLen=$spanLen everyN=$everyN")
+    val base = docs
+      .select(col(idCol), tokenCountFromTokens(tokens(col(textCol))).as("n"))
+      .select(col(idCol), col("n"),
+        expr(s"n div $everyN").cast("long").as("n_spans"))
+      .select(col(idCol), col("n"), col("n_spans"),
+        when(col("n_spans") > 0, expr("n div n_spans")).as("seg"))
+    base.select(col(idCol), col("n").as("n_tokens"), col("n_spans"),
+        (col("n_spans") * spanLen).as("n_masked"),
+        when(col("n") > 0,
+          round(col("n_spans").cast("double") * spanLen / col("n"), 6))
+          .otherwise(lit(0.0)).as("mask_ratio"),
+        when(col("n_spans") > 0,
+          array_join(transform(sequence(lit(0L), col("n_spans") - 1), i => {
+            // md5-u32(doc_id|i) mod the segment's legal start slots —
+            // conv's decimal-string u32 fits a BIGINT, so pmod is exact
+            val u32 = conv(substring(md5(concat(col(idCol).cast("string"),
+              lit("|"), i.cast("string"))), 1, 8), 16, 10).cast("long")
+            val start = i * col("seg") +
+              pmod(u32, col("seg") - lit(spanLen - 1))
+            concat(start.cast("string"), lit(s":$spanLen"))
+          }), ","))
+          .otherwise(lit("")).as("spans_str"))
+  }
 }

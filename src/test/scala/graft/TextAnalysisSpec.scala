@@ -648,4 +648,36 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("bytes_per_token") === r6(by.toDouble / b))
     }
   }
+
+  test("t36 span-corruption plan: spans are in-bounds, non-overlapping, " +
+      "segment-confined, and the plan is partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.analytics.TextAnalysis.spanCorruptionPlan(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[String]("spans_str")))
+    assert(got.nonEmpty && got.exists(_._3 >= 2))
+    got.foreach { case (id, n, nSpans, plan) =>
+      assert(nSpans === n / 20, s"doc $id")
+      if (nSpans == 0) assert(plan === "")
+      else {
+        val seg = n / nSpans
+        val starts = plan.split(",").map { s =>
+          val Array(st, len) = s.split(":"); assert(len === "3"); st.toLong
+        }
+        assert(starts.length === nSpans)
+        starts.zipWithIndex.foreach { case (st, i) =>
+          // confined to its own segment with full span room
+          assert(st >= i * seg && st + 3 <= i * seg + seg,
+            s"doc $id span $i at $st escapes segment (seg=$seg n=$n)")
+        }
+        // segment confinement implies sorted + disjoint
+        assert(starts.zip(starts.tail).forall { case (a, b) => a + 3 <= b })
+      }
+    }
+    // determinism: a different partitioning derives the identical plan
+    val re = graft.analytics.TextAnalysis.spanCorruptionPlan(docs.repartition(7))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("spans_str")))
+      .toMap
+    assert(got.forall { case (id, _, _, p) => re(id) == p })
+  }
 }
