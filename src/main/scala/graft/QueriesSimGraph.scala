@@ -688,6 +688,28 @@ private[graft] object QueriesSimGraph {
       Multimodal.containerMeta(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
 
+    // GIF logical-screen-descriptor parse — the family's first
+    // LITTLE-ENDIAN dimension container (PNG/JPEG are BE): synthesized
+    // GIF87a/89a bytes with LE u16 width/height sized to exercise both
+    // bytes, packed-byte GCT flag/size bits, the 3*2^(s+1)-byte table,
+    // and the 0x3B trailer; every field parsed back from the BYTES while
+    // the twin computes it arithmetically from doc_id — an endianness
+    // slip anywhere breaks the hash.
+    "m13_gif_meta" -> ((s, dir) => {
+      val g = Multimodal.withGif(t(s, dir, "documents"))
+      val m = Multimodal.decodeGif(col("payload"))
+      g.select(col("doc_id"), m.as("m"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (hex(substring(col("payload"), -1, 1)) === "3B").as("trailer_ok"))
+        .select(col("doc_id"), col("m.version").as("version"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.has_gct").as("has_gct"),
+          col("m.gct_size_bits").as("gct_size_bits"),
+          col("m.gct_bytes").as("gct_bytes"),
+          col("n_bytes"), col("trailer_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC ingest (ISO 28500 — the Common Crawl record format): the
     // generator wraps each document as a WARC/1.0 response record (WARC
     // headers + HTTP response + HTML), the parser recovers every field
@@ -1035,6 +1057,22 @@ private[graft] object QueriesSimGraph {
         |FROM v ORDER BY doc_id""".stripMargin,
 
     // Mixed-container twin (m09): every decoded field computed
+    // GIF twin (m13): every field computed arithmetically from doc_id —
+    // the parser must LE-byte-walk its way to these exact values.
+    "m13_gif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN '89a' ELSE '87a' END AS version,
+        |  CAST(200 + (doc_id * 13) % 60000 AS BIGINT) AS width,
+        |  CAST(200 + (doc_id * 7) % 60000 AS BIGINT) AS height,
+        |  doc_id % 3 <> 0 AS has_gct,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN doc_id % 8 ELSE 0 END AS BIGINT) AS gct_size_bits,
+        |  CAST(CASE WHEN doc_id % 3 <> 0
+        |    THEN 3 * (1 << CAST(doc_id % 8 + 1 AS INTEGER)) ELSE 0 END AS BIGINT) AS gct_bytes,
+        |  CAST(14 + CASE WHEN doc_id % 3 <> 0
+        |    THEN 3 * (1 << CAST(doc_id % 8 + 1 AS INTEGER)) ELSE 0 END AS BIGINT) AS n_bytes,
+        |  TRUE AS trailer_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // arithmetically from the fixture — container/length algebra, the
     // PNG/JPEG dimension formulas, WAV sample geometry, the MP3
     // bitrate/sample-rate tables and ISO frame-length formula — so all

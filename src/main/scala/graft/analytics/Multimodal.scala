@@ -761,6 +761,63 @@ object Multimodal {
           col("modality") =!= "video")
   }
 
+  /** GIF fixture + parse (m13) — the family's first LITTLE-ENDIAN
+    * dimension container (PNG/JPEG headers are big-endian; WAV/MP3 cover
+    * audio): per doc a syntactically-valid GIF is synthesized —
+    * signature "GIF87a"/"GIF89a" (version varies by doc parity), the
+    * 7-byte logical screen descriptor with LE u16 width/height sized to
+    * exercise BOTH bytes, a packed byte whose bit 7 is the global-
+    * color-table flag and bits 0-2 its size exponent (present on
+    * doc_id%3≠0 docs, with the 3·2^(s+1)-byte table emitted), and the
+    * 0x3B trailer. [[decodeGif]] recovers every field from the BYTES
+    * alone; the oracle computes the same fields ARITHMETICALLY from
+    * doc_id (the m09/m10 convention), so any builder/parser asymmetry —
+    * especially an endianness slip — breaks the hash.
+    */
+  def withGif(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val w = lit(200L) + pmod(id * 13, lit(60000L))
+    val h = lit(200L) + pmod(id * 7, lit(60000L))
+    val hasGct = pmod(id, lit(3L)) =!= 0
+    val gctSize = pmod(id, lit(8L))
+    val packed = when(hasGct, lit(240L) + gctSize).otherwise(lit(112L))
+    docs.select(col(idCol),
+        when(pmod(id, lit(2L)) === 0, lit("383961")).otherwise(lit("383761")).as("verHex"),
+        w.as("w"), h.as("h"), packed.as("packed"),
+        when(hasGct, gctSize).otherwise(lit(0L)).as("gsz"),
+        hasGct.as("hasGct"))
+      .select(col(idCol),
+        unhex(concat(
+          lit("474946"), col("verHex"),
+          leHex(col("w"), 2), leHex(col("h"), 2),
+          beHex(col("packed"), 1), lit("0000"), // bg index, aspect ratio
+          when(col("hasGct"),
+            expr("repeat('00', cast(3 * shiftleft(1, cast(gsz + 1 as int)) as int))"))
+            .otherwise(lit("")),
+          lit("3B"))).as("payload"))
+  }
+
+  /** Parse the GIF signature + logical screen descriptor (+ GCT flag
+    * arithmetic) back out of the bytes — NULL struct on a non-GIF magic.
+    */
+  def decodeGif(p: Column): Column = {
+    val packed = beUint(p, 11, 1)
+    val sizeBits = pmod(packed, lit(8L))
+    when(hex(substring(p, 1, 3)) === "474946",
+      struct(
+        when(hex(substring(p, 4, 3)) === "383961", lit("89a"))
+          .when(hex(substring(p, 4, 3)) === "383761", lit("87a"))
+          .as("version"),
+        leUint(p, 7, 2).as("width"),
+        leUint(p, 9, 2).as("height"),
+        (packed >= 128L).as("has_gct"),
+        sizeBits.as("gct_size_bits"),
+        when(packed >= 128L,
+          lit(3L) * call_function("shiftleft", lit(1L),
+            (sizeBits + 1).cast("int")).cast(LongType))
+          .otherwise(lit(0L)).as("gct_bytes")))
+  }
+
   /** The classification half of [[payloadTriage]]: expects
     * (doc_id, payload, modality) and emits the verdict/quarantine
     * columns. Separate so hand-built payloads (e.g. the bad_magic
