@@ -476,6 +476,14 @@ object Similarity {
       // vertices instead of √n
       val starts = coarse.select(col("id")).orderBy(col("id"))
         .limit(nStarts).as[Long].collect().toSeq
+      // an id-sparse corpus can leave the stride sample empty — with no
+      // chains the walk would silently fall back to beamSearchOnGraph's
+      // flat lowest-id entries (a semantics change, not an error state);
+      // surface it instead
+      require(starts.nonEmpty,
+        s"hierarchicalBeam: stride-$stride coarse sample is empty — no id " +
+          "in the corpus is a multiple of the stride; use beamSearchOnGraph " +
+          "directly or re-key ids")
       val probeIds = probes.select(col(idCol).cast("long")).as[Long]
         .collect().sorted
       val p = broadcast(probes.select(col(idCol).cast("long").as("probe_id"),

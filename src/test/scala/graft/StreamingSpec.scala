@@ -1213,6 +1213,26 @@ class StreamingSpec extends SparkSpec {
       }.toSet
       assert(heavy.nonEmpty && heavy.subsetOf(streamed.keySet),
         s"heavy hitters $heavy escaped the summary ${streamed.keySet}")
+      // GROUP ISOLATION: two interleaved key-groups in one batch hold
+      // independent summaries and independent high-water marks — g2's
+      // dominant term must never leak into g's summary
+      val gid = nextId
+      Files.write(java.nio.file.Paths.get(srcDir, "b3.jsonl"),
+        ((0 until 6).map { i =>
+          s"""{"group":"g2","item_id":${gid + 2 * i},"term":"Z"}""" +
+            "\n" + s"""{"group":"g","item_id":${gid + 2 * i + 1},"term":"A"}"""
+        }.mkString("\n") + "\n").getBytes("UTF-8"))
+      nextId += 12
+      run()
+      val byGroup = perRun.last.groupBy(_.group)
+        .view.mapValues(_.map(h => h.term -> h.weight).toMap).toMap
+      assert(byGroup("g2") === Map("Z" -> 6L), s"g2 summary: $byGroup")
+      assert(!byGroup("g").contains("Z"), s"cross-group leak: $byGroup")
+      // g's summary is exactly the restored summary folded with {A: 6}
+      // through the shared merge — the per-group replay contract again
+      assert(byGroup("g") ===
+        graft.analytics.Sketches.mgMerge(k)(streamed, Map("A" -> 6L)),
+        s"g summary after b3: $byGroup")
     } finally {
       prior match {
         case Some(v) => spark.conf.set(providerKey, v)
