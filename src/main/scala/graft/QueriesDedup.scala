@@ -121,6 +121,48 @@ private[graft] object QueriesDedup {
     }),
 
 
+    // Dedup impact report — the release-accounting artifact between d02's
+    // fingerprint election and q38's curation: per duplicate-group SIZE,
+    // how many groups/docs exist, how many docs and how much token mass
+    // exact dedup DROPS, and the kept-vs-dropped mean quality (the
+    // exact-decimal mean recipe, so the doubles are addition-order-free).
+    // This is what answers "what did dedup cost us" in a data release.
+    // The corpus carries no byte-identical copies (its duplication is
+    // near-dup), so the fixture replicates every 5th doc verbatim at a
+    // shifted id (the d24 synthesized-corruption convention) — the
+    // report then has a real size-2 mass to account.
+    // Scale shape: one fingerprint-keyed window (the d02 shuffle) + one
+    // group-size-keyed aggregate; quality rides the shared qualityScored
+    // chain, no second tokenize.
+    "d38_dedup_impact" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val docs = analytics.Par.spreadForCpu(base.unionByName(
+        base.where(pmod(col("doc_id"), lit(5L)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))))
+      val fpd = docs.select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      val mem = qualityScored(docs).join(fpd, Seq("doc_id"))
+        .withColumn("grp_size", count(lit(1)).over(w))
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .withColumn("dropped", col("doc_id") =!= col("keep_id"))
+      mem.groupBy(col("grp_size").cast("long").as("grp_size"))
+        .agg(countDistinct(col("fp")).as("n_groups"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("dropped"), col("n_tokens")).otherwise(0L)).as("tokens_dropped"),
+          round(sum(when(!col("dropped"), dec(col("quality"), 28, 10)))
+            .cast("double") / count(when(!col("dropped"), 1)), 6)
+            .as("mean_quality_kept"),
+          when(sum(when(col("dropped"), 1L).otherwise(0L)) > 0,
+            round(sum(when(col("dropped"), dec(col("quality"), 28, 10)))
+              .cast("double") / count(when(col("dropped"), 1)), 6))
+            .as("mean_quality_dropped"))
+        .orderBy(col("grp_size"))
+    }),
+
+
     // Dedup: ASYMMETRIC containment |A∩B|/|A| — sub-document duplication
     // (a doc contained in a larger one scores ~1.0 while its symmetric
     // Jaccard can be near 0). Same inverted-index candidate generation.
@@ -1198,6 +1240,35 @@ private[graft] object QueriesDedup {
     // d08 vote/fold chain + block pigeonhole + per-radius compares.
     "d37_simhash_sweep" -> simhashSweepOracleSql(radii = Seq(0, 1, 2, 3),
       threshold = 0.4),
+
+    // Dedup-impact twin (d38): q38's fingerprint + the shared quality
+    // CTEs, fp-windowed membership, per-group-size accounting with the
+    // exact-decimal means.
+    "d38_dedup_impact" -> (
+      s"""${qualityScoreCtes(
+        """WITH corp AS (SELECT doc_id, lang, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000 AS doc_id, lang, text
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |d AS (SELECT doc_id, lang, text FROM corp)""".stripMargin)},
+         |fpd AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM corp),
+         |mem AS (SELECT q.doc_id, q.n_tokens, q.quality, f.fp,
+         |    count(*) OVER (PARTITION BY f.fp) AS grp_size,
+         |    min(q.doc_id) OVER (PARTITION BY f.fp) AS keep_id
+         |  FROM q JOIN fpd f USING (doc_id))
+         |SELECT CAST(grp_size AS BIGINT) AS grp_size,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
+         |  round(CAST(sum(CASE WHEN doc_id = keep_id THEN CAST(quality AS DECIMAL(28,10)) END) AS DOUBLE)
+         |    / count(CASE WHEN doc_id = keep_id THEN 1 END), 6) AS mean_quality_kept,
+         |  CASE WHEN sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) > 0 THEN
+         |    round(CAST(sum(CASE WHEN doc_id <> keep_id THEN CAST(quality AS DECIMAL(28,10)) END) AS DOUBLE)
+         |      / count(CASE WHEN doc_id <> keep_id THEN 1 END), 6) END AS mean_quality_dropped
+         |FROM mem GROUP BY grp_size ORDER BY grp_size""".stripMargin),
 
 
     // LSH-eval twin (d26): the d11 pair chain and the exact-Jaccard
