@@ -136,9 +136,15 @@ private[graft] object QueriesDedup {
     // chain, no second tokenize.
     "d38_dedup_impact" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      // replica ids shift by max(doc_id)+1 DERIVED from the corpus (1-row
+      // broadcast scalar, mirrored as a scalar subquery in the oracle) —
+      // a fixed constant would collide with real doc_ids at >= that many
+      // documents and silently fan the doc_id join out 2x2
+      val mx = base.agg((max(col("doc_id")) + 1L).as("shift"))
       val docs = analytics.Par.spreadForCpu(base.unionByName(
         base.where(pmod(col("doc_id"), lit(5L)) === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text"))))
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("shift")).as("doc_id"), col("lang"), col("text"))))
       val fpd = docs.select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fp"))
       val w = Window.partitionBy(col("fp"))
@@ -1247,7 +1253,7 @@ private[graft] object QueriesDedup {
     "d38_dedup_impact" -> (
       s"""${qualityScoreCtes(
         """WITH corp AS (SELECT doc_id, lang, text FROM documents
-          |  UNION ALL SELECT doc_id + 1000000 AS doc_id, lang, text
+          |  UNION ALL SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, lang, text
           |  FROM documents WHERE doc_id % 5 = 0),
           |d AS (SELECT doc_id, lang, text FROM corp)""".stripMargin)},
          |fpd AS (SELECT doc_id,

@@ -20,6 +20,25 @@ import graft.QueryHelpers._
   */
 private[graft] object QueriesPipeline {
 
+  /** q100's reusable scratch directory — one per JVM, overwritten per
+    * invocation, deleted on exit (shutdown hook), so repeated Bench
+    * iterations/retries don't accumulate lineitem projections on /tmp.
+    */
+  private lazy val q100Scratch: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q100")
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+    root.toString + "/data"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
 
@@ -1571,8 +1590,11 @@ private[graft] object QueriesPipeline {
     "q100_manifest_scan" -> ((s, dir) => {
       import graft.sources.StatsManifest
       import graft.functions.ZOrder
-      val scratch = java.nio.file.Files
-        .createTempDirectory("graft-q100").toString + "/data"
+      // ONE per-process scratch path, overwritten per invocation
+      // (StatsManifest.write is mode("overwrite")) — a fresh
+      // createTempDirectory per call would accumulate a full lineitem
+      // projection on /tmp for every timed Bench iteration and retry
+      val scratch = q100Scratch
       val li = t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("x"),

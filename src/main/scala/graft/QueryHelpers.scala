@@ -208,8 +208,8 @@ private[graft] object QueryHelpers {
     val rows = sorted.map { bands =>
       s"""SELECT CAST($bands AS BIGINT) AS bands,
          |  CAST(${k / bands} AS BIGINT) AS rows_per_band, n_true, n_est, tp,
-         |  CAST(tp AS DOUBLE) / CAST(n_est AS DOUBLE) AS precision,
-         |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |  CASE WHEN n_est > 0 THEN CAST(tp AS DOUBLE) / CAST(n_est AS DOUBLE) END AS precision,
+         |  CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
          |FROM a$bands""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${portableMinhashCtes(k)},
@@ -260,7 +260,7 @@ private[graft] object QueryHelpers {
       s"""SELECT CAST($r AS BIGINT) AS radius,
          |  (SELECT n_cand FROM nc) AS n_cand, n_true, n_est, tp,
          |  CASE WHEN n_est > 0 THEN CAST(tp AS DOUBLE) / CAST(n_est AS DOUBLE) END AS precision,
-         |  CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) AS recall
+         |  CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END AS recall
          |FROM a$r""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${shingleCtes()},
@@ -1142,7 +1142,7 @@ private[graft] object QueryHelpers {
        |cge AS (SELECT src, dst FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      row_number() OVER (PARTITION BY a.vec_id
-       |        ORDER BY round(list_cosine_similarity(a.ev, b.ev), 6) DESC, b.vec_id) AS rn
+       |        ORDER BY ${gsim("a.ev", "b.ev")} DESC, b.vec_id) AS rn
        |    FROM co a JOIN co b ON a.vec_id <> b.vec_id) WHERE rn <= $coarseGraphK),
        |cedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM cge UNION ALL SELECT dst AS src, src AS dst FROM cge)),

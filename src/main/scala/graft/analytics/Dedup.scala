@@ -389,8 +389,12 @@ object Dedup {
           sum(col("e") * col("t")).as("tp"))
         .select(lit(bands.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
           col("n_true"), col("n_est"), col("tp"),
-          (col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
-          (col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
+          // NULL, not NaN, when a level admits zero pairs (0/0 is IEEE
+          // NaN on both engines but NaN survives the hash compare badly)
+          when(col("n_est") > 0,
+            col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
+          when(col("n_true") > 0,
+            col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
     }.reduce(_ unionByName _)
   }
 
@@ -459,7 +463,8 @@ object Dedup {
           // NaN on both engines but NaN survives the hash compare badly)
           when(col("n_est") > 0,
             col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
-          (col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
+          when(col("n_true") > 0,
+            col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
     }.reduce(_ unionByName _)
   }
 

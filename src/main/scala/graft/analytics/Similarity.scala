@@ -459,7 +459,13 @@ object Similarity {
         .join(coarse.select(col("id").as("dst"), col("vec").as("dv"), col("nv").as("dn")),
           col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
-          round(cf(col("sv"), col("dv"), col("sn"), col("dn")), 6).as("sim"))
+          // zero-norm pin: cf yields NULL on a zero vector here but the
+          // DuckDB twin's list_cosine_similarity yields NaN (which DuckDB
+          // ranks ABOVE all reals) — coalesce to -2 on both sides so a
+          // zero-norm vector on a stride-multiple id ranks last in both
+          // engines
+          round(coalesce(cf(col("sv"), col("dv"), col("sn"), col("dn")),
+            lit(-2.0)), 6).as("sim"))
         .withColumn("rn", row_number().over(wCoarse))
         .where(col("rn") <= coarseGraphK)
         .select(col("src"), col("dst"))
