@@ -36,14 +36,32 @@ object NetFunctions {
       .otherwise(round(num.cast(DoubleType) * unitFactor(unit), 6))
   }
 
+  /** The ISO-8601 shapes BOTH engines' parsers accept: strict zero-padded
+    * date, optional `T`/space time part with optional seconds + fraction,
+    * optional `Z` or `±HH:MM` offset. Spark's `try_to_timestamp` is laxer
+    * than the reference's `datetime.fromisoformat` (it trims whitespace and
+    * accepts non-padded components like `2026-8-16` — both None in python;
+    * caught by the tools/fuzz_normalizers.py differential gate), so inputs
+    * outside this grammar null out BEFORE the parse. Known residual
+    * deviations, all python-accepts-engine-drops and absent from 3GPP
+    * DateTime: compact `YYYYMMDD`, non-`T`/space separators, `±HH:MM:SS`
+    * offsets (fromisoformat 3.11 grammar extensions).
+    */
+  val IsoStrictRegex =
+    "^\\d{4}-\\d{2}-\\d{2}([T ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?(Z|[+-]\\d{2}:\\d{2})?)?$"
+
   /** parse_datetime_to_unix (reference receiver.py:78–84): ISO-8601 string
     * (Z suffix or explicit offset) → unix seconds (long, truncated); null on
     * any parse failure. Spark's `try_to_timestamp` accepts `Z`/offsets
-    * natively, so the reference's `Z → +00:00` rewrite is unnecessary.
+    * natively, so the reference's `Z → +00:00` rewrite is unnecessary;
+    * [[IsoStrictRegex]] restores the reference parser's strictness.
     * Session TZ must be UTC so offset-less inputs resolve identically.
     */
-  def parseDatetimeToUnix(value: Column): Column =
-    unix_timestamp(try_to_timestamp(value.cast(StringType))).cast(LongType)
+  def parseDatetimeToUnix(value: Column): Column = {
+    val s = value.cast(StringType)
+    unix_timestamp(try_to_timestamp(when(s.rlike(IsoStrictRegex), s)))
+      .cast(LongType)
+  }
 
   /** Python truthiness for strings: `if info.get("x"):` treats null AND ""
     * as missing (reference receiver.py:92–98, 140–143, 170–175).
