@@ -1240,4 +1240,92 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("composed end-to-end exactly-once: dlq parse → enrich → normalize → " +
+      "policy → kafka batches + DLQ sinks, crashed BETWEEN sinks at a chosen " +
+      "batchId (H5, full-pipeline composition)") {
+    // The pieces each carry their own proof (at-least-once redelivery,
+    // (batchId,key) upsert absorption, DLQ split, policy gate); this test
+    // chains ALL of them in ONE streaming query and kills it mid-batch —
+    // after the Kafka-shaped sink wrote batch 1 but BEFORE the DLQ sink did
+    // — so the chosen batch is genuinely partially applied ACROSS sinks.
+    // The restart must re-deliver batch 1 (same batchId), complete the DLQ
+    // half, and overwrite the Kafka half idempotently: observable state
+    // equals a never-crashed run's, byte for byte.
+    val srcDir = tempDir("graft-e2e-src")
+    Files.write(java.nio.file.Paths.get(srcDir, "b0.jsonl"),
+      (Seq(Fixtures.perfDataPayload, Fixtures.ueCommPayload,
+        """{"notifId": broken""").mkString("\n") + "\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(srcDir, "b1.jsonl"),
+      (Seq(Fixtures.ueMobilityPayload, Fixtures.unknownNotifPayload,
+        "not json at all").mkString("\n") + "\n").getBytes("UTF-8"))
+    val rules = graft.policy.Policy.Rules(
+      hashTags = Set("supi"), dropMetrics = Set("pdb_ms"))
+    val crashAt = 1L
+    def pipeline(kafka: Stream.KeyedUpsertStore, dlq: Stream.KeyedUpsertStore,
+        ckptDir: String, crashOnce: Boolean,
+        deliveries: scala.collection.mutable.ArrayBuffer[Long]): Option[Throwable] = {
+      @volatile var armed = crashOnce
+      def run(): Option[Throwable] = {
+        val q = spark.readStream.option("maxFilesPerTrigger", "1").text(srcDir)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val (ok, bad) = Ingest.parseNotificationsWithDlq(batch)
+            val msgs = graft.sinks.Sinks.kafkaBatches(
+              Ingest.envelopes(ok, Fixtures.subscriptions(spark), rules,
+                lit(FixedNow)), deterministicOrder = true)
+            Stream.upsertSender(kafka)(msgs, batchId)
+            deliveries += batchId
+            if (armed && batchId == crashAt)
+              throw new RuntimeException("crashed between the two sinks")
+            Stream.upsertSender(dlq)(
+              bad.select(col("payload").as("key"), col("payload").as("value")),
+              batchId)
+          }
+          .start()
+        try { q.awaitTermination(120000); None }
+        catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+      }
+      val first = run()
+      if (crashOnce) {
+        assert(first.nonEmpty, "the armed crash must fail the query")
+        armed = false
+        assert(run().isEmpty, "the restart must complete")
+      } else assert(first.isEmpty)
+      first
+    }
+    val uid = java.util.UUID.randomUUID().toString
+    // crashed run: batch 0 commits clean, batch 1 crashes between sinks
+    val kafka = new Stream.KeyedUpsertStore(s"e2e-kafka-$uid")
+    val dlq = new Stream.KeyedUpsertStore(s"e2e-dlq-$uid")
+    val deliveries = scala.collection.mutable.ArrayBuffer.empty[Long]
+    pipeline(kafka, dlq, tempDir("graft-e2e-ckpt"), crashOnce = true, deliveries)
+    assert(deliveries.count(_ == crashAt) === 2,
+      s"the crashed batch must be re-delivered under the SAME id: $deliveries")
+    assert(deliveries.count(_ == 0L) === 1,
+      s"the committed batch must NOT be replayed: $deliveries")
+    // reference run: same source, fresh stores/checkpoint, never crashed
+    val kafkaRef = new Stream.KeyedUpsertStore(s"e2e-kafka-ref-$uid")
+    val dlqRef = new Stream.KeyedUpsertStore(s"e2e-dlq-ref-$uid")
+    pipeline(kafkaRef, dlqRef, tempDir("graft-e2e-ckpt-ref"), crashOnce = false,
+      scala.collection.mutable.ArrayBuffer.empty[Long])
+    assert(kafka.snapshot === kafkaRef.snapshot,
+      "crashed-and-restarted Kafka state must equal the never-crashed run's")
+    assert(dlq.snapshot === dlqRef.snapshot,
+      "crashed-and-restarted DLQ state must equal the never-crashed run's")
+    // content sanity: both batches' messages landed once each; the DLQ holds
+    // exactly the two malformed lines; the policy actually gated the stream
+    // (supi sha2-hashed, pdb_ms dropped) through the crash
+    assert(kafka.snapshot.keySet.map(_._1) === Set(0L, 1L))
+    assert(dlq.snapshot.keySet ===
+      Set((0L, """{"notifId": broken"""), (1L, "not json at all")))
+    val b1 = kafka.snapshot((1L, Fixtures.NotifId))
+    assert(b1.contains(""""supi":"""") && !b1.contains("imsi-001011234567890"),
+      s"supi must be hashed in the surviving record: $b1")
+    val b0 = kafka.snapshot((0L, Fixtures.NotifId))
+    assert(!b0.contains("pdb_ms") && b0.contains("thrputDl_mbps"),
+      s"pdb_ms must be dropped by the policy gate: $b0")
+  }
 }
