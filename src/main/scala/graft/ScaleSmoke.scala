@@ -1070,6 +1070,60 @@ object ScaleSmoke {
       graft.analytics.TextAnalysis.greedyBigramRollout(docs,
         nSeeds = 3, steps = 12))
 
+    // Driver-memory budget receipts (r16 verdict task 6): the driver-
+    // coordinated ops hold only CONTROL-sized state, enforced by measured
+    // sizes against their documented bounds — not just described.
+    //  - BPE/unigram trainers: regime picked by the MEASURED word-table
+    //    size vs maxDriverVocab (2^20). The id-shift blowup alone keeps
+    //    the vocabulary FLAT (it multiplies frequencies — the dup-
+    //    adversarial probe), so this receipt salts every copy's words
+    //    (`c{i}_` prefix) to make vocabularies DISJOINT: the word table
+    //    grows ×mult, the worst realistic direction for the budget.
+    //  - hierarchical beam: the collected control tables are the stride-
+    //    sampled coarse layer (~sqrt(n) rows) and its kNN edges
+    //    (≤ sample × 2k) — measured against those caps.
+    //  - k-center: k ids per round (trivially bounded by the k argument).
+    if (shouldRun("driver_budget")) {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val salted = (0 until mult).map(i =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(i * docShift))
+          .withColumn("text", regexp_replace(col("text"), " ", s" c${i}_")))
+        .reduce(_ unionByName _)
+      val wf = graft.analytics.Bpe.wordFreqs(salted)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val vocabRows = wf.count()
+        val sumChars = wf.agg(sum(length(col("word")))).head.getLong(0)
+        // driver-held entry ≈ (word UTF-16, freq, per-char piece strings):
+        // 2 bytes/char word + ~40 bytes/char piece objects + ~64/row fixed
+        val estBytes = sumChars * 48 + vocabRows * 64
+        val bound = 1L << 20 // Bpe.train / Unigram.train maxDriverVocab default
+        val regime = if (vocabRows <= bound) "driver" else "distributed"
+        // the enforcement: when the probe picks the DRIVER regime, the
+        // state it will collect must fit a conservative heap budget
+        if (vocabRows <= bound)
+          require(estBytes < (512L << 20),
+            s"driver-regime vocab estimate $estBytes B breaches the 512 MB budget")
+        val n = vecs.count()
+        val stride = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+        val coarseRows = vecs.where(pmod(col("vec_id"), lit(stride)) === 0).count()
+        require(coarseRows <= 4 * stride + 4,
+          s"stride sample $coarseRows rows is not ~sqrt(n=$n)")
+        val edgeCap = coarseRows * 2 * 8 // coarseGraphK = 8, symmetrized
+        require(edgeCap * 16 < (64L << 20),
+          s"coarse edge list cap $edgeCap rows breaches the 64 MB control budget")
+        val sec = (System.nanoTime() - t0) / 1e9
+        results("driver_budget") = (sec, vocabRows)
+        System.err.println(f"[scale-smoke] driver_budget: $sec%.2fs " +
+          f"bpe_vocab_rows=$vocabRows (bound=$bound, regime=$regime) " +
+          f"est_mb=${estBytes / 1048576.0}%.1f " +
+          f"beam_n=$n coarse_sample=$coarseRows edge_cap=$edgeCap " +
+          s"kcenter_state=k")
+      } finally wf.unpersist(blocking = false)
+    }
+
     // RocksDB transformWithState STATE-SCALE datapoint: the per-key
     // ListState rolling window (RecentEventsProcessor) over a key space
     // that grows with mult — 50k×mult keys × 4 observations. Cost must
