@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Plan-stability snapshots (r16 verdict task 4): the physical plan shapes
+  * PlanAuditSpec asserts property-by-property are ALSO pinned wholesale as
+  * normalized formatted-explain goldens, so a Spark-version bump, a changed
+  * optimizer rule, or an accidental operator edit that silently degrades a
+  * plan (broadcast → shuffle, TakeOrdered → global sort, pruned → full
+  * scan) fails THIS spec instead of a future benchmark round.
+  *
+  * Coverage: every query PlanAuditSpec audits plus the bench's most
+  * expensive movers (d29/d32/d36/d37/s05/s26 — the plans the r16 verdict
+  * read by hand).
+  *
+  * Normalization strips the volatile tokens — expression ids (`#123`),
+  * plan ids, codegen ids, filesystem paths, in-memory-relation object ids —
+  * and keeps everything structural: node kinds and order, join strategies,
+  * partitioning expressions, pushed filters, read schemas.
+  *
+  * Regenerating after an INTENTIONAL plan change:
+  *   GRAFT_REGEN_PLAN_SNAPSHOTS=1 sbt "testOnly graft.PlanSnapshotSpec"
+  * then review the diff like any code change — a snapshot diff IS the
+  * plan-shape review.
+  */
+class PlanSnapshotSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val snapDir: Path = Paths.get("src/test/resources/plan_snapshots")
+  private val regen = sys.env.contains("GRAFT_REGEN_PLAN_SNAPSHOTS")
+
+  private val Snapshotted: Seq[String] = Seq(
+    // every PlanAuditSpec-audited query
+    "d04_minhash_lsh", "d07_dedup_clusters", "d08_simhash_portable",
+    "d13_decontaminate", "d15_spans", "d16_bloom", "d24_entity_resolution",
+    "m07_crossmodal", "m11_shot_boundaries", "q01_pricing_summary",
+    "q02_filter_pushdown", "q04_broadcast_dims", "q101_release_manifest",
+    "q13_topk", "q20_nef_envelope", "q28_pivot", "q30_approx_distinct",
+    "q38_curation_pipeline", "q47_heavy_hitters", "q73_profile_approx",
+    "q77_ohlc_bars", "q80_seasonal_anomaly", "q82_attribution", "q93_cuped",
+    "q94_merkle_manifest", "q98_temperature_mix", "s02_lsh_topk",
+    "s03_ivf_topk", "s16_semdedup", "s19_ivfpq_topk", "s22_maxsim",
+    "t08_repetition", "t33_novelty",
+    // the bench's most expensive movers
+    "d29_quality_survivors", "d32_prefix_filter_join", "d36_lsh_sweep",
+    "d37_simhash_sweep", "s05_kmeans", "s26_hier_beam")
+
+  private def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+L?", "#N")
+      .replaceAll("plan_id=\\d+", "plan_id=N")
+      .replaceAll("(?i)file:[^\\s,\\]\\)]+", "PATH")
+      .replaceAll("/[^\\s,\\]\\)]*(?:tmp|testdata|warehouse)[^\\s,\\]\\)]*", "PATH")
+      .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: PATH")
+      .replaceAll("@[0-9a-f]{6,}", "@OBJ")
+      .replaceAll("cachedrddbuilder[^\\s,\\)]*", "CACHE")
+      .replaceAll("\\r\\n", "\n")
+      .trim
+
+  test("audited plan shapes match their committed snapshots") {
+    if (regen) Files.createDirectories(snapDir)
+    val diffs = Snapshotted.flatMap { name =>
+      val p = normalize(SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted")))
+      val f = snapDir.resolve(s"$name.txt")
+      if (regen) {
+        Files.writeString(f, p + "\n")
+        None
+      } else if (!Files.exists(f)) Some(s"$name: snapshot file missing " +
+        "(run with GRAFT_REGEN_PLAN_SNAPSHOTS=1 to create)")
+      else {
+        val want = Files.readString(f).trim
+        if (want == p) None
+        else {
+          // surface the first divergent line — the full plans are too big
+          // for an assertion message, and the regen-diff workflow is the
+          // real review surface
+          val wl = want.linesIterator.toVector
+          val pl = p.linesIterator.toVector
+          val i = wl.zipAll(pl, "<absent>", "<absent>")
+            .indexWhere { case (a, b) => a != b }
+          Some(s"$name: plan diverges from snapshot at line ${i + 1}:\n" +
+            s"  snapshot: ${wl.lift(i).getOrElse("<absent>")}\n" +
+            s"  current:  ${pl.lift(i).getOrElse("<absent>")}")
+        }
+      }
+    }
+    assert(diffs.isEmpty, diffs.mkString(
+      s"\n${diffs.size} plan snapshot mismatches " +
+        "(GRAFT_REGEN_PLAN_SNAPSHOTS=1 regenerates after an intentional change):\n",
+      "\n", ""))
+  }
+}
