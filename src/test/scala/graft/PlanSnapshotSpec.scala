@@ -36,7 +36,13 @@ class PlanSnapshotSpec extends SparkSpec {
     "m07_crossmodal", "m11_shot_boundaries", "q01_pricing_summary",
     "q02_filter_pushdown", "q04_broadcast_dims", "q101_release_manifest",
     "q13_topk", "q20_nef_envelope", "q28_pivot", "q30_approx_distinct",
-    "q38_curation_pipeline", "q47_heavy_hitters", "q73_profile_approx",
+    "q38_curation_pipeline", "q47_heavy_hitters",
+    // q73_profile_approx is audited property-wise in PlanAuditSpec but NOT
+    // snapshotted: its exact pass carries a multi-column count_distinct,
+    // and Catalyst's RewriteDistinctAggregates groups the distinct sets
+    // via an unordered map — the rendered Expand branch ORDER varies run
+    // to run within one Spark version (same plan, same results; parity
+    // gate green), so a byte-level golden cannot hold.
     "q77_ohlc_bars", "q80_seasonal_anomaly", "q82_attribution", "q93_cuped",
     "q94_merkle_manifest", "q98_temperature_mix", "s02_lsh_topk",
     "s03_ivf_topk", "s16_semdedup", "s19_ivfpq_topk", "s22_maxsim",
@@ -48,6 +54,11 @@ class PlanSnapshotSpec extends SparkSpec {
   private def normalize(plan: String): String =
     plan
       .replaceAll("#\\d+L?", "#N")
+      // lambda variable names carry a session-global counter (x_6 vs x_500
+      // depending on how many lambdas were analyzed before this test)
+      .replaceAll("lambda [a-z]+_\\d+", "lambda v")
+      // RDD ids count per-context (localCheckpoint lineage references)
+      .replaceAll("RDD\\[\\d+\\]", "RDD[N]")
       .replaceAll("plan_id=\\d+", "plan_id=N")
       .replaceAll("(?i)file:[^\\s,\\]\\)]+", "PATH")
       .replaceAll("/[^\\s,\\]\\)]*(?:tmp|testdata|warehouse)[^\\s,\\]\\)]*", "PATH")
