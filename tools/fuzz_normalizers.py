@@ -67,13 +67,17 @@ REF = "/root/reference"
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 FUZZ_DIR = os.path.join(HERE, "fuzz")
-CORPUS = os.path.join(FUZZ_DIR, "corpus.jsonl.gz")
-SUBS = os.path.join(FUZZ_DIR, "subscriptions.jsonl")
-PY_OUT = "/tmp/fuzz_py.jsonl"
-SPARK_OUT = "/tmp/fuzz_spark_out"
 FIXED_NOW = 1765432100
-SEED = 20260816
-N_PAYLOADS = 4000
+DEFAULT_SEED = 20260816
+# FUZZ_SEED / FUZZ_N run extra shakeout corpora; only the default seed
+# writes into the COMMITTED corpus location (tools/fuzz/)
+SEED = int(os.environ.get("FUZZ_SEED", DEFAULT_SEED))
+N_PAYLOADS = int(os.environ.get("FUZZ_N", 4000))
+_BASE = FUZZ_DIR if SEED == DEFAULT_SEED else f"/tmp/fuzz_{SEED}"
+CORPUS = os.path.join(_BASE, "corpus.jsonl.gz")
+SUBS = os.path.join(_BASE, "subscriptions.jsonl")
+PY_OUT = f"/tmp/fuzz_py_{SEED}.jsonl"
+SPARK_OUT = f"/tmp/fuzz_spark_out_{SEED}"
 
 
 # ── reference import (conftest.py:26-59 pattern) ─────────────────────────────
@@ -425,7 +429,7 @@ def gen_payload(rng, sub_ids):
 
 
 def cmd_gen():
-    os.makedirs(FUZZ_DIR, exist_ok=True)
+    os.makedirs(_BASE, exist_ok=True)
     rng = random.Random(SEED)
     subs = make_subscriptions()
     with open(SUBS, "w") as f:
@@ -457,14 +461,21 @@ def cmd_gen():
 # ── run reference side ───────────────────────────────────────────────────────
 
 def load_registry():
-    registry = {}
+    """Route the subscriptions through the reference's OWN NfRegistry
+    (registry.py): add() (json.dumps storage, `{} if snssai else None`
+    normalization), then a FRESH instance re-reads the sqlite file so the
+    context the normalizers see has crossed the reference's full
+    persist/reload/copy-on-get path (registry.py:36-53, 92-95)."""
+    import registry as refreg  # sys.path has /root/reference after load_reference
+    db = os.path.join(tempfile.mkdtemp(prefix="fuzz-subs"), "registry.db")
+    reg = refreg.NfRegistry(db_path=db)
     with open(SUBS) as f:
         for line in f:
             row = json.loads(line)
-            registry[row["notif_id"]] = {
-                "notif_id": row["notif_id"], "snssai": row["snssai"],
-                "dnn": row["dnn"]}
-    return registry
+            reg.add(notif_id=row["notif_id"], snssai=row["snssai"],
+                    dnn=row["dnn"], events=row["events"],
+                    nef_sub_id=row["nef_sub_id"], nef_url=row["nef_url"])
+    return refreg.NfRegistry(db_path=db)  # reload-from-disk semantics
 
 
 def cmd_pyrun():
