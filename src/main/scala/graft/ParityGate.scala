@@ -50,10 +50,19 @@ object ParityGate {
       "shuffle.partitions=1" ->
         (() => spark.conf.set("spark.sql.shuffle.partitions", "1")),
       "adaptive.enabled=false" ->
-        (() => spark.conf.set("spark.sql.adaptive.enabled", "false")))
+        (() => spark.conf.set("spark.sql.adaptive.enabled", "false")),
+      // interpreted-expression parity: forces the eval() path of every
+      // expression — including the six custom Catalyst kernels, whose
+      // doGenCode and eval are separate implementations — catalog-wide
+      "codegen=off" -> (() => {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }))
     def reset(): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", cpus)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
     var failures = 0
     selected.foreach { case (name, fn) =>
