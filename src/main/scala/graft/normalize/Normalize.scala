@@ -193,15 +193,26 @@ object Normalize {
       if (enriched.sparkSession.catalog.functionExists("parse_bitrate_mbps"))
         c => call_function("parse_bitrate_mbps", c.cast(StringType))
       else parseBitrateMbps
+    // null ELEMENTS inside an infos array drop before the envelope build:
+    // a null info would otherwise fabricate a context-tags-only record
+    // (the subscription ctx alone passes hasAnyTag). The reference 500s
+    // the whole request on a null info (`None.get` AttributeError,
+    // receiver.py:384–385); the engine's documented per-record resilience
+    // keeps the SIBLING records and drops only the null element — same
+    // deviation class as the malformed-line DLQ split. Null elements in
+    // eventNotifs itself already fall out (null `en` → null CASE → null
+    // array → explode drops). PipelineSpec pins all three shapes.
+    def infos(field: String): Column =
+      filter(en.getField(field), i => i.isNotNull)
     val recArray =
       when(en.getField("event") === "PERF_DATA",
-        transform(en.getField("perfDataInfos"),
+        transform(infos("perfDataInfos"),
           i => perfEnvelope(col("notifId"), i, ctx, now, parseBitrate)))
       .when(en.getField("event") === "UE_MOBILITY",
-        transform(en.getField("ueMobilityInfos"),
+        transform(infos("ueMobilityInfos"),
           i => mobilityEnvelope(col("notifId"), i, ctx, now)))
       .when(en.getField("event") === "UE_COMM",
-        transform(en.getField("ueCommInfos"),
+        transform(infos("ueCommInfos"),
           i => commEnvelope(col("notifId"), i, ctx, now)))
     enriched
       .select(col("notifId"), col("snssai_sst"), col("snssai_sd"), col("dnn"),

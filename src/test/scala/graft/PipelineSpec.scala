@@ -414,4 +414,30 @@ class PipelineSpec extends SparkSpec {
     assert(ring._5 < 0.35 && ring._5 < m._5 / 2,
       s"ring moved_frac must undercut mod by far: ring=$ring mod=$m")
   }
+
+  test("null array ELEMENTS: null info drops (never a context-only record), " +
+      "null eventNotif drops, siblings survive — documented resilience vs " +
+      "the reference's whole-request 500 (receiver.py:384–385)") {
+    // shape 1: null element inside eventNotifs alongside a valid notif
+    val nullNotif = s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[null,""" +
+      """{"event":"PERF_DATA","perfDataInfos":[{"appId":"keep-me"}]}]}"""
+    // shape 2: null element inside the infos array alongside a valid info —
+    // before the round-17 fix this fabricated a context-tags-only envelope
+    // (the subscription ctx alone passes hasAnyTag)
+    val nullInfo = s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[""" +
+      """{"event":"PERF_DATA","perfDataInfos":[null,{"appId":"keep-me-2"}]}]}"""
+    val out = rows(envelopes(nullNotif, nullInfo))
+    assert(out.size === 2, s"exactly the two sibling records survive: $out")
+    val apps = out.map(_.getAs[org.apache.spark.sql.Row]("tags")
+      .getAs[String]("appId")).toSet
+    assert(apps === Set("keep-me", "keep-me-2"),
+      s"null elements must never become records: $apps")
+    // shape 3: a STRING where an info struct belongs corrupts the whole
+    // payload row (PERMISSIVE from_json) — zero records, convergent with
+    // the reference's 500 for the same input
+    val typeConfusion = s"""{"notifId":"${Fixtures.NotifId}","eventNotifs":[""" +
+      """{"event":"PERF_DATA","perfDataInfos":["garbage",{"appId":"keep-me-3"}]}]}"""
+    assert(rows(envelopes(typeConfusion)).isEmpty,
+      "type-confused payload must drop whole, like the reference's 500")
+  }
 }
