@@ -210,7 +210,7 @@ def make_subscriptions():
     ]
 
 
-STRINGS = ["", " ", "0", "false", "alpha", "café", "日本語",
+STRINGS = ["", " ", "0", "false", "alpha", "café", "日本語", "emoji-😀-end",
            "x" * 300, "line\nbreak", "tab\there", "quo\"te", "back\\slash"]
 LONE_SURROGATE = "bad\ud800end"  # escapes as \ud800 under ensure_ascii
 
@@ -451,6 +451,17 @@ def cmd_gen():
             if rng.random() < 0.01:  # malformed JSON: 500 there, DLQ here
                 f.write('{"notifId": "sub-01", "eventNotifs": [unclosed\n')
                 n_malformed += 1
+                continue
+            if rng.random() < 0.01:
+                # duplicate JSON keys: LAST occurrence wins on both engines
+                # (CPython dict build; Jackson field overwrite) — probed,
+                # agreeing; kept in the corpus so a parser swap that
+                # changes to first-wins fails the gate
+                f.write('{"notifId":"sub-01","eventNotifs":[{"event":'
+                        '"PERF_DATA","perfDataInfos":[{"appId":"first",'
+                        '"appId":"second","timeStamp":'
+                        '"2026-01-01T00:00:00Z","timeStamp":'
+                        '"2027-01-01T00:00:00Z"}]}]}\n')
                 continue
             f.write(json.dumps(gen_payload(rng, sub_ids), ensure_ascii=True)
                     + "\n")
