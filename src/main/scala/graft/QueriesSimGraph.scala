@@ -252,6 +252,27 @@ private[graft] object QueriesSimGraph {
     }),
 
 
+    // s02 through the PERSISTED index artifact (s28): write-once
+    // bucketBy(bucket) LSH index with denormalized vec/norm, probe via a
+    // collected control-sized bucket-key filter (Spark bucket pruning —
+    // SelectedBucketsCount plan-audited in SimilaritySpec), score from
+    // the index's own columns, never touching the raw corpus. Same
+    // config as s02 ⇒ same result ⇒ the SAME DuckDB oracle — the
+    // strongest equivalence statement the gate can make about an index
+    // path: identical answers from a structurally different plan.
+    "s28_lsh_index_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = "graft_s28_lsh_idx"
+      Similarity.writeLshIndex(e, tbl, nTables = 16, planesPerTable = 4,
+        dim = 64)
+      Similarity.lshTopKFromIndex(e.where(col("vec_id") < 10), tbl, k = 5,
+          nTables = 16, planesPerTable = 4, dim = 64)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
     // Similarity: IVF coarse-quantizer top-k (the bucketed ANN alternative
     // to s02; recall floor-asserted in SimilaritySpec). Cell assignment
     // ranks on round(cosine, 6) with cent_id tie-break — deterministic
@@ -1496,6 +1517,22 @@ private[graft] object QueriesSimGraph {
     // within one accumulation-reorder ulp of 0 — vanishingly rare for
     // Gaussian planes, and caught by this oracle if it ever happens.
     "s02_lsh_topk" ->
+      s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(16, 4, 64, 42L)}),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |bk AS (SELECT vec_id, tbl,
+         |  SUM(CASE WHEN list_dot_product(ev, w) >= 0 THEN 1::BIGINT << pl ELSE 0 END)::BIGINT AS bucket
+         |  FROM v CROSS JOIN planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+         |  FROM bk p JOIN bk c ON p.tbl = c.tbl AND p.bucket = c.bucket AND p.vec_id <> c.vec_id
+         |  WHERE p.vec_id < 10),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // s28 is s02 through the persisted bucketBy index — same config,
+    // same answer BY CONSTRUCTION, so the oracle is s02's verbatim: the
+    // gate asserting two structurally different plans (inline probe vs
+    // pruned index lookup) hash-match the same DuckDB replay.
+    "s28_lsh_index_topk" ->
       s"""WITH planes(tbl, pl, w) AS (VALUES ${lshPlanesValues(16, 4, 64, 42L)}),
          |v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          |bk AS (SELECT vec_id, tbl,

@@ -218,6 +218,72 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Write-once LSH bucket INDEX — the persisted artifact every lshTopK
+    * scale note points at, as an executable seam rather than a comment:
+    * the corpus's (tbl, bucket, neighbor_id, vec, vec_norm) rows saved as
+    * a parquet table bucketed on `bucket` (a SINGLE bucket column — Spark
+    * applies bucket pruning only to single-column bucket specs; `tbl`
+    * rides as an ordinary pushed-filter column). Vectors and norms are
+    * DENORMALIZED into the index, so the query half never joins — or
+    * shuffles — the raw corpus: scoring is local to the bucket lookup.
+    * Storage trade: nTables copies of each vector, the standard
+    * inverted-index trade (the IVF cell tables make the same one).
+    */
+  def writeLshIndex(corpus: DataFrame, table: String, nTables: Int,
+      planesPerTable: Int, dim: Int, seed: Long = 42L, nBuckets: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val nf = normFn(corpus)
+    Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        nf(col(vecCol)).as("vec_norm"),
+        posexplode(bucketArrayFor(corpus, vecCol, nTables, planesPerTable,
+          dim, seed)).as(Seq("tbl", "bucket")))
+      .select(col("tbl"), col("bucket"), col("neighbor_id"),
+        col("vec"), col("vec_norm"))
+      .write.mode("overwrite").bucketBy(nBuckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Query half of [[writeLshIndex]] — value-identical to [[lshTopK]] on
+    * the same config (SimilaritySpec asserts row equality; the s28
+    * catalog entry replays the SAME oracle as s02). The probe batch's
+    * bucket keys are COLLECTED (control-sized: ≤ nProbes × nTables
+    * values) and pushed into the index scan as an `isin` filter on the
+    * bucket column, so Spark's bucket pruning opens ONLY the probed
+    * buckets' files (`SelectedBucketsCount` in the scan — the
+    * plan-audited receipt); the raw corpus is never read. Scoring runs
+    * per bucket-join hit from the index's own vec/norm columns; the
+    * (probe, neighbor, sim) distinct then equals lshTopK's
+    * distinct-before-score because duplicate hits carry bit-identical
+    * vectors and therefore bit-identical sims.
+    */
+  def lshTopKFromIndex(probes: DataFrame, table: String, k: Int,
+      nTables: Int, planesPerTable: Int, dim: Int, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    val nf = normFn(probes)
+    val cf = cosineFromNorms(dotFn(probes)) _
+    val pBase = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), nf(col(vecCol)).as("probe_norm"),
+      posexplode(bucketArrayFor(probes, vecCol, nTables, planesPerTable,
+        dim, seed)).as(Seq("tbl", "bucket")))
+    val bucketKeys = pBase.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idx = spark.table(table).where(col("bucket").isin(bucketKeys: _*))
+    val scored = idx.join(broadcast(pBase), Seq("tbl", "bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cf(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Graph-traversal ANN (the HNSW/NSG family shape, flattened to one
     * layer): beam search over the s13 kNN graph. The index artifact is the
     * SYMMETRIZED LSH-built kNN graph (an edge list a 100 TB deployment

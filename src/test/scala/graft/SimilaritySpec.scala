@@ -795,4 +795,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got(8)._3 === BigDecimal((full intersect t8).size / 50.0)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("s28: persisted LSH index answers equal inline lshTopK; the scan is " +
+      "bucket-PRUNED and the raw corpus is never read") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // probes LOCALIZED (collected → createDataFrame) so the index path's
+    // plan contains NO embeddings.parquet scan at all — the corpus-free
+    // claim is then assertable verbatim (the probe batch is caller data;
+    // in production it arrives from anywhere)
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(e.where(col("vec_id") < 2).collect(): _*),
+      e.schema)
+    // 8 planes → 256 bucket values over 32 physical buckets; 2 probes ×
+    // 8 tables touch ≤ 16 values, so pruning MUST select a strict subset
+    val tbl = "graft_s28_spec_idx"
+    Similarity.writeLshIndex(e, tbl, nTables = 8, planesPerTable = 8,
+      dim = 64, nBuckets = 32)
+    try {
+      val fromIdx = Similarity.lshTopKFromIndex(probes, tbl, k = 5,
+        nTables = 8, planesPerTable = 8, dim = 64)
+      val inline = Similarity.lshTopK(e, probes, k = 5,
+        nTables = 8, planesPerTable = 8, dim = 64)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).sortBy(t => (t._1, t._2))
+      assert(canon(fromIdx) === canon(inline),
+        "index path must answer exactly what the inline probe answers")
+      val plan = fromIdx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+        .getOrElse(fail(s"scan must be bucket-pruned, plan:\n$plan"))
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"pruning must select a strict bucket subset, plan:\n$plan")
+      assert(!plan.contains("embeddings.parquet"),
+        s"the raw corpus must never be scanned on the query path, plan:\n$plan")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
