@@ -287,6 +287,24 @@ private[graft] object QueriesSimGraph {
     }),
 
 
+    // s03 through the PERSISTED cell index (s29) — the s28 pattern on
+    // the IVF family: cell-assigned corpus bucketed by cent_id with the
+    // quantizer saved alongside; probes assign against the persisted
+    // quantizer and read only their nProbe cells (bucket pruning,
+    // SimilaritySpec-audited). Same config as s03 ⇒ same answer ⇒ s03's
+    // oracle verbatim.
+    "s29_ivf_index_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = "graft_s29_ivf_idx"
+      Similarity.writeIvfIndex(e, tbl, nCells = 16)
+      Similarity.ivfTopKFromIndex(e.where(col("vec_id") < 10), tbl, k = 5,
+          nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
     // Filtered (hybrid) ANN: top-k restricted to vectors passing a
     // metadata predicate (label = 3) — the filtered-vector-search
     // shape every retrieval stack needs. The predicate is pushed INTO
@@ -1731,6 +1749,28 @@ private[graft] object QueriesSimGraph {
     // deterministic contract), corpus to its 1 nearest cell, probes to 8,
     // candidates per shared cell, then s01's exact cosine re-rank.
     "s03_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM v CROSS JOIN cents),
+         |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn) WHERE r <= 1),
+         |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+         |cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // s29 is s03 through the persisted cell index — same config, same
+    // answer by construction, so s03's oracle verbatim (the s28
+    // discipline on the IVF family).
+    "s29_ivf_index_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
          |asgn AS (SELECT vec_id, cent_id,

@@ -229,9 +229,30 @@ object Similarity {
     * Storage trade: nTables copies of each vector, the standard
     * inverted-index trade (the IVF cell tables make the same one).
     */
+  /** Drop `table` AND its managed warehouse directory. `mode("overwrite")
+    * .saveAsTable` alone is not enough across JVMs: a fresh session's
+    * in-memory catalog has no entry for the table, but the previous
+    * session's warehouse directory survives on disk, and Spark then
+    * refuses the write with LOCATION_ALREADY_EXISTS (caught by the s28
+    * gate run — the spec JVM had written the same table name).
+    */
+  private def replaceTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
+    val dir = new java.io.File(whPath, table.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   def writeLshIndex(corpus: DataFrame, table: String, nTables: Int,
       planesPerTable: Int, dim: Int, seed: Long = 42L, nBuckets: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    replaceTable(corpus.sparkSession, table)
     val nf = normFn(corpus)
     Par.spreadForCpu(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
@@ -886,6 +907,91 @@ object Similarity {
       .partitionBy(col("probe_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Write-once IVF cell INDEX — [[writeLshIndex]]'s sibling for the IVF
+    * scale path: the corpus's nearest-cell assignment (s03's exact
+    * recipe — round-6 cosine, cent_id tie-break, partial+final max_by)
+    * persisted as `(cent_id, neighbor_id, vec, vec_norm)` bucketed on
+    * `cent_id`, with the quantizer saved alongside as
+    * `<table>_quantizer` (the FAISS convention: the coarse quantizer IS
+    * part of the index artifact — the query half must assign probes with
+    * the SAME centroids the corpus was cut by, never re-derive them).
+    */
+  def writeIvfIndex(corpus: DataFrame, table: String, nCells: Int,
+      nBuckets: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    replaceTable(corpus.sparkSession, table)
+    replaceTable(corpus.sparkSession, s"${table}_quantizer")
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_quantizer")
+    val cents = broadcast(centroids
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    Par.spreadForCpu(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
+        nf(col(vecCol)).as("vec_norm"))
+      .join(cents)
+      .select(col("neighbor_id"), col("vec"), col("vec_norm"), col("cent_id"),
+        round(cf(col("vec"), col("cent_vec"),
+          col("vec_norm"), col("cent_norm")), 6).as("csim"))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max_by(col("cent_id"), assignOrd(col("csim"), col("cent_id"))).as("cent_id"),
+        first(col("vec")).as("vec"), first(col("vec_norm")).as("vec_norm"))
+      .select(col("cent_id"), col("neighbor_id"), col("vec"), col("vec_norm"))
+      .write.mode("overwrite").bucketBy(nBuckets, "cent_id").sortBy("cent_id")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Query half of [[writeIvfIndex]] — value-identical to [[ivfTopK]] on
+    * the same (nCells, nProbe) (SimilaritySpec asserts row equality; the
+    * s29 catalog entry replays s03's oracle verbatim): probes assign to
+    * their nProbe nearest cells against the PERSISTED quantizer, the
+    * probed cell ids are collected (control-sized: ≤ nProbes × nProbe)
+    * and pushed into the index scan as an `isin` filter, so bucket
+    * pruning opens only those cells' files; candidates score from the
+    * index's own vec/norm columns — candidate volume is
+    * corpus × nProbe / nCells and the raw corpus is never read.
+    */
+  def ivfTopKFromIndex(probes: DataFrame, table: String, k: Int,
+      nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    val nf = normFn(probes)
+    val cf = cosineFromNorms(dotFn(probes)) _
+    val cents = broadcast(spark.table(s"${table}_quantizer")
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+    val pAssign = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        nf(col(vecCol)).as("probe_norm"))
+      .join(cents)
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cent_id"),
+        round(cf(col("probe_vec"), col("cent_vec"),
+          col("probe_norm"), col("cent_norm")), 6).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= nProbe)
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cent_id"))
+    val cellIds = pAssign.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val idx = spark.table(table).where(col("cent_id").isin(cellIds: _*))
+    val scored = idx.join(broadcast(pAssign), Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cf(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast("bigint"))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }

@@ -833,4 +833,37 @@ class SimilaritySpec extends SparkSpec {
         s"the raw corpus must never be scanned on the query path, plan:\n$plan")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("s29: persisted IVF cell index answers equal inline ivfTopK; probe " +
+      "reads only its nProbe cells (bucket-pruned) and never the raw corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(e.where(col("vec_id") < 2).collect(): _*),
+      e.schema)
+    // 2 probes × nProbe 4 of 16 cells → ≤ 8 cells: strict bucket subset
+    val tbl = "graft_s29_spec_idx"
+    Similarity.writeIvfIndex(e, tbl, nCells = 16)
+    try {
+      val fromIdx = Similarity.ivfTopKFromIndex(probes, tbl, k = 5, nProbe = 4)
+      val inline = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 4)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).sortBy(t => (t._1, t._2))
+      assert(canon(fromIdx) === canon(inline),
+        "index path must answer exactly what inline ivfTopK answers")
+      val plan = fromIdx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+        .getOrElse(fail(s"cell scan must be bucket-pruned, plan:\n$plan"))
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"pruning must select a strict cell subset, plan:\n$plan")
+      assert(!plan.contains("embeddings.parquet"),
+        s"the raw corpus must never be scanned on the query path, plan:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_quantizer")
+    }
+  }
 }
