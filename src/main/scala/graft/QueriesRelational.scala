@@ -561,6 +561,26 @@ private[graft] object QueriesRelational {
           col("avg_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
+
+
+    // G3 at aggregate cost — grouped top-k as a bounded-state typed
+    // aggregate (operators/GroupedTopK): the rows `row_number() <= k`
+    // keeps, with NO sort of the input anywhere in the plan. Spark's own
+    // InferWindowGroupLimit already makes the window form's shuffle
+    // n-independent, but still full-sorts every map partition first
+    // (O(n log n) + spills — at 100 TB that sort is the cost); the
+    // aggregate keeps a ≤2k−1-pair buffer per key (O(n log k)) and
+    // ships one buffer row per (map partition, key). Equivalence, plan
+    // shape, and shuffle receipt pinned in OperatorsSpec; the oracle
+    // replays the window definition.
+    "q103_grouped_topk" -> ((s, dir) => {
+      val li = analytics.Par.spreadForCpu(t(s, dir, "lineitem"))
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("bigint").as("id"),
+          col("l_extendedprice").as("price"))
+      operators.GroupedTopK.topKPerKey(li, Seq("rf", "ls"), "price", "id", k = 5)
+        .orderBy(col("rf"), col("ls"), col("rnk"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -657,6 +677,17 @@ private[graft] object QueriesRelational {
     "q13_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+
+    "q103_grouped_topk" ->
+      """SELECT rf, ls, rnk, id, price FROM (
+        | SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |   row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |     ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rnk,
+        |   CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id,
+        |   l_extendedprice AS price
+        | FROM lineitem)
+        |WHERE rnk <= 5 ORDER BY rf, ls, rnk""".stripMargin,
 
 
     "q14_union" ->

@@ -709,6 +709,19 @@ private[graft] object QueriesText {
           col("n_words"), col("n_sentences"), col("n_syllables")))
         .orderBy(col("doc_id"))
     }),
+
+
+    // WordPiece (BERT) encoder — the third tokenizer family beside BPE
+    // (t11, merge replay) and unigram (t32, EM): greedy longest-prefix
+    // match over a frequency-seeded piece vocabulary, '##' continuation
+    // rendering, whole-word [UNK] past the HF max_input_chars bound
+    // (6 here so the path fires on the corpus' one 8-char word). The
+    // match loop runs on the distinct-word table, never the corpus;
+    // the oracle replays the seeding and all 6 unrolled greedy steps.
+    "t37_wordpiece" -> ((s, dir) =>
+      analytics.WordPiece.encode(t(s, dir, "documents"), topPieces = 40,
+          maxInputChars = 6)
+        .orderBy(col("doc_id"))),
   )
 
   // ── DuckDB oracle twins ──
@@ -1443,5 +1456,11 @@ private[graft] object QueriesText {
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS scrubbed
         |FROM p) ORDER BY doc_id""".stripMargin,
+
+
+    // WordPiece twin (t37): the identical vocabulary seed (top-40
+    // substrings + singles) and all 6 greedy longest-match steps,
+    // unrolled (see wordPieceOracleSql).
+    "t37_wordpiece" -> wordPieceOracleSql(topPieces = 40, maxInputChars = 6),
   )
 }

@@ -762,6 +762,65 @@ private[graft] object QueryHelpers {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Full SQL twin of t37 (WordPiece): frequency-seeded piece
+    * vocabulary (top-`topPieces` substrings of length 2..MaxPieceLen by
+    * (Σfreq desc, piece asc) + all single chars), then the greedy
+    * longest-prefix match unrolled as `maxInputChars` CTE steps (each
+    * step's best match is a correlated max over the piece table — the
+    * bpeEncChainSql unroll discipline), '##' continuation rendering,
+    * whole-word [UNK] over the length bound, then the doc-level
+    * word-order piece aggregation.
+    */
+  private[graft] def wordPieceOracleSql(topPieces: Int, maxInputChars: Int): String = {
+    val maxPieceLen = analytics.WordPiece.MaxPieceLen
+    val steps = (1 to maxInputChars).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT word, n,
+         |  CASE WHEN unk OR p >= n THEN p WHEN bl IS NULL THEN n ELSE p + bl END AS p,
+         |  CASE WHEN unk OR p >= n OR bl IS NULL THEN acc
+         |    WHEN p = 0 THEN substr(word, 1, CAST(bl AS INT))
+         |    ELSE acc || ' ##' || substr(word, CAST(p + 1 AS INT), CAST(bl AS INT)) END AS acc,
+         |  unk OR (p < n AND bl IS NULL) AS unk
+         |FROM (SELECT s.*, (SELECT max(length(pc.piece)) FROM pieces pc
+         |    WHERE length(pc.piece) <= s.n - s.p
+         |      AND pc.piece = substr(s.word, CAST(s.p + 1 AS INT), CAST(length(pc.piece) AS INT))) AS bl
+         |  FROM w${k - 1} s))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id, $tokensSqlExpr AS ws FROM documents),
+       |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(ws) AS word FROM tok) GROUP BY word),
+       |subs AS (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    sum(freq) AS w
+       |  FROM wf, UNNEST(range(1, length(word) + 1)) AS t(i),
+       |    UNNEST(range(2, $maxPieceLen + 1)) AS u(l)
+       |  WHERE i + l - 1 <= length(word) GROUP BY 1),
+       |topp AS (SELECT piece FROM subs ORDER BY w DESC, piece LIMIT $topPieces),
+       |sing AS (SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+       |  FROM wf, UNNEST(range(1, length(word) + 1)) AS t(i)),
+       |pieces AS MATERIALIZED (SELECT DISTINCT piece FROM
+       |  (SELECT piece FROM topp UNION ALL SELECT piece FROM sing)),
+       |w0 AS (SELECT word, CAST(length(word) AS BIGINT) AS n,
+       |    CAST(0 AS BIGINT) AS p, CAST('' AS VARCHAR) AS acc,
+       |    length(word) > $maxInputChars AS unk FROM wf),
+       |$steps,
+       |segs AS (SELECT word,
+       |    CASE WHEN unk THEN '[UNK]' ELSE acc END AS pstr,
+       |    CASE WHEN unk THEN 1 ELSE len(string_split(acc, ' ')) END AS np, unk
+       |  FROM w$maxInputChars),
+       |dw AS (SELECT doc_id, j - 1 AS pos, ws[j] AS word
+       |  FROM tok, UNNEST(range(1, len(ws) + 1)) AS t(j)),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(np) AS BIGINT) AS n_pieces,
+       |    CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+       |    string_agg(pstr, ' ' ORDER BY pos) AS pieces_str
+       |  FROM dw JOIN segs USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(e.n_words, 0) AS n_words,
+       |  COALESCE(e.n_pieces, 0) AS n_pieces,
+       |  COALESCE(e.n_unk_words, 0) AS n_unk_words,
+       |  COALESCE(e.pieces_str, '') AS pieces_str
+       |FROM documents d LEFT JOIN enc e USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Full SQL twin of s08: per-subspace L2 Lloyd PQ training replayed
     * round by round (assignment = first minimum of the round-6 squared
     * L2, ≡ order by (d2, code); means = vec-id-ordered fold / count,

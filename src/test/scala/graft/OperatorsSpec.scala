@@ -533,4 +533,89 @@ class OperatorsSpec extends SparkSpec {
       assert(wau == expWau && dau == expDau, s"day $d: got ($dau,$wau), expected ($expDau,$expWau)")
     }
   }
+
+  // ── GroupedTopK: the bounded-state grouped top-k aggregate ──
+
+  /** Deterministic skewed fixture: 4 keys, engineered score ties (score
+    * = i % 97 so the k-boundary has collisions the id must break), one
+    * key with a single row (n < k path). */
+  private def topkFixture(n: Int) = {
+    val rows = (0 until n).map { i =>
+      (s"k${i % 4}", (i % 97).toDouble, i.toLong)
+    } :+ (("lonely", 5.0, (n + 1).toLong))
+    rows.toDF("key", "score", "id")
+  }
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("score").desc, col("id"))
+    df.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select(col("key"), col("rnk"), col("id"), col("score"))
+  }
+
+  test("grouped top-k aggregate ≡ window row_number, ties broken by id") {
+    val df = topkFixture(20000)
+    val expected = windowTopK(df, 7).orderBy("key", "rnk").collect().toSeq
+    val got = graft.operators.GroupedTopK.topKPerKey(df, Seq("key"), "score", "id", k = 7)
+      .orderBy("key", "rnk").collect().toSeq
+    assert(got === expected)
+    // the n < k group emits exactly its n rows
+    assert(got.count(_.getString(0) == "lonely") === 1)
+  }
+
+  test("grouped top-k is partitioning-invariant (1 vs 16 partitions)") {
+    val df = topkFixture(5000)
+    def run(p: Int) = graft.operators.GroupedTopK
+      .topKPerKey(df.repartition(p), Seq("key"), "score", "id", k = 5)
+      .orderBy("key", "rnk").collect().toSeq
+    assert(run(1) === run(16))
+  }
+
+  test("grouped top-k drops null/NaN scores; window twin agrees on the filtered input") {
+    val df = topkFixture(500)
+      .unionByName(Seq(("k0", Double.NaN, 90001L)).toDF("key", "score", "id"))
+      .unionByName(Seq(("k1", null.asInstanceOf[java.lang.Double], 90002L))
+        .toDF("key", "score", "id").select(col("key"), col("score").cast("double"), col("id")))
+    val expected = windowTopK(df.where(col("score").isNotNull && !isnan(col("score"))), 3)
+      .orderBy("key", "rnk").collect().toSeq
+    val got = graft.operators.GroupedTopK.topKPerKey(df, Seq("key"), "score", "id", k = 3)
+      .orderBy("key", "rnk").collect().toSeq
+    assert(got === expected)
+    assert(!got.exists(r => r.getLong(2) >= 90001L))
+  }
+
+  test("grouped top-k: no input sort, one buffer per (partition,key) on the wire") {
+    val n = 50000
+    // materialize the partitioned input once so the measured bodies see
+    // ONLY their own exchanges (the repartition shuffle lands in the cache
+    // build, not in either receipt)
+    val df = topkFixture(n).repartition(8).cache()
+    df.count()
+    try {
+      val aggQ = graft.operators.GroupedTopK.topKPerKey(df, Seq("key"), "score", "id", k = 5)
+      val winQ = windowTopK(df, 5)
+      val (_, aggRecords) = ShuffleReceipt.measure(spark) { aggQ.collect() }
+      val (_, windowRecords) = ShuffleReceipt.measure(spark) { winQ.collect() }
+      // agg path: ONE ≤k-pair buffer per (map partition, key) = ≤ 8·5
+      // records (4 keys + lonely)
+      assert(aggRecords <= 8L * 5,
+        s"agg shuffle wrote $aggRecords records, expected ≤ partitions·keys buffers")
+      // window path: Spark's InferWindowGroupLimit bounds it too (k ROWS
+      // per partition·key, not n) — pin that the optimization fired and
+      // that it still writes k× the agg's record count
+      assert(windowRecords < n && windowRecords > aggRecords,
+        s"window wrote $windowRecords records (agg $aggRecords, n $n)")
+      val winPlan = winQ.queryExecution.executedPlan.toString
+      val aggPlan = aggQ.queryExecution.executedPlan.toString
+      assert(winPlan.contains("WindowGroupLimit") && winPlan.contains("Sort ["),
+        s"window plan lost its group-limit/sort shape:\n$winPlan")
+      // the aggregate's 100 TB edge: NO sort of the input anywhere —
+      // O(n log k) heap maintenance instead of O(n log n) sort+spill
+      assert(!aggPlan.contains("Sort ["),
+        s"agg plan should not sort the input:\n$aggPlan")
+      assert(aggPlan.contains("partial_topkagg"),
+        s"agg plan lost the partial/final split:\n$aggPlan")
+    } finally df.unpersist()
+  }
 }
