@@ -1689,6 +1689,25 @@ private[graft] object QueriesPipeline {
             col("root_hash") === col("frh")).as("incr_matches_full"))
         .orderBy(col("shard"))
     }),
+
+
+    // GSP sequential-pattern mining over the event stream (gaps allowed,
+    // 12 h max-gap, support ≥ 40% of users — the relative threshold
+    // transfers across scales where an absolute count would not; at
+    // these settings the length-3 gate prunes PARTIALLY at every scale:
+    // 63/125, 45/125, 8/125 candidates survive at sf0.001/0.01/0.1, so
+    // both the growth step and the prune are visible in the output).
+    // The a-priori/GSP prune chain (item prune → frequent-pair
+    // extension → both-flank candidate gate) is the operator; see
+    // analytics/Itemsets.seqPatterns for the per-join scale argument.
+    "q104_seq_patterns" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val occ = ev.select(col("user_id"), col("event_type").as("etype"),
+        EventTime.epochMicros(ev).as("us"))
+      analytics.Itemsets.seqPatterns(occ, maxGapUs = 43200L * 1000000L,
+          minSupPct = 40)
+        .orderBy(col("level"), col("pattern"))
+    }),
   )
 
   // ── DuckDB oracle twins ──
@@ -2973,5 +2992,43 @@ private[graft] object QueriesPipeline {
         |  shard_hash, root_hash, TRUE AS incr_matches_full
         |FROM s CROSS JOIN rt LEFT JOIN tch USING (shard)
         |ORDER BY s.shard""".stripMargin,
+
+
+    // GSP twin (q104): identical prune chain — frequent items, max-gap
+    // instance pairs, both-flank candidate gate, existence-per-user
+    // supports, the same exact-integer relative threshold.
+    "q104_seq_patterns" ->
+      """WITH e AS (SELECT user_id, event_type AS etype, epoch_us(ts) AS us FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e),
+        |s1 AS (SELECT etype, CAST(count(DISTINCT user_id) AS BIGINT) AS support
+        |  FROM e GROUP BY 1),
+        |f1 AS (SELECT etype, support, n_users FROM s1, nu
+        |  WHERE support * 100 >= n_users * 40),
+        |o1 AS (SELECT e.user_id, e.etype, e.us
+        |  FROM e JOIN (SELECT etype FROM f1) USING (etype)),
+        |p2 AS (SELECT a.user_id, a.etype AS e1, b.etype AS e2, a.us AS us1, b.us AS us2
+        |  FROM o1 a JOIN o1 b ON a.user_id = b.user_id
+        |    AND b.us > a.us AND b.us - a.us <= 43200000000),
+        |s2 AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS support
+        |  FROM (SELECT DISTINCT user_id, e1, e2 FROM p2) GROUP BY 1, 2),
+        |f2 AS (SELECT e1, e2, support, n_users FROM s2, nu
+        |  WHERE support * 100 >= n_users * 40),
+        |p3 AS (SELECT p.user_id, p.e1, p.e2, c.etype AS e3
+        |  FROM (SELECT p2.* FROM p2 JOIN (SELECT e1, e2 FROM f2) USING (e1, e2)) p
+        |  JOIN o1 c ON p.user_id = c.user_id
+        |    AND c.us > p.us2 AND c.us - p.us2 <= 43200000000
+        |  JOIN (SELECT e1 AS ge2, e2 AS ge3 FROM f2) g
+        |    ON p.e2 = g.ge2 AND c.etype = g.ge3),
+        |s3 AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS support
+        |  FROM (SELECT DISTINCT user_id, e1, e2, e3 FROM p3) GROUP BY 1, 2, 3),
+        |f3 AS (SELECT e1, e2, e3, support, n_users FROM s3, nu
+        |  WHERE support * 100 >= n_users * 40)
+        |SELECT level, pattern, support, n_users FROM (
+        |  SELECT 1 AS level, etype AS pattern, support, n_users FROM f1
+        |  UNION ALL
+        |  SELECT 2, e1 || '>' || e2, support, n_users FROM f2
+        |  UNION ALL
+        |  SELECT 3, e1 || '>' || e2 || '>' || e3, support, n_users FROM f3)
+        |ORDER BY level, pattern""".stripMargin,
   )
 }

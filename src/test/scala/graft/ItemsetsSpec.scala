@@ -64,4 +64,52 @@ class ItemsetsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(6))).toMap
     assert(all == Map("A" -> 0.5, "B" -> 1.0))
   }
+
+  // ── seqPatterns: GSP up to length 3 ──
+
+  private def seqFixture = {
+    // 3 users; Δ will be 10 time units.
+    //  u1: a@0  b@5  c@8          — a>b, b>c, a>b>c all within gap
+    //  u2: a@0  b@5  c@100        — c too late: a>b only
+    //  u3: a@0  b@5  c@8          — like u1
+    // so sup(a>b)=3, sup(b>c)=2, sup(a>b>c)=2; c alone sup=3
+    Seq((1L, "a", 0L), (1L, "b", 5L), (1L, "c", 8L),
+      (2L, "a", 0L), (2L, "b", 5L), (2L, "c", 100L),
+      (3L, "a", 0L), (3L, "b", 5L), (3L, "c", 8L))
+      .toDF("user_id", "etype", "us")
+  }
+
+  test("seqPatterns: max-gap excludes the late occurrence; L3 grows only through frequent flanks") {
+    val got = graft.analytics.Itemsets
+      .seqPatterns(seqFixture, maxGapUs = 10L, minSupPct = 60)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // 60% of 3 users = 1.8 → support ≥ 2 (integer compare: s*100 >= 3*60)
+    assert(got === Set(
+      (1, "a", 3L), (1, "b", 3L), (1, "c", 3L),
+      (2, "a>b", 3L), (2, "a>c", 2L), (2, "b>c", 2L),
+      (3, "a>b>c", 2L)))
+  }
+
+  test("seqPatterns: a-priori — an infrequent flank kills the length-3 pattern") {
+    // same data at 70% (needs support ≥ 3): every ITEM stays frequent,
+    // but the (b,c) and (a,c) flanks drop to 2/3 — so a>b>c, which
+    // OCCURS twice, is never even generated as a candidate (the
+    // both-flank GSP gate), and the only length-2 survivor is a>b
+    val got = graft.analytics.Itemsets
+      .seqPatterns(seqFixture, maxGapUs = 10L, minSupPct = 70)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1, "a", 3L), (1, "b", 3L), (1, "c", 3L),
+      (2, "a>b", 3L)))
+  }
+
+  test("seqPatterns: repeated types form patterns (a>a) and same-timestamp events never order") {
+    val occ = Seq((1L, "a", 0L), (1L, "a", 5L),
+      (2L, "a", 0L), (2L, "a", 0L)) // u2: equal ts — unordered, no pair
+      .toDF("user_id", "etype", "us")
+    val got = graft.analytics.Itemsets
+      .seqPatterns(occ, maxGapUs = 10L, minSupPct = 50)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1, "a", 2L), (2, "a>a", 1L)))
+  }
 }
