@@ -305,6 +305,28 @@ private[graft] object QueriesSimGraph {
     }),
 
 
+    // Incremental index maintenance (s30) — FAISS's `add` on a trained
+    // index: build the cell index on the EVEN half, append the ODD half
+    // against the PERSISTED quantizer (assignment rules shared with the
+    // build by construction — Similarity.cellAssigned), query the merged
+    // artifact. The answer is exactly "the union corpus cut by the
+    // original quantizer", so the oracle is s03's chain with centroids
+    // drawn from the even half only; SimilaritySpec additionally asserts
+    // row equality with ivfTopKWithCentroids on the union and that the
+    // quantizer survives the append byte-identical.
+    "s30_ivf_index_delta" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = "graft_s30_ivf_idx"
+      Similarity.writeIvfIndex(e.where(col("vec_id") % 2 === 0), tbl, nCells = 16)
+      Similarity.appendToIvfIndex(e.where(col("vec_id") % 2 === 1), tbl)
+      Similarity.ivfTopKFromIndex(e.where(col("vec_id") < 10), tbl, k = 5,
+          nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
     // Filtered (hybrid) ANN: top-k restricted to vectors passing a
     // metadata predicate (label = 3) — the filtered-vector-search
     // shape every retrieval stack needs. The predicate is pushed INTO
@@ -1751,6 +1773,30 @@ private[graft] object QueriesSimGraph {
     "s03_ivf_topk" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
          |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM v CROSS JOIN cents),
+         |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn) WHERE r <= 1),
+         |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+         |cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // s30 is the union corpus cut by the EVEN half's quantizer — s03's
+    // chain with the centroid CTE restricted to even vec_ids; everything
+    // downstream (assignment, probe cells, candidates, ranking) is the
+    // s03/s29 recipe verbatim.
+    "s30_ivf_index_delta" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v
+         |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
          |asgn AS (SELECT vec_id, cent_id,
          |    round(list_cosine_similarity(ev, cv), 6) AS csim
          |  FROM v CROSS JOIN cents),

@@ -926,13 +926,26 @@ object Similarity {
     replaceTable(corpus.sparkSession, table)
     replaceTable(corpus.sparkSession, s"${table}_quantizer")
     val nf = normFn(corpus)
-    val cf = cosineFromNorms(dotFn(corpus)) _
     val centroids = corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_quantizer")
     val cents = broadcast(centroids
       .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    cellAssigned(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").bucketBy(nBuckets, "cent_id").sortBy("cent_id")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** The ONE corpus→cell assignment projection behind [[writeIvfIndex]]
+    * and [[appendToIvfIndex]] (s03's exact recipe), emitting the index
+    * row shape `(cent_id, neighbor_id, vec, vec_norm)` — shared so the
+    * build and the delta append can never assign by different rules.
+    */
+  private def cellAssigned(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val nf = normFn(corpus)
+    val cf = cosineFromNorms(dotFn(corpus)) _
     Par.spreadForCpu(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"),
         nf(col(vecCol)).as("vec_norm"))
@@ -945,7 +958,30 @@ object Similarity {
         max_by(col("cent_id"), assignOrd(col("csim"), col("cent_id"))).as("cent_id"),
         first(col("vec")).as("vec"), first(col("vec_norm")).as("vec_norm"))
       .select(col("cent_id"), col("neighbor_id"), col("vec"), col("vec_norm"))
-      .write.mode("overwrite").bucketBy(nBuckets, "cent_id").sortBy("cent_id")
+  }
+
+  /** Incremental maintenance of a [[writeIvfIndex]] artifact — the FAISS
+    * `add` operation on a trained index: new vectors are assigned
+    * against the PERSISTED quantizer (never re-derived — re-clustering
+    * would silently move every existing cell boundary) and appended to
+    * the bucketed cell table with the same bucket spec, so bucket
+    * pruning keeps working across the append. The merged index answers
+    * queries exactly as if the union corpus had been cut by the original
+    * quantizer ([[ivfTopKWithCentroids]] on the union — SimilaritySpec
+    * asserts row equality), which is the production contract: ingest
+    * appends vectors in place, re-training the quantizer is a separate,
+    * deliberate rebuild. At 100 TB the delta pass touches only the delta
+    * (one broadcast of the quantizer, one partial+final max_by), and the
+    * append writes only the delta's files.
+    */
+  def appendToIvfIndex(delta: DataFrame, table: String, nBuckets: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val nf = normFn(delta)
+    val cents = broadcast(spark.table(s"${table}_quantizer")
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    cellAssigned(delta, cents, idCol, vecCol)
+      .write.mode("append").bucketBy(nBuckets, "cent_id").sortBy("cent_id")
       .format("parquet").saveAsTable(table)
   }
 

@@ -866,4 +866,51 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_quantizer")
     }
   }
+
+  test("s30: delta append ≡ union corpus under the ORIGINAL quantizer; " +
+      "quantizer survives the append; cell buckets still prune") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.where(col("vec_id") % 2 === 0)
+    val delta = e.where(col("vec_id") % 2 === 1)
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(e.where(col("vec_id") < 2).collect(): _*),
+      e.schema)
+    val tbl = "graft_s30_spec_idx"
+    Similarity.writeIvfIndex(base, tbl, nCells = 16)
+    try {
+      val qBefore = spark.table(s"${tbl}_quantizer").orderBy("cent_id")
+        .collect().map(_.toString).toSeq
+      Similarity.appendToIvfIndex(delta, tbl)
+      // quantizer untouched by the append (re-clustering would move
+      // every existing cell boundary)
+      assert(spark.table(s"${tbl}_quantizer").orderBy("cent_id")
+        .collect().map(_.toString).toSeq === qBefore)
+      // merged index rows = base + delta, every row cell-assigned
+      assert(spark.table(tbl).count() === e.count())
+      val fromIdx = Similarity.ivfTopKFromIndex(probes, tbl, k = 5, nProbe = 4)
+      // the contract: exactly the union corpus cut by the original
+      // (even-half) quantizer
+      val cents = base.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      val inline = Similarity.ivfTopKWithCentroids(e, probes, k = 5,
+        centroids = cents, nProbe = 4)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).sortBy(t => (t._1, t._2))
+      assert(canon(fromIdx) === canon(inline),
+        "appended index must answer as the union corpus under the build quantizer")
+      // bucket pruning survives the append (same bucket spec on the new files)
+      val plan = fromIdx.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+        .getOrElse(fail(s"cell scan must stay bucket-pruned, plan:\n$plan"))
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"pruning must select a strict cell subset, plan:\n$plan")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_quantizer")
+    }
+  }
 }
