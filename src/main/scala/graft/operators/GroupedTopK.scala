@@ -46,6 +46,21 @@ import org.apache.spark.sql.functions._
   */
 object GroupedTopK {
 
+  /** The ONE (score desc, id asc) total order shared by the batch
+    * [[TopKAgg]] and the streaming
+    * [[graft.streaming.Stream.GroupedTopKProcessor]] — the
+    * bandBucketKeys/mgMerge no-drift convention: batch and stream must
+    * never rank by different rules. Safe to encode as (-score, id)
+    * because NaN is filtered at the operator boundaries and -0.0 vs 0.0
+    * ties fall through to the unique id.
+    */
+  private[graft] val ord: Ordering[(Double, Long)] =
+    Ordering.by { case (score, id) => (-score, id) }
+
+  /** Sort + truncate to the k best under [[ord]] (identity below k). */
+  private[graft] def compactTo(k: Int, b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    if (b.lengthCompare(k) <= 0) b else b.sorted(ord).take(k)
+
   /** Exact top-k summary: state is at most 2k−1 (score, id) pairs.
     *
     *  - reduce: append; compact (sort + truncate to k) when the buffer
@@ -64,14 +79,8 @@ object GroupedTopK {
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
     require(k >= 1, s"top-k needs k >= 1, got $k")
 
-    // score desc, id asc — safe to encode as (-score, id) because NaN is
-    // filtered at the operator boundary and -0.0 vs 0.0 ties fall through
-    // to the unique id
-    private val ord: Ordering[(Double, Long)] =
-      Ordering.by { case (score, id) => (-score, id) }
-
     private def compact(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      if (b.lengthCompare(k) <= 0) b else b.sorted(ord).take(k)
+      GroupedTopK.compactTo(k, b)
 
     override def zero: Seq[(Double, Long)] = Vector.empty
 

@@ -568,6 +568,71 @@ object Stream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  /** One rank row of a group's streaming top-k (the full ranking is
+    * re-emitted whenever it changes — overwrite-consumer semantics).
+    */
+  case class TopKEntry(group: String, rnk: Long, id: Long, score: Double)
+
+  /** Streaming grouped top-k — the transformWithState twin of the batch
+    * [[graft.operators.GroupedTopK]] aggregate, ranking by the SAME
+    * shared total order (GroupedTopK.ord — the mgMerge no-drift
+    * convention). State per group is the exactly-compacted ranking:
+    * ≤ k (score, id) pairs, control data regardless of stream volume.
+    *
+    * Replay/duplicate absorption is structural, not high-water-marked:
+    * an arriving id already IN the ranking is skipped; an id evicted
+    * earlier re-inserts and re-evicts (the ranking only ever improves,
+    * so once an entry is outranked by k better ones it stays outranked —
+    * idempotent under any at-least-once replay). A batch that leaves the
+    * ranking unchanged emits NOTHING; a batch that changes it re-emits
+    * the group's full ranking in rank order (H6 determinism).
+    */
+  final class GroupedTopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double, Long), TopKEntry] {
+    import implicits._
+    @transient private var top:
+      org.apache.spark.sql.streaming.ValueState[Seq[(Double, Long)]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      top = getHandle.getValueState[Seq[(Double, Long)]]("topk",
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(group: String,
+        rows: Iterator[(String, Double, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TopKEntry] = {
+      val before = if (top.exists()) top.get() else Seq.empty[(Double, Long)]
+      var cur = before
+      rows.foreach { case (_, score, id) =>
+        if (!score.isNaN && !cur.exists(_._2 == id))
+          cur = graft.operators.GroupedTopK.compactTo(k,
+            (cur :+ (score, id)).sorted(graft.operators.GroupedTopK.ord))
+      }
+      if (cur == before) Iterator.empty // absorbed: nothing outranked
+      else {
+        top.update(cur)
+        cur.iterator.zipWithIndex.map { case ((score, id), i) =>
+          TopKEntry(group, (i + 1).toLong, id, score)
+        }
+      }
+    }
+  }
+
+  /** [[GroupedTopKProcessor]] over a streaming (group, score, id) frame.
+    * Consumers keep each group's LAST emitted ranking.
+    */
+  def groupedTopKTws(items: DataFrame, k: Int): Dataset[TopKEntry] = {
+    import items.sparkSession.implicits._
+    items
+      .select(col("group").cast("string"), col("score").cast("double"),
+        col("id").cast("long"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new GroupedTopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** One document surviving the streaming exact-dedup gate. */
   case class KeptDoc(docId: Long, lang: String, text: String)
 

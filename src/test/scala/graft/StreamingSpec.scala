@@ -1241,6 +1241,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState grouped top-k: ranking survives restart, absorbs " +
+      "replays structurally, equals batch GroupedTopK on the union, groups isolated") {
+    val srcDir = tempDir("graft-twstopk-src")
+    val ckptDir = tempDir("graft-twstopk-ckpt")
+    val k = 3
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val perRun = scala.collection.mutable.ArrayBuffer.empty[Seq[Stream.TopKEntry]]
+      def run(): Unit = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Stream.TopKEntry]
+        val src = spark.readStream
+          .schema("group string, score double, id long").json(srcDir)
+        val q = Stream.groupedTopKTws(src, k)
+          .writeStream
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Stream.TopKEntry], _: Long) =>
+            buf ++= batch.collect()
+            ()
+          }
+          .start()
+        q.awaitTermination(60000)
+        perRun += buf.toSeq
+      }
+      def write(name: String, rows: Seq[(String, Double, Long)]): Unit =
+        Files.write(java.nio.file.Paths.get(srcDir, name),
+          (rows.map { case (g, s, id) => s"""{"group":"$g","score":$s,"id":$id}""" }
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+      // b0: 5 rows for g — ranking is the best 3; ties broken by id
+      val b0 = Seq(("g", 5.0, 1L), ("g", 9.0, 2L), ("g", 5.0, 3L),
+        ("g", 1.0, 4L), ("g", 7.0, 5L))
+      write("b0.jsonl", b0)
+      run()
+      assert(perRun.last.map(e => (e.rnk, e.id, e.score)) ===
+        Seq((1L, 2L, 9.0), (2L, 5L, 7.0), (3L, 1L, 5.0)))
+      // b1 (RESTARTED query, restored ranking): one entering row, one
+      // below-cut row, one NaN (dropped at the operator boundary)
+      val b1 = Seq(("g", 8.0, 6L), ("g", 0.5, 7L), ("g", Double.NaN, 8L))
+      write("b1.jsonl", b1)
+      run()
+      assert(perRun.last.map(e => (e.rnk, e.id, e.score)) ===
+        Seq((1L, 2L, 9.0), (2L, 6L, 8.0), (3L, 5L, 7.0)))
+      // b2: an at-least-once replay of b1 PLUS a re-send of a ranked row
+      // and of a long-evicted row — all absorbed structurally, zero rows
+      write("b2.jsonl", b1 ++ Seq(("g", 9.0, 2L), ("g", 1.0, 4L)))
+      run()
+      assert(perRun.last.isEmpty, s"replay must be absorbed: ${perRun.last}")
+      // PARITY with the batch aggregate over the union of all UNIQUE rows
+      import spark.implicits._
+      val union = (b0 ++ b1).filterNot(_._2.isNaN)
+        .toDF("group", "score", "id")
+      val batch = graft.operators.GroupedTopK
+        .topKPerKey(union, Seq("group"), "score", "id", k)
+        .orderBy("rnk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val lastRanking = perRun.init.last.map(e => (e.rnk, e.id, e.score))
+      assert(lastRanking === batch,
+        s"stream ranking $lastRanking != batch top-k $batch")
+      // GROUP ISOLATION: g2 arrives; g's ranking unchanged → only g2 emits
+      write("b3.jsonl", Seq(("g2", 2.0, 100L), ("g2", 3.0, 101L), ("g", 1.0, 102L)))
+      run()
+      val byGroup = perRun.last.groupBy(_.group)
+      assert(byGroup.keySet === Set("g2"), s"only g2 changed: $byGroup")
+      assert(byGroup("g2").map(e => (e.rnk, e.id, e.score)) ===
+        Seq((1L, 101L, 3.0), (2L, 100L, 2.0)))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("composed end-to-end exactly-once: dlq parse → enrich → normalize → " +
       "policy → kafka batches + DLQ sinks, crashed BETWEEN sinks at a chosen " +
       "batchId (H5, full-pipeline composition)") {
