@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog-wide EMPTY-INPUT robustness gate: every `SparkEntry.queries`
+  * entry runs against a ZERO-ROW copy of the testdata (schemas intact,
+  * no rows) and must do one of exactly two things:
+  *
+  *  1. degrade gracefully — return a result (usually empty; global
+  *     aggregates return their empty-input row) that MATCHES its DuckDB
+  *     oracle on the same empty tables, via the unchanged
+  *     `tools/check.py` comparison; or
+  *  2. fail LOUDLY with its documented non-empty-input guard — trainers
+  *     and index builders whose contract requires data (a BPE vocab, a
+  *     quantizer) must raise their declared message, never an NPE from
+  *     `.head()` on an empty control frame.
+  *
+  * Zero-row inputs are not a corner case at 100 TB — empty partitions,
+  * empty incremental deltas, an upstream filter that matched nothing, a
+  * dry backfill window all produce them routinely — and `.head()` /
+  * `.collect()(0)` driver-coordination bugs are invisible at every
+  * non-empty scale the sf gates run. This gate converts "probably fine
+  * on empty" into an executed receipt for all 200+ queries at once.
+  *
+  * Usage: `runMain graft.EmptyGate <srcSfDir> <workDir> [queryName...]`
+  * then `python3 tools/check.py <workDir>/empty_sf <workDir>/out`.
+  * The main exits 1 if any query crashes while not guard-listed, if a
+  * guard-listed query does not raise (a stale guard entry is itself a
+  * failure — the list must stay honest), or if a raised message does not
+  * contain the documented fragment. Dumps and `oracle_sql.json` are
+  * written only for gracefully-degrading queries, so the unchanged
+  * check.py performs the oracle half.
+  */
+object EmptyGate {
+
+  /** Queries whose CONTRACT requires non-empty input, with the
+    * documented message fragment their guard must raise on the empty
+    * corpus. Keep this list justified: an entry is a design statement
+    * ("this operator trains on / indexes the corpus — running it on
+    * nothing is a caller bug"), not a bug amnesty.
+    */
+  val expectedGuards: Map[String, String] = Map.empty
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EmptyGate <srcSfDir> <workDir> [queryName...]")
+    val srcDir = args(0)
+    val workDir = args(1)
+    val nameFilter = args.drop(2)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => nameFilter.isEmpty || nameFilter.contains(n) }
+    val unknown = nameFilter.toSet.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emptyDir = s"$workDir/empty_sf"
+    val outDir = s"$workDir/out"
+    writeEmptyCopy(spark, srcDir, emptyDir)
+
+    var failed = List.empty[String]
+    var ran = List.empty[String]
+    var guarded = List.empty[String]
+    selected.foreach { case (name, fn) =>
+      (expectedGuards.get(name),
+          scala.util.Try(fn(spark, emptyDir).coalesce(1).write
+            .mode("overwrite").parquet(s"$outDir/$name"))) match {
+        case (None, scala.util.Success(_)) =>
+          ran ::= name
+          println(s"[empty] OK    $name")
+        case (None, scala.util.Failure(e)) =>
+          failed ::= name
+          println(s"[empty] CRASH $name: ${e.getClass.getName}: " +
+            s"${String.valueOf(e.getMessage).take(300)}")
+        case (Some(frag), scala.util.Failure(e)) =>
+          val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}" +
+            String.valueOf(Option(e.getCause).map(c =>
+              s" <- ${c.getClass.getName}: ${c.getMessage}").getOrElse(""))
+          if (msg.contains(frag)) {
+            guarded ::= name
+            println(s"[empty] GUARD $name (documented: '$frag')")
+          } else {
+            failed ::= name
+            println(s"[empty] WRONG-GUARD $name: expected fragment '$frag' " +
+              s"in: ${msg.take(300)}")
+          }
+        case (Some(frag), scala.util.Success(_)) =>
+          failed ::= name
+          // a guard entry that no longer fires is stale — fail it so the
+          // list cannot rot into an amnesty
+          val d = new java.io.File(s"$outDir/$name")
+          Option(d.listFiles()).foreach(_.foreach(_.delete()))
+          d.delete(): Unit
+          println(s"[empty] STALE-GUARD $name: listed with '$frag' but ran fine")
+      }
+    }
+
+    // oracle_sql.json restricted to gracefully-ran queries: check.py then
+    // verifies exactly those against DuckDB on the same empty tables
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ranSet = ran.toSet
+    val json = SparkEntry.oracleSql
+      .filter { case (k, _) => ranSet.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    new java.io.File(outDir).mkdirs()
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    println(s"[empty] ran=${ran.size} guarded=${guarded.size} failed=${failed.size}")
+    if (failed.nonEmpty) {
+      println(s"[empty] FAILED: ${failed.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
+    println(s"[empty] PASS ${selected.size} queries " +
+      s"(${ran.size} graceful, ${guarded.size} documented guards) — " +
+      s"now run: python3 tools/check.py $emptyDir $outDir")
+    spark.stop()
+  }
+
+  /** Zero-row copies of every parquet table under `srcDir`, written as single
+    * FILES (not directories) so tools/check.py's `read_parquet` views
+    * open them exactly like the driver-generated testdata.
+    */
+  private def writeEmptyCopy(spark: SparkSession, srcDir: String,
+      emptyDir: String): Unit = {
+    val dst = new java.io.File(emptyDir)
+    if (dst.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dst)
+    }
+    dst.mkdirs()
+    val tables = Option(new java.io.File(srcDir).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    tables.foreach { t =>
+      val tmp = s"$emptyDir/_tmp_$t"
+      spark.read.parquet(s"$srcDir/$t").limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles()).get
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .head
+      Files.move(part.toPath, Paths.get(s"$emptyDir/$t"),
+        StandardCopyOption.REPLACE_EXISTING)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+    println(s"[empty] wrote ${tables.length} zero-row tables to $emptyDir")
+  }
+}

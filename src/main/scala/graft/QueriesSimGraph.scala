@@ -327,6 +327,32 @@ private[graft] object QueriesSimGraph {
     }),
 
 
+    // Deletion + compaction on the cell index (s31) — FAISS `remove_ids`
+    // closing the s29/s30 index-maintenance lifecycle (build, add,
+    // remove). The inverted-LISTS layout (one cent_id partition per
+    // cell) is what makes the delete maintainable: tombstones capture
+    // each deleted id's cell, compaction rewrites ONLY touched lists
+    // via dynamic partition overwrite (untouched lists' files
+    // byte-identical — SimilaritySpec), and the quantizer never moves
+    // even though deleted ids 2/7/12 are centroid SOURCES. The verified
+    // path runs the full lifecycle: build → tombstone delete → compact →
+    // query; the oracle is s03's chain with corpus assignment filtered
+    // to survivors (assignment is per-vector, so filter-after-assign ≡
+    // assign-the-filtered under the SAME full-corpus centroids).
+    "s31_ivf_index_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val tbl = "graft_s31_ivf_lists"
+      Similarity.writeIvfLists(e, tbl, nCells = 16)
+      Similarity.deleteFromIvfLists(e.where(col("vec_id") % 5 === 2), tbl)
+      Similarity.compactIvfLists(tbl, s)
+      Similarity.ivfListsTopK(e.where(col("vec_id") < 10), tbl, k = 5,
+          nProbe = 8)
+        .select(col("probe_id"), col("rank").as("rnk"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+
+
     // Filtered (hybrid) ANN: top-k restricted to vectors passing a
     // metadata predicate (label = 3) — the filtered-vector-search
     // shape every retrieval stack needs. The predicate is pushed INTO
@@ -771,6 +797,30 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // TIFF header + first-IFD parse — the byte-order-MARKER container:
+    // endianness is declared in-band ("II"/"MM"), so ONE parser
+    // dispatches per row (half the corpus is LE, half BE). LONG dims
+    // sized past u16 exercise all four value bytes; SHORT values sit
+    // left-justified in the 4-byte field (the read a naive u32 gets
+    // wrong in exactly one byte order); the IFD is reached through the
+    // PARSED u32 offset and tags are searched under the PARSED entry
+    // count. The twin computes every field arithmetically from doc_id —
+    // an endianness slip in either direction breaks the hash.
+    "m14_tiff_meta" -> ((s, dir) => {
+      val g = Multimodal.withTiff(t(s, dir, "documents"))
+      val m = Multimodal.decodeTiff(col("payload"))
+      g.select(col("doc_id"), m.as("m"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .select(col("doc_id"), col("m.byte_order").as("byte_order"),
+          col("m.magic_ok").as("magic_ok"), col("m.ifd_off").as("ifd_off"),
+          col("m.n_entries").as("n_entries"), col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.bits_per_sample").as("bits_per_sample"),
+          col("m.compression").as("compression"),
+          col("m.next_ifd").as("next_ifd"), col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC ingest (ISO 28500 — the Common Crawl record format): the
     // generator wraps each document as a WARC/1.0 response record (WARC
     // headers + HTTP response + HTML), the parser recovers every field
@@ -1132,6 +1182,24 @@ private[graft] object QueriesSimGraph {
         |  CAST(14 + CASE WHEN doc_id % 3 <> 0
         |    THEN 3 * (1 << CAST(doc_id % 8 + 1 AS INTEGER)) ELSE 0 END AS BIGINT) AS n_bytes,
         |  TRUE AS trailer_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // TIFF twin (m14): every field computed arithmetically from doc_id —
+    // the parser must dispatch on the per-row byte-order marker and walk
+    // the declared-order IFD to these exact values. 62 bytes = 8 header
+    // + 2 count + 4×12 entries + 4 next-IFD pointer.
+    "m14_tiff_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  TRUE AS magic_ok,
+        |  CAST(8 AS BIGINT) AS ifd_off,
+        |  CAST(4 AS BIGINT) AS n_entries,
+        |  CAST(100 + (doc_id * 19) % 70000 AS BIGINT) AS width,
+        |  CAST(100 + (doc_id * 23) % 70000 AS BIGINT) AS height,
+        |  CAST([8,16,32][CAST(doc_id % 3 + 1 AS INT)] AS BIGINT) AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 5 ELSE 1 END AS BIGINT) AS compression,
+        |  CAST(0 AS BIGINT) AS next_ifd,
+        |  CAST(62 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // arithmetically from the fixture — container/length algebra, the
@@ -1804,6 +1872,30 @@ private[graft] object QueriesSimGraph {
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
          |    FROM asgn) WHERE r <= 1),
+         |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn WHERE vec_id < 10) WHERE r <= 8),
+         |cand AS (SELECT DISTINCT probe_id, neighbor_id
+         |  FROM pa JOIN ca USING (cent_id) WHERE probe_id <> neighbor_id),
+         |${annRankSql(5)}""".stripMargin,
+
+
+    // s31 is the full corpus minus the deleted ids, cut by the FULL
+    // corpus's quantizer (delete never retrains): s03's chain with the
+    // corpus-assignment CTE filtered to survivors. Probes keep querying
+    // even when deleted (FAISS allows any query vector); deleted ids
+    // just never appear as neighbors.
+    "s31_ivf_index_delete" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         |cents AS (SELECT vec_id AS cent_id, ev AS cv FROM v ORDER BY vec_id LIMIT 16),
+         |asgn AS (SELECT vec_id, cent_id,
+         |    round(list_cosine_similarity(ev, cv), 6) AS csim
+         |  FROM v CROSS JOIN cents),
+         |ca AS (SELECT vec_id AS neighbor_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r
+         |    FROM asgn WHERE vec_id % 5 <> 2) WHERE r <= 1),
          |pa AS (SELECT vec_id AS probe_id, cent_id FROM (
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC NULLS LAST, cent_id) AS r

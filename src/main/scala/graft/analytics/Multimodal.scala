@@ -818,6 +818,101 @@ object Multimodal {
           .otherwise(lit(0L)).as("gct_bytes")))
   }
 
+  /** TIFF fixture (m14) — the byte-order-MARKER container: unlike every
+    * other family member, TIFF declares its endianness in-band ("II"
+    * little-endian / "MM" big-endian, TIFF 6.0 §2), so ONE parser must
+    * dispatch per row instead of assuming a fixed byte order. Per doc a
+    * classic TIFF is synthesized in the order picked by doc parity:
+    * 8-byte header (order marker, magic 42 in the declared order, u32
+    * first-IFD offset = 8), a 4-entry IFD — ImageWidth(256)/
+    * ImageLength(257) as LONGs sized past u16 so all four value bytes
+    * carry signal, BitsPerSample(258)/Compression(259) as SHORTs whose
+    * value sits LEFT-JUSTIFIED in the 4-byte value field (the TIFF rule
+    * a naive u32 read gets wrong in exactly one byte order) — and a
+    * zero next-IFD pointer. Tags ascend as the spec requires.
+    */
+  def withTiff(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val le = pmod(id, lit(2L)) === 0
+    val w = lit(100L) + pmod(id * 19, lit(70000L))
+    val h = lit(100L) + pmod(id * 23, lit(70000L))
+    val bits = element_at(array(lit(8L), lit(16L), lit(32L)),
+      (pmod(id, lit(3L)) + 1).cast("int"))
+    val comp = when(pmod(id, lit(4L)) === 0, lit(5L)).otherwise(lit(1L))
+    def dyn(v: Column, n: Int) = when(le, leHex(v, n)).otherwise(beHex(v, n))
+    def entryLong(tag: Long, v: Column) =
+      concat(dyn(lit(tag), 2), dyn(lit(4L), 2), dyn(lit(1L), 4), dyn(v, 4))
+    def entryShort(tag: Long, v: Column) =
+      concat(dyn(lit(tag), 2), dyn(lit(3L), 2), dyn(lit(1L), 4),
+        dyn(v, 2), lit("0000"))
+    docs.select(col(idCol),
+      unhex(concat(
+        when(le, lit("49492A00")).otherwise(lit("4D4D002A")),
+        dyn(lit(8L), 4),
+        dyn(lit(4L), 2),
+        entryLong(256L, w),
+        entryLong(257L, h),
+        entryShort(258L, bits),
+        entryShort(259L, comp),
+        lit("00000000"))).as("payload"))
+  }
+
+  /** Parse a TIFF header + first IFD back out of the bytes — NULL struct
+    * on a non-TIFF order marker. The parser trusts nothing the builder
+    * knows: endianness comes from the marker per row, the IFD is found
+    * through the parsed u32 offset (column-offset byte walks, all
+    * codegen'd builtins), the entry count is read from the IFD, and each
+    * wanted tag is SEARCHED over the first ≤8 entries (slot gated on the
+    * parsed count) honoring the per-entry TYPE: SHORT values read 2
+    * left-justified bytes, LONG values 4 — so a hand-authored IFD with
+    * extra unknown tags parses just as well as the fixture (AHashSpec).
+    * Pure per-row projection — rides the scan at any scale.
+    */
+  def decodeTiff(p: Column): Column = {
+    val sig = hex(substring(p, 1, 2))
+    val isLe = sig === "4949"
+    val isBe = sig === "4D4D"
+    def u(off: Column, n: Int) =
+      when(isLe, leUintAt(p, off, n)).otherwise(beUintAt(p, off, n))
+    val magic = u(lit(3L), 2)
+    val ifdOff = u(lit(5L), 4) // 0-based file offset, per the spec
+    val nEntries = u(ifdOff + 1, 2)
+    def entryField(slot: Int, wantTag: Long): Column = {
+      val ep = ifdOff + 3 + slot * 12 // 1-based position of the entry
+      val tag = u(ep, 2)
+      val typ = u(ep + 2, 2)
+      val value = when(typ === 3L, u(ep + 8, 2)).otherwise(u(ep + 8, 4))
+      when(lit(slot) < nEntries && tag === wantTag, value)
+    }
+    def field(wantTag: Long): Column =
+      coalesce((0 until 8).map(entryField(_, wantTag)) :+
+        lit(null).cast(LongType): _*)
+    val nextIfd = u(ifdOff + 3 + nEntries * 12, 4)
+    when(isLe || isBe,
+      struct(
+        when(isLe, lit("II")).otherwise(lit("MM")).as("byte_order"),
+        (magic === 42L).as("magic_ok"),
+        ifdOff.as("ifd_off"),
+        nEntries.as("n_entries"),
+        field(256L).as("width"),
+        field(257L).as("height"),
+        field(258L).as("bits_per_sample"),
+        field(259L).as("compression"),
+        nextIfd.as("next_ifd")))
+  }
+
+  /** [[leUint]]/[[beUint]] with a COLUMN byte offset (1-based) — the
+    * dynamic walks [[decodeTiff]] needs to follow parsed IFD offsets.
+    */
+  private def leUintAt(p: Column, off: Column, nBytes: Int): Column = {
+    val h = hex(p.substr(off.cast("int"), lit(nBytes)))
+    val be = concat((nBytes to 1 by -1).map(i => substring(h, (i - 1) * 2 + 1, 2)): _*)
+    conv(be, 16, 10).cast(LongType)
+  }
+
+  private def beUintAt(p: Column, off: Column, nBytes: Int): Column =
+    conv(hex(p.substr(off.cast("int"), lit(nBytes))), 16, 10).cast(LongType)
+
   /** The classification half of [[payloadTriage]]: expects
     * (doc_id, payload, modality) and emits the verdict/quarantine
     * columns. Separate so hand-built payloads (e.g. the bad_magic

@@ -1032,6 +1032,163 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Inverted-LISTS layout of the IVF index — [[writeIvfIndex]]'s
+    * delete-friendly sibling: one `cent_id=<cell>` PARTITION per coarse
+    * cell (FAISS's inverted lists as directories) instead of hash
+    * buckets. Same quantizer convention (`<table>_quantizer`, lowest-id
+    * stand-in centroids, never re-derived), same ONE [[cellAssigned]]
+    * projection, so lists and buckets can never assign by different
+    * rules. The layout choice is what makes deletion maintainable:
+    * a delete touches only the lists that hold deleted vectors, and
+    * [[compactIvfLists]] rewrites exactly those partitions via dynamic
+    * partition overwrite — hash buckets would force a whole-table
+    * rewrite (every bucket file can hold a deleted row). Query-path
+    * pruning becomes partition pruning (`cent_id IN (probed cells)`
+    * lands in PartitionFilters; files-read receipt in SimilaritySpec).
+    * An empty `<table>_tombstones` side table is created alongside —
+    * the deletion-vector slot [[deleteFromIvfLists]] appends to.
+    */
+  def writeIvfLists(corpus: DataFrame, table: String, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    replaceTable(spark, table)
+    replaceTable(spark, s"${table}_quantizer")
+    replaceTable(spark, s"${table}_tombstones")
+    val nf = normFn(corpus)
+    val centroids = corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_quantizer")
+    val cents = broadcast(centroids
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    cellAssigned(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").format("parquet").partitionBy("cent_id")
+      .saveAsTable(table)
+    spark.table(table).select(col("cent_id"), col("neighbor_id")).limit(0)
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+  }
+
+  /** FAISS `remove_ids` on a [[writeIvfLists]] artifact, as a TOMBSTONE
+    * write — the deletion-vector recipe the lakehouse formats converged
+    * on (Delta deletion vectors, Iceberg positional deletes): physically
+    * rewriting an immutable columnar artifact per delete would touch
+    * every file holding a deleted row, so the delete lands as
+    * `(cent_id, neighbor_id)` rows in the control-sized
+    * `<table>_tombstones` side table and the query path subtracts them
+    * with one broadcast anti-join AFTER partition pruning. Capturing
+    * `cent_id` at delete time is what lets [[compactIvfLists]] rewrite
+    * only touched lists (at 100 TB an id→cell secondary index serves
+    * this lookup; here it is one semi-joined scan of the lists table).
+    * The quantizer is untouched — FAISS semantics: `remove_ids` never
+    * retrains the coarse quantizer, cell boundaries hold even when a
+    * centroid's SOURCE vector is deleted (SimilaritySpec pins both).
+    */
+  def deleteFromIvfLists(ids: DataFrame, table: String,
+      idCol: String = "vec_id"): Unit = {
+    val spark = ids.sparkSession
+    spark.table(table)
+      .join(broadcast(ids.select(col(idCol).as("neighbor_id")).distinct()),
+        Seq("neighbor_id"), "left_semi")
+      .select(col("cent_id"), col("neighbor_id"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+  }
+
+  /** Query half of [[writeIvfLists]] — [[ivfTopKFromIndex]]'s recipe
+    * (probes assign against the persisted quantizer, probed cells
+    * collected control-sized and pushed as `cent_id IN (...)`, which is
+    * now PARTITION pruning) minus the live tombstones: one broadcast
+    * anti-join on `neighbor_id` after the pruned scan. The tombstone
+    * set is bounded by delete traffic between compactions, so at 100 TB
+    * the subtraction stays a per-row hash probe against a broadcast —
+    * never a shuffle of the lists.
+    */
+  def ivfListsTopK(probes: DataFrame, table: String, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    val nf = normFn(probes)
+    val cf = cosineFromNorms(dotFn(probes)) _
+    val cents = broadcast(spark.table(s"${table}_quantizer")
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+    val pAssign = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        nf(col(vecCol)).as("probe_norm"))
+      .join(cents)
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cent_id"),
+        round(cf(col("probe_vec"), col("cent_vec"),
+          col("probe_norm"), col("cent_norm")), 6).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= nProbe)
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cent_id"))
+    val cellIds = pAssign.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val tomb = spark.table(s"${table}_tombstones")
+      .select(col("neighbor_id")).distinct()
+    val idx = spark.table(table).where(col("cent_id").isin(cellIds: _*))
+      .join(broadcast(tomb), Seq("neighbor_id"), "left_anti")
+    val scored = idx.join(broadcast(pAssign), Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cf(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Physical fold of the tombstones into a [[writeIvfLists]] artifact —
+    * the compaction half of the deletion-vector contract. Touched cells
+    * (the distinct `cent_id`s in the tombstone table — control-sized,
+    * ≤ nCells) are rewritten via DYNAMIC partition overwrite: survivors
+    * of exactly those lists are materialized (localCheckpoint breaks the
+    * read-from-target lineage; production rewrites list files directly),
+    * then `INSERT OVERWRITE` replaces only the partitions present in the
+    * written data. Untouched lists keep their FILES byte-identical —
+    * SimilaritySpec asserts the directory listing (names + sizes +
+    * mtimes) of every untouched cell is unchanged through compaction.
+    * A list whose every member was deleted produces NO survivor rows, so
+    * dynamic overwrite would silently leave its stale files in place —
+    * the classic dynamic-partition pitfall — hence emptied cells are
+    * dropped explicitly (`ALTER TABLE .. DROP PARTITION`; spec pins the
+    * case). Tombstones reset to empty afterwards: post-compaction
+    * queries answer identically with a zero-row subtraction.
+    */
+  def compactIvfLists(table: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    val tombCells = spark.table(s"${table}_tombstones")
+      .select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (tombCells.nonEmpty) {
+      val tombIds = broadcast(spark.table(s"${table}_tombstones")
+        .select(col("neighbor_id")).distinct())
+      val cols = spark.table(table).columns // partition col last in table order
+      val survivors = spark.table(table)
+        .where(col("cent_id").isin(tombCells: _*))
+        .join(tombIds, Seq("neighbor_id"), "left_anti")
+        .select(cols.map(col).toIndexedSeq: _*)
+        .localCheckpoint(true)
+      val keptCells = survivors.select(col("cent_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      tombCells.filterNot(keptCells).foreach { c =>
+        spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cent_id=$c)")
+      }
+    }
+    spark.sql(s"TRUNCATE TABLE ${table}_tombstones")
+  }
+
   /** Deterministic fixed-iteration spherical Lloyd's k-means — the real
     * IVF quantizer training s03's lowest-id stand-in documents as the
     * production path. Every source of nondeterminism in textbook k-means

@@ -274,4 +274,60 @@ class AHashSpec extends SparkSpec {
     assert(one.getAs[Long]("n_extract_words") === 3L) // "T hello world"
     assert(one.getAs[String]("lang_path") === "en")
   }
+
+  test("m14 TIFF: builder↔parser round-trip on both byte orders; hand-" +
+      "authored IFDs — parsed offset followed, unknown tags skipped, " +
+      "SHORT values read left-justified in BOTH orders") {
+    import graft.analytics.Multimodal
+    // fixture round-trip: ids cover both parities and the %3/%4 residues
+    val docs = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Multimodal.withTiff(docs)
+      .select(col("doc_id"), Multimodal.decodeTiff(col("payload")).as("m"),
+        length(col("payload")).as("len"))
+      .orderBy("doc_id")
+      .select("doc_id", "m.byte_order", "m.magic_ok", "m.ifd_off",
+        "m.n_entries", "m.width", "m.height", "m.bits_per_sample",
+        "m.compression", "m.next_ifd", "len")
+      .as[(Long, String, Boolean, Long, Long, Long, Long, Long, Long, Long, Int)]
+      .collect().toSeq
+    val want = (0L to 5L).map { i =>
+      (i, if (i % 2 == 0) "II" else "MM", true, 8L, 4L,
+        100L + i * 19 % 70000, 100L + i * 23 % 70000,
+        Seq(8L, 16L, 32L)(i.toInt % 3), if (i % 4 == 0) 5L else 1L, 0L, 62)
+    }
+    assert(got === want, s"got $got")
+
+    // hand-authored BE TIFF: IFD at offset 16 (8 padding bytes — the
+    // parser must FOLLOW the parsed offset), a leading unknown tag the
+    // search must skip, a missing tag (height) that must come back NULL,
+    // and a BE SHORT whose value lives in the FIRST two value bytes
+    val be = "4D4D002A" + "00000010" + "0000000000000000" +
+      "0003" +
+      "00FE" + "0004" + "00000001" + "00000000" + // NewSubfileType: unknown
+      "0100" + "0004" + "00000001" + "00011171" + // width LONG 70001
+      "0102" + "0003" + "00000001" + "0010" + "0000" + // bits SHORT 16
+      "00000000"
+    // hand-authored LE TIFF: the same left-justification rule mirrored —
+    // a naive 4-byte read happens to work in LE ("0800 0000" = 8) but
+    // the BE case above (0x00100000) would read 1048576, so together the
+    // pair pins the TYPE-aware read in both orders
+    val le = "49492A00" + "08000000" +
+      "0200" +
+      "0001" + "0400" + "01000000" + "01000100" + // width LONG 65537
+      "0201" + "0300" + "01000000" + "0800" + "0000" + // bits SHORT 8
+      "00000000"
+    val hand = Seq(be, le).toDF("hx")
+      .select(Multimodal.decodeTiff(unhex(col("hx"))).as("m"))
+      .select("m.byte_order", "m.ifd_off", "m.n_entries", "m.width",
+        "m.height", "m.bits_per_sample", "m.compression", "m.next_ifd")
+      .collect().toSeq
+    assert(hand.map(_.toSeq) === Seq(
+      Seq("MM", 16L, 3L, 70001L, null, 16L, null, 0L),
+      Seq("II", 8L, 2L, 65537L, null, 8L, null, 0L)), s"got $hand")
+    // a non-TIFF marker yields a NULL struct, not garbage fields
+    val bad = Seq("47494638").toDF("hx")
+      .select(Multimodal.decodeTiff(unhex(col("hx"))).as("m"))
+      .collect().head
+    assert(bad.isNullAt(0))
+  }
 }

@@ -913,4 +913,97 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_quantizer")
     }
   }
+
+  test("s31: tombstone delete ≡ compacted delete ≡ survivors under the " +
+      "ORIGINAL quantizer; compaction rewrites ONLY touched lists " +
+      "(untouched files byte-identical); an emptied list is dropped") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(e.where(col("vec_id") < 2).collect(): _*),
+      e.schema)
+    val tbl = "graft_s31_spec_lists"
+    Similarity.writeIvfLists(e, tbl, nCells = 16)
+    try {
+      val qBefore = spark.table(s"${tbl}_quantizer").orderBy("cent_id")
+        .collect().map(_.toString).toSeq
+      // the smallest list gets fully deleted — the dynamic-overwrite
+      // pitfall case (no survivor rows ⇒ stale files unless dropped)
+      val cellPop = spark.table(tbl).groupBy("cent_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val emptiedCell = cellPop.minBy { case (id, n) => (n, id) }._1
+      val emptiedIds = spark.table(tbl)
+        .where(col("cent_id") === emptiedCell)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      val deleted = e.where(col("vec_id") % 5 === 2 ||
+        col("vec_id").isin(emptiedIds.toSeq: _*))
+      val deletedIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(deletedIds.nonEmpty && deletedIds.size < e.count())
+
+      def partFiles(cell: Long): Seq[(String, Long, Long)] = {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val whPath = if (wh.contains(":")) new java.net.URI(wh).getPath else wh
+        val dir = new java.io.File(new java.io.File(whPath, tbl), s"cent_id=$cell")
+        Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile)
+          .map(f => (f.getName, f.length(), f.lastModified()))
+          .sortBy(_._1)
+      }
+
+      Similarity.deleteFromIvfLists(deleted, tbl)
+      val touchedCells = spark.table(s"${tbl}_tombstones")
+        .select("cent_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(touchedCells.contains(emptiedCell))
+      val untouchedCells = cellPop.keySet.diff(touchedCells)
+      assert(untouchedCells.nonEmpty,
+        "fixture must leave some lists untouched or the receipt is vacuous")
+      val untouchedBefore = untouchedCells.toSeq.sorted.map(c => c -> partFiles(c))
+
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).sortBy(t => (t._1, t._2))
+      // contract: survivors cut by the FULL corpus's quantizer (delete
+      // never retrains — cell boundaries hold even though deleted ids
+      // include centroid sources)
+      val cents = e.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      val inline = canon(Similarity.ivfTopKWithCentroids(
+        e.where(!col("vec_id").isin(deletedIds.toSeq: _*)), probes, k = 5,
+        centroids = cents, nProbe = 4))
+      val tombstoned = Similarity.ivfListsTopK(probes, tbl, k = 5, nProbe = 4)
+      assert(canon(tombstoned) === inline,
+        "tombstoned query must answer as survivors under the build quantizer")
+      // partition pruning + corpus-free query path
+      val plan = tombstoned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(plan).isDefined,
+        s"probed cells must land in PartitionFilters, plan:\n$plan")
+      assert(!plan.contains("embeddings.parquet"),
+        s"the raw corpus must never be scanned on the query path, plan:\n$plan")
+
+      Similarity.compactIvfLists(tbl, spark)
+      // quantizer untouched; tombstones folded in and reset
+      assert(spark.table(s"${tbl}_quantizer").orderBy("cent_id")
+        .collect().map(_.toString).toSeq === qBefore)
+      assert(spark.table(s"${tbl}_tombstones").count() === 0L)
+      assert(spark.table(tbl).count() === e.count() - deletedIds.size)
+      assert(spark.table(tbl).where(col("cent_id") === emptiedCell).count() === 0L,
+        "a fully-deleted list must not resurface stale rows (the dynamic-overwrite pitfall)")
+      assert(partFiles(emptiedCell).isEmpty,
+        "the emptied list's partition directory must be dropped, not left stale")
+      // untouched lists: files byte-identical through compaction
+      val untouchedAfter = untouchedCells.toSeq.sorted.map(c => c -> partFiles(c))
+      assert(untouchedAfter === untouchedBefore,
+        "compaction must rewrite ONLY touched lists")
+      // post-compaction answers are the tombstoned answers, now with a
+      // zero-row subtraction
+      val compacted = Similarity.ivfListsTopK(probes, tbl, k = 5, nProbe = 4)
+      assert(canon(compacted) === inline,
+        "compacted query must answer exactly as the tombstoned query")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_quantizer")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_tombstones")
+    }
+  }
 }
