@@ -41,7 +41,41 @@ object EmptyGate {
     * ("this operator trains on / indexes the corpus — running it on
     * nothing is a caller bug"), not a bug amnesty.
     */
-  val expectedGuards: Map[String, String] = Map.empty
+  val expectedGuards: Map[String, String] = Map(
+    // graph fixed points iterate to a vertex-count-normalized stationary
+    // distribution — a zero-vertex "graph" has no well-defined teleport
+    // mass / normalization, so the trainers refuse it
+    "g01_pagerank" -> "pageRank needs a non-empty vertex set",
+    "g02_hits" -> "hits needs a non-empty vertex set",
+    // a manifest over zero files carries no column stats, so readBox
+    // cannot prove the box columns are covered — failing loudly beats
+    // silently degrading the file-skipping contract to a full scan
+    "q100_manifest_scan" -> "manifest has no stats for",
+    // quantizer/codebook TRAINERS: the artifact is derived from corpus
+    // vectors — training on nothing is a caller bug, not a degenerate
+    // success (the FAISS contract: train() requires n >= k)
+    "s07_pq_topk" -> "codebook needs 16 vectors, corpus has only 0",
+    "s08_pq_trained" -> "codebook needs 16 vectors, corpus has only 0",
+    "s10_sq_topk" -> "corpus vectors must have dim 64, got 0",
+    "s19_ivfpq_topk" -> "corpus has only 0 rows for a 16-codeword codebook",
+    "s23_kcenter" -> "kCenterGreedy: corpus is empty",
+    "s26_hier_beam" -> "hierarchicalBeamTopK: empty corpus",
+    "s27_pq_sweep" -> "codebook needs 16 vectors, corpus has only 0")
+
+  /** Queries whose empty-input result is a documented ENGINE-SEMANTICS
+    * deviation from the DuckDB oracle, asserted Spark-side instead of
+    * oracle-compared. Today exactly one family: Spark's
+    * rollup/cube/GROUPING SETS produce NO rows on empty input (the
+    * Expand+HashAggregate lowering has no groups to expand), while the
+    * SQL standard — and DuckDB/PostgreSQL — emit one row for the global
+    * `()` grouping set, exactly like `SELECT count(*)` with no GROUP BY.
+    * The gate pins Spark's actual behavior (0 rows) so a future Spark
+    * version silently changing it fails here first.
+    */
+  val knownEmptyDeviations: Map[String, Long] = Map(
+    "q09_rollup" -> 0L,
+    "q15_cube" -> 0L,
+    "q31_grouping_sets" -> 0L)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: EmptyGate <srcSfDir> <workDir> [queryName...]")
@@ -63,8 +97,25 @@ object EmptyGate {
     var failed = List.empty[String]
     var ran = List.empty[String]
     var guarded = List.empty[String]
+    var deviated = List.empty[String]
     selected.foreach { case (name, fn) =>
-      (expectedGuards.get(name),
+      if (knownEmptyDeviations.contains(name)) {
+        val expect = knownEmptyDeviations(name)
+        scala.util.Try(fn(spark, emptyDir).count()) match {
+          case scala.util.Success(n) if n == expect =>
+            deviated ::= name
+            println(s"[empty] DEVIATION $name: $n rows (documented Spark-vs-" +
+              "standard grouping-sets empty-input difference; oracle skipped)")
+          case scala.util.Success(n) =>
+            failed ::= name
+            println(s"[empty] DEVIATION-DRIFT $name: documented $expect rows " +
+              s"on empty input, got $n — Spark semantics changed, re-adjudicate")
+          case scala.util.Failure(e) =>
+            failed ::= name
+            println(s"[empty] CRASH $name: ${e.getClass.getName}: " +
+              s"${String.valueOf(e.getMessage).take(300)}")
+        }
+      } else (expectedGuards.get(name),
           scala.util.Try(fn(spark, emptyDir).coalesce(1).write
             .mode("overwrite").parquet(s"$outDir/$name"))) match {
         case (None, scala.util.Success(_)) =>
@@ -115,14 +166,16 @@ object EmptyGate {
     new java.io.File(outDir).mkdirs()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    println(s"[empty] ran=${ran.size} guarded=${guarded.size} failed=${failed.size}")
+    println(s"[empty] ran=${ran.size} guarded=${guarded.size} " +
+      s"deviated=${deviated.size} failed=${failed.size}")
     if (failed.nonEmpty) {
       println(s"[empty] FAILED: ${failed.sorted.mkString(", ")}")
       spark.stop()
       sys.exit(1)
     }
     println(s"[empty] PASS ${selected.size} queries " +
-      s"(${ran.size} graceful, ${guarded.size} documented guards) — " +
+      s"(${ran.size} graceful, ${guarded.size} documented guards, " +
+      s"${deviated.size} documented deviations) — " +
       s"now run: python3 tools/check.py $emptyDir $outDir")
     spark.stop()
   }

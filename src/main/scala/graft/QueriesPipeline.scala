@@ -1734,7 +1734,7 @@ private[graft] object QueriesPipeline {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct,
            | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
            | CASE WHEN count($c) = 0 THEN NULL
@@ -1770,8 +1770,8 @@ private[graft] object QueriesPipeline {
         "tax_under_5pct" -> "l_tax <= 0.05")
       checks.map { case (n, p) =>
         s"""SELECT '$n' AS check_name, count(*) AS n_rows,
-           | CAST(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
-           | sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+           | CAST(coalesce(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_violations,
+           | coalesce(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END), 0) = 0 AS passed
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
     },
@@ -1838,7 +1838,7 @@ private[graft] object QueriesPipeline {
         |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ex FROM lineitem),
         |d AS (SELECT unnest(generate_series(1, 9)) AS i)
         |SELECT CAST(i AS BIGINT) AS decile, ex[i] AS exact_v, TRUE AS err_ok
-        |FROM d CROSS JOIN q ORDER BY decile""".stripMargin,
+        |FROM d CROSS JOIN q WHERE ex IS NOT NULL ORDER BY decile""".stripMargin,
 
     // OHLC twin (q77): arg_min/arg_max on the same zero-padded
     // (ts, event_id) string order, same exact-decimal volume.
@@ -1965,7 +1965,7 @@ private[graft] object QueriesPipeline {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(coalesce(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
            | count(DISTINCT $c) AS n_distinct,
            | CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
            | CASE WHEN count($c) = 0 THEN NULL
@@ -2854,7 +2854,7 @@ private[graft] object QueriesPipeline {
         |    CAST(sum(x) AS DOUBLE) / count(*) AS mean_full FROM x)
         |SELECT n_rows, 40 AS reps, round(mean_full, 6) AS mean_full,
         |  round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi,
-        |  round(sqrt((sm2 - sm * sm / 40) / 39), 6) AS se_boot
+        |  CASE WHEN n_rows > 0 THEN round(sqrt((sm2 - sm * sm / 40) / 39), 6) END AS se_boot
         |FROM f CROSS JOIN ci""".stripMargin,
 
     // Balance twin (q97): the q93 unit CTE with the three pre-period

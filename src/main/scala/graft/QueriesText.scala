@@ -659,8 +659,12 @@ private[graft] object QueriesText {
           aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x") * p.getField("y")).as("sxy"),
           aggregate(col("ps"), lit(0.0), (a, p) => a + p.getField("x") * p.getField("x")).as("sxx"))
         .select(col("n_terms"),
-          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
-            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 9).as("slope"))
+          // empty-input guard (EmptyGate): 0/0 double division is NaN in
+          // Spark but the oracle's NULL-chain yields NULL — both engines
+          // agree the slope of nothing is undefined, so emit NULL
+          when(col("n_terms") > 0,
+            round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")), 9)).as("slope"))
     }),
 
 
@@ -1023,7 +1027,7 @@ private[graft] object QueriesText {
          |top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 100),
          |a AS (SELECT list(struct_pack(nf := -freq, term := term, freq := freq)
          |    ORDER BY -freq, term) AS arr FROM top),
-         |ps AS (SELECT len(arr) AS n_terms,
+         |ps AS (SELECT coalesce(len(arr), 0) AS n_terms,
          |    list_transform(arr, e -> ln(CAST(e.freq AS DOUBLE))) AS ys,
          |    list_transform(range(1, len(arr) + 1), i -> ln(CAST(i AS DOUBLE))) AS xs
          |  FROM a),

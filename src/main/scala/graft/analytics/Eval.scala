@@ -188,10 +188,15 @@ object Eval {
         round(col("mean_full"), 6).as("mean_full"),
         round(sort_array(col("ms"))(loRank - 1), 6).as("ci_lo"),
         round(sort_array(col("ms"))(hiRank - 1), 6).as("ci_hi"),
-        round(sqrt((aggregate(col("ms"), lit(0.0), (a, v) => a + v * v) -
-          aggregate(col("ms"), lit(0.0), (a, v) => a + v) *
-            aggregate(col("ms"), lit(0.0), (a, v) => a + v) / reps) /
-          (reps - 1)), 6).as("se_boot"))
+        // empty-input guard (EmptyGate): the zero-seeded folds make 0/0
+        // arithmetic (NaN) out of an empty sample's undefined replicate
+        // means — the stderr of nothing is NULL, as the oracle's
+        // NULL-chain already says
+        when(col("n_rows") > 0,
+          round(sqrt((aggregate(col("ms"), lit(0.0), (a, v) => a + v * v) -
+            aggregate(col("ms"), lit(0.0), (a, v) => a + v) *
+              aggregate(col("ms"), lit(0.0), (a, v) => a + v) / reps) /
+            (reps - 1)), 6)).as("se_boot"))
   }
 
   /** Covariate balance check via standardized mean differences (the
