@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.analytics.{Dedup, Multimodal, Similarity, TextAnalysis, Warc}
+import graft.analytics.{Dedup, Multimodal, Similarity, Tar, TextAnalysis, Warc}
 import graft.functions.NetFunctions
 import graft.QueryHelpers._
 
@@ -821,6 +821,20 @@ private[graft] object QueriesSimGraph {
         .orderBy(col("doc_id"))
     }),
 
+    // ustar (tar) archive walk — the family's first MULTI-ENTRY
+    // container with data-dependent offsets: entry 1's header position
+    // must be computed from entry 0's PARSED size (512-byte blocks), the
+    // numeric fields are octal ASCII (a third numeric encoding after
+    // BE/LE binary), and each header carries its own integrity receipt —
+    // the parser recomputes the checksum from the BYTES while the twin
+    // derives it ARITHMETICALLY from the known fields (ord-folds over
+    // the name and octal strings), meeting only if every field landed
+    // byte-exact. The synthesized archives are real: GNU tar lists them
+    // (AHashSpec external receipt).
+    "m15_tar_walk" -> ((s, dir) =>
+      Tar.parseTar(Tar.withTar(t(s, dir, "documents")))
+        .orderBy(col("doc_id"), col("entry_idx"))),
+
     // WARC ingest (ISO 28500 — the Common Crawl record format): the
     // generator wraps each document as a WARC/1.0 response record (WARC
     // headers + HTTP response + HTML), the parser recovers every field
@@ -1183,6 +1197,37 @@ private[graft] object QueriesSimGraph {
         |    THEN 3 * (1 << CAST(doc_id % 8 + 1 AS INTEGER)) ELSE 0 END AS BIGINT) AS n_bytes,
         |  TRUE AS trailer_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // tar twin (m15): both entries' fields computed arithmetically from
+    // (doc_id, octet_length(text)) — entry 1's header offset replays the
+    // block walk, and the stored checksum is INDEPENDENTLY derived as
+    // ord-folds over the known header strings (name + octal fields +
+    // constant mode/uid/gid/magic + 8 spaces + typeflag), so the Spark
+    // parser's bytes-side recomputation and this fields-side derivation
+    // must meet exactly.
+    "m15_tar_walk" -> {
+      def ordSum(e: String) =
+        s"list_reduce(list_prepend(0, list_transform(range(1, len($e) + 1), i -> ord($e[i]))), (a, b) -> a + b)"
+      val constSum = s"${ordSum("'0000644'")} + 2 * ${ordSum("'0000000'")} + " +
+        s"8 * 32 + ord('0') + ${ordSum("'ustar'")} + ${ordSum("'00'")}"
+      def chk(nameExpr: String, sizeExpr: String) =
+        s"CAST(${ordSum(nameExpr)} + ${ordSum(s"lpad(to_base($sizeExpr, 8), 11, '0')")} + " +
+          s"${ordSum("lpad(to_base(1700000000 + doc_id, 8), 11, '0')")} + $constSum AS BIGINT)"
+      s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+         |    'd' || doc_id || '.txt' AS nm0, 'm' || doc_id AS nm1 FROM documents),
+         |e AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS entry_idx, CAST(0 AS BIGINT) AS hdr_off,
+         |    nm0 AS name, CAST(n AS BIGINT) AS size, ${chk("nm0", "n")} AS stored_chk
+         |  FROM b
+         |  UNION ALL
+         |  SELECT doc_id, 1, CAST(512 + 512 * ((n + 511) // 512) AS BIGINT),
+         |    nm1, 10, ${chk("nm1", "10")}
+         |  FROM b)
+         |SELECT doc_id, entry_idx, hdr_off, name, size,
+         |  CAST(1700000000 + doc_id AS BIGINT) AS mtime, '0' AS typeflag,
+         |  TRUE AS magic_ok, stored_chk, TRUE AS chksum_ok
+         |FROM e ORDER BY doc_id, entry_idx""".stripMargin
+    },
 
     // TIFF twin (m14): every field computed arithmetically from doc_id —
     // the parser must dispatch on the per-row byte-order marker and walk

@@ -1,0 +1,149 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** m15 — ustar (POSIX.1-1988 tar) archive walk: the multimodal family's
+  * first MULTI-ENTRY container with data-dependent offsets. The fixed-
+  * offset parsers (PNG/GIF/TIFF headers) read fields at known positions;
+  * a tar walk must PARSE entry 0's size to even find entry 1's header
+  * (512-byte blocks: header, then ceil(size/512) data blocks), and the
+  * numeric fields are OCTAL ASCII (a third numeric encoding class after
+  * big-endian and little-endian binary). The header checksum is the
+  * archive's own integrity receipt: the byte sum of the 512-byte header
+  * with the checksum field read as 8 spaces — the parser recomputes it
+  * from the BYTES and compares to the stored value, while the oracle
+  * derives the same number ARITHMETICALLY from the known fields, so the
+  * two derivations meet only if every field landed byte-exact.
+  *
+  * Scale shape: builder and parser are pure per-row projections (string/
+  * hex builtins + higher-order folds over fixed 512-byte windows) — they
+  * ride the scan like the rest of the m-family.
+  */
+object Tar {
+
+  private def strHex(s: Column): Column = hex(encode(s, "UTF-8"))
+
+  /** NUL terminator — tar names are NUL-padded. */
+  private val Nul: String = ("\u0000")
+
+  /** Hex of `n` NUL bytes; `n` may be a column. */
+  private def zeros(n: Column): Column =
+    call_function("repeat", lit("00"), n.cast("int"))
+
+  /** 11-digit zero-padded octal + NUL, hexed — the tar numeric field. */
+  private def octField(v: Column): Column =
+    concat(strHex(lpad(conv(v.cast("string"), 10, 8), 11, "0")), lit("00"))
+
+  /** Byte sum of a hex string's bytes [0, nBytes) — the checksum fold. */
+  private def hexByteSum(h: Column, nBytes: Int): Column =
+    aggregate(sequence(lit(0), lit(nBytes - 1)), lit(0L),
+      (a, i) => a + conv(h.substr(i * 2 + 1, lit(2)), 16, 10).cast(LongType))
+
+  /** One 512-byte ustar header (hex): name/size/mtime vary, mode 0644,
+    * uid/gid 0, typeflag '0', magic "ustar\0" + version "00". The
+    * checksum is computed from the header's own bytes (space-filled
+    * field, per the spec), then spliced in as 6-digit octal + NUL + ' '.
+    */
+  private def headerHex(name: Column, size: Column, mtime: Column): Column = {
+    val modeUidGid = concat(strHex(lit("0000644")), lit("00"),
+      strHex(lit("0000000")), lit("00"), strHex(lit("0000000")), lit("00"))
+    val pre = concat(
+      strHex(name), zeros(lit(100) - length(name)),        // name[100]
+      modeUidGid,                                          // mode/uid/gid
+      octField(size),                                      // size[12]
+      octField(mtime),                                     // mtime[12]
+      lit("20" * 8),                                       // chksum = 8 spaces
+      strHex(lit("0")),                                    // typeflag '0'
+      zeros(lit(100)),                                     // linkname
+      strHex(lit("ustar")), lit("00"), strHex(lit("00")),  // magic+version
+      zeros(lit(247)))                                     // rest of 512
+    val chk = hexByteSum(pre, 512)
+    val chkField = concat(strHex(lpad(conv(chk.cast("string"), 10, 8), 6, "0")),
+      lit("00"), lit("20"))
+    concat(pre.substr(lit(1), lit(296)), chkField, pre.substr(lit(313), lit(712)))
+  }
+
+  /** Per doc: a 2-entry archive — `d<id>.txt` holding the document text
+    * (variable size, so entry 1's header offset is data-dependent) and
+    * `m<id>` holding a fixed 10-byte payload — then the two zero-block
+    * trailer. Entirely hex-built, one unhex at the end.
+    */
+  def withTar(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol).cast(LongType)
+    val text = coalesce(col("text"), lit(""))
+    val textHex = strHex(text)
+    val n0 = length(encode(text, "UTF-8")).cast(LongType)
+    val pad0 = (lit(512L) - pmod(n0, lit(512L))) % 512L
+    val mtime = lit(1700000000L) + id
+    val body1 = lit("0123456789")
+    docs.select(col(idCol),
+      unhex(concat(
+        headerHex(concat(lit("d"), id.cast("string"), lit(".txt")), n0, mtime),
+        textHex, zeros(pad0),
+        headerHex(concat(lit("m"), id.cast("string")), lit(10L), mtime),
+        strHex(body1), zeros(lit(502)),
+        zeros(lit(1024)))).as("payload"))
+  }
+
+  private def beByte(p: Column, off: Column): Column =
+    conv(hex(p.substr(off.cast("int"), lit(1))), 16, 10).cast(LongType)
+
+  /** Octal ASCII field at [off, off+len) → long (NUL/space padding
+    * stripped); NULL when the field carries no octal digits.
+    */
+  private def octAt(p: Column, off: Column, len: Int): Column =
+    conv(regexp_replace(decode(p.substr(off.cast("int"), lit(len)),
+      "UTF-8"), "[^0-7]", ""), 8, 10).cast(LongType)
+
+  /** Walk up to `maxEntries` headers and emit one row per entry:
+    * (entry_idx, hdr_off, name, size, mtime, typeflag, magic_ok,
+    * stored_chk, chksum_ok). The walk STOPS at the zero-block trailer
+    * (first name byte NUL) or past end-of-payload; each entry's header
+    * offset is 512·(1+ceil(size/512)) past the previous — parsed, not
+    * assumed. chksum_ok compares the stored octal value to the byte sum
+    * of the header with the checksum field read as spaces (computed as
+    * fullSum − chkFieldSum + 8·0x20, one hex fold per entry).
+    */
+  def parseTar(tars: DataFrame, maxEntries: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    val p = col("payload")
+    def entry(off: Column): Column = {
+      val hdr = hex(p.substr(off.cast("int") + 1, lit(512)))
+      val fullSum = hexByteSum(hdr, 512)
+      val chkFieldSum = hexByteSum(hdr.substr(lit(297), lit(16)), 8)
+      val computed = fullSum - chkFieldSum + lit(8L * 0x20L)
+      val nameRaw = decode(p.substr(off.cast("int") + 1, lit(100)), "UTF-8")
+      struct(
+        off.as("hdr_off"),
+        substring_index(nameRaw, Nul, 1).as("name"),
+        octAt(p, off + 125, 12).as("size"),
+        octAt(p, off + 137, 12).as("mtime"),
+        decode(p.substr(off.cast("int") + 157, lit(1)), "UTF-8").as("typeflag"),
+        (hex(p.substr(off.cast("int") + 258, lit(6))) === "757374617200")
+          .as("magic_ok"),
+        octAt(p, off + 149, 8).as("stored_chk"),
+        (octAt(p, off + 149, 8) === computed).as("chksum_ok"))
+    }
+    // compose the walk: each slot's offset is the previous slot's
+    // offset + 512 + 512*ceil(size/512); a slot is NULL once the walk
+    // hits the zero trailer or runs past the payload
+    var offs = List[Column](lit(0L))
+    (1 until maxEntries).foreach { _ =>
+      val prev = offs.head
+      val prevSize = octAt(p, prev + 125, 12)
+      offs ::= prev + 512L + ((prevSize + 511L) - pmod(prevSize + 511L, lit(512L)))
+    }
+    val slots = offs.reverse.map { off =>
+      when(length(p) >= off + 512 && beByte(p, off + 1) =!= 0, entry(off))
+    }
+    tars.select(col(idCol), posexplode(filter(array(slots: _*), _.isNotNull)))
+      .select(col(idCol), col("pos").cast("bigint").as("entry_idx"),
+        col("col.hdr_off").as("hdr_off"), col("col.name").as("name"),
+        col("col.size").as("size"), col("col.mtime").as("mtime"),
+        col("col.typeflag").as("typeflag"), col("col.magic_ok").as("magic_ok"),
+        col("col.stored_chk").as("stored_chk"),
+        col("col.chksum_ok").as("chksum_ok"))
+  }
+}

@@ -330,4 +330,43 @@ class AHashSpec extends SparkSpec {
       .collect().head
     assert(bad.isNullAt(0))
   }
+
+  test("m15 tar: builder↔parser round-trip (multi-block + empty entries, " +
+      "data-dependent offsets); corrupted name breaks ONLY its checksum; " +
+      "the SYSTEM tar reads the synthesized archive") {
+    import graft.analytics.Tar
+    // doc 7: 600-byte body → 2 data blocks → entry 1's header at 1536;
+    // doc 8: empty body → entry 1's header right after header 0 at 512
+    val docs = Seq((7L, "a" * 600), (8L, "")).toDF("doc_id", "text")
+    val got = Tar.parseTar(Tar.withTar(docs)).orderBy("doc_id", "entry_idx")
+      .select("doc_id", "entry_idx", "hdr_off", "name", "size", "mtime",
+        "typeflag", "magic_ok", "chksum_ok")
+      .as[(Long, Long, Long, String, Long, Long, String, Boolean, Boolean)]
+      .collect().toSeq
+    assert(got === Seq(
+      (7L, 0L, 0L, "d7.txt", 600L, 1700000007L, "0", true, true),
+      (7L, 1L, 1536L, "m7", 10L, 1700000007L, "0", true, true),
+      (8L, 0L, 0L, "d8.txt", 0L, 1700000008L, "0", true, true),
+      (8L, 1L, 512L, "m8", 10L, 1700000008L, "0", true, true)), s"got $got")
+    // flip one name byte AFTER building: the stored checksum no longer
+    // matches the bytes — chksum_ok false for entry 0 only, and the walk
+    // (driven by the intact size field) still finds entry 1
+    val corrupted = Tar.withTar(docs.where(col("doc_id") === 7))
+      .select(col("doc_id"), overlay(col("payload"), unhex(lit("58")),
+        lit(2)).as("payload"))
+    val c = Tar.parseTar(corrupted).orderBy("entry_idx")
+      .select("entry_idx", "name", "chksum_ok")
+      .as[(Long, String, Boolean)].collect().toSeq
+    assert(c === Seq((0L, "dX.txt", false), (1L, "m7", true)), s"got $c")
+    // external receipt: GNU tar lists the synthesized archive's members
+    val payload = Tar.withTar(docs.where(col("doc_id") === 7))
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val f = java.io.File.createTempFile("graft_m15_", ".tar")
+    try {
+      java.nio.file.Files.write(f.toPath, payload)
+      val out = scala.sys.process.Process(Seq("tar", "-tf", f.getPath)).!!
+      assert(out.split("\n").toSeq === Seq("d7.txt", "m7"),
+        s"system tar disagrees: $out")
+    } finally f.delete()
+  }
 }
