@@ -1143,6 +1143,182 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** One micro-batch of STREAMING index maintenance applied to a
+    * [[writeIvfLists]] artifact with exactly-once observable state on
+    * plain immutable files. Batch schema: `(op 'add'|'del', vec_id,
+    * embedding)`. Adds are cell-assigned by the PERSISTED quantizer
+    * (the s30 contract — the same [[cellAssigned]] projection the build
+    * uses); deletes carry just their id. Everything lands as ONE
+    * dynamic-partition-overwrite write into the batch_id-PARTITIONED ops
+    * log `<table>_stream_ops`: a replayed batch — crash after the write,
+    * before the checkpoint commit — overwrites ITS OWN partition with
+    * the same rows, so at-least-once re-delivery collapses to
+    * exactly-once state. The partition IS the transaction: the
+    * (batchId, key) idempotent-sink discipline (Stream.KeyedUpsertStore)
+    * expressed as a file layout, which is exactly how lakehouse streaming
+    * sinks make object stores transactional. StreamingSpec crashes a
+    * batch mid-apply and proves the restarted state equals a
+    * never-crashed run's.
+    */
+  def applyIvfOpsBatch(batch: DataFrame, table: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    ensureStreamOps(spark, table)
+    val nf = normFn(spark.table(table))
+    val cents = broadcast(spark.table(s"${table}_quantizer")
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    val adds = cellAssigned(batch.where(col("op") === "add"), cents, idCol, vecCol)
+      .select(lit("add").as("op"), col("neighbor_id"), col("vec"),
+        col("vec_norm"), col("cent_id"))
+    val dels = batch.where(col("op") === "del")
+      .select(lit("del").as("op"), col(idCol).as("neighbor_id"),
+        lit(null).cast(spark.table(table).schema("vec").dataType).as("vec"),
+        lit(null).cast("double").as("vec_norm"),
+        lit(-1L).as("cent_id"))
+    val cols = spark.table(s"${table}_stream_ops").columns
+    val rows = adds.unionByName(dels)
+      .withColumn("batch_id", lit(batchId))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.write.mode("overwrite").insertInto(s"${table}_stream_ops")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Create the batch_id-partitioned streaming ops log if absent, with
+    * the lists table's own column types (one schema authority).
+    */
+  private def ensureStreamOps(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    if (!spark.catalog.tableExists(s"${table}_stream_ops"))
+      spark.table(table)
+        .select(lit("add").as("op"), col("neighbor_id"), col("vec"),
+          col("vec_norm"), col("cent_id"), lit(0L).as("batch_id"))
+        .limit(0)
+        .write.mode("overwrite").format("parquet").partitionBy("batch_id")
+        .saveAsTable(s"${table}_stream_ops")
+
+  /** Query half over lists + live streaming ops — the LSM read-side
+    * merge: per id the op with the HIGHEST batch_id wins (an id deleted
+    * in batch 3 after an add in batch 1 is gone; a re-add in batch 5
+    * with a new vector supersedes both, and its REASSIGNED cell is the
+    * one probed). Base lists rows whose id carries any op are
+    * superseded; the winning adds join in with their own cell
+    * assignments. The ops log between compactions is bounded by delete/
+    * ingest traffic (the s31 tombstone argument), so both derived sets
+    * ride broadcasts — the lists scan stays partition-pruned to the
+    * probed cells and never re-shuffles.
+    */
+  def ivfListsTopKLive(probes: DataFrame, table: String, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    ensureStreamOps(spark, table)
+    val nf = normFn(probes)
+    val cf = cosineFromNorms(dotFn(probes)) _
+    val cents = broadcast(spark.table(s"${table}_quantizer")
+      .select(col("cent_id"), col("cent_vec"), nf(col("cent_vec")).as("cent_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc_nulls_last, col("cent_id").asc)
+    val pAssign = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        nf(col(vecCol)).as("probe_norm"))
+      .join(cents)
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cent_id"),
+        round(cf(col("probe_vec"), col("cent_vec"),
+          col("probe_norm"), col("cent_norm")), 6).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= nProbe)
+      .select(col("probe_id"), col("probe_vec"), col("probe_norm"), col("cent_id"))
+    val cellIds = pAssign.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val latest = spark.table(s"${table}_stream_ops")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("op"), col("vec"), col("vec_norm"),
+        col("cent_id")), col("batch_id")).as("o"))
+      .select(col("neighbor_id"), col("o.op").as("op"), col("o.vec").as("vec"),
+        col("o.vec_norm").as("vec_norm"), col("o.cent_id").as("cent_id"))
+    val tomb = spark.table(s"${table}_tombstones")
+      .select(col("neighbor_id")).distinct()
+    val base = spark.table(table).where(col("cent_id").isin(cellIds: _*))
+      .join(broadcast(tomb), Seq("neighbor_id"), "left_anti")
+      .join(broadcast(latest.select(col("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+      .select(col("cent_id"), col("neighbor_id"), col("vec"), col("vec_norm"))
+    val liveAdds = latest.where(col("op") === "add" &&
+        col("cent_id").isin(cellIds: _*))
+      .select(col("cent_id"), col("neighbor_id"), col("vec"), col("vec_norm"))
+    val idx = base.unionByName(liveAdds)
+    val scored = idx.join(broadcast(pAssign), Seq("cent_id"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        cf(col("probe_vec"), col("vec"),
+          col("probe_norm"), col("vec_norm")).as("sim"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast("bigint"))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Fold the streaming ops log physically into the lists artifact: the
+    * winning deletes become tombstones (then [[compactIvfLists]] folds
+    * them, rewriting only touched lists), the winning adds land in their
+    * assigned cells via the same dynamic-partition-overwrite recipe, and
+    * the ops log is truncated. After this, the PLAIN [[ivfListsTopK]]
+    * path answers exactly what [[ivfListsTopKLive]] answered before —
+    * StreamingSpec asserts that equality, which is the whole contract:
+    * streaming maintenance is a deferral of the s31 batch fold, never a
+    * different index.
+    */
+  def compactIvfListsStream(table: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    ensureStreamOps(spark, table)
+    val ops = spark.table(s"${table}_stream_ops")
+    if (ops.isEmpty) return
+    val latest = ops
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("op"), col("vec"), col("vec_norm"),
+        col("cent_id")), col("batch_id")).as("o"))
+      .select(col("neighbor_id"), col("o.op").as("op"), col("o.vec").as("vec"),
+        col("o.vec_norm").as("vec_norm"), col("o.cent_id").as("cent_id"))
+      .localCheckpoint(true)
+    val opIds = broadcast(latest.select(col("neighbor_id")))
+    // every base row superseded by ANY op becomes a tombstone (a winning
+    // add REPLACES its base row — possibly in a different cell)
+    spark.table(table)
+      .join(opIds, Seq("neighbor_id"), "left_semi")
+      .select(col("cent_id"), col("neighbor_id"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(s"${table}_tombstones")
+    compactIvfLists(table, spark)
+    // winning adds land in their assigned cells; cells already compacted
+    // above, so this touches only the added rows' partitions
+    val adds = latest.where(col("op") === "add")
+      .select(col("neighbor_id"), col("vec"), col("vec_norm"), col("cent_id"))
+    if (!adds.isEmpty) {
+      val cols = spark.table(table).columns
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.table(table)
+        .where(col("cent_id").isin(adds.select("cent_id").distinct()
+          .collect().map(_.getLong(0)).toSeq: _*))
+        .unionByName(adds)
+        .select(cols.map(col).toIndexedSeq: _*)
+        .localCheckpoint(true)
+        .write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    spark.sql(s"TRUNCATE TABLE ${table}_stream_ops")
+  }
+
   /** Physical fold of the tombstones into a [[writeIvfLists]] artifact —
     * the compaction half of the deletion-vector contract. Touched cells
     * (the distinct `cent_id`s in the tombstone table — control-sized,

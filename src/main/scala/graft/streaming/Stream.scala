@@ -976,4 +976,33 @@ object Stream {
     */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir)
+
+  /** H4/H5 × the s29–s31 index lifecycle: STREAMING maintenance of a
+    * persisted IVF lists index. `ops` is a stream of
+    * `(op 'add'|'del', vec_id, embedding)` events; each micro-batch is
+    * applied by [[graft.analytics.Similarity.applyIvfOpsBatch]] as ONE
+    * dynamic-partition-overwrite write into the batch_id-partitioned ops
+    * log, so a batch replayed after a crash overwrites its own partition
+    * — exactly-once observable state on plain files, no transactional
+    * store needed (the partition is the transaction). Readers see the
+    * index through [[graft.analytics.Similarity.ivfListsTopKLive]]
+    * (lists + winning ops, LSM-style), and
+    * [[graft.analytics.Similarity.compactIvfListsStream]] periodically
+    * folds the log back into the s31 artifact. StreamingSpec proves
+    * crash-replay absorption, last-op-wins across batches (delete→re-add
+    * with a new vector), equality with the batch-built index on the net
+    * corpus, and live≡compacted answers.
+    */
+  def ivfMaintenanceStream(ops: DataFrame, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onBatch: Long => Unit = _ => ()): StreamingQuery =
+    ops.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.analytics.Similarity.applyIvfOpsBatch(batch, table, batchId)
+        onBatch(batchId)
+      }
+      .start()
 }

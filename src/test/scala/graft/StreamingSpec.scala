@@ -1405,4 +1405,110 @@ class StreamingSpec extends SparkSpec {
     assert(!b0.contains("pdb_ms") && b0.contains("thrputDl_mbps"),
       s"pdb_ms must be dropped by the policy gate: $b0")
   }
+
+  test("streaming IVF maintenance: batch-partitioned ops log absorbs a " +
+      "crashed batch's replay; last op wins across batches (delete → " +
+      "re-add with a new vector); live answers equal the batch index on " +
+      "the net corpus and survive compaction into the plain s31 path") {
+    import graft.analytics.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val vecOf: Map[Long, Array[Float]] = e.where(col("vec_id") <= 110)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    val base = e.where(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+    val tbl = "graft_sivf_stream_idx"
+    Similarity.writeIvfLists(base, tbl, nCells = 8)
+    val srcDir = tempDir("graft-sivf-src")
+    val ckpt = tempDir("graft-sivf-ckpt")
+    val stageDir = tempDir("graft-sivf-stage")
+    import spark.implicits._
+    def writeOps(name: String, ops: Seq[(String, Long, Array[Float])]): Unit = {
+      val tmp = s"$stageDir/$name"
+      ops.toDF("op", "vec_id", "embedding").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var armed = false
+    def runOnce(): Option[Throwable] = {
+      val q = Stream.ivfMaintenanceStream(
+        spark.readStream.schema(
+          "op string, vec_id bigint, embedding array<float>")
+          .parquet(srcDir),
+        tbl, ckpt,
+        onBatch = id => {
+          applied += id
+          if (armed && id == 1L) { armed = false
+            throw new RuntimeException("crashed AFTER the ops write") }
+        })
+      try { q.awaitTermination(120000); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+    try {
+      // batch 0: ten adds (odd ids)
+      writeOps("b0", (1L to 19L by 2).map(i => ("add", i, vecOf(i))))
+      assert(runOnce().isEmpty)
+      // batch 1: two base deletes + one add — crash AFTER the ops write,
+      // BEFORE the checkpoint commit; restart must overwrite, not double
+      writeOps("b1", Seq(("del", 0L, Array.empty[Float]),
+        ("del", 2L, Array.empty[Float]), ("add", 101L, vecOf(101L))))
+      armed = true
+      assert(runOnce().nonEmpty, "armed crash must fail the query")
+      assert(runOnce().isEmpty, "restart must complete")
+      assert(applied.count(_ == 1L) === 2,
+        s"crashed batch must be re-delivered under the SAME id: $applied")
+      assert(applied.count(_ == 0L) === 1,
+        s"committed batch must NOT be replayed: $applied")
+      val b1Rows = spark.table(s"${tbl}_stream_ops")
+        .where(col("batch_id") === 1L).count()
+      assert(b1Rows === 3L,
+        s"replay must OVERWRITE the batch partition, not append: $b1Rows rows")
+      // batch 2: delete a batch-0 add, RE-ADD id 3 with a modified vector
+      // (last op wins and the new vector reassigns), delete a never-seen id
+      val mod3 = vecOf(3L).map(_ * 2.0f)
+      writeOps("b2", Seq(("del", 1L, Array.empty[Float]),
+        ("add", 3L, mod3), ("del", 999999L, Array.empty[Float])))
+      assert(runOnce().isEmpty)
+      // net corpus: base − {0,2} + odd adds − {1}, id 3's vector REPLACED,
+      // + 101 — under the ORIGINAL (base) quantizer
+      val net = (base.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        -- Seq(0L, 2L)
+        ++ (3L to 19L by 2).map(i => i -> vecOf(i)).toMap
+        + (3L -> mod3) + (101L -> vecOf(101L)))
+        .toSeq.map { case (id, v) => (id, v) }
+        .toDF("vec_id", "embedding")
+      val probes = e.where(col("vec_id") < 4)
+      val cents = base.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      def canon(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP))).sortBy(t => (t._1, t._2))
+      val reference = canon(Similarity.ivfTopKWithCentroids(net, probes,
+        k = 5, centroids = cents, nProbe = 4))
+      val live = canon(Similarity.ivfListsTopKLive(probes, tbl, k = 5, nProbe = 4))
+      assert(live === reference,
+        "live (lists + winning ops) answers must equal the batch index on the net corpus")
+      // fold the log: the PLAIN s31 path must now answer the live question
+      Similarity.compactIvfListsStream(tbl, spark)
+      assert(spark.table(s"${tbl}_stream_ops").count() === 0L)
+      assert(spark.table(s"${tbl}_tombstones").count() === 0L)
+      val plain = canon(Similarity.ivfListsTopK(probes, tbl, k = 5, nProbe = 4))
+      assert(plain === reference,
+        "compacted lists must answer exactly what the live view answered")
+      // the replaced vector physically superseded its batch-0 assignment
+      val row3 = spark.table(tbl).where(col("neighbor_id") === 3L).collect()
+      assert(row3.length === 1 &&
+        row3.head.getSeq[Float](row3.head.fieldIndex("vec")).toArray
+          .sameElements(mod3),
+        "re-added id must carry the NEW vector after compaction")
+    } finally {
+      Seq(tbl, s"${tbl}_quantizer", s"${tbl}_tombstones", s"${tbl}_stream_ops")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
