@@ -877,16 +877,27 @@ object Multimodal {
     val magic = u(lit(3L), 2)
     val ifdOff = u(lit(5L), 4) // 0-based file offset, per the spec
     val nEntries = u(ifdOff + 1, 2)
-    def entryField(slot: Int, wantTag: Long): Column = {
-      val ep = ifdOff + 3 + slot * 12 // 1-based position of the entry
-      val tag = u(ep, 2)
-      val typ = u(ep + 2, 2)
-      val value = when(typ === 3L, u(ep + 8, 2)).otherwise(u(ep + 8, 4))
-      when(lit(slot) < nEntries && tag === wantTag, value)
-    }
+    // ONE entry table via a transform lambda: the per-entry byte-walk
+    // subtree (which embeds the parsed ifdOff/nEntries expressions)
+    // exists ONCE in the plan. The first cut unrolled 8 slots × 4 wanted
+    // tags as nested whens, duplicating those subtrees combinatorially —
+    // measured 318 s at the ×16 sweep scale for a map-only projection
+    // (the blown-up tree fell out of codegen); this shape runs it in
+    // ordinary per-row time and is exactly as strict (slot gated on the
+    // PARSED count, TYPE-aware SHORT/LONG read).
+    val entries = filter(
+      transform(sequence(lit(0L), lit(7L)), i =>
+        when(i < nEntries, {
+          val ep = ifdOff + 3 + i * 12 // 1-based position of the entry
+          val typ = u(ep + 2, 2)
+          struct(u(ep, 2).as("tag"), typ.as("typ"),
+            when(typ === 3L, u(ep + 8, 2)).otherwise(u(ep + 8, 4))
+              .as("value"))
+        })),
+      e => e.isNotNull)
     def field(wantTag: Long): Column =
-      coalesce((0 until 8).map(entryField(_, wantTag)) :+
-        lit(null).cast(LongType): _*)
+      element_at(filter(entries, e => e.getField("tag") === wantTag), 1)
+        .getField("value")
     val nextIfd = u(ifdOff + 3 + nEntries * 12, 4)
     when(isLe || isBe,
       struct(
