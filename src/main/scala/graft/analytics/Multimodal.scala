@@ -895,21 +895,28 @@ object Multimodal {
               .as("value"))
         })),
       e => e.isNotNull)
-    def field(wantTag: Long): Column =
-      element_at(filter(entries, e => e.getField("tag") === wantTag), 1)
+    // bind the parsed entry table ONCE per row (transform over a 1-element
+    // array): the four tag searches below each reference the lambda
+    // variable instead of embedding their own copy of the 8-slot byte-walk
+    // subtree — the HOF chain is CodegenFallback, so without the binding
+    // every `field()` re-ran the whole IFD parse per row (measured: m14 at
+    // 5.6 s for a 5 000-row map-only parse at sf0.1; ~4× the walk work).
+    def field(es: Column, wantTag: Long): Column =
+      element_at(filter(es, e => e.getField("tag") === wantTag), 1)
         .getField("value")
     val nextIfd = u(ifdOff + 3 + nEntries * 12, 4)
     when(isLe || isBe,
-      struct(
-        when(isLe, lit("II")).otherwise(lit("MM")).as("byte_order"),
-        (magic === 42L).as("magic_ok"),
-        ifdOff.as("ifd_off"),
-        nEntries.as("n_entries"),
-        field(256L).as("width"),
-        field(257L).as("height"),
-        field(258L).as("bits_per_sample"),
-        field(259L).as("compression"),
-        nextIfd.as("next_ifd")))
+      element_at(transform(array(entries), es =>
+        struct(
+          when(isLe, lit("II")).otherwise(lit("MM")).as("byte_order"),
+          (magic === 42L).as("magic_ok"),
+          ifdOff.as("ifd_off"),
+          nEntries.as("n_entries"),
+          field(es, 256L).as("width"),
+          field(es, 257L).as("height"),
+          field(es, 258L).as("bits_per_sample"),
+          field(es, 259L).as("compression"),
+          nextIfd.as("next_ifd"))), 1))
   }
 
   /** [[leUint]]/[[beUint]] with a COLUMN byte offset (1-based) — the

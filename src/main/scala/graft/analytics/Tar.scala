@@ -124,11 +124,26 @@ object Tar {
   def parseTar(tars: DataFrame, maxEntries: Int = 4,
       idCol: String = "doc_id"): DataFrame = {
     val p = col("payload")
+    // checksum = byte sum of the 512-byte header with the chksum field
+    // read as 8 spaces. The native byte_range_sum kernel runs it as one
+    // codegen'd loop over the raw bytes; the declarative twin (hex fold)
+    // computes the identical value (AHashSpec equivalence) but re-walks
+    // the lambda tree — including the embedded hex(substr) header
+    // projection — once per byte, which put the map-only walk at 50.8 s
+    // for 5 000 rows at sf0.1 (r17 optimization round measurement).
+    val native = tars.sparkSession.catalog.functionExists("byte_range_sum")
+    def computedChk(off: Column): Column =
+      if (native)
+        call_function("byte_range_sum", p, off + 1L, lit(512L)) -
+          call_function("byte_range_sum", p, off + 149L, lit(8L)) +
+          lit(8L * 0x20L)
+      else {
+        val hdr = hex(p.substr(off.cast("int") + 1, lit(512)))
+        hexByteSum(hdr, 512) - hexByteSum(hdr.substr(lit(297), lit(16)), 8) +
+          lit(8L * 0x20L)
+      }
     def entry(off: Column): Column = {
-      val hdr = hex(p.substr(off.cast("int") + 1, lit(512)))
-      val fullSum = hexByteSum(hdr, 512)
-      val chkFieldSum = hexByteSum(hdr.substr(lit(297), lit(16)), 8)
-      val computed = fullSum - chkFieldSum + lit(8L * 0x20L)
+      val computed = computedChk(off)
       val nameRaw = decode(p.substr(off.cast("int") + 1, lit(100)), "UTF-8")
       struct(
         off.as("hdr_off"),

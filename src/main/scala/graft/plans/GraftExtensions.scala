@@ -84,6 +84,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(children.head, n, MinHashSig.abConstants(k, seed))
       }))
 
+    ext.injectFunction((
+      FunctionIdentifier("byte_range_sum"),
+      new ExpressionInfo(
+        classOf[ByteRangeSum].getName, null, "byte_range_sum",
+        "_FUNC_(bin, pos, len) - sum of unsigned byte values over a 1-based range; null when the range leaves the payload.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "byte_range_sum takes 3 arguments")
+        ByteRangeSum(children(0), children(1), children(2))
+      }))
+
     // bloom_agg / bloom_contains: Spark's OWN runtime-filter bloom
     // machinery (catalyst BloomFilterAggregate / BloomFilterMightContain,
     // the expressions behind spark.sql.optimizer.runtimeFilter) exposed as

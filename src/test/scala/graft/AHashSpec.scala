@@ -369,4 +369,33 @@ class AHashSpec extends SparkSpec {
         s"system tar disagrees: $out")
     } finally f.delete()
   }
+
+  test("byte_range_sum kernel ≡ declarative hex fold (value, out-of-range " +
+      "NULL, len-0 seed) — the m15 checksum optimization's contract") {
+    import graft.analytics.Tar
+    // payloads exercising sign bits (0xFF), NULs, and odd lengths
+    val rows = Seq((1L, "FF00FE417F", 1L, 5L), (2L, "00", 1L, 1L),
+      (3L, "DEADBEEF", 2L, 3L), (4L, "DEADBEEF", 1L, 0L),
+      (5L, "DEADBEEF", 1L, 5L), // range past end → NULL
+      (6L, "DEADBEEF", 0L, 2L)) // pos < 1 → NULL
+      .toDF("id", "hx", "pos", "len")
+      .select(col("id"), unhex(col("hx")).as("bin"), col("pos"), col("len"))
+    // declarative twin: the fold parseTar ran before the kernel — sum of
+    // conv'd hex byte pairs, poisoned to NULL when a byte is missing
+    val fold = aggregate(sequence(lit(0L), col("len") - 1L), lit(0L),
+      (a, i) => a + conv(hex(col("bin")).substr(
+        ((col("pos") - 1L + i) * 2L + 1L).cast("int"), lit(2)), 16, 10)
+        .cast("long"))
+    val declarative = when(col("len") === 0L, lit(0L))
+      .when(col("pos") < 1L || col("pos") - 1L + col("len") > length(col("bin")),
+        lit(null).cast("long"))
+      .otherwise(fold)
+    val got = rows.select(col("id"),
+        call_function("byte_range_sum", col("bin"), col("pos"), col("len")).as("k"),
+        declarative.as("d"))
+      .orderBy("id").as[(Long, Option[Long], Option[Long])].collect().toSeq
+    got.foreach { case (id, k, d) => assert(k === d, s"id=$id kernel=$k fold=$d") }
+    assert(got.map(_._2) === Seq(Some(0xFFL + 0xFEL + 0x41L + 0x7FL),
+      Some(0L), Some(0xADL + 0xBEL + 0xEFL), Some(0L), None, None))
+  }
 }
