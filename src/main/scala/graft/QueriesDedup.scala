@@ -59,17 +59,34 @@ private[graft] object QueriesDedup {
     // monotone non-increasing in the threshold (asserted in DedupSpec).
     "d35_dedup_sweep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Single-pass restructure (r17 optimization round; guide §2.4):
+      // thresholds nest (jaccard ≥ th is monotone), so the whole curve is
+      // conditional sums over ONE pass — per doc, count the pairs it
+      // leads (side a) per threshold and its max jaccard; a doc is
+      // "affected" at th iff its max pair jaccard reaches th. The former
+      // shape ran TWO aggregates (count + exploded countDistinct) plus a
+      // crossJoin PER LEVEL over a persisted pair table — six passes and
+      // three broadcasts; with a single consumer the persist is gone too.
+      val ths = Seq(0.05, 0.5, 0.9)
       val pairs = Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 50), docs,
-          n = 3, threshold = 0.05, maxDf = 1000L)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Seq(0.05, 0.5, 0.9).map { th =>
-        val lvl = pairs.where(col("jaccard") >= th)
-        lvl.agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(broadcast(
-            lvl.select(explode(array(col("a_id"), col("b_id"))).as("d"))
-              .agg(countDistinct(col("d")).as("n_docs_affected"))))
-          .select(lit(th).as("threshold"), col("n_pairs"), col("n_docs_affected"))
-      }.reduce(_ unionByName _)
+        n = 3, threshold = 0.05, maxDf = 1000L)
+      val exploded = pairs.select(col("jaccard").as("j"),
+          explode(array(struct(col("a_id").as("d"), lit(true).as("lead")),
+            struct(col("b_id").as("d"), lit(false).as("lead")))).as("x"))
+        .select(col("j"), col("x.d").as("d"), col("x.lead").as("lead"))
+      val perDoc = exploded.groupBy(col("d")).agg(
+        max(col("j")).as("mj"),
+        ths.indices.map(i => sum(when(col("lead") && col("j") >= ths(i), 1L)
+          .otherwise(0L)).as(s"np_$i")): _*)
+      val aggCols = ths.indices.flatMap(i => Seq(
+        coalesce(sum(col(s"np_$i")), lit(0L)).as(s"n_pairs_$i"),
+        count(when(col("mj") >= ths(i), lit(1))).as(s"nd_$i")))
+      perDoc.agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(ths.indices.map(i =>
+          struct(lit(ths(i)).as("threshold"), col(s"n_pairs_$i").as("n_pairs"),
+            col(s"nd_$i").as("n_docs_affected"))): _*)).as("l"))
+        .select(col("l.threshold").as("threshold"), col("l.n_pairs").as("n_pairs"),
+          col("l.n_docs_affected").as("n_docs_affected"))
         .orderBy(col("threshold"))
     }),
 

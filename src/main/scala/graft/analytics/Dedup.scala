@@ -361,41 +361,73 @@ object Dedup {
       s"duplicate band counts produce duplicate curve rows: $bandsGrid")
     bandsGrid.foreach(b =>
       require(b >= 1 && k % b == 0, s"k=$k must be divisible by bands=$b"))
+    // Single-pass restructure (r17 optimization round; guide §2.4): the
+    // grid nests (each level's bands must divide the finest level's, so a
+    // coarse slice is a concatenation of finest slices and a coarse match
+    // IMPLIES a finest-level match) — therefore ONE bucket self-join at
+    // the finest level generates a candidate superset for every level,
+    // per-level candidacy is a slice-equality predicate over the joined
+    // signatures (exactly the oracle's banding semantics —
+    // lshSweepOracleSql's `x.slc = y.slc`), and the whole curve is ONE
+    // full-outer join + ONE conditional aggregation. The former shape ran
+    // a bucket self-join, two signature re-joins, and a full-outer
+    // compare PER LEVEL over the shared persisted tables (4× the shuffle
+    // passes; truth no longer needs a persist with a single consumer).
+    bandsGrid.foreach(b => require(bandsGrid.max % b == 0,
+      s"grid must nest (every bands must divide max): $bandsGrid"))
     val sigs = (if (portableHash) minhashSignaturesPortable(docs, n, k, idCol, textCol)
                 else minhashSignatures(docs, n, k, idCol, textCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = truthPairs
-      .select(col("a_id"), col("b_id"), lit(1L).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandsGrid.sorted.map { bands =>
+    val maxBands = bandsGrid.max
+    val buckets = bandBuckets(sigs, maxBands, k / maxBands)
+    val cand = buckets.select(col("bucket"), col("id").as("a_id"))
+      .join(buckets.select(col("bucket"), col("id").as("b_id")), Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    // per-level candidacy: some width-rpb aligned slice agrees (the
+    // bucket key's xxhash64 equality coincides with slice equality — the
+    // d11 note — so the finest level's predicate matches its own
+    // generation join)
+    def slicesAgree(bands: Int): Column = {
       val rpb = k / bands
-      val buckets = bandBuckets(sigs, bands, rpb)
-      val cand = buckets.select(col("bucket"), col("id").as("a_id"))
-        .join(buckets.select(col("bucket"), col("id").as("b_id")), Seq("bucket"))
-        .where(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-        .distinct()
-      val est = cand
-        .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-        .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          estJaccard(col("a_sig"), col("b_sig"), k).as("ej"))
-        .where(col("ej") >= threshold)
-        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
-      est.join(truth, Seq("a_id", "b_id"), "full_outer")
-        .select(coalesce(col("e"), lit(0L)).as("e"),
-          coalesce(col("t"), lit(0L)).as("t"))
-        .agg(sum(col("t")).as("n_true"), sum(col("e")).as("n_est"),
-          sum(col("e") * col("t")).as("tp"))
-        .select(lit(bands.toLong).as("bands"), lit(rpb.toLong).as("rows_per_band"),
-          col("n_true"), col("n_est"), col("tp"),
+      exists(sequence(lit(0), lit(bands - 1)), i =>
+        slice(col("a_sig"), i * rpb + 1, lit(rpb)) ===
+          slice(col("b_sig"), i * rpb + 1, lit(rpb)))
+    }
+    val sorted = bandsGrid.sorted
+    val est = cand
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
+      .select(Seq(col("a_id"), col("b_id"),
+        (estJaccard(col("a_sig"), col("b_sig"), k) >= threshold).as("pass")) ++
+        sorted.map(b => slicesAgree(b).as(s"c_$b")): _*)
+    val joined = est
+      .join(truthPairs.select(col("a_id"), col("b_id"), lit(1L).as("t")),
+        Seq("a_id", "b_id"), "full_outer")
+      .select(Seq(col("pass"), coalesce(col("t"), lit(0L)).as("t")) ++
+        sorted.map(b => col(s"c_$b")): _*)
+    val aggCols = Seq(sum(col("t")).as("n_true")) ++ sorted.flatMap { b =>
+      val e = col(s"c_$b") && col("pass") // null (truth-only row) → otherwise 0
+      Seq(sum(when(e, 1L).otherwise(0L)).as(s"n_est_$b"),
+        sum(when(e, col("t")).otherwise(0L)).as(s"tp_$b"))
+    }
+    joined.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(sorted.map { b =>
+        val nEst = col(s"n_est_$b")
+        val tp = col(s"tp_$b")
+        struct(lit(b.toLong).as("bands"), lit((k / b).toLong).as("rows_per_band"),
+          col("n_true"), nEst.as("n_est"), tp.as("tp"),
           // NULL, not NaN, when a level admits zero pairs (0/0 is IEEE
           // NaN on both engines but NaN survives the hash compare badly)
-          when(col("n_est") > 0,
-            col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
+          when(nEst > 0, tp.cast("double") / nEst.cast("double")).as("precision"),
           when(col("n_true") > 0,
-            col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
-    }.reduce(_ unionByName _)
+            tp.cast("double") / col("n_true").cast("double")).as("recall"))
+      }: _*)).as("l"))
+      .select(col("l.bands").as("bands"), col("l.rows_per_band").as("rows_per_band"),
+        col("l.n_true").as("n_true"), col("l.n_est").as("n_est"),
+        col("l.tp").as("tp"), col("l.precision").as("precision"),
+        col("l.recall").as("recall"))
   }
 
   /** SimHash Hamming-radius operating curve (d37) — the fingerprint
@@ -443,29 +475,42 @@ object Dedup {
       .join(fps.select(col("id").as("b_id"), col("simhash").as("fb")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val truth = truthPairs
-      .select(col("a_id"), col("b_id"), lit(1L).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCand = candHd.select(count(lit(1)).as("n_cand"))
-    radii.sorted.map { r =>
-      val est = candHd.where(col("hd") <= r)
-        .select(col("a_id"), col("b_id"), lit(1L).as("e"))
-      est.join(truth, Seq("a_id", "b_id"), "full_outer")
-        .select(coalesce(col("e"), lit(0L)).as("e"),
-          coalesce(col("t"), lit(0L)).as("t"))
-        .agg(sum(col("t")).as("n_true"), sum(col("e")).as("n_est"),
-          sum(col("e") * col("t")).as("tp"))
-        .crossJoin(broadcast(nCand)) // 1-row scalar
-        .select(lit(r.toLong).as("radius"), col("n_cand"),
-          col("n_true"), col("n_est"), col("tp"),
+    // ONE full-outer join + ONE conditional aggregation for the whole
+    // radius grid (r17 optimization round; guide §2.4 "remove shuffles
+    // outright"): radii nest (hd ≤ r is monotone in r), so every level's
+    // (n_est, tp) is a conditional sum over the SAME (candidate ⋈ truth)
+    // row set — the former per-level full-outer joins re-joined and
+    // re-aggregated the shared persisted tables once per radius (4× the
+    // passes, 4× the shuffles; candHd/truth no longer need a persist at
+    // all with a single consumer). Per-level sums match the per-level
+    // joins exactly: a truth-only row has hd NULL (never ≤ r → 0), a
+    // candidate above the radius contributes 0 where the old join simply
+    // omitted it.
+    val radSorted = radii.sorted
+    val joined = candHd
+      .join(truthPairs.select(col("a_id"), col("b_id"), lit(1L).as("t")),
+        Seq("a_id", "b_id"), "full_outer")
+      .select(col("hd"), coalesce(col("t"), lit(0L)).as("t"))
+    val aggCols = Seq(count(col("hd")).as("n_cand"), sum(col("t")).as("n_true")) ++
+      radSorted.flatMap(r => Seq(
+        sum(when(col("hd") <= r, 1L).otherwise(0L)).as(s"n_est_$r"),
+        sum(when(col("hd") <= r, col("t")).otherwise(0L)).as(s"tp_$r")))
+    joined.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(radSorted.map { r =>
+        val nEst = col(s"n_est_$r")
+        val tp = col(s"tp_$r")
+        struct(lit(r.toLong).as("radius"), col("n_cand"),
+          col("n_true"), nEst.as("n_est"), tp.as("tp"),
           // NULL, not NaN, when a radius admits zero pairs (0/0 is IEEE
           // NaN on both engines but NaN survives the hash compare badly)
-          when(col("n_est") > 0,
-            col("tp").cast("double") / col("n_est").cast("double")).as("precision"),
+          when(nEst > 0, tp.cast("double") / nEst.cast("double")).as("precision"),
           when(col("n_true") > 0,
-            col("tp").cast("double") / col("n_true").cast("double")).as("recall"))
-    }.reduce(_ unionByName _)
+            tp.cast("double") / col("n_true").cast("double")).as("recall"))
+      }: _*)).as("l"))
+      .select(col("l.radius").as("radius"), col("l.n_cand").as("n_cand"),
+        col("l.n_true").as("n_true"), col("l.n_est").as("n_est"),
+        col("l.tp").as("tp"), col("l.precision").as("precision"),
+        col("l.recall").as("recall"))
   }
 
   /** 64-bit SimHash per document. When the `simhash64` native expression is
