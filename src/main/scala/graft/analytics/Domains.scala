@@ -80,28 +80,45 @@ object Domains {
     * the canonical form is then d01's hash-groupBy.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val noFrag = regexp_replace(url, "#.*", "")
-    val sch = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
-    val schemeNorm = when(sch === "", noFrag)
-      .otherwise(concat(sch, lit("://"),
-        regexp_replace(noFrag, "^[A-Za-z]+://", "")))
-    // utm params in three separator-anchored passes: every `&utm_…`,
-    // then a leading `?utm_…&` (promote the follower), then a lone
-    // `?utm_…` — covers any run of consecutive utm params without
-    // capture-group replacement
-    val noUtm = regexp_replace(regexp_replace(regexp_replace(
-      schemeNorm, "&utm_[^&#]*", ""), "\\?utm_[^&#]*&", "?"),
-      "\\?utm_[^&#]*", "")
-    val clean = regexp_replace(noUtm, "[?&]+$", "")
-    val auth = regexp_extract(clean, "^https?://([^/?]*)", 1)
-    val authNorm = when(sch === "https", regexp_replace(lower(auth), ":443$", ""))
-      .when(sch === "http", regexp_replace(lower(auth), ":80$", ""))
-      .otherwise(lower(auth))
-    val rebuilt = when(sch.isin("http", "https"),
-        concat(sch, lit("://"), authNorm,
-          regexp_replace(clean, "^https?://[^/?]*", "")))
-      .otherwise(clean)
-    regexp_replace(rebuilt, "/$", "")
+    // Each intermediate is BOUND once per row via a 1-element transform
+    // lambda (r17 optimization round): as plain `val`s the steps embedded
+    // their producer's whole subtree at every reference — `noFrag` twice
+    // in schemeNorm, `clean` in auth (×3 via authNorm) and rebuilt (×2),
+    // all multiplied by the caller's url expression — which blew the
+    // generated method past the JVM's 64 KB limit (d30: codegen FAILED,
+    // the stage ran interpreted AND re-ran each regex per reference).
+    // Bound, every regex runs exactly once per row.
+    def bind(c: Column)(f: Column => Column): Column =
+      element_at(transform(array(c), f), 1)
+    bind(regexp_replace(url, "#.*", "")) { noFrag =>
+      bind(lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))) { sch =>
+        bind(when(sch === "", noFrag)
+            .otherwise(concat(sch, lit("://"),
+              regexp_replace(noFrag, "^[A-Za-z]+://", "")))) { schemeNorm =>
+          // utm params in three separator-anchored passes: every `&utm_…`,
+          // then a leading `?utm_…&` (promote the follower), then a lone
+          // `?utm_…` — covers any run of consecutive utm params without
+          // capture-group replacement
+          bind(regexp_replace(regexp_replace(regexp_replace(
+              schemeNorm, "&utm_[^&#]*", ""), "\\?utm_[^&#]*&", "?"),
+              "\\?utm_[^&#]*", "")) { noUtm =>
+            bind(regexp_replace(noUtm, "[?&]+$", "")) { clean =>
+              bind(lower(regexp_extract(clean, "^https?://([^/?]*)", 1))) { authL =>
+                val authNorm =
+                  when(sch === "https", regexp_replace(authL, ":443$", ""))
+                    .when(sch === "http", regexp_replace(authL, ":80$", ""))
+                    .otherwise(authL)
+                val rebuilt = when(sch.isin("http", "https"),
+                    concat(sch, lit("://"), authNorm,
+                      regexp_replace(clean, "^https?://[^/?]*", "")))
+                  .otherwise(clean)
+                regexp_replace(rebuilt, "/$", "")
+              }
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Per-registered-domain quota: keep at most `k` documents per domain,

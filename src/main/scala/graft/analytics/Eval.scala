@@ -157,9 +157,16 @@ object Eval {
     def wOf(h: Column, lane: Int): Column = {
       val u = conv(substring(h, 1 + lane * 8, 8), 16, 10)
         .cast("double") / lit(4294967296.0)
-      cum.zipWithIndex.foldRight(lit(7): Column) { case ((c, k), e) =>
-        when(u < c, lit(k)).otherwise(e)
-      }
+      // FLAT comparison sum, not a nested when-chain (r17 optimization
+      // round): w = first k with u < cum(k) = 7 − #{k : u < cum(k)}
+      // (identical on every input incl. the NULL-u → 7 edge, since a
+      // NULL comparison falls to the otherwise-0 on every term). The
+      // nested 8-deep when-chains × 40 replicates blew the generated
+      // processNext past the JVM's 64 KB method limit — codegen FAILED
+      // ("Code grows beyond 64 KB") and the whole projection+aggregate
+      // stage ran INTERPRETED, 2.5-3× the compiled time at sf0.1 (and
+      // recompiled-and-failed on every run). The flat form compiles.
+      cum.map(c => when(u < c, 1).otherwise(0)).reduce(_ + _) * -1 + lit(7)
     }
     // the digest pipeline is CPU-bound at ~reps/4 md5 + reps conv per
     // row — spread a byte-small single-split scan across cores first
