@@ -52,8 +52,9 @@ private[graft] object QueriesPipeline {
     "q53_iqr_outliers" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val stats = ev.groupBy(col("event_type")).agg(
-          expr("percentile(value, 0.25)").as("q1"),
-          expr("percentile(value, 0.75)").as("q3"))
+          // one array-percentile buffer, not two scalar ones (q35 note)
+          expr("percentile(value, array(0.25, 0.75))").as("q"))
+        .select(col("event_type"), col("q")(0).as("q1"), col("q")(1).as("q3"))
         .select(col("event_type"),
           (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
           (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
@@ -473,8 +474,13 @@ private[graft] object QueriesPipeline {
         "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
         .as("bs"))
       li.crossJoin(broadcast(bounds))
-        .select(size(filter(col("bs"), b => col("l_extendedprice") >= b))
-            .cast("bigint").as("bin"),
+        // flat comparison sum, not a filter() HOF (r17 optimization
+        // round): the HOF is CodegenFallback — 600k rows × 9 interpreted
+        // lambda steps; nine codegen'd element_at compares count the
+        // same boundaries (null v → 0 in both shapes)
+        .select((0 until 9).map(k =>
+            when(col("l_extendedprice") >= col("bs")(k), 1L).otherwise(0L))
+            .reduce(_ + _).as("bin"),
           col("l_extendedprice").as("v"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
@@ -1049,16 +1055,16 @@ private[graft] object QueriesPipeline {
       val nv = firstView.agg(count(lit(1)).as("n_viewers"))
       conv.agg(count(lit(1)).as("n_converted"),
           sum(col("delta_us")).as("sd"),
-          expr("percentile(delta_us, 0.5)").as("p50r"),
-          expr("percentile(delta_us, 0.9)").as("p90r"))
+          // one array-percentile buffer, not two scalar ones (q35 note)
+          expr("percentile(delta_us, array(0.5, 0.9))").as("pr"))
         .crossJoin(broadcast(nv))
         .select(col("n_viewers"), col("n_converted"),
           round(col("n_converted").cast("double") /
             col("n_viewers").cast("double"), 9).as("conv_rate"),
           round(col("sd").cast("double") /
             col("n_converted").cast("double"), 3).as("mean_us"),
-          round(col("p50r"), 6).as("p50_us"),
-          round(col("p90r"), 6).as("p90_us"))
+          round(col("pr")(0), 6).as("p50_us"),
+          round(col("pr")(1), 6).as("p90_us"))
     }),
 
     // Dataset card (the release manifest): per-language composition of

@@ -339,12 +339,14 @@ private[graft] object QueriesRelational {
     // E3/F8 — exact linear-interpolated percentiles (both engines use the
     // p·(n−1) type-7 convention, so the doubles are bit-comparable).
     "q27_percentiles" -> ((s, dir) => {
+      // one array-percentile buffer, not two scalar ones (the q35 note)
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.95)").as("p95"),
+          expr("percentile(o_totalprice, array(0.5, 0.95))").as("p"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("p")(0).as("p50"),
+          col("p")(1).as("p95"), col("n"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -529,19 +531,25 @@ private[graft] object QueriesRelational {
     // n/10000 ≈ 2 rows per group at sf0.01, so the 1% value flag holds
     // with wide margin regardless of partial-merge order.
     "q35_approx_percentiles" -> ((s, dir) => {
-      // spread the single-split scan so percentile partials parallelize
+      // spread the single-split scan so percentile partials parallelize.
+      // ONE array-percentile buffer per family (r17 optimization round):
+      // two scalar percentile() slots each buffered the FULL value-count
+      // map per group independently (and two percentile_approx slots each
+      // built their own GK summary) — the array form fills one buffer and
+      // reads both ranks from it, halving aggregate state. Values are
+      // identical: the same counts map / same summary queried at each p.
       analytics.Par.spreadForCpu(t(s, dir, "lineitem"))
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"))
-        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
-          (abs(col("p50_approx") - col("p50_exact")) <=
-            abs(col("p50_exact")) * 0.01).as("p50_err_ok"),
-          (abs(col("p95_approx") - col("p95_exact")) <=
-            abs(col("p95_exact")) * 0.01).as("p95_err_ok"))
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex"))
+        .select(col("l_returnflag"),
+          col("ex")(0).as("p50_exact"), col("ex")(1).as("p95_exact"),
+          (abs(col("ap")(0) - col("ex")(0)) <=
+            abs(col("ex")(0)) * 0.01).as("p50_err_ok"),
+          (abs(col("ap")(1) - col("ex")(1)) <=
+            abs(col("ex")(1)) * 0.01).as("p95_err_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
