@@ -552,11 +552,16 @@ private[graft] object QueriesDedup {
         .select(col("doc_id"), col("cluster_id"))
       val q = qualityScored(docs).select(col("doc_id"), col("quality"))
       val cq = clusters.join(q, Seq("doc_id"))
-      val mq = cq.groupBy(col("cluster_id")).agg(max(col("quality")).as("mxq"))
-      val surv = cq.join(mq, Seq("cluster_id"))
-        .where(col("quality") === col("mxq"))
-        .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("survivor_id"))
-      cq.join(surv, Seq("cluster_id"))
+      // ONE cluster-keyed window instead of max-quality aggregate + gate
+      // join + min-id aggregate + final join (r17 optimization round,
+      // guide §2.4): the survivor IS the first row in (quality desc,
+      // doc_id asc) order within the cluster — same election, one
+      // shuffle, and the unpersisted cq chain executes once instead of
+      // three times. Partition state is cluster-sized, as before.
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      cq.withColumn("survivor_id", first(col("doc_id")).over(byCluster))
         .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
           (col("doc_id") === col("survivor_id")).as("keep"))
         .orderBy(col("doc_id"))
@@ -649,16 +654,23 @@ private[graft] object QueriesDedup {
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // ONE weight table for both variants (r17 optimization round): the
+      // cap only FILTERS terms (df·5 ≤ n·2) — it does not change the
+      // weight of a surviving term, so the capped run is a row filter of
+      // the uncapped weights, not a second tokenize→tf→df→weight
+      // pipeline. Persisted: each variant reads it 3× (norms + both dot
+      // sides); without the cut the whole chain re-executed ~6×
+      // (session-owned cache, dropped by clearCache()).
+      val wAll = tf.join(dfAll, Seq("term")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          (col("df") * 5 <= col("n_docs") * 2).as("under_cap"),
+          round(col("tf").cast("double") *
+            (log((lit(1.0) + col("n_docs").cast("double")) /
+              (lit(1.0) + col("df").cast("double"))) + 1.0), 9).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def cosinePairs(capped: Boolean): DataFrame = {
-        val df0 = dfAll.crossJoin(broadcast(nDocs))
-        val df = (if (capped) df0.where(col("df") * 5 <= col("n_docs") * 2)
-                  else df0)
-          .select(col("term"), col("df"))
-        val w = tf.join(df, Seq("term")).crossJoin(broadcast(nDocs))
-          .select(col("doc_id"), col("term"),
-            round(col("tf").cast("double") *
-              (log((lit(1.0) + col("n_docs").cast("double")) /
-                (lit(1.0) + col("df").cast("double"))) + 1.0), 9).as("w"))
+        val w = (if (capped) wAll.where(col("under_cap")) else wAll)
+          .select(col("doc_id"), col("term"), col("w"))
         val norms = w.groupBy(col("doc_id"))
           .agg(collect_list(struct(col("term"), col("w"))).as("tw"))
           .select(col("doc_id"),

@@ -553,8 +553,12 @@ private[graft] object QueriesSimGraph {
     "s04_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val probes = e.where(col("vec_id") < 10)
+      // persisted: read by the hit semi-join AND the per-probe denominator
+      // — without the cut the full brute-force corpus scan runs twice
+      // (k·|probes| rows; the d04 cache convention, dropped by clearCache)
       val exact = Similarity.bruteForceTopK(e, probes, k = 5)
         .select(col("probe_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
         .select(col("probe_id"), col("neighbor_id"))
       val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi")
@@ -580,8 +584,13 @@ private[graft] object QueriesSimGraph {
     "s05_kmeans" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val probes = e.where(col("vec_id") < 10)
+      // persisted: three consumers (two hit semi-joins + the denominator)
+      // — without the cut the brute-force scan runs three times, and the
+      // km_ge_base flag's re-execution of `out` doubles everything again
+      // (k·|probes| rows; session-owned, dropped by clearCache)
       val exact = Similarity.bruteForceTopK(e, probes, k = 5)
         .select(col("probe_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = Similarity.ivfTopK(e, probes, k = 5, nCells = 16, nProbe = 8)
         .select(col("probe_id"), col("neighbor_id"))
       // replayableMeans: the SQL twin replays the mean fold in vec-id
@@ -603,6 +612,9 @@ private[graft] object QueriesSimGraph {
           round(col("n_hit_base").cast("double") / col("n_exact"), 6))
         .withColumn("recall_km",
           round(col("n_hit_km").cast("double") / col("n_exact"), 6))
+        // persisted: the flag aggregate below re-reads the whole frame —
+        // without the cut all three search pipelines execute twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val flag = out.agg((sum(col("n_hit_km")) >= sum(col("n_hit_base"))).as("km_ge_base"))
       out.crossJoin(flag) // 1-row scalar broadcast
         .orderBy(col("probe_id"))
@@ -617,8 +629,11 @@ private[graft] object QueriesSimGraph {
     "s08_pq_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val probes = e.where(col("vec_id") < 10)
+      // persisted: three consumers (two hit semi-joins + the denominator)
+      // — the s05 note
       val exact = Similarity.bruteForceL2TopK(e, probes, k = 5)
         .select(col("probe_id"), col("neighbor_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = Similarity.pqTopK(e, probes, k = 5, m = 8, ks = 16, dim = 64)
         .select(col("probe_id"), col("neighbor_id"))
       val cb = Similarity.pqTrainCodebooks(e, m = 8, ks = 16, iters = 2,
