@@ -380,6 +380,10 @@ private[graft] object QueriesText {
         .select(col("bin"), col("n"), col("n_correct"),
           round(col("sc").cast("double") / col("n"), 9).as("conf_mean"),
           round(col("n_correct").cast("double") / col("n"), 9).as("acc"))
+        // persisted (≤10 rows): the nTot/terms/ece scalar chain reads this
+        // four ways — without the cut the full langid scan re-executes per
+        // branch (r17 optimization round; session-owned, clearCache-dropped)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTot = bins.agg(sum(col("n")).as("nt"))
       val terms = bins.crossJoin(broadcast(nTot))
         .select(col("bin"), col("n"), col("n_correct"), col("conf_mean"), col("acc"),

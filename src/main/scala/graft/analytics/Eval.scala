@@ -42,6 +42,11 @@ object Eval {
       predCol: String): DataFrame = {
     val conf = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
+      // persisted (class-cardinality² rows): three consumers below —
+      // without the cut the caller's scoring scan (langid, quality
+      // classifier) re-executes per branch (session-owned cache,
+      // dropped by clearCache())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labelTot = conf.groupBy(col("label")).agg(sum(col("n")).as("n_label"))
     val predTot = conf.groupBy(col("pred").as("label"))
       .agg(sum(col("n")).as("n_pred"))
